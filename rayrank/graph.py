@@ -1,0 +1,249 @@
+"""Edge-table preparation and partitioned graph build (SURVEY.md §2.2
+M3, §2.5 A1-A3, §2.4 J4).
+
+Reference semantics reproduced (without the reference's sortedness
+assumption or driver-side state):
+
+  * duplicate edges are NOT dropped — they collapse to a multiplicity
+    and the transition weight is ``P[s,t] = mult / outdeg(s)`` where
+    ``outdeg`` counts duplicates (pagerank.py:50-67: run-length 1/outdeg
+    weights + torch COO coalescing sums duplicates);
+  * ``filter_ratio`` prunes edges whose target's raw in-degree ≥
+    ratio·n, with n fixed BEFORE the prune (pagerank.py:42-47; n at :66
+    is len(url_dict) which never shrinks) — pruned-to-isolation
+    vertices stay in the vertex space as dangling/isolated nodes;
+  * dangling = vertices with out-degree 0 in the (post-prune) edge set
+    (pagerank.py:105-107: zero rows of P).
+
+Physical layout: ONE partitioning decision is made here and reused by
+every iterative stage — ids from :mod:`rayrank.ids` give
+``part(vid) = vid % Q``; edges are written hive-partitioned by
+``src % Q`` so shard ``p`` co-resides with score partition ``p``
+(gather needs no shuffle; the only per-iteration wide step is the
+contribution reduce keyed by ``dst``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from . import NUM_PARTITIONS_DEFAULT
+from .ids import assign_ids, distinct_names, encode_edges
+
+
+@dataclass
+class GraphMeta:
+    n: int                      # vertex count (pre-prune keyspace)
+    Q: int                      # id/score/edge partition count
+    part_sizes: list[int]       # vertices per partition, len Q
+    nnz: int                    # collapsed (src,dst) pairs after prune
+    edge_multiplicity_total: int  # raw edge count after prune
+    filter_ratio: float | None = None
+    undirected: bool = False
+    lineage: dict = field(default_factory=dict)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(asdict(self), f, indent=1)
+
+    @staticmethod
+    def load(path: str) -> "GraphMeta":
+        with open(path) as f:
+            return GraphMeta(**json.load(f))
+
+
+def collapse_multiplicity(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """(src, dst) → (src, dst, mult) hash aggregate."""
+    g = edges.groupby(["src", "dst"]).count()
+    return g.map_batches(
+        lambda t: t.rename_columns(["src", "dst", "mult"]), batch_format="pyarrow"
+    )
+
+
+def out_degrees(edges_mult: ray.data.Dataset) -> ray.data.Dataset:
+    """(src, outdeg) counting duplicate multiplicity (A2)."""
+    g = edges_mult.groupby("src").sum("mult")
+    return g.map_batches(
+        lambda t: t.rename_columns(["src", "outdeg"]), batch_format="pyarrow"
+    )
+
+
+def in_degrees(edges_mult: ray.data.Dataset) -> ray.data.Dataset:
+    """(dst, indeg) counting duplicate multiplicity (A1)."""
+    g = edges_mult.groupby("dst").sum("mult")
+    return g.map_batches(
+        lambda t: t.rename_columns(["dst", "indeg"]), batch_format="pyarrow"
+    )
+
+
+def hot_targets(edges_mult: ray.data.Dataset, threshold: float) -> list[int]:
+    """dsts with raw in-degree ≥ threshold.  Small by construction
+    (≤ total_edges/threshold vertices) → safe to collect & broadcast."""
+    hot = in_degrees(edges_mult).filter(
+        expr=f"indeg >= {threshold}"
+    )
+    return [r["dst"] for r in hot.take_all()]
+
+
+def prune_filter_ratio(
+    edges_mult: ray.data.Dataset, n: int, filter_ratio: float
+) -> ray.data.Dataset:
+    """Drop edges into heavy-hitter targets (J4: broadcast anti-join —
+    the hot set is tiny, so it ships via ray.put, not a shuffle)."""
+    threshold = filter_ratio * n
+    hot = np.array(sorted(hot_targets(edges_mult, threshold)), dtype=np.int64)
+    hot_ref = ray.put(hot)
+
+    def drop_hot(t: pa.Table) -> pa.Table:
+        hot_arr = ray.get(hot_ref)
+        if len(hot_arr) == 0:
+            return t
+        dst = t.column("dst").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(hot_arr, dst)
+        idx = np.minimum(idx, len(hot_arr) - 1)
+        keep = hot_arr[idx] != dst
+        return t.filter(pa.array(keep))
+
+    return edges_mult.map_batches(drop_hot, batch_format="pyarrow")
+
+
+def with_weights(
+    edges_mult: ray.data.Dataset, num_partitions: int = NUM_PARTITIONS_DEFAULT
+) -> ray.data.Dataset:
+    """(src, dst, mult, w) with w = mult/outdeg(src) via a hash join
+    keyed on src (M3 without the sorted-input assumption)."""
+    deg = out_degrees(edges_mult)
+    joined = edges_mult.join(
+        deg, join_type="inner", num_partitions=num_partitions, on=("src",)
+    )
+
+    def weight(t: pa.Table) -> pa.Table:
+        w = pc.divide(
+            pc.cast(t.column("mult"), pa.float64()),
+            pc.cast(t.column("outdeg"), pa.float64()),
+        )
+        return pa.table(
+            {
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "mult": t.column("mult"),
+                "w": w,
+            }
+        )
+
+    return joined.map_batches(weight, batch_format="pyarrow")
+
+
+def _partition_sizes(vertices: ray.data.Dataset, Q: int) -> list[int]:
+    rows = vertices.groupby("q").count().take_all()
+    sizes = [0] * Q
+    for r in rows:
+        sizes[int(r["q"])] = int(r["count()"])
+    return sizes
+
+
+def build_graph(
+    edges_named: ray.data.Dataset,
+    out_dir: str,
+    num_partitions: int = NUM_PARTITIONS_DEFAULT,
+    filter_ratio: float | None = None,
+    undirected: bool = False,
+) -> GraphMeta:
+    """Full graph build: names → ids → multiplicity → (optional prune)
+    → weights → hive-partitioned Parquet layout:
+
+        out_dir/meta.json
+        out_dir/vertices/q={q}/*.parquet      (vid, name)
+        out_dir/edges/part={src % Q}/*.parquet (src, dst, mult, w)
+
+    ``edges_named`` needs columns ``src_name, dst_name``.  When
+    ``undirected=True`` the reversed edges are unioned in before the
+    multiplicity collapse (CC / label propagation / triangles view).
+    """
+    Q = num_partitions
+    os.makedirs(out_dir, exist_ok=True)
+
+    edges_named = edges_named.select_columns(["src_name", "dst_name"])
+    if undirected:
+        rev = edges_named.map_batches(
+            lambda t: pa.table(
+                {"src_name": t.column("dst_name"), "dst_name": t.column("src_name")}
+            ),
+            batch_format="pyarrow",
+        )
+        edges_named = edges_named.union(rev)
+
+    vertices = assign_ids(distinct_names(edges_named), Q)
+    vertices = vertices.materialize()  # small (V rows), reused 3×
+    edges = encode_edges(edges_named, vertices, Q)
+    edges_mult = collapse_multiplicity(edges)
+
+    n = vertices.count()
+    if filter_ratio is not None:
+        edges_mult = prune_filter_ratio(edges_mult, n, filter_ratio)
+    edges_w = with_weights(edges_mult, Q)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array(src % Q, type=pa.int64()))
+
+    edges_w = edges_w.map_batches(add_part, batch_format="pyarrow")
+    edges_dir = os.path.join(out_dir, "edges")
+    edges_w.write_parquet(edges_dir, partition_cols=["part"])
+
+    vert_dir = os.path.join(out_dir, "vertices")
+    vertices.write_parquet(vert_dir, partition_cols=["q"])
+
+    part_sizes = _partition_sizes(vertices, Q)
+    stats = edges_mult.map_batches(
+        lambda t: pa.table(
+            {
+                "nnz": pa.array([len(t)], pa.int64()),
+                "mult": pa.array(
+                    [int(pc.sum(t.column("mult")).as_py() or 0)], pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    totals = {"nnz": 0, "mult": 0}
+    for b in stats.iter_batches(batch_format="pyarrow"):
+        totals["nnz"] += int(pc.sum(b.column("nnz")).as_py() or 0)
+        totals["mult"] += int(pc.sum(b.column("mult")).as_py() or 0)
+
+    meta = GraphMeta(
+        n=n,
+        Q=Q,
+        part_sizes=part_sizes,
+        nnz=totals["nnz"],
+        edge_multiplicity_total=totals["mult"],
+        filter_ratio=filter_ratio,
+        undirected=undirected,
+        lineage={
+            "edges_dir": edges_dir,
+            "vertices_dir": vert_dir,
+            "edge_files": sorted(
+                os.path.relpath(os.path.join(dp, f), out_dir)
+                for dp, _, fs in os.walk(edges_dir)
+                for f in fs
+            ),
+        },
+    )
+    meta.save(os.path.join(out_dir, "meta.json"))
+    return meta
+
+
+def load_vertices(graph_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(graph_dir, "vertices"))
+
+
+def load_edges(graph_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(graph_dir, "edges"))
