@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship corpus pipeline (synthetic code corpus →
+sha256 ingest → import/co-commit edge derivation → partitioned graph →
+reference-exact PageRank → top-k).  ``queries()`` exposes one callable
+per implemented operator/pipeline from SURVEY.md §2 over the testdata
+tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one (column names match exactly; float columns that
+depend on distributed reduce order are rounded identically on both
+sides).  Iterative/heuristic ops are rows-only here and verified against
+numpy/networkx oracles by ``python -m pytest -x -q``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +21,170 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on the SF=0.001 synthetic corpus."""
+    from rayrank.pipelines import corpus_flagship
+
+    return corpus_flagship(sf=0.001, top_k=20)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from rayrank import pipelines as pl
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # degrees / weights / dangling / prune (SURVEY §2.5, §2.2 M3, §2.4 J4)
+        "out_degree": pl.out_degree,
+        "in_degree": pl.in_degree,
+        "edge_weights": pl.edge_weights,
+        "distinct_vertex_count": pl.distinct_vertex_count,
+        "dangling_vertices": pl.dangling_vertices,
+        "hot_targets": pl.hot_targets,
+        "filter_ratio_kept_edges": pl.filter_ratio_kept_edges,
+        # sorts / filters (SURVEY §2.6, §2.2 M1/M4)
+        "top_customers": pl.top_customers,
+        "regex_filter_docs": pl.regex_filter_docs,
+        "query_filter_docs": pl.query_filter_docs,
+        # text / dedup / events / ann
+        "docs_exact_dedup": pl.docs_exact_dedup,
+        "token_counts": pl.token_counts,
+        "doc_stats": pl.doc_stats,                      # rows-only
+        "minhash_clusters": pl.minhash_clusters,        # rows-only
+        "simhash_pairs": pl.simhash_pairs,              # rows-only
+        "event_transitions": pl.event_transitions,
+        "ann_topk": pl.ann_topk,
+        "lsh_ann_topk": pl.lsh_ann_topk,                # rows-only (approximate)
+        # graph algorithms (north_rule §2.11)
+        "pagerank_2iter": pl.pagerank_2iter,
+        "pagerank_converged": pl.pagerank_converged,    # rows-only
+        "triangle_count": pl.triangle_count_sf,
+        "connected_components": pl.connected_components_sf,  # rows-only
+        "label_propagation": pl.label_propagation_sf,   # rows-only
+        "component_count": pl.component_count_sf,       # rows-only
+    }
+
+
+_VERTS = (
+    "SELECT DISTINCT v FROM (SELECT l_orderkey AS v FROM lineitem "
+    "UNION ALL SELECT l_partkey FROM lineitem)"
+)
+
+_PAGERANK_2ITER_SQL = f"""
+WITH raw AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+outdeg AS (SELECT s, COUNT(*) AS d FROM raw GROUP BY s),
+e AS (SELECT s, t, COUNT(*) AS m FROM raw GROUP BY s, t),
+w AS (SELECT e.s, e.t, CAST(e.m AS DOUBLE)/o.d AS w FROM e JOIN outdeg o ON e.s = o.s),
+x0 AS (SELECT v.v, 1.0/sqrt(nn.n) AS x FROM verts v, nn),
+dang AS (SELECT v.v FROM verts v LEFT JOIN outdeg o ON v.v = o.s WHERE o.s IS NULL),
+am0 AS (SELECT COALESCE(SUM(x.x), 0.0) AS m FROM dang d JOIN x0 x ON d.v = x.v),
+c0 AS (SELECT w.t AS v, SUM(w.w * x.x) AS c FROM w JOIN x0 x ON w.s = x.v GROUP BY w.t),
+r1 AS (
+  SELECT v.v,
+         0.85*COALESCE(c0.c, 0.0)
+         + (0.85*(SELECT m FROM am0) + 0.15) * (1.0/sqrt((SELECT n FROM nn))) AS x
+  FROM verts v LEFT JOIN c0 ON v.v = c0.v
+),
+l1a AS (SELECT SUM(ABS(x)) AS s FROM r1),
+x1 AS (SELECT v, x/(SELECT s FROM l1a) AS x FROM r1),
+am1 AS (SELECT COALESCE(SUM(x.x), 0.0) AS m FROM dang d JOIN x1 x ON d.v = x.v),
+c1 AS (SELECT w.t AS v, SUM(w.w * x.x) AS c FROM w JOIN x1 x ON w.s = x.v GROUP BY w.t),
+r2 AS (
+  SELECT v.v,
+         0.85*COALESCE(c1.c, 0.0)
+         + (0.85*(SELECT m FROM am1) + 0.15) * (1.0/sqrt((SELECT n FROM nn))) AS x
+  FROM verts v LEFT JOIN c1 ON v.v = c1.v
+),
+l1b AS (SELECT SUM(ABS(x)) AS s FROM r2)
+SELECT v AS name, ROUND(x/(SELECT s FROM l1b), 6) AS score FROM r2
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "out_degree": (
+            "SELECT l_orderkey AS src, COUNT(*) AS outdeg "
+            "FROM lineitem GROUP BY l_orderkey"
+        ),
+        "in_degree": (
+            "SELECT l_partkey AS dst, COUNT(*) AS indeg "
+            "FROM lineitem GROUP BY l_partkey"
+        ),
+        "edge_weights": (
+            "WITH e AS (SELECT l_orderkey AS src, l_partkey AS dst, "
+            "COUNT(*) AS mult FROM lineitem GROUP BY 1, 2), "
+            "d AS (SELECT src, CAST(SUM(mult) AS BIGINT) AS outdeg FROM e GROUP BY src) "
+            "SELECT e.src, e.dst, e.mult, CAST(e.mult AS DOUBLE)/d.outdeg AS w "
+            "FROM e JOIN d ON e.src = d.src"
+        ),
+        "distinct_vertex_count": (
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ({_VERTS})"
+        ),
+        "dangling_vertices": (
+            f"WITH v AS ({_VERTS}), "
+            "s AS (SELECT DISTINCT l_orderkey AS src FROM lineitem) "
+            "SELECT v.v FROM v LEFT JOIN s ON v.v = s.src WHERE s.src IS NULL"
+        ),
+        "hot_targets": (
+            "SELECT l_partkey AS dst, COUNT(*) AS indeg FROM lineitem "
+            "GROUP BY l_partkey HAVING COUNT(*) >= 40"
+        ),
+        "filter_ratio_kept_edges": (
+            "WITH ind AS (SELECT l_partkey AS dst, COUNT(*) AS indeg "
+            "FROM lineitem GROUP BY 1), "
+            f"n AS (SELECT COUNT(*) AS n FROM ({_VERTS})) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS kept_edges FROM lineitem l "
+            "JOIN ind ON l.l_partkey = ind.dst "
+            "WHERE ind.indeg < 0.002 * (SELECT n FROM n)"
+        ),
+        "top_customers": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer "
+            "ORDER BY c_acctbal DESC, c_custkey LIMIT 10"
+        ),
+        "regex_filter_docs": (
+            "SELECT doc_id FROM documents "
+            "WHERE NOT regexp_matches(text, '.*((/$)|(/.*/)).*')"
+        ),
+        "query_filter_docs": (
+            "SELECT doc_id FROM documents "
+            "WHERE contains(text, 'scan') AND NOT contains(text, 'join')"
+        ),
+        "docs_exact_dedup": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "token_counts": (
+            "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "array_length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) "
+            "AS ws_tokens FROM documents"
+        ),
+        "event_transitions": (
+            "WITH o AS (SELECT user_id, event_type, "
+            "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS next_type FROM events) "
+            "SELECT user_id, event_type AS from_type, next_type AS to_type, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt FROM o "
+            "WHERE next_type IS NOT NULL GROUP BY 1, 2, 3"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            "FROM embeddings WHERE vec_id < 3), "
+            "s AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(CAST(q.qe AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])) AS cos "
+            "FROM q CROSS JOIN embeddings e), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY cos DESC, vec_id) AS rn FROM s) "
+            "SELECT query_id, vec_id, ROUND(cos, 4) AS cosine FROM r WHERE rn <= 5"
+        ),
+        "pagerank_2iter": _PAGERANK_2ITER_SQL,
+        "triangle_count": (
+            "WITH raw AS (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem), "
+            "und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v "
+            "FROM raw WHERE a <> b) "
+            "SELECT CAST(COUNT(*) AS BIGINT) AS triangles "
+            "FROM und e1 JOIN und e2 ON e2.u = e1.v "
+            "JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v"
+        ),
+    }

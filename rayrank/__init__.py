@@ -20,3 +20,25 @@ Design commitments (SURVEY.md §1.2/§7):
 __version__ = "0.1.0"
 
 NUM_PARTITIONS_DEFAULT = 16
+
+
+def configure_data_context() -> None:
+    """Tune Ray Data execution for this engine (idempotent; call after
+    or before ray.init — the context is process-global).
+
+    Hash-shuffle aggregators are ACTORS that reserve CPUs for the whole
+    execution; a pipeline chaining several shuffles + map actor pools
+    can deadlock on a small cluster when the reservations exceed the
+    CPU count (observed at num_cpus=4 with 2 pools + 3 shuffles).
+    Dropping the per-partition CPU reservation to a nominal value lets
+    the OS time-slice instead — correct for our small-partition,
+    CPU-bursty aggregations at any cluster size."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)

@@ -120,9 +120,11 @@ def with_weights(
 ) -> ray.data.Dataset:
     """(src, dst, mult, w) with w = mult/outdeg(src) via a hash join
     keyed on src (M3 without the sorted-input assumption)."""
+    from .joins import hash_join
+
     deg = out_degrees(edges_mult)
-    joined = edges_mult.join(
-        deg, join_type="inner", num_partitions=num_partitions, on=("src",)
+    joined = hash_join(
+        edges_mult, deg, on=("src",), num_partitions=num_partitions
     )
 
     def weight(t: pa.Table) -> pa.Table:
@@ -183,7 +185,14 @@ def build_graph(
 
     vertices = assign_ids(distinct_names(edges_named), Q)
     vertices = vertices.materialize()  # small (V rows), reused 3×
-    edges = encode_edges(edges_named, vertices, Q)
+    edge_rows = edges_named
+    if undirected:
+        # self-loops carry no information for CC/LP/triangles and would
+        # let a vertex vote for its own label in LP (oracle rule pinned
+        # in FIXTURES.md §1 excludes them); their endpoints stay in the
+        # vertex set (distinct_names ran on the unfiltered edges)
+        edge_rows = edges_named.filter(expr="src_name != dst_name")
+    edges = encode_edges(edge_rows, vertices, Q)
     edges_mult = collapse_multiplicity(edges)
 
     n = vertices.count()

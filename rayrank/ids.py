@@ -91,24 +91,20 @@ def encode_edges(
 ) -> ray.data.Dataset:
     """Replace (src_name, dst_name) with (src, dst) int64 vids via two
     partitioned hash joins (the scale path — no driver-side dict)."""
+    from .joins import hash_join
+
     vsrc = vertices.select_columns(["vid", "name"]).map_batches(
         lambda t: t.rename_columns(["src", "sname"]), batch_format="pyarrow"
     )
     vdst = vertices.select_columns(["vid", "name"]).map_batches(
         lambda t: t.rename_columns(["dst", "dname"]), batch_format="pyarrow"
     )
-    e = edges.join(
-        vsrc,
-        join_type="inner",
+    e = hash_join(
+        edges, vsrc, on=("src_name",), right_on=("sname",),
         num_partitions=num_partitions,
-        on=("src_name",),
-        right_on=("sname",),
     )
-    e = e.join(
-        vdst,
-        join_type="inner",
+    e = hash_join(
+        e, vdst, on=("dst_name",), right_on=("dname",),
         num_partitions=num_partitions,
-        on=("dst_name",),
-        right_on=("dname",),
     )
     return e.select_columns(["src", "dst"])

@@ -95,12 +95,14 @@ def import_edges(
     files = file_table(corpus).map_batches(
         lambda t: t.rename_columns(["f_repo", "f_path"]), batch_format="pyarrow"
     )
-    resolved = cands.join(
+    from .joins import hash_join
+
+    resolved = hash_join(
+        cands,
         files,
-        join_type="inner",
-        num_partitions=num_partitions,
         on=("repo", "dst_path"),
         right_on=("f_repo", "f_path"),
+        num_partitions=num_partitions,
     )
 
     def to_names(t: pa.Table) -> pa.Table:
@@ -138,10 +140,16 @@ def _commit_pairs(group: pd.DataFrame) -> pd.DataFrame:
 def cocommit_edges(corpus: ray.data.Dataset) -> ray.data.Dataset:
     """Consecutive-pair edges among the files of one ``(repo, commit)``
     group (shuffle keyed on the group; linear output per group)."""
-    return (
+    out = (
         corpus.select_columns(["repo", "commit", "path"])
         .groupby(["repo", "commit"])
         .map_groups(_commit_pairs, batch_format="pandas")
+    )
+    # normalize to arrow blocks: unioning pandas-block output with the
+    # arrow-block import edges trips Ray's block-type batcher assert
+    return out.map_batches(
+        lambda t: t.select(["src_name", "dst_name", "kind"]),
+        batch_format="pyarrow",
     )
 
 

@@ -1,0 +1,215 @@
+"""Partitioned hash join as a composition of Ray Data primitives.
+
+Ray 2.49's native ``Dataset.join`` crashes (`ArrowInvalid`) whenever a
+hash partition receives zero rows on one side — its aggregator builds a
+schema-less empty table (ray/data/_internal/execution/operators/
+join.py:118 ``finalize``).  Tiny tables and skewed keys both trigger
+it, so every join in this engine goes through this operator instead:
+
+  1. both sides are projected to one union schema (absent columns are
+     typed nulls) plus a side marker and a ``__bucket`` column =
+     stable hash of the key columns mod ``num_partitions``;
+  2. one ``groupby("__bucket").map_groups`` co-groups the two sides —
+     a single hash shuffle, identical movement to a native hash join;
+  3. inside each bucket the two sides are split and joined with the
+     vectorized pyarrow (acero) join kernel — empty sides are typed
+     empty tables, which acero handles correctly.
+
+Skew note: buckets are balanced by key-hash; a pathological hot KEY
+still lands in one bucket — callers with known hot keys (contribution
+reduces) pre-aggregate or salt before joining (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from . import NUM_PARTITIONS_DEFAULT
+
+_ARROW_HOW = {
+    "inner": "inner",
+    "left_outer": "left outer",
+    "right_outer": "right outer",
+    "full_outer": "full outer",
+}
+
+_FNV = np.uint64(1099511628211)
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _key_hash(t: pa.Table, cols: list[str], buckets: int) -> np.ndarray:
+    h = np.zeros(len(t), np.uint64)
+    for c in cols:
+        arr = t.column(c)
+        if pa.types.is_integer(arr.type):
+            v = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+            v = (v ^ (v >> np.uint64(33))) * _GOLD
+        else:
+            v = pd.util.hash_array(
+                np.asarray(arr.to_pylist(), dtype=object), categorize=False
+            )
+        h = h * _FNV ^ v
+    return (h % np.uint64(buckets)).astype(np.int64)
+
+
+def _filler(ty: pa.DataType, n: int) -> pa.Array:
+    """A typed, null-free constant column (see prep() in hash_join)."""
+    if pa.types.is_integer(ty):
+        return pa.array(np.zeros(n, np.int64)).cast(ty)
+    if pa.types.is_floating(ty):
+        return pa.array(np.zeros(n, np.float64)).cast(ty)
+    if pa.types.is_boolean(ty):
+        return pa.array(np.zeros(n, bool))
+    if pa.types.is_string(ty) or pa.types.is_large_string(ty):
+        return pa.array([""] * n, type=ty)
+    if pa.types.is_binary(ty) or pa.types.is_large_binary(ty):
+        return pa.array([b""] * n, type=ty)
+    if pa.types.is_timestamp(ty):
+        return pa.array([0] * n, type=ty)
+    return pa.nulls(n, type=ty)
+
+
+def _resolved_schema(ds: ray.data.Dataset):
+    """(ds, names, arrow_types) with a trustworthy schema.
+
+    A lazy ``Dataset.schema()`` can report the schema of whichever block
+    happens to be produced first — including a schema-less EMPTY block
+    from a ``map_groups`` group that returned zero rows (observed on
+    ray 2.49).  Casting real columns to such null types would silently
+    destroy data, so when the lazy schema looks unreliable the dataset
+    is materialized (which unifies block schemas) and re-read."""
+
+    def extract(d):
+        s = d.schema()
+        if s is None:
+            return None
+        names, types = list(s.names), list(s.types)
+        if not names:
+            return None
+        out_types = []
+        for t in types:
+            if isinstance(t, pa.DataType):
+                if pa.types.is_null(t):
+                    return None
+                out_types.append(t)
+            else:  # numpy dtype from a pandas block
+                try:
+                    out_types.append(pa.from_numpy_dtype(t))
+                except (pa.ArrowNotImplementedError, TypeError):
+                    return None
+        return names, out_types
+
+    got = extract(ds)
+    if got is None:
+        ds = ds.map_batches(lambda t: t, batch_format="pyarrow").materialize()
+        got = extract(ds)
+        if got is None:  # genuinely empty dataset: fall back to raw schema
+            s = ds.schema()
+            got = (list(s.names) if s else [], list(s.types) if s else [])
+    return ds, got[0], got[1]
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: tuple[str, ...],
+    right_on: tuple[str, ...] | None = None,
+    how: str = "inner",
+    num_partitions: int = NUM_PARTITIONS_DEFAULT,
+) -> ray.data.Dataset:
+    """Join two Datasets on key columns.  Output columns: all left
+    columns, then right non-key columns (non-key names must be disjoint
+    — rename before joining)."""
+    right_on = tuple(right_on or on)
+    on = tuple(on)
+    how_arrow = _ARROW_HOW[how]
+
+    left, l_names, l_types = _resolved_schema(left)
+    right, r_names, r_types = _resolved_schema(right)
+    # rename right keys to the left key names so bucket hashing and the
+    # in-bucket join key line up
+    ren = dict(zip(right_on, on))
+    r_names_out = [ren.get(nm, nm) for nm in r_names]
+    r_extra = [nm for nm in r_names_out if nm not in on]
+    overlap = set(r_extra) & set(l_names)
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+
+    all_fields = list(zip(l_names, l_types)) + [
+        (nm, ty) for nm, ty in zip(r_names_out, r_types) if nm in r_extra
+    ]
+    key_types = {nm: ty for nm, ty in all_fields if nm in on}
+
+    def prep(side: int, rename: dict | None):
+        def fn(t: pa.Table) -> pa.Table:
+            if rename:
+                t = t.rename_columns([ren.get(nm, nm) for nm in t.schema.names])
+            cols, names = [], []
+            for nm, ty in all_fields:
+                names.append(nm)
+                if nm in t.schema.names:
+                    col = t.column(nm)
+                    cols.append(col.cast(ty) if col.type != ty else col)
+                else:
+                    # typed SENTINELS, not nulls: the groupby shuffle may
+                    # round-trip blocks through pandas, where nulls
+                    # promote int64→float64 / all-null→null type and
+                    # corrupt the union schema; sentinel columns are
+                    # discarded when the sides are split in join_bucket
+                    cols.append(_filler(ty, len(t)))
+            out = pa.table(dict(zip(names, cols)))
+            out = out.append_column(
+                "__side", pa.array(np.full(len(t), side, np.int8))
+            )
+            out = out.append_column(
+                "__bucket", pa.array(_key_hash(out, list(on), num_partitions))
+            )
+            return out
+
+        return fn
+
+    lu = left.map_batches(prep(0, None), batch_format="pyarrow")
+    ru = right.map_batches(prep(1, ren), batch_format="pyarrow")
+    u = lu.union(ru)
+
+    l_cols = list(l_names)
+    r_cols = list(on) + r_extra
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        lt = t.filter(pa.array(side == 0)).select(l_cols)
+        rt = t.filter(pa.array(side == 1)).select(r_cols)
+        # acero join requires non-null keys; keys are never null here by
+        # construction (they came from real key columns)
+        return lt.join(
+            rt, keys=list(on), right_keys=list(on), join_type=how_arrow
+        ).select(l_cols + r_extra)
+
+    return u.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def broadcast_semi_filter(
+    ds: ray.data.Dataset, keys: np.ndarray, column: str, keep_matching: bool
+) -> ray.data.Dataset:
+    """Semi/anti join against a SMALL key set: ship the sorted key array
+    once via ray.put, filter vectorized per batch (SURVEY.md §2.4 J2/J4
+    broadcast pattern — no shuffle)."""
+    import ray as _ray
+
+    keys = np.sort(np.asarray(keys))
+    ref = _ray.put(keys)
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = _ray.get(ref)
+        col = t.column(column).to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            hit = np.zeros(len(col), bool)
+        else:
+            idx = np.clip(np.searchsorted(k, col), 0, len(k) - 1)
+            hit = k[idx] == col
+        return t.filter(pa.array(hit if keep_matching else ~hit))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

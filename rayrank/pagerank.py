@@ -112,12 +112,13 @@ class PageRankResult:
 
     def scores_dataset(self, graph_dir: str) -> ray.data.Dataset:
         """(vid, name, score) Dataset — scores joined to vertex names."""
+        from .joins import hash_join
+
         scores = ray.data.from_arrow(self.scores_table())
         verts = load_vertices(graph_dir).select_columns(["vid", "name"])
-        joined = scores.join(
-            verts, join_type="inner", num_partitions=self.meta.Q, on=("vid",)
+        return hash_join(
+            scores, verts, on=("vid",), num_partitions=self.meta.Q
         )
-        return joined
 
     def scores_by_name(self, graph_dir: str) -> dict[str, float]:
         out = {}
@@ -269,6 +270,8 @@ def power_method_dataset(
     re-executes all previous iterations).  Returns (vid, score)."""
     import pyarrow.compute as pc
 
+    from .joins import hash_join
+
     meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
     n, Q = meta.n, meta.Q
     edges = ray.data.read_parquet(
@@ -317,8 +320,8 @@ def power_method_dataset(
         dm = dangling_mass(x)
         coeff = alpha * dm + (1.0 - alpha)
 
-        contrib = edges.join(
-            x, join_type="inner", num_partitions=Q, on=("src",), right_on=("vid",)
+        contrib = hash_join(
+            edges, x, on=("src",), right_on=("vid",), num_partitions=Q
         ).map_batches(
             lambda t: pa.table(
                 {
@@ -329,12 +332,9 @@ def power_method_dataset(
             batch_format="pyarrow",
         )
         sums = contrib.groupby("dst").sum("c")
-        x_new = verts.join(
-            sums,
-            join_type="left_outer",
+        x_new = hash_join(
+            verts, sums, on=("vid",), right_on=("dst",), how="left_outer",
             num_partitions=Q,
-            on=("vid",),
-            right_on=("dst",),
         ).map_batches(
             lambda t: pa.table(
                 {
@@ -360,15 +360,15 @@ def power_method_dataset(
             batch_format="pyarrow",
         ).materialize()
 
-        diff = x_new.join(
+        diff = hash_join(
+            x_new,
             x.map_batches(
                 lambda t: t.rename_columns(["pvid", "pscore"]),
                 batch_format="pyarrow",
             ),
-            join_type="inner",
-            num_partitions=Q,
             on=("vid",),
             right_on=("pvid",),
+            num_partitions=Q,
         ).map_batches(
             lambda t: pa.table(
                 {

@@ -1,0 +1,434 @@
+"""Operator pipelines over the driver's testdata tables
+(``$sf_dir/{lineitem,orders,customer,documents,embeddings,events}.parquet``)
+— the ``__ray_entry__.queries()`` implementations, each mirrored by an
+ANSI-SQL oracle in ``__ray_entry__.oracle_sql()``.
+
+Graph-on-relational mapping (FIXTURES.md §4): the canonical edge table
+is ``lineitem(l_orderkey → l_partkey)``; a denser triangle-bearing edge
+table is derived as ``(l_suppkey, l_partkey % 100)``.  Float outputs
+that depend on distributed summation order are rounded to 6 decimals in
+BOTH the Ray pipeline and the SQL oracle so value-hash comparison is
+meaningful; exact rationals (mult/outdeg) are NOT rounded.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from . import configure_data_context
+from .graph import build_graph
+from .joins import hash_join
+
+configure_data_context()  # driver imports this module after ray.init
+
+P = 8  # hash-partition count for testdata-scale queries
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def sf_edges(sf_dir: str) -> ray.data.Dataset:
+    """(src, dst) int64 edge table from lineitem — duplicates kept."""
+    return _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        lambda t: pa.table(
+            {"src": t.column("l_orderkey"), "dst": t.column("l_partkey")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def tri_edges(sf_dir: str) -> ray.data.Dataset:
+    """Triangle-bearing edge table (l_suppkey, l_partkey % 100)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        a = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        b = t.column("l_partkey").to_numpy(zero_copy_only=False) % 100
+        return pa.table({"src": pa.array(a, pa.int64()), "dst": pa.array(b, pa.int64())})
+
+    return _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+# --------------------------------------------------------------------------
+# degree / weight / dangling operators (SURVEY.md §2.5 A1-A3, §2.2 M3)
+# --------------------------------------------------------------------------
+
+
+def out_degree(sf_dir: str) -> ray.data.Dataset:
+    g = sf_edges(sf_dir).groupby("src").count()
+    return g.map_batches(
+        lambda t: t.rename_columns(["src", "outdeg"]), batch_format="pyarrow"
+    )
+
+
+def in_degree(sf_dir: str) -> ray.data.Dataset:
+    g = sf_edges(sf_dir).groupby("dst").count()
+    return g.map_batches(
+        lambda t: t.rename_columns(["dst", "indeg"]), batch_format="pyarrow"
+    )
+
+
+def edge_weights(sf_dir: str) -> ray.data.Dataset:
+    """(src, dst, mult, w) with w = mult/outdeg — reference transition
+    weights (pagerank.py:50-67) on the testdata edge table."""
+    e = sf_edges(sf_dir).groupby(["src", "dst"]).count()
+    e = e.map_batches(
+        lambda t: t.rename_columns(["src", "dst", "mult"]), batch_format="pyarrow"
+    )
+    deg = e.groupby("src").sum("mult")
+    deg = deg.map_batches(
+        lambda t: t.rename_columns(["src", "outdeg"]), batch_format="pyarrow"
+    )
+    j = hash_join(e, deg, on=("src",), num_partitions=P)
+    return j.map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "mult": t.column("mult"),
+                "w": pc.divide(
+                    pc.cast(t.column("mult"), pa.float64()),
+                    pc.cast(t.column("outdeg"), pa.float64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _vertices(sf_dir: str) -> ray.data.Dataset:
+    e = sf_edges(sf_dir)
+    a = e.select_columns(["src"]).map_batches(
+        lambda t: t.rename_columns(["v"]), batch_format="pyarrow"
+    )
+    b = e.select_columns(["dst"]).map_batches(
+        lambda t: t.rename_columns(["v"]), batch_format="pyarrow"
+    )
+    return a.union(b).groupby("v").count().select_columns(["v"])
+
+
+def distinct_vertex_count(sf_dir: str) -> pa.Table:
+    return pa.table({"n": pa.array([_vertices(sf_dir).count()], pa.int64())})
+
+
+def dangling_vertices(sf_dir: str) -> ray.data.Dataset:
+    """Vertices with no out-edges (pagerank.py:105-107 semantics) via a
+    left-outer hash join + null filter (anti-join)."""
+    deg = out_degree(sf_dir)
+    j = hash_join(
+        _vertices(sf_dir), deg, on=("v",), right_on=("src",), how="left_outer",
+        num_partitions=P,
+    )
+    return j.filter(expr="outdeg IS NULL").select_columns(["v"])
+
+
+def hot_targets(sf_dir: str, min_indeg: int = 40) -> ray.data.Dataset:
+    """Heavy-hitter detection (the skew/salting trigger, SURVEY §4.2)."""
+    return in_degree(sf_dir).filter(expr=f"indeg >= {min_indeg}")
+
+
+def filter_ratio_kept_edges(sf_dir: str, ratio: float = 0.002) -> pa.Table:
+    """Edge count surviving the reference's in-link-ratio prune
+    (pagerank.py:42-47): indeg(dst) < ratio·n, n fixed pre-prune."""
+    n = distinct_vertex_count(sf_dir).column("n")[0].as_py()
+    thresh = ratio * n
+    e = sf_edges(sf_dir)
+    deg = in_degree(sf_dir)
+    j = hash_join(e, deg, on=("dst",), num_partitions=P)
+    kept = j.filter(expr=f"indeg < {thresh}")
+    return pa.table({"kept_edges": pa.array([kept.count()], pa.int64())})
+
+
+# --------------------------------------------------------------------------
+# sort / top-k / filters (SURVEY.md §2.6, §2.2 M1/M4)
+# --------------------------------------------------------------------------
+
+
+def top_customers(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    return (
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+        .sort(["c_acctbal", "c_custkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def regex_filter_docs(sf_dir: str) -> ray.data.Dataset:
+    """Docs whose text matches the reference's non-leaf regex (M1)."""
+    pat = r".*((/$)|(/.*/)).*"
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.match_substring_regex(t.column("text"), pat))
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def query_filter_docs(sf_dir: str, query: str = "scan -join") -> ray.data.Dataset:
+    """new_url_satisfies_query (M4) over documents.text."""
+    from .search import filter_by_query
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id"), "name": t.column("text")}),
+        batch_format="pyarrow",
+    )
+    return filter_by_query(ds, "name", query).select_columns(["doc_id"])
+
+
+# --------------------------------------------------------------------------
+# text / dedup / events / ann
+# --------------------------------------------------------------------------
+
+
+def docs_exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    from .text import exact_dedup, with_text_sha256
+
+    ds = with_text_sha256(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return exact_dedup(ds).select_columns(["doc_id"])
+
+
+def token_counts(sf_dir: str) -> ray.data.Dataset:
+    from .text import TokenCounter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        TokenCounter, batch_format="pyarrow", concurrency=(1, 4)
+    ).select_columns(["doc_id", "ws_tokens"])
+
+
+def doc_stats(sf_dir: str) -> ray.data.Dataset:
+    """Quality scoring + language-ID + fingerprint (rows-only check —
+    the heuristics are not ANSI-SQL-expressible)."""
+    from .text import Fingerprinter, LangId, QualityScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ds = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.select_columns(
+        ["doc_id", "quality", "stopword_ratio", "lang_pred", "fingerprint"]
+    )
+
+
+def minhash_clusters(sf_dir: str) -> ray.data.Dataset:
+    from .text import minhash_dedup_clusters
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup_clusters(docs, threshold=0.8)
+
+
+def simhash_pairs(sf_dir: str) -> ray.data.Dataset:
+    from .text import simhash_candidates
+
+    return simhash_candidates(
+        _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=3
+    )
+
+
+def event_transitions(sf_dir: str) -> ray.data.Dataset:
+    """Consecutive event-type pairs per user ordered by (ts, event_id)
+    — the co-commit-pair shape (§7.2) on the events table."""
+    import pandas as pd
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        et = g["event_type"].to_numpy()
+        if len(et) < 2:
+            return pd.DataFrame(
+                {"user_id": pd.array([], dtype="int64"),
+                 "from_type": pd.array([], dtype=str),
+                 "to_type": pd.array([], dtype=str)}
+            )
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].to_numpy()[:-1],
+                "from_type": et[:-1],
+                "to_type": et[1:],
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    out = ds.groupby("user_id").map_groups(pairs, batch_format="pandas")
+    agg = out.groupby(["user_id", "from_type", "to_type"]).count()
+    return agg.map_batches(
+        lambda t: t.rename_columns(["user_id", "from_type", "to_type", "cnt"]),
+        batch_format="pyarrow",
+    )
+
+
+def ann_topk(sf_dir: str, k: int = 5, m: int = 3) -> ray.data.Dataset:
+    """Brute-force cosine top-k; queries = the first m embeddings
+    (vec_id < m).  Cosine rounded to 4 decimals for comparison."""
+    import pyarrow.parquet as pq
+
+    from .ann import brute_force_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(path, filters=[("vec_id", "<", m)])
+    order = np.argsort(t.column("vec_id").to_numpy())
+    q = np.asarray(t.column("embedding").to_pylist(), np.float64)[order]
+    ds = ray.data.read_parquet(path)
+    out = brute_force_topk(ds, q, k=k)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "query_id": t.column("query_id"),
+                "vec_id": t.column("vec_id"),
+                "cosine": pc.round(t.column("cosine"), 4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def lsh_ann_topk(sf_dir: str, k: int = 5, m: int = 3) -> ray.data.Dataset:
+    """LSH-bucketed ANN (rows-only: approximate by design)."""
+    import pyarrow.parquet as pq
+
+    from .ann import lsh_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(path, filters=[("vec_id", "<", m)])
+    order = np.argsort(t.column("vec_id").to_numpy())
+    q = np.asarray(t.column("embedding").to_pylist(), np.float64)[order]
+    return lsh_topk(ray.data.read_parquet(path), q, k=k)
+
+
+# --------------------------------------------------------------------------
+# graph algorithms on testdata edges (shared cached builds)
+# --------------------------------------------------------------------------
+
+_GRAPH_CACHE: dict = {}
+
+
+def _edge_names(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "src_name": pc.cast(t.column("src"), pa.string()),
+                "dst_name": pc.cast(t.column("dst"), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _graph(sf_dir: str, kind: str) -> str:
+    key = (os.path.abspath(sf_dir), kind)
+    if key in _GRAPH_CACHE:
+        return _GRAPH_CACHE[key]
+    gdir = tempfile.mkdtemp(prefix=f"rayrank_sf_{kind}_")
+    if kind == "directed":
+        build_graph(_edge_names(sf_edges(sf_dir)), gdir, num_partitions=P)
+    elif kind == "undirected":
+        build_graph(
+            _edge_names(sf_edges(sf_dir)), gdir, num_partitions=P, undirected=True
+        )
+    else:  # tri
+        build_graph(
+            _edge_names(tri_edges(sf_dir)), gdir, num_partitions=P, undirected=True
+        )
+    _GRAPH_CACHE[key] = gdir
+    return gdir
+
+
+def pagerank_2iter(sf_dir: str) -> ray.data.Dataset:
+    """Exactly two reference-exact power iterations on the lineitem edge
+    table — SQL-expressible by unrolling (oracle does the same two
+    iterations in CTEs).  Scores rounded to 6 decimals both sides."""
+    from .pagerank import power_method
+
+    gdir = _graph(sf_dir, "directed")
+    res = power_method(gdir, max_iterations=2)
+    ds = res.scores_dataset(gdir)
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"name": t.column("name"), "score": pc.round(t.column("score"), 6)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def pagerank_converged(sf_dir: str) -> ray.data.Dataset:
+    """Full converged PageRank (rows-only; convergence loops are not
+    ANSI-SQL; verified against the numpy oracle under pytest)."""
+    from .pagerank import power_method
+
+    gdir = _graph(sf_dir, "directed")
+    res = power_method(gdir)
+    return res.scores_dataset(gdir)
+
+
+def triangle_count_sf(sf_dir: str) -> pa.Table:
+    from .triangles import triangle_count
+
+    gdir = _graph(sf_dir, "tri")
+    return pa.table(
+        {"triangles": pa.array([triangle_count(gdir)], pa.int64())}
+    )
+
+
+def connected_components_sf(sf_dir: str) -> ray.data.Dataset:
+    """(name, component=min member name) on the undirected lineitem
+    graph.  SQL oracle: iterated min-label CTE is not expressible in
+    guaranteed-terminating ANSI SQL → rows-only; pytest covers exact
+    equality vs networkx."""
+    from .components import canonical_components, connected_components
+
+    gdir = _graph(sf_dir, "undirected")
+    cc = connected_components(gdir)
+    return canonical_components(cc, gdir)
+
+
+def label_propagation_sf(sf_dir: str) -> ray.data.Dataset:
+    from .labelprop import label_propagation
+
+    gdir = _graph(sf_dir, "undirected")
+    lp = label_propagation(gdir, max_iterations=10)
+    return lp.labels_dataset(gdir).select_columns(["name", "label"])
+
+
+def component_count_sf(sf_dir: str) -> pa.Table:
+    """Number of connected components — SQL-checkable for THIS graph
+    shape: lineitem(l_orderkey→l_partkey) is bipartite on disjoint key
+    ranges… still not ANSI-SQL in general; rows-only."""
+    from .components import connected_components
+
+    gdir = _graph(sf_dir, "undirected")
+    cc = connected_components(gdir)
+    t = cc.labels_table()
+    n = len(set(t.column("label").to_pylist()))
+    return pa.table({"components": pa.array([n], pa.int64())})
+
+
+# --------------------------------------------------------------------------
+# flagship corpus pipeline (entry)
+# --------------------------------------------------------------------------
+
+
+def corpus_flagship(sf: float = 0.001, top_k: int = 20) -> ray.data.Dataset:
+    """End-to-end: synthetic code corpus → sha256 ingest → import +
+    co-commit edge derivation → partitioned graph build → reference-
+    exact PageRank to convergence → top-k files with scores."""
+    from .corpus import default_corpus_dir, generate_corpus
+    from .ingest import derive_edges, read_corpus
+    from .pagerank import power_method
+
+    cdir = generate_corpus(default_corpus_dir(sf), sf=sf)
+    gdir = tempfile.mkdtemp(prefix="rayrank_flagship_")
+    edges = derive_edges(read_corpus(cdir), num_partitions=P)
+    build_graph(edges, gdir, num_partitions=P)
+    res = power_method(gdir)
+    scores = res.scores_dataset(gdir)
+    return scores.sort("score", descending=True).limit(top_k)

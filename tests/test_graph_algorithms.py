@@ -1,0 +1,130 @@
+"""Connected components, label propagation, triangle counting vs
+networkx / numpy oracles (SURVEY.md §5.2 item 3).  One undirected graph
+build per case serves all three algorithms."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from oracle import (
+    oracle_components,
+    oracle_label_propagation,
+    oracle_triangles,
+    random_edge_list,
+)
+from rayrank.components import canonical_components, connected_components
+from rayrank.labelprop import label_propagation
+from rayrank.triangles import triangle_count, triangles_per_vertex
+
+SMALL_EDGES = [
+    ("1", "2"), ("1", "3"), ("3", "1"), ("3", "2"), ("3", "5"),
+    ("4", "5"), ("4", "6"), ("5", "6"), ("5", "4"), ("6", "4"),
+]
+
+
+def build_undirected(edges, tmp_dir, Q=4):
+    from rayrank.graph import build_graph
+
+    t = pa.table(
+        {
+            "src_name": pa.array([s for s, _ in edges], pa.string()),
+            "dst_name": pa.array([t for _, t in edges], pa.string()),
+        }
+    )
+    return build_graph(
+        ray.data.from_arrow(t), tmp_dir, num_partitions=Q, undirected=True
+    )
+
+
+def partition_of(labels_by_name: dict) -> set[frozenset]:
+    groups: dict[int, set] = {}
+    for nm, lb in labels_by_name.items():
+        groups.setdefault(lb, set()).add(nm)
+    return {frozenset(g) for g in groups.values()}
+
+
+def vids_by_name(graph_dir):
+    from rayrank.graph import load_vertices
+
+    out = {}
+    for b in load_vertices(graph_dir).iter_batches(batch_format="pyarrow"):
+        for vid, nm in zip(b.column("vid").to_pylist(), b.column("name").to_pylist()):
+            out[nm] = vid
+    return out
+
+
+def test_small_graph_all_three(tmp_graph_dir):
+    build_undirected(SMALL_EDGES, tmp_graph_dir)
+
+    cc = connected_components(tmp_graph_dir)
+    assert cc.converged
+    got_parts = partition_of(cc.labels_by_name(tmp_graph_dir))
+    want_parts = {frozenset(c) for c in oracle_components(SMALL_EDGES)}
+    assert got_parts == want_parts  # single component of all 6 (FIXTURES §1)
+    assert got_parts == {frozenset("123456")}
+
+    # {1,2,3} and {4,5,6} — verified with networkx in-sandbox (the
+    # original FIXTURES.md §1 claim of a single triangle was wrong and
+    # has been corrected there)
+    total = triangle_count(tmp_graph_dir)
+    assert total == 2
+    per_v = {
+        r["name"]: r["triangles"]
+        for b in triangles_per_vertex(tmp_graph_dir).iter_batches(
+            batch_format="pyarrow"
+        )
+        for r in b.to_pylist()
+    }
+    assert per_v == {"1": 1, "2": 1, "3": 1, "4": 1, "5": 1, "6": 1}
+    want_total, want_per_v = oracle_triangles(SMALL_EDGES)
+    assert total == want_total and per_v == want_per_v
+
+    lp = label_propagation(tmp_graph_dir, max_iterations=50)
+    want_lp = oracle_label_propagation(
+        SMALL_EDGES, vids_by_name(tmp_graph_dir), max_iterations=50
+    )
+    assert lp.labels_by_name(tmp_graph_dir) == want_lp
+
+
+@pytest.mark.parametrize("seed,n,m", [(11, 30, 25), (12, 60, 90), (13, 40, 160)])
+def test_random_graphs_all_three(tmp_graph_dir, seed, n, m):
+    edges = random_edge_list(seed, n, m)
+    build_undirected(edges, tmp_graph_dir, Q=3)
+
+    cc = connected_components(tmp_graph_dir)
+    assert cc.converged
+    assert partition_of(cc.labels_by_name(tmp_graph_dir)) == {
+        frozenset(c) for c in oracle_components(edges)
+    }
+
+    want_total, want_per_v = oracle_triangles(edges)
+    assert triangle_count(tmp_graph_dir) == want_total
+    per_v = {
+        r["name"]: r["triangles"]
+        for b in triangles_per_vertex(tmp_graph_dir).iter_batches(
+            batch_format="pyarrow"
+        )
+        for r in b.to_pylist()
+    }
+    assert per_v == want_per_v
+
+    lp = label_propagation(tmp_graph_dir, max_iterations=30)
+    want_lp = oracle_label_propagation(
+        edges, vids_by_name(tmp_graph_dir), max_iterations=30
+    )
+    assert lp.labels_by_name(tmp_graph_dir) == want_lp
+
+
+def test_canonical_components_named(tmp_graph_dir):
+    edges = [("a", "b"), ("b", "c"), ("x", "y"), ("z", "z")]
+    build_undirected(edges, tmp_graph_dir, Q=2)
+    cc = connected_components(tmp_graph_dir)
+    rows = {
+        r["name"]: r["component"]
+        for b in canonical_components(cc, tmp_graph_dir).iter_batches(
+            batch_format="pyarrow"
+        )
+        for r in b.to_pylist()
+    }
+    assert rows == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}

@@ -1,0 +1,207 @@
+"""Training-data pipeline operators: text analysis, dedup family, ANN,
+multimodal plumbing — vs driver-side python/numpy oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from rayrank.ann import brute_force_topk, lsh_topk
+from rayrank.multimodal import (
+    DecodeStub,
+    decode_features,
+    sample_frames,
+    synthetic_media,
+)
+from rayrank.text import (
+    Fingerprinter,
+    LangId,
+    MinHasher,
+    QualityScorer,
+    SimHasher,
+    TokenCounter,
+    exact_dedup,
+    minhash_dedup_clusters,
+    simhash_candidates,
+    with_text_sha256,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (1, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2, "the quick brown fox jumps over the lazy dog and walks far away home"),
+    (3, "der hund läuft und die katze ist nicht da mit den anderen"),
+    (4, "completely different text about ray data pipelines for training corpora"),
+    (5, "le chat est dans la maison et les enfants sont pour le jardin"),
+    (6, ""),
+]
+
+
+def docs_ds():
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+                "text": pa.array([t for _, t in DOCS], pa.string()),
+            }
+        )
+    )
+
+
+def rows_of(ds):
+    return [r for b in ds.iter_batches(batch_format="pyarrow") for r in b.to_pylist()]
+
+
+def test_exact_dedup():
+    out = rows_of(exact_dedup(with_text_sha256(docs_ds())))
+    kept = sorted(r["doc_id"] for r in out)
+    assert kept == [0, 2, 3, 4, 5, 6]  # doc 1 deduped against doc 0
+
+
+def test_token_counts():
+    out = {r["doc_id"]: r for r in rows_of(docs_ds().map_batches(
+        TokenCounter, batch_format="pyarrow", concurrency=2))}
+    import re
+
+    word_re = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+    for did, text in DOCS:
+        assert out[did]["ws_tokens"] == len(text.split())
+        assert out[did]["re_tokens"] == len(word_re.findall(text))
+
+
+def test_lang_id_and_quality():
+    out = {r["doc_id"]: r for r in rows_of(docs_ds().map_batches(
+        LangId, batch_format="pyarrow", concurrency=2))}
+    assert out[0]["lang_pred"] == "en"
+    assert out[3]["lang_pred"] == "de"
+    assert out[5]["lang_pred"] == "fr"
+    assert out[6]["lang_pred"] == "und"
+
+    q = {r["doc_id"]: r for r in rows_of(docs_ds().map_batches(
+        QualityScorer, batch_format="pyarrow", concurrency=2))}
+    for did, _ in DOCS:
+        assert 0.0 <= q[did]["quality"] <= 1.0
+    assert q[6]["quality"] == 0.0
+    assert q[0]["quality"] > q[6]["quality"]
+
+
+def test_fingerprint_deterministic():
+    out1 = {r["doc_id"]: r["fingerprint"] for r in rows_of(
+        docs_ds().map_batches(Fingerprinter, batch_format="pyarrow", concurrency=2))}
+    out2 = {r["doc_id"]: r["fingerprint"] for r in rows_of(
+        docs_ds().map_batches(Fingerprinter, batch_format="pyarrow", concurrency=2))}
+    assert out1 == out2
+    assert out1[0] == out1[1]          # identical text → identical fingerprint
+    assert out1[0] != out1[4]
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(num_perm=128)
+    s0, s2 = mh.signature(DOCS[0][1]), mh.signature(DOCS[2][1])
+    est = float((s0 == s2).mean())
+    a = set(mh.shingle_hashes(DOCS[0][1]).tolist())
+    b = set(mh.shingle_hashes(DOCS[2][1]).tolist())
+    true_j = len(a & b) / len(a | b)
+    assert est == pytest.approx(true_j, abs=0.15)
+    assert (mh.signature(DOCS[0][1]) == mh.signature(DOCS[1][1])).all()
+
+
+def test_minhash_dedup_clusters(tmp_path):
+    out = {r["doc_id"]: r["cluster"] for r in rows_of(
+        minhash_dedup_clusters(
+            docs_ds(), threshold=0.5, work_dir=str(tmp_path / "g")
+        )
+    )}
+    assert set(out) == {0, 1, 2, 3, 4, 5, 6}
+    assert out[0] == out[1] == out[2] == 0   # near-dup family clusters to min id
+    for solo in (3, 4, 5, 6):
+        assert out[solo] == solo
+
+
+def test_simhash_candidates():
+    out = rows_of(simhash_candidates(docs_ds(), max_hamming=6))
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in out}
+    assert pairs[(0, 1)] == 0            # identical docs
+    h0 = int(SimHasher.simhash(DOCS[0][1]))
+    h2 = int(SimHasher.simhash(DOCS[2][1]))
+    want = bin(h0 ^ h2).count("1")
+    if want <= 6:
+        assert pairs[(0, 2)] == want
+
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def test_brute_force_topk_matches_numpy():
+    t = pq.read_table(EMB)
+    x = np.asarray(t.column("embedding").to_pylist(), np.float64)
+    ids = t.column("vec_id").to_numpy()
+    q = x[:3]
+    ds = ray.data.read_parquet(EMB)
+    out = rows_of(brute_force_topk(ds, q, k=5))
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ xn.T
+    for qi in range(3):
+        want = sorted(
+            zip(ids.tolist(), sims[qi].tolist()), key=lambda p: (-p[1], p[0])
+        )[:5]
+        have = sorted(got[qi], key=lambda p: (-p[1], p[0]))
+        assert [w[0] for w in want] == [h[0] for h in have]
+        np.testing.assert_allclose(
+            [w[1] for w in want], [h[1] for h in have], atol=1e-9
+        )
+        assert have[0][0] == ids[qi] and have[0][1] == pytest.approx(1.0)
+
+
+def test_lsh_topk_self_retrieval():
+    t = pq.read_table(EMB)
+    x = np.asarray(t.column("embedding").to_pylist(), np.float64)
+    ids = t.column("vec_id").to_numpy()
+    q = x[:3]
+    ds = ray.data.read_parquet(EMB)
+    out = rows_of(lsh_topk(ds, q, k=5, planes=10, probes=3))
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["cosine"]))
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    for qi in range(3):
+        assert len(got[qi]) <= 5
+        top = max(got[qi], key=lambda p: p[1])
+        assert top[0] == ids[qi] and top[1] == pytest.approx(1.0)
+        # scores must be exact cosines (pruning approximates, scoring doesn't)
+        for vid, cos in got[qi]:
+            j = int(np.where(ids == vid)[0][0])
+            assert cos == pytest.approx(
+                float(xn[j] @ xn[qi]), abs=1e-9
+            )
+
+
+def test_multimodal_decode_and_frames():
+    media = ray.data.from_arrow(synthetic_media(20, seed=3))
+    out = rows_of(decode_features(media, fake=True, concurrency=2))
+    assert len(out) == 20
+    stub = DecodeStub(fake=True)
+    payloads = {
+        r["media_id"]: r["payload"] for r in synthetic_media(20, seed=3).to_pylist()
+    }
+    for r in out:
+        np.testing.assert_allclose(
+            r["features"], stub._features(payloads[r["media_id"]])
+        )
+        assert r["payload_bytes"] == len(payloads[r["media_id"]])
+
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        rows_of(decode_features(media, fake=False, concurrency=2))
+
+    frames = rows_of(sample_frames(media, num_frames=4, concurrency=2))
+    per = {}
+    for r in frames:
+        per.setdefault(r["media_id"], []).append(r)
+    for mid, rs in per.items():
+        assert 1 <= len(rs) <= 4
+        assert sorted(r["frame"] for r in rs) == list(range(len(rs)))
