@@ -1,0 +1,208 @@
+#!/usr/bin/env python3
+"""Benchmark harness (BASELINE.md target metric).
+
+Default mode: runs the headline pipelines at the scale factor implied
+by ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32)
+and prints ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": .., "num_cpus": N, "extra": {...}}
+
+Headline = wall time of reference-exact PageRank to residual < 1e-6 on
+the SF-scale synthetic code-repo edge table (BASELINE.json metric);
+``extra.edges_per_sec_per_iter`` carries the throughput number.
+
+``--scaling``: runs this script twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input (N vs 4N evidence
+protocol, BASELINE.md) and prints throughput at both + scaling
+efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    return float(m.group(1)) if m else 0.1
+
+
+def run_bench() -> dict:
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_of(sf_dir)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=ncpu,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from rayrank import configure_data_context
+    from rayrank.components import connected_components
+    from rayrank.corpus import default_corpus_dir, generate_corpus
+    from rayrank.graph import build_graph
+    from rayrank.ingest import derive_edges, read_corpus
+    from rayrank.labelprop import label_propagation
+    from rayrank.pagerank import power_method
+    from rayrank.triangles import triangle_count
+
+    configure_data_context()
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # -- corpus (cached, deterministic) + page-cache warm read ----------
+    cdir = generate_corpus(default_corpus_dir(sf), sf=sf)
+    import pyarrow.parquet as pq
+
+    pq.read_table(cdir)  # warm OS page cache (untimed)
+
+    # -- ingest (edge derivation), materialized once for both builds ----
+    t0 = time.perf_counter()
+    edges = derive_edges(read_corpus(cdir), num_partitions=16).materialize()
+    n_edges = edges.count()
+    queries["ingest_derive"] = time.perf_counter() - t0
+
+    # partition count scales with the DATA (identical at every
+    # parallelism level → identical partitioning for the N-vs-4N runs);
+    # ~50k edges per partition keeps per-round message count Q² sane
+    Q = min(32, max(4, n_edges // 50_000))
+    extra["Q"] = Q
+
+    # -- directed graph build -------------------------------------------
+    gdir = tempfile.mkdtemp(prefix="rayrank_bench_g_")
+    t0 = time.perf_counter()
+    meta = build_graph(edges, gdir, num_partitions=Q)
+    queries["graph_build"] = time.perf_counter() - t0
+    extra["nnz"] = meta.nnz
+    extra["edge_multiplicity_total"] = meta.edge_multiplicity_total
+    extra["n_vertices"] = meta.n
+
+    # -- headline: PageRank to 1e-6 ------------------------------------
+    t0 = time.perf_counter()
+    res = power_method(gdir, epsilon=1e-6)
+    pr_sec = time.perf_counter() - t0
+    queries["pagerank"] = pr_sec
+    extra["pagerank_iterations"] = res.iterations
+    extra["pagerank_converged"] = bool(res.converged)
+    extra["ingest_plus_build_sec"] = round(queries["ingest_derive"] + queries["graph_build"], 3)
+    extra["edges_per_sec_per_iter"] = (
+        meta.edge_multiplicity_total * res.iterations / pr_sec
+    )
+
+    # -- undirected algorithms -----------------------------------------
+    udir = tempfile.mkdtemp(prefix="rayrank_bench_u_")
+    t0 = time.perf_counter()
+    build_graph(edges, udir, num_partitions=Q, undirected=True)
+    queries["undirected_build"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    cc = connected_components(udir)
+    queries["connected_components"] = time.perf_counter() - t0
+    extra["cc_iterations"] = cc.iterations
+
+    t0 = time.perf_counter()
+    label_propagation(udir, max_iterations=10)
+    queries["label_propagation_10it"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    tri = triangle_count(udir)
+    queries["triangle_count"] = time.perf_counter() - t0
+    extra["triangles"] = tri
+
+    # -- data ops over the testdata tables -----------------------------
+    if os.path.isdir(sf_dir):
+        import ray.data
+
+        from rayrank.pipelines import ann_topk, docs_exact_dedup
+
+        t0 = time.perf_counter()
+        docs_exact_dedup(sf_dir).count()
+        queries["docs_exact_dedup"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        ann_topk(sf_dir).count()
+        queries["ann_topk"] = time.perf_counter() - t0
+
+    out = {
+        "metric": (
+            "wall sec of reference-exact PageRank to eps=1e-6 on the "
+            f"SF={sf} synthetic code-repo edge table (see extra.* for "
+            "edges/s/iter)"
+        ),
+        "value": round(pr_sec, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": sf,
+        "num_cpus": ncpu,
+        "extra": {
+            k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in extra.items()
+        },
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    thr_lo = r_lo["extra"]["edges_per_sec_per_iter"]
+    thr_hi = r_hi["extra"]["edges_per_sec_per_iter"]
+    eff_solve = (thr_hi / thr_lo) / (hi / lo)
+    ib_lo = r_lo["extra"]["ingest_plus_build_sec"]
+    ib_hi = r_hi["extra"]["ingest_plus_build_sec"]
+    eff_ingest = (ib_lo / ib_hi) / (hi / lo)
+    # full-pipeline efficiency over everything timed (the fair
+    # same-job-two-sizes comparison: ingest + build + all algorithms)
+    tot_lo = sum(r_lo["queries"].values())
+    tot_hi = sum(r_hi["queries"].values())
+    eff_total = (tot_lo / tot_hi) / (hi / lo)
+    return {
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "pagerank_sec_lo": r_lo["value"],
+        "pagerank_sec_hi": r_hi["value"],
+        "edges_per_sec_per_iter_lo": round(thr_lo, 1),
+        "edges_per_sec_per_iter_hi": round(thr_hi, 1),
+        "scaling_efficiency_solve": round(eff_solve, 3),
+        "ingest_build_sec_lo": ib_lo,
+        "ingest_build_sec_hi": ib_hi,
+        "scaling_efficiency_ingest_build": round(eff_ingest, 3),
+        "total_sec_lo": round(tot_lo, 3),
+        "total_sec_hi": round(tot_hi, 3),
+        "scaling_efficiency_total_pipeline": round(eff_total, 3),
+        "sf": r_lo["sf"],
+        "queries_lo": r_lo["queries"],
+        "queries_hi": r_hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -53,6 +53,20 @@ def write_checkpoint(
     os.replace(tmp, os.path.join(it_dir, "manifest.json"))
 
 
+def write_manifest(
+    ckpt_dir: str, iteration: int, metrics: dict, lineage: list[dict]
+) -> None:
+    """Manifest for part files already written (e.g. by shard actors);
+    written atomically LAST so it marks iteration completeness."""
+    it_dir = os.path.join(ckpt_dir, f"iter={iteration:04d}")
+    os.makedirs(it_dir, exist_ok=True)
+    manifest = {"iteration": iteration, "metrics": metrics, "parts": lineage}
+    tmp = os.path.join(it_dir, ".manifest.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(it_dir, "manifest.json"))
+
+
 def latest_complete(ckpt_dir: str) -> int | None:
     if not os.path.isdir(ckpt_dir):
         return None

@@ -12,22 +12,9 @@ NAME for id-scheme-independent reporting.
 
 from __future__ import annotations
 
-import numpy as np
-import pyarrow as pa
-import ray
 import ray.data
 
 from .iterate import LabelResult, iterate_labels
-
-
-@ray.remote(num_returns=2)
-def _min_reduce(labels_q: np.ndarray, *parts):
-    new = labels_q.copy()
-    for idx, mins in parts:
-        if len(idx):
-            np.minimum.at(new, idx, mins)
-    changed = int(np.count_nonzero(new != labels_q))
-    return new, changed
 
 
 def connected_components(
@@ -40,8 +27,8 @@ def connected_components(
 ) -> LabelResult:
     return iterate_labels(
         graph_dir,
-        shard_method="min_msg",
-        reduce_remote=_min_reduce,
+        gather_method="gather_min",
+        reduce_method="reduce_min",
         max_iterations=max_iterations,
         shards=shards,
         ckpt_dir=ckpt_dir,

@@ -144,6 +144,29 @@ def with_weights(
     return joined.map_batches(weight, batch_format="pyarrow")
 
 
+@ray.remote
+def _file_totals(path: str) -> tuple[int, int]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["mult"])
+    s = pc.sum(t.column("mult")).as_py()
+    return len(t), int(s or 0)
+
+
+def _edge_totals(edges_dir: str) -> dict:
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(edges_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    parts = ray.get([_file_totals.remote(p) for p in files])
+    return {
+        "nnz": sum(p[0] for p in parts),
+        "mult": sum(p[1] for p in parts),
+    }
+
+
 def _partition_sizes(vertices: ray.data.Dataset, Q: int) -> list[int]:
     rows = vertices.groupby("q").count().take_all()
     sizes = [0] * Q
@@ -174,6 +197,12 @@ def build_graph(
     os.makedirs(out_dir, exist_ok=True)
 
     edges_named = edges_named.select_columns(["src_name", "dst_name"])
+    # materialize once: the edge stream is consumed by BOTH the vertex
+    # derivation and the id-encoding joins; without this the whole
+    # upstream (corpus parse, import-resolution join, …) re-executes per
+    # consumer.  The object store spills to disk under memory pressure,
+    # which is exactly the behavior wanted at scale.
+    edges_named = edges_named.materialize()
     if undirected:
         rev = edges_named.map_batches(
             lambda t: pa.table(
@@ -193,7 +222,10 @@ def build_graph(
         # vertex set (distinct_names ran on the unfiltered edges)
         edge_rows = edges_named.filter(expr="src_name != dst_name")
     edges = encode_edges(edge_rows, vertices, Q)
-    edges_mult = collapse_multiplicity(edges)
+    # materialized: consumed by degree aggregation AND the weight join
+    # (and optionally the prune) — collapsed size is ≤ nnz, far smaller
+    # than the raw edge stream
+    edges_mult = collapse_multiplicity(edges).materialize()
 
     n = vertices.count()
     if filter_ratio is not None:
@@ -212,21 +244,10 @@ def build_graph(
     vertices.write_parquet(vert_dir, partition_cols=["q"])
 
     part_sizes = _partition_sizes(vertices, Q)
-    stats = edges_mult.map_batches(
-        lambda t: pa.table(
-            {
-                "nnz": pa.array([len(t)], pa.int64()),
-                "mult": pa.array(
-                    [int(pc.sum(t.column("mult")).as_py() or 0)], pa.int64()
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    totals = {"nnz": 0, "mult": 0}
-    for b in stats.iter_batches(batch_format="pyarrow"):
-        totals["nnz"] += int(pc.sum(b.column("nnz")).as_py() or 0)
-        totals["mult"] += int(pc.sum(b.column("mult")).as_py() or 0)
+    # edge totals from the files just written (parquet footers + one
+    # column scan in parallel tasks) — re-running the lazy edges_mult
+    # pipeline here would re-execute every upstream join/groupby
+    totals = _edge_totals(edges_dir)
 
     meta = GraphMeta(
         n=n,

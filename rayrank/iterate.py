@@ -1,18 +1,19 @@
 """Generic gather–apply–scatter driver loop for label-style iterative
 algorithms (SURVEY.md §2.10 extension surface).
 
-An algorithm provides:
-  * ``shard_method`` — name of the CsrShard kernel that turns the
-    current per-partition vertex state into per-destination-partition
-    messages (pre-aggregated map-side);
-  * ``reduce_remote`` — a ``@ray.remote(num_returns=2)`` task
-    ``(state_q, *shard_outputs) → (new_state_q, changed_count)``.
+An algorithm names a pair of CsrShard kernels:
 
-The loop owns: partitioned state init (vid values), the Q×Q message
-exchange, convergence on zero changes, per-iteration checkpoints with
-metrics + lineage, and resume.  Connected components and label
-propagation are both instances; PageRank keeps its own loop because of
-the scalar coupling (dangling mass / norms) between iterations.
+  * ``gather_method`` — turns the actor-resident label partition into
+    per-destination-partition messages (map-side combined);
+  * ``reduce_method`` — runs ON the destination shard actor, folds the
+    Q message columns into its resident labels, returns the changed
+    count (a scalar).
+
+The loop owns: label init (vid values), the Q×Q message exchange,
+convergence on zero changes, per-iteration checkpoints with metrics +
+lineage, and resume.  Connected components and label propagation are
+both instances; PageRank keeps its own loop because of the scalar
+coupling (dangling mass / norms) between iterations.
 """
 
 from __future__ import annotations
@@ -25,9 +26,9 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .checkpoint import latest_complete, load_checkpoint, write_checkpoint
+from .checkpoint import latest_complete, load_checkpoint, write_manifest
 from .graph import GraphMeta, load_vertices
-from .shards import create_shards
+from .shards import create_shards, gather_refs
 
 
 @dataclass
@@ -44,7 +45,7 @@ class LabelResult:
         for q, ref in enumerate(self.part_refs):
             vals = ray.get(ref)
             vids.append(np.arange(len(vals), dtype=np.int64) * Q + q)
-            labels.append(vals.astype(np.int64))
+            labels.append(np.asarray(vals, np.int64))
         return pa.table(
             {
                 "vid": np.concatenate(vids) if vids else np.empty(0, np.int64),
@@ -69,17 +70,10 @@ class LabelResult:
         return out
 
 
-def init_vid_labels(meta: GraphMeta) -> list:
-    return [
-        ray.put(np.arange(s, dtype=np.int64) * meta.Q + q)
-        for q, s in enumerate(meta.part_sizes)
-    ]
-
-
 def iterate_labels(
     graph_dir: str,
-    shard_method: str,
-    reduce_remote,
+    gather_method: str,
+    reduce_method: str,
     max_iterations: int,
     shards: list | None = None,
     ckpt_dir: str | None = None,
@@ -93,53 +87,53 @@ def iterate_labels(
         shards = create_shards(graph_dir, meta)
 
     start_iter = 0
-    labels = None
     if resume and ckpt_dir is not None:
         last = latest_complete(ckpt_dir)
         if last is not None:
-            labels = [
-                _as_int64.remote(r) for r in load_checkpoint(ckpt_dir, last, Q)
-            ]
+            refs = load_checkpoint(ckpt_dir, last, Q)
+            ray.get([shards[q].set_labels.remote(refs[q]) for q in range(Q)])
             start_iter = last + 1
-    if labels is None:
-        labels = init_vid_labels(meta)
+    if start_iter == 0:
+        ray.get([s.init_labels.remote() for s in shards])
 
     history: list[dict] = []
     converged = False
     it = start_iter - 1
     for it in range(start_iter, max_iterations):
-        msgs = []
-        for p in range(Q):
-            out = getattr(shards[p], shard_method).options(num_returns=Q).remote(
-                labels[p]
-            )
-            msgs.append(out if Q > 1 else [out])
-        red = [
-            reduce_remote.remote(labels[q], *[msgs[p][q] for p in range(Q)])
-            for q in range(Q)
-        ]
-        new_labels = [r[0] for r in red]
-        changed = sum(ray.get([r[1] for r in red]))
-        labels = new_labels
+        msgs = gather_refs(shards, gather_method)
+        changed_parts = ray.get(
+            [
+                getattr(shards[q], reduce_method).remote(
+                    *[msgs[p][q] for p in range(Q)]
+                )
+                for q in range(Q)
+            ]
+        )
+        changed = int(sum(changed_parts))
         converged = changed == 0
-        metrics = {"changed": int(changed), "algorithm": algo_name}
+        metrics = {"changed": changed, "algorithm": algo_name}
         history.append({"iteration": it, **metrics})
         if ckpt_dir is not None and (
             it % ckpt_interval == 0 or converged or it == max_iterations - 1
         ):
-            write_checkpoint(ckpt_dir, it, labels, Q, metrics)
+            it_dir = os.path.join(ckpt_dir, f"iter={it:04d}")
+            os.makedirs(it_dir, exist_ok=True)
+            lineage = ray.get(
+                [
+                    shards[q].write_labels.remote(
+                        os.path.join(it_dir, f"part-{q:05d}.parquet")
+                    )
+                    for q in range(Q)
+                ]
+            )
+            write_manifest(ckpt_dir, it, metrics, lineage)
         if converged:
             break
 
     return LabelResult(
         meta=meta,
-        part_refs=labels,
+        part_refs=[s.get_labels.remote() for s in shards],
         iterations=it + 1,
         converged=converged,
         history=history,
     )
-
-
-@ray.remote
-def _as_int64(a: np.ndarray) -> np.ndarray:
-    return a.astype(np.int64)

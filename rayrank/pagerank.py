@@ -16,10 +16,13 @@ reference's float32 agrees to ≤1.3e-8 on the pinned fixture):
 Two implementations behind the same math:
 
   * :func:`power_method` — the scale path: long-lived CSR shard actors
-    (shards.py) + per-partition reduce tasks.  Per iteration the only
-    data movement is the pre-aggregated contribution exchange (≤ Q²
-    small objects) plus O(Q) scalars; score partitions never leave the
-    object store.  Per-iteration Parquet checkpoints + manifest.
+    (shards.py) that also OWN their score partition.  One iteration =
+    two actor-call rounds (gather → on-actor reduce); the driver moves
+    only scalars; the L1 normalization is carried as a scalar folded
+    into the next gather, and the L2 stop residual is computed with a
+    one-step lag inside the reduce (≈1e-16 relative difference vs the
+    reference's explicit divide — far inside the 1e-6 budget).
+    Per-iteration Parquet checkpoints + manifest, resumable.
   * :func:`power_method_dataset` — pure ray.data.Dataset pipeline
     (join + groupby per iteration).  The vanilla fallback / cross-check;
     correct at any scale but re-shuffles edges every iteration, so the
@@ -37,38 +40,13 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .checkpoint import latest_complete, load_checkpoint, read_manifest, write_checkpoint
+from .checkpoint import (
+    latest_complete,
+    load_checkpoint,
+    write_manifest,
+)
 from .graph import GraphMeta, load_vertices
-from .shards import create_shards
-
-
-@ray.remote
-def _dangling_part(x: np.ndarray, mask: np.ndarray) -> float:
-    return float(x[mask].sum())
-
-
-@ray.remote(num_returns=3)
-def _reduce_part(s_q: int, alpha: float, coeff: float, v_q, *parts):
-    """Combine the Q shard outputs addressed to partition q:
-    x_un = α·Σ contribs + coeff·v.  Returns (x_un, its L1 part, rows
-    received through the exchange — the rows_shuffled metric)."""
-    y = np.zeros(s_q, np.float64)
-    rows = 0
-    for idx, vals in parts:
-        if len(idx):
-            y += np.bincount(idx, weights=vals, minlength=s_q)
-        rows += len(idx)
-    x_un = alpha * y + coeff * v_q
-    return x_un, float(np.abs(x_un).sum()), rows
-
-
-@ray.remote(num_returns=3)
-def _scale_part(x_un: np.ndarray, l1: float, x_prev: np.ndarray, dang_mask):
-    """L1-normalize, L2-residual part vs previous iterate, and the NEW
-    iterate's dangling-mass part (needed by the next iteration)."""
-    x = x_un / l1
-    d = x - x_prev
-    return x, float(np.dot(d, d)), float(x[dang_mask].sum())
+from .shards import create_shards, gather_refs
 
 
 @dataclass
@@ -79,22 +57,6 @@ class PageRankResult:
     residual: float
     converged: bool
     history: list[dict] = field(default_factory=list)
-
-    def to_numpy_by_vid(self) -> np.ndarray:
-        """Dense score array indexed by vid-compact order — driver-side,
-        test/report use only."""
-        out = np.zeros(self.meta.n, np.float64)
-        # vids are r*Q+q with r < part_sizes[q]; scatter into a dict-free
-        # dense array sized max_vid+1
-        Q = self.meta.Q
-        max_vid = max(
-            (s - 1) * Q + q for q, s in enumerate(self.meta.part_sizes) if s
-        )
-        out = np.zeros(max_vid + 1, np.float64)
-        for q, ref in enumerate(self.part_refs):
-            vals = ray.get(ref)
-            out[np.arange(len(vals)) * Q + q] = vals
-        return out
 
     def scores_table(self) -> pa.Table:
         Q = self.meta.Q
@@ -130,16 +92,6 @@ class PageRankResult:
         return out
 
 
-def _uniform_parts(meta: GraphMeta, value: float) -> list:
-    return [ray.put(np.full(s, value, np.float64)) for s in meta.part_sizes]
-
-
-def _l2_normalize_parts(parts: list) -> list:
-    sq = sum(float(np.dot(ray.get(r), ray.get(r))) for r in parts)
-    norm = math.sqrt(sq)
-    return [ray.put(ray.get(r) / norm) for r in parts]
-
-
 def power_method(
     graph_dir: str,
     alpha: float = 0.85,
@@ -155,102 +107,141 @@ def power_method(
     ``graph_dir`` (built by :func:`rayrank.graph.build_graph`).
 
     ``v_parts``: optional unnormalized personalization partitions
-    (indicator weights); L2-normalized here exactly as the reference
-    net-normalizes (L1 in the builder then L2 at :113 — scale-invariant,
-    so a single L2 suffices).
+    (indicator weights); L2-normalized actor-side exactly as the
+    reference net-normalizes (L1 in the builder then L2 at :113 —
+    scale-invariant, so a single L2 suffices).
     """
     meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
     Q = meta.Q
     n = meta.n
-    own_shards = shards is None
-    if own_shards:
+    if shards is None:
         shards = create_shards(graph_dir, meta)
-    dang_masks = [s.dangling_mask.remote() for s in shards]
 
-    if v_parts is None:
-        v_parts = _uniform_parts(meta, 1.0 / math.sqrt(n))
+    # ---- personalization -------------------------------------------------
+    v_value = None
+    if v_parts is not None:
+        sumsq = ray.get(
+            [shards[q].set_v.remote(v_parts[q]) for q in range(Q)]
+        )
+        norm = math.sqrt(sum(sumsq))
+        if norm <= 0:
+            raise ValueError("personalization vector is all-zero")
+        ray.get([s.scale_v.remote(1.0 / norm) for s in shards])
     else:
-        v_parts = _l2_normalize_parts(v_parts)
+        v_value = 1.0 / math.sqrt(n)  # uniform v, L2-normalized
 
-    start_iter = 0
-    dang = None
-    x = None
+    # ---- init / resume ---------------------------------------------------
+    start_round = 0
     if resume and ckpt_dir is not None:
         last = latest_complete(ckpt_dir)
         if last is not None:
-            x = load_checkpoint(ckpt_dir, last, Q)
-            man = read_manifest(ckpt_dir, last)
-            dang = man["metrics"].get("dangling_mass_next")
-            start_iter = last + 1
-    if x is None:
-        x = _uniform_parts(meta, 1.0 / math.sqrt(n))
+            refs = load_checkpoint(ckpt_dir, last, Q)
+            if v_parts is None:
+                ray.get([s.init_uniform_v.remote(v_value) for s in shards])
+            parts = ray.get(
+                [shards[q].set_scores.remote(refs[q]) for q in range(Q)]
+            )
+            start_round = last + 1
+            dang = sum(p[0] for p in parts)  # checkpointed x is normalized
+    if start_round == 0:
+        x0 = 1.0 / math.sqrt(n)
+        parts = ray.get(
+            [s.init_pr.remote(x0, v_value) for s in shards]
+        )
+        dang = sum(p[0] for p in parts)
 
+    # scalar state: x_t = c_t · y_t ; y lives on the actors
+    c_cur = 1.0
+    c_prev = 1.0
     history: list[dict] = []
     residual = float("inf")
     converged = False
-    it = start_iter - 1
-    for it in range(start_iter, max_iterations):
-        if dang is None:
-            dang = sum(
-                ray.get(
-                    [_dangling_part.remote(x[q], dang_masks[q]) for q in range(Q)]
-                )
-            )
-        coeff = alpha * dang + (1.0 - alpha)
+    rounds_done = start_round
 
-        contribs = []
-        for p in range(Q):
-            out = shards[p].spmv.options(num_returns=Q).remote(x[p])
-            contribs.append(out if Q > 1 else [out])
+    for t in range(start_round, max_iterations):
+        coeff = alpha * dang + (1.0 - alpha)
+        msgs = gather_refs(shards, "gather_pr")
         red = [
-            _reduce_part.remote(
-                meta.part_sizes[q],
-                alpha,
+            shards[q].reduce_pr.remote(
+                alpha * c_cur,
                 coeff,
-                v_parts[q],
-                *[contribs[p][q] for p in range(Q)],
+                c_cur,
+                c_prev,
+                *[msgs[p][q] for p in range(Q)],
             )
             for q in range(Q)
         ]
-        l1_parts = ray.get([r[1] for r in red])
-        rows_shuffled = sum(ray.get([r[2] for r in red]))
-        l1 = sum(l1_parts)
+        stats = ray.get(red)
+        l1 = sum(s[0] for s in stats)
+        dang_un = sum(s[1] for s in stats)
+        res_sq_lag = sum(s[2] for s in stats)
+        rows_shuffled = sum(s[3] for s in stats)
 
-        sc = [
-            _scale_part.remote(red[q][0], l1, x[q], dang_masks[q]) for q in range(Q)
-        ]
-        x_new = [s[0] for s in sc]
-        res_sq = sum(ray.get([s[1] for s in sc]))
-        dang_next = sum(ray.get([s[2] for s in sc]))
-        residual = math.sqrt(res_sq)
-        x = x_new
-        dang = dang_next
-        converged = residual < epsilon
+        c_next = 1.0 / l1
+        dang = c_next * dang_un
+        rounds_done = t + 1
 
+        lag_residual = math.sqrt(res_sq_lag) if t > start_round else None
         metrics = {
-            "residual_l2": residual,
             "l1_before_norm": l1,
-            "dangling_mass": coeff,
-            "dangling_mass_next": dang_next,
+            "dangling_mass_next": dang,
             "rows_shuffled": rows_shuffled,
+            "residual_l2_prev_update": lag_residual,
             "alpha": alpha,
         }
-        history.append({"iteration": it, **metrics})
-        if ckpt_dir is not None and (
-            it % ckpt_interval == 0 or converged or it == max_iterations - 1
-        ):
-            write_checkpoint(ckpt_dir, it, x, Q, metrics)
-        if converged:
-            break
+        history.append({"iteration": t, **metrics})
 
+        if ckpt_dir is not None and (
+            t % ckpt_interval == 0 or t == max_iterations - 1
+        ):
+            lineage = ray.get(
+                [
+                    shards[q].write_scores.remote(
+                        _ckpt_part_path(ckpt_dir, t, q), c_next, False
+                    )
+                    for q in range(Q)
+                ]
+            )
+            write_manifest(ckpt_dir, t, metrics, lineage)
+
+        if lag_residual is not None and lag_residual < epsilon:
+            # reference broke at update t-1: result is x_t (= y_prev·c_cur)
+            residual = lag_residual
+            converged = True
+            refs = [s.scores.remote(c_cur, True) for s in shards]
+            return PageRankResult(
+                meta=meta,
+                part_refs=refs,
+                iterations=t,
+                residual=residual,
+                converged=converged,
+                history=history,
+            )
+
+        c_prev, c_cur = c_cur, c_next
+
+    # loop exhausted: evaluate the final update's residual (not yet seen
+    # through the lag) so the convergence report matches the reference
+    res_parts = ray.get(
+        [s.final_residual.remote(c_cur, c_prev) for s in shards]
+    )
+    residual = math.sqrt(sum(res_parts)) if rounds_done > start_round else float("inf")
+    converged = residual < epsilon
+    refs = [s.scores.remote(c_cur, False) for s in shards]
     return PageRankResult(
         meta=meta,
-        part_refs=x,
-        iterations=it + 1,
+        part_refs=refs,
+        iterations=rounds_done,
         residual=residual,
         converged=converged,
         history=history,
     )
+
+
+def _ckpt_part_path(ckpt_dir: str, iteration: int, q: int) -> str:
+    d = os.path.join(ckpt_dir, f"iter={iteration:04d}")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"part-{q:05d}.parquet")
 
 
 # ---------------------------------------------------------------------------

@@ -129,7 +129,10 @@ def dangling_vertices(sf_dir: str) -> ray.data.Dataset:
         _vertices(sf_dir), deg, on=("v",), right_on=("src",), how="left_outer",
         num_partitions=P,
     )
-    return j.filter(expr="outdeg IS NULL").select_columns(["v"])
+    return j.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("outdeg"))).select(["v"]),
+        batch_format="pyarrow",
+    )
 
 
 def hot_targets(sf_dir: str, min_indeg: int = 40) -> ray.data.Dataset:

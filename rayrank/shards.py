@@ -4,18 +4,33 @@ The reference holds ONE in-memory sparse matrix and does dense matvecs
 (/root/reference/pagerank.py:63-67, 126-132).  Here the edge set is
 hash-partitioned by ``src % Q`` at build time (graph.py) and each
 partition's CSR-like arrays live in a long-lived actor, built ONCE and
-reused by every iteration of every algorithm — the gather side is
-co-partitioned with the score vector (``vid % Q``), so the only
-per-iteration communication is the contribution exchange: shard ``p``
-returns Q pre-aggregated outputs (one per destination partition,
-``num_returns=Q``) and reducer ``q`` combines the Q×1 column addressed
-to it.  That is exactly a hash-shuffle with map-side combine, expressed
-with raw actors because Ray Data's ``map_batches`` cannot keep actor
-state pinned across separate per-iteration executions (SURVEY.md
-§7.5.3); a pure-Dataset variant lives in pagerank.py for cross-check.
+reused by every iteration of every algorithm.
 
-All kernels are vectorized numpy over float64; per-dst aggregation uses
+Actor ``p`` also OWNS score/label partition ``p`` (ids from
+rayrank.ids guarantee ``part(vid) = vid % Q``, so the gather side is
+co-resident with the state it reads — zero-copy, zero-shuffle).  One
+iteration is two actor-call rounds:
+
+  round A  ``gather_*``  — map-side combined messages, ``num_returns=Q``
+                           so reducer q fetches only its column;
+  round B  ``reduce_*``  — runs ON the destination shard actor, folds
+                           the Q message columns into the local state,
+                           returns SCALARS only (L1/dangling/residual
+                           parts, changed counts).
+
+The driver moves O(Q) scalars per round; vector data never leaves the
+object store.  PageRank residual is evaluated with a one-step lag
+(reduce_pr of iteration t returns ‖x_t − x_{t−1}‖² parts) which fuses
+the reference's separate normalize/residual passes into the reduce —
+numerically the scale factor 1/‖x‖₁ is carried as a scalar and folded
+into the next gather, identical to the reference's per-iteration
+division up to ~1e-16 relative rounding (budget: allclose 1e-6).
+
+All kernels are vectorized numpy float64; per-dst aggregation uses
 ``reduceat`` over a dst-sorted edge order computed once at init.
+Raw actors (not a Dataset actor pool) because Ray Data cannot pin
+actor state across separate per-iteration executions (SURVEY §7.5.3);
+the pure-Dataset fallback lives in pagerank.py.
 """
 
 from __future__ import annotations
@@ -23,14 +38,14 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
 
 @ray.remote
 class CsrShard:
-    """Holds the edges with ``src % Q == p``; serves per-iteration
-    message kernels for PageRank / CC / label propagation."""
+    """Edges with ``src % Q == p`` + resident state partition ``p``."""
 
     def __init__(self, graph_dir: str, p: int, Q: int, part_sizes: list[int]):
         self.p, self.Q = p, Q
@@ -67,47 +82,172 @@ class CsrShard:
         present = np.zeros(self.s_p, bool)
         if len(src):
             present[np.unique(src // Q)] = True
-        self._src_present = present
+        self.dangling = ~present
+
+        # resident iterate state
+        self.y = None        # current unnormalized iterate (x = c·y)
+        self.y_prev = None
+        self.v = None        # personalization partition
+        self.labels = None
+
+    # ------------------------------------------------------------------
+    # common
+    # ------------------------------------------------------------------
 
     def ready(self) -> int:
         return len(self.dst_sorted)
 
-    def dangling_mask(self) -> np.ndarray:
-        """True for local vertices with out-degree 0 (pagerank.py:105-107)."""
-        return ~self._src_present
+    def dangling_count(self) -> int:
+        return int(self.dangling.sum())
 
-    def spmv(self, x_part: np.ndarray):
-        """Weighted contribution sums per destination, pre-aggregated
-        map-side and routed per destination partition.
+    # ------------------------------------------------------------------
+    # PageRank (reference-exact math, scalar-folded normalization)
+    # ------------------------------------------------------------------
 
-        Returns a Q-tuple of ``(local_dst_index, partial_sum)`` pairs
-        (call with ``num_returns=Q`` so reducers fetch only their part).
-        """
+    def set_v(self, v_part: np.ndarray) -> float:
+        """Install an (unnormalized) personalization partition; returns
+        the local sum of squares for the global L2 normalization."""
+        self.v = np.asarray(v_part, np.float64)
+        return float(np.dot(self.v, self.v))
+
+    def scale_v(self, inv_norm: float) -> None:
+        self.v = self.v * inv_norm
+
+    def init_uniform_v(self, v_value: float) -> None:
+        self.v = np.full(self.s_p, v_value, np.float64)
+
+    def final_residual(self, c_cur: float, c_prev: float) -> float:
+        """‖c_cur·y − c_prev·y_prev‖² part for the last update (used
+        when the loop exhausts before the lagged check saw it)."""
+        if self.y_prev is None:
+            return 0.0
+        d = c_cur * self.y - c_prev * self.y_prev
+        return float(np.dot(d, d))
+
+    def init_pr(self, x0_value: float, v_value: float | None) -> tuple[float, float]:
+        """x0 = x0_value per entry (the reference's 1/√n, L2-normalized
+        by construction).  Returns (dangling part of x0, L1 part)."""
+        self.y = np.full(self.s_p, x0_value, np.float64)
+        self.y_prev = None
+        if v_value is not None:
+            self.v = np.full(self.s_p, v_value, np.float64)
+        return float(self.y[self.dangling].sum()), float(np.abs(self.y).sum())
+
+    def set_scores(self, values: np.ndarray) -> tuple[float, float]:
+        """Install a (normalized) iterate from a checkpoint (resume)."""
+        self.y = np.asarray(values, np.float64)
+        self.y_prev = None
+        return float(self.y[self.dangling].sum()), float(np.abs(self.y).sum())
+
+    def gather_pr(self):
+        """Round A: per-destination partial sums of w·y (UNNORMALIZED
+        current iterate; the 1/‖x‖₁ scalar is applied in reduce_pr)."""
         if len(self.w) == 0:
-            return tuple((self.out_local[q], np.empty(0)) for q in range(self.Q))
-        contrib = self.w * x_part[self.src_l]
+            return tuple(
+                (self.out_local[q], np.empty(0)) for q in range(self.Q)
+            )
+        contrib = self.w * self.y[self.src_l]
         sums = np.add.reduceat(contrib, self.seg)
         return tuple((self.out_local[q], sums[self.route[q]]) for q in range(self.Q))
 
-    def min_msg(self, labels_part: np.ndarray):
-        """Per-destination min of source labels (connected components)."""
+    def reduce_pr(
+        self, alpha_c: float, coeff: float, c_cur: float, c_prev: float, *parts
+    ):
+        """Round B: x_un_new = alpha_c·Σmsgs + coeff·v, where
+        alpha_c = α·c_t folds the L1 normalization of the current
+        iterate into the gather result.  Also returns the LAGGED
+        residual part ‖c_t·y_t − c_prev·y_prev‖² (reference residual of
+        the previous update, pagerank.py:134).
+
+        Returns (l1_part, dangling_un_part, res_prev_sq_part, rows)."""
+        y_new = np.zeros(self.s_p, np.float64)
+        rows = 0
+        for idx, vals in parts:
+            if len(idx):
+                y_new += np.bincount(idx, weights=vals, minlength=self.s_p)
+            rows += len(idx)
+        y_new *= alpha_c
+        if coeff != 0.0 and self.v is not None:
+            y_new += coeff * self.v
+        res_sq = 0.0
+        if self.y_prev is not None:
+            d = c_cur * self.y - c_prev * self.y_prev
+            res_sq = float(np.dot(d, d))
+        self.y_prev = self.y
+        self.y = y_new
+        return (
+            float(np.abs(y_new).sum()),
+            float(y_new[self.dangling].sum()),
+            res_sq,
+            rows,
+        )
+
+    def scores(self, c: float, previous: bool) -> np.ndarray:
+        """Normalized score partition: c · (y_prev if previous else y)."""
+        arr = self.y_prev if previous else self.y
+        return c * arr
+
+    def write_scores(self, path: str, c: float, previous: bool) -> dict:
+        vid = np.arange(self.s_p, dtype=np.int64) * self.Q + self.p
+        vals = self.scores(c, previous)
+        pq.write_table(pa.table({"vid": vid, "value": vals}), path)
+        return {
+            "part": self.p,
+            "rows": int(self.s_p),
+            "bytes": os.path.getsize(path),
+            "path": path,
+        }
+
+    # ------------------------------------------------------------------
+    # label algorithms (connected components / label propagation)
+    # ------------------------------------------------------------------
+
+    def init_labels(self) -> None:
+        self.labels = np.arange(self.s_p, dtype=np.int64) * self.Q + self.p
+
+    def set_labels(self, labels: np.ndarray) -> None:
+        self.labels = np.asarray(labels, np.int64)
+
+    def get_labels(self) -> np.ndarray:
+        return self.labels
+
+    def write_labels(self, path: str) -> dict:
+        vid = np.arange(self.s_p, dtype=np.int64) * self.Q + self.p
+        pq.write_table(pa.table({"vid": vid, "value": self.labels}), path)
+        return {
+            "part": self.p,
+            "rows": int(self.s_p),
+            "bytes": os.path.getsize(path),
+            "path": path,
+        }
+
+    def gather_min(self):
+        """Per-destination min of source labels (CC round A)."""
         if len(self.w) == 0:
             return tuple(
                 (self.out_local[q], np.empty(0, np.int64)) for q in range(self.Q)
             )
-        lab = labels_part[self.src_l]
+        lab = self.labels[self.src_l]
         mins = np.minimum.reduceat(lab, self.seg)
         return tuple((self.out_local[q], mins[self.route[q]]) for q in range(self.Q))
 
-    def label_counts(self, labels_part: np.ndarray):
-        """Per-(destination, label) multiplicity-weighted counts (label
-        propagation).  Returns per-partition ``(dst_local, label, cnt)``
-        triples, combined map-side before the reduce."""
+    def reduce_min(self, *parts) -> int:
+        new = self.labels.copy()
+        for idx, mins in parts:
+            if len(idx):
+                np.minimum.at(new, idx, mins)
+        changed = int(np.count_nonzero(new != self.labels))
+        self.labels = new
+        return changed
+
+    def gather_counts(self):
+        """Per-(destination, label) multiplicity-weighted counts (LP
+        round A), combined map-side."""
         Q = self.Q
         if len(self.w) == 0:
             e = np.empty(0, np.int64)
             return tuple((e, e, np.empty(0, np.float64)) for _ in range(Q))
-        lab = labels_part[self.src_l]
+        lab = self.labels[self.src_l]
         order = np.lexsort((lab, self.dst_sorted))
         d, l, m = self.dst_sorted[order], lab[order], self.mult[order]
         seg_mask = np.empty(len(d), bool)
@@ -123,6 +263,37 @@ class CsrShard:
             out.append(((du[idx] // Q).astype(np.int64), lu[idx], cnt[idx]))
         return tuple(out)
 
+    def reduce_counts(self, *parts) -> int:
+        """Mode label with min-label tie-break (rule pinned in
+        FIXTURES.md §1 / labelprop.py)."""
+        idxs = [p[0] for p in parts if len(p[0])]
+        if not idxs:
+            return 0
+        idx = np.concatenate(idxs)
+        lab = np.concatenate([p[1] for p in parts if len(p[0])])
+        cnt = np.concatenate([p[2] for p in parts if len(p[0])])
+
+        order = np.lexsort((lab, idx))
+        idx, lab, cnt = idx[order], lab[order], cnt[order]
+        seg_mask = np.empty(len(idx), bool)
+        seg_mask[0] = True
+        np.logical_or(idx[1:] != idx[:-1], lab[1:] != lab[:-1], out=seg_mask[1:])
+        seg = np.flatnonzero(seg_mask)
+        idx_u, lab_u = idx[seg], lab[seg]
+        cnt_u = np.add.reduceat(cnt, seg)
+
+        order2 = np.lexsort((lab_u, -cnt_u, idx_u))
+        idx_s, lab_s = idx_u[order2], lab_u[order2]
+        first = np.empty(len(idx_s), bool)
+        first[0] = True
+        np.not_equal(idx_s[1:], idx_s[:-1], out=first[1:])
+
+        new = self.labels.copy()
+        new[idx_s[first]] = lab_s[first]
+        changed = int(np.count_nonzero(new != self.labels))
+        self.labels = new
+        return changed
+
 
 def create_shards(graph_dir: str, meta) -> list:
     """One CsrShard per partition; blocks until all are built."""
@@ -131,3 +302,13 @@ def create_shards(graph_dir: str, meta) -> list:
     ]
     ray.get([s.ready.remote() for s in shards])
     return shards
+
+
+def gather_refs(shards: list, method: str):
+    """Round A for all shards; returns msgs[p][q] ObjectRefs."""
+    Q = len(shards)
+    out = []
+    for p in range(Q):
+        refs = getattr(shards[p], method).options(num_returns=Q).remote()
+        out.append(refs if Q > 1 else [refs])
+    return out
