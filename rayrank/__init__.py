@@ -35,10 +35,31 @@ def configure_data_context() -> None:
     CPU-bursty aggregations at any cluster size."""
     from ray.data import DataContext
 
+    from ray.data.context import ShuffleStrategy
+
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # default is a SORT-based shuffle — every groupby/map_groups pays an
+    # O(n log n) range sort; this engine's wide steps are all hash-keyed,
+    # so use the hash-shuffle implementation (also required for
+    # repartition(keys=...))
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
+    # Ray's default is 200 shuffle partitions — every un-parameterized
+    # groupby spawns that much aggregator work, which at test scale is
+    # pure actor-spawn overhead (measured: ~50 s per join on 20k rows).
+    # Size it to the session's CPUs; wide steps that need more pass
+    # num_partitions explicitly.
+    import os as _os
+
+    import ray as _ray
+
+    if _ray.is_initialized():
+        ncpu = int(_ray.cluster_resources().get("CPU", _os.cpu_count() or 8))
+    else:
+        ncpu = _os.cpu_count() or 8
+    ctx.default_hash_shuffle_parallelism = max(4, min(64, ncpu))
     import logging
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)

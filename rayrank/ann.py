@@ -85,7 +85,9 @@ def brute_force_topk(
         g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort")
         return g.head(k)
 
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    from .shuffle import grouped_map
+
+    return grouped_map(partials, ["query_id"], merge, num_partitions=4)
 
 
 class _PlaneSigner:

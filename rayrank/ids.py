@@ -81,7 +81,9 @@ def assign_ids(
         g["vid"] = np.arange(len(g), dtype=np.int64) * Q + q
         return g[["vid", "name", "q"]]
 
-    return with_q.groupby("q").map_groups(rank_group, batch_format="pandas")
+    from .shuffle import grouped_map
+
+    return grouped_map(with_q, ["q"], rank_group, num_partitions=Q)
 
 
 def encode_edges(

@@ -137,13 +137,18 @@ def _commit_pairs(group: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def cocommit_edges(corpus: ray.data.Dataset) -> ray.data.Dataset:
+def cocommit_edges(
+    corpus: ray.data.Dataset, num_partitions: int = NUM_PARTITIONS_DEFAULT
+) -> ray.data.Dataset:
     """Consecutive-pair edges among the files of one ``(repo, commit)``
     group (shuffle keyed on the group; linear output per group)."""
-    out = (
-        corpus.select_columns(["repo", "commit", "path"])
-        .groupby(["repo", "commit"])
-        .map_groups(_commit_pairs, batch_format="pandas")
+    from .shuffle import grouped_map
+
+    out = grouped_map(
+        corpus.select_columns(["repo", "commit", "path"]),
+        ["repo", "commit"],
+        _commit_pairs,
+        num_partitions=num_partitions,
     )
     # normalize to arrow blocks: unioning pandas-block output with the
     # arrow-block import edges trips Ray's block-type batcher assert

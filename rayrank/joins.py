@@ -144,7 +144,13 @@ def hash_join(
     key_types = {nm: ty for nm, ty in all_fields if nm in on}
 
     def prep(side: int, rename: dict | None):
-        def fn(t: pa.Table) -> pa.Table:
+        def fn(t: pa.Table):
+            # generator: emit NOTHING for empty inputs — zero-row blocks
+            # reaching the hash-shuffle aggregator yield schema-less
+            # partitions whose finalize crashes (ray 2.49
+            # hash_shuffle.py:162 sort_by on missing key column)
+            if len(t) == 0:
+                return
             if rename:
                 t = t.rename_columns([ren.get(nm, nm) for nm in t.schema.names])
             cols, names = [], []
@@ -167,7 +173,7 @@ def hash_join(
             out = out.append_column(
                 "__bucket", pa.array(_key_hash(out, list(on), num_partitions))
             )
-            return out
+            yield out
 
         return fn
 
@@ -178,17 +184,27 @@ def hash_join(
     l_cols = list(l_names)
     r_cols = list(on) + r_extra
 
-    def join_bucket(t: pa.Table) -> pa.Table:
+    def join_block(t: pa.Table):
+        # whole repartitioned block = a union of complete key-hash
+        # buckets for both sides; joining the supersets directly is
+        # correct (equal keys always co-locate).  Skip the empty /
+        # schema-less blocks the repartition emits for void partitions.
+        if t.num_rows == 0 or "__side" not in t.schema.names:
+            return
         side = t.column("__side").to_numpy(zero_copy_only=False)
         lt = t.filter(pa.array(side == 0)).select(l_cols)
         rt = t.filter(pa.array(side == 1)).select(r_cols)
         # acero join requires non-null keys; keys are never null here by
         # construction (they came from real key columns)
-        return lt.join(
+        yield lt.join(
             rt, keys=list(on), right_keys=list(on), join_type=how_arrow
         ).select(l_cols + r_extra)
 
-    return u.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+    # sort-free hash co-location (see rayrank/shuffle.py for why
+    # groupby().map_groups is unusable here)
+    return u.repartition(num_partitions, keys=["__bucket"]).map_batches(
+        join_block, batch_size=None, batch_format="pyarrow"
+    )
 
 
 def broadcast_semi_filter(

@@ -261,8 +261,10 @@ def event_transitions(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    from .shuffle import grouped_map
+
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
-    out = ds.groupby("user_id").map_groups(pairs, batch_format="pandas")
+    out = grouped_map(ds, ["user_id"], pairs, num_partitions=P)
     agg = out.groupby(["user_id", "from_type", "to_type"]).count()
     return agg.map_batches(
         lambda t: t.rename_columns(["user_id", "from_type", "to_type", "cnt"]),

@@ -204,7 +204,9 @@ def exact_dedup(
     def first(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values(id_col, kind="mergesort").head(1)
 
-    return ds.groupby(key).map_groups(first, batch_format="pandas")
+    from .shuffle import grouped_map
+
+    return grouped_map(ds, [key], first, num_partitions=NUM_PARTITIONS_DEFAULT)
 
 
 # ---------------------------------------------------------------------------
@@ -323,9 +325,9 @@ def candidate_pairs(
         i, j = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"a": ids[i], "b": ids[j]})
 
-    p = band_rows.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
-    )
+    from .shuffle import grouped_map
+
+    p = grouped_map(band_rows, ["band", "band_hash"], pairs)
     return p.groupby(["a", "b"]).count().select_columns(["a", "b"])
 
 
@@ -530,7 +532,9 @@ def simhash_candidates(
         keep = ham <= max_hamming
         return pd.DataFrame({"a": ids[i][keep], "b": ids[j][keep], "hamming": ham[keep]})
 
-    p = rows.groupby(["band", "key"]).map_groups(pairs, batch_format="pandas")
+    from .shuffle import grouped_map
+
+    p = grouped_map(rows, ["band", "key"], pairs)
     return p.groupby(["a", "b"]).min("hamming").map_batches(
         lambda t: t.rename_columns(["a", "b", "hamming"]), batch_format="pyarrow"
     )

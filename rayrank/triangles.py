@@ -62,7 +62,9 @@ def oriented_edges(graph_dir: str, num_partitions: int) -> ray.data.Dataset:
     e = hash_join(e, db, on=("dst",), right_on=("b_vid",),
                   num_partitions=num_partitions)
 
-    def orient(t: pa.Table) -> pa.Table:
+    def orient(t: pa.Table):
+        if len(t) == 0:  # never emit empty blocks into the wedge shuffle
+            return
         s = t.column("src").to_numpy(zero_copy_only=False)
         d = t.column("dst").to_numpy(zero_copy_only=False)
         ds_ = t.column("deg_a").to_numpy(zero_copy_only=False)
@@ -71,7 +73,7 @@ def oriented_edges(graph_dir: str, num_partitions: int) -> ray.data.Dataset:
         x = np.where(src_first, s, d)
         y = np.where(src_first, d, s)
         deg_y = np.where(src_first, dd, ds_)
-        return pa.table(
+        yield pa.table(
             {
                 "x": pa.array(x, pa.int64()),
                 "y": pa.array(y, pa.int64()),
@@ -109,17 +111,23 @@ def triangle_rows(
 
     meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
     P = num_partitions or meta.Q
+    from .shuffle import grouped_map
+
     oe = oriented_edges(graph_dir, P).materialize()  # reused by both sides
-    wedges = oe.groupby("x").map_groups(_wedges, batch_format="pandas")
-    closing = oe.select_columns(["x", "y"]).map_batches(
-        lambda t: pa.table(
+    wedges = grouped_map(oe, ["x"], _wedges, num_partitions=P)
+    def _closing(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield pa.table(
             {
                 "ea": t.column("x"),
                 "eb": t.column("y"),
                 "hit": pa.array(np.ones(len(t), np.int8)),
             }
-        ),
-        batch_format="pyarrow",
+        )
+
+    closing = oe.select_columns(["x", "y"]).map_batches(
+        _closing, batch_format="pyarrow"
     )
     tri = hash_join(
         wedges, closing, on=("wa", "wb"), right_on=("ea", "eb"),
