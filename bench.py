@@ -81,9 +81,11 @@ def run_bench() -> dict:
     extra["Q"] = Q
 
     # -- directed graph build -------------------------------------------
+    # join parallelism fixed at 32 (the hi cluster size) so the job is
+    # identical at every CPU level
     gdir = tempfile.mkdtemp(prefix="rayrank_bench_g_")
     t0 = time.perf_counter()
-    meta = build_graph(edges, gdir, num_partitions=Q)
+    meta = build_graph(edges, gdir, num_partitions=Q, join_partitions=32)
     queries["graph_build"] = time.perf_counter() - t0
     extra["nnz"] = meta.nnz
     extra["edge_multiplicity_total"] = meta.edge_multiplicity_total
@@ -104,7 +106,7 @@ def run_bench() -> dict:
     # -- undirected algorithms -----------------------------------------
     udir = tempfile.mkdtemp(prefix="rayrank_bench_u_")
     t0 = time.perf_counter()
-    build_graph(edges, udir, num_partitions=Q, undirected=True)
+    build_graph(edges, udir, num_partitions=Q, undirected=True, join_partitions=32)
     queries["undirected_build"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()

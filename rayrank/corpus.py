@@ -95,7 +95,7 @@ def generate_corpus(
     the existing corpus is reused.
     """
     r = num_repos(sf)
-    shards = shards or min(16, r)
+    shards = shards or min(64, r)  # read parallelism = shard count
     marker = os.path.join(out_dir, "_DONE")
     tag = f"sf={sf} seed={seed} repos={r} shards={shards} v1"
     if os.path.exists(marker):

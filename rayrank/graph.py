@@ -60,25 +60,31 @@ class GraphMeta:
             return GraphMeta(**json.load(f))
 
 
-def collapse_multiplicity(edges: ray.data.Dataset) -> ray.data.Dataset:
+def collapse_multiplicity(
+    edges: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
     """(src, dst) → (src, dst, mult) hash aggregate."""
-    g = edges.groupby(["src", "dst"]).count()
+    g = edges.groupby(["src", "dst"], num_partitions=num_partitions).count()
     return g.map_batches(
         lambda t: t.rename_columns(["src", "dst", "mult"]), batch_format="pyarrow"
     )
 
 
-def out_degrees(edges_mult: ray.data.Dataset) -> ray.data.Dataset:
+def out_degrees(
+    edges_mult: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
     """(src, outdeg) counting duplicate multiplicity (A2)."""
-    g = edges_mult.groupby("src").sum("mult")
+    g = edges_mult.groupby("src", num_partitions=num_partitions).sum("mult")
     return g.map_batches(
         lambda t: t.rename_columns(["src", "outdeg"]), batch_format="pyarrow"
     )
 
 
-def in_degrees(edges_mult: ray.data.Dataset) -> ray.data.Dataset:
+def in_degrees(
+    edges_mult: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
     """(dst, indeg) counting duplicate multiplicity (A1)."""
-    g = edges_mult.groupby("dst").sum("mult")
+    g = edges_mult.groupby("dst", num_partitions=num_partitions).sum("mult")
     return g.map_batches(
         lambda t: t.rename_columns(["dst", "indeg"]), batch_format="pyarrow"
     )
@@ -122,7 +128,7 @@ def with_weights(
     keyed on src (M3 without the sorted-input assumption)."""
     from .joins import hash_join
 
-    deg = out_degrees(edges_mult)
+    deg = out_degrees(edges_mult, num_partitions)
     joined = hash_join(
         edges_mult, deg, on=("src",), num_partitions=num_partitions
     )
@@ -167,11 +173,19 @@ def _edge_totals(edges_dir: str) -> dict:
     }
 
 
-def _partition_sizes(vertices: ray.data.Dataset, Q: int) -> list[int]:
-    rows = vertices.groupby("q").count().take_all()
+def _vertex_part_sizes(vert_dir: str, Q: int) -> list[int]:
+    """Per-partition vertex counts from the hive layout's parquet
+    footers (no extra shuffle)."""
+    import pyarrow.parquet as pq
+
     sizes = [0] * Q
-    for r in rows:
-        sizes[int(r["q"])] = int(r["count()"])
+    for q in range(Q):
+        d = os.path.join(vert_dir, f"q={q}")
+        if not os.path.isdir(d):
+            continue
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                sizes[q] += pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
     return sizes
 
 
@@ -181,6 +195,7 @@ def build_graph(
     num_partitions: int = NUM_PARTITIONS_DEFAULT,
     filter_ratio: float | None = None,
     undirected: bool = False,
+    join_partitions: int | None = None,
 ) -> GraphMeta:
     """Full graph build: names → ids → multiplicity → (optional prune)
     → weights → hive-partitioned Parquet layout:
@@ -192,8 +207,15 @@ def build_graph(
     ``edges_named`` needs columns ``src_name, dst_name``.  When
     ``undirected=True`` the reversed edges are unioned in before the
     multiplicity collapse (CC / label propagation / triangles view).
+
+    ``join_partitions`` (default Q) sets the task parallelism of the
+    build-time joins/aggregations independently of the id partition
+    count Q — explicit and input-derived so the job shape is identical
+    at every cluster size (scaling-evidence requirement); size it to
+    the LARGER cluster (more partitions than CPUs just queue).
     """
     Q = num_partitions
+    JP = join_partitions or Q
     os.makedirs(out_dir, exist_ok=True)
 
     edges_named = edges_named.select_columns(["src_name", "dst_name"])
@@ -212,25 +234,40 @@ def build_graph(
         )
         edges_named = edges_named.union(rev)
 
-    vertices = assign_ids(distinct_names(edges_named), Q)
+    # both endpoint columns as one (non-distinct) name stream;
+    # assign_ids dedups inside each id partition (no global distinct)
+    def endpoints(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        c1 = t.column("src_name").cast(pa.string())
+        c2 = t.column("dst_name").cast(pa.string())
+        yield pa.table(
+            {"name": pa.chunked_array(list(c1.chunks) + list(c2.chunks))}
+        )
+
+    names = edges_named.map_batches(endpoints, batch_format="pyarrow")
+    vertices = assign_ids(names, Q)
     vertices = vertices.materialize()  # small (V rows), reused 3×
+    vert_dir = os.path.join(out_dir, "vertices")
+    vertices.write_parquet(vert_dir, partition_cols=["q"])
+    part_sizes = _vertex_part_sizes(vert_dir, Q)
+    n = sum(part_sizes)
     edge_rows = edges_named
     if undirected:
         # self-loops carry no information for CC/LP/triangles and would
         # let a vertex vote for its own label in LP (oracle rule pinned
         # in FIXTURES.md §1 excludes them); their endpoints stay in the
-        # vertex set (distinct_names ran on the unfiltered edges)
+        # vertex set (ids were assigned from the unfiltered endpoints)
         edge_rows = edges_named.filter(expr="src_name != dst_name")
-    edges = encode_edges(edge_rows, vertices, Q)
+    edges = encode_edges(edge_rows, vertices, JP)
     # materialized: consumed by degree aggregation AND the weight join
     # (and optionally the prune) — collapsed size is ≤ nnz, far smaller
     # than the raw edge stream
-    edges_mult = collapse_multiplicity(edges).materialize()
+    edges_mult = collapse_multiplicity(edges, JP).materialize()
 
-    n = vertices.count()
     if filter_ratio is not None:
         edges_mult = prune_filter_ratio(edges_mult, n, filter_ratio)
-    edges_w = with_weights(edges_mult, Q)
+    edges_w = with_weights(edges_mult, JP)
 
     def add_part(t: pa.Table) -> pa.Table:
         src = t.column("src").to_numpy(zero_copy_only=False)
@@ -240,10 +277,6 @@ def build_graph(
     edges_dir = os.path.join(out_dir, "edges")
     edges_w.write_parquet(edges_dir, partition_cols=["part"])
 
-    vert_dir = os.path.join(out_dir, "vertices")
-    vertices.write_parquet(vert_dir, partition_cols=["q"])
-
-    part_sizes = _partition_sizes(vertices, Q)
     # edge totals from the files just written (parquet footers + one
     # column scan in parallel tasks) — re-running the lazy edges_mult
     # pipeline here would re-execute every upstream join/groupby

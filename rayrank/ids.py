@@ -63,23 +63,41 @@ def assign_ids(
 ) -> ray.data.Dataset:
     """(vid, name, q) — deterministic ids per the module docstring.
 
-    The per-partition rank is computed inside ``map_groups`` (one group
-    = one id partition ≈ n/Q names — the same working-set bound every
-    score partition obeys later, so if this fits, iterations fit).
+    Input need NOT be distinct: all copies of a name hash to the same
+    id partition, so the per-partition ranking deduplicates with a local
+    ``unique`` — this removes the global distinct shuffle entirely (the
+    widest step of the old build: 2·E name strings through a groupby).
+    The per-partition rank group ≈ n/Q names — the same working-set
+    bound every score partition obeys later, so if this fits,
+    iterations fit.
     """
     Q = num_partitions
 
-    def add_q(t: pa.Table) -> pa.Table:
-        q = stable_hash(t.column("name").to_pylist()) % Q
-        return t.append_column("q", pa.array(q.astype(np.int64)))
+    def add_q(t: pa.Table):
+        if t.num_rows == 0 or "name" not in t.schema.names:
+            return
+        # map-side combine: local dedup shrinks the shuffle input
+        uniq = np.unique(np.asarray(t.column("name").to_pylist(), dtype=object))
+        q = stable_hash(uniq) % Q
+        yield pa.table(
+            {
+                "name": pa.array(uniq, pa.string()),
+                "q": pa.array(q.astype(np.int64)),
+            }
+        )
 
     with_q = names.map_batches(add_q, batch_format="pyarrow")
 
     def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("name", kind="mergesort").reset_index(drop=True)
         q = int(g["q"].iloc[0])
-        g["vid"] = np.arange(len(g), dtype=np.int64) * Q + q
-        return g[["vid", "name", "q"]]
+        uniq = np.unique(g["name"].to_numpy())
+        return pd.DataFrame(
+            {
+                "vid": np.arange(len(uniq), dtype=np.int64) * Q + q,
+                "name": uniq,
+                "q": np.full(len(uniq), q, np.int64),
+            }
+        )
 
     from .shuffle import grouped_map
 

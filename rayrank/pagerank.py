@@ -182,12 +182,16 @@ def power_method(
         rounds_done = t + 1
 
         lag_residual = math.sqrt(res_sq_lag) if t > start_round else None
+        avail = ray.available_resources()
         metrics = {
             "l1_before_norm": l1,
             "dangling_mass_next": dang,
             "rows_shuffled": rows_shuffled,
             "residual_l2_prev_update": lag_residual,
             "alpha": alpha,
+            # object-store headroom proxy for spill pressure (north_rule
+            # asks for per-iteration memory/spill telemetry)
+            "object_store_memory_available": avail.get("object_store_memory"),
         }
         history.append({"iteration": t, **metrics})
 
@@ -322,7 +326,11 @@ def power_method_dataset(
             ),
             batch_format="pyarrow",
         )
-        sums = contrib.groupby("dst").sum("c")
+        from .shuffle import salted_sum
+
+        # salted two-stage reduce: hot dst keys (hubs) see at most
+        # `salt` partials in any single reducer (north_star skew rule)
+        sums = salted_sum(contrib, "dst", "c", num_partitions=Q)
         x_new = hash_join(
             verts, sums, on=("vid",), right_on=("dst",), how="left_outer",
             num_partitions=Q,
@@ -332,7 +340,7 @@ def power_method_dataset(
                     "vid": t.column("vid"),
                     "score": pc.add(
                         pc.multiply(
-                            pc.coalesce(t.column("sum(c)"), pa.scalar(0.0)), alpha
+                            pc.coalesce(t.column("sum_c"), pa.scalar(0.0)), alpha
                         ),
                         coeff * v_val,
                     ),

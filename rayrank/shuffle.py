@@ -30,6 +30,54 @@ import ray.data
 from . import NUM_PARTITIONS_DEFAULT
 
 
+def salted_sum(
+    ds: ray.data.Dataset,
+    key: str,
+    value: str,
+    salt: int = 8,
+    num_partitions: int = NUM_PARTITIONS_DEFAULT,
+) -> ray.data.Dataset:
+    """Skew-safe ``groupby(key).sum(value)``: rows are first combined
+    under ``(key, salt)`` — bounding any hot key's fan-in per reducer to
+    ``salt`` partials — then the tiny salted partials are re-summed per
+    key (SURVEY.md §4.2 heavy-hitter mitigation; the shard-actor solve
+    path gets the same effect from its map-side combine, which bounds a
+    hot dst's fan-in to Q shard partials).
+
+    The salt is derived from a row hash, not randomness, so results are
+    deterministic."""
+    import numpy as np
+    import pyarrow as pa
+
+    def add_salt(t):
+        if t.num_rows == 0 or key not in t.schema.names:
+            return
+        # cheap deterministic per-row salt: row position within block
+        s = np.arange(len(t), dtype=np.int64) % salt
+        yield t.append_column("__salt", pa.array(s))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    partial = salted.groupby([key, "__salt"], num_partitions=num_partitions).sum(
+        value
+    )
+    col = f"sum({value})"
+
+    def unsalt(t):
+        if t.num_rows == 0 or col not in t.schema.names:
+            return
+        yield t.select([key, col]).rename_columns([key, value])
+
+    partial = partial.map_batches(unsalt, batch_format="pyarrow")
+    out = partial.groupby(key, num_partitions=num_partitions).sum(value)
+
+    def rename(t):
+        if t.num_rows == 0:
+            return
+        yield t.rename_columns([key, f"sum_{value}"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def grouped_map(
     ds: ray.data.Dataset,
     keys: list[str],

@@ -129,6 +129,22 @@ def test_webgraph_regex_parity_and_scores(web_dir):
         assert got[nm] == pytest.approx(want[nm], abs=1e-6)
 
 
+def test_max_nnz_cap(tmp_path):
+    # the reference reads max_nnz+1 rows (pagerank.py:30-31 off-by-one,
+    # preserved for parity) BEFORE the regex filter, in file order
+    import ray.data  # noqa: F401
+
+    from rayrank.webgraph import read_edge_csv
+
+    csv_path = str(tmp_path / "e.csv.gz")
+    with gzip.open(csv_path, "wt", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["source", "target"])
+        w.writerows([(f"s{i}", f"t{i}") for i in range(20)])
+    assert read_edge_csv(csv_path, max_nnz=4).count() == 5
+    assert read_edge_csv(csv_path).count() == 20
+
+
 def test_personalized_via_query(web_dir):
     want, _ = oracle_pagerank_by_name(
         URL_EDGES,
