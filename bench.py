@@ -104,9 +104,11 @@ def run_bench() -> dict:
     )
 
     # -- undirected algorithms -----------------------------------------
+    from rayrank.graph import derive_undirected
+
     udir = tempfile.mkdtemp(prefix="rayrank_bench_u_")
     t0 = time.perf_counter()
-    build_graph(edges, udir, num_partitions=Q, undirected=True, join_partitions=32)
+    derive_undirected(gdir, udir, join_partitions=32)
     queries["undirected_build"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()

@@ -304,6 +304,78 @@ def build_graph(
     return meta
 
 
+def derive_undirected(
+    src_graph_dir: str, out_dir: str, join_partitions: int | None = None
+) -> GraphMeta:
+    """Undirected layout derived from an existing (unpruned) directed
+    build: same vertices/ids (hard-linked/copied), edges = directed ∪
+    reversed, self-loops dropped, multiplicities summed, weights
+    recomputed.  Skips id assignment and both encode joins — the
+    undirected view costs one collapse + one weight join."""
+    import shutil
+
+    src_meta = GraphMeta.load(os.path.join(src_graph_dir, "meta.json"))
+    assert src_meta.filter_ratio is None, "derive from an unpruned build"
+    Q = src_meta.Q
+    JP = join_partitions or Q
+    os.makedirs(out_dir, exist_ok=True)
+    vert_src = os.path.join(src_graph_dir, "vertices")
+    vert_dst = os.path.join(out_dir, "vertices")
+    if not os.path.isdir(vert_dst):
+        shutil.copytree(vert_src, vert_dst)
+
+    e = load_edges(src_graph_dir).select_columns(["src", "dst", "mult"])
+
+    def both_dirs(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        m = t.column("mult").to_numpy(zero_copy_only=False)
+        keep = s != d  # self-loops dropped (FIXTURES §1 LP rule)
+        s, d, m = s[keep], d[keep], m[keep]
+        yield pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d]), pa.int64()),
+                "dst": pa.array(np.concatenate([d, s]), pa.int64()),
+                "mult": pa.array(np.concatenate([m, m]), pa.int64()),
+            }
+        )
+
+    und = e.map_batches(both_dirs, batch_format="pyarrow")
+    g = und.groupby(["src", "dst"], num_partitions=JP).sum("mult")
+    und_mult = g.map_batches(
+        lambda t: t.rename_columns(["src", "dst", "mult"]), batch_format="pyarrow"
+    ).materialize()
+    edges_w = with_weights(und_mult, JP)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        return t.append_column("part", pa.array(src % Q, type=pa.int64()))
+
+    edges_dir = os.path.join(out_dir, "edges")
+    edges_w.map_batches(add_part, batch_format="pyarrow").write_parquet(
+        edges_dir, partition_cols=["part"]
+    )
+    totals = _edge_totals(edges_dir)
+    meta = GraphMeta(
+        n=src_meta.n,
+        Q=Q,
+        part_sizes=src_meta.part_sizes,
+        nnz=totals["nnz"],
+        edge_multiplicity_total=totals["mult"],
+        filter_ratio=None,
+        undirected=True,
+        lineage={
+            "edges_dir": edges_dir,
+            "vertices_dir": vert_dst,
+            "derived_from": src_graph_dir,
+        },
+    )
+    meta.save(os.path.join(out_dir, "meta.json"))
+    return meta
+
+
 def load_vertices(graph_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(os.path.join(graph_dir, "vertices"))
 

@@ -337,9 +337,9 @@ def _graph(sf_dir: str, kind: str) -> str:
     if kind == "directed":
         build_graph(_edge_names(sf_edges(sf_dir)), gdir, num_partitions=P)
     elif kind == "undirected":
-        build_graph(
-            _edge_names(sf_edges(sf_dir)), gdir, num_partitions=P, undirected=True
-        )
+        from .graph import derive_undirected
+
+        derive_undirected(_graph(sf_dir, "directed"), gdir)
     else:  # tri
         build_graph(
             _edge_names(tri_edges(sf_dir)), gdir, num_partitions=P, undirected=True

@@ -295,6 +295,117 @@ class CsrShard:
         return changed
 
 
+    # ------------------------------------------------------------------
+    # triangle counting (oriented wedge join, actor-resident)
+    # ------------------------------------------------------------------
+
+    def local_degrees(self) -> np.ndarray:
+        """Distinct-neighbor degree per local vertex (undirected layout:
+        this shard holds the FULL adjacency of its vertices)."""
+        return np.bincount(self.src_l, minlength=self.s_p).astype(np.int64)
+
+    def make_wedges(self, *deg_parts):
+        """Oriented wedges from this shard's adjacency.
+
+        ``deg_parts``: the Q degree partitions (vid%Q → local arrays).
+        Edges are oriented toward the (deg, vid)-larger endpoint; for
+        each local vertex the rank-sorted oriented out-neighbors yield
+        the wedge pairs (a, b) [rank(a) < rank(b)] with the center.
+        Returns per-destination-partition (a_local, b, center) triples,
+        routed by ``a % Q`` — shard a%Q owns adj(a) and closes the
+        wedge.  (At sandbox scale the whole degree vector is shipped to
+        each shard — the partitioned exchange used by spmv is the
+        >memory scale path.)
+        """
+        Q = self.Q
+        empty = (
+            np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64)
+        )
+        if len(self.src_l) == 0:
+            return tuple(empty for _ in range(Q))
+        # degree lookup for arbitrary vids
+        def deg_lookup(vids: np.ndarray) -> np.ndarray:
+            out = np.empty(len(vids), np.int64)
+            q = vids % Q
+            for qq in range(Q):
+                m = q == qq
+                if m.any():
+                    out[m] = deg_parts[qq][vids[m] // Q]
+            return out
+
+        v_glob = self.src_l * Q + self.p
+        nbr = self.dst_sorted
+        deg_v = np.bincount(self.src_l, minlength=self.s_p)[self.src_l].astype(
+            np.int64
+        )  # local degree of the center
+        # NOTE: center degree must be its GLOBAL degree — identical here
+        # because the shard holds the full adjacency of local vertices
+        deg_n = deg_lookup(nbr)
+        # keep (v → u) where rank(u) > rank(v), rank = (deg, vid)
+        keep = (deg_n > deg_v) | ((deg_n == deg_v) & (nbr > v_glob))
+        src_k = self.src_l[keep]
+        nbr_k = nbr[keep]
+        deg_k = deg_n[keep]
+        # sort by (center, neighbor rank)
+        order = np.lexsort((nbr_k, deg_k, src_k))
+        src_k, nbr_k, deg_k = src_k[order], nbr_k[order], deg_k[order]
+        # group boundaries per center
+        counts = np.bincount(src_k, minlength=self.s_p)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        a_out, b_out, c_out = [], [], []
+        tri_cache: dict[int, tuple] = {}
+        for v in np.flatnonzero(counts >= 2):
+            lo, hi = starts[v], starts[v + 1]
+            d = hi - lo
+            ij = tri_cache.get(d)
+            if ij is None:
+                ij = np.triu_indices(d, k=1)
+                tri_cache[d] = ij
+            i, j = ij
+            a_out.append(nbr_k[lo:hi][i])
+            b_out.append(nbr_k[lo:hi][j])
+            c_out.append(np.full(len(i), v * Q + self.p, np.int64))
+        if not a_out:
+            return tuple(empty for _ in range(Q))
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        c = np.concatenate(c_out)
+        aq = a % Q
+        out = []
+        for qq in range(Q):
+            m = aq == qq
+            out.append(((a[m] // Q).astype(np.int64), b[m], c[m]))
+        return tuple(out)
+
+    def close_wedges(self, *parts):
+        """Check wedge closure against this shard's adjacency (sorted
+        combined key + searchsorted).  Returns (n_triangles,
+        role_vids) where role_vids lists center/a/b of every closed
+        triangle (driver aggregates per-vertex counts; the scale path
+        would route increments like contributions)."""
+        if len(self.src_l):
+            key_base = np.int64(1) << np.int64(40)  # fits sandbox vid range
+            adj_key = np.sort(self.src_l * key_base + self.dst_sorted)
+        else:
+            adj_key = np.empty(0, np.int64)
+            key_base = np.int64(1) << np.int64(40)
+        n_tri = 0
+        roles = []
+        for a_local, b, center in parts:
+            if len(a_local) == 0 or len(adj_key) == 0:
+                continue
+            qk = a_local * key_base + b
+            idx = np.clip(np.searchsorted(adj_key, qk), 0, len(adj_key) - 1)
+            hit = adj_key[idx] == qk
+            if hit.any():
+                n_tri += int(hit.sum())
+                a_glob = a_local[hit] * self.Q + self.p
+                roles.append(np.concatenate([center[hit], a_glob, b[hit]]))
+        return n_tri, (
+            np.concatenate(roles) if roles else np.empty(0, np.int64)
+        )
+
+
 def create_shards(graph_dir: str, meta) -> list:
     """One CsrShard per partition; blocks until all are built."""
     shards = [

@@ -136,8 +136,90 @@ def triangle_rows(
     return tri.select_columns(["center", "wa", "wb"])
 
 
-def triangle_count(graph_dir: str, num_partitions: int | None = None) -> int:
+def triangle_count_shards(
+    graph_dir: str, shards: list | None = None
+) -> tuple[int, "np.ndarray"]:
+    """Fast path: oriented wedge join executed INSIDE the CSR shard
+    actors (shards.py make_wedges/close_wedges) — two actor-call rounds,
+    no Dataset shuffle.  Returns (total, role_vids) where role_vids has
+    one entry per (triangle, member)."""
+    import os
+
+    import ray as _ray
+
+    from .shards import create_shards
+
+    meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
+    Q = meta.Q
+    if shards is None:
+        shards = create_shards(graph_dir, meta)
+    deg_refs = [s.local_degrees.remote() for s in shards]
+    wedges = []
+    for p in range(Q):
+        out = shards[p].make_wedges.options(num_returns=Q).remote(*deg_refs)
+        wedges.append(out if Q > 1 else [out])
+    closed = _ray.get(
+        [
+            shards[q].close_wedges.remote(*[wedges[p][q] for p in range(Q)])
+            for q in range(Q)
+        ]
+    )
+    total = sum(c[0] for c in closed)
+    roles = (
+        np.concatenate([c[1] for c in closed])
+        if any(len(c[1]) for c in closed)
+        else np.empty(0, np.int64)
+    )
+    return total, roles
+
+
+def triangle_count(
+    graph_dir: str, num_partitions: int | None = None, use_shards: bool = True
+) -> int:
+    if use_shards:
+        return triangle_count_shards(graph_dir)[0]
     return triangle_rows(graph_dir, num_partitions).count()
+
+
+def triangles_per_vertex_shards(graph_dir: str) -> ray.data.Dataset:
+    """(vid, name, triangles) via the shard path (role counts
+    aggregated driver-side — fine at sandbox scale, see
+    close_wedges docstring for the scale path)."""
+    import os
+
+    meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
+    _, roles = triangle_count_shards(graph_dir)
+    counts = np.bincount(roles, minlength=1) if len(roles) else np.empty(0)
+    vids = np.flatnonzero(counts)
+    t = pa.table(
+        {
+            "tvid": pa.array(vids, pa.int64()),
+            "triangles": pa.array(counts[vids].astype(np.int64)),
+        }
+    )
+    counts_ds = ray.data.from_arrow(t)
+    verts = load_vertices(graph_dir).select_columns(["vid", "name"])
+    out = hash_join(
+        verts, counts_ds, on=("vid",), right_on=("tvid",), how="left_outer",
+        num_partitions=meta.Q,
+    )
+
+    def fill(tb: pa.Table):
+        import pyarrow.compute as pc
+
+        if tb.num_rows == 0:
+            return
+        yield pa.table(
+            {
+                "vid": tb.column("vid"),
+                "name": tb.column("name"),
+                "triangles": pc.coalesce(
+                    tb.column("triangles"), pa.scalar(0, pa.int64())
+                ),
+            }
+        )
+
+    return out.map_batches(fill, batch_format="pyarrow")
 
 
 def triangles_per_vertex(

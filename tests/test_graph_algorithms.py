@@ -99,21 +99,62 @@ def test_random_graphs_all_three(tmp_graph_dir, seed, n, m):
     }
 
     want_total, want_per_v = oracle_triangles(edges)
-    assert triangle_count(tmp_graph_dir) == want_total
-    per_v = {
-        r["name"]: r["triangles"]
-        for b in triangles_per_vertex(tmp_graph_dir).iter_batches(
-            batch_format="pyarrow"
-        )
-        for r in b.to_pylist()
-    }
-    assert per_v == want_per_v
+    # both implementations: actor-resident wedge join AND Dataset joins
+    assert triangle_count(tmp_graph_dir, use_shards=True) == want_total
+    assert triangle_count(tmp_graph_dir, use_shards=False) == want_total
+    from rayrank.triangles import triangles_per_vertex_shards
+
+    for impl in (triangles_per_vertex, triangles_per_vertex_shards):
+        per_v = {
+            r["name"]: r["triangles"]
+            for b in impl(tmp_graph_dir).iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        }
+        assert per_v == want_per_v, impl.__name__
 
     lp = label_propagation(tmp_graph_dir, max_iterations=30)
     want_lp = oracle_label_propagation(
         edges, vids_by_name(tmp_graph_dir), max_iterations=30
     )
     assert lp.labels_by_name(tmp_graph_dir) == want_lp
+
+
+def test_derive_undirected_equivalent(tmp_path):
+    """derive_undirected(directed build) must equal
+    build_graph(undirected=True) — same ids (deterministic), same
+    collapsed edges/weights, same algorithm outputs."""
+    from rayrank.graph import build_graph, derive_undirected, load_edges
+
+    edges = random_edge_list(17, 40, 120)
+    t = pa.table(
+        {
+            "src_name": pa.array([s for s, _ in edges], pa.string()),
+            "dst_name": pa.array([x for _, x in edges], pa.string()),
+        }
+    )
+    d_dir = str(tmp_path / "d")
+    u_direct = str(tmp_path / "u1")
+    u_derived = str(tmp_path / "u2")
+    build_graph(ray.data.from_arrow(t), d_dir, num_partitions=3)
+    build_graph(
+        ray.data.from_arrow(t), u_direct, num_partitions=3, undirected=True
+    )
+    m = derive_undirected(d_dir, u_derived)
+
+    def edge_set(gd):
+        rows = set()
+        for b in load_edges(gd).iter_batches(batch_format="pyarrow"):
+            for r in b.to_pylist():
+                rows.add((r["src"], r["dst"], r["mult"], round(r["w"], 12)))
+        return rows
+
+    assert edge_set(u_direct) == edge_set(u_derived)
+
+    cc1 = connected_components(u_direct).labels_by_name(u_direct)
+    cc2 = connected_components(u_derived).labels_by_name(u_derived)
+    assert cc1 == cc2
+    assert triangle_count(u_direct) == triangle_count(u_derived)
+    assert m.undirected
 
 
 def test_canonical_components_named(tmp_graph_dir):
