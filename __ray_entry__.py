@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": pl.minhash_clusters,        # rows-only
         "simhash_pairs": pl.simhash_pairs,              # rows-only
         "event_transitions": pl.event_transitions,
+        "event_window_counts": pl.event_window_counts,
+        "embedding_near_dups": pl.embedding_near_dup_pairs,  # rows-only
         "ann_topk": pl.ann_topk,
         "lsh_ann_topk": pl.lsh_ann_topk,                # rows-only (approximate)
         # graph algorithms (north_rule §2.11)
@@ -166,6 +168,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type AS from_type, next_type AS to_type, "
             "CAST(COUNT(*) AS BIGINT) AS cnt FROM o "
             "WHERE next_type IS NOT NULL GROUP BY 1, 2, 3"
+        ),
+        "event_window_counts": (
+            "SELECT date_trunc('day', ts) AS win, event_type, "
+            "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "

@@ -205,8 +205,300 @@ def run_scaling() -> dict:
     }
 
 
+def build_only(out_dir: str) -> dict:
+    """Ingest + build the SF graph into ``out_dir`` (fresh process)."""
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = _sf_of(os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from rayrank import configure_data_context
+    from rayrank.corpus import default_corpus_dir, generate_corpus
+    from rayrank.graph import build_graph
+    from rayrank.ingest import derive_edges, read_corpus
+
+    configure_data_context()
+    cdir = generate_corpus(default_corpus_dir(sf), sf=sf)
+    t0 = time.perf_counter()
+    edges = derive_edges(read_corpus(cdir), num_partitions=32).materialize()
+    n_edges = edges.count()
+    Q = min(32, max(4, n_edges // 50_000))
+    meta = build_graph(edges, out_dir, num_partitions=Q, join_partitions=32)
+    ray.shutdown()
+    return {"sf": sf, "Q": Q, "edges": meta.edge_multiplicity_total,
+            "build_sec": round(time.perf_counter() - t0, 3)}
+
+
+def solve_only(graph_dir: str, repeats: int = 3) -> dict:
+    """PageRank solve on a prebuilt graph (fresh process, warm shards
+    after the first repeat — report best of ``repeats``)."""
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from rayrank import configure_data_context
+    from rayrank.graph import GraphMeta
+    from rayrank.pagerank import power_method
+    from rayrank.shards import create_shards
+
+    configure_data_context()
+    meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
+    shards = create_shards(graph_dir, meta)
+    best = None
+    iters = 0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        res = power_method(graph_dir, shards=shards, epsilon=1e-6)
+        dt = time.perf_counter() - t0
+        iters = res.iterations
+        best = dt if best is None else min(best, dt)
+    thr = meta.edge_multiplicity_total * iters / best
+    ray.shutdown()
+    return {
+        "num_cpus": ncpu,
+        "pagerank_sec": round(best, 3),
+        "iterations": iters,
+        "edges": meta.edge_multiplicity_total,
+        "edges_per_sec_per_iter": round(thr, 1),
+    }
+
+
+def run_solve_scaling() -> dict:
+    """North-rule metric isolation: build ONCE (32 cpus), then run the
+    identical solve on the identical graph at num_cpus=8 and 32 in
+    fresh processes."""
+    gdir = tempfile.mkdtemp(prefix="rayrank_solvescale_")
+
+    def sub(args, ncpu):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *args],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    build = sub(["--build-only", gdir], 32)
+    lo = sub(["--solve", gdir], 8)
+    hi = sub(["--solve", gdir], 32)
+    eff = (hi["edges_per_sec_per_iter"] / lo["edges_per_sec_per_iter"]) / 4
+    return {
+        "mode": "solve_scaling",
+        "build": build,
+        "solve_lo": lo,
+        "solve_hi": hi,
+        "scaling_efficiency_solve": round(eff, 3),
+    }
+
+
+def synth_partitioned_graph(
+    out_dir: str, n_vertices: int, n_edges: int, Q: int = 32, seed: int = 9
+) -> None:
+    """Deterministic synthetic graph written DIRECTLY in the engine's
+    partitioned layout (one parallel task per partition) — lets the
+    solve be benchmarked at edge counts where per-iteration compute
+    dominates round latency, without a 100×-scale corpus build.
+
+    Semantics match the real layout: src local to its partition,
+    w = 1/outdeg(src) per edge row (parallel edges sum in the CSR
+    reduce, the reference's multi-edge rule)."""
+    import ray
+
+    @ray.remote
+    def gen_part(p: int) -> int:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(seed * 1000 + p)
+        s_p = n_vertices // Q
+        m_p = n_edges // Q
+        src_local = rng.integers(0, s_p, size=m_p)
+        src = src_local * Q + p
+        dst = rng.integers(0, n_vertices // Q, size=m_p) * Q + rng.integers(
+            0, Q, size=m_p
+        )
+        outdeg = np.bincount(src_local, minlength=s_p)
+        w = 1.0 / outdeg[src_local]
+        d = os.path.join(out_dir, "edges", f"part={p}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "src": pa.array(src, pa.int64()),
+                    "dst": pa.array(dst, pa.int64()),
+                    "mult": pa.array(
+                        __import__("numpy").ones(m_p, dtype="int64")
+                    ),
+                    "w": pa.array(w, pa.float64()),
+                }
+            ),
+            os.path.join(d, "data.parquet"),
+        )
+        return m_p
+
+    import json as _json
+
+    counts = ray.get([gen_part.remote(p) for p in range(Q)])
+    meta = {
+        "n": n_vertices,
+        "Q": Q,
+        "part_sizes": [n_vertices // Q] * Q,
+        "nnz": sum(counts),
+        "edge_multiplicity_total": sum(counts),
+        "filter_ratio": None,
+        "undirected": False,
+        "lineage": {"synthetic": True, "seed": seed},
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        _json.dump(meta, f)
+
+
+def solve_fixed_iters(graph_dir: str, iters: int = 10, repeats: int = 3) -> dict:
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from rayrank import configure_data_context
+    from rayrank.graph import GraphMeta
+    from rayrank.pagerank import power_method
+    from rayrank.shards import create_shards
+
+    configure_data_context()
+    meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
+    shards = create_shards(graph_dir, meta)
+    best = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        power_method(graph_dir, shards=shards, max_iterations=iters,
+                     epsilon=0.0)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    thr = meta.edge_multiplicity_total * iters / best
+    ray.shutdown()
+    return {
+        "num_cpus": ncpu,
+        "sec_for_iters": round(best, 3),
+        "iterations": iters,
+        "edges": meta.edge_multiplicity_total,
+        "edges_per_sec_per_iter": round(thr, 1),
+    }
+
+
+def run_synthetic_scaling(n_edges: int = 200_000_000) -> dict:
+    """Solve-throughput N-vs-4N evidence on a graph large enough that
+    per-iteration compute dominates the round latency."""
+    gdir = tempfile.mkdtemp(prefix="rayrank_synth_")
+
+    def sub(args, ncpu):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *args],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    gen = sub(["--synth-gen", gdir, str(n_edges)], 32)
+    lo = sub(["--solve-fixed", gdir], 8)
+    hi = sub(["--solve-fixed", gdir], 32)
+    eff = (hi["edges_per_sec_per_iter"] / lo["edges_per_sec_per_iter"]) / 4
+    return {
+        "mode": "synthetic_solve_scaling",
+        "gen": gen,
+        "solve_lo": lo,
+        "solve_hi": hi,
+        "scaling_efficiency_solve": round(eff, 3),
+    }
+
+
+def ingest_once() -> dict:
+    """Edge derivation only (regex parse + resolution join + co-commit
+    pairs) — the pipeline's CPU-bound stage."""
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = _sf_of(os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from rayrank import configure_data_context
+    from rayrank.corpus import default_corpus_dir, generate_corpus
+    from rayrank.ingest import derive_edges, read_corpus
+
+    configure_data_context()
+    cdir = generate_corpus(default_corpus_dir(sf), sf=sf)
+    import pyarrow.parquet as pq
+
+    pq.read_table(cdir, columns=["repo"])  # warm page cache
+    t0 = time.perf_counter()
+    n = derive_edges(read_corpus(cdir), num_partitions=64).count()
+    dt = time.perf_counter() - t0
+    ray.shutdown()
+    return {"num_cpus": ncpu, "sf": sf, "edges": n,
+            "ingest_sec": round(dt, 3),
+            "edges_per_sec": round(n / dt, 1)}
+
+
+def run_ingest_scaling() -> dict:
+    def sub(ncpu):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--ingest-once"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = sub(8)
+    hi = sub(32)
+    eff = (hi["edges_per_sec"] / lo["edges_per_sec"]) / 4
+    return {
+        "mode": "ingest_scaling",
+        "ingest_lo": lo,
+        "ingest_hi": hi,
+        "scaling_efficiency_ingest": round(eff, 3),
+    }
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--ingest-once" in sys.argv:
+        print(json.dumps(ingest_once()))
+        sys.exit(0)
+    if "--ingest-scaling" in sys.argv:
+        print(json.dumps(run_ingest_scaling()))
+        sys.exit(0)
+    if "--synth-gen" in sys.argv:
+        i = sys.argv.index("--synth-gen")
+        gdir, n_edges = sys.argv[i + 1], int(sys.argv[i + 2])
+        import ray
+
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+        t0 = time.perf_counter()
+        synth_partitioned_graph(gdir, n_vertices=max(1_000_000, n_edges // 10),
+                                n_edges=n_edges)
+        ray.shutdown()
+        print(json.dumps({"graph_dir": gdir, "n_edges": n_edges,
+                          "gen_sec": round(time.perf_counter() - t0, 3)}))
+        sys.exit(0)
+    if "--solve-fixed" in sys.argv:
+        print(json.dumps(
+            solve_fixed_iters(sys.argv[sys.argv.index("--solve-fixed") + 1])
+        ))
+        sys.exit(0)
+    if "--synthetic-scaling" in sys.argv:
+        i = sys.argv.index("--synthetic-scaling")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[
+            i + 1].isdigit() else 200_000_000
+        print(json.dumps(run_synthetic_scaling(n)))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--solve-scaling" in sys.argv:
+        print(json.dumps(run_solve_scaling()))
+    elif "--build-only" in sys.argv:
+        print(json.dumps(build_only(sys.argv[sys.argv.index("--build-only") + 1])))
+    elif "--solve" in sys.argv:
+        print(json.dumps(solve_only(sys.argv[sys.argv.index("--solve") + 1])))
     else:
         print(json.dumps(run_bench()))

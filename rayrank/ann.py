@@ -144,3 +144,78 @@ def lsh_topk(
         bucket_filter, batch_format="pyarrow"
     )
     return brute_force_topk(pruned, q, k=k, id_col=id_col, emb_col=emb_col)
+
+
+def embedding_near_dups(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    planes: int = 10,
+    seed: int = 23,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    max_bucket: int = 2000,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket the corpus by
+    hyperplane signature, verify cosine exactly within each bucket
+    (vectorized matmul), keep pairs with cosine ≥ threshold.
+
+    Recall note: only pairs sharing a signature are candidates — the
+    standard trade; raise ``planes`` bands or add probe rounds for
+    higher recall.  Buckets above ``max_bucket`` are truncated after a
+    deterministic sort (no silent caps: truncation count is exposed via
+    the ``truncated`` column)."""
+    import pandas as pd
+
+    from .shuffle import grouped_map
+
+    # probe dim from one batch
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(_emb_matrix(first, emb_col)[0])
+    signer = _PlaneSigner(dim, planes, seed)
+    signer_ref = ray.put(signer)
+
+    def sign_rows(t: pa.Table):
+        if len(t) == 0:
+            return
+        sg = ray.get(signer_ref)
+        x = _emb_matrix(t, emb_col)
+        sig = sg.sign(x)
+        yield pa.table(
+            {
+                id_col: t.column(id_col),
+                emb_col: t.column(emb_col),
+                "bucket": pa.array(sig, pa.int64()),
+            }
+        )
+
+    signed = ds.select_columns([id_col, emb_col]).map_batches(
+        sign_rows, batch_format="pyarrow"
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col).reset_index(drop=True)
+        truncated = 0
+        if len(g) > max_bucket:
+            truncated = len(g) - max_bucket
+            g = g.head(max_bucket)
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"a": [], "b": [], "cosine": [], "truncated": []}
+            ).astype({"a": np.int64, "b": np.int64,
+                      "cosine": np.float64, "truncated": np.int64})
+        x = np.asarray(list(g[emb_col]), np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = xn @ xn.T
+        i, j = np.triu_indices(len(g), k=1)
+        keep = sims[i, j] >= threshold
+        ids = g[id_col].to_numpy()
+        return pd.DataFrame(
+            {
+                "a": ids[i[keep]],
+                "b": ids[j[keep]],
+                "cosine": sims[i, j][keep],
+                "truncated": np.full(int(keep.sum()), truncated, np.int64),
+            }
+        )
+
+    return grouped_map(signed, ["bucket"], verify, num_partitions=8)

@@ -272,6 +272,39 @@ def event_transitions(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def event_window_counts(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-day windows per event type (batch windowing: truncate
+    the timestamp, hash aggregate — SQL-checkable via date_trunc)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def win(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        yield pa.table(
+            {
+                "win": pc.floor_temporal(t.column("ts"), unit="day"),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    g = ds.map_batches(win, batch_format="pyarrow").groupby(
+        ["win", "event_type"], num_partitions=P
+    ).count()
+    return g.map_batches(
+        lambda t: t.rename_columns(["win", "event_type", "cnt"]),
+        batch_format="pyarrow",
+    )
+
+
+def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.2) -> ray.data.Dataset:
+    """Embedding-cosine near-dup candidates (rows-only: LSH bucketing is
+    approximate by construction; exact-cosine verification inside)."""
+    from .ann import embedding_near_dups
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dups(ds, threshold=threshold, planes=6)
+
+
 def ann_topk(sf_dir: str, k: int = 5, m: int = 3) -> ray.data.Dataset:
     """Brute-force cosine top-k; queries = the first m embeddings
     (vec_id < m).  Cosine rounded to 4 decimals for comparison."""

@@ -181,6 +181,30 @@ def test_lsh_topk_self_retrieval():
             )
 
 
+def test_embedding_near_dups():
+    from rayrank.ann import embedding_near_dups
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((20, 16))
+    # rows 20/21 duplicate rows 0/1 exactly; row 22 = slightly noised row 2
+    x = np.vstack([base, base[0], base[1], base[2] + 0.01 * rng.standard_normal(16)])
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(x)), pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in x]),
+            }
+        )
+    )
+    out = rows_of(embedding_near_dups(ds, threshold=0.99, planes=4))
+    pairs = {(r["a"], r["b"]): r["cosine"] for r in out}
+    assert pairs[(0, 20)] == pytest.approx(1.0)
+    assert pairs[(1, 21)] == pytest.approx(1.0)
+    assert (2, 22) in pairs and pairs[(2, 22)] > 0.99
+    for (a, b), cos in pairs.items():
+        assert cos >= 0.99 and a < b
+
+
 def test_multimodal_decode_and_frames():
     media = ray.data.from_arrow(synthetic_media(20, seed=3))
     out = rows_of(decode_features(media, fake=True, concurrency=2))
