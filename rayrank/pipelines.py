@@ -290,10 +290,22 @@ def event_window_counts(sf_dir: str) -> ray.data.Dataset:
     g = ds.map_batches(win, batch_format="pyarrow").groupby(
         ["win", "event_type"], num_partitions=P
     ).count()
-    return g.map_batches(
-        lambda t: t.rename_columns(["win", "event_type", "cnt"]),
-        batch_format="pyarrow",
-    )
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        t = t.rename_columns(["win", "event_type", "cnt"])
+        # the shuffle round-trips through pandas and downgrades the
+        # timestamp to [s]; match DuckDB's timestamp[us] exactly
+        yield pa.table(
+            {
+                "win": t.column("win").cast(pa.timestamp("us")),
+                "event_type": t.column("event_type"),
+                "cnt": t.column("cnt"),
+            }
+        )
+
+    return g.map_batches(finish, batch_format="pyarrow")
 
 
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.2) -> ray.data.Dataset:
