@@ -1,0 +1,51 @@
+"""Reference-parity CLI: same flags, same report format, golden values
+(reference README small-graph run; FIXTURES.md §1)."""
+
+import csv
+import gzip
+import logging
+
+
+def test_cli_small_graph(tmp_path, caplog):
+    csv_path = str(tmp_path / "small.csv.gz")
+    with gzip.open(csv_path, "wt", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["source", "target"])
+        w.writerows(
+            [("1", "2"), ("1", "3"), ("3", "1"), ("3", "2"), ("3", "5"),
+             ("4", "5"), ("4", "6"), ("5", "6"), ("5", "4"), ("6", "4")]
+        )
+    from rayrank.__main__ import main
+
+    with caplog.at_level(logging.INFO, logger="rayrank"):
+        rc = main(["--data", csv_path, "--num_partitions", "3"])
+    assert rc == 0
+    lines = [r.getMessage() for r in caplog.records if r.getMessage().startswith("rank=")]
+    assert lines[0] == "rank=0 pagerank=2.6599e-01 url=4"
+    assert [ln.rsplit("url=", 1)[1] for ln in lines] == ["4", "6", "5", "2", "3", "1"]
+
+
+def test_cli_search_and_personalization(tmp_path, caplog):
+    csv_path = str(tmp_path / "urls.csv.gz")
+    edges = [
+        ("site.com/a", "site.com/covid"),
+        ("site.com/b", "site.com/covid"),
+        ("site.com/covid", "site.com/a"),
+        ("site.com/b", "site.com/a"),
+    ]
+    with gzip.open(csv_path, "wt", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["source", "target"])
+        w.writerows(edges)
+    from rayrank.__main__ import main
+
+    with caplog.at_level(logging.INFO, logger="rayrank"):
+        rc = main(
+            ["--data", csv_path, "--num_partitions", "2",
+             "--personalization_vector_query", "covid",
+             "--search_query", "covid", "--max_results", "2"]
+        )
+    assert rc == 0
+    lines = [r.getMessage() for r in caplog.records if r.getMessage().startswith("rank=")]
+    # only query-satisfying urls are reported (pagerank.py:185 semantics)
+    assert lines and all("covid" in ln for ln in lines)
