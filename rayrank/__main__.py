@@ -107,7 +107,9 @@ def main(argv=None) -> int:
         power=args.power,
     )
     for i, row in enumerate(report.take_all()):
-        log.info("rank=%d pagerank=%.4e url=%s", i, row["fused"], row["name"])
+        # str(float) like the reference's 'pagerank='+str(pagerank)
+        # (pagerank.py:186) — byte-identical report lines
+        log.info("rank=%d pagerank=%s url=%s", i, str(row["fused"]), row["name"])
     if owns_ray:
         ray.shutdown()
     return 0

@@ -64,11 +64,16 @@ def brute_force_topk(
         sims = qm @ xn.T  # (m, b)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         kk = min(k, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         m = qm.shape[0]
+        # exact (cosine desc, id asc) ordering per query — argpartition
+        # would break exact-cosine ties arbitrarily at the local cutoff,
+        # diverging from the merge stage / SQL oracle tie-break
+        sel = np.empty((m, kk), np.int64)
+        for qi in range(m):
+            sel[qi] = np.lexsort((ids, -sims[qi]))[:kk]
         qid = np.repeat(np.arange(m, dtype=np.int64), kk)
-        vid = ids[part.ravel()]
-        cos = np.take_along_axis(sims, part, axis=1).ravel()
+        vid = ids[sel.ravel()]
+        cos = np.take_along_axis(sims, sel, axis=1).ravel()
         return pa.table(
             {
                 "query_id": pa.array(qid),

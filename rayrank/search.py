@@ -215,4 +215,6 @@ def top_k(
     fused = fuse_scores(scores, query, model, sum_weight, power)
     if query:
         fused = filter_by_query(fused, "name", query, model)
-    return fused.sort("fused", descending=True).limit(k)
+    # secondary key: exact score ties (common for zero-in-link vertices)
+    # order deterministically by name across runs
+    return fused.sort(["fused", "name"], descending=[True, False]).limit(k)

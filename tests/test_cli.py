@@ -21,7 +21,10 @@ def test_cli_small_graph(tmp_path, caplog):
         rc = main(["--data", csv_path, "--num_partitions", "3"])
     assert rc == 0
     lines = [r.getMessage() for r in caplog.records if r.getMessage().startswith("rank=")]
-    assert lines[0] == "rank=0 pagerank=2.6599e-01 url=4"
+    # str(float) like the reference's 'pagerank='+str(pagerank)
+    # (pagerank.py:186); golden node-4 score ≈ 0.2659857291 (FIXTURES §1)
+    assert lines[0].startswith("rank=0 pagerank=0.2659857")
+    assert lines[0].endswith("url=4")
     assert [ln.rsplit("url=", 1)[1] for ln in lines] == ["4", "6", "5", "2", "3", "1"]
 
 
