@@ -22,6 +22,25 @@ __version__ = "0.1.0"
 NUM_PARTITIONS_DEFAULT = 16
 
 
+def polars_mod():
+    """Import polars, repairing torn module state.
+
+    A Ray worker task can be cancelled (backpressure/limit) while
+    ``import polars`` is executing; the partially-initialized module
+    stays in ``sys.modules`` for the worker's LIFETIME and every later
+    task in that worker then crashes with e.g. ``module 'polars' has no
+    attribute 'Series'`` (observed in-sandbox).  Reloading completes
+    the initialization.  Every worker-side polars use in this package
+    goes through here."""
+    import importlib
+
+    import polars as _pl
+
+    if not hasattr(_pl, "Series") or not hasattr(_pl, "from_arrow"):
+        _pl = importlib.reload(_pl)
+    return _pl
+
+
 def configure_data_context() -> None:
     """Tune Ray Data execution for this engine (idempotent; call after
     or before ray.init — the context is process-global).

@@ -189,6 +189,61 @@ def _vertex_part_sizes(vert_dir: str, Q: int) -> list[int]:
     return sizes
 
 
+def _local_collapse(Q: int, with_weights_: bool):
+    """Whole-block collapse (+weights): after the edge rows are
+    hash-partitioned by ``part = src % Q``, EVERY edge of a given src is
+    in the same block, so multiplicity, out-degree and w = mult/outdeg
+    are all block-local polars aggregations — no global groupby, no
+    weight join (r1 spent 56 s of the 83 s SF=0.1 pipeline on these
+    wide steps; VERDICT finding #1)."""
+
+    def fn(t: pa.Table):
+        if t.num_rows == 0 or "src" not in t.schema.names:
+            return
+        from . import polars_mod
+
+        pl = polars_mod()
+        df = pl.from_arrow(t.select(["src", "dst"]))
+        g = df.group_by(["src", "dst"]).agg(
+            pl.len().cast(pl.Int64).alias("mult")
+        )
+        if with_weights_:
+            g = g.with_columns(
+                (
+                    pl.col("mult").cast(pl.Float64)
+                    / pl.col("mult").sum().over("src").cast(pl.Float64)
+                ).alias("w")
+            )
+        g = g.with_columns((pl.col("src") % Q).alias("part"))
+        yield g.to_arrow()
+
+    return fn
+
+
+def _local_weights(Q: int):
+    """Weights over an already-collapsed, part-co-located block (the
+    prune path: collapse first, drop hot targets, THEN weight so outdeg
+    reflects the post-prune edge set — reference pagerank.py:42-67)."""
+
+    def fn(t: pa.Table):
+        if t.num_rows == 0 or "src" not in t.schema.names:
+            return
+        from . import polars_mod
+
+        pl = polars_mod()
+        df = pl.from_arrow(t.select(["src", "dst", "mult"]))
+        g = df.with_columns(
+            (
+                pl.col("mult").cast(pl.Float64)
+                / pl.col("mult").sum().over("src").cast(pl.Float64)
+            ).alias("w"),
+            (pl.col("src") % Q).alias("part"),
+        )
+        yield g.to_arrow()
+
+    return fn
+
+
 def build_graph(
     edges_named: ray.data.Dataset,
     out_dir: str,
@@ -197,22 +252,24 @@ def build_graph(
     undirected: bool = False,
     join_partitions: int | None = None,
 ) -> GraphMeta:
-    """Full graph build: names → ids → multiplicity → (optional prune)
-    → weights → hive-partitioned Parquet layout:
+    """Full graph build: names → ids → dictionary-lookup encode → ONE
+    hash repartition by ``part = src % Q`` → block-local multiplicity /
+    (optional prune) / weights → hive-partitioned Parquet layout:
 
         out_dir/meta.json
         out_dir/vertices/q={q}/*.parquet      (vid, name)
         out_dir/edges/part={src % Q}/*.parquet (src, dst, mult, w)
 
     ``edges_named`` needs columns ``src_name, dst_name``.  When
-    ``undirected=True`` the reversed edges are unioned in before the
-    multiplicity collapse (CC / label propagation / triangles view).
+    ``undirected=True`` the reverse edges are added (in cheap int space,
+    post-encode) before the collapse; self-loops are dropped there
+    (FIXTURES.md §1 LP rule) while their endpoints stay in the vertex
+    set.
 
     ``join_partitions`` (default Q) sets the task parallelism of the
-    build-time joins/aggregations independently of the id partition
-    count Q — explicit and input-derived so the job shape is identical
-    at every cluster size (scaling-evidence requirement); size it to
-    the LARGER cluster (more partitions than CPUs just queue).
+    build-time shuffles independently of the id partition count Q —
+    explicit and input-derived so the job shape is identical at every
+    cluster size (scaling-evidence requirement).
     """
     Q = num_partitions
     JP = join_partitions or Q
@@ -220,22 +277,16 @@ def build_graph(
 
     edges_named = edges_named.select_columns(["src_name", "dst_name"])
     # materialize once: the edge stream is consumed by BOTH the vertex
-    # derivation and the id-encoding joins; without this the whole
-    # upstream (corpus parse, import-resolution join, …) re-executes per
+    # derivation and the id encode; without this the whole upstream
+    # (corpus parse, import-resolution join, …) re-executes per
     # consumer.  The object store spills to disk under memory pressure,
     # which is exactly the behavior wanted at scale.
     edges_named = edges_named.materialize()
-    if undirected:
-        rev = edges_named.map_batches(
-            lambda t: pa.table(
-                {"src_name": t.column("dst_name"), "dst_name": t.column("src_name")}
-            ),
-            batch_format="pyarrow",
-        )
-        edges_named = edges_named.union(rev)
 
     # both endpoint columns as one (non-distinct) name stream;
-    # assign_ids dedups inside each id partition (no global distinct)
+    # assign_ids dedups inside each id partition (no global distinct).
+    # For undirected builds the endpoint SET is direction-invariant, so
+    # no name-level reversal is needed before id assignment.
     def endpoints(t: pa.Table):
         if t.num_rows == 0:
             return
@@ -247,34 +298,59 @@ def build_graph(
 
     names = edges_named.map_batches(endpoints, batch_format="pyarrow")
     vertices = assign_ids(names, Q)
-    vertices = vertices.materialize()  # small (V rows), reused 3×
+    vertices = vertices.materialize()  # small (V rows), reused
     vert_dir = os.path.join(out_dir, "vertices")
     vertices.write_parquet(vert_dir, partition_cols=["q"])
     part_sizes = _vertex_part_sizes(vert_dir, Q)
     n = sum(part_sizes)
-    edge_rows = edges_named
+
+    edges = encode_edges(
+        edges_named, vertices, JP, n_vertices=n, vert_dir=vert_dir
+    )
     if undirected:
-        # self-loops carry no information for CC/LP/triangles and would
-        # let a vertex vote for its own label in LP (oracle rule pinned
-        # in FIXTURES.md §1 excludes them); their endpoints stay in the
-        # vertex set (ids were assigned from the unfiltered endpoints)
-        edge_rows = edges_named.filter(expr="src_name != dst_name")
-    edges = encode_edges(edge_rows, vertices, JP)
-    # materialized: consumed by degree aggregation AND the weight join
-    # (and optionally the prune) — collapsed size is ≤ nnz, far smaller
-    # than the raw edge stream
-    edges_mult = collapse_multiplicity(edges, JP).materialize()
+        # reverse + drop self-loops in int space (encode is injective,
+        # so src != dst ⟺ src_name != dst_name); self-loop endpoints
+        # stay in the vertex set (ids came from unfiltered endpoints)
+        def both_dirs(t: pa.Table):
+            if t.num_rows == 0 or "src" not in t.schema.names:
+                return
+            s = t.column("src").to_numpy(zero_copy_only=False)
+            d = t.column("dst").to_numpy(zero_copy_only=False)
+            keep = s != d
+            s, d = s[keep], d[keep]
+            yield pa.table(
+                {
+                    "src": pa.array(np.concatenate([s, d]), pa.int64()),
+                    "dst": pa.array(np.concatenate([d, s]), pa.int64()),
+                }
+            )
 
-    if filter_ratio is not None:
-        edges_mult = prune_filter_ratio(edges_mult, n, filter_ratio)
-    edges_w = with_weights(edges_mult, JP)
+        edges = edges.map_batches(both_dirs, batch_format="pyarrow")
 
-    def add_part(t: pa.Table) -> pa.Table:
+    def add_part(t: pa.Table):
+        if t.num_rows == 0 or "src" not in t.schema.names:
+            return
         src = t.column("src").to_numpy(zero_copy_only=False)
-        return t.append_column("part", pa.array(src % Q, type=pa.int64()))
+        yield t.append_column("part", pa.array(src % Q, type=pa.int64()))
 
-    edges_w = edges_w.map_batches(add_part, batch_format="pyarrow")
+    parted = edges.map_batches(add_part, batch_format="pyarrow").repartition(
+        Q, keys=["part"]
+    )
     edges_dir = os.path.join(out_dir, "edges")
+    if filter_ratio is None:
+        edges_w = parted.map_batches(
+            _local_collapse(Q, with_weights_=True),
+            batch_size=None, batch_format="pyarrow",
+        )
+    else:
+        collapsed = parted.map_batches(
+            _local_collapse(Q, with_weights_=False),
+            batch_size=None, batch_format="pyarrow",
+        ).materialize()
+        pruned = prune_filter_ratio(collapsed, n, filter_ratio)
+        edges_w = pruned.map_batches(
+            _local_weights(Q), batch_size=None, batch_format="pyarrow"
+        )
     edges_w.write_parquet(edges_dir, partition_cols=["part"])
 
     # edge totals from the files just written (parquet footers + one
@@ -327,36 +403,50 @@ def derive_undirected(
     e = load_edges(src_graph_dir).select_columns(["src", "dst", "mult"])
 
     def both_dirs(t: pa.Table):
-        if t.num_rows == 0:
+        if t.num_rows == 0 or "src" not in t.schema.names:
             return
         s = t.column("src").to_numpy(zero_copy_only=False)
         d = t.column("dst").to_numpy(zero_copy_only=False)
         m = t.column("mult").to_numpy(zero_copy_only=False)
         keep = s != d  # self-loops dropped (FIXTURES §1 LP rule)
         s, d, m = s[keep], d[keep], m[keep]
+        src2 = np.concatenate([s, d])
         yield pa.table(
             {
-                "src": pa.array(np.concatenate([s, d]), pa.int64()),
+                "src": pa.array(src2, pa.int64()),
                 "dst": pa.array(np.concatenate([d, s]), pa.int64()),
                 "mult": pa.array(np.concatenate([m, m]), pa.int64()),
+                "part": pa.array(src2 % Q, pa.int64()),
             }
         )
 
-    und = e.map_batches(both_dirs, batch_format="pyarrow")
-    g = und.groupby(["src", "dst"], num_partitions=JP).sum("mult")
-    und_mult = g.map_batches(
-        lambda t: t.rename_columns(["src", "dst", "mult"]), batch_format="pyarrow"
-    ).materialize()
-    edges_w = with_weights(und_mult, JP)
+    # ONE repartition by part = src % Q, then block-local collapse +
+    # weights (same shape as build_graph — see _local_collapse)
+    def local_sum_weights(t: pa.Table):
+        if t.num_rows == 0 or "src" not in t.schema.names:
+            return
+        from . import polars_mod
 
-    def add_part(t: pa.Table) -> pa.Table:
-        src = t.column("src").to_numpy(zero_copy_only=False)
-        return t.append_column("part", pa.array(src % Q, type=pa.int64()))
+        pl = polars_mod()
+        df = pl.from_arrow(t.select(["src", "dst", "mult"]))
+        g = df.group_by(["src", "dst"]).agg(pl.col("mult").sum())
+        g = g.with_columns(
+            (
+                pl.col("mult").cast(pl.Float64)
+                / pl.col("mult").sum().over("src").cast(pl.Float64)
+            ).alias("w"),
+            (pl.col("src") % Q).alias("part"),
+        )
+        yield g.to_arrow()
 
-    edges_dir = os.path.join(out_dir, "edges")
-    edges_w.map_batches(add_part, batch_format="pyarrow").write_parquet(
-        edges_dir, partition_cols=["part"]
+    und = e.map_batches(both_dirs, batch_format="pyarrow").repartition(
+        Q, keys=["part"]
     )
+    edges_w = und.map_batches(
+        local_sum_weights, batch_size=None, batch_format="pyarrow"
+    )
+    edges_dir = os.path.join(out_dir, "edges")
+    edges_w.write_parquet(edges_dir, partition_cols=["part"])
     totals = _edge_totals(edges_dir)
     meta = GraphMeta(
         n=src_meta.n,

@@ -23,7 +23,6 @@ reduces) pre-aggregate or salt before joining (SURVEY.md §4.2).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -41,16 +40,25 @@ _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _key_hash(t: pa.Table, cols: list[str], buckets: int) -> np.ndarray:
+    """Vectorized bucket hash of the key columns.
+
+    Integer keys: numpy xorshift-multiply (zero-copy).  String / other
+    keys: polars ``hash_rows`` directly over the Arrow buffers — the
+    r1 hot spot was ``pd.util.hash_array`` over ``to_pylist()`` object
+    arrays here (~1600× slower, measured in-sandbox).  Both sides of a
+    join hash in the same pinned polars version, so buckets agree."""
+    int_cols = [c for c in cols if pa.types.is_integer(t.column(c).type)]
     h = np.zeros(len(t), np.uint64)
-    for c in cols:
-        arr = t.column(c)
-        if pa.types.is_integer(arr.type):
-            v = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
-            v = (v ^ (v >> np.uint64(33))) * _GOLD
-        else:
-            v = pd.util.hash_array(
-                np.asarray(arr.to_pylist(), dtype=object), categorize=False
-            )
+    for c in int_cols:
+        v = t.column(c).to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = (v ^ (v >> np.uint64(33))) * _GOLD
+        h = h * _FNV ^ v
+    other = [c for c in cols if c not in int_cols]
+    if other:
+        from . import polars_mod
+
+        pl = polars_mod()
+        v = pl.from_arrow(t.select(other)).hash_rows(seed=0).to_numpy()
         h = h * _FNV ^ v
     return (h % np.uint64(buckets)).astype(np.int64)
 

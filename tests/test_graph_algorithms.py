@@ -169,3 +169,76 @@ def test_canonical_components_named(tmp_graph_dir):
         for r in b.to_pylist()
     }
     assert rows == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
+
+
+def test_q1_single_partition_all_algorithms(tmp_path):
+    """Q=1 degenerates num_returns=Q (one ref to the whole message
+    tuple); the gather methods must return the bare per-partition
+    message so reducers unpack correctly (ADVICE r1)."""
+    from rayrank.graph import build_graph
+    from rayrank.pagerank import power_method
+
+    edges = SMALL_EDGES
+    t = pa.table(
+        {
+            "src_name": pa.array([s for s, _ in edges], pa.string()),
+            "dst_name": pa.array([x for _, x in edges], pa.string()),
+        }
+    )
+    d_dir = str(tmp_path / "d1")
+    u_dir = str(tmp_path / "u1")
+    build_graph(ray.data.from_arrow(t), d_dir, num_partitions=1)
+    build_graph(
+        ray.data.from_arrow(t), u_dir, num_partitions=1, undirected=True
+    )
+
+    res = power_method(d_dir)
+    assert res.converged
+    from oracle import oracle_pagerank_by_name
+
+    want, _ = oracle_pagerank_by_name(edges)
+    got = res.scores_by_name(d_dir)
+    for nm, sc in want.items():
+        assert abs(got[nm] - sc) < 1e-6, nm
+
+    cc = connected_components(u_dir)
+    assert partition_of(cc.labels_by_name(u_dir)) == {
+        frozenset(c) for c in oracle_components(edges)
+    }
+    assert triangle_count(u_dir, use_shards=True) == 2
+    lp = label_propagation(u_dir, max_iterations=50)
+    want_lp = oracle_label_propagation(
+        edges, vids_by_name(u_dir), max_iterations=50
+    )
+    assert lp.labels_by_name(u_dir) == want_lp
+
+
+def test_partitioned_encode_equivalent(tmp_path, monkeypatch):
+    """The >broadcast-limit dictionary-encode fallback must produce the
+    same graph as the broadcast path (scale path exercised at test
+    scale by forcing the limit to 0)."""
+    import rayrank.ids as ids_mod
+    from rayrank.graph import build_graph, load_edges
+
+    edges = random_edge_list(33, 50, 200)
+    t = pa.table(
+        {
+            "src_name": pa.array([s for s, _ in edges], pa.string()),
+            "dst_name": pa.array([x for _, x in edges], pa.string()),
+        }
+    )
+    d_b = str(tmp_path / "broadcast")
+    d_p = str(tmp_path / "partitioned")
+    build_graph(ray.data.from_arrow(t), d_b, num_partitions=3)
+    monkeypatch.setattr(ids_mod, "BROADCAST_VERTEX_LIMIT", 0)
+    build_graph(ray.data.from_arrow(t), d_p, num_partitions=3)
+
+    def edge_set(gd):
+        rows = set()
+        for b in load_edges(gd).iter_batches(batch_format="pyarrow"):
+            for r in b.to_pylist():
+                rows.add((r["src"], r["dst"], r["mult"], round(r["w"], 12)))
+        return rows
+
+    assert edge_set(d_b) == edge_set(d_p)
+    assert len(edge_set(d_b)) > 0
