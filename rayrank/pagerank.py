@@ -59,6 +59,9 @@ class PageRankResult:
     history: list[dict] = field(default_factory=list)
 
     def scores_table(self) -> pa.Table:
+        """Driver-side concatenation — TEST/small-result helper only;
+        production paths use :meth:`scores_dataset` (no O(V) driver
+        memory)."""
         Q = self.meta.Q
         vids, scores = [], []
         for q, ref in enumerate(self.part_refs):
@@ -73,14 +76,17 @@ class PageRankResult:
         )
 
     def scores_dataset(self, graph_dir: str) -> ray.data.Dataset:
-        """(vid, name, score) Dataset — scores joined to vertex names."""
-        from .joins import hash_join
+        """(vid, name, score) Dataset.  Each partition is zipped with
+        its co-resident vertex names INSIDE a task (shards.zip_names) —
+        no shuffle, no driver-side vector."""
+        from .shards import zip_names
 
-        scores = ray.data.from_arrow(self.scores_table())
-        verts = load_vertices(graph_dir).select_columns(["vid", "name"])
-        return hash_join(
-            scores, verts, on=("vid",), num_partitions=self.meta.Q
-        )
+        vert_dir = os.path.join(graph_dir, "vertices")
+        refs = [
+            zip_names.remote(vert_dir, q, self.meta.Q, ref, "score")
+            for q, ref in enumerate(self.part_refs)
+        ]
+        return ray.data.from_arrow_refs(refs)
 
     def scores_by_name(self, graph_dir: str) -> dict[str, float]:
         out = {}
@@ -258,11 +264,20 @@ def power_method_dataset(
     alpha: float = 0.85,
     epsilon: float = 1e-6,
     max_iterations: int = 1000,
+    v_ds: ray.data.Dataset | None = None,
+    history: list | None = None,
 ) -> ray.data.Dataset:
-    """Uniform-v reference-exact PageRank as a per-iteration Dataset
-    pipeline (edges ⋈ scores → groupby(dst).sum → normalize).  Each
-    iteration materializes the new score vector (without this, lineage
-    re-executes all previous iterations).  Returns (vid, score)."""
+    """Reference-exact PageRank as a per-iteration Dataset pipeline
+    (edges ⋈ scores → groupby(dst).sum → normalize).  Each iteration
+    materializes the new score vector (without this, lineage re-executes
+    all previous iterations).  Returns (vid, score).
+
+    ``v_ds``: optional UNNORMALIZED personalization Dataset (vid, v) —
+    missing vids count as 0; L2-normalized here exactly like the shard
+    path (reference pagerank.py:95,113 net effect).  The dangling
+    indicator and v are attached to the vertex table ONCE (left-outer
+    joins) and carried through every iteration — no driver-side source
+    set, no Python row loops (r1 VERDICT findings #2/#6)."""
     import pyarrow.compute as pc
 
     from .joins import hash_join
@@ -272,51 +287,125 @@ def power_method_dataset(
     edges = ray.data.read_parquet(
         os.path.join(graph_dir, "edges"), columns=["src", "dst", "w"]
     ).materialize()
-    verts = load_vertices(graph_dir).select_columns(["vid"]).materialize()
+    verts = load_vertices(graph_dir).select_columns(["vid"])
 
-    srcs = {r["src"] for b in edges.select_columns(["src"]).iter_batches(
-        batch_format="pyarrow") for r in b.to_pylist()}
-    srcs_ref = ray.put(np.array(sorted(srcs), dtype=np.int64))
+    # distinct sources, map-side combined (tiny: ≤ V rows)
+    def local_src_unique(t: pa.Table):
+        if t.num_rows == 0 or "src" not in t.schema.names:
+            return
+        u = np.unique(t.column("src").to_numpy(zero_copy_only=False))
+        yield pa.table({"svid": pa.array(u, pa.int64()),
+                        "m": pa.array(np.ones(len(u), np.int8))})
 
-    def init_x(t: pa.Table) -> pa.Table:
-        return pa.table(
+    srcs = (
+        edges.select_columns(["src"])
+        .map_batches(local_src_unique, batch_format="pyarrow")
+        .groupby("svid")
+        .count()
+        .select_columns(["svid"])
+        .map_batches(
+            lambda t: t.append_column("m", pa.array(np.ones(len(t), np.int8))),
+            batch_format="pyarrow",
+        )
+    )
+    aug = hash_join(
+        verts, srcs, on=("vid",), right_on=("svid",), how="left_outer",
+        num_partitions=Q,
+    ).map_batches(
+        lambda t: pa.table(
             {
                 "vid": t.column("vid"),
-                "score": pa.array(
-                    np.full(len(t), 1.0 / math.sqrt(n)), pa.float64()
-                ),
+                "dangling": pc.is_null(t.column("m")),
             }
+        ),
+        batch_format="pyarrow",
+    )
+    if v_ds is not None:
+        aug = hash_join(
+            aug,
+            v_ds.map_batches(
+                lambda t: t.rename_columns(["uvid", "uv"]),
+                batch_format="pyarrow",
+            ),
+            on=("vid",),
+            right_on=("uvid",),
+            how="left_outer",
+            num_partitions=Q,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "vid": t.column("vid"),
+                    "dangling": t.column("dangling"),
+                    "v": pc.coalesce(
+                        pc.cast(t.column("uv"), pa.float64()), pa.scalar(0.0)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        aug = aug.materialize()
+        sumsq = aug.map_batches(
+            lambda t: pa.table(
+                {"s2": pc.multiply(t.column("v"), t.column("v"))}
+            ),
+            batch_format="pyarrow",
+        ).sum("s2")
+        if not sumsq or sumsq <= 0:
+            raise ValueError("personalization vector is all-zero")
+        inv = 1.0 / math.sqrt(sumsq)
+        aug = aug.map_batches(
+            lambda t: pa.table(
+                {
+                    "vid": t.column("vid"),
+                    "dangling": t.column("dangling"),
+                    "v": pc.multiply(t.column("v"), inv),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    else:
+        v_val = 1.0 / math.sqrt(n)  # uniform v, L2-normalized
+        aug = aug.map_batches(
+            lambda t: t.append_column(
+                "v", pa.array(np.full(len(t), v_val), pa.float64())
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    def init_x(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "score", pa.array(np.full(len(t), 1.0 / math.sqrt(n)), pa.float64())
         )
 
-    x = verts.map_batches(init_x, batch_format="pyarrow").materialize()
-    v_val = 1.0 / math.sqrt(n)
+    # x carries (vid, dangling, v, score) — flag and v ride along so the
+    # per-iteration dangling mass / personalization term are plain
+    # columnar expressions, never a lookup
+    x = aug.map_batches(init_x, batch_format="pyarrow").materialize()
 
     def dangling_mass(xds: ray.data.Dataset) -> float:
-        def part(t: pa.Table) -> pa.Table:
-            sarr = ray.get(srcs_ref)
-            vid = t.column("vid").to_numpy()
-            idx = np.clip(np.searchsorted(sarr, vid), 0, max(len(sarr) - 1, 0))
-            dang = (
-                sarr[idx] != vid
-                if len(sarr)
-                else np.ones(len(vid), bool)
-            )
-            sc = t.column("score").to_numpy()
-            return pa.table({"m": pa.array([float(sc[dang].sum())])})
-
-        tot = 0.0
-        for b in xds.map_batches(part, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        ):
-            tot += float(pc.sum(b.column("m")).as_py() or 0.0)
-        return tot
+        part = xds.map_batches(
+            lambda t: pa.table(
+                {
+                    "m": pc.multiply(
+                        pc.cast(t.column("dangling"), pa.float64()),
+                        t.column("score"),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        return float(part.sum("m") or 0.0)
 
     for _ in range(max_iterations):
         dm = dangling_mass(x)
         coeff = alpha * dm + (1.0 - alpha)
 
         contrib = hash_join(
-            edges, x, on=("src",), right_on=("vid",), num_partitions=Q
+            edges,
+            x.select_columns(["vid", "score"]),
+            on=("src",),
+            right_on=("vid",),
+            num_partitions=Q,
         ).map_batches(
             lambda t: pa.table(
                 {
@@ -332,17 +421,19 @@ def power_method_dataset(
         # `salt` partials in any single reducer (north_star skew rule)
         sums = salted_sum(contrib, "dst", "c", num_partitions=Q)
         x_new = hash_join(
-            verts, sums, on=("vid",), right_on=("dst",), how="left_outer",
+            aug, sums, on=("vid",), right_on=("dst",), how="left_outer",
             num_partitions=Q,
         ).map_batches(
-            lambda t: pa.table(
+            lambda t, coeff=coeff: pa.table(
                 {
                     "vid": t.column("vid"),
+                    "dangling": t.column("dangling"),
+                    "v": t.column("v"),
                     "score": pc.add(
                         pc.multiply(
                             pc.coalesce(t.column("sum_c"), pa.scalar(0.0)), alpha
                         ),
-                        coeff * v_val,
+                        pc.multiply(t.column("v"), coeff),
                     ),
                 }
             ),
@@ -350,9 +441,11 @@ def power_method_dataset(
         )
         l1 = x_new.sum("score")
         x_new = x_new.map_batches(
-            lambda t: pa.table(
+            lambda t, l1=l1: pa.table(
                 {
                     "vid": t.column("vid"),
+                    "dangling": t.column("dangling"),
+                    "v": t.column("v"),
                     "score": pc.divide(t.column("score"), l1),
                 }
             ),
@@ -360,8 +453,8 @@ def power_method_dataset(
         ).materialize()
 
         diff = hash_join(
-            x_new,
-            x.map_batches(
+            x_new.select_columns(["vid", "score"]),
+            x.select_columns(["vid", "score"]).map_batches(
                 lambda t: t.rename_columns(["pvid", "pscore"]),
                 batch_format="pyarrow",
             ),
@@ -380,6 +473,22 @@ def power_method_dataset(
         )
         residual = math.sqrt(diff.sum("d2"))
         x = x_new
+        if history is not None:
+            # same north-rule telemetry the shard path records
+            avail = ray.available_resources()
+            history.append(
+                {
+                    "iteration": len(history),
+                    "l1_before_norm": l1,
+                    "dangling_mass": dm,
+                    "rows_shuffled": meta.nnz,
+                    "residual_l2": residual,
+                    "alpha": alpha,
+                    "object_store_memory_available": avail.get(
+                        "object_store_memory"
+                    ),
+                }
+            )
         if residual < epsilon:
             break
-    return x
+    return x.select_columns(["vid", "score"])

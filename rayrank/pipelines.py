@@ -241,30 +241,41 @@ def simhash_pairs(sf_dir: str) -> ray.data.Dataset:
 
 def event_transitions(sf_dir: str) -> ray.data.Dataset:
     """Consecutive event-type pairs per user ordered by (ts, event_id)
-    — the co-commit-pair shape (§7.2) on the events table."""
-    import pandas as pd
+    — the co-commit-pair shape (§7.2) on the events table.  Sessionize
+    with a polars block sort + windowed shift: Arrow-native, no pandas
+    round-trip (r1 VERDICT finding #7)."""
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        et = g["event_type"].to_numpy()
-        if len(et) < 2:
-            return pd.DataFrame(
-                {"user_id": pd.array([], dtype="int64"),
-                 "from_type": pd.array([], dtype=str),
-                 "to_type": pd.array([], dtype=str)}
+    def pairs_block(t: pa.Table):
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return
+        from . import polars_mod
+
+        pl = polars_mod()
+        df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+        df = df.with_columns(
+            pl.col("event_type").shift(-1).over("user_id").alias("to_type")
+        )
+        df = df.filter(pl.col("to_type").is_not_null())
+        out = df.select(
+            pl.col("user_id"),
+            pl.col("event_type").alias("from_type"),
+            pl.col("to_type"),
+        ).to_arrow()
+        # polars emits large_string; pin the oracle-facing schema
+        yield out.cast(
+            pa.schema(
+                [
+                    ("user_id", out.schema.field("user_id").type),
+                    ("from_type", pa.string()),
+                    ("to_type", pa.string()),
+                ]
             )
-        return pd.DataFrame(
-            {
-                "user_id": g["user_id"].to_numpy()[:-1],
-                "from_type": et[:-1],
-                "to_type": et[1:],
-            }
         )
 
-    from .shuffle import grouped_map
-
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
-    out = grouped_map(ds, ["user_id"], pairs, num_partitions=P)
+    out = ds.repartition(P, keys=["user_id"]).map_batches(
+        pairs_block, batch_size=None, batch_format="pyarrow"
+    )
     agg = out.groupby(["user_id", "from_type", "to_type"]).count()
     return agg.map_batches(
         lambda t: t.rename_columns(["user_id", "from_type", "to_type", "cnt"]),
@@ -400,7 +411,10 @@ def pagerank_2iter(sf_dir: str) -> ray.data.Dataset:
     from .pagerank import power_method
 
     gdir = _graph(sf_dir, "directed")
-    res = power_method(gdir, max_iterations=2)
+    # epsilon=0: always run BOTH updates — the unrolled CTE oracle does
+    # two unconditional iterations, and the lagged convergence check
+    # could otherwise return after one on near-fixed-point inputs
+    res = power_method(gdir, max_iterations=2, epsilon=0.0)
     ds = res.scores_dataset(gdir)
     return ds.map_batches(
         lambda t: pa.table(
@@ -450,15 +464,15 @@ def label_propagation_sf(sf_dir: str) -> ray.data.Dataset:
 
 
 def component_count_sf(sf_dir: str) -> pa.Table:
-    """Number of connected components — SQL-checkable for THIS graph
-    shape: lineitem(l_orderkey→l_partkey) is bipartite on disjoint key
-    ranges… still not ANSI-SQL in general; rows-only."""
+    """Number of connected components — distributed distinct-count of
+    the label partitions (per-shard unique → tiny groupby; the driver
+    never materializes the label vector).  SQL oracle: bounded-depth
+    recursive min-label CTE (__ray_entry__)."""
     from .components import connected_components
 
     gdir = _graph(sf_dir, "undirected")
     cc = connected_components(gdir)
-    t = cc.labels_table()
-    n = len(set(t.column("label").to_pylist()))
+    n = cc.distinct_label_count()
     return pa.table({"components": pa.array([n], pa.int64())})
 
 

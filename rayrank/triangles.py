@@ -138,88 +138,86 @@ def triangle_rows(
 
 def triangle_count_shards(
     graph_dir: str, shards: list | None = None
-) -> tuple[int, "np.ndarray"]:
+) -> tuple[int, list]:
     """Fast path: oriented wedge join executed INSIDE the CSR shard
-    actors (shards.py make_wedges/close_wedges) — two actor-call rounds,
-    no Dataset shuffle.  Returns (total, role_vids) where role_vids has
-    one entry per (triangle, member)."""
+    actors, five actor-call rounds with only partitioned message
+    exchange (no full degree vector shipped anywhere, no role vectors
+    on the driver — r1 VERDICT finding #3):
+
+      T0 neighbor_requests — unique neighbor vids per owner partition
+      T1 degrees_for       — owners answer with their degrees
+      T2 make_wedges       — oriented wedges, routed by closer a % Q
+      T3 close_wedges      — searchsorted closure; per-vertex triangle
+                             increments routed by member vid % Q
+      T4 reduce_tri        — fold increments into resident counters
+
+    Returns (total, shards); per-vertex counts stay actor-resident
+    (see :func:`triangles_per_vertex_shards`)."""
     import os
 
     import ray as _ray
 
-    from .shards import create_shards
+    from .shards import create_shards, gather_refs
 
     meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
     Q = meta.Q
     if shards is None:
         shards = create_shards(graph_dir, meta)
-    deg_refs = [s.local_degrees.remote() for s in shards]
+    req = gather_refs(shards, "neighbor_requests")
+    deg = [
+        [shards[q].degrees_for.remote(req[p][q]) for q in range(Q)]
+        for p in range(Q)
+    ]
     wedges = []
     for p in range(Q):
-        out = shards[p].make_wedges.options(num_returns=Q).remote(*deg_refs)
+        out = shards[p].make_wedges.options(num_returns=Q).remote(*deg[p])
         wedges.append(out if Q > 1 else [out])
-    closed = _ray.get(
+    closed = []
+    for q in range(Q):
+        refs = shards[q].close_wedges.options(num_returns=Q + 1).remote(
+            *[wedges[p][q] for p in range(Q)]
+        )
+        closed.append(refs)
+    total = sum(_ray.get([closed[q][0] for q in range(Q)]))
+    _ray.get(
         [
-            shards[q].close_wedges.remote(*[wedges[p][q] for p in range(Q)])
+            shards[q].reduce_tri.remote(*[closed[p][1 + q] for p in range(Q)])
             for q in range(Q)
         ]
     )
-    total = sum(c[0] for c in closed)
-    roles = (
-        np.concatenate([c[1] for c in closed])
-        if any(len(c[1]) for c in closed)
-        else np.empty(0, np.int64)
-    )
-    return total, roles
+    return total, shards
 
 
 def triangle_count(
     graph_dir: str, num_partitions: int | None = None, use_shards: bool = True
 ) -> int:
     if use_shards:
-        return triangle_count_shards(graph_dir)[0]
+        try:
+            return triangle_count_shards(graph_dir)[0]
+        except Exception as e:  # uint64 key-width guard → Dataset path
+            if "combined wedge key" not in str(e):
+                raise
     return triangle_rows(graph_dir, num_partitions).count()
 
 
 def triangles_per_vertex_shards(graph_dir: str) -> ray.data.Dataset:
-    """(vid, name, triangles) via the shard path (role counts
-    aggregated driver-side — fine at sandbox scale, see
-    close_wedges docstring for the scale path)."""
+    """(vid, name, triangles) via the shard path — counts stay
+    actor-resident and are zipped with names inside tasks
+    (shards.zip_names); the driver moves only scalars."""
     import os
 
+    from .shards import zip_names
+
     meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
-    _, roles = triangle_count_shards(graph_dir)
-    counts = np.bincount(roles, minlength=1) if len(roles) else np.empty(0)
-    vids = np.flatnonzero(counts)
-    t = pa.table(
-        {
-            "tvid": pa.array(vids, pa.int64()),
-            "triangles": pa.array(counts[vids].astype(np.int64)),
-        }
-    )
-    counts_ds = ray.data.from_arrow(t)
-    verts = load_vertices(graph_dir).select_columns(["vid", "name"])
-    out = hash_join(
-        verts, counts_ds, on=("vid",), right_on=("tvid",), how="left_outer",
-        num_partitions=meta.Q,
-    )
-
-    def fill(tb: pa.Table):
-        import pyarrow.compute as pc
-
-        if tb.num_rows == 0:
-            return
-        yield pa.table(
-            {
-                "vid": tb.column("vid"),
-                "name": tb.column("name"),
-                "triangles": pc.coalesce(
-                    tb.column("triangles"), pa.scalar(0, pa.int64())
-                ),
-            }
+    _, shards = triangle_count_shards(graph_dir)
+    vert_dir = os.path.join(graph_dir, "vertices")
+    refs = [
+        zip_names.remote(
+            vert_dir, q, meta.Q, shards[q].get_tri_counts.remote(), "triangles"
         )
-
-    return out.map_batches(fill, batch_format="pyarrow")
+        for q in range(meta.Q)
+    ]
+    return ray.data.from_arrow_refs(refs)
 
 
 def triangles_per_vertex(

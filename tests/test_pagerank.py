@@ -130,3 +130,41 @@ def test_dataset_variant_cross_check(tmp_graph_dir):
             got[vid_to_name[vid]] = sc
     for nm in want:
         assert got[nm] == pytest.approx(want[nm], abs=1e-6)
+
+
+def test_dataset_variant_personalized(tmp_graph_dir):
+    """Flow C cross-check: the vanilla Dataset fallback with a
+    personalization Dataset must match the numpy oracle (r1 VERDICT
+    missing-item #2)."""
+    import pyarrow as pa
+    import ray.data
+
+    edges = random_edge_list(21, 30, 90)
+    chosen = {str(i) for i in range(0, 30, 4)}
+    want, _ = oracle_pagerank_by_name(edges, v_indicator_names=chosen)
+    build(edges, tmp_graph_dir, Q=3)
+
+    from rayrank.graph import load_vertices
+
+    vid_to_name = {}
+    v_rows = []
+    for b in load_vertices(tmp_graph_dir).iter_batches(batch_format="pyarrow"):
+        for vid, nm in zip(b.column("vid").to_pylist(), b.column("name").to_pylist()):
+            vid_to_name[vid] = nm
+            if nm in chosen:
+                v_rows.append(vid)
+    v_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(v_rows, pa.int64()),
+                "v": pa.array([1.0] * len(v_rows), pa.float64()),
+            }
+        )
+    )
+    xds = power_method_dataset(tmp_graph_dir, max_iterations=300, v_ds=v_ds)
+    got = {}
+    for b in xds.iter_batches(batch_format="pyarrow"):
+        for vid, sc in zip(b.column("vid").to_pylist(), b.column("score").to_pylist()):
+            got[vid_to_name[vid]] = sc
+    for nm in want:
+        assert got[nm] == pytest.approx(want[nm], abs=1e-6)
