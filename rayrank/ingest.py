@@ -24,7 +24,6 @@ from __future__ import annotations
 import hashlib
 import re
 
-import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -53,9 +52,18 @@ def with_sha256(corpus: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def file_table(corpus: ray.data.Dataset) -> ray.data.Dataset:
-    """Distinct ``(repo, path)`` rows (hash aggregate, no driver state)."""
+    """Distinct ``(repo, path)`` rows (map-side combine then hash
+    aggregate — the local dedup shrinks the shuffle by the per-file
+    commit multiplicity)."""
+
+    def local_dedup(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        yield t.group_by(["repo", "path"]).aggregate([])
+
     return (
         corpus.select_columns(["repo", "path"])
+        .map_batches(local_dedup, batch_format="pyarrow")
         .groupby(["repo", "path"])
         .count()
         .select_columns(["repo", "path"])
@@ -63,21 +71,39 @@ def file_table(corpus: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def _extract_import_candidates(batch: pa.Table) -> pa.Table:
-    repos, srcs, dsts = [], [], []
-    r_col = batch.column("repo").to_pylist()
-    p_col = batch.column("path").to_pylist()
-    c_col = batch.column("content").to_pylist()
-    for repo, path, content in zip(r_col, p_col, c_col):
-        for mod in IMPORT_RE.findall(content):
-            repos.append(repo)
-            srcs.append(path)
-            dsts.append(mod.replace(".", "/") + ".py")
-    return pa.table(
-        {
-            "repo": pa.array(repos, type=pa.string()),
-            "src_path": pa.array(srcs, type=pa.string()),
-            "dst_path": pa.array(dsts, type=pa.string()),
-        }
+    """Vectorized polars extract_all (rust regex ``(?m)^import\\s+\\S+$``
+    is match-equivalent to the Python ``re.MULTILINE`` pattern above) —
+    no Python loop over documents."""
+    from . import polars_mod
+
+    pl = polars_mod()
+    df = pl.from_arrow(batch.select(["repo", "path", "content"]))
+    df = (
+        df.with_columns(
+            pl.col("content")
+            .str.extract_all(r"(?m)^import\s+\S+$")
+            .alias("m")
+        )
+        .drop("content")
+        .explode("m")
+        .drop_nulls("m")
+    )
+    df = df.with_columns(
+        (
+            pl.col("m")
+            .str.replace(r"^import\s+", "")
+            .str.replace_all(".", "/", literal=True)
+            + ".py"
+        ).alias("dst_path")
+    )
+    out = df.select(
+        pl.col("repo"), pl.col("path").alias("src_path"), pl.col("dst_path")
+    ).to_arrow()
+    return out.cast(
+        pa.schema(
+            [("repo", pa.string()), ("src_path", pa.string()),
+             ("dst_path", pa.string())]
+        )
     )
 
 
@@ -121,41 +147,47 @@ def import_edges(
     return resolved.map_batches(to_names, batch_format="pyarrow")
 
 
-def _commit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    g = group.sort_values("path")
-    names = (g["repo"] + ":" + g["path"]).to_numpy()
-    if len(names) < 2:
-        return pd.DataFrame({"src_name": [], "dst_name": [], "kind": []}).astype(
-            {"src_name": str, "dst_name": str, "kind": str}
-        )
-    return pd.DataFrame(
-        {
-            "src_name": names[:-1],
-            "dst_name": names[1:],
-            "kind": "cocommit",
-        }
-    )
-
-
 def cocommit_edges(
     corpus: ray.data.Dataset, num_partitions: int = NUM_PARTITIONS_DEFAULT
 ) -> ray.data.Dataset:
     """Consecutive-pair edges among the files of one ``(repo, commit)``
-    group (shuffle keyed on the group; linear output per group)."""
-    from .shuffle import grouped_map
+    group (shuffle keyed on the group; linear output per group).
+    Arrow/polars-native: one block sort + windowed shift per block —
+    no pandas round-trip, no per-group Python calls."""
+    ds = corpus.select_columns(["repo", "commit", "path"]).repartition(
+        num_partitions, keys=["repo", "commit"]
+    )
 
-    out = grouped_map(
-        corpus.select_columns(["repo", "commit", "path"]),
-        ["repo", "commit"],
-        _commit_pairs,
-        num_partitions=num_partitions,
-    )
-    # normalize to arrow blocks: unioning pandas-block output with the
-    # arrow-block import edges trips Ray's block-type batcher assert
-    return out.map_batches(
-        lambda t: t.select(["src_name", "dst_name", "kind"]),
-        batch_format="pyarrow",
-    )
+    def pairs_block(t: pa.Table):
+        if t.num_rows == 0 or "repo" not in t.schema.names:
+            return
+        from . import polars_mod
+
+        pl = polars_mod()
+        df = pl.from_arrow(t).sort(["repo", "commit", "path"])
+        df = df.with_columns(
+            (pl.col("repo") + ":" + pl.col("path")).alias("src_name")
+        )
+        df = df.with_columns(
+            pl.col("src_name")
+            .shift(-1)
+            .over(["repo", "commit"])
+            .alias("dst_name")
+        )
+        df = df.filter(pl.col("dst_name").is_not_null())
+        out = df.select(
+            pl.col("src_name"),
+            pl.col("dst_name"),
+            pl.lit("cocommit").alias("kind"),
+        ).to_arrow()
+        yield out.cast(
+            pa.schema(
+                [("src_name", pa.string()), ("dst_name", pa.string()),
+                 ("kind", pa.string())]
+            )
+        )
+
+    return ds.map_batches(pairs_block, batch_size=None, batch_format="pyarrow")
 
 
 def derive_edges(
