@@ -58,9 +58,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_2iter": pl.pagerank_2iter,
         "pagerank_converged": pl.pagerank_converged,    # rows-only
         "triangle_count": pl.triangle_count_sf,
-        "connected_components": pl.connected_components_sf,  # rows-only
-        "label_propagation": pl.label_propagation_sf,   # rows-only
-        "component_count": pl.component_count_sf,       # rows-only
+        "connected_components": pl.connected_components_sf,
+        "label_propagation": pl.label_propagation_sf,   # rows-only (labels ARE vids)
+        "component_count": pl.component_count_sf,
     }
 
 
@@ -102,6 +102,48 @@ r2 AS (
 l1b AS (SELECT SUM(ABS(x)) AS s FROM r2)
 SELECT v AS name, ROUND(x/(SELECT s FROM l1b), 6) AS score FROM r2
 """
+
+
+_CC_ITERS = 64  # ≥ graph diameter at oracle scale (6 rounds at SF=0.1)
+
+_CC_LABELS_CTE = f"""
+WITH RECURSIVE
+raw AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+    UNION ALL SELECT v, v FROM verts
+  )
+),
+lab(it, v, l) AS (
+  SELECT 0, v, v FROM verts
+  UNION ALL
+  SELECT lab.it + 1, e.b, MIN(lab.l)
+  FROM lab JOIN und e ON lab.v = e.a
+  WHERE lab.it < {_CC_ITERS}
+  GROUP BY lab.it + 1, e.b
+)
+"""
+
+# synchronous min-label iteration (self-loop rows fold each vertex's own
+# label into the MIN) — converged labels are the min member NAME of each
+# component, exactly what canonical_components reports.  Verified exact
+# vs networkx on random multi-component graphs in-sandbox.
+_CC_SQL = (
+    _CC_LABELS_CTE
+    + f"SELECT v AS name, l AS component FROM lab WHERE it = {_CC_ITERS}"
+)
+
+_COMPONENT_COUNT_SQL = (
+    _CC_LABELS_CTE
+    + "SELECT CAST(COUNT(DISTINCT l) AS BIGINT) AS components "
+    + f"FROM lab WHERE it = {_CC_ITERS}"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -185,6 +227,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, vec_id, ROUND(cos, 4) AS cosine FROM r WHERE rn <= 5"
         ),
         "pagerank_2iter": _PAGERANK_2ITER_SQL,
+        "connected_components": _CC_SQL,
+        "component_count": _COMPONENT_COUNT_SQL,
         "triangle_count": (
             "WITH raw AS (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem), "
             "und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v "

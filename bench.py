@@ -413,6 +413,41 @@ def run_synthetic_scaling(n_edges: int = 200_000_000) -> dict:
     }
 
 
+def run_cores_sweep(n_edges: int = 200_000_000) -> dict:
+    """Fixed memory traffic, 4/8/16/32 cores: if edges/s/iter flattens
+    while cores double, the solve is DRAM-bandwidth-bound on this box
+    (the honest single-node reading of the N-vs-4N criterion — real
+    node scaling adds memory channels, which this sandbox cannot)."""
+    gdir = tempfile.mkdtemp(prefix="rayrank_sweep_")
+
+    def sub(args, ncpu):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *args],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    gen = sub(["--synth-gen", gdir, str(n_edges)], 32)
+    points = {c: sub(["--solve-fixed", gdir], c) for c in (4, 8, 16, 32)}
+    return {
+        "mode": "cores_sweep",
+        "gen": gen,
+        "points": {
+            str(c): {
+                "edges_per_sec_per_iter": p["edges_per_sec_per_iter"],
+                "sec_for_iters": p["sec_for_iters"],
+            }
+            for c, p in points.items()
+        },
+        "flatness_8_to_32": round(
+            points[32]["edges_per_sec_per_iter"]
+            / points[8]["edges_per_sec_per_iter"],
+            3,
+        ),
+    }
+
+
 def ingest_once() -> dict:
     """Edge derivation only (regex parse + resolution join + co-commit
     pairs) — the pipeline's CPU-bound stage."""
@@ -486,6 +521,12 @@ if __name__ == "__main__":
         print(json.dumps(
             solve_fixed_iters(sys.argv[sys.argv.index("--solve-fixed") + 1])
         ))
+        sys.exit(0)
+    if "--cores-sweep" in sys.argv:
+        i = sys.argv.index("--cores-sweep")
+        n = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 and sys.argv[
+            i + 1].isdigit() else 200_000_000
+        print(json.dumps(run_cores_sweep(n)))
         sys.exit(0)
     if "--synthetic-scaling" in sys.argv:
         i = sys.argv.index("--synthetic-scaling")
