@@ -92,8 +92,17 @@ def run_bench() -> dict:
     extra["n_vertices"] = meta.n
 
     # -- headline: PageRank to 1e-6 ------------------------------------
+    # shard state is built ONCE per graph and reused by every algorithm
+    # (the actor-resident-CSR design's point); load time is reported as
+    # its own line so the iteration metric measures iterations
+    from rayrank.shards import create_shards
+
     t0 = time.perf_counter()
-    res = power_method(gdir, epsilon=1e-6)
+    dshards = create_shards(gdir, meta)
+    queries["shard_load"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    res = power_method(gdir, shards=dshards, epsilon=1e-6)
     pr_sec = time.perf_counter() - t0
     queries["pagerank"] = pr_sec
     extra["pagerank_iterations"] = res.iterations
@@ -108,20 +117,26 @@ def run_bench() -> dict:
 
     udir = tempfile.mkdtemp(prefix="rayrank_bench_u_")
     t0 = time.perf_counter()
-    derive_undirected(gdir, udir, join_partitions=32)
+    umeta = derive_undirected(gdir, udir, join_partitions=32)
     queries["undirected_build"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    cc = connected_components(udir)
+    ushards = create_shards(udir, umeta)
+    queries["shard_load_undirected"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    cc = connected_components(udir, shards=ushards)
     queries["connected_components"] = time.perf_counter() - t0
     extra["cc_iterations"] = cc.iterations
 
     t0 = time.perf_counter()
-    label_propagation(udir, max_iterations=10)
+    label_propagation(udir, shards=ushards, max_iterations=10)
     queries["label_propagation_10it"] = time.perf_counter() - t0
 
+    from rayrank.triangles import triangle_count_shards
+
     t0 = time.perf_counter()
-    tri = triangle_count(udir)
+    tri = triangle_count_shards(udir, shards=ushards)[0]
     queries["triangle_count"] = time.perf_counter() - t0
     extra["triangles"] = tri
 

@@ -31,8 +31,19 @@ def polars_mod():
     task in that worker then crashes with e.g. ``module 'polars' has no
     attribute 'Series'`` (observed in-sandbox).  Reloading completes
     the initialization.  Every worker-side polars use in this package
-    goes through here."""
+    goes through here.
+
+    Thread cap: each Ray map task is scheduled at 1 CPU, but polars
+    sizes its global rayon pool to ALL machine cores at import — 32
+    concurrent tasks × 32 threads thrashes the box (measured: the whole
+    bench slowed 2-4×).  Cap to 1 thread per worker BEFORE the first
+    import (the env var is only read then)."""
     import importlib
+    import os
+    import sys
+
+    if "polars" not in sys.modules:
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
     import polars as _pl
 

@@ -107,29 +107,92 @@ def _extract_import_candidates(batch: pa.Table) -> pa.Table:
     )
 
 
+BROADCAST_FILE_LIMIT = 5_000_000
+
+
 def import_edges(
     corpus: ray.data.Dataset, num_partitions: int = NUM_PARTITIONS_DEFAULT
 ) -> ray.data.Dataset:
     """``(src_name, dst_name, kind='import')`` edges.
 
-    Candidates flat-mapped per batch, then resolved with a partitioned
-    hash join against the file table keyed on ``(repo, path)``.
-    """
+    Candidates flat-mapped per batch, then resolved against the distinct
+    ``(repo, path)`` file table.  Resolution is a broadcast SEMI-join
+    when the corpus row count (parquet metadata, free) is at or under
+    ``BROADCAST_FILE_LIMIT`` — the file table is collected once with a
+    map-side dedup and shipped via ``ray.put``; each candidate batch
+    filters with one vectorized polars semi-join, zero shuffles.  Above
+    the limit it falls back to the partitioned hash join (the
+    10^12-file path — no driver-side state)."""
     cands = corpus.select_columns(["repo", "path", "content"]).map_batches(
         _extract_import_candidates, batch_format="pyarrow"
     )
-    files = file_table(corpus).map_batches(
-        lambda t: t.rename_columns(["f_repo", "f_path"]), batch_format="pyarrow"
-    )
-    from .joins import hash_join
 
-    resolved = hash_join(
-        cands,
-        files,
-        on=("repo", "dst_path"),
-        right_on=("f_repo", "f_path"),
-        num_partitions=num_partitions,
-    )
+    n_rows = None
+    try:
+        n_rows = corpus.count()  # parquet-metadata count on plain reads
+    except Exception:
+        pass
+
+    if n_rows is not None and n_rows <= BROADCAST_FILE_LIMIT:
+        import ray as _ray
+
+        from . import polars_mod
+
+        pl = polars_mod()
+
+        def local_dedup(t: pa.Table):
+            if t.num_rows == 0:
+                return
+            yield t.group_by(["repo", "path"]).aggregate([])
+
+        blocks = [
+            b
+            for b in _ray.get(
+                corpus.select_columns(["repo", "path"])
+                .map_batches(local_dedup, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+            if b.num_rows and {"repo", "path"} <= set(b.schema.names)
+        ]
+        if blocks:
+            ft = (
+                pl.from_arrow(pa.concat_tables(
+                    [b.select(["repo", "path"]) for b in blocks]
+                ))
+                .unique()
+                .rename({"path": "dst_path"})
+            )
+        else:
+            ft = pl.DataFrame({"repo": [], "dst_path": []})
+        files_ref = _ray.put(ft.rechunk())
+
+        def resolve(t: pa.Table):
+            if t.num_rows == 0:
+                return
+            from . import polars_mod as _pm
+
+            _pl = _pm()
+            f = _ray.get(files_ref)
+            df = _pl.from_arrow(t)
+            out = df.join(f, on=["repo", "dst_path"], how="semi").to_arrow()
+            if len(out):
+                yield out.cast(t.schema)
+
+        resolved = cands.map_batches(resolve, batch_format="pyarrow")
+    else:
+        files = file_table(corpus).map_batches(
+            lambda t: t.rename_columns(["f_repo", "f_path"]),
+            batch_format="pyarrow",
+        )
+        from .joins import hash_join
+
+        resolved = hash_join(
+            cands,
+            files,
+            on=("repo", "dst_path"),
+            right_on=("f_repo", "f_path"),
+            num_partitions=num_partitions,
+        )
 
     def to_names(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
