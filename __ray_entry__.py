@@ -56,7 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann_topk": pl.lsh_ann_topk,                # rows-only (approximate)
         # graph algorithms (north_rule §2.11)
         "pagerank_2iter": pl.pagerank_2iter,
-        "pagerank_converged": pl.pagerank_converged,    # rows-only
+        "pagerank_converged": pl.pagerank_converged,
         "triangle_count": pl.triangle_count_sf,
         "connected_components": pl.connected_components_sf,
         "label_propagation": pl.label_propagation_sf,   # rows-only (labels ARE vids)
@@ -103,6 +103,54 @@ l1b AS (SELECT SUM(ABS(x)) AS s FROM r2)
 SELECT v AS name, ROUND(x/(SELECT s FROM l1b), 6) AS score FROM r2
 """
 
+
+_PR_ITERS = 100  # recursion bound; convergence at sf0.01 is ~4 rounds
+
+# Converged reference-exact PageRank as a recursive CTE: per step, the
+# unnormalized update aggregates w·x per target (self rows with w=0
+# carry every vertex), the dangling mass comes from a scalar subquery
+# on the working table, and the L1 normalization is a window SUM over
+# the step's own output.  The stop replicates the reference's lagged
+# rule: t* = first t with ‖x_t − x_{t−1}‖₂ < ε, result x_{t*}.
+# Verified exact (1e-9, same iteration count) vs the numpy reference
+# oracle on random graphs in-sandbox.
+_PAGERANK_CONV_SQL = f"""
+WITH RECURSIVE
+raw AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+outdeg AS (SELECT s, COUNT(*) AS d FROM raw GROUP BY s),
+e AS (SELECT s, t, COUNT(*) AS m FROM raw GROUP BY s, t),
+w AS (SELECT e.s, e.t, CAST(e.m AS DOUBLE)/o.d AS w FROM e JOIN outdeg o ON e.s = o.s),
+wv AS (
+  SELECT s AS a, t AS b, w FROM w
+  UNION ALL SELECT v, v, 0.0 FROM verts
+),
+dang AS (SELECT v.v FROM verts v LEFT JOIN outdeg o ON v.v = o.s WHERE o.s IS NULL),
+pr(it, v, x) AS (
+  SELECT 0, v.v, 1.0/sqrt((SELECT n FROM nn)) FROM verts v
+  UNION ALL
+  SELECT it, v, xu / (SUM(ABS(xu)) OVER ()) FROM (
+    SELECT pr.it + 1 AS it, e.b AS v,
+      0.85 * SUM(e.w * pr.x)
+      + (0.85 * (SELECT COALESCE(SUM(p2.x), 0.0) FROM pr p2 JOIN dang d ON p2.v = d.v)
+         + 0.15) * (1.0/sqrt((SELECT n FROM nn))) AS xu
+    FROM pr JOIN wv e ON pr.v = e.a
+    WHERE pr.it < {_PR_ITERS}
+    GROUP BY pr.it + 1, e.b
+  ) step
+),
+res AS (
+  SELECT a.it, SQRT(SUM((a.x - b.x)*(a.x - b.x))) AS r
+  FROM pr a JOIN pr b ON a.v = b.v AND b.it = a.it - 1
+  GROUP BY a.it
+),
+tstar AS (SELECT MIN(it) AS it FROM res WHERE r < 1e-6)
+SELECT v AS name, ROUND(x, 6) AS score FROM pr WHERE it = (SELECT it FROM tstar)
+"""
 
 _CC_ITERS = 64  # ≥ graph diameter at oracle scale (6 rounds at SF=0.1)
 
@@ -227,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, vec_id, ROUND(cos, 4) AS cosine FROM r WHERE rn <= 5"
         ),
         "pagerank_2iter": _PAGERANK_2ITER_SQL,
+        "pagerank_converged": _PAGERANK_CONV_SQL,
         "connected_components": _CC_SQL,
         "component_count": _COMPONENT_COUNT_SQL,
         "triangle_count": (

@@ -425,13 +425,21 @@ def pagerank_2iter(sf_dir: str) -> ray.data.Dataset:
 
 
 def pagerank_converged(sf_dir: str) -> ray.data.Dataset:
-    """Full converged PageRank (rows-only; convergence loops are not
-    ANSI-SQL; verified against the numpy oracle under pytest)."""
+    """Full converged PageRank — (name, score) rounded to 6 decimals.
+    SQL oracle: recursive-CTE power iteration with the SAME lagged L2
+    stop (window-normalized per step, dangling mass via self-subquery;
+    verified exact vs the numpy reference oracle in-sandbox)."""
     from .pagerank import power_method
 
     gdir = _graph(sf_dir, "directed")
     res = power_method(gdir)
-    return res.scores_dataset(gdir)
+    ds = res.scores_dataset(gdir)
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"name": t.column("name"), "score": pc.round(t.column("score"), 6)}
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def triangle_count_sf(sf_dir: str) -> pa.Table:
