@@ -46,7 +46,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text / dedup / events / ann
         "docs_exact_dedup": pl.docs_exact_dedup,
         "token_counts": pl.token_counts,
-        "doc_stats": pl.doc_stats,                      # rows-only
+        "doc_stats": pl.doc_stats,                      # rows-only (fingerprint)
+        "doc_quality": pl.doc_quality,
         "minhash_clusters": pl.minhash_clusters,        # rows-only
         "simhash_pairs": pl.simhash_pairs,              # rows-only
         "event_transitions": pl.event_transitions,
@@ -194,6 +195,60 @@ _COMPONENT_COUNT_SQL = (
 )
 
 
+def _doc_quality_sql() -> str:
+    """Quality/language heuristics as DuckDB SQL — built from the SAME
+    stopword tables as the Ray scorer (rayrank.text._STOPWORDS), raw
+    doubles bit-identical to the numpy path (verified in-sandbox; both
+    sides use correctly-rounded IEEE double ops in the same order)."""
+    from rayrank.text import _STOPWORDS
+
+    def stop_expr(lang: str) -> str:
+        lst = ",".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+        return (
+            "len(list_filter(words, x -> "
+            f"list_contains([{lst}], lower(x))))"
+        )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n,
+    len(regexp_extract_all(text, '[^\\w\\s]')) AS npunct,
+    len(regexp_extract_all(text, '\\d')) AS ndig,
+    regexp_extract_all(text, '[a-zA-Z'']+') AS words
+  FROM documents
+),
+w AS (
+  SELECT doc_id, n, npunct, ndig, len(words) AS nw,
+    {stop_expr('en')} AS st_en, {stop_expr('de')} AS st_de,
+    {stop_expr('fr')} AS st_fr, {stop_expr('es')} AS st_es
+  FROM base
+),
+sc AS (
+  SELECT doc_id, n, nw,
+    CASE WHEN n=0 THEN 0.0 ELSE npunct*1.0/n END AS punct_ratio,
+    CASE WHEN n=0 THEN 0.0 ELSE ndig*1.0/n END AS digit_ratio,
+    CASE WHEN nw=0 THEN 0.0 ELSE st_en*1.0/nw END AS stopword_ratio,
+    st_en*1.0/GREATEST(nw,1) AS s_en, st_de*1.0/GREATEST(nw,1) AS s_de,
+    st_fr*1.0/GREATEST(nw,1) AS s_fr, st_es*1.0/GREATEST(nw,1) AS s_es
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN n=0 THEN 0.0 ELSE
+    0.35*LEAST(n/500.0, 1.0)
+    + 0.25*LEAST(stopword_ratio/0.4, 1.0)
+    + 0.20*(1.0 - LEAST(punct_ratio/0.3, 1.0))
+    + 0.20*(1.0 - LEAST(digit_ratio/0.3, 1.0)) END AS quality,
+  stopword_ratio, punct_ratio, digit_ratio,
+  CASE
+    WHEN GREATEST(s_en, s_de, s_fr, s_es) <= 0.0 THEN 'und'
+    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+    WHEN s_fr >= s_es THEN 'fr'
+    ELSE 'es' END AS lang_pred
+FROM sc
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "out_degree": (
@@ -246,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
+        "doc_quality": _doc_quality_sql(),
         "token_counts": (
             "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
             "array_length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) "

@@ -224,6 +224,22 @@ def doc_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def doc_quality(sf_dir: str) -> ray.data.Dataset:
+    """SQL-checkable slice of the quality/language heuristics: raw
+    doubles (bit-identical to the DuckDB oracle — verified in-sandbox;
+    no pre-rounding, the driver's canonicalization rounds both sides
+    the same way)."""
+    from .text import LangId, QualityScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    ds = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.select_columns(
+        ["doc_id", "quality", "stopword_ratio", "punct_ratio",
+         "digit_ratio", "lang_pred"]
+    )
+
+
 def minhash_clusters(sf_dir: str) -> ray.data.Dataset:
     from .text import minhash_dedup_clusters
 
