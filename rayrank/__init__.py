@@ -21,6 +21,8 @@ __version__ = "0.1.0"
 
 NUM_PARTITIONS_DEFAULT = 16
 
+_POLARS_VERIFIED = None  # per-process cache: a verified-healthy polars module
+
 
 def polars_mod():
     """Import polars, repairing torn module state.
@@ -37,18 +39,45 @@ def polars_mod():
     sizes its global rayon pool to ALL machine cores at import — 32
     concurrent tasks × 32 threads thrashes the box (measured: the whole
     bench slowed 2-4×).  Cap to 1 thread per worker BEFORE the first
-    import (the env var is only read then)."""
-    import importlib
+    import (the env var is only read then).
+
+    Tearing can hit any of polars' ~100 lazily-imported submodules, not
+    just the top-level namespace (observed: ``polars._reexport`` missing
+    ``DataFrame`` at SF=10 while ``polars`` itself looked whole), so the
+    health check is a functional probe of the hashing path and the
+    repair purges every ``polars*`` entry from ``sys.modules`` before a
+    fresh import (``importlib.reload`` of the top module does not re-run
+    torn submodules)."""
     import os
     import sys
+
+    global _POLARS_VERIFIED
+    if _POLARS_VERIFIED is not None:
+        return _POLARS_VERIFIED
 
     if "polars" not in sys.modules:
         os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
     import polars as _pl
 
-    if not hasattr(_pl, "Series") or not hasattr(_pl, "from_arrow"):
-        _pl = importlib.reload(_pl)
+    def _healthy(pl) -> bool:
+        try:
+            pl.DataFrame({"a": ["x"]}).select(pl.col("a").hash(0))
+            return True
+        except Exception:
+            return False
+
+    if not _healthy(_pl):
+        for name in [n for n in sys.modules if n.split(".")[0] == "polars"]:
+            del sys.modules[name]
+        os.environ.setdefault("POLARS_MAX_THREADS", "1")
+        import polars as _pl  # noqa: F811 — fresh, fully-initialized import
+        if not _healthy(_pl):
+            raise ImportError(
+                "polars module state is torn in this worker and a fresh "
+                "re-import did not repair it"
+            )
+    _POLARS_VERIFIED = _pl
     return _pl
 
 
