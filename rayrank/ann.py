@@ -65,20 +65,25 @@ def brute_force_topk(
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         kk = min(k, sims.shape[1])
         m = qm.shape[0]
-        # exact (cosine desc, id asc) ordering per query — argpartition
-        # would break exact-cosine ties arbitrarily at the local cutoff,
-        # diverging from the merge stage / SQL oracle tie-break
-        sel = np.empty((m, kk), np.int64)
+        # exact (cosine desc, id asc) per query WITHOUT a full-batch
+        # sort: O(b) partition finds the kk-th cosine, every row >= that
+        # value (including all exact ties at the cutoff) enters a small
+        # candidate set, and only the candidates are lexsorted — same
+        # total order as the merge stage / SQL oracle tie-break
+        qids, vids, coss = [], [], []
         for qi in range(m):
-            sel[qi] = np.lexsort((ids, -sims[qi]))[:kk]
-        qid = np.repeat(np.arange(m, dtype=np.int64), kk)
-        vid = ids[sel.ravel()]
-        cos = np.take_along_axis(sims, sel, axis=1).ravel()
+            s = sims[qi]
+            cut = np.partition(s, len(s) - kk)[len(s) - kk]
+            cand = np.flatnonzero(s >= cut)
+            order = cand[np.lexsort((ids[cand], -s[cand]))][:kk]
+            qids.append(np.full(kk, qi, np.int64))
+            vids.append(ids[order])
+            coss.append(s[order])
         return pa.table(
             {
-                "query_id": pa.array(qid),
-                id_col: pa.array(vid),
-                "cosine": pa.array(cos, pa.float64()),
+                "query_id": pa.array(np.concatenate(qids)),
+                id_col: pa.array(np.concatenate(vids)),
+                "cosine": pa.array(np.concatenate(coss), pa.float64()),
             }
         )
 
@@ -86,13 +91,32 @@ def brute_force_topk(
         local_topk, batch_format="pyarrow"
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", id_col], ascending=[False, True], kind="mergesort")
-        return g.head(k)
+    # partials are tiny (m*k rows per input block): a plain coalesce +
+    # one vectorized merge beats a keyed hash-shuffle whose aggregator
+    # actors cost more to spin up than the data they move
+    def merge_all(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        qid = t.column("query_id").to_numpy(zero_copy_only=False)
+        vid = t.column(id_col).to_numpy(zero_copy_only=False)
+        cos = t.column("cosine").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -cos, qid))
+        qs, vs, cs = qid[order], vid[order], cos[order]
+        # rank within each query group (groups are contiguous)
+        starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+        rank = np.arange(len(qs)) - np.repeat(starts, np.diff(np.r_[starts, len(qs)]))
+        keep = rank < k
+        yield pa.table(
+            {
+                "query_id": pa.array(qs[keep]),
+                id_col: pa.array(vs[keep]),
+                "cosine": pa.array(cs[keep], pa.float64()),
+            }
+        )
 
-    from .shuffle import grouped_map
-
-    return grouped_map(partials, ["query_id"], merge, num_partitions=4)
+    return partials.repartition(1).map_batches(
+        merge_all, batch_size=None, batch_format="pyarrow"
+    )
 
 
 class _PlaneSigner:

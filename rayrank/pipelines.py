@@ -197,8 +197,11 @@ def query_filter_docs(sf_dir: str, query: str = "scan -join") -> ray.data.Datase
 def docs_exact_dedup(sf_dir: str) -> ray.data.Dataset:
     from .text import exact_dedup, with_text_sha256
 
+    # only (doc_id, sha) cross the shuffle — the text payload never
+    # leaves the reading task (the oracle's output is doc_id alone)
     ds = with_text_sha256(_read(sf_dir, "documents", ["doc_id", "text"]))
-    return exact_dedup(ds).select_columns(["doc_id"])
+    slim = ds.select_columns(["doc_id", "text_sha256"])
+    return exact_dedup(slim).select_columns(["doc_id"])
 
 
 def token_counts(sf_dir: str) -> ray.data.Dataset:

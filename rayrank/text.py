@@ -195,11 +195,12 @@ def with_text_sha256(ds: ray.data.Dataset, col: str = "text") -> ray.data.Datase
 def exact_dedup(
     ds: ray.data.Dataset, key: str = "text_sha256", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
-    """Keep the min-``id_col`` row per key: hash-partition + per-block
-    polars first (the canonical exact-dedup shuffle shape).  The heavy
-    ``text`` payload stays in Arrow buffers end to end — no pandas
-    round-trip (r1 VERDICT finding #7)."""
-    ds2 = ds.repartition(NUM_PARTITIONS_DEFAULT, keys=[key])
+    """Keep the min-``id_col`` row per key: block-local combine →
+    hash-partition survivors → per-block polars first (the canonical
+    exact-dedup shuffle shape; min-of-mins makes the pre-combine
+    exact).  The heavy ``text`` payload stays in Arrow buffers end to
+    end — no pandas round-trip (r1 VERDICT finding #7), and only
+    within-block-unique rows cross the shuffle."""
 
     def first(t: pa.Table):
         if t.num_rows == 0 or key not in t.schema.names:
@@ -217,6 +218,8 @@ def exact_dedup(
         ]
         yield tb.cast(pa.schema(fields))
 
+    combined = ds.map_batches(first, batch_size=None, batch_format="pyarrow")
+    ds2 = combined.repartition(NUM_PARTITIONS_DEFAULT, keys=[key])
     return ds2.map_batches(first, batch_size=None, batch_format="pyarrow")
 
 

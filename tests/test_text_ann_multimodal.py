@@ -59,6 +59,24 @@ def test_exact_dedup():
     assert kept == [0, 2, 3, 4, 5, 6]  # doc 1 deduped against doc 0
 
 
+def test_exact_dedup_cross_block_min_of_mins():
+    # duplicates split across MANY input blocks: the block-local
+    # pre-combine keeps each block's min, the post-shuffle pass must
+    # still pick the global min id per key
+    texts = ["dup text alpha", "dup text beta", "unique gamma"]
+    ids = list(range(30))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[i % 2] if i != 7 else texts[2] for i in ids]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    out = rows_of(exact_dedup(with_text_sha256(ds)))
+    kept = sorted(r["doc_id"] for r in out)
+    assert kept == [0, 1, 7]  # min even id, min odd id, the unique row
+
+
 def test_token_counts():
     out = {r["doc_id"]: r for r in rows_of(docs_ds().map_batches(
         TokenCounter, batch_format="pyarrow", concurrency=2))}
@@ -163,6 +181,31 @@ def test_brute_force_topk_matches_numpy():
             [w[1] for w in want], [h[1] for h in have], atol=1e-9
         )
         assert have[0][0] == ids[qi] and have[0][1] == pytest.approx(1.0)
+
+
+def test_brute_force_topk_exact_ties_at_cutoff():
+    # 12 identical vectors (all cosine == 1 to the query) spread over
+    # several blocks with shuffled ids; top-5 must be the 5 SMALLEST
+    # vec_ids — the (cosine desc, id asc) tie-break at the partition
+    # cutoff, both block-locally and in the merge
+    # one-hot vector: dot products and norms are exact in float64, so
+    # every copy's cosine is EXACTLY 1.0 regardless of how BLAS orders
+    # the per-block summation (a dense random vector is not tie-stable
+    # across different block shapes)
+    v = np.zeros(16)
+    v[4] = 1.0
+    ids = [50, 3, 41, 17, 8, 29, 5, 33, 12, 60, 2, 45]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([v.tolist()] * len(ids)),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = rows_of(brute_force_topk(ds, v[None, :], k=5))
+    got = [r["vec_id"] for r in out]
+    assert got == sorted(ids)[:5]
+    assert all(r["cosine"] == pytest.approx(1.0) for r in out)
 
 
 def test_lsh_topk_self_retrieval():
