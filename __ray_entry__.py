@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": pl.token_counts,
         "doc_stats": pl.doc_stats,                      # rows-only (fingerprint)
         "doc_quality": pl.doc_quality,
+        "ngram_jaccard_pairs": pl.ngram_jaccard_pairs,
         "minhash_clusters": pl.minhash_clusters,        # rows-only
         "simhash_pairs": pl.simhash_pairs,              # rows-only
         "event_transitions": pl.event_transitions,
@@ -249,6 +250,30 @@ FROM sc
 """
 
 
+_NGRAM_JACCARD_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+sh AS (
+  -- 3-word shingles, Python " ".join(words[i:i+3]) semantics; short
+  -- docs collapse to one whole-text shingle, empty docs to ['']
+  SELECT doc_id,
+    list_distinct(
+      CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+      ELSE list_transform(generate_series(1, len(ws) - 2),
+           i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) END) AS s
+  FROM w
+)
+SELECT sa.doc_id AS a, sb.doc_id AS b,
+  len(list_intersect(sa.s, sb.s)) * 1.0
+    / GREATEST(len(list_distinct(list_concat(sa.s, sb.s))), 1) AS jaccard
+FROM sh sa JOIN sh sb ON sb.doc_id = sa.doc_id + 1
+WHERE sa.doc_id % 2 = 0
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "out_degree": (
@@ -302,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
         "doc_quality": _doc_quality_sql(),
+        "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "token_counts": (
             "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
             "array_length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) "

@@ -250,6 +250,34 @@ def minhash_clusters(sf_dir: str) -> ray.data.Dataset:
     return minhash_dedup_clusters(docs, threshold=0.8)
 
 
+def ngram_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Exact 3-word-shingle Jaccard for the deterministic pair list
+    (doc_id 2i, 2i+1) — exposes the dedup family's verify KERNEL to the
+    SQL oracle (candidate GENERATION is minhash-based and stays
+    rows-only; the kernel's set math is fully SQL-expressible).
+    Jaccard is computed over hashed shingles engine-side and over
+    shingle strings oracle-side — identical unless xxhash64 collides
+    within one document (~1e-14 at these set sizes)."""
+    from .text import verify_pairs_jaccard
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def even_pairs(t: pa.Table):
+        ids = t.column("doc_id")
+        mask = pc.equal(pc.bit_wise_and(ids, 1), 0)
+        a = ids.filter(mask)
+        if len(a) == 0:
+            return
+        yield pa.table({"a": a, "b": pc.add(a, 1)})
+
+    pairs = docs.select_columns(["doc_id"]).map_batches(
+        even_pairs, batch_format="pyarrow"
+    )
+    # threshold=0.0 keeps every pair; the inner text join drops pairs
+    # whose b does not exist (mirrored by EXISTS in the oracle)
+    return verify_pairs_jaccard(pairs, docs, threshold=0.0)
+
+
 def simhash_pairs(sf_dir: str) -> ray.data.Dataset:
     from .text import simhash_candidates
 
