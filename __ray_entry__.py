@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": pl.minhash_clusters,        # rows-only
         "simhash_pairs": pl.simhash_pairs,              # rows-only
         "event_transitions": pl.event_transitions,
+        "purchase_signup_asof": pl.purchase_signup_asof,
         "event_window_counts": pl.event_window_counts,
         "embedding_near_dups": pl.embedding_near_dup_pairs,  # rows-only
         "ann_topk": pl.ann_topk,
@@ -328,6 +329,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_quality": _doc_quality_sql(),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+        "purchase_signup_asof": (
+            "WITH p AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "s AS (SELECT user_id, ts, max(event_id) AS signup_event_id "
+            "FROM events WHERE event_type = 'signup' GROUP BY user_id, ts) "
+            "SELECT p.event_id, p.user_id, s.signup_event_id, "
+            "CAST(date_diff('microsecond', s.ts, p.ts) AS BIGINT) AS gap_us "
+            "FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts"
+        ),
         "token_counts": (
             "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
             "array_length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) "

@@ -237,3 +237,108 @@ def broadcast_semi_filter(
         return t.filter(pa.array(hit if keep_matching else ~hit))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    by: tuple[str, ...] | str,
+    num_partitions: int = NUM_PARTITIONS_DEFAULT,
+) -> ray.data.Dataset:
+    """Backward as-of join (inner): each left row matches the right row
+    with the greatest ``on`` value <= the left ``on`` value in the same
+    ``by`` group; unmatched left rows are dropped.
+
+    Ray Data has no as-of join; this is the scale-safe composition
+    (SURVEY.md §2.4 pattern): both sides are tagged and projected to
+    one union schema, ONE hash repartition by ``by`` co-locates every
+    group's rows from both sides, and each block runs polars'
+    vectorized ``join_asof``.  Total movement = one shuffle of both
+    inputs — identical to a hash join; no global sort is needed
+    because ordering is only required within a block (sorting is
+    per-block O(b log b)).  Partitioning assumption: a single ``by``
+    group fits in one block — the same assumption every keyed
+    ``map_groups`` makes; salt or pre-aggregate pathological groups.
+
+    Pinned tie rule: right rows sharing ``(by, on)`` resolve to the
+    greatest remaining-column tuple (pre-aggregate the right side for
+    any other rule).  ``on`` must be numeric/temporal on both sides;
+    ``by`` and ``on`` must have identical names on both sides; right
+    non-key names must not collide with left columns.
+    """
+    by = (by,) if isinstance(by, str) else tuple(by)
+    keys = list(by)
+
+    left, l_names, l_types = _resolved_schema(left)
+    right, r_names, r_types = _resolved_schema(right)
+    r_extra = [nm for nm in r_names if nm not in by and nm != on]
+    overlap = set(r_extra) & set(l_names)
+    if overlap:
+        raise ValueError(f"non-key column collision: {sorted(overlap)}")
+    missing = [c for c in keys + [on] if c not in l_names or c not in r_names]
+    if missing:
+        raise ValueError(f"key columns absent from a side: {missing}")
+
+    all_fields = list(zip(l_names, l_types)) + [
+        (nm, ty) for nm, ty in zip(r_names, r_types) if nm in r_extra
+    ]
+
+    def prep(side: int):
+        def fn(t: pa.Table):
+            if len(t) == 0:
+                return
+            cols, names = [], []
+            for nm, ty in all_fields:
+                names.append(nm)
+                if nm in t.schema.names:
+                    col = t.column(nm)
+                    cols.append(col.cast(ty) if col.type != ty else col)
+                else:
+                    cols.append(_filler(ty, len(t)))  # typed sentinel
+            out = pa.table(dict(zip(names, cols)))
+            out = out.append_column(
+                "__side", pa.array(np.full(len(t), side, np.int8))
+            )
+            out = out.append_column(
+                "__bucket", pa.array(_key_hash(out, keys, num_partitions))
+            )
+            yield out
+
+        return fn
+
+    u = left.map_batches(prep(0), batch_format="pyarrow").union(
+        right.map_batches(prep(1), batch_format="pyarrow")
+    )
+    l_cols = list(l_names)
+    r_cols = keys + [on] + r_extra
+    out_fields = [(nm, ty) for nm, ty in all_fields]
+
+    def join_block(t: pa.Table):
+        if t.num_rows == 0 or "__side" not in t.schema.names:
+            return
+        from . import polars_mod
+
+        pl = polars_mod()
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        lt = pl.from_arrow(t.filter(pa.array(side == 0)).select(l_cols))
+        rt = pl.from_arrow(t.filter(pa.array(side == 1)).select(r_cols))
+        if lt.height == 0 or rt.height == 0:
+            return
+        lt = lt.sort(on)
+        # tie rule: last-wins inside join_asof, so sort ties ascending
+        # by the remaining columns -> greatest tuple wins
+        rt = rt.sort([on] + r_extra).with_columns(
+            pl.lit(True).alias("__m")
+        )
+        j = lt.join_asof(rt, on=on, by=list(by), strategy="backward")
+        j = j.filter(pl.col("__m").is_not_null()).drop("__m")
+        out = j.to_arrow()
+        cast = pa.schema(
+            [(nm, ty) for nm, ty in out_fields if nm in out.schema.names]
+        )
+        yield out.select(cast.names).cast(cast)
+
+    return u.repartition(num_partitions, keys=["__bucket"]).map_batches(
+        join_block, batch_size=None, batch_format="pyarrow"
+    )

@@ -286,6 +286,53 @@ def simhash_pairs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def purchase_signup_asof(sf_dir: str) -> ray.data.Dataset:
+    """Backward as-of join on the events stream: each purchase matched
+    to the SAME user's latest signup at-or-before it (inner; ties on
+    (user, ts) pinned to max signup event_id — joins.asof_join's
+    greatest-tuple rule == the oracle's GROUP BY max()).  Exercises the
+    custom as-of operator Ray Data lacks; oracle = DuckDB ASOF JOIN."""
+    from .joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def side(kind: str, rename: dict[str, str] | None = None):
+        def fn(t: pa.Table):
+            t = t.filter(pc.equal(t.column("event_type"), kind))
+            if len(t) == 0:
+                return
+            t = t.drop_columns(["event_type"])
+            if rename:
+                t = t.rename_columns(
+                    [rename.get(nm, nm) for nm in t.schema.names]
+                )
+            yield t
+
+        return ev.map_batches(fn, batch_format="pyarrow")
+
+    left = side("purchase")
+    right = side("signup", {"event_id": "signup_event_id"}).map_batches(
+        lambda t: t.append_column("signup_ts", t.column("ts")),
+        batch_format="pyarrow",
+    )
+    j = asof_join(left, right, on="ts", by="user_id")
+
+    def finish(t: pa.Table) -> pa.Table:
+        gap = pc.cast(
+            pc.subtract(t.column("ts"), t.column("signup_ts")), pa.int64()
+        )
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "signup_event_id": t.column("signup_event_id"),
+                "gap_us": gap,
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 def event_transitions(sf_dir: str) -> ray.data.Dataset:
     """Consecutive event-type pairs per user ordered by (ts, event_id)
     — the co-commit-pair shape (§7.2) on the events table.  Sessionize
