@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": pl.simhash_pairs,              # rows-only
         "event_transitions": pl.event_transitions,
         "purchase_signup_asof": pl.purchase_signup_asof,
+        "purchase_click_window": pl.purchase_click_window,
         "event_window_counts": pl.event_window_counts,
         "embedding_near_dups": pl.embedding_near_dup_pairs,  # rows-only
         "ann_topk": pl.ann_topk,
@@ -337,6 +338,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.event_id, p.user_id, s.signup_event_id, "
             "CAST(date_diff('microsecond', s.ts, p.ts) AS BIGINT) AS gap_us "
             "FROM p ASOF JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts"
+        ),
+        "purchase_click_window": (
+            "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us "
+            "FROM events WHERE event_type = 'purchase'), "
+            "c AS (SELECT event_id AS click_event_id, user_id, "
+            "epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click') "
+            "SELECT p.event_id, p.user_id, c.click_event_id, "
+            "CAST(p.ts_us - c.ts_us AS BIGINT) AS gap_us "
+            "FROM p JOIN c ON p.user_id = c.user_id "
+            "AND c.ts_us BETWEEN p.ts_us - 86400000000 AND p.ts_us"
         ),
         "token_counts": (
             "SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "

@@ -333,6 +333,55 @@ def purchase_signup_asof(sf_dir: str) -> ray.data.Dataset:
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def purchase_click_window(sf_dir: str) -> ray.data.Dataset:
+    """Banded range join on the events stream: each purchase paired with
+    every click by the SAME user in the preceding 24 h (inclusive band
+    [ts−24h, ts] in int64 microseconds).  Exercises joins.range_join —
+    one hash shuffle by user, per-block sorted-window kernel; oracle =
+    DuckDB inner join with BETWEEN."""
+    from .joins import range_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def side(kind: str, rename: dict[str, str] | None = None):
+        def fn(t: pa.Table):
+            t = t.filter(pc.equal(t.column("event_type"), kind))
+            if len(t) == 0:
+                return
+            t = t.drop_columns(["event_type"])
+            t = t.set_column(
+                t.schema.get_field_index("ts"),
+                "ts_us",
+                pc.cast(t.column("ts"), pa.int64()),
+            )
+            if rename:
+                t = t.rename_columns(
+                    [rename.get(nm, nm) for nm in t.schema.names]
+                )
+            yield t
+
+        return ev.map_batches(fn, batch_format="pyarrow")
+
+    left = side("purchase")
+    right = side("click", {"event_id": "click_event_id"})
+    j = range_join(
+        left, right, on="ts_us", by="user_id", lo=-86_400_000_000, hi=0
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        gap = pc.subtract(t.column("ts_us"), t.column("ts_us_right"))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "click_event_id": t.column("click_event_id"),
+                "gap_us": gap,
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 def event_transitions(sf_dir: str) -> ray.data.Dataset:
     """Consecutive event-type pairs per user ordered by (ts, event_id)
     — the co-commit-pair shape (§7.2) on the events table.  Sessionize
