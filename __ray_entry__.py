@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_signup_asof": pl.purchase_signup_asof,
         "purchase_click_window": pl.purchase_click_window,
         "event_window_counts": pl.event_window_counts,
+        "events_prior_hour_counts": pl.events_prior_hour_counts,
         "embedding_near_dups": pl.embedding_near_dup_pairs,  # rows-only
         "ann_topk": pl.ann_topk,
         "lsh_ann_topk": pl.lsh_ann_topk,                # rows-only (approximate)
@@ -365,6 +366,13 @@ def oracle_sql() -> dict[str, str]:
         "event_window_counts": (
             "SELECT date_trunc('day', ts) AS win, event_type, "
             "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2"
+        ),
+        "events_prior_hour_counts": (
+            "SELECT a.event_id, a.user_id, CAST(COUNT(*) AS BIGINT) AS prior_cnt "
+            "FROM events a JOIN events b ON a.user_id = b.user_id "
+            "AND epoch_us(b.ts) >= epoch_us(a.ts) - 3600000000 "
+            "AND epoch_us(b.ts) < epoch_us(a.ts) "
+            "GROUP BY 1, 2"
         ),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "

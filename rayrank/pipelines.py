@@ -382,6 +382,68 @@ def purchase_click_window(sf_dir: str) -> ray.data.Dataset:
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def events_prior_hour_counts(sf_dir: str) -> ray.data.Dataset:
+    """Sliding-window aggregate: for every event, how many events the
+    SAME user generated in the preceding hour (exclusive of itself,
+    inclusive band [ts−1h, ts) in int64 microseconds).  Composed as a
+    range_join self-join (band [−3600s, 0]) + groupby count, minus the
+    self-match — the streaming-window shape expressed with ONE hash
+    shuffle plus a keyed count."""
+    from .joins import range_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def prep(rename: dict[str, str] | None = None):
+        def fn(t: pa.Table):
+            t = t.set_column(
+                t.schema.get_field_index("ts"),
+                "ts_us",
+                pc.cast(t.column("ts"), pa.int64()),
+            )
+            if rename:
+                t = t.rename_columns(
+                    [rename.get(nm, nm) for nm in t.schema.names]
+                )
+            yield t
+
+        return ev.map_batches(fn, batch_format="pyarrow")
+
+    left = prep()
+    right = prep({"event_id": "prior_event_id"})
+    j = range_join(
+        left, right, on="ts_us", by="user_id", lo=-3_600_000_000, hi=0
+    )
+
+    # count matches per left event; each event matches itself at gap 0
+    # and may tie with same-(user, ts) events — keep strictly-earlier
+    # rows plus same-ts rows with a smaller event_id OUT (window is
+    # [ts-1h, ts) + never self): prior := ts_right < ts, i.e. gap > 0.
+    def count_block(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        gap = pc.subtract(t.column("ts_us"), t.column("ts_us_right"))
+        t = t.filter(pc.greater(gap, 0))
+        if t.num_rows == 0:
+            return
+        yield (
+            t.select(["event_id", "user_id"])
+            .group_by(["event_id", "user_id"])
+            .aggregate([("event_id", "count")])
+            .rename_columns(["event_id", "user_id", "prior_cnt"])
+        )
+
+    counted = j.map_batches(count_block, batch_format="pyarrow")
+
+    # range_join already co-partitioned by user: every (event_id, user)
+    # lives in one block, so block-local counts are final — but blocks
+    # of the same bucket may be split by Ray's dynamic block splitting,
+    # so re-aggregate with a small keyed groupby to be safe.
+    return counted.groupby(["event_id", "user_id"]).sum("prior_cnt").map_batches(
+        lambda t: t.rename_columns(["event_id", "user_id", "prior_cnt"]),
+        batch_format="pyarrow",
+    )
+
+
 def event_transitions(sf_dir: str) -> ray.data.Dataset:
     """Consecutive event-type pairs per user ordered by (ts, event_id)
     — the co-commit-pair shape (§7.2) on the events table.  Sessionize
