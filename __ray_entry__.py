@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_click_window": pl.purchase_click_window,
         "event_window_counts": pl.event_window_counts,
         "events_prior_hour_counts": pl.events_prior_hour_counts,
+        "kmv_distinct_parts": pl.kmv_distinct_parts,
+        "hll_distinct_parts": pl.hll_distinct_parts,
         "embedding_near_dups": pl.embedding_near_dup_pairs,  # rows-only
         "ann_topk": pl.ann_topk,
         "lsh_ann_topk": pl.lsh_ann_topk,                # rows-only (approximate)
@@ -277,6 +279,78 @@ WHERE sa.doc_id % 2 = 0
 """
 
 
+_M64 = 18446744073709551616  # 2^64
+_B32 = 4294967296  # 2^32
+
+
+def _sm64_mul(a: str, b: int) -> str:
+    """a*b mod 2^64 in HUGEINT without int128 overflow (split at 2^32)."""
+    return (
+        f"(((({a}) // {_B32}) * {b} % {_B32}) * {_B32}"
+        f" + (({a}) % {_B32}) * {b}) % {_M64}"
+    )
+
+
+def _sm64_cte(src: str) -> str:
+    """CTE chain hashing column x of `src` with splitmix64 -> hh(z).
+
+    Mirrors rayrank.sketch.splitmix64 bit-for-bit: wrapping uint64 ops
+    become HUGEINT mod-2^64; >> n becomes // 2^n (values nonnegative).
+    """
+    return f"""
+sk0 AS (SELECT CAST(x AS HUGEINT) AS x FROM {src}),
+sk1 AS (SELECT (x + 11400714819323198485) % {_M64} AS z FROM sk0),
+sk2 AS (SELECT {_sm64_mul('xor(z, z // 1073741824)', 0xBF58476D1CE4E5B9)} AS z FROM sk1),
+sk3 AS (SELECT {_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FROM sk2),
+hh AS (SELECT xor(z, z // 2147483648) AS z FROM sk3)"""
+
+
+def _kmv_sql(col: str, table: str, k: int) -> str:
+    return f"""
+WITH {_sm64_cte(f'(SELECT DISTINCT {col} AS x FROM {table})')},
+u AS (SELECT DISTINCT z FROM hh),
+o AS (SELECT z, ROW_NUMBER() OVER (ORDER BY z) AS rn FROM u),
+st AS (SELECT (SELECT COUNT(*) FROM u) AS nu,
+              (SELECT z FROM o WHERE rn = {k}) AS hk)
+SELECT CAST(CASE WHEN nu < {k} THEN nu
+  ELSE FLOOR(({k} - 1) * 18446744073709551616.0 / CAST(hk AS DOUBLE))
+  END AS BIGINT) AS est_distinct,
+  CAST({k} AS BIGINT) AS k
+FROM st"""
+
+
+def _hll_sql(col: str, table: str, p: int) -> str:
+    m = 1 << p
+    wmask = (1 << (64 - p)) - 1
+    return f"""
+WITH {_sm64_cte(f'(SELECT {col} AS x FROM {table})')},
+rr AS (
+  SELECT CAST(z // {1 << (64 - p)} AS BIGINT) AS idx,
+    {64 - p} + 1
+      - length(ltrim(bin(CAST(z % {wmask + 1} AS BIGINT)), '0')) AS rho
+  FROM hh
+),
+regs AS (SELECT idx, MAX(rho) AS r FROM rr GROUP BY idx),
+st AS (
+  -- exact integer register sum scaled by 2^60: rho here is in 1..53,
+  -- so each term fits BIGINT and SUM promotes to HUGEINT; registers
+  -- absent from rr are zero -> each adds 2^60 and one zero to v
+  SELECT SUM(CAST(1 AS BIGINT) << (60 - r))
+           + ({m} - COUNT(*)) * CAST({1 << 60} AS HUGEINT) AS s,
+         CAST({m} - COUNT(*) AS BIGINT) AS v
+  FROM regs
+),
+est AS (
+  SELECT (0.7213 / (1.0 + 1.079 / {m})) * {m} * {m} * 1152921504606846976.0
+           / CAST(s AS DOUBLE) AS e, v
+  FROM st
+)
+SELECT ROUND(CASE WHEN e <= 2.5 * {m} AND v > 0
+  THEN {m} * ln(CAST({m} AS DOUBLE) / v) ELSE e END, 4) AS est_distinct,
+  CAST({p} AS BIGINT) AS p
+FROM est"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "out_degree": (
@@ -374,6 +448,8 @@ def oracle_sql() -> dict[str, str]:
             "AND epoch_us(b.ts) < epoch_us(a.ts) "
             "GROUP BY 1, 2"
         ),
+        "kmv_distinct_parts": _kmv_sql("l_partkey", "lineitem", 64),
+        "hll_distinct_parts": _hll_sql("l_partkey", "lineitem", 12),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
             "FROM embeddings WHERE vec_id < 3), "

@@ -444,6 +444,24 @@ def events_prior_hour_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def kmv_distinct_parts(sf_dir: str) -> ray.data.Dataset:
+    """KMV (k=64) distinct-count sketch of lineitem.l_partkey — the
+    approximate-distinct path whose estimate the SQL oracle reproduces
+    bit-identically (splitmix64 in HUGEINT arithmetic)."""
+    from .sketch import kmv_distinct
+
+    return kmv_distinct(_read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey", k=64)
+
+
+def hll_distinct_parts(sf_dir: str) -> ray.data.Dataset:
+    """HyperLogLog (p=12) distinct-count sketch of lineitem.l_partkey;
+    estimate reproduced exactly by the SQL oracle (exact-integer
+    register sum -> order-independent float math)."""
+    from .sketch import hll_distinct
+
+    return hll_distinct(_read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey", p=12)
+
+
 def event_transitions(sf_dir: str) -> ray.data.Dataset:
     """Consecutive event-type pairs per user ordered by (ts, event_id)
     — the co-commit-pair shape (§7.2) on the events table.  Sessionize

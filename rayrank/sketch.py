@@ -1,0 +1,172 @@
+"""Distributed cardinality sketches: KMV (k-minimum-values) and
+HyperLogLog over a ``ray.data.Dataset`` column.
+
+Reference scope: the reference engine has no sketches; these are the
+"novel sketch" additions the 100-TB training-data brief asks for
+(approximate distinct counts without a wide shuffle).  Both are built
+on ONE deterministic 64-bit hash — splitmix64 (Steele et al., "Fast
+Splittable Pseudorandom Number Generators", OOPSLA 2014; public
+constants) — vectorized in numpy uint64 (wrapping arithmetic) and
+reproduced bit-identically in the DuckDB oracles via HUGEINT split
+multiplication, so even the *approximate* estimates are SQL-checkable.
+
+Scale shape: each input block folds to a tiny partial (≤ k hashes for
+KMV; ≤ m nonzero registers for HLL) inside ``map_batches``; partials
+are unioned and merged in ONE single-block reduce — no groupby, no
+sort, no driver-side iteration over data rows.  Estimator float math
+is arranged to be order-independent (exact-integer register sum
+scaled by 2^60) so the distributed merge order can never change the
+reported estimate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_C0 = np.uint64(0x9E3779B97F4A7C15)
+_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (wrapping mod 2^64)."""
+    z = np.asarray(x).astype(np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        z = z + _C0
+        z = (z ^ (z >> np.uint64(30))) * _C1
+        z = (z ^ (z >> np.uint64(27))) * _C2
+        z = z ^ (z >> np.uint64(31))
+    return z
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (0 -> 0), exact (no float log)."""
+    w = w.copy()
+    bl = np.zeros(w.shape, np.int64)
+    for sh in (32, 16, 8, 4, 2, 1):
+        m = w >= np.uint64(1 << sh)
+        bl[m] += sh
+        w[m] >>= np.uint64(sh)
+    return bl + (w > 0)
+
+
+def kmv_distinct(
+    ds: ray.data.Dataset, column: str, k: int = 64
+) -> ray.data.Dataset:
+    """KMV distinct-count estimate of ``column`` (int-valued).
+
+    Per block: unique values -> splitmix64 -> k smallest hashes (a
+    sorted uint64 list ≤ k long).  Merge: union of all partials, k
+    smallest, estimate (k-1)·2^64/h_(k) — exact count when fewer than
+    k unique hashes were ever seen.  Returns a one-row Dataset
+    ``{est_distinct: int64, k: int64}``.
+    """
+
+    def part(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        v = t.column(column).to_numpy(zero_copy_only=False)
+        h = np.unique(splitmix64(np.unique(v)))
+        yield pa.table({"h": pa.array(h[:k], pa.uint64())})
+
+    def merge(t: pa.Table):
+        if "h" not in t.schema.names:
+            h = np.empty(0, np.uint64)
+        else:
+            h = np.unique(t.column("h").to_numpy(zero_copy_only=False))
+        nu = len(h)
+        if nu < k:
+            est = nu
+        else:
+            # (k-1)·2^64 is exact in float64 for k ≤ 2^53; both oracle
+            # and engine divide the same two doubles -> identical result
+            est = math.floor((k - 1) * 2.0**64 / float(h[k - 1]))
+        yield pa.table(
+            {
+                "est_distinct": pa.array([est], pa.int64()),
+                "k": pa.array([k], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_size=None, batch_format="pyarrow")
+    )
+
+
+def hll_partials(
+    ds: ray.data.Dataset, column: str, p: int = 12
+) -> ray.data.Dataset:
+    """Sparse HyperLogLog register partials: one (idx, rho) row per
+    nonzero register per block; registers merge by max."""
+    m = 1 << p
+
+    def part(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        v = t.column(column).to_numpy(zero_copy_only=False)
+        h = splitmix64(v)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h & np.uint64((1 << (64 - p)) - 1)
+        rho = (64 - p) + 1 - _bit_length_u64(w)
+        regs = np.zeros(m, np.int64)
+        np.maximum.at(regs, idx, rho)
+        nz = np.flatnonzero(regs)
+        yield pa.table(
+            {
+                "idx": pa.array(nz, pa.int64()),
+                "rho": pa.array(regs[nz], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(part, batch_format="pyarrow")
+
+
+def hll_distinct(
+    ds: ray.data.Dataset, column: str, p: int = 12
+) -> ray.data.Dataset:
+    """HyperLogLog distinct-count estimate (Flajolet et al. 2007) of
+    ``column``; m = 2^p registers, linear-counting small-range branch.
+
+    The harmonic denominator is an EXACT python-int sum of 2^(60−M_j)
+    (every register value ≤ 53 at p ≥ 11), so the estimate is
+    independent of block/merge order; the only float ops are one
+    division + multiplies (and ln on the linear-counting branch),
+    mirrored operation-for-operation by the SQL oracle.  Returns a
+    one-row Dataset ``{est_distinct: double, p: int64}`` with the
+    estimate rounded to 4 decimals.
+    """
+    m = 1 << p
+
+    def merge(t: pa.Table):
+        regs = np.zeros(m, np.int64)
+        if "idx" in t.schema.names and t.num_rows:
+            np.maximum.at(
+                regs,
+                t.column("idx").to_numpy(zero_copy_only=False),
+                t.column("rho").to_numpy(zero_copy_only=False),
+            )
+        counts = np.bincount(regs, minlength=61)
+        s = sum(int(c) << (60 - r) for r, c in enumerate(counts) if c)
+        v = int(counts[0])
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m * 2.0**60 / float(s)
+        if est <= 2.5 * m and v > 0:
+            est = m * math.log(m / v)
+        yield pa.table(
+            {
+                "est_distinct": pa.array([round(est, 4)], pa.float64()),
+                "p": pa.array([p], pa.int64()),
+            }
+        )
+
+    return (
+        hll_partials(ds, column, p)
+        .repartition(1)
+        .map_batches(merge, batch_size=None, batch_format="pyarrow")
+    )

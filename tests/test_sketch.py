@@ -1,0 +1,104 @@
+"""Unit tests for the KMV / HyperLogLog cardinality sketches
+(rayrank/sketch.py): hash correctness, merge-order invariance,
+exact small-cardinality branches, and accuracy bounds."""
+
+import numpy as np
+import pytest
+import ray.data
+
+from rayrank.sketch import (
+    _bit_length_u64,
+    hll_distinct,
+    kmv_distinct,
+    splitmix64,
+)
+
+
+def _one_row(ds):
+    rows = ds.take_all()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_splitmix64_known_vector():
+    # First output of the splitmix64 generator seeded with 0
+    # (Steele et al. 2014 reference implementation).
+    out = splitmix64(np.array([0], dtype=np.uint64))
+    assert out.dtype == np.uint64
+    assert int(out[0]) == 0xE220A8397B1DCDAF
+
+
+def test_splitmix64_accepts_signed_ints():
+    a = splitmix64(np.array([-1], dtype=np.int64))
+    b = splitmix64(np.array([2**64 - 1], dtype=np.uint64))
+    assert int(a[0]) == int(b[0])
+
+
+def test_bit_length_u64_matches_python():
+    vals = np.array(
+        [0, 1, 2, 3, 255, 256, 2**31, 2**52 - 1, 2**63, 2**64 - 1],
+        dtype=np.uint64,
+    )
+    got = _bit_length_u64(vals)
+    want = [int(v).bit_length() for v in vals]
+    assert got.tolist() == want
+
+
+def test_kmv_exact_below_k():
+    ds = ray.data.from_items([{"x": i % 10} for i in range(1000)])
+    row = _one_row(kmv_distinct(ds, "x", k=64))
+    assert row["est_distinct"] == 10
+    assert row["k"] == 64
+
+
+def test_kmv_merge_order_invariant():
+    # Same values, different block layouts -> identical estimate.
+    vals = [{"x": int(v)} for v in np.random.default_rng(7).integers(0, 5000, 20000)]
+    est = {
+        n: _one_row(
+            kmv_distinct(ray.data.from_items(vals, override_num_blocks=n), "x", k=64)
+        )["est_distinct"]
+        for n in (1, 3, 17)
+    }
+    assert len(set(est.values())) == 1
+
+
+def test_kmv_accuracy():
+    n = 20000
+    ds = ray.data.from_items([{"x": i} for i in range(n)], override_num_blocks=8)
+    est = _one_row(kmv_distinct(ds, "x", k=256))["est_distinct"]
+    # KMV stderr ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma.
+    assert abs(est - n) / n < 0.25
+
+
+def test_hll_linear_counting_branch():
+    # Tiny cardinality -> linear-counting branch, near-exact.
+    ds = ray.data.from_items([{"x": i % 25} for i in range(500)])
+    row = _one_row(hll_distinct(ds, "x", p=12))
+    assert row["p"] == 12
+    assert abs(row["est_distinct"] - 25) < 1.0
+
+
+def test_hll_merge_order_invariant():
+    vals = [{"x": int(v)} for v in np.random.default_rng(3).integers(0, 50000, 30000)]
+    est = {
+        n: _one_row(
+            hll_distinct(ray.data.from_items(vals, override_num_blocks=n), "x", p=12)
+        )["est_distinct"]
+        for n in (1, 4, 13)
+    }
+    assert len(set(est.values())) == 1
+
+
+def test_hll_accuracy():
+    n = 30000
+    ds = ray.data.from_items([{"x": i} for i in range(n)], override_num_blocks=8)
+    est = _one_row(hll_distinct(ds, "x", p=12))["est_distinct"]
+    # HLL stderr ~ 1.04/sqrt(2^12) ~ 1.6%; allow 4 sigma.
+    assert abs(est - n) / n < 0.07
+
+
+def test_hll_empty_and_single():
+    ds = ray.data.from_items([{"x": 42}])
+    row = _one_row(hll_distinct(ds, "x", p=12))
+    assert abs(row["est_distinct"] - 1.0) < 0.01
