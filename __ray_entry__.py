@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": pl.connected_components_sf,
         "label_propagation": pl.label_propagation_sf,   # rows-only (labels ARE vids)
         "component_count": pl.component_count_sf,
+        "bfs_depths": pl.bfs_depths_sf,
     }
 
 
@@ -193,6 +194,37 @@ _CC_SQL = (
     _CC_LABELS_CTE
     + f"SELECT v AS name, l AS component FROM lab WHERE it = {_CC_ITERS}"
 )
+
+# BFS hop distance from the min-name vertex on the same undirected
+# graph.  Each recursive row (it, v, d) is the length of SOME walk
+# seed→v, so d ≥ dist(v) always and the shortest-path walk appears at
+# it = dist(v); MIN(d) over all iterations is therefore the exact BFS
+# depth once it-bound ≥ diameter (6 at SF=0.1; bound 32).  Mirrors
+# rayrank.bfs min-plus relaxation on the CsrShard actors.
+_BFS_SQL = f"""
+WITH RECURSIVE
+raw AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+  )
+),
+seed AS (SELECT MIN(v) AS v FROM verts),
+bfs(it, v, d) AS (
+  SELECT 0, v, CAST(0 AS BIGINT) FROM seed
+  UNION ALL
+  SELECT bfs.it + 1, e.b, MIN(bfs.d) + 1
+  FROM bfs JOIN und e ON bfs.v = e.a
+  WHERE bfs.it < {_CC_ITERS}
+  GROUP BY bfs.it + 1, e.b
+)
+SELECT v AS name, MIN(d) AS depth FROM bfs GROUP BY v
+"""
 
 _COMPONENT_COUNT_SQL = (
     _CC_LABELS_CTE
@@ -465,6 +497,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_converged": _PAGERANK_CONV_SQL,
         "connected_components": _CC_SQL,
         "component_count": _COMPONENT_COUNT_SQL,
+        "bfs_depths": _BFS_SQL,
         "triangle_count": (
             "WITH raw AS (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem), "
             "und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v "

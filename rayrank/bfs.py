@@ -1,0 +1,141 @@
+"""Breadth-first search / hop distance from a seed set (SURVEY.md
+§2.10 extension surface — third instance of the gather/reduce label
+loop after connected components and label propagation).
+
+Semantics: synchronous min-plus relaxation over the stored edge
+direction — ``dist[v] ← min(dist[v], min over in-neighbors
+(dist[u] + 1))`` per round, distances init 0 at seeds / INF_DIST
+elsewhere, stop at zero changes (≤ diameter + 1 rounds).  On an
+undirected graph layout (both directions present, as built by
+``graph.derive_undirected``) this is exact undirected hop distance.
+
+Scale shape: identical to connected components — distances live in
+the actor-resident label partitions, one Q×Q map-side-combined
+message exchange per round, scalars only on the driver.  Seed lookup
+is a broadcast semi-filter over the vertex dictionary (seed sets are
+small — a handful of crawl roots), never a shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .iterate import LabelResult, iterate_labels
+from .shards import INF_DIST
+
+
+def seed_locals(graph_dir: str, seed_names: list[str], Q: int) -> dict[int, np.ndarray]:
+    """Map seed NAMES to per-partition local indices via a pruned,
+    name-filtered read of the vertex dictionary (seed set broadcast
+    into the filter; result is ≤ len(seed_names) rows)."""
+    names = pa.array(sorted(set(seed_names)), pa.string())
+    verts = ray.data.read_parquet(
+        os.path.join(graph_dir, "vertices"), columns=["vid", "name"]
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("name"), value_set=names))
+
+    blocks = list(
+        verts.map_batches(pick, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    hits = pa.concat_tables(
+        blocks
+        or [pa.table({"vid": pa.array([], pa.int64()), "name": pa.array([], pa.string())})]
+    )
+    vids = hits.column("vid").to_numpy(zero_copy_only=False)
+    if len(vids) != len(names):
+        missing = set(seed_names) - set(hits.column("name").to_pylist())
+        raise ValueError(f"seed names not in vertex dictionary: {sorted(missing)}")
+    out: dict[int, np.ndarray] = {}
+    for q in range(Q):
+        sel = vids[vids % Q == q]
+        if len(sel):
+            out[q] = (sel // Q).astype(np.int64)
+    return out
+
+
+def min_vertex_name(graph_dir: str) -> str:
+    """Lexicographic minimum vertex name — per-block partial min (one
+    row per block) folded on the driver; never materializes the
+    dictionary."""
+    verts = ray.data.read_parquet(
+        os.path.join(graph_dir, "vertices"), columns=["name"]
+    )
+
+    def block_min(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        yield pa.table({"name": [pc.min(t.column("name")).as_py()]})
+
+    parts = [
+        r["name"]
+        for r in verts.map_batches(block_min, batch_format="pyarrow").take_all()
+    ]
+    if not parts:
+        raise ValueError(f"empty vertex dictionary in {graph_dir}")
+    return min(parts)
+
+
+def bfs(
+    graph_dir: str,
+    seed_names: list[str],
+    max_iterations: int = 200,
+    shards: list | None = None,
+    ckpt_dir: str | None = None,
+    ckpt_interval: int = 1,
+    resume: bool = False,
+) -> LabelResult:
+    """Hop distances from ``seed_names`` (labels = distances,
+    INF_DIST where unreached)."""
+    from .graph import GraphMeta
+    from .shards import create_shards
+
+    meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
+    if shards is None:
+        shards = create_shards(graph_dir, meta)
+    locs = seed_locals(graph_dir, seed_names, meta.Q)
+
+    def init(sh):
+        empty = np.empty(0, np.int64)
+        ray.get(
+            [
+                s.init_dists.remote(locs.get(q, empty))
+                for q, s in enumerate(sh)
+            ]
+        )
+
+    return iterate_labels(
+        graph_dir,
+        gather_method="gather_min",
+        reduce_method="reduce_min_plus1",
+        max_iterations=max_iterations,
+        shards=shards,
+        ckpt_dir=ckpt_dir,
+        ckpt_interval=ckpt_interval,
+        resume=resume,
+        algo_name="bfs",
+        init_fn=init,
+    )
+
+
+def reachable_depths(result: LabelResult, graph_dir: str) -> ray.data.Dataset:
+    """(name, depth) for reached vertices only — unreached rows
+    (INF_DIST) filtered block-wise, no driver materialization."""
+    ds = result.labels_dataset(graph_dir)
+
+    def fin(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.less(t.column("label"), pa.scalar(INF_DIST)))
+        return pa.table(
+            {"name": keep.column("name"), "depth": keep.column("label")}
+        )
+
+    return ds.map_batches(fin, batch_format="pyarrow")

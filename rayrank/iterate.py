@@ -97,6 +97,7 @@ def iterate_labels(
     ckpt_interval: int = 1,
     resume: bool = False,
     algo_name: str = "labels",
+    init_fn=None,
 ) -> LabelResult:
     meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
     Q = meta.Q
@@ -111,7 +112,10 @@ def iterate_labels(
             ray.get([shards[q].set_labels.remote(refs[q]) for q in range(Q)])
             start_iter = last + 1
     if start_iter == 0:
-        ray.get([s.init_labels.remote() for s in shards])
+        if init_fn is not None:
+            init_fn(shards)
+        else:
+            ray.get([s.init_labels.remote() for s in shards])
 
     history: list[dict] = []
     converged = False

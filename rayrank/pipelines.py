@@ -627,6 +627,21 @@ def _graph(sf_dir: str, kind: str) -> str:
     return gdir
 
 
+def bfs_depths_sf(sf_dir: str) -> ray.data.Dataset:
+    """(name, depth) hop distances from the lexicographically-minimum
+    vertex name on the undirected lineitem graph — third instance of
+    the shard gather/reduce loop (rayrank.bfs).  SQL oracle: bounded
+    min-plus recursive CTE; MIN(d) over iterations = exact BFS depth
+    (every CTE row is a walk length; the shortest-path row appears at
+    it = depth)."""
+    from .bfs import bfs, min_vertex_name, reachable_depths
+
+    gdir = _graph(sf_dir, "undirected")
+    seed = min_vertex_name(gdir)
+    res = bfs(gdir, [seed])
+    return reachable_depths(res, gdir)
+
+
 def pagerank_2iter(sf_dir: str) -> ray.data.Dataset:
     """Exactly two reference-exact power iterations on the lineitem edge
     table — SQL-expressible by unrolling (oracle does the same two

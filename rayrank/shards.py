@@ -42,6 +42,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
+# Unreached-vertex BFS distance sentinel: large enough to dominate any
+# real hop count, small enough that INF_DIST + 1 cannot wrap int64.
+INF_DIST = 1 << 62
+
 
 @ray.remote
 class CsrShard:
@@ -228,6 +232,26 @@ class CsrShard:
             "bytes": os.path.getsize(path),
             "path": path,
         }
+
+    def init_dists(self, source_locals: np.ndarray) -> None:
+        """BFS distance init: 0 at the given local indices, INF_DIST
+        elsewhere.  Distances live in ``self.labels`` so the whole
+        label machinery (gather_min, write_labels, zip_names) reuses."""
+        self.labels = np.full(self.s_p, INF_DIST, np.int64)
+        if len(source_locals):
+            self.labels[np.asarray(source_locals, np.int64)] = 0
+
+    def reduce_min_plus1(self, *parts) -> int:
+        """BFS relaxation: dist[v] ← min(dist[v], min_in-nbr dist + 1).
+        Unreached neighbors carry INF_DIST (< 2^63−1 after +1, no
+        wrap); min keeps the resident INF so no spurious changes."""
+        new = self.labels.copy()
+        for idx, mins in parts:
+            if len(idx):
+                np.minimum.at(new, idx, mins + 1)
+        changed = int(np.count_nonzero(new != self.labels))
+        self.labels = new
+        return changed
 
     def gather_min(self):
         """Per-destination min of source labels (CC round A)."""

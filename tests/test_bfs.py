@@ -1,0 +1,113 @@
+"""BFS hop-distance tests: exact vs a plain-Python BFS oracle on the
+small golden graph and random undirected graphs, multi-seed, and
+unreached-vertex filtering."""
+
+from collections import deque
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from rayrank.bfs import bfs, min_vertex_name, reachable_depths
+from rayrank.shards import INF_DIST
+
+
+def build_undirected(edges, tmp_dir, Q=4):
+    from rayrank.graph import build_graph
+
+    t = pa.table(
+        {
+            "src_name": pa.array([s for s, _ in edges], pa.string()),
+            "dst_name": pa.array([d for _, d in edges], pa.string()),
+        }
+    )
+    return build_graph(
+        ray.data.from_arrow(t), tmp_dir, num_partitions=Q, undirected=True
+    )
+
+
+def python_bfs(edges, seeds) -> dict[str, int]:
+    adj: dict[str, set] = {}
+    for s, d in edges:
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        else:
+            adj.setdefault(s, set())
+    dist = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    return dist
+
+
+def engine_depths(gdir, seeds) -> dict[str, int]:
+    res = bfs(gdir, seeds)
+    assert res.converged
+    out = {}
+    for b in reachable_depths(res, gdir).iter_batches(batch_format="pyarrow"):
+        for nm, d in zip(b.column("name").to_pylist(), b.column("depth").to_pylist()):
+            out[nm] = d
+    return out
+
+
+SMALL_EDGES = [
+    ("1", "2"), ("1", "3"), ("3", "1"), ("3", "2"), ("3", "5"),
+    ("4", "5"), ("4", "6"), ("5", "6"), ("5", "4"), ("6", "4"),
+]
+
+
+def test_small_graph_single_seed(tmp_path):
+    gdir = str(tmp_path / "g")
+    build_undirected(SMALL_EDGES, gdir)
+    assert engine_depths(gdir, ["1"]) == python_bfs(SMALL_EDGES, ["1"])
+
+
+def test_small_graph_multi_seed(tmp_path):
+    gdir = str(tmp_path / "g")
+    build_undirected(SMALL_EDGES, gdir)
+    seeds = ["2", "6"]
+    assert engine_depths(gdir, seeds) == python_bfs(SMALL_EDGES, seeds)
+
+
+def test_unreached_filtered(tmp_path):
+    # Two components; seeding one must not report the other.
+    edges = [("a", "b"), ("b", "c"), ("x", "y")]
+    gdir = str(tmp_path / "g")
+    build_undirected(edges, gdir)
+    got = engine_depths(gdir, ["a"])
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_unknown_seed_raises(tmp_path):
+    gdir = str(tmp_path / "g")
+    build_undirected(SMALL_EDGES, gdir)
+    with pytest.raises(ValueError, match="not in vertex dictionary"):
+        bfs(gdir, ["nope"])
+
+
+def test_min_vertex_name(tmp_path):
+    gdir = str(tmp_path / "g")
+    build_undirected(SMALL_EDGES, gdir)
+    assert min_vertex_name(gdir) == "1"
+
+
+@pytest.mark.parametrize("seed,n,m", [(11, 40, 70), (12, 60, 60), (13, 30, 120)])
+def test_random_graphs(tmp_path, seed, n, m):
+    rng = np.random.default_rng(seed)
+    edges = [
+        (str(a), str(b))
+        for a, b in zip(rng.integers(0, n, m), rng.integers(0, n, m))
+    ]
+    gdir = str(tmp_path / "g")
+    build_undirected(edges, gdir, Q=3)
+    seeds = [str(int(rng.integers(0, n)))]
+    # seed must exist in the vertex dict (appear in some edge)
+    present = {v for e in edges for v in e}
+    seeds = [s for s in seeds if s in present] or [sorted(present)[0]]
+    assert engine_depths(gdir, seeds) == python_bfs(edges, seeds)
