@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_click_window": pl.purchase_click_window,
         "event_window_counts": pl.event_window_counts,
         "events_prior_hour_counts": pl.events_prior_hour_counts,
+        "price_quantiles": pl.price_quantiles,
         "kmv_distinct_parts": pl.kmv_distinct_parts,
         "hll_distinct_parts": pl.hll_distinct_parts,
         "embedding_near_dups": pl.embedding_near_dup_pairs,  # rows-only
@@ -479,6 +480,12 @@ def oracle_sql() -> dict[str, str]:
             "AND epoch_us(b.ts) >= epoch_us(a.ts) - 3600000000 "
             "AND epoch_us(b.ts) < epoch_us(a.ts) "
             "GROUP BY 1, 2"
+        ),
+        "price_quantiles": (
+            "WITH a AS (SELECT quantile_disc(l_extendedprice, "
+            "[0.125, 0.25, 0.5, 0.75, 0.875]) AS v FROM lineitem) "
+            "SELECT unnest([0.125, 0.25, 0.5, 0.75, 0.875]) AS q, "
+            "CAST(unnest(v) AS DOUBLE) AS value FROM a"
         ),
         "kmv_distinct_parts": _kmv_sql("l_partkey", "lineitem", 64),
         "hll_distinct_parts": _hll_sql("l_partkey", "lineitem", 12),

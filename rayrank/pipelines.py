@@ -462,6 +462,18 @@ def hll_distinct_parts(sf_dir: str) -> ray.data.Dataset:
     return hll_distinct(_read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey", p=12)
 
 
+def price_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact quantile_disc of lineitem.l_extendedprice at binary-exact
+    q (so ceil(q·N) is float64-identical in engine and oracle) —
+    distributed selection over value-count partials, never a raw-row
+    sort (rayrank.quantiles)."""
+    from .quantiles import exact_quantiles
+
+    return exact_quantiles(
+        _read(sf_dir, "lineitem", ["l_extendedprice"]), "l_extendedprice"
+    )
+
+
 def event_transitions(sf_dir: str) -> ray.data.Dataset:
     """Consecutive event-type pairs per user ordered by (ts, event_id)
     — the co-commit-pair shape (§7.2) on the events table.  Sessionize

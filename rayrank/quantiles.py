@@ -1,0 +1,116 @@
+"""Distributed EXACT quantiles (``quantile_disc`` semantics) over a
+``ray.data.Dataset`` column.
+
+Reference scope: the reference engine has no quantile operator; this is
+a training-data-pipeline addition (length/score percentile cutoffs for
+quality filtering) that stays SQL-checkable because it is exact.
+
+Rank rule (verified against DuckDB ``quantile_disc`` empirically):
+``rank(q) = max(1, ceil(q·N))`` over the value-sorted multiset; use
+binary-exact q (k/2^m) so ``q·N`` is float64-exact on both sides.
+
+Scale shape — never sorts the raw rows and never ships them anywhere:
+
+1. per-block value-count partials (``np.unique`` inside map_batches)
+   collapse N rows to ≤ distinct-per-block rows;
+2. ONE ``groupby(value).sum(cnt)`` shuffle bounded by global distinct
+   cardinality, then a range-partitioning ``sort(value)``;
+3. the sorted value-count table is materialized (bounded by
+   cardinality, not rows) so two passes see identical blocks: a
+   summary pass emits ONE (min value, row mass) row per block
+   — the driver holds only O(#blocks) — and a pick pass selects each
+   target rank inside the single block that owns it (blocks identify
+   themselves by their min value; distinct + range-partitioned ⇒
+   mins are unique).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+DEFAULT_QS = (0.125, 0.25, 0.5, 0.75, 0.875)
+
+
+def _value_counts(ds: ray.data.Dataset, column: str) -> ray.data.Dataset:
+    def part(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        v, c = np.unique(
+            t.column(column).to_numpy(zero_copy_only=False), return_counts=True
+        )
+        yield pa.table({"value": v, "cnt": c.astype(np.int64)})
+
+    vc = ds.map_batches(part, batch_format="pyarrow").groupby("value").sum("cnt")
+    return vc.map_batches(
+        lambda t: t.rename_columns(["value", "cnt"]), batch_format="pyarrow"
+    )
+
+
+def exact_quantiles(
+    ds: ray.data.Dataset, column: str, qs=DEFAULT_QS
+) -> ray.data.Dataset:
+    """One row per q: ``{q: double, value: double}`` with value =
+    quantile_disc(column, q) exactly."""
+    qs = sorted(qs)
+    svc = _value_counts(ds, column).sort("value").materialize()
+
+    def summary(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        c = t.column("cnt").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "minv": pa.array([float(v[0])], pa.float64()),
+                "mass": pa.array([int(c.sum())], pa.int64()),
+            }
+        )
+
+    sums = sorted(
+        (
+            (r["minv"], r["mass"])
+            for r in svc.map_batches(
+                summary, batch_size=None, batch_format="pyarrow"
+            ).take_all()
+        ),
+    )
+    n_total = sum(m for _, m in sums)
+    if n_total == 0:
+        return ray.data.from_arrow(
+            pa.table({"q": pa.array([], pa.float64()), "value": pa.array([], pa.float64())})
+        )
+
+    # ceil(q*N) is exact: q are k/2^m and N < 2^53
+    ranks = [(max(1, math.ceil(q * n_total)), q) for q in qs]
+    targets: dict[float, list[tuple[int, float]]] = {}
+    off = 0
+    it = iter(sums)
+    minv, mass = next(it)
+    for rank, q in ranks:  # ranks ascending, blocks ascending
+        while rank > off + mass:
+            off += mass
+            minv, mass = next(it)
+        targets.setdefault(minv, []).append((rank - off, q))
+
+    def pick(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        mine = targets.get(float(v[0]))
+        if not mine:
+            return
+        cum = np.cumsum(t.column("cnt").to_numpy(zero_copy_only=False))
+        lr = np.array([r for r, _ in mine], np.int64)
+        idx = np.searchsorted(cum, lr, side="left")
+        yield pa.table(
+            {
+                "q": pa.array([q for _, q in mine], pa.float64()),
+                "value": pa.array(v[idx].astype(np.float64), pa.float64()),
+            }
+        )
+
+    return svc.map_batches(pick, batch_size=None, batch_format="pyarrow").sort("q")
