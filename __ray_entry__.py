@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_window_counts": pl.event_window_counts,
         "events_prior_hour_counts": pl.events_prior_hour_counts,
         "price_quantiles": pl.price_quantiles,
+        "frequent_event_types": pl.frequent_event_types,
         "kmv_distinct_parts": pl.kmv_distinct_parts,
         "hll_distinct_parts": pl.hll_distinct_parts,
         "embedding_near_dups": pl.embedding_near_dup_pairs,  # rows-only
@@ -480,6 +481,11 @@ def oracle_sql() -> dict[str, str]:
             "AND epoch_us(b.ts) >= epoch_us(a.ts) - 3600000000 "
             "AND epoch_us(b.ts) < epoch_us(a.ts) "
             "GROUP BY 1, 2"
+        ),
+        "frequent_event_types": (
+            "SELECT event_type AS value, COUNT(*) AS cnt FROM events "
+            "GROUP BY 1 HAVING COUNT(*) >= CEIL(0.125 * "
+            "(SELECT COUNT(*) FROM events))"
         ),
         "price_quantiles": (
             "WITH a AS (SELECT quantile_disc(l_extendedprice, "

@@ -474,6 +474,18 @@ def price_quantiles(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def frequent_event_types(sf_dir: str) -> ray.data.Dataset:
+    """Exact heavy hitters (φ=1/8) over events.event_type — candidate
+    superset from per-block counts, broadcast exact verify
+    (rayrank.heavy); binary-exact φ keeps ceil(φ·N) float64-identical
+    to the SQL HAVING threshold."""
+    from .heavy import heavy_hitters
+
+    return heavy_hitters(
+        _read(sf_dir, "events", ["event_type"]), "event_type", phi=0.125
+    )
+
+
 def event_transitions(sf_dir: str) -> ray.data.Dataset:
     """Consecutive event-type pairs per user ordered by (ts, event_id)
     — the co-commit-pair shape (§7.2) on the events table.  Sessionize
