@@ -29,8 +29,15 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from rayrank import pipelines as pl
+    from rayrank import relational as rel
 
     return {
+        # TPC-H-shaped relational pipelines (fixed-point exact aggregates)
+        "pricing_summary": rel.pricing_summary,
+        "top_revenue_orders": rel.top_revenue_orders,
+        "nation_revenue": rel.nation_revenue,
+        "user_sessions": rel.user_sessions,
+        "user_distinct_event_types": rel.user_distinct_event_types,
         # degrees / weights / dangling / prune (SURVEY §2.5, §2.2 M3, §2.4 J4)
         "out_degree": pl.out_degree,
         "in_degree": pl.in_degree,
@@ -63,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": pl.embedding_near_dup_pairs,  # rows-only
         "ann_topk": pl.ann_topk,
         "lsh_ann_topk": pl.lsh_ann_topk,                # rows-only (approximate)
+        "ivf_ann_topk": pl.ivf_ann_topk,                # rows-only (approximate)
         # graph algorithms (north_rule §2.11)
         "pagerank_2iter": pl.pagerank_2iter,
         "pagerank_converged": pl.pagerank_converged,
@@ -386,7 +394,14 @@ FROM est"""
 
 
 def oracle_sql() -> dict[str, str]:
+    from rayrank import relational as rel
+
     return {
+        "pricing_summary": rel.PRICING_SUMMARY_SQL,
+        "top_revenue_orders": rel.TOP_REVENUE_ORDERS_SQL,
+        "nation_revenue": rel.NATION_REVENUE_SQL,
+        "user_sessions": rel.USER_SESSIONS_SQL,
+        "user_distinct_event_types": rel.USER_DISTINCT_EVENT_TYPES_SQL,
         "out_degree": (
             "SELECT l_orderkey AS src, COUNT(*) AS outdeg "
             "FROM lineitem GROUP BY l_orderkey"

@@ -145,6 +145,7 @@ def run_bench() -> dict:
         import ray.data
 
         from rayrank.pipelines import ann_topk, docs_exact_dedup
+        from rayrank.relational import pricing_summary, user_sessions
 
         t0 = time.perf_counter()
         docs_exact_dedup(sf_dir).count()
@@ -153,6 +154,14 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         ann_topk(sf_dir).count()
         queries["ann_topk"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        pricing_summary(sf_dir).count()
+        queries["pricing_summary"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        user_sessions(sf_dir).count()
+        queries["user_sessions"] = time.perf_counter() - t0
 
     out = {
         "metric": (

@@ -90,10 +90,17 @@ def brute_force_topk(
     partials = ds.select_columns([id_col, emb_col]).map_batches(
         local_topk, batch_format="pyarrow"
     )
+    return _merge_topk(partials, k, id_col)
 
-    # partials are tiny (m*k rows per input block): a plain coalesce +
-    # one vectorized merge beats a keyed hash-shuffle whose aggregator
-    # actors cost more to spin up than the data they move
+
+def _merge_topk(
+    partials: ray.data.Dataset, k: int, id_col: str
+) -> ray.data.Dataset:
+    """Global (cosine desc, id asc) top-k per query over per-batch
+    partials.  Partials are tiny (m·k rows per input block): a plain
+    coalesce + one vectorized merge beats a keyed hash-shuffle whose
+    aggregator actors cost more to spin up than the data they move."""
+
     def merge_all(t: pa.Table):
         if t.num_rows == 0:
             return
@@ -248,3 +255,192 @@ def embedding_near_dups(
         )
 
     return grouped_map(signed, ["bucket"], verify, num_partitions=8)
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + per-query probe lists
+# --------------------------------------------------------------------------
+
+
+def _normalize(x: np.ndarray) -> np.ndarray:
+    return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+
+def _init_centroids(
+    ds: ray.data.Dataset, n_centroids: int, id_col: str, emb_col: str
+) -> np.ndarray:
+    """Deterministic seed centroids: the corpus rows with the
+    ``n_centroids`` smallest splitmix64(id) values — a uniform
+    pseudo-random sample that is reproducible and id-order-independent
+    (smallest-RAW-id seeding degenerates when ids correlate with
+    content, e.g. cluster-ordered corpora).  Found with per-block
+    partials + one tiny merge (no full sort, no materialization)."""
+    from .sketch import splitmix64
+
+    def local(t: pa.Table):
+        if len(t) == 0:
+            return
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64))
+        order = np.argsort(h)[:n_centroids]
+        yield t.take(pa.array(np.sort(order)))
+
+    partials = ds.select_columns([id_col, emb_col]).map_batches(
+        local, batch_format="pyarrow"
+    )
+
+    def pick(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64))
+        # keep HASH order (not block-position order): the merged block's
+        # row order depends on task arrival, and a permuted seed order
+        # would permute the trained centroids run-to-run
+        order = np.argsort(h)[:n_centroids]
+        yield t.take(pa.array(order))
+
+    seeds = partials.repartition(1).map_batches(
+        pick, batch_size=None, batch_format="pyarrow"
+    ).take_batch(n_centroids, batch_format="pyarrow")
+    return _normalize(_emb_matrix(seeds, emb_col))
+
+
+def ivf_centroids(
+    ds: ray.data.Dataset,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer, trained distributively:
+    each Lloyd round is ONE streaming pass — every batch assigns its
+    vectors to the broadcast centroids and emits a (C, D) partial-sum
+    table (C rows regardless of batch size), and the driver folds the
+    partials as they stream (O(C·D) driver state, never the corpus).
+    Fully deterministic: seed centroids are the smallest-id rows and
+    empty clusters retain their previous position."""
+    cent = _init_centroids(ds, n_centroids, id_col, emb_col)
+    c_n, dim = cent.shape
+    corpus = ds.select_columns([id_col, emb_col])
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(t: pa.Table, _ref=ref, _c=c_n, _d=dim):
+            if len(t) == 0:
+                return
+            c = ray.get(_ref)
+            xn = _normalize(_emb_matrix(t, emb_col))
+            a = np.argmax(xn @ c.T, axis=1)
+            sums = np.zeros((_c, _d), np.float64)
+            np.add.at(sums, a, xn)
+            cnts = np.bincount(a, minlength=_c).astype(np.int64)
+            yield pa.table(
+                {
+                    "cid": pa.array(np.arange(_c, dtype=np.int64)),
+                    "cnt": pa.array(cnts),
+                    "vsum": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums.ravel(), pa.float64()), _d
+                    ),
+                }
+            )
+
+        sums = np.zeros((c_n, dim), np.float64)
+        cnts = np.zeros(c_n, np.int64)
+        for b in corpus.map_batches(
+            partial, batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            cid = b.column("cid").to_numpy(zero_copy_only=False)
+            cnts[cid] += b.column("cnt").to_numpy(zero_copy_only=False)
+            vs = b.column("vsum")
+            if isinstance(vs, pa.ChunkedArray):
+                vs = vs.combine_chunks()
+            sums[cid] += vs.values.to_numpy(zero_copy_only=False).reshape(
+                len(cid), dim
+            )
+        nonempty = cnts > 0
+        new = cent.copy()
+        new[nonempty] = sums[nonempty] / cnts[nonempty, None]
+        cent = _normalize(new)
+    return cent
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> ray.data.Dataset:
+    """IVF approximate top-k: each query scores ONLY corpus rows whose
+    nearest centroid is among the query's ``nprobe`` closest centroids
+    (classic inverted-file semantics — per-query probe lists, not a
+    union filter).  ``nprobe == n_centroids`` degrades to exact brute
+    force, which the tests exploit.  Same output schema and (cosine
+    desc, id asc) tie-break as :func:`brute_force_topk`."""
+    q = np.asarray(queries, np.float64)
+    qn = _normalize(q)
+    if centroids is None:
+        centroids = ivf_centroids(
+            ds, n_centroids=n_centroids, iters=iters,
+            id_col=id_col, emb_col=emb_col,
+        )
+    c_n = centroids.shape[0]
+    nprobe = min(nprobe, c_n)
+    # per-query probe mask (m, C): nprobe closest centroids by cosine
+    qc = qn @ centroids.T
+    probe = np.zeros((len(qn), c_n), bool)
+    top = np.argsort(-qc, axis=1, kind="stable")[:, :nprobe]
+    probe[np.arange(len(qn))[:, None], top] = True
+    q_ref = ray.put(qn)
+    c_ref = ray.put(centroids)
+    p_ref = ray.put(probe)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        qm, cm, pm = ray.get(q_ref), ray.get(c_ref), ray.get(p_ref)
+        xn = _normalize(_emb_matrix(t, emb_col))
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        assign = np.argmax(xn @ cm.T, axis=1)
+        sims = qm @ xn.T  # (m, b)
+        allowed = pm[:, assign]  # (m, b)
+        qids, vids, coss = [], [], []
+        for qi in range(qm.shape[0]):
+            cand0 = np.flatnonzero(allowed[qi])
+            if len(cand0) == 0:
+                continue
+            s = sims[qi][cand0]
+            kk = min(k, len(s))
+            cut = np.partition(s, len(s) - kk)[len(s) - kk]
+            keep = np.flatnonzero(s >= cut)
+            order = keep[np.lexsort((ids[cand0][keep], -s[keep]))][:kk]
+            qids.append(np.full(kk, qi, np.int64))
+            vids.append(ids[cand0][order])
+            coss.append(s[order])
+        if not qids:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qids)),
+                id_col: pa.array(np.concatenate(vids)),
+                "cosine": pa.array(np.concatenate(coss), pa.float64()),
+            }
+        )
+
+    partials = ds.select_columns([id_col, emb_col]).map_batches(
+        local_topk, batch_format="pyarrow"
+    )
+    return _merge_topk(partials, k, id_col)

@@ -613,6 +613,22 @@ def lsh_ann_topk(sf_dir: str, k: int = 5, m: int = 3) -> ray.data.Dataset:
     return lsh_topk(ray.data.read_parquet(path), q, k=k)
 
 
+def ivf_ann_topk(sf_dir: str, k: int = 5, m: int = 3) -> ray.data.Dataset:
+    """IVF ANN: distributed spherical k-means coarse quantizer +
+    per-query probe lists (rows-only: approximate by design)."""
+    import pyarrow.parquet as pq
+
+    from .ann import ivf_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(path, filters=[("vec_id", "<", m)])
+    order = np.argsort(t.column("vec_id").to_numpy())
+    q = np.asarray(t.column("embedding").to_pylist(), np.float64)[order]
+    return ivf_topk(
+        ray.data.read_parquet(path), q, k=k, n_centroids=16, nprobe=6, iters=3
+    )
+
+
 # --------------------------------------------------------------------------
 # graph algorithms on testdata edges (shared cached builds)
 # --------------------------------------------------------------------------

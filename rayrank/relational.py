@@ -1,0 +1,517 @@
+"""TPC-H-shaped relational pipelines over the testdata tables —
+multi-aggregate scans, multi-way join funnels, sessionization, and
+per-group distinct counts, each with an exact DuckDB oracle.
+
+Exactness strategy (why these hash-match the SQL oracle bit-for-bit):
+floating-point SUMs depend on reduction order, so a distributed sum can
+never hash-match a single-core DuckDB sum on doubles.  The monetary
+columns in the testdata are 2-decimal values stored as doubles (max
+observed distance from an integer after *100 is 1e-9 ≪ 0.5), so both
+sides first snap each FACTOR to an exact integer (cents / basis points)
+— ``rint(x*100)`` here, ``ROUND(x*100)`` in SQL; the rounding-mode
+difference (half-even vs half-away) is unreachable — then aggregate in
+int64, which is associative/commutative, and convert to double once at
+the end with an identical expression.  Integer-overflow headroom:
+``charge_i`` ≤ 1.2e11 per row → safe to ~7.6e7 rows per group sum in
+int64; the per-block partial pre-aggregation keeps every shuffled row a
+6-group partial, so the wide groupby moves O(blocks·groups) rows, not
+O(rows).
+
+Scale notes: every pipeline pre-aggregates inside ``map_batches``
+(arrow ``Table.group_by``) before its keyed shuffle; join funnels
+aggregate BETWEEN joins so each hash join moves the smaller already-
+reduced side; the only driver-side lookups are bounded dimension tables
+(nation: 25 rows).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from .joins import hash_join
+
+P = 8  # hash-partition count at testdata scale
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def _i64(col: pa.ChunkedArray | pa.Array, scale: int = 1) -> np.ndarray:
+    """Snap a k-decimal double column to exact int64 (see module doc)."""
+    x = col.to_numpy(zero_copy_only=False)
+    return np.rint(x * scale).astype(np.int64)
+
+
+def _ts(y: int, m: int, d: int) -> pa.Scalar:
+    return pa.scalar(datetime.datetime(y, m, d), pa.timestamp("us"))
+
+
+# --------------------------------------------------------------------------
+# pricing summary (TPC-H Q1 shape): filtered scan → 8-aggregate groupby
+# --------------------------------------------------------------------------
+
+PRICING_CUTOFF = (2000, 12, 1)
+
+
+def pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """Return-flag/line-status pricing summary with exact fixed-point
+    sums — the canonical many-aggregates-one-scan pattern.  Per block:
+    filter + factor snap + arrow group_by partial (≤6 rows leave each
+    block); the global groupby then reduces O(blocks·6) partials."""
+    cols = [
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    ]
+
+    def partial(t: pa.Table):
+        if len(t) == 0:
+            return
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), _ts(*PRICING_CUTOFF)))
+        if len(t) == 0:
+            return
+        qty = _i64(t.column("l_quantity"))
+        price_c = _i64(t.column("l_extendedprice"), 100)
+        disc_b = _i64(t.column("l_discount"), 100)
+        tax_b = _i64(t.column("l_tax"), 100)
+        disc_price_i = price_c * (100 - disc_b)
+        charge_i = disc_price_i * (100 + tax_b)
+        block = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty_i": pa.array(qty),
+                "price_c": pa.array(price_c),
+                "disc_b": pa.array(disc_b),
+                "disc_price_i": pa.array(disc_price_i),
+                "charge_i": pa.array(charge_i),
+                "n": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+        agg = block.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [(c, "sum") for c in
+             ("qty_i", "price_c", "disc_b", "disc_price_i", "charge_i", "n")]
+        )
+        yield agg.rename_columns(
+            ["l_returnflag", "l_linestatus",
+             "qty_i", "price_c", "disc_b", "disc_price_i", "charge_i", "n"]
+        )
+
+    partials = _read(sf_dir, "lineitem", cols).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    g = partials.groupby(["l_returnflag", "l_linestatus"]).sum(
+        ["qty_i", "price_c", "disc_b", "disc_price_i", "charge_i", "n"]
+    )
+
+    def finish(t: pa.Table):
+        if len(t) == 0 or "sum(n)" not in t.schema.names:
+            return
+        qty = t.column("sum(qty_i)").to_numpy(zero_copy_only=False)
+        price = t.column("sum(price_c)").to_numpy(zero_copy_only=False)
+        disc = t.column("sum(disc_b)").to_numpy(zero_copy_only=False)
+        dp = t.column("sum(disc_price_i)").to_numpy(zero_copy_only=False)
+        ch = t.column("sum(charge_i)").to_numpy(zero_copy_only=False)
+        n = t.column("sum(n)").to_numpy(zero_copy_only=False)
+        nf = n.astype(np.float64)
+        yield pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": pa.array(qty.astype(np.float64)),
+                "sum_base_price": pa.array(price.astype(np.float64) / 100.0),
+                "sum_disc_price": pa.array(dp.astype(np.float64) / 10000.0),
+                "sum_charge": pa.array(ch.astype(np.float64) / 1000000.0),
+                "avg_qty": pa.array(qty.astype(np.float64) / nf),
+                "avg_price": pa.array(price.astype(np.float64) / 100.0 / nf),
+                "avg_disc": pa.array(disc.astype(np.float64) / 100.0 / nf),
+                "count_order": pa.array(n),
+            }
+        )
+
+    return g.map_batches(finish, batch_format="pyarrow")
+
+
+PRICING_SUMMARY_SQL = """
+WITH f AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(ROUND(l_quantity) AS BIGINT) AS qty_i,
+    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_c,
+    CAST(ROUND(l_discount*100) AS BIGINT) AS disc_b,
+    CAST(ROUND(l_tax*100) AS BIGINT) AS tax_b
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+)
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(qty_i) AS DOUBLE) AS sum_qty,
+  CAST(SUM(price_c) AS DOUBLE)/100.0 AS sum_base_price,
+  CAST(SUM(price_c*(100-disc_b)) AS DOUBLE)/10000.0 AS sum_disc_price,
+  CAST(SUM(price_c*(100-disc_b)*(100+tax_b)) AS DOUBLE)/1000000.0 AS sum_charge,
+  CAST(SUM(qty_i) AS DOUBLE)/COUNT(*) AS avg_qty,
+  CAST(SUM(price_c) AS DOUBLE)/100.0/COUNT(*) AS avg_price,
+  CAST(SUM(disc_b) AS DOUBLE)/100.0/COUNT(*) AS avg_disc,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM f GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# top revenue orders (TPC-H Q3 shape): 3-way join funnel → top-k
+# --------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = (1997, 1, 1)
+
+
+def _li_revenue_agg(
+    sf_dir: str, ship_after: tuple[int, int, int] | None
+) -> ray.data.Dataset:
+    """(l_orderkey, rev_i) — per-order revenue in 1e-4 dollars, exactly
+    pre-aggregated inside each block before the keyed shuffle."""
+    cols = ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+
+    def partial(t: pa.Table):
+        if len(t) == 0:
+            return
+        if ship_after is not None:
+            t = t.filter(pc.greater(t.column("l_shipdate"), _ts(*ship_after)))
+        if len(t) == 0:
+            return
+        price_c = _i64(t.column("l_extendedprice"), 100)
+        disc_b = _i64(t.column("l_discount"), 100)
+        block = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev_i": pa.array(price_c * (100 - disc_b)),
+            }
+        )
+        agg = block.group_by(["l_orderkey"]).aggregate([("rev_i", "sum")])
+        yield agg.rename_columns(["l_orderkey", "rev_i"])
+
+    partials = _read(sf_dir, "lineitem", cols).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    g = partials.groupby("l_orderkey").sum("rev_i")
+
+    def rename(t: pa.Table):
+        if len(t) == 0 or "sum(rev_i)" not in t.schema.names:
+            return
+        yield t.rename_columns(["l_orderkey", "rev_i"])
+
+    return g.map_batches(rename, batch_format="pyarrow")
+
+
+def top_revenue_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Top-k open orders by post-filter revenue for one market segment:
+    customer ⋈ orders ⋈ lineitem with the fact side aggregated BEFORE
+    the join (each join moves per-order partials, never raw lineitem),
+    deterministic (revenue desc, o_orderkey) tie-break."""
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def o_prep(t: pa.Table):
+        if len(t) == 0:
+            return
+        t = t.filter(pc.less(t.column("o_orderdate"), _ts(*Q3_DATE)))
+        if len(t) == 0:
+            return
+        us = pc.cast(t.column("o_orderdate"), pa.int64())
+        yield pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_orderdate_us": us,
+            }
+        )
+
+    orders = orders.map_batches(o_prep, batch_format="pyarrow")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def c_prep(t: pa.Table):
+        if len(t) == 0:
+            return
+        t = t.filter(pc.equal(t.column("c_mktsegment"), Q3_SEGMENT))
+        if len(t) == 0:
+            return
+        yield t.select(["c_custkey"])
+
+    cust = cust.map_batches(c_prep, batch_format="pyarrow")
+
+    # semi-join via inner hash join (c_custkey unique ⇒ no fan-out)
+    orders = hash_join(
+        orders, cust, on=("o_custkey",), right_on=("c_custkey",),
+        num_partitions=P,
+    )
+    li = _li_revenue_agg(sf_dir, ship_after=Q3_DATE)
+    j = hash_join(
+        orders, li, on=("o_orderkey",), right_on=("l_orderkey",),
+        num_partitions=P,
+    )
+
+    def finish(t: pa.Table):
+        if len(t) == 0 or "rev_i" not in t.schema.names:
+            return
+        rev = t.column("rev_i").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "revenue": pa.array(rev.astype(np.float64) / 10000.0),
+                "o_orderdate_us": t.column("o_orderdate_us"),
+            }
+        )
+
+    return (
+        j.map_batches(finish, batch_format="pyarrow")
+        .sort(["revenue", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+TOP_REVENUE_ORDERS_SQL = """
+WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+o AS (
+  SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS o_orderdate_us
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+),
+l AS (
+  SELECT l_orderkey,
+    SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS rev_i
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-01-01'
+  GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, CAST(l.rev_i AS DOUBLE)/10000.0 AS revenue,
+       o.o_orderdate_us
+FROM o JOIN c ON o.o_custkey = c.c_custkey
+JOIN l ON l.l_orderkey = o.o_orderkey
+ORDER BY revenue DESC, o.o_orderkey LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# nation revenue (TPC-H Q5 shape): join funnel with between-join reduce
+# --------------------------------------------------------------------------
+
+Q5_YEAR = 1997
+
+
+def nation_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Revenue by customer nation for one order-year.  The funnel
+    aggregates BETWEEN joins (orderkey→rev, custkey→rev, nationkey→rev)
+    so each shuffle moves an already-reduced table; the nation name
+    lookup is a driver-side 25-row dictionary (bounded dimension)."""
+    li = _li_revenue_agg(sf_dir, ship_after=None)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(t: pa.Table):
+        if len(t) == 0:
+            return
+        m = pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), _ts(Q5_YEAR, 1, 1)),
+            pc.less(t.column("o_orderdate"), _ts(Q5_YEAR + 1, 1, 1)),
+        )
+        t = t.filter(m)
+        if len(t) == 0:
+            return
+        yield t.select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(o_prep, batch_format="pyarrow")
+
+    j1 = hash_join(
+        orders, li, on=("o_orderkey",), right_on=("l_orderkey",),
+        num_partitions=P,
+    ).select_columns(["o_custkey", "rev_i"])
+    by_cust = j1.groupby("o_custkey").sum("rev_i")
+
+    def rn1(t: pa.Table):
+        if len(t) == 0 or "sum(rev_i)" not in t.schema.names:
+            return
+        yield t.rename_columns(["o_custkey", "rev_i"])
+
+    by_cust = by_cust.map_batches(rn1, batch_format="pyarrow")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = hash_join(
+        by_cust, cust, on=("o_custkey",), right_on=("c_custkey",),
+        num_partitions=P,
+    ).select_columns(["c_nationkey", "rev_i"])
+    by_nation = j2.groupby("c_nationkey").sum("rev_i")
+
+    # bounded dimension broadcast: nation is ≤ 25 rows by construction
+    nt = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    names = dict(
+        zip(nt.column("n_nationkey").to_pylist(), nt.column("n_name").to_pylist())
+    )
+
+    def finish(t: pa.Table):
+        if len(t) == 0 or "sum(rev_i)" not in t.schema.names:
+            return
+        keys = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        rev = t.column("sum(rev_i)").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "n_name": pa.array([names[int(k)] for k in keys], pa.string()),
+                "revenue": pa.array(rev.astype(np.float64) / 10000.0),
+            }
+        )
+
+    return by_nation.map_batches(finish, batch_format="pyarrow")
+
+
+NATION_REVENUE_SQL = """
+WITH l AS (
+  SELECT l_orderkey,
+    SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS rev_i
+  FROM lineitem GROUP BY l_orderkey
+),
+o AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT n.n_name, CAST(SUM(l.rev_i) AS DOUBLE)/10000.0 AS revenue
+FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# sessionization: gap-based session ids + per-session aggregates
+# --------------------------------------------------------------------------
+
+SESSION_GAP_US = 3_600_000_000  # 1 hour
+
+
+def user_sessions(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, session_id, n_events, start_us, end_us) — events split
+    into sessions wherever the per-user gap exceeds one hour.  One keyed
+    repartition co-locates each user's events; the per-block kernel is
+    fully vectorized (lexsort + break cumsum + reduceat, no per-row or
+    per-group Python loop)."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "us": pc.cast(t.column("ts"), pa.int64()),
+            }
+        )
+
+    ev = ev.map_batches(prep, batch_format="pyarrow")
+    ev = ev.repartition(P, keys=["user_id"])
+
+    def sessions(t: pa.Table):
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        e = t.column("event_id").to_numpy(zero_copy_only=False)
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, us, u))
+        u, us = u[order], us[order]
+        new_user = np.r_[True, u[1:] != u[:-1]]
+        gap_brk = np.r_[False, (us[1:] - us[:-1]) > SESSION_GAP_US]
+        brk = new_user | gap_brk
+        sid_g = np.cumsum(brk)  # global session ordinal (1-based)
+        # per-user 1-based session id: subtract the user's first ordinal
+        base = np.where(new_user, sid_g, 0)
+        base = np.maximum.accumulate(base)
+        sid = sid_g - base + 1
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(u)]
+        yield pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "session_id": pa.array(sid[starts]),
+                "n_events": pa.array(ends - starts),
+                "start_us": pa.array(us[starts]),
+                "end_us": pa.array(us[ends - 1]),
+            }
+        )
+
+    return ev.map_batches(sessions, batch_size=None, batch_format="pyarrow")
+
+
+USER_SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 3600000000
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+s AS (
+  SELECT user_id, us,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  MIN(us) AS start_us, MAX(us) AS end_us
+FROM s GROUP BY user_id, sid
+"""
+
+
+# --------------------------------------------------------------------------
+# per-group distinct count (two-level aggregation)
+# --------------------------------------------------------------------------
+
+
+def user_distinct_event_types(sf_dir: str) -> ray.data.Dataset:
+    """COUNT(DISTINCT event_type) per user as two stacked groupbys —
+    the dedup level shuffles (user, type) pairs (already unique-per-
+    block after the arrow pre-aggregation below), the count level is
+    tiny."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        # block-local dedup so the shuffle moves unique pairs only
+        yield t.group_by(["user_id", "event_type"]).aggregate([])
+
+    pairs = ev.map_batches(pre, batch_format="pyarrow")
+    uniq = pairs.groupby(["user_id", "event_type"]).count()
+
+    def strip(t: pa.Table):
+        if len(t) == 0 or "user_id" not in t.schema.names:
+            return
+        yield t.select(["user_id"])
+
+    cnt = uniq.map_batches(strip, batch_format="pyarrow").groupby(
+        "user_id"
+    ).count()
+
+    def rename(t: pa.Table):
+        if len(t) == 0 or "count()" not in t.schema.names:
+            return
+        yield t.rename_columns(["user_id", "distinct_types"])
+
+    return cnt.map_batches(rename, batch_format="pyarrow")
+
+
+USER_DISTINCT_EVENT_TYPES_SQL = (
+    "SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) "
+    "AS distinct_types FROM events GROUP BY user_id"
+)

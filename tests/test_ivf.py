@@ -1,0 +1,100 @@
+"""IVF ANN: exactness at full probe, determinism, recall on clustered
+data, and centroid-trainer sanity."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from rayrank.ann import brute_force_topk, ivf_centroids, ivf_topk
+
+
+def _clustered(n_clusters=4, per=50, dim=8, seed=7):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 4.0
+    vecs, ids = [], []
+    for c in range(n_clusters):
+        vecs.append(centers[c] + rng.standard_normal((per, dim)) * 0.3)
+        ids.extend(range(c * per, c * per + per))
+    x = np.concatenate(vecs)
+    return np.asarray(ids, np.int64), x, centers
+
+
+def _ds(ids, x):
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(x.ravel(), pa.float64()), x.shape[1]
+            ),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(4)
+
+
+def _rows(ds):
+    return sorted(
+        (r["query_id"], r["vec_id"], round(r["cosine"], 9))
+        for r in ds.take_all()
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    ids, x, centers = _clustered()
+    return ids, x, centers
+
+
+def test_full_probe_equals_brute_force(corpus):
+    ids, x, centers = corpus
+    ds = _ds(ids, x)
+    q = x[[0, 57, 103]]
+    exact = _rows(brute_force_topk(ds, q, k=7))
+    full = _rows(ivf_topk(ds, q, k=7, n_centroids=8, nprobe=8, iters=2))
+    assert full == exact
+
+
+def test_recall_on_clustered_data(corpus):
+    ids, x, centers = corpus
+    ds = _ds(ids, x)
+    q = centers + 0.1  # near cluster centers
+    exact = brute_force_topk(ds, q, k=10).take_all()
+    approx = ivf_topk(ds, q, k=10, n_centroids=4, nprobe=1, iters=4).take_all()
+    want = {(r["query_id"], r["vec_id"]) for r in exact}
+    got = {(r["query_id"], r["vec_id"]) for r in approx}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.9, recall
+
+
+def test_centroids_deterministic_and_separating(corpus):
+    ids, x, centers = corpus
+    ds = _ds(ids, x)
+    c1 = ivf_centroids(ds, n_centroids=8, iters=4)
+    c2 = ivf_centroids(ds, n_centroids=8, iters=4)
+    np.testing.assert_array_equal(c1, c2)
+    # with centroids ≥ 2× the true cluster count, the trained quantizer
+    # must separate the 4 true clusters (k = cluster-count exactly can
+    # legitimately merge two clusters in a Lloyd local optimum)
+    cn = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = np.argmax(cn @ c1.T, axis=1)
+    assert len(set(assign.tolist())) == 4
+
+
+def test_probe_subset_scores_only_probed_lists(corpus):
+    """With nprobe=1 every hit must belong to the query's own probed
+    centroid list (classic IVF semantics, not a union filter)."""
+    ids, x, centers = corpus
+    ds = _ds(ids, x)
+    cent = ivf_centroids(ds, n_centroids=4, iters=4)
+    q = centers[:2] + 0.05
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    probe_of_query = np.argmax(qn @ cent.T, axis=1)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    assign = np.argmax(xn @ cent.T, axis=1)
+    list_of_vec = dict(zip(ids.tolist(), assign.tolist()))
+    out = ivf_topk(
+        ds, q, k=5, n_centroids=4, nprobe=1, iters=4, centroids=cent
+    ).take_all()
+    assert len(out) > 0
+    for r in out:
+        assert list_of_vec[r["vec_id"]] == probe_of_query[r["query_id"]]
