@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": rel.nation_revenue,
         "user_sessions": rel.user_sessions,
         "user_distinct_event_types": rel.user_distinct_event_types,
+        "top_orders_per_customer": rel.top_orders_per_customer,
         # degrees / weights / dangling / prune (SURVEY §2.5, §2.2 M3, §2.4 J4)
         "out_degree": pl.out_degree,
         "in_degree": pl.in_degree,
@@ -79,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": pl.label_propagation_sf,   # rows-only (labels ARE vids)
         "component_count": pl.component_count_sf,
         "bfs_depths": pl.bfs_depths_sf,
+        "sssp_dists": pl.sssp_dists_sf,
     }
 
 
@@ -234,6 +236,40 @@ bfs(it, v, d) AS (
   GROUP BY bfs.it + 1, e.b
 )
 SELECT v AS name, MIN(d) AS depth FROM bfs GROUP BY v
+"""
+
+# Weighted SSSP from the min-name vertex: same bounded min-plus
+# recursion as _BFS_SQL but relaxing d + m (m = undirected collapsed
+# multiplicity: directed ∪ reversed counts summed, self-loops dropped
+# — graph.derive_undirected semantics).  MIN(d) over iterations is the
+# exact distance once the bound exceeds the max hop count of a
+# min-cost path; weights ≥ 1 give hops ≤ cost ≤ diameter·max-mult,
+# far under the 64 bound at oracle scale.  Mirrors rayrank.bfs.sssp
+# (gather_min_plus_w / reduce_min Bellman-Ford on the CsrShard loop).
+_SSSP_SQL = f"""
+WITH RECURSIVE
+raw AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+und AS (
+  SELECT a, b, CAST(SUM(m) AS BIGINT) AS m FROM (
+    SELECT s AS a, t AS b, COUNT(*) AS m FROM raw WHERE s <> t GROUP BY 1, 2
+    UNION ALL
+    SELECT t AS a, s AS b, COUNT(*) AS m FROM raw WHERE s <> t GROUP BY 1, 2
+  ) GROUP BY a, b
+),
+seed AS (SELECT MIN(v) AS v FROM verts),
+sp(it, v, d) AS (
+  SELECT 0, v, CAST(0 AS BIGINT) FROM seed
+  UNION ALL
+  SELECT sp.it + 1, e.b, MIN(sp.d + e.m)
+  FROM sp JOIN und e ON sp.v = e.a
+  WHERE sp.it < {_CC_ITERS}
+  GROUP BY sp.it + 1, e.b
+)
+SELECT v AS name, MIN(d) AS dist FROM sp GROUP BY v
 """
 
 _COMPONENT_COUNT_SQL = (
@@ -402,6 +438,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue": rel.NATION_REVENUE_SQL,
         "user_sessions": rel.USER_SESSIONS_SQL,
         "user_distinct_event_types": rel.USER_DISTINCT_EVENT_TYPES_SQL,
+        "top_orders_per_customer": rel.TOP_ORDERS_PER_CUSTOMER_SQL,
         "out_degree": (
             "SELECT l_orderkey AS src, COUNT(*) AS outdeg "
             "FROM lineitem GROUP BY l_orderkey"
@@ -526,6 +563,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": _CC_SQL,
         "component_count": _COMPONENT_COUNT_SQL,
         "bfs_depths": _BFS_SQL,
+        "sssp_dists": _SSSP_SQL,
         "triangle_count": (
             "WITH raw AS (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem), "
             "und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v "

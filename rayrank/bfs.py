@@ -139,3 +139,62 @@ def reachable_depths(result: LabelResult, graph_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(fin, batch_format="pyarrow")
+
+
+def sssp(
+    graph_dir: str,
+    seed_names: list[str],
+    max_iterations: int = 200,
+    shards: list | None = None,
+    ckpt_dir: str | None = None,
+    ckpt_interval: int = 1,
+    resume: bool = False,
+) -> LabelResult:
+    """Single-source (or multi-seed) shortest-path distances with
+    integer edge weights = collapsed multiplicities — synchronous
+    Bellman-Ford on the same actor-resident label loop as BFS/CC
+    (fourth instance of the gather/reduce pattern).  Converges in ≤
+    (max hop count of any min-cost path) rounds; stop at zero changes.
+    Labels = distances, INF_DIST where unreached."""
+    from .graph import GraphMeta
+    from .shards import create_shards
+
+    meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
+    if shards is None:
+        shards = create_shards(graph_dir, meta)
+    locs = seed_locals(graph_dir, seed_names, meta.Q)
+
+    def init(sh):
+        empty = np.empty(0, np.int64)
+        ray.get(
+            [
+                s.init_dists.remote(locs.get(q, empty))
+                for q, s in enumerate(sh)
+            ]
+        )
+
+    return iterate_labels(
+        graph_dir,
+        gather_method="gather_min_plus_w",
+        reduce_method="reduce_min",
+        max_iterations=max_iterations,
+        shards=shards,
+        ckpt_dir=ckpt_dir,
+        ckpt_interval=ckpt_interval,
+        resume=resume,
+        algo_name="sssp",
+        init_fn=init,
+    )
+
+
+def reachable_dists(result: LabelResult, graph_dir: str) -> ray.data.Dataset:
+    """(name, dist) for reached vertices only."""
+    ds = result.labels_dataset(graph_dir)
+
+    def fin(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.less(t.column("label"), pa.scalar(INF_DIST)))
+        return pa.table(
+            {"name": keep.column("name"), "dist": keep.column("label")}
+        )
+
+    return ds.map_batches(fin, batch_format="pyarrow")

@@ -682,6 +682,22 @@ def bfs_depths_sf(sf_dir: str) -> ray.data.Dataset:
     return reachable_depths(res, gdir)
 
 
+def sssp_dists_sf(sf_dir: str) -> ray.data.Dataset:
+    """(name, dist) weighted shortest-path distances from the
+    lexicographically-minimum vertex on the undirected lineitem graph,
+    edge weight = collapsed multiplicity (directed ∪ reversed counts
+    summed, self-loops dropped — graph.derive_undirected semantics).
+    SQL oracle: bounded weighted min-plus recursive CTE; MIN(d) over
+    iterations is exact once the bound exceeds the max hop count of a
+    min-cost path (hops ≤ cost ≤ diameter·max-mult ≪ the 64 bound)."""
+    from .bfs import min_vertex_name, reachable_dists, sssp
+
+    gdir = _graph(sf_dir, "undirected")
+    seed = min_vertex_name(gdir)
+    res = sssp(gdir, [seed])
+    return reachable_dists(res, gdir)
+
+
 def pagerank_2iter(sf_dir: str) -> ray.data.Dataset:
     """Exactly two reference-exact power iterations on the lineitem edge
     table — SQL-expressible by unrolling (oracle does the same two

@@ -515,3 +515,66 @@ USER_DISTINCT_EVENT_TYPES_SQL = (
     "SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) "
     "AS distinct_types FROM events GROUP BY user_id"
 )
+
+
+# --------------------------------------------------------------------------
+# grouped top-k (per-key window rank)
+# --------------------------------------------------------------------------
+
+TOP_PER_CUSTOMER = 3
+
+
+def top_orders_per_customer(sf_dir: str) -> ray.data.Dataset:
+    """Top-``TOP_PER_CUSTOMER`` orders per customer by
+    (o_totalprice desc, o_orderkey asc) with their 1-based rank — the
+    ROW_NUMBER-window operator shape.  Per-block pre-truncation (each
+    block keeps ≤ k rows per key, same trick as the ANN top-k
+    partials) bounds the keyed shuffle to O(keys·k) rows; the
+    post-shuffle kernel re-ranks whole groups vectorized (lexsort +
+    group-start subtraction, no per-group Python loop)."""
+    k = TOP_PER_CUSTOMER
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def local_rank(t: pa.Table, emit_rank: bool):
+        if t.num_rows == 0 or "o_custkey" not in t.schema.names:
+            return
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        o = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, -p, c))
+        cs, os_, ps = c[order], o[order], p[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        rank = np.arange(len(cs)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(cs)])
+        )
+        keep = rank < k
+        cols = {
+            "o_custkey": pa.array(cs[keep]),
+            "o_orderkey": pa.array(os_[keep]),
+            "o_totalprice": pa.array(ps[keep]),
+        }
+        if emit_rank:
+            cols["rn"] = pa.array(rank[keep] + 1)
+        yield pa.table(cols)
+
+    pre = ds.map_batches(
+        lambda t: local_rank(t, emit_rank=False), batch_format="pyarrow"
+    )
+    co = pre.repartition(P, keys=["o_custkey"])
+    return co.map_batches(
+        lambda t: local_rank(t, emit_rank=True),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 3
+"""

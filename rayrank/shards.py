@@ -268,6 +268,28 @@ class CsrShard:
             tuple((self.out_local[q], mins[self.route[q]]) for q in range(self.Q))
         )
 
+    def gather_min_plus_w(self):
+        """Weighted SSSP gather: per-destination min of (source
+        distance + integer edge weight), weight = collapsed edge
+        multiplicity (≥ 1).  Pair with ``reduce_min`` — the weight is
+        added HERE, unlike the BFS ``gather_min``/``reduce_min_plus1``
+        split.  INF_DIST sources yield INF+w > INF, which the resident
+        INF wins against, so unreached neighbors cause no change."""
+        if len(self.w) == 0:
+            return self._unwrap1(
+                tuple(
+                    (self.out_local[q], np.empty(0, np.int64))
+                    for q in range(self.Q)
+                )
+            )
+        if not hasattr(self, "_wdist"):
+            self._wdist = np.rint(self.mult).astype(np.int64)
+        cost = self.labels[self.src_l] + self._wdist
+        mins = np.minimum.reduceat(cost, self.seg)
+        return self._unwrap1(
+            tuple((self.out_local[q], mins[self.route[q]]) for q in range(self.Q))
+        )
+
     def reduce_min(self, *parts) -> int:
         new = self.labels.copy()
         for idx, mins in parts:
