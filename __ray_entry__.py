@@ -27,6 +27,12 @@ def entry() -> Any:
     return corpus_flagship(sf=0.001, top_k=20)
 
 
+def _terms():
+    from rayrank import terms
+
+    return terms
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rayrank import pipelines as pl
     from rayrank import relational as rel
@@ -53,6 +59,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_filter_docs": pl.query_filter_docs,
         # text / dedup / events / ann
         "docs_exact_dedup": pl.docs_exact_dedup,
+        "docs_hash_sample": pl.docs_hash_sample,
+        "term_doc_freq": _terms().term_doc_freq,
+        "tfidf_top_terms": _terms().tfidf_top_terms,
         "token_counts": pl.token_counts,
         "doc_stats": pl.doc_stats,                      # rows-only (fingerprint)
         "doc_quality": pl.doc_quality,
@@ -383,6 +392,22 @@ sk3 AS (SELECT {_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FR
 hh AS (SELECT xor(z, z // 2147483648) AS z FROM sk3)"""
 
 
+def _hash_sample_sql(frac: float = 0.25) -> str:
+    """splitmix64-threshold Bernoulli sample, id carried through the
+    hash chain.  Threshold must be exactly representable: frac=0.25
+    gives 2^62 — identical to the numpy uint64 path."""
+    thresh = int(frac * float(1 << 64))
+    return f"""
+WITH
+sk0 AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS x FROM documents),
+sk1 AS (SELECT doc_id, (x + 11400714819323198485) % {_M64} AS z FROM sk0),
+sk2 AS (SELECT doc_id, {_sm64_mul('xor(z, z // 1073741824)', 0xBF58476D1CE4E5B9)} AS z FROM sk1),
+sk3 AS (SELECT doc_id, {_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FROM sk2),
+hh AS (SELECT doc_id, xor(z, z // 2147483648) AS z FROM sk3)
+SELECT doc_id FROM hh WHERE z < {thresh}
+"""
+
+
 def _kmv_sql(col: str, table: str, k: int) -> str:
     return f"""
 WITH {_sm64_cte(f'(SELECT DISTINCT {col} AS x FROM {table})')},
@@ -489,6 +514,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
+        "docs_hash_sample": _hash_sample_sql(),
+        "term_doc_freq": _terms().TERM_DOC_FREQ_SQL,
+        "tfidf_top_terms": _terms().TFIDF_TOP_TERMS_SQL,
         "doc_quality": _doc_quality_sql(),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "purchase_signup_asof": (

@@ -213,6 +213,17 @@ def token_counts(sf_dir: str) -> ray.data.Dataset:
     ).select_columns(["doc_id", "ws_tokens"])
 
 
+def docs_hash_sample(sf_dir: str, fraction: float = 0.25) -> ray.data.Dataset:
+    """Deterministic Bernoulli sample of documents by
+    splitmix64(doc_id) threshold — reproducible across runs and
+    cluster sizes (rayrank.sketch.hash_sample); SQL oracle replays the
+    identical hash in HUGEINT arithmetic."""
+    from .sketch import hash_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return hash_sample(ds, "doc_id", fraction)
+
+
 def doc_stats(sf_dir: str) -> ray.data.Dataset:
     """Quality scoring + language-ID + fingerprint (rows-only check —
     the heuristics are not ANSI-SQL-expressible)."""

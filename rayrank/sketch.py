@@ -170,3 +170,26 @@ def hll_distinct(
         .repartition(1)
         .map_batches(merge, batch_size=None, batch_format="pyarrow")
     )
+
+
+def hash_sample(
+    ds: ray.data.Dataset, column: str, fraction: float
+) -> ray.data.Dataset:
+    """Deterministic Bernoulli-by-key sampling: keep rows where
+    ``splitmix64(column) < fraction · 2^64``.  Unlike RNG-based
+    ``random_sample``, the same key always makes the same decision —
+    resumable, reproducible across runs/cluster sizes, and joinable
+    (two tables sampled on a shared key stay aligned).  Embarrassingly
+    parallel: a stateless vectorized filter per batch, no shuffle."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    thresh = np.uint64(int(fraction * float(1 << 64))) if fraction < 1.0 else None
+
+    def fn(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or thresh is None:
+            return t
+        keys = t.column(column).to_numpy(zero_copy_only=False)
+        h = splitmix64(keys.astype(np.uint64))
+        return t.filter(pa.array(h < thresh))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,207 @@
+"""Term statistics over the documents table: document frequency and
+TF-IDF top terms — the vocabulary-building stage of a training-data
+pipeline, with exact DuckDB oracles.
+
+Tokenization contract (shared with the ``token_counts`` oracle):
+whitespace split of the trimmed text, empty tokens dropped — byte-level
+identical on both sides (``pc.split_pattern_regex`` here,
+``string_split_regex`` in SQL).
+
+Scale shape: tokens are flattened VECTORIZED from the arrow list
+offsets (no per-row Python), then pre-aggregated per block
+(``Table.group_by``) so the global (doc, term) groupby shuffles unique
+pairs with counts, not raw tokens.  DF derives from the reduced TF
+table; the TF⋈DF join is a keyed hash join on term; ranking reuses the
+pre-truncate → repartition → vectorized re-rank pattern (≤ k rows per
+doc cross the wire).  Scores are ranked on the ROUNDED value on both
+sides so float ulp noise cannot flip the top-k boundary.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .joins import hash_join
+
+P = 8
+
+
+def _read_docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def _token_pairs(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten (doc_id, token) pairs from a block, vectorized via the
+    list-array offsets; empty tokens (empty/whitespace docs) dropped."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(t.column("text")), pattern=r"\s+"
+    )
+    arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    lens = np.diff(offsets)
+    docs = np.repeat(
+        t.column("doc_id").to_numpy(zero_copy_only=False), lens
+    )
+    terms = arr.values
+    keep = pc.not_equal(terms, "").to_numpy(zero_copy_only=False)
+    return docs[keep], terms.filter(pa.array(keep))
+
+
+def term_frequencies(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, term, tf) — exact per-document term counts."""
+
+    def partial(t: pa.Table):
+        if len(t) == 0:
+            return
+        docs, terms = _token_pairs(t)
+        if len(docs) == 0:
+            return
+        block = pa.table(
+            {
+                "doc_id": pa.array(docs),
+                "term": terms,
+                "tf": pa.array(np.ones(len(docs), np.int64)),
+            }
+        )
+        yield block.group_by(["doc_id", "term"]).aggregate(
+            [("tf", "sum")]
+        ).rename_columns(["doc_id", "term", "tf"])
+
+    partials = _read_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+    g = partials.groupby(["doc_id", "term"]).sum("tf")
+
+    def rename(t: pa.Table):
+        if len(t) == 0 or "sum(tf)" not in t.schema.names:
+            return
+        yield t.rename_columns(["doc_id", "term", "tf"])
+
+    return g.map_batches(rename, batch_format="pyarrow")
+
+
+def _doc_freq(tf: ray.data.Dataset) -> ray.data.Dataset:
+    """(term, df) from the reduced TF table (rows are unique
+    (doc, term) pairs, so a count per term IS the document
+    frequency)."""
+
+    def strip(t: pa.Table):
+        if len(t) == 0 or "term" not in t.schema.names:
+            return
+        yield t.select(["term"])
+
+    g = tf.map_batches(strip, batch_format="pyarrow").groupby("term").count()
+
+    def rename(t: pa.Table):
+        if len(t) == 0 or "count()" not in t.schema.names:
+            return
+        yield t.rename_columns(["term", "df"])
+
+    return g.map_batches(rename, batch_format="pyarrow")
+
+
+def term_doc_freq(sf_dir: str, k: int = 100) -> ray.data.Dataset:
+    """Top-``k`` vocabulary terms by document frequency,
+    (df desc, term asc) deterministic order.  The sort runs on the
+    already-reduced vocabulary table, never on raw tokens."""
+    df = _doc_freq(term_frequencies(sf_dir))
+    return df.sort(["df", "term"], descending=[True, False]).limit(k)
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """(doc_id, term, tf, df, score, rn) — the ``k`` highest-TF-IDF
+    terms per document, score = round(tf·ln(N/df), 6), ranked by
+    (score desc, term asc).  N counts ALL documents (empty ones
+    too)."""
+    n_docs = float(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        ).count()
+    )
+    tf = term_frequencies(sf_dir)
+    df = _doc_freq(tf)
+    j = hash_join(tf, df, on=("term",), num_partitions=P)
+
+    def score(t: pa.Table):
+        if len(t) == 0 or "df" not in t.schema.names:
+            return
+        tfv = t.column("tf").to_numpy(zero_copy_only=False)
+        dfv = t.column("df").to_numpy(zero_copy_only=False)
+        s = np.round(tfv * np.log(n_docs / dfv), 6)
+        yield t.append_column("score", pa.array(s, pa.float64()))
+
+    scored = j.map_batches(score, batch_format="pyarrow")
+
+    def rank(t: pa.Table, emit_rank: bool):
+        if t.num_rows == 0 or "score" not in t.schema.names:
+            return
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        s = t.column("score").to_numpy(zero_copy_only=False)
+        term = np.asarray(t.column("term").to_pylist(), dtype=object)
+        order = np.lexsort((term, -s, d))
+        rank_ = np.empty(len(d), np.int64)
+        ds_, ss_ = d[order], s[order]
+        starts = np.flatnonzero(np.r_[True, ds_[1:] != ds_[:-1]])
+        rank_ = np.arange(len(ds_)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(ds_)])
+        )
+        keep_idx = order[rank_ < k]
+        out = t.take(pa.array(keep_idx))
+        if emit_rank:
+            out = out.append_column(
+                "rn", pa.array(rank_[rank_ < k] + 1, pa.int64())
+            )
+        yield out
+
+    pre = scored.map_batches(
+        lambda t: rank(t, emit_rank=False), batch_format="pyarrow"
+    )
+    co = pre.repartition(P, keys=["doc_id"])
+    return co.map_batches(
+        lambda t: rank(t, emit_rank=True),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+
+
+_TOK_CTE = r"""
+tok AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> '')) AS term
+  FROM documents
+),
+tfq AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY term)
+"""
+
+TERM_DOC_FREQ_SQL = (
+    "WITH " + _TOK_CTE
+    + "SELECT term, df FROM dfq ORDER BY df DESC, term LIMIT 100"
+)
+
+TFIDF_TOP_TERMS_SQL = (
+    "WITH " + _TOK_CTE + """,
+nq AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+sc AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+    ROUND(t.tf * ln((SELECT n FROM nq) / d.df), 6) AS score
+  FROM tfq t JOIN dfq d USING (term)
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score DESC, term) AS rn
+  FROM sc
+)
+SELECT doc_id, term, tf, df, score, CAST(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 3
+"""
+)

@@ -1,0 +1,58 @@
+"""Unit tests for hash_sample and term-stat kernels (sf0.001 DuckDB
+parity runs in test_entry_queries.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from rayrank.sketch import hash_sample, splitmix64
+from rayrank.terms import _token_pairs
+
+
+def _ds(ids):
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64())})
+    ).repartition(3)
+
+
+def test_hash_sample_deterministic_and_consistent():
+    ids = list(range(1000))
+    a = sorted(r["doc_id"] for r in hash_sample(_ds(ids), "doc_id", 0.25).take_all())
+    b = sorted(r["doc_id"] for r in hash_sample(_ds(ids), "doc_id", 0.25).take_all())
+    assert a == b
+    # matches the direct numpy predicate
+    h = splitmix64(np.arange(1000, dtype=np.uint64))
+    want = sorted(np.flatnonzero(h < np.uint64(1 << 62)).tolist())
+    assert a == want
+    # roughly a quarter
+    assert 150 < len(a) < 350
+
+
+def test_hash_sample_nested_subsets():
+    """Smaller fractions select subsets of larger ones (same hash,
+    lower threshold) — the property that keeps samples joinable."""
+    ids = list(range(2000))
+    s_small = {r["doc_id"] for r in hash_sample(_ds(ids), "doc_id", 0.125).take_all()}
+    s_big = {r["doc_id"] for r in hash_sample(_ds(ids), "doc_id", 0.5).take_all()}
+    assert s_small <= s_big
+
+
+def test_hash_sample_bounds():
+    ids = [1, 2, 3]
+    assert len(hash_sample(_ds(ids), "doc_id", 1.0).take_all()) == 3
+    assert len(hash_sample(_ds(ids), "doc_id", 0.0).take_all()) == 0
+    with pytest.raises(ValueError):
+        hash_sample(_ds(ids), "doc_id", 1.5)
+
+
+def test_token_pairs_drops_empty_docs():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a b  a", "", "   ", "c"], pa.string()),
+        }
+    )
+    docs, terms = _token_pairs(t)
+    assert docs.tolist() == [1, 1, 1, 4]
+    assert terms.to_pylist() == ["a", "b", "a", "c"]
