@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "out_degree": pl.out_degree,
         "in_degree": pl.in_degree,
         "edge_weights": pl.edge_weights,
+        "degree_histogram": pl.degree_histogram,
         "distinct_vertex_count": pl.distinct_vertex_count,
         "dangling_vertices": pl.dangling_vertices,
         "hot_targets": pl.hot_targets,
@@ -90,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_count": pl.component_count_sf,
         "bfs_depths": pl.bfs_depths_sf,
         "sssp_dists": pl.sssp_dists_sf,
+        "kcore_vertices": pl.kcore_vertices_sf,
     }
 
 
@@ -279,6 +281,41 @@ sp(it, v, d) AS (
   GROUP BY sp.it + 1, e.b
 )
 SELECT v AS name, MIN(d) AS dist FROM sp GROUP BY v
+"""
+
+# k-core (k=3) as a single-reference recursive CTE: the alive set
+# shrinks monotonically, so the UN-intersected peel rule
+# alive(it+1) = {v : #alive(it)-neighbors(v) ≥ k} equals classic
+# peeling (no second reference to the recursive table needed) and is
+# constant once converged — selecting it = bound is the fixpoint.
+# Mirrors rayrank.kcore (gather_alive_count / reduce_kcore on the
+# CsrShard loop).  Simple-graph degree: DISTINCT undirected pairs,
+# self-loops dropped, matching graph.derive_undirected's collapsed CSR.
+_KCORE_K = 3
+
+_KCORE_SQL = f"""
+WITH RECURSIVE
+raw AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+  )
+),
+core(it, v) AS (
+  SELECT 0, v FROM verts
+  UNION ALL
+  SELECT c.it + 1, e.b
+  FROM core c JOIN und e ON c.v = e.a
+  WHERE c.it < {_CC_ITERS}
+  GROUP BY c.it + 1, e.b
+  HAVING COUNT(*) >= {_KCORE_K}
+)
+SELECT v AS name FROM core WHERE it = {_CC_ITERS}
 """
 
 _COMPONENT_COUNT_SQL = (
@@ -479,6 +516,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.src, e.dst, e.mult, CAST(e.mult AS DOUBLE)/d.outdeg AS w "
             "FROM e JOIN d ON e.src = d.src"
         ),
+        "degree_histogram": (
+            "WITH d AS (SELECT l_orderkey AS src, COUNT(*) AS outdeg "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT outdeg, CAST(COUNT(*) AS BIGINT) AS n_vertices "
+            "FROM d GROUP BY outdeg"
+        ),
         "distinct_vertex_count": (
             f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ({_VERTS})"
         ),
@@ -592,6 +635,7 @@ def oracle_sql() -> dict[str, str]:
         "component_count": _COMPONENT_COUNT_SQL,
         "bfs_depths": _BFS_SQL,
         "sssp_dists": _SSSP_SQL,
+        "kcore_vertices": _KCORE_SQL,
         "triangle_count": (
             "WITH raw AS (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem), "
             "und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v "

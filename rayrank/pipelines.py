@@ -106,6 +106,28 @@ def edge_weights(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def degree_histogram(sf_dir: str) -> ray.data.Dataset:
+    """(outdeg, n_vertices) — aggregate-of-aggregate: the per-source
+    degree table (already reduced: one row per source) feeds a second
+    tiny groupby over the degree value.  Both shuffles move reduced
+    rows; raw edges never re-shuffle."""
+    deg = out_degree(sf_dir)
+
+    def strip(t: pa.Table):
+        if len(t) == 0 or "outdeg" not in t.schema.names:
+            return
+        yield t.select(["outdeg"])
+
+    h = deg.map_batches(strip, batch_format="pyarrow").groupby("outdeg").count()
+
+    def rename(t: pa.Table):
+        if len(t) == 0 or "count()" not in t.schema.names:
+            return
+        yield t.rename_columns(["outdeg", "n_vertices"])
+
+    return h.map_batches(rename, batch_format="pyarrow")
+
+
 def _vertices(sf_dir: str) -> ray.data.Dataset:
     e = sf_edges(sf_dir)
     a = e.select_columns(["src"]).map_batches(
@@ -707,6 +729,19 @@ def sssp_dists_sf(sf_dir: str) -> ray.data.Dataset:
     seed = min_vertex_name(gdir)
     res = sssp(gdir, [seed])
     return reachable_dists(res, gdir)
+
+
+def kcore_vertices_sf(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """(name) vertices of the k-core (k=3) of the undirected lineitem
+    graph — synchronous peeling on the shard label loop
+    (rayrank.kcore).  SQL oracle: single-reference recursive CTE of
+    the monotone un-intersected peel rule (HAVING COUNT ≥ k), exact
+    at fixpoint."""
+    from .kcore import core_vertices, kcore
+
+    gdir = _graph(sf_dir, "undirected")
+    res = kcore(gdir, k)
+    return core_vertices(res, gdir)
 
 
 def pagerank_2iter(sf_dir: str) -> ray.data.Dataset:

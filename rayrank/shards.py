@@ -268,6 +268,44 @@ class CsrShard:
             tuple((self.out_local[q], mins[self.route[q]]) for q in range(self.Q))
         )
 
+    def init_kcore(self, k: int) -> None:
+        """k-core peel init: all vertices alive (labels=1), threshold
+        stored actor-side so the generic reduce signature stays
+        (*parts)."""
+        self.labels = np.ones(self.s_p, np.int64)
+        self._kcore_k = int(k)
+
+    def gather_alive_count(self):
+        """k-core gather: per-destination count of ALIVE neighbors
+        (simple degree — the CSR rows are collapsed, one per distinct
+        neighbor pair).  Pair with ``reduce_kcore``."""
+        if len(self.w) == 0:
+            return self._unwrap1(
+                tuple(
+                    (self.out_local[q], np.empty(0, np.int64))
+                    for q in range(self.Q)
+                )
+            )
+        alive = self.labels[self.src_l]
+        sums = np.add.reduceat(alive, self.seg)
+        return self._unwrap1(
+            tuple((self.out_local[q], sums[self.route[q]]) for q in range(self.Q))
+        )
+
+    def reduce_kcore(self, *parts) -> int:
+        """Synchronous peel round: alive ← alive ∧ (alive-degree ≥ k).
+        The un-intersected rule {v : deg_alive(v) ≥ k} computes the
+        same monotone sequence (degrees only shrink as the alive set
+        shrinks), which is what the recursive-CTE oracle uses."""
+        deg = np.zeros(self.s_p, np.int64)
+        for idx, vals in parts:
+            if len(idx):
+                np.add.at(deg, idx, vals)
+        new = self.labels & (deg >= self._kcore_k)
+        changed = int(np.count_nonzero(new != self.labels))
+        self.labels = new
+        return changed
+
     def gather_min_plus_w(self):
         """Weighted SSSP gather: per-destination min of (source
         distance + integer edge weight), weight = collapsed edge
