@@ -109,19 +109,25 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
     partials = _read(sf_dir, "lineitem", cols).map_batches(
         partial, batch_format="pyarrow"
     )
-    g = partials.groupby(["l_returnflag", "l_linestatus"]).sum(
-        ["qty_i", "price_c", "disc_b", "disc_price_i", "charge_i", "n"]
-    )
+    # partials are ≤ 6 rows per block — a coalesce + one in-block arrow
+    # re-aggregation beats a keyed hash shuffle whose aggregator actors
+    # cost more to spin up than the data they move (same shape as the
+    # ANN top-k merge); still O(blocks·6) rows through the coalesce
+    g = partials.repartition(1)
 
     def finish(t: pa.Table):
-        if len(t) == 0 or "sum(n)" not in t.schema.names:
+        if t.num_rows == 0 or "n" not in t.schema.names:
             return
-        qty = t.column("sum(qty_i)").to_numpy(zero_copy_only=False)
-        price = t.column("sum(price_c)").to_numpy(zero_copy_only=False)
-        disc = t.column("sum(disc_b)").to_numpy(zero_copy_only=False)
-        dp = t.column("sum(disc_price_i)").to_numpy(zero_copy_only=False)
-        ch = t.column("sum(charge_i)").to_numpy(zero_copy_only=False)
-        n = t.column("sum(n)").to_numpy(zero_copy_only=False)
+        t = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [(c, "sum") for c in
+             ("qty_i", "price_c", "disc_b", "disc_price_i", "charge_i", "n")]
+        )
+        qty = t.column("qty_i_sum").to_numpy(zero_copy_only=False)
+        price = t.column("price_c_sum").to_numpy(zero_copy_only=False)
+        disc = t.column("disc_b_sum").to_numpy(zero_copy_only=False)
+        dp = t.column("disc_price_i_sum").to_numpy(zero_copy_only=False)
+        ch = t.column("charge_i_sum").to_numpy(zero_copy_only=False)
+        n = t.column("n_sum").to_numpy(zero_copy_only=False)
         nf = n.astype(np.float64)
         yield pa.table(
             {
@@ -138,7 +144,7 @@ def pricing_summary(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return g.map_batches(finish, batch_format="pyarrow")
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
 
 
 PRICING_SUMMARY_SQL = """
