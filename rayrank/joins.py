@@ -215,6 +215,80 @@ def hash_join(
     )
 
 
+BROADCAST_JOIN_LIMIT = 2_000_000  # rows: ~tens of MB for narrow tables
+
+
+def broadcast_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: tuple[str, ...],
+    right_on: tuple[str, ...] | None = None,
+    how: str = "inner",
+    limit: int = BROADCAST_JOIN_LIMIT,
+) -> ray.data.Dataset | None:
+    """Join where the RIGHT side is small enough to broadcast:
+    materialize it once, ``ray.put`` the table, acero-join per left
+    batch — NO shuffle, each left block streams through untouched.
+    Returns ``None`` when the right side exceeds ``limit`` rows, so
+    callers fall back to the partitioned :func:`hash_join` (use
+    :func:`join_auto` for that pattern).  Same column contract as
+    ``hash_join``: left columns then right non-key columns."""
+    import ray as _ray
+
+    right_on = tuple(right_on or on)
+    on = tuple(on)
+    how_arrow = _ARROW_HOW[how]
+    right_mat = right.materialize()
+    if right_mat.count() > limit:
+        return None
+    blocks = list(right_mat.iter_batches(batch_format="pyarrow"))
+    ren = dict(zip(right_on, on))
+    if blocks:
+        rt = pa.concat_tables(blocks)
+    else:
+        rt = pa.table(
+            {nm: pa.array([], ty) for nm, ty in zip(
+                right_mat.schema().names, right_mat.schema().types
+            )}
+        )
+    rt = rt.rename_columns([ren.get(nm, nm) for nm in rt.schema.names])
+    r_extra = [nm for nm in rt.schema.names if nm not in on]
+    ref = _ray.put(rt.combine_chunks())
+
+    def fn(t: pa.Table):
+        if len(t) == 0:
+            return
+        overlap = set(r_extra) & set(t.schema.names)
+        if overlap:
+            raise ValueError(f"non-key column collision: {sorted(overlap)}")
+        r = _ray.get(ref)
+        l_cols = list(t.schema.names)
+        yield t.join(
+            r, keys=list(on), right_keys=list(on), join_type=how_arrow
+        ).select(l_cols + r_extra)
+
+    return left.map_batches(fn, batch_format="pyarrow")
+
+
+def join_auto(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: tuple[str, ...],
+    right_on: tuple[str, ...] | None = None,
+    how: str = "inner",
+    num_partitions: int = NUM_PARTITIONS_DEFAULT,
+    broadcast_limit: int = BROADCAST_JOIN_LIMIT,
+) -> ray.data.Dataset:
+    """Broadcast the right side when it fits (:func:`broadcast_join`),
+    otherwise partitioned :func:`hash_join` — the standard small-side
+    guard used across the engine (BROADCAST_VERTEX_LIMIT /
+    BROADCAST_FILE_LIMIT siblings)."""
+    out = broadcast_join(left, right, on, right_on, how, broadcast_limit)
+    if out is not None:
+        return out
+    return hash_join(left, right, on, right_on, how, num_partitions)
+
+
 def broadcast_semi_filter(
     ds: ray.data.Dataset, keys: np.ndarray, column: str, keep_matching: bool
 ) -> ray.data.Dataset:

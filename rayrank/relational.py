@@ -35,7 +35,10 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
 
-from .joins import hash_join
+from . import configure_data_context
+from .joins import hash_join, join_auto
+
+configure_data_context()  # entry path: hash-shuffle strategy required
 
 P = 8  # hash-partition count at testdata scale
 
@@ -253,13 +256,15 @@ def top_revenue_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
 
     cust = cust.map_batches(c_prep, batch_format="pyarrow")
 
-    # semi-join via inner hash join (c_custkey unique ⇒ no fan-out)
-    orders = hash_join(
+    # semi-join via inner join (c_custkey unique ⇒ no fan-out);
+    # join_auto broadcasts the filtered key side when it fits, else
+    # falls back to the partitioned hash join
+    orders = join_auto(
         orders, cust, on=("o_custkey",), right_on=("c_custkey",),
         num_partitions=P,
     )
     li = _li_revenue_agg(sf_dir, ship_after=Q3_DATE)
-    j = hash_join(
+    j = join_auto(
         orders, li, on=("o_orderkey",), right_on=("l_orderkey",),
         num_partitions=P,
     )
@@ -334,7 +339,7 @@ def nation_revenue(sf_dir: str) -> ray.data.Dataset:
 
     orders = orders.map_batches(o_prep, batch_format="pyarrow")
 
-    j1 = hash_join(
+    j1 = join_auto(
         orders, li, on=("o_orderkey",), right_on=("l_orderkey",),
         num_partitions=P,
     ).select_columns(["o_custkey", "rev_i"])
@@ -348,7 +353,7 @@ def nation_revenue(sf_dir: str) -> ray.data.Dataset:
     by_cust = by_cust.map_batches(rn1, batch_format="pyarrow")
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    j2 = hash_join(
+    j2 = join_auto(
         by_cust, cust, on=("o_custkey",), right_on=("c_custkey",),
         num_partitions=P,
     ).select_columns(["c_nationkey", "rev_i"])

@@ -26,7 +26,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from .joins import hash_join
+from . import configure_data_context
+from .joins import join_auto
+
+configure_data_context()  # entry path: hash-shuffle strategy required
 
 P = 8
 
@@ -125,7 +128,9 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     )
     tf = term_frequencies(sf_dir)
     df = _doc_freq(tf)
-    j = hash_join(tf, df, on=("term",), num_partitions=P)
+    # vocabulary side broadcasts when it fits (the common case even at
+    # corpus scale: vocab ≪ corpus); partitioned hash join above limit
+    j = join_auto(tf, df, on=("term",), num_partitions=P)
 
     def score(t: pa.Table):
         if len(t) == 0 or "df" not in t.schema.names:
