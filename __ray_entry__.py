@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": rel.user_sessions,
         "user_distinct_event_types": rel.user_distinct_event_types,
         "top_orders_per_customer": rel.top_orders_per_customer,
+        "user_event_pivot": rel.user_event_pivot,
+        "funnel_conversions": rel.funnel_conversions,
         # degrees / weights / dangling / prune (SURVEY §2.5, §2.2 M3, §2.4 J4)
         "out_degree": pl.out_degree,
         "in_degree": pl.in_degree,
@@ -501,6 +503,8 @@ def oracle_sql() -> dict[str, str]:
         "user_sessions": rel.USER_SESSIONS_SQL,
         "user_distinct_event_types": rel.USER_DISTINCT_EVENT_TYPES_SQL,
         "top_orders_per_customer": rel.TOP_ORDERS_PER_CUSTOMER_SQL,
+        "user_event_pivot": rel.USER_EVENT_PIVOT_SQL,
+        "funnel_conversions": rel.FUNNEL_CONVERSIONS_SQL,
         "out_degree": (
             "SELECT l_orderkey AS src, COUNT(*) AS outdeg "
             "FROM lineitem GROUP BY l_orderkey"

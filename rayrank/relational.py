@@ -589,3 +589,163 @@ WITH r AS (
 SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
 FROM r WHERE rn <= 3
 """
+
+
+# --------------------------------------------------------------------------
+# pivot (wide aggregation) and funnel conversion over events
+# --------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_pivot(sf_dir: str) -> ray.data.Dataset:
+    """One row per user with a count column per event type (fixed,
+    known vocabulary — the pivot/wide-aggregation shape).  Per block:
+    arrow group_by partial over (user, type); the keyed groupby then
+    reduces partials and each output block pivots vectorized (searchsorted
+    into the fixed column order, 2-D scatter-add)."""
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        g = t.append_column(
+            "n", pa.array(np.ones(len(t), np.int64))
+        ).group_by(["user_id", "event_type"]).aggregate([("n", "sum")])
+        yield g.rename_columns(["user_id", "event_type", "n"])
+
+    pairs = _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+        pre, batch_format="pyarrow"
+    )
+    g = pairs.groupby(["user_id", "event_type"]).sum("n")
+
+    def strip(t: pa.Table):
+        if len(t) == 0 or "sum(n)" not in t.schema.names:
+            return
+        yield t.rename_columns(["user_id", "event_type", "n"])
+
+    g = g.map_batches(strip, batch_format="pyarrow")
+    # all rows of one user must land in one block for the pivot
+    co = g.repartition(P, keys=["user_id"])
+    types = np.asarray(EVENT_TYPES)
+
+    def pivot(t: pa.Table):
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ty = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(u, return_inverse=True)
+        col = np.searchsorted(types, ty)
+        ok = (col < len(types)) & (types[np.clip(col, 0, len(types) - 1)] == ty)
+        mat = np.zeros((len(uu), len(types)), np.int64)
+        np.add.at(mat, (inv[ok], col[ok]), n[ok])
+        cols = {"user_id": pa.array(uu)}
+        for j, name in enumerate(EVENT_TYPES):
+            cols[f"n_{name}"] = pa.array(mat[:, j])
+        yield pa.table(cols)
+
+    return co.map_batches(pivot, batch_size=None, batch_format="pyarrow")
+
+
+USER_EVENT_PIVOT_SQL = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id"
+)
+
+
+FUNNEL_WINDOW_US = 7 * 86_400_000_000  # 7 days
+
+
+def funnel_conversions(sf_dir: str) -> ray.data.Dataset:
+    """Signup → purchase conversion: per user, first signup time and
+    first purchase AT OR AFTER it within a 7-day window; one output
+    row per converting user.  Fully aggregable shape: per-user min
+    signup (block pre-agg + groupby), purchases joined against it
+    (broadcast when the converting-user table fits), window filter,
+    then a min-aggregate — no per-row Python anywhere."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def pre_signup(t: pa.Table):
+        if len(t) == 0:
+            return
+        t = t.filter(pc.equal(t.column("event_type"), "signup"))
+        if len(t) == 0:
+            return
+        g = pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "us": pc.cast(t.column("ts"), pa.int64()),
+            }
+        ).group_by(["user_id"]).aggregate([("us", "min")])
+        yield g.rename_columns(["user_id", "us"])
+
+    s_min = ev.map_batches(pre_signup, batch_format="pyarrow").groupby(
+        "user_id"
+    ).min("us")
+
+    def rn_s(t: pa.Table):
+        if len(t) == 0 or "min(us)" not in t.schema.names:
+            return
+        yield t.rename_columns(["user_id", "signup_us"])
+
+    s_min = s_min.map_batches(rn_s, batch_format="pyarrow")
+
+    def purchases(t: pa.Table):
+        if len(t) == 0:
+            return
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        if len(t) == 0:
+            return
+        yield pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "pus": pc.cast(t.column("ts"), pa.int64()),
+            }
+        )
+
+    p = ev.map_batches(purchases, batch_format="pyarrow")
+    j = join_auto(p, s_min, on=("user_id",), num_partitions=P)
+
+    def window(t: pa.Table):
+        if len(t) == 0 or "signup_us" not in t.schema.names:
+            return
+        pus = t.column("pus").to_numpy(zero_copy_only=False)
+        sus = t.column("signup_us").to_numpy(zero_copy_only=False)
+        keep = (pus >= sus) & (pus <= sus + FUNNEL_WINDOW_US)
+        t = t.filter(pa.array(keep))
+        if len(t) == 0:
+            return
+        # block-local pre-agg before the final keyed min
+        g = t.group_by(["user_id", "signup_us"]).aggregate([("pus", "min")])
+        yield g.rename_columns(["user_id", "signup_us", "pus"])
+
+    w = j.map_batches(window, batch_format="pyarrow")
+    out = w.groupby(["user_id", "signup_us"]).min("pus")
+
+    def fin(t: pa.Table):
+        if len(t) == 0 or "min(pus)" not in t.schema.names:
+            return
+        yield t.rename_columns(["user_id", "signup_us", "purchase_us"])
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+FUNNEL_CONVERSIONS_SQL = f"""
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS signup_us FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) >= s.signup_us
+    AND epoch_us(e.ts) <= s.signup_us + {FUNNEL_WINDOW_US}
+  GROUP BY e.user_id
+)
+SELECT s.user_id, s.signup_us, p.purchase_us
+FROM s JOIN p ON s.user_id = p.user_id
+"""
