@@ -33,6 +33,12 @@ def _terms():
     return terms
 
 
+def _an():
+    from rayrank import analytics
+
+    return analytics
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rayrank import pipelines as pl
     from rayrank import relational as rel
@@ -47,6 +53,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": rel.top_orders_per_customer,
         "user_event_pivot": rel.user_event_pivot,
         "funnel_conversions": rel.funnel_conversions,
+        "order_count_distribution": _an().order_count_distribution,
+        "big_orders": _an().big_orders,
+        "inactive_customers": _an().inactive_customers,
+        "avg_yearly": _an().avg_yearly,
+        "mode_event_type": _an().mode_event_type,
+        "user_running_totals": _an().user_running_totals,
+        "nation_year_rollup": _an().nation_year_rollup,
+        "event_value_stats": _an().event_value_stats,
+        "stratified_event_sample": _an().stratified_event_sample,
+        "price_quantiles_cont": pl.price_quantiles_cont,
         # degrees / weights / dangling / prune (SURVEY §2.5, §2.2 M3, §2.4 J4)
         "out_degree": pl.out_degree,
         "in_degree": pl.in_degree,
@@ -431,6 +447,51 @@ sk3 AS (SELECT {_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FR
 hh AS (SELECT xor(z, z // 2147483648) AS z FROM sk3)"""
 
 
+def _interp_quantiles_sql() -> str:
+    """quantile_cont oracle with EXPLICIT two-rank interpolation —
+    identical float64 expressions to quantiles.interp_quantiles, so the
+    match does not depend on DuckDB's internal quantile_cont formula."""
+    return """
+WITH v AS (SELECT l_extendedprice AS x FROM lineitem),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+o AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS r FROM v),
+qs AS (SELECT CAST(unnest([0.125, 0.25, 0.5, 0.75, 0.875]) AS DOUBLE) AS q),
+p AS (SELECT q, q*((SELECT n FROM n)-1) AS pos FROM qs),
+p2 AS (SELECT q, pos, CAST(FLOOR(pos) AS BIGINT)+1 AS lor,
+              pos - FLOOR(pos) AS frac FROM p),
+p3 AS (SELECT q, lor, frac,
+              LEAST(lor + CASE WHEN frac <> 0 THEN 1 ELSE 0 END,
+                    (SELECT n FROM n)) AS hir FROM p2)
+SELECT p3.q, lo.x + p3.frac*(hi.x - lo.x) AS value
+FROM p3 JOIN o lo ON lo.r = p3.lor JOIN o hi ON hi.r = p3.hir
+"""
+
+
+def _stratified_sample_sql(target: int = 120) -> str:
+    """Per-stratum splitmix64 threshold replay: f_t = min(1,
+    target/count_t), thr_t = floor(f_t·2^64) — identical to the numpy
+    uint64 path in analytics.stratified_event_sample."""
+    return f"""
+WITH c AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type
+),
+t AS (
+  SELECT event_type,
+    CAST(FLOOR(LEAST(1.0, CAST({target} AS DOUBLE)/cnt)
+               * 18446744073709551616.0) AS HUGEINT) AS thr
+  FROM c
+),
+sk0 AS (SELECT event_id, event_type, CAST(event_id AS HUGEINT) AS x FROM events),
+sk1 AS (SELECT event_id, event_type, (x + 11400714819323198485) % {_M64} AS z FROM sk0),
+sk2 AS (SELECT event_id, event_type, {_sm64_mul('xor(z, z // 1073741824)', 0xBF58476D1CE4E5B9)} AS z FROM sk1),
+sk3 AS (SELECT event_id, event_type, {_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FROM sk2),
+hh AS (SELECT event_id, event_type, xor(z, z // 2147483648) AS z FROM sk3)
+SELECT h.event_id, h.event_type FROM hh h
+JOIN t ON h.event_type = t.event_type WHERE h.z < t.thr
+"""
+
+
 def _hash_sample_sql(frac: float = 0.25) -> str:
     """splitmix64-threshold Bernoulli sample, id carried through the
     hash chain.  Threshold must be exactly representable: frac=0.25
@@ -505,6 +566,16 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_customer": rel.TOP_ORDERS_PER_CUSTOMER_SQL,
         "user_event_pivot": rel.USER_EVENT_PIVOT_SQL,
         "funnel_conversions": rel.FUNNEL_CONVERSIONS_SQL,
+        "order_count_distribution": _an().ORDER_COUNT_DISTRIBUTION_SQL,
+        "big_orders": _an().BIG_ORDERS_SQL,
+        "inactive_customers": _an().INACTIVE_CUSTOMERS_SQL,
+        "avg_yearly": _an().AVG_YEARLY_SQL,
+        "mode_event_type": _an().MODE_EVENT_TYPE_SQL,
+        "user_running_totals": _an().USER_RUNNING_TOTALS_SQL,
+        "nation_year_rollup": _an().NATION_YEAR_ROLLUP_SQL,
+        "event_value_stats": _an().EVENT_VALUE_STATS_SQL,
+        "stratified_event_sample": _stratified_sample_sql(),
+        "price_quantiles_cont": _interp_quantiles_sql(),
         "out_degree": (
             "SELECT l_orderkey AS src, COUNT(*) AS outdeg "
             "FROM lineitem GROUP BY l_orderkey"

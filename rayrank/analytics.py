@@ -1,0 +1,813 @@
+"""Decision-support shapes beyond relational.py: left-join count
+distributions, HAVING-filtered join funnels, anti-joins, decorrelated
+correlated subqueries, per-group mode, running-total windows, and
+ROLLUP hierarchies — each with an exact DuckDB oracle.
+
+Exactness follows relational.py's fixed-point strategy (module doc
+there): snap 2-decimal monetary factors to int64 on both sides,
+aggregate in integers (associative — reduction order can't change the
+hash), convert to double once with an identical expression.  Running
+totals are EXACT for the same reason: the per-user cumulative sum is
+an integer prefix sum, so no float accumulation order exists at all.
+
+Scale notes: every groupby is preceded by a block-local arrow
+``group_by`` partial; the anti/semi joins ride :func:`rayrank.joins.
+join_auto` (broadcast under the row guard, partitioned hash join
+above); rollup subtotals are derived from the already-reduced leaf
+table (O(nations·years) rows), never from a second scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from . import configure_data_context
+from .joins import join_auto
+from .relational import P, _i64, _read, _ts
+
+configure_data_context()  # entry path: hash-shuffle strategy required
+
+
+def _ones(n: int) -> pa.Array:
+    return pa.array(np.ones(n, np.int64))
+
+
+# --------------------------------------------------------------------------
+# order count distribution (TPC-H Q13 shape): left join + zero group
+# --------------------------------------------------------------------------
+
+
+def order_count_distribution(sf_dir: str) -> ray.data.Dataset:
+    """Histogram of orders-per-customer INCLUDING the zero bucket (the
+    left-join-with-empty-groups shape).  Per-custkey counts pre-combine
+    in each block; the zero bucket is total-customers minus matched
+    customers — two scalar aggregates, never a row-level outer join."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        g = (
+            t.select(["o_custkey"])
+            .append_column("n", _ones(len(t)))
+            .group_by(["o_custkey"])
+            .aggregate([("n", "sum")])
+        )
+        yield g.rename_columns(["o_custkey", "n"])
+
+    per_cust = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .sum("n")
+    )
+
+    def to_hist(t: pa.Table):
+        if len(t) == 0 or "sum(n)" not in t.schema.names:
+            return
+        g = (
+            t.rename_columns(["o_custkey", "c_count"])
+            .select(["c_count"])
+            .append_column("d", _ones(len(t)))
+            .group_by(["c_count"])
+            .aggregate([("d", "sum")])
+        )
+        yield g.rename_columns(["c_count", "custdist"])
+
+    hist = per_cust.map_batches(to_hist, batch_format="pyarrow")
+    # distributed scalar count of customers (cheap metadata aggregate)
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    g = hist.repartition(1)
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "c_count" not in t.schema.names:
+            return
+        t = t.group_by(["c_count"]).aggregate([("custdist", "sum")])
+        cc = t.column("c_count").to_numpy(zero_copy_only=False)
+        cd = t.column("custdist_sum").to_numpy(zero_copy_only=False)
+        zero = n_cust - int(cd.sum())
+        if zero > 0:
+            cc = np.r_[cc, 0]
+            cd = np.r_[cd, zero]
+        yield pa.table({"c_count": pa.array(cc), "custdist": pa.array(cd)})
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+ORDER_COUNT_DISTRIBUTION_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+"""
+
+
+# --------------------------------------------------------------------------
+# big orders (TPC-H Q18 shape): HAVING-filtered aggregate re-joined
+# --------------------------------------------------------------------------
+
+BIG_ORDER_MIN_QTY = 250
+
+
+def big_orders(sf_dir: str) -> ray.data.Dataset:
+    """Orders whose total lineitem quantity exceeds a threshold, with
+    their customer name — the HAVING-on-aggregate → re-join shape.
+    The qty sum pre-combines per block; after the HAVING filter the
+    surviving order set is small, so both joins stream the big table
+    past a broadcast (hash-join fallback above the row guard)."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        g = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "q": pa.array(_i64(t.column("l_quantity"))),
+            }
+        ).group_by(["l_orderkey"]).aggregate([("q", "sum")])
+        yield g.rename_columns(["l_orderkey", "q"])
+
+    li = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .sum("q")
+    )
+
+    def having(t: pa.Table):
+        if len(t) == 0 or "sum(q)" not in t.schema.names:
+            return
+        t = t.rename_columns(["l_orderkey", "q"])
+        t = t.filter(pc.greater(t.column("q"), BIG_ORDER_MIN_QTY))
+        if len(t) == 0:
+            return
+        yield t
+
+    big = li.map_batches(having, batch_format="pyarrow")
+
+    orders = _read(
+        sf_dir, "orders",
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def o_prep(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "o_orderdate_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+                "o_totalprice": t.column("o_totalprice"),
+            }
+        )
+
+    j = join_auto(
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        big,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+        num_partitions=P,
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    j2 = join_auto(
+        j, cust, on=("o_custkey",), right_on=("c_custkey",), num_partitions=P
+    )
+
+    def finish(t: pa.Table):
+        if len(t) == 0 or "c_name" not in t.schema.names:
+            return
+        q = t.column("q").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "c_name": t.column("c_name"),
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderdate_us": t.column("o_orderdate_us"),
+                "o_totalprice": t.column("o_totalprice"),
+                "sum_qty": pa.array(q.astype(np.float64)),
+            }
+        )
+
+    return j2.map_batches(finish, batch_format="pyarrow")
+
+
+BIG_ORDERS_SQL = f"""
+WITH l AS (
+  SELECT l_orderkey, SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS q
+  FROM lineitem GROUP BY l_orderkey HAVING q > {BIG_ORDER_MIN_QTY}
+)
+SELECT c.c_name, o.o_custkey, o.o_orderkey,
+  epoch_us(o.o_orderdate) AS o_orderdate_us, o.o_totalprice,
+  CAST(l.q AS DOUBLE) AS sum_qty
+FROM orders o JOIN l ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# inactive customers (TPC-H Q22 shape): anti-join + per-nation aggregate
+# --------------------------------------------------------------------------
+
+INACTIVE_SINCE = (1998, 6, 1)  # chosen so the result is nonempty at sf≥0.001
+
+
+def inactive_customers(sf_dir: str) -> ray.data.Dataset:
+    """Per-nation count and account-balance total of customers with NO
+    order on/after a cutoff — the anti-join shape.  Active custkeys
+    dedup block-locally before their distinct groupby; the anti join
+    broadcasts that key set under the guard and hash-partitions above
+    it; balances aggregate in exact cents."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def active_pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        t = t.filter(
+            pc.greater_equal(t.column("o_orderdate"), _ts(*INACTIVE_SINCE))
+        )
+        if len(t) == 0:
+            return
+        yield t.select(["o_custkey"]).group_by(["o_custkey"]).aggregate([])
+
+    active = (
+        orders.map_batches(active_pre, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .count()
+    )
+
+    def keys_only(t: pa.Table):
+        if len(t) == 0 or "o_custkey" not in t.schema.names:
+            return
+        yield t.select(["o_custkey"])
+
+    active = active.map_batches(keys_only, batch_format="pyarrow")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    inactive = join_auto(
+        cust, active, on=("c_custkey",), right_on=("o_custkey",),
+        how="anti", num_partitions=P,
+    )
+
+    def agg(t: pa.Table):
+        if len(t) == 0 or "c_nationkey" not in t.schema.names:
+            return
+        g = pa.table(
+            {
+                "c_nationkey": t.column("c_nationkey"),
+                "bal_c": pa.array(_i64(t.column("c_acctbal"), 100)),
+                "n": _ones(len(t)),
+            }
+        ).group_by(["c_nationkey"]).aggregate([("bal_c", "sum"), ("n", "sum")])
+        yield g.rename_columns(["c_nationkey", "bal_c", "n"])
+
+    partials = inactive.map_batches(agg, batch_format="pyarrow")
+    g = partials.repartition(1)  # ≤ 25 nations per partial
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "c_nationkey" not in t.schema.names:
+            return
+        t = t.group_by(["c_nationkey"]).aggregate(
+            [("bal_c", "sum"), ("n", "sum")]
+        )
+        bal = t.column("bal_c_sum").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "c_nationkey": t.column("c_nationkey"),
+                "n_custs": t.column("n_sum"),
+                "total_acctbal": pa.array(bal.astype(np.float64) / 100.0),
+            }
+        )
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+INACTIVE_CUSTOMERS_SQL = """
+WITH a AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-06-01'
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_custs,
+  CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS DOUBLE)/100.0
+    AS total_acctbal
+FROM customer c LEFT JOIN a ON c.c_custkey = a.o_custkey
+WHERE a.o_custkey IS NULL GROUP BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# avg yearly (TPC-H Q17 shape): decorrelated correlated subquery
+# --------------------------------------------------------------------------
+
+AVG_YEARLY_BRAND = "Brand#13"
+
+
+def avg_yearly(sf_dir: str) -> ray.data.Dataset:
+    """Average yearly revenue lost if small orders (below 20% of the
+    part's mean quantity) stopped — the correlated-subquery shape,
+    decorrelated into: semi-filter lineitem to the brand's parts →
+    per-part (sum qty, count) → re-join the stats → threshold filter →
+    one exact fixed-point sum.  The threshold double is computed with
+    the identical expression on both sides, so the comparison is
+    bit-exact."""
+    parts = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+
+    def pk(t: pa.Table):
+        if len(t) == 0:
+            return
+        t = t.filter(pc.equal(t.column("p_brand"), AVG_YEARLY_BRAND))
+        if len(t) == 0:
+            return
+        yield t.select(["p_partkey"])
+
+    pkeys = parts.map_batches(pk, batch_format="pyarrow")
+
+    def li_filtered() -> ray.data.Dataset:
+        li = _read(
+            sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+        )
+
+        def prep(t: pa.Table):
+            if len(t) == 0:
+                return
+            yield pa.table(
+                {
+                    "l_partkey": t.column("l_partkey"),
+                    "q": pa.array(_i64(t.column("l_quantity"))),
+                    "price_c": pa.array(_i64(t.column("l_extendedprice"), 100)),
+                }
+            )
+
+        li = li.map_batches(prep, batch_format="pyarrow")
+        return join_auto(
+            li, pkeys, on=("l_partkey",), right_on=("p_partkey",),
+            how="semi", num_partitions=P,
+        )
+
+    def stat_pre(t: pa.Table):
+        if len(t) == 0 or "q" not in t.schema.names:
+            return
+        g = (
+            t.select(["l_partkey", "q"])
+            .append_column("n", _ones(len(t)))
+            .group_by(["l_partkey"])
+            .aggregate([("q", "sum"), ("n", "sum")])
+        )
+        yield g.rename_columns(["l_partkey", "sq", "n"])
+
+    stats = (
+        li_filtered()
+        .map_batches(stat_pre, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .sum(["sq", "n"])
+    )
+
+    def rn(t: pa.Table):
+        if len(t) == 0 or "sum(sq)" not in t.schema.names:
+            return
+        yield t.rename_columns(["l_partkey", "sq", "n"])
+
+    stats = stats.map_batches(rn, batch_format="pyarrow")
+    j = join_auto(li_filtered(), stats, on=("l_partkey",), num_partitions=P)
+
+    def partial(t: pa.Table):
+        if len(t) == 0 or "sq" not in t.schema.names:
+            return
+        q = t.column("q").to_numpy(zero_copy_only=False).astype(np.float64)
+        sq = t.column("sq").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        thr = 0.2 * (sq / n)
+        keep = q < thr
+        price = t.column("price_c").to_numpy(zero_copy_only=False)
+        yield pa.table({"tot_c": pa.array([int(price[keep].sum())])})
+
+    partials = j.map_batches(partial, batch_format="pyarrow").repartition(1)
+
+    def finish(t: pa.Table):
+        tot = 0
+        if t.num_rows and "tot_c" in t.schema.names:
+            tot = int(
+                t.column("tot_c").to_numpy(zero_copy_only=False).sum()
+            )
+        yield pa.table(
+            {"avg_yearly": pa.array([float(tot) / 100.0 / 7.0], pa.float64())}
+        )
+
+    return partials.map_batches(
+        finish, batch_size=None, batch_format="pyarrow"
+    )
+
+
+AVG_YEARLY_SQL = f"""
+WITH l AS (
+  SELECT l_partkey, CAST(ROUND(l_quantity) AS BIGINT) AS q,
+    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_c
+  FROM lineitem
+  WHERE l_partkey IN
+    (SELECT p_partkey FROM part WHERE p_brand = '{AVG_YEARLY_BRAND}')
+),
+s AS (SELECT l_partkey, SUM(q) AS sq, COUNT(*) AS n FROM l GROUP BY l_partkey)
+SELECT CAST(COALESCE(SUM(l.price_c), 0) AS DOUBLE)/100.0/7.0 AS avg_yearly
+FROM l JOIN s ON l.l_partkey = s.l_partkey
+WHERE CAST(l.q AS DOUBLE) < 0.2*(CAST(s.sq AS DOUBLE)/s.n)
+"""
+
+
+# --------------------------------------------------------------------------
+# per-group mode (most frequent value, deterministic tie-break)
+# --------------------------------------------------------------------------
+
+
+def mode_event_type(sf_dir: str) -> ray.data.Dataset:
+    """Each user's most frequent event type (ties → lexicographically
+    smallest type) — the grouped-mode shape.  (user, type) counts
+    pre-combine per block; the argmax kernel factorizes types to ints
+    and runs one lexsort + group-start take, no per-group loop."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        g = (
+            t.append_column("n", _ones(len(t)))
+            .group_by(["user_id", "event_type"])
+            .aggregate([("n", "sum")])
+        )
+        yield g.rename_columns(["user_id", "event_type", "n"])
+
+    pairs = (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .sum("n")
+    )
+
+    def strip(t: pa.Table):
+        if len(t) == 0 or "sum(n)" not in t.schema.names:
+            return
+        yield t.rename_columns(["user_id", "event_type", "n"])
+
+    co = pairs.map_batches(strip, batch_format="pyarrow").repartition(
+        P, keys=["user_id"]
+    )
+
+    def argmax(t: pa.Table):
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ty = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        vocab, ty_id = np.unique(ty, return_inverse=True)
+        order = np.lexsort((ty_id, -n, u))
+        u, ty_id, n = u[order], ty_id[order], n[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        yield pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "event_type": pa.array(vocab[ty_id[starts]].tolist(), pa.string()),
+                "n_events": pa.array(n[starts]),
+            }
+        )
+
+    return co.map_batches(argmax, batch_size=None, batch_format="pyarrow")
+
+
+MODE_EVENT_TYPE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id, event_type
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY n_events DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, event_type, n_events FROM r WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# running totals (cumulative window, exact integer prefix sums)
+# --------------------------------------------------------------------------
+
+
+def user_running_totals(sf_dir: str) -> ray.data.Dataset:
+    """Per-event running count and running value sum per user, ordered
+    by (ts, event_id) — the ROWS UNBOUNDED PRECEDING window shape.
+    One keyed repartition co-locates each user; the kernel is a single
+    lexsort + integer prefix sum with group-base subtraction (cent
+    snap makes the cumulative sum exact — no float accumulation
+    exists)."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "us": pc.cast(t.column("ts"), pa.int64()),
+                "val_c": pa.array(_i64(t.column("value"), 100)),
+            }
+        )
+
+    co = ev.map_batches(prep, batch_format="pyarrow").repartition(
+        P, keys=["user_id"]
+    )
+
+    def running(t: pa.Table):
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        e = t.column("event_id").to_numpy(zero_copy_only=False)
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        vc = t.column("val_c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, us, u))
+        u, e, us, vc = u[order], e[order], us[order], vc[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        sizes = np.diff(np.r_[starts, len(u)])
+        idx = np.arange(len(u))
+        run_n = idx - np.repeat(starts, sizes) + 1
+        cs = np.cumsum(vc)
+        base = np.r_[np.int64(0), cs[starts[1:] - 1]] if len(starts) else cs[:0]
+        run_v = cs - np.repeat(base, sizes)
+        yield pa.table(
+            {
+                "event_id": pa.array(e),
+                "user_id": pa.array(u),
+                "us": pa.array(us),
+                "run_n": pa.array(run_n.astype(np.int64)),
+                "run_value": pa.array(run_v.astype(np.float64) / 100.0),
+            }
+        )
+
+    return co.map_batches(running, batch_size=None, batch_format="pyarrow")
+
+
+USER_RUNNING_TOTALS_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS us,
+  CAST(COUNT(*) OVER w AS BIGINT) AS run_n,
+  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS DOUBLE)/100.0
+    AS run_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
+# --------------------------------------------------------------------------
+# rollup (hierarchical subtotals from the reduced leaf table)
+# --------------------------------------------------------------------------
+
+
+def nation_year_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Order revenue by (nation, year) with per-nation subtotals and a
+    grand total — GROUP BY ROLLUP.  The leaf aggregate is the only
+    wide step; subtotals re-aggregate the O(nations·years) leaf rows in
+    one block.  Sentinels ('ALL', -1) stand in for ROLLUP's NULLs so
+    the hash compare is type-stable."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def o_prep(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+                "price_c": pa.array(_i64(t.column("o_totalprice"), 100)),
+            }
+        )
+
+    o = orders.map_batches(o_prep, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j = join_auto(
+        o, cust, on=("o_custkey",), right_on=("c_custkey",), num_partitions=P
+    )
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "c_nationkey" not in t.schema.names:
+            return
+        g = (
+            t.select(["c_nationkey", "o_year", "price_c"])
+            .append_column("n", _ones(len(t)))
+            .group_by(["c_nationkey", "o_year"])
+            .aggregate([("price_c", "sum"), ("n", "sum")])
+        )
+        yield g.rename_columns(["c_nationkey", "o_year", "price_c", "n"])
+
+    leaf = (
+        j.map_batches(pre, batch_format="pyarrow")
+        .groupby(["c_nationkey", "o_year"])
+        .sum(["price_c", "n"])
+    )
+
+    import os
+
+    import pyarrow.parquet as pq
+
+    nt = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    names = dict(
+        zip(nt.column("n_nationkey").to_pylist(), nt.column("n_name").to_pylist())
+    )
+
+    g = leaf.repartition(1)  # O(nations·years) rows
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "c_nationkey" not in t.schema.names:
+            return
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        yr = t.column("o_year").to_numpy(zero_copy_only=False)
+        pcs = t.column("sum(price_c)").to_numpy(zero_copy_only=False)
+        ns = t.column("sum(n)").to_numpy(zero_copy_only=False)
+        nm = np.asarray([names[int(k)] for k in nk], dtype=object)
+        # per-nation subtotals
+        un, inv = np.unique(nm, return_inverse=True)
+        sub_p = np.zeros(len(un), np.int64)
+        sub_n = np.zeros(len(un), np.int64)
+        np.add.at(sub_p, inv, pcs)
+        np.add.at(sub_n, inv, ns)
+        out_nm = np.r_[nm, un, np.asarray(["ALL"], dtype=object)]
+        out_yr = np.r_[yr, np.full(len(un), -1, np.int64), [-1]]
+        out_p = np.r_[pcs, sub_p, [int(pcs.sum())]]
+        out_n = np.r_[ns, sub_n, [int(ns.sum())]]
+        yield pa.table(
+            {
+                "n_name": pa.array(out_nm.tolist(), pa.string()),
+                "o_year": pa.array(out_yr),
+                "revenue": pa.array(out_p.astype(np.float64) / 100.0),
+                "n_orders": pa.array(out_n),
+            }
+        )
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# exact per-group variance (integer moments formula)
+# --------------------------------------------------------------------------
+
+
+def event_value_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-event-type count, mean, and population variance of `value`,
+    EXACT against SQL: both sides accumulate the first two moments as
+    integers (cents, cents²) and apply the identical textbook formula
+    var = (n·Σx² − (Σx)²)/n² once in doubles.  Headroom: cents ≤ 5e4 ⇒
+    cents² ≤ 2.5e9 ⇒ the int64 Σx² partial is safe to ~3.7e9 rows per
+    group; the cross terms use arbitrary-precision Python ints on the
+    ≤|groups| reduced rows (HUGEINT in SQL)."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        vc = _i64(t.column("value"), 100)
+        g = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "s": pa.array(vc),
+                "ssq": pa.array(vc * vc),
+                "n": _ones(len(t)),
+            }
+        ).group_by(["event_type"]).aggregate(
+            [("s", "sum"), ("ssq", "sum"), ("n", "sum")]
+        )
+        yield g.rename_columns(["event_type", "s", "ssq", "n"])
+
+    partials = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        pre, batch_format="pyarrow"
+    )
+    g = partials.repartition(1)  # ≤ |event types| rows per partial
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return
+        t = t.group_by(["event_type"]).aggregate(
+            [("s", "sum"), ("ssq", "sum"), ("n", "sum")]
+        )
+        means, variances = [], []
+        for s, ssq, n in zip(
+            t.column("s_sum").to_pylist(),
+            t.column("ssq_sum").to_pylist(),
+            t.column("n_sum").to_pylist(),
+        ):
+            means.append(float(s) / 100.0 / n)
+            variances.append(
+                float(n * ssq - s * s) / (float(n) * n) / 10000.0
+            )
+        yield pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_events": t.column("n_sum"),
+                "mean_value": pa.array(means, pa.float64()),
+                "var_value": pa.array(variances, pa.float64()),
+            }
+        )
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+EVENT_VALUE_STATS_SQL = """
+WITH b AS (
+  SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS vc FROM events
+),
+a AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(vc) AS s, SUM(CAST(vc AS HUGEINT)*vc) AS ssq
+  FROM b GROUP BY event_type
+)
+SELECT event_type, n AS n_events,
+  CAST(s AS DOUBLE)/100.0/n AS mean_value,
+  CAST(CAST(n AS HUGEINT)*ssq - CAST(s AS HUGEINT)*s AS DOUBLE)
+    /(CAST(n AS DOUBLE)*n)/10000.0 AS var_value
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
+# stratified sampling (deterministic per-stratum hash thresholds)
+# --------------------------------------------------------------------------
+
+STRATIFIED_TARGET = 120
+
+
+def stratified_event_sample(
+    sf_dir: str, target: int = STRATIFIED_TARGET
+) -> ray.data.Dataset:
+    """~``target`` events per event type via deterministic splitmix64
+    thresholds f_t = min(1, target/count_t) — the stratified-sampling
+    shape.  Pass 1 is a tiny per-type count (block partials, ≤|types|
+    rows to the driver); pass 2 is the same stateless hash filter as
+    ``hash_sample``, with the per-type threshold looked up vectorized.
+    Reproducible and joinable like every hash-based sample here."""
+    from .sketch import splitmix64
+
+    def cnt_pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        g = (
+            t.select(["event_type"])
+            .append_column("n", _ones(len(t)))
+            .group_by(["event_type"])
+            .aggregate([("n", "sum")])
+        )
+        yield g.rename_columns(["event_type", "n"])
+
+    counts = {
+        r["event_type"]: r["n"]
+        for r in _read(sf_dir, "events", ["event_type"])
+        .map_batches(cnt_pre, batch_format="pyarrow")
+        .groupby("event_type")
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["event_type", "n"]),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    }
+    vocab = np.asarray(sorted(counts), dtype=object)
+    keep_all = np.zeros(len(vocab), bool)
+    thr = np.zeros(len(vocab), np.uint64)
+    for i, ty in enumerate(vocab):
+        f = min(1.0, float(target) / counts[ty])
+        if f >= 1.0:
+            keep_all[i] = True
+        else:
+            thr[i] = np.uint64(int(f * float(1 << 64)))
+
+    def fn(t: pa.Table):
+        if len(t) == 0:
+            return
+        ty = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        idx = np.searchsorted(vocab, ty)
+        idx = np.clip(idx, 0, len(vocab) - 1)
+        h = splitmix64(
+            t.column("event_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        keep = (vocab[idx] == ty) & (keep_all[idx] | (h < thr[idx]))
+        out = t.filter(pa.array(keep))
+        if len(out):
+            yield out
+
+    return _read(sf_dir, "events", ["event_id", "event_type"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+NATION_YEAR_ROLLUP_SQL = """
+WITH b AS (
+  SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+    CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS price_c
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT COALESCE(n_name, 'ALL') AS n_name, COALESCE(o_year, -1) AS o_year,
+  CAST(SUM(price_c) AS DOUBLE)/100.0 AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM b GROUP BY ROLLUP(n_name, o_year)
+"""

@@ -33,6 +33,11 @@ _ARROW_HOW = {
     "left_outer": "left outer",
     "right_outer": "right outer",
     "full_outer": "full outer",
+    # semi/anti keep ONLY left columns; pass a keys-only right side so
+    # r_extra is empty (hash_join raises otherwise — acero's left
+    # semi/anti output has no right columns to select)
+    "semi": "left semi",
+    "anti": "left anti",
 }
 
 _FNV = np.uint64(1099511628211)
@@ -142,6 +147,10 @@ def hash_join(
     ren = dict(zip(right_on, on))
     r_names_out = [ren.get(nm, nm) for nm in r_names]
     r_extra = [nm for nm in r_names_out if nm not in on]
+    if how in ("semi", "anti") and r_extra:
+        raise ValueError(
+            f"{how} join: right side must be keys-only, got extra {r_extra}"
+        )
     overlap = set(r_extra) & set(l_names)
     if overlap:
         raise ValueError(f"non-key column collision: {sorted(overlap)}")
@@ -253,6 +262,10 @@ def broadcast_join(
         )
     rt = rt.rename_columns([ren.get(nm, nm) for nm in rt.schema.names])
     r_extra = [nm for nm in rt.schema.names if nm not in on]
+    if how in ("semi", "anti") and r_extra:
+        raise ValueError(
+            f"{how} join: right side must be keys-only, got extra {r_extra}"
+        )
     ref = _ray.put(rt.combine_chunks())
 
     def fn(t: pa.Table):

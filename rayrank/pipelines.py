@@ -507,6 +507,18 @@ def price_quantiles(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def price_quantiles_cont(sf_dir: str):
+    """Interpolated (quantile_cont) quantiles of l_extendedprice —
+    same distributed selection as price_quantiles, plus an explicit
+    two-rank interpolation computed identically on both sides
+    (rayrank.quantiles.interp_quantiles)."""
+    from .quantiles import interp_quantiles
+
+    return interp_quantiles(
+        _read(sf_dir, "lineitem", ["l_extendedprice"]), "l_extendedprice"
+    )
+
+
 def frequent_event_types(sf_dir: str) -> ray.data.Dataset:
     """Exact heavy hitters (φ=1/8) over events.event_type — candidate
     superset from per-block counts, broadcast exact verify

@@ -114,3 +114,102 @@ def exact_quantiles(
         )
 
     return svc.map_batches(pick, batch_size=None, batch_format="pyarrow").sort("q")
+
+
+def interp_quantiles(
+    ds: ray.data.Dataset, column: str, qs=DEFAULT_QS
+) -> pa.Table:
+    """``quantile_cont`` (linearly interpolated) quantiles, exact to the
+    bit against a SQL oracle that interpolates EXPLICITLY: pos =
+    q·(N−1), lo = 1+⌊pos⌋ (1-based rank), hi = lo+1 when pos is
+    fractional, value = lo + (pos−⌊pos⌋)·(hi−lo) — identical float64
+    expressions on both sides, so no dependence on the database's
+    internal quantile_cont formula.  Distribution shape is the same as
+    :func:`exact_quantiles` (value-count partials + rank picks); only
+    the ≤ 2·|qs| picked (rank, value) rows reach the driver."""
+    qs = sorted(qs)
+    svc = _value_counts(ds, column).sort("value").materialize()
+
+    def summary(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        c = t.column("cnt").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "minv": pa.array([float(v[0])], pa.float64()),
+                "mass": pa.array([int(c.sum())], pa.int64()),
+            }
+        )
+
+    sums = sorted(
+        (r["minv"], r["mass"])
+        for r in svc.map_batches(
+            summary, batch_size=None, batch_format="pyarrow"
+        ).take_all()
+    )
+    n_total = sum(m for _, m in sums)
+    empty = pa.table(
+        {"q": pa.array([], pa.float64()), "value": pa.array([], pa.float64())}
+    )
+    if n_total == 0:
+        return empty
+
+    # 1-based ranks of the two straddling order statistics per q
+    plan = []  # (q, pos, lo_rank, hi_rank)
+    want_ranks: set[int] = set()
+    for q in qs:
+        pos = q * (n_total - 1)
+        lo = int(math.floor(pos)) + 1
+        hi = min(lo + (1 if pos != math.floor(pos) else 0), n_total)
+        plan.append((q, pos, lo, hi))
+        want_ranks.update((lo, hi))
+
+    ranks = sorted(want_ranks)
+    targets: dict[float, list[int]] = {}
+    off = 0
+    it = iter(sums)
+    minv, mass = next(it)
+    for rank in ranks:
+        while rank > off + mass:
+            off += mass
+            minv, mass = next(it)
+        targets.setdefault(minv, []).append(rank)
+    offsets = {}
+    off = 0
+    for mv, mass in sums:
+        offsets[mv] = off
+        off += mass
+
+    def pick(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        mine = targets.get(float(v[0]))
+        if not mine:
+            return
+        cum = np.cumsum(t.column("cnt").to_numpy(zero_copy_only=False))
+        lr = np.array(mine, np.int64) - offsets[float(v[0])]
+        idx = np.searchsorted(cum, lr, side="left")
+        yield pa.table(
+            {
+                "rank": pa.array(mine, pa.int64()),
+                "value": pa.array(v[idx].astype(np.float64), pa.float64()),
+            }
+        )
+
+    picked = {
+        r["rank"]: r["value"]
+        for r in svc.map_batches(
+            pick, batch_size=None, batch_format="pyarrow"
+        ).take_all()
+    }
+    out_q, out_v = [], []
+    for q, pos, lo, hi in plan:
+        frac = pos - math.floor(pos)
+        lo_v, hi_v = picked[lo], picked[hi]
+        out_q.append(q)
+        out_v.append(lo_v + frac * (hi_v - lo_v))
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.float64())}
+    )

@@ -50,3 +50,37 @@ def test_empty_right_side():
     )
     b = broadcast_join(_left(), empty, on=("k",), right_on=("rk",))
     assert b is not None and b.count() == 0
+
+
+def _right_keys():
+    return ray.data.from_arrow(
+        pa.table({"rk": pa.array([2, 3, 4], pa.int64())})
+    ).repartition(2)
+
+
+def test_semi_join_broadcast_and_hash_agree():
+    want = [(("k", 2), ("lv", 20)), (("k", 2), ("lv", 21)),
+            (("k", 3), ("lv", 30))]
+    for lim in (10, 1):  # broadcast path, then forced hash path
+        a = join_auto(_left(), _right_keys(), on=("k",), right_on=("rk",),
+                      how="semi", num_partitions=4, broadcast_limit=lim)
+        assert _rows(a) == want
+
+
+def test_anti_join_broadcast_and_hash_agree():
+    want = [(("k", 1), ("lv", 10)), (("k", 5), ("lv", 50))]
+    for lim in (10, 1):
+        a = join_auto(_left(), _right_keys(), on=("k",), right_on=("rk",),
+                      how="anti", num_partitions=4, broadcast_limit=lim)
+        assert _rows(a) == want
+
+
+def test_semi_join_rejects_extra_right_columns():
+    import pytest
+
+    with pytest.raises(ValueError, match="keys-only"):
+        hash_join(_left(), _right(), on=("k",), right_on=("rk",),
+                  how="semi", num_partitions=4)
+    with pytest.raises(ValueError, match="keys-only"):
+        broadcast_join(_left(), _right(), on=("k",), right_on=("rk",),
+                       how="anti")
