@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_topk": pl.ivf_ann_topk,                # rows-only (approximate)
         # graph algorithms (north_rule §2.11)
         "pagerank_2iter": pl.pagerank_2iter,
+        "hits_2iter": pl.hits_2iter,
         "pagerank_converged": pl.pagerank_converged,
         "triangle_count": pl.triangle_count_sf,
         "connected_components": pl.connected_components_sf,
@@ -447,6 +448,43 @@ sk3 AS (SELECT {_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FR
 hh AS (SELECT xor(z, z // 2147483648) AS z FROM sk3)"""
 
 
+# HITS, two unrolled iterations (pinned rule in rayrank.hits): A is the
+# multiplicity-weighted adjacency over the lineitem string graph,
+# hub0 = 1/sqrt(n), auth = normalize2(A^T hub), hub = normalize2(A auth).
+def _hits_half(prev: str, out: str, src_col: str, dst_col: str) -> str:
+    """One L2-normalized half-step CTE pair: out_u (unnormalized, all
+    vertices via LEFT JOIN + COALESCE 0) and out (divided by its own
+    L2 norm)."""
+    return f"""
+{out}u AS (
+  SELECT v.v, COALESCE(su.c, 0.0) AS x FROM verts v LEFT JOIN (
+    SELECT e.{dst_col} AS v, SUM(e.m * p.x) AS c
+    FROM e JOIN {prev} p ON e.{src_col} = p.v GROUP BY e.{dst_col}
+  ) su ON v.v = su.v
+),
+{out} AS (
+  SELECT v, x / sqrt((SELECT SUM(x*x) FROM {out}u)) AS x FROM {out}u
+)"""
+
+
+_HITS_2ITER_SQL = f"""
+WITH raw AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+e AS (SELECT s, t, CAST(COUNT(*) AS DOUBLE) AS m FROM raw GROUP BY s, t),
+h0 AS (SELECT v.v, 1.0/sqrt(nn.n) AS x FROM verts v, nn),
+{_hits_half('h0', 'a1', 's', 't')},
+{_hits_half('a1', 'h1', 't', 's')},
+{_hits_half('h1', 'a2', 's', 't')},
+{_hits_half('a2', 'h2', 't', 's')}
+SELECT a2.v AS name, ROUND(a2.x, 6) AS auth, ROUND(h2.x, 6) AS hub
+FROM a2 JOIN h2 ON a2.v = h2.v
+"""
+
+
 def _interp_quantiles_sql() -> str:
     """quantile_cont oracle with EXPLICIT two-rank interpolation —
     identical float64 expressions to quantiles.interp_quantiles, so the
@@ -705,6 +743,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, vec_id, ROUND(cos, 4) AS cosine FROM r WHERE rn <= 5"
         ),
         "pagerank_2iter": _PAGERANK_2ITER_SQL,
+        "hits_2iter": _HITS_2ITER_SQL,
         "pagerank_converged": _PAGERANK_CONV_SQL,
         "connected_components": _CC_SQL,
         "component_count": _COMPONENT_COUNT_SQL,

@@ -466,6 +466,86 @@ def derive_undirected(
     return meta
 
 
+def derive_reversed(
+    src_graph_dir: str, out_dir: str
+) -> GraphMeta:
+    """Reversed layout derived from an existing directed build: same
+    vertices/ids (copied), every edge src→dst becomes dst→src with its
+    multiplicity kept (pairs stay unique, so no re-collapse), weights
+    recomputed for the new source.  Used by HITS, whose hub update
+    h = A·a gathers along reversed edges (rayrank.hits)."""
+    import shutil
+
+    src_meta = GraphMeta.load(os.path.join(src_graph_dir, "meta.json"))
+    assert src_meta.filter_ratio is None, "derive from an unpruned build"
+    Q = src_meta.Q
+    os.makedirs(out_dir, exist_ok=True)
+    vert_src = os.path.join(src_graph_dir, "vertices")
+    vert_dst = os.path.join(out_dir, "vertices")
+    if not os.path.isdir(vert_dst):
+        shutil.copytree(vert_src, vert_dst)
+
+    e = load_edges(src_graph_dir).select_columns(["src", "dst", "mult"])
+
+    def swap(t: pa.Table):
+        if t.num_rows == 0 or "src" not in t.schema.names:
+            return
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "src": t.column("dst"),
+                "dst": t.column("src"),
+                "mult": t.column("mult"),
+                "part": pa.array(d % Q, pa.int64()),
+            }
+        )
+
+    def local_weights(t: pa.Table):
+        if t.num_rows == 0 or "src" not in t.schema.names:
+            return
+        from . import polars_mod
+
+        pl = polars_mod()
+        df = pl.from_arrow(t.select(["src", "dst", "mult"]))
+        # all edges of one src co-reside after the keyed repartition,
+        # so the per-src outdeg normalizer is block-local
+        g = df.with_columns(
+            (
+                pl.col("mult").cast(pl.Float64)
+                / pl.col("mult").sum().over("src").cast(pl.Float64)
+            ).alias("w"),
+            (pl.col("src") % Q).alias("part"),
+        )
+        yield g.to_arrow()
+
+    rev = e.map_batches(swap, batch_format="pyarrow").repartition(
+        Q, keys=["part"]
+    )
+    edges_w = rev.map_batches(
+        local_weights, batch_size=None, batch_format="pyarrow"
+    )
+    edges_dir = os.path.join(out_dir, "edges")
+    edges_w.write_parquet(edges_dir, partition_cols=["part"])
+    totals = _edge_totals(edges_dir)
+    meta = GraphMeta(
+        n=src_meta.n,
+        Q=Q,
+        part_sizes=src_meta.part_sizes,
+        nnz=totals["nnz"],
+        edge_multiplicity_total=totals["mult"],
+        filter_ratio=None,
+        undirected=False,
+        lineage={
+            "edges_dir": edges_dir,
+            "vertices_dir": vert_dst,
+            "derived_from": src_graph_dir,
+            "reversed": True,
+        },
+    )
+    meta.save(os.path.join(out_dir, "meta.json"))
+    return meta
+
+
 def load_vertices(graph_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(os.path.join(graph_dir, "vertices"))
 

@@ -704,6 +704,10 @@ def _graph(sf_dir: str, kind: str) -> str:
         from .graph import derive_undirected
 
         derive_undirected(_graph(sf_dir, "directed"), gdir)
+    elif kind == "reversed":
+        from .graph import derive_reversed
+
+        derive_reversed(_graph(sf_dir, "directed"), gdir)
     else:  # tri
         build_graph(
             _edge_names(tri_edges(sf_dir)), gdir, num_partitions=P, undirected=True
@@ -771,6 +775,29 @@ def pagerank_2iter(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(
         lambda t: pa.table(
             {"name": t.column("name"), "score": pc.round(t.column("score"), 6)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def hits_2iter(sf_dir: str) -> ray.data.Dataset:
+    """Exactly two HITS iterations (pinned rule in rayrank.hits) on the
+    lineitem edge graph — (name, auth, hub) rounded to 6 decimals.
+    SQL-expressible by unrolling the two L2-normalized half-step pairs
+    (same strategy as pagerank_2iter)."""
+    from .hits import hits
+
+    gdir = _graph(sf_dir, "directed")
+    rdir = _graph(sf_dir, "reversed")
+    res = hits(gdir, rdir, iterations=2)
+    ds = res.scores_dataset(gdir)
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "name": t.column("name"),
+                "auth": pc.round(t.column("auth"), 6),
+                "hub": pc.round(t.column("hub"), 6),
+            }
         ),
         batch_format="pyarrow",
     )

@@ -93,6 +93,8 @@ class CsrShard:
         self.y_prev = None
         self.v = None        # personalization partition
         self.labels = None
+        self.hits_y = None   # HITS gather vector (hub on fwd, auth on rev)
+        self.hits_in = None  # HITS reduce result (auth on fwd, hub on rev)
 
     # ------------------------------------------------------------------
     # common
@@ -209,6 +211,52 @@ class CsrShard:
             "bytes": os.path.getsize(path),
             "path": path,
         }
+
+    # ------------------------------------------------------------------
+    # HITS (multiplicity-weighted adjacency, L2-normalized half-steps)
+    # ------------------------------------------------------------------
+
+    def init_hits(self, value: float) -> None:
+        """Install a uniform gather vector (hub₀ on the forward set)."""
+        self.hits_y = np.full(self.s_p, value, np.float64)
+        self.hits_in = None
+
+    def gather_hits(self):
+        """Round A: per-destination partials of mult·y — Aᵀy on the
+        forward shard set (auth update), A·y on the reversed set (hub
+        update).  Same routing as gather_pr but ADJACENCY multiplicity
+        weights, not the 1/outdeg PageRank weights."""
+        if len(self.mult) == 0:
+            return self._unwrap1(
+                tuple((self.out_local[q], np.empty(0)) for q in range(self.Q))
+            )
+        contrib = self.mult * self.hits_y[self.src_l]
+        sums = np.add.reduceat(contrib, self.seg)
+        return self._unwrap1(
+            tuple((self.out_local[q], sums[self.route[q]]) for q in range(self.Q))
+        )
+
+    def reduce_hits(self, *parts) -> float:
+        """Round B: fold message columns into the resident result vector
+        (unnormalized); returns the local Σx² so the driver can compute
+        the global L2 scale — scalars only, like reduce_pr."""
+        y_new = np.zeros(self.s_p, np.float64)
+        for idx, vals in parts:
+            if len(idx):
+                y_new += np.bincount(idx, weights=vals, minlength=self.s_p)
+        self.hits_in = y_new
+        return float(np.dot(y_new, y_new))
+
+    def hits_result(self, inv_norm: float) -> np.ndarray:
+        """Normalized result partition for the partition-aligned handoff
+        to the other shard set (and final extraction)."""
+        return inv_norm * self.hits_in
+
+    def set_hits_y(self, arr: np.ndarray) -> None:
+        self.hits_y = np.asarray(arr, np.float64)
+
+    def get_hits_y(self) -> np.ndarray:
+        return self.hits_y
 
     # ------------------------------------------------------------------
     # label algorithms (connected components / label propagation)
