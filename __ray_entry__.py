@@ -63,6 +63,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_stats": _an().event_value_stats,
         "stratified_event_sample": _an().stratified_event_sample,
         "price_quantiles_cont": pl.price_quantiles_cont,
+        "parts_in_both_years": _an().parts_in_both_years,
+        "parts_churned": _an().parts_churned,
+        "clustering_coeff": pl.clustering_coeff,
         # degrees / weights / dangling / prune (SURVEY §2.5, §2.2 M3, §2.4 J4)
         "out_degree": pl.out_degree,
         "in_degree": pl.in_degree,
@@ -485,6 +488,42 @@ FROM a2 JOIN h2 ON a2.v = h2.v
 """
 
 
+# Local clustering coefficient on the triangle-bearing undirected graph
+# (same edge definition as the triangle_count oracle): coeff =
+# 2T/(d·(d−1)) — one double division, identical expression to
+# pipelines.clustering_coeff, so no rounding is needed.  Vertices whose
+# only edges were self-loops have no simple edges and are excluded on
+# both sides (the engine joins triangles against the edge-derived
+# degree table).
+_CLUSTERING_COEFF_SQL = """
+WITH raw AS (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem),
+und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        FROM raw WHERE a <> b),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM und e1 JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tcnt AS (
+  SELECT w AS vid, CAST(COUNT(*) AS BIGINT) AS t FROM (
+    SELECT x AS w FROM tri UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY w
+),
+deg AS (
+  SELECT w AS vid, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS w FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY w
+)
+SELECT CAST(deg.vid AS VARCHAR) AS name,
+  COALESCE(t.t, 0) AS triangles, deg.d AS degree,
+  CASE WHEN deg.d >= 2
+       THEN CAST(2*COALESCE(t.t, 0) AS DOUBLE)/(deg.d*(deg.d-1))
+       ELSE 0.0 END AS coeff
+FROM deg LEFT JOIN tcnt t ON deg.vid = t.vid
+"""
+
+
 def _interp_quantiles_sql() -> str:
     """quantile_cont oracle with EXPLICIT two-rank interpolation —
     identical float64 expressions to quantiles.interp_quantiles, so the
@@ -614,6 +653,9 @@ def oracle_sql() -> dict[str, str]:
         "event_value_stats": _an().EVENT_VALUE_STATS_SQL,
         "stratified_event_sample": _stratified_sample_sql(),
         "price_quantiles_cont": _interp_quantiles_sql(),
+        "parts_in_both_years": _an().PARTS_IN_BOTH_YEARS_SQL,
+        "parts_churned": _an().PARTS_CHURNED_SQL,
+        "clustering_coeff": _CLUSTERING_COEFF_SQL,
         "out_degree": (
             "SELECT l_orderkey AS src, COUNT(*) AS outdeg "
             "FROM lineitem GROUP BY l_orderkey"

@@ -650,6 +650,83 @@ def nation_year_rollup(sf_dir: str) -> ray.data.Dataset:
 
 
 # --------------------------------------------------------------------------
+# set operations (INTERSECT / EXCEPT via one flagged groupby)
+# --------------------------------------------------------------------------
+
+SETOP_YEAR_A, SETOP_YEAR_B = 1996, 1997
+
+
+def _partkey_year_flags(sf_dir: str) -> ray.data.Dataset:
+    """(l_partkey, max(in_a), max(in_b)) membership flags for parts
+    shipped in year A / year B — ONE scan + one keyed groupby serves
+    both the INTERSECT and the EXCEPT query (flags pre-maxed per
+    block, so the shuffle moves ≤ distinct-keys-per-block rows)."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate"])
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        y = pc.year(t.column("l_shipdate"))
+        m = pc.or_(pc.equal(y, SETOP_YEAR_A), pc.equal(y, SETOP_YEAR_B))
+        t, y = t.filter(m), y.filter(m)
+        if len(t) == 0:
+            return
+        g = pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "in_a": pc.cast(pc.equal(y, SETOP_YEAR_A), pa.int64()),
+                "in_b": pc.cast(pc.equal(y, SETOP_YEAR_B), pa.int64()),
+            }
+        ).group_by(["l_partkey"]).aggregate([("in_a", "max"), ("in_b", "max")])
+        yield g.rename_columns(["l_partkey", "in_a", "in_b"])
+
+    return (
+        li.map_batches(pre, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .max(["in_a", "in_b"])
+    )
+
+
+def _setop(sf_dir: str, want_b: int) -> ray.data.Dataset:
+    flags = _partkey_year_flags(sf_dir)
+
+    def pick(t: pa.Table):
+        if len(t) == 0 or "max(in_a)" not in t.schema.names:
+            return
+        a = t.column("max(in_a)")
+        b = t.column("max(in_b)")
+        keep = pc.and_(pc.equal(a, 1), pc.equal(b, want_b))
+        out = t.filter(keep).select(["l_partkey"])
+        if len(out):
+            yield out
+
+    return flags.map_batches(pick, batch_format="pyarrow")
+
+
+def parts_in_both_years(sf_dir: str) -> ray.data.Dataset:
+    """Partkeys shipped in BOTH years — the INTERSECT shape."""
+    return _setop(sf_dir, want_b=1)
+
+
+def parts_churned(sf_dir: str) -> ray.data.Dataset:
+    """Partkeys shipped in year A but NOT year B — the EXCEPT shape."""
+    return _setop(sf_dir, want_b=0)
+
+
+PARTS_IN_BOTH_YEARS_SQL = f"""
+SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = {SETOP_YEAR_A}
+INTERSECT
+SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = {SETOP_YEAR_B}
+"""
+
+PARTS_CHURNED_SQL = f"""
+SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = {SETOP_YEAR_A}
+EXCEPT
+SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = {SETOP_YEAR_B}
+"""
+
+
+# --------------------------------------------------------------------------
 # exact per-group variance (integer moments formula)
 # --------------------------------------------------------------------------
 

@@ -830,6 +830,73 @@ def triangle_count_sf(sf_dir: str) -> pa.Table:
     )
 
 
+def clustering_coeff(sf_dir: str) -> ray.data.Dataset:
+    """(name, triangles, degree, coeff) local clustering coefficient on
+    the triangle-bearing undirected graph: coeff = 2T/(d·(d−1)), 0 when
+    d < 2.  Triangles ride the shard protocol (per-vertex counts stay
+    actor-resident, zipped with names in tasks); simple degrees are
+    block-local counts on the part=src%Q edge layout (every src's edges
+    co-reside, so NO shuffle); one vid-keyed join marries them.  The
+    division is a single double op computed identically in the SQL
+    oracle — no rounding needed."""
+    from .graph import load_edges
+    from .joins import join_auto
+    from .triangles import triangles_per_vertex, triangles_per_vertex_shards
+
+    gdir = _graph(sf_dir, "tri")
+    try:
+        tri = triangles_per_vertex_shards(gdir)
+    except Exception as e:  # uint64 key-width guard → Dataset path
+        if "combined wedge key" not in str(e):
+            raise
+        tri = triangles_per_vertex(gdir)
+
+    def deg_block(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        g = t.select(["src"]).group_by(["src"]).aggregate([([], "count_all")])
+        yield g.rename_columns(["src", "degree"])
+
+    # block partials + keyed sum: the parquet reader may split one
+    # part file into several blocks, so a src's rows can span blocks
+    def rn_deg(t: pa.Table):
+        if len(t) == 0 or "sum(degree)" not in t.schema.names:
+            return
+        yield t.rename_columns(["src", "degree"])
+
+    deg = (
+        load_edges(gdir)
+        .map_batches(deg_block, batch_format="pyarrow")
+        .groupby("src")
+        .sum("degree")
+        .map_batches(rn_deg, batch_format="pyarrow")
+    )
+    j = join_auto(tri, deg, on=("vid",), right_on=("src",), num_partitions=P)
+
+    def finish(t: pa.Table):
+        if len(t) == 0 or "degree" not in t.schema.names:
+            return
+        tr = t.column("triangles").to_numpy(zero_copy_only=False)
+        d = t.column("degree").to_numpy(zero_copy_only=False)
+        denom = d * (d - 1)
+        coeff = np.divide(
+            (2 * tr).astype(np.float64),
+            denom,
+            out=np.zeros(len(d), np.float64),
+            where=denom > 0,
+        )
+        yield pa.table(
+            {
+                "name": t.column("name"),
+                "triangles": pa.array(tr),
+                "degree": pa.array(d),
+                "coeff": pa.array(coeff),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 def connected_components_sf(sf_dir: str) -> ray.data.Dataset:
     """(name, component=min member name) on the undirected lineitem
     graph.  SQL oracle: iterated min-label CTE is not expressible in
