@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_in_both_years": _an().parts_in_both_years,
         "parts_churned": _an().parts_churned,
         "clustering_coeff": pl.clustering_coeff,
+        "event_value_quantiles": _an().event_value_quantiles,
+        "retention_cohorts": _an().retention_cohorts,
         # degrees / weights / dangling / prune (SURVEY §2.5, §2.2 M3, §2.4 J4)
         "out_degree": pl.out_degree,
         "in_degree": pl.in_degree,
@@ -656,6 +658,8 @@ def oracle_sql() -> dict[str, str]:
         "parts_in_both_years": _an().PARTS_IN_BOTH_YEARS_SQL,
         "parts_churned": _an().PARTS_CHURNED_SQL,
         "clustering_coeff": _CLUSTERING_COEFF_SQL,
+        "event_value_quantiles": _an().EVENT_VALUE_QUANTILES_SQL,
+        "retention_cohorts": _an().RETENTION_COHORTS_SQL,
         "out_degree": (
             "SELECT l_orderkey AS src, COUNT(*) AS outdeg "
             "FROM lineitem GROUP BY l_orderkey"

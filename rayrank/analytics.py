@@ -560,6 +560,183 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
 
 
 # --------------------------------------------------------------------------
+# grouped exact quantiles (per-group quantile_disc)
+# --------------------------------------------------------------------------
+
+GROUPED_QS = (0.25, 0.5, 0.75)  # binary-exact
+
+
+def event_value_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Per-event-type exact p25/median/p75 of `value` — the grouped-
+    quantile shape.  (type, value) count partials collapse per block,
+    the keyed groupby is bounded by per-type cardinality, and ONE
+    keyed repartition co-locates each type's whole value histogram so
+    the rank pick (max(1, ceil(q·N)), the verified quantile_disc rule)
+    is a block-local sort+cumsum — the driver never sees values."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        g = (
+            t.select(["event_type", "value"])
+            .append_column("cnt", _ones(len(t)))
+            .group_by(["event_type", "value"])
+            .aggregate([("cnt", "sum")])
+        )
+        yield g.rename_columns(["event_type", "value", "cnt"])
+
+    vc = (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(pre, batch_format="pyarrow")
+        .groupby(["event_type", "value"])
+        .sum("cnt")
+    )
+
+    def strip(t: pa.Table):
+        if len(t) == 0 or "sum(cnt)" not in t.schema.names:
+            return
+        yield t.rename_columns(["event_type", "value", "cnt"])
+
+    co = vc.map_batches(strip, batch_format="pyarrow").repartition(
+        P, keys=["event_type"]
+    )
+
+    def pick(t: pa.Table):
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return
+        ty = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        c = t.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, ty))
+        ty, v, c = ty[order], v[order], c[order]
+        starts = np.flatnonzero(np.r_[True, ty[1:] != ty[:-1]])
+        ends = np.r_[starts[1:], len(ty)]
+        cols = {"event_type": pa.array(ty[starts].tolist(), pa.string())}
+        cum = np.cumsum(c)
+        base = np.r_[np.int64(0), cum[starts[1:] - 1]]
+        totals = cum[ends - 1] - base
+        for q, nm in zip(GROUPED_QS, ("p25", "median", "p75")):
+            # ceil(q·N) exact: q binary, N < 2^53
+            ranks = np.maximum(1, np.ceil(q * totals).astype(np.int64))
+            idx = np.searchsorted(cum, base + ranks, side="left")
+            cols[nm] = pa.array(v[idx], pa.float64())
+        yield pa.table(cols)
+
+    return co.map_batches(pick, batch_size=None, batch_format="pyarrow")
+
+
+EVENT_VALUE_QUANTILES_SQL = """
+SELECT event_type,
+  quantile_disc(value, 0.25) AS p25,
+  quantile_disc(value, 0.5) AS median,
+  quantile_disc(value, 0.75) AS p75
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# retention cohorts (first-activity month × months-since matrix)
+# --------------------------------------------------------------------------
+
+
+DAY_US = 86_400_000_000
+
+
+def retention_cohorts(sf_dir: str) -> ray.data.Dataset:
+    """Cohort retention matrix: users grouped by first-activity DAY,
+    counted in each later day they were active (daily because the
+    testdata spans one month).  cohort/activity days are integer epoch
+    day codes; both the first-day reduce and the distinct (user, day)
+    dedup pre-combine per block, the cohort table joins back under the
+    broadcast guard, and the final (cohort, k) count is a tiny
+    groupby."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def mcodes(t: pa.Table):
+        if len(t) == 0:
+            return
+        us = pc.cast(t.column("ts"), pa.int64())
+        code = pc.divide(us, DAY_US)  # nonnegative ⇒ trunc == floor
+        yield pa.table({"user_id": t.column("user_id"), "mcode": code})
+
+    em = ev.map_batches(mcodes, batch_format="pyarrow")
+
+    def pre_min(t: pa.Table):
+        if len(t) == 0:
+            return
+        g = t.group_by(["user_id"]).aggregate([("mcode", "min")])
+        yield g.rename_columns(["user_id", "cohort"])
+
+    cohort = (
+        em.map_batches(pre_min, batch_format="pyarrow")
+        .groupby("user_id")
+        .min("cohort")
+    )
+
+    def rn_c(t: pa.Table):
+        if len(t) == 0 or "min(cohort)" not in t.schema.names:
+            return
+        yield t.rename_columns(["user_id", "cohort"])
+
+    cohort = cohort.map_batches(rn_c, batch_format="pyarrow")
+
+    def pre_dedup(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield t.group_by(["user_id", "mcode"]).aggregate([])
+
+    active = (
+        em.map_batches(pre_dedup, batch_format="pyarrow")
+        .groupby(["user_id", "mcode"])
+        .count()
+    )
+
+    def keys2(t: pa.Table):
+        if len(t) == 0 or "user_id" not in t.schema.names:
+            return
+        yield t.select(["user_id", "mcode"])
+
+    active = active.map_batches(keys2, batch_format="pyarrow")
+    j = join_auto(active, cohort, on=("user_id",), num_partitions=P)
+
+    def agg(t: pa.Table):
+        if len(t) == 0 or "cohort" not in t.schema.names:
+            return
+        k = pc.subtract(t.column("mcode"), t.column("cohort"))
+        g = (
+            pa.table({"cohort": t.column("cohort"), "k": k})
+            .append_column("n", _ones(len(t)))
+            .group_by(["cohort", "k"])
+            .aggregate([("n", "sum")])
+        )
+        yield g.rename_columns(["cohort", "k", "n_users"])
+
+    partials = j.map_batches(agg, batch_format="pyarrow")
+    g = partials.repartition(1)  # O(months²) rows per partial
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "cohort" not in t.schema.names:
+            return
+        out = t.group_by(["cohort", "k"]).aggregate([("n_users", "sum")])
+        yield out.rename_columns(["cohort", "k", "n_users"])
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+RETENTION_COHORTS_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS mcode
+  FROM events
+),
+c AS (SELECT user_id, MIN(mcode) AS cohort FROM e GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, mcode FROM e)
+SELECT c.cohort, a.mcode - c.cohort AS k,
+  CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a JOIN c ON a.user_id = c.user_id GROUP BY c.cohort, k
+"""
+
+
+# --------------------------------------------------------------------------
 # rollup (hierarchical subtotals from the reduced leaf table)
 # --------------------------------------------------------------------------
 
