@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": pl.clustering_coeff,
         "event_value_quantiles": _an().event_value_quantiles,
         "retention_cohorts": _an().retention_cohorts,
+        "users_per_type_kmv": pl.users_per_type_kmv,
+        "weighted_event_sample": _an().weighted_event_sample,
         # degrees / weights / dangling / prune (SURVEY §2.5, §2.2 M3, §2.4 J4)
         "out_degree": pl.out_degree,
         "in_degree": pl.in_degree,
@@ -571,6 +573,50 @@ JOIN t ON h.event_type = t.event_type WHERE h.z < t.thr
 """
 
 
+def _kmv_by_sql(k: int = 64) -> str:
+    """Per-group KMV replay: distinct hashes per event_type, k-th
+    minimum via ROW_NUMBER, identical branch/doubles to
+    sketch.kmv_distinct_by."""
+    return f"""
+WITH
+sk0 AS (SELECT event_type, CAST(user_id AS HUGEINT) AS x FROM events),
+sk1 AS (SELECT event_type, (x + 11400714819323198485) % {_M64} AS z FROM sk0),
+sk2 AS (SELECT event_type, {_sm64_mul('xor(z, z // 1073741824)', 0xBF58476D1CE4E5B9)} AS z FROM sk1),
+sk3 AS (SELECT event_type, {_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FROM sk2),
+hh AS (SELECT event_type, xor(z, z // 2147483648) AS z FROM sk3),
+u AS (SELECT DISTINCT event_type, z FROM hh),
+o AS (SELECT event_type, z,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY z) AS rn
+      FROM u),
+st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nu,
+         MAX(CASE WHEN rn = {k} THEN z END) AS hk
+       FROM o GROUP BY event_type)
+SELECT event_type,
+  CAST(CASE WHEN nu < {k} THEN nu
+    ELSE FLOOR(({k} - 1) * 18446744073709551616.0 / CAST(hk AS DOUBLE))
+    END AS BIGINT) AS est_distinct,
+  CAST({k} AS BIGINT) AS k
+FROM st
+"""
+
+
+def _weighted_sample_sql() -> str:
+    """Pure-integer weighted-Bernoulli replay of
+    analytics.weighted_event_sample (no float thresholds)."""
+    from rayrank.analytics import WEIGHTED_T
+
+    return f"""
+WITH
+sk0 AS (SELECT event_id, value, CAST(event_id AS HUGEINT) AS x FROM events),
+sk1 AS (SELECT event_id, value, (x + 11400714819323198485) % {_M64} AS z FROM sk0),
+sk2 AS (SELECT event_id, value, {_sm64_mul('xor(z, z // 1073741824)', 0xBF58476D1CE4E5B9)} AS z FROM sk1),
+sk3 AS (SELECT event_id, value, {_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FROM sk2),
+hh AS (SELECT event_id, value, xor(z, z // 2147483648) AS z FROM sk3)
+SELECT event_id, value FROM hh
+WHERE z < CAST(ROUND(value*100) AS HUGEINT) * {WEIGHTED_T}
+"""
+
+
 def _hash_sample_sql(frac: float = 0.25) -> str:
     """splitmix64-threshold Bernoulli sample, id carried through the
     hash chain.  Threshold must be exactly representable: frac=0.25
@@ -660,6 +706,8 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _CLUSTERING_COEFF_SQL,
         "event_value_quantiles": _an().EVENT_VALUE_QUANTILES_SQL,
         "retention_cohorts": _an().RETENTION_COHORTS_SQL,
+        "users_per_type_kmv": _kmv_by_sql(),
+        "weighted_event_sample": _weighted_sample_sql(),
         "out_degree": (
             "SELECT l_orderkey AS src, COUNT(*) AS outdeg "
             "FROM lineitem GROUP BY l_orderkey"

@@ -1053,6 +1053,41 @@ def stratified_event_sample(
     )
 
 
+# --------------------------------------------------------------------------
+# weighted sampling (probability ∝ value, pure-integer thresholds)
+# --------------------------------------------------------------------------
+
+WEIGHTED_VMAX_C = 50_000  # cents ceiling: value ≤ 490.02 < 500.00
+WEIGHTED_T = (1 << 64) // WEIGHTED_VMAX_C  # per-cent hash quantum
+
+
+def weighted_event_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic weighted Bernoulli sample: keep an event with
+    probability value/500 by comparing splitmix64(event_id) against
+    value_cents · ⌊2^64/50000⌋ — ALL integer arithmetic (max product
+    1.81e19 < 2^64), so engine and SQL replay are bit-identical with
+    no float thresholds at all.  Stateless per-batch filter, no
+    shuffle; reproducible and joinable like hash_sample."""
+    from .sketch import splitmix64
+
+    tq = np.uint64(WEIGHTED_T)
+
+    def fn(t: pa.Table):
+        if len(t) == 0:
+            return
+        h = splitmix64(
+            t.column("event_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        vc = _i64(t.column("value"), 100).astype(np.uint64)
+        out = t.filter(pa.array(h < vc * tq))
+        if len(out):
+            yield out
+
+    return _read(sf_dir, "events", ["event_id", "value"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
 NATION_YEAR_ROLLUP_SQL = """
 WITH b AS (
   SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,

@@ -519,6 +519,22 @@ def price_quantiles_cont(sf_dir: str):
     )
 
 
+def users_per_type_kmv(sf_dir: str) -> ray.data.Dataset:
+    """Per-event-type KMV distinct-user estimates (grouped sketch —
+    rayrank.sketch.kmv_distinct_by); k=64 exercises the exact branch at
+    sf0.001 (<64 users/type) and the estimator branch at sf≥0.01."""
+    from .sketch import kmv_distinct_by
+
+    out = kmv_distinct_by(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type", "user_id", k=64,
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["event_type", "est_distinct", "k"]),
+        batch_format="pyarrow",
+    )
+
+
 def frequent_event_types(sf_dir: str) -> ray.data.Dataset:
     """Exact heavy hitters (φ=1/8) over events.event_type — candidate
     superset from per-block counts, broadcast exact verify

@@ -99,6 +99,76 @@ def kmv_distinct(
     )
 
 
+def kmv_distinct_by(
+    ds: ray.data.Dataset, key_col: str, value_col: str, k: int = 64
+) -> ray.data.Dataset:
+    """Per-KEY KMV distinct-count estimates — the grouped-sketch shape
+    (approximate COUNT(DISTINCT value) GROUP BY key at cardinalities
+    where the exact two-level groupby would shuffle too much).
+
+    Per block: distinct (key, value) pairs → splitmix64(value) → k
+    smallest hashes PER KEY (vectorized lexsort + group-rank, no
+    per-group loop).  Merge is one coalesce of O(blocks·keys·k) rows;
+    per key the union's k-th minimum gives (k−1)·2^64/h_(k), exact
+    when fewer than k distinct hashes exist.  Bit-identical to the SQL
+    replay (same branch, same two doubles divided)."""
+
+    def part(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        ty = np.asarray(t.column(key_col).to_pylist(), dtype=object)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        h = splitmix64(v.astype(np.uint64))
+        order = np.lexsort((h, ty))
+        ty, h = ty[order], h[order]
+        first = np.r_[True, (ty[1:] != ty[:-1]) | (h[1:] != h[:-1])]
+        ty, h = ty[first], h[first]
+        starts = np.flatnonzero(np.r_[True, ty[1:] != ty[:-1]])
+        sizes = np.diff(np.r_[starts, len(ty)])
+        rank = np.arange(len(ty)) - np.repeat(starts, sizes)
+        keep = rank < k
+        yield pa.table(
+            {
+                "key": pa.array(ty[keep].tolist(), pa.string()),
+                "h": pa.array(h[keep], pa.uint64()),
+            }
+        )
+
+    def merge(t: pa.Table):
+        if t.num_rows == 0 or "h" not in t.schema.names:
+            return
+        ty = np.asarray(t.column("key").to_pylist(), dtype=object)
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, ty))
+        ty, h = ty[order], h[order]
+        first = np.r_[True, (ty[1:] != ty[:-1]) | (h[1:] != h[:-1])]
+        ty, h = ty[first], h[first]
+        starts = np.flatnonzero(np.r_[True, ty[1:] != ty[:-1]])
+        sizes = np.diff(np.r_[starts, len(ty)])
+        keys, ests = [], []
+        for s, n in zip(starts, sizes):
+            keys.append(ty[s])
+            if n < k:
+                ests.append(int(n))
+            else:
+                ests.append(
+                    math.floor((k - 1) * 2.0**64 / float(h[s + k - 1]))
+                )
+        yield pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "est_distinct": pa.array(ests, pa.int64()),
+                "k": pa.array(np.full(len(keys), k, np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(part, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_size=None, batch_format="pyarrow")
+    )
+
+
 def hll_partials(
     ds: ray.data.Dataset, column: str, p: int = 12
 ) -> ray.data.Dataset:
