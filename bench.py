@@ -163,6 +163,22 @@ def run_bench() -> dict:
         user_sessions(sf_dir).count()
         queries["user_sessions"] = time.perf_counter() - t0
 
+        from rayrank.analytics import big_orders, user_running_totals
+        from rayrank.pipelines import hits_2iter
+
+        t0 = time.perf_counter()
+        big_orders(sf_dir).count()
+        queries["big_orders"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        user_running_totals(sf_dir).count()
+        queries["user_running_totals"] = time.perf_counter() - t0
+
+        # includes the directed lineitem-graph build + reversed derive
+        t0 = time.perf_counter()
+        hits_2iter(sf_dir).count()
+        queries["hits_2iter"] = time.perf_counter() - t0
+
     out = {
         "metric": (
             "wall sec of reference-exact PageRank to eps=1e-6 on the "

@@ -173,9 +173,12 @@ def big_orders(sf_dir: str) -> ray.data.Dataset:
         right_on=("l_orderkey",),
         num_partitions=P,
     )
+    # the surviving big-order set is the SMALL side: broadcast it and
+    # STREAM customer past it (materializing customer to broadcast it
+    # the other way round would ship the big table at scale)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     j2 = join_auto(
-        j, cust, on=("o_custkey",), right_on=("c_custkey",), num_partitions=P
+        cust, j, on=("c_custkey",), right_on=("o_custkey",), num_partitions=P
     )
 
     def finish(t: pa.Table):
@@ -185,7 +188,7 @@ def big_orders(sf_dir: str) -> ray.data.Dataset:
         yield pa.table(
             {
                 "c_name": t.column("c_name"),
-                "o_custkey": t.column("o_custkey"),
+                "o_custkey": t.column("c_custkey"),
                 "o_orderkey": t.column("o_orderkey"),
                 "o_orderdate_us": t.column("o_orderdate_us"),
                 "o_totalprice": t.column("o_totalprice"),
