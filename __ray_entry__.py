@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _an().retention_cohorts,
         "users_per_type_kmv": pl.users_per_type_kmv,
         "weighted_event_sample": _an().weighted_event_sample,
+        "daily_click_purchase_matrix": _an().daily_click_purchase_matrix,
         # degrees / weights / dangling / prune (SURVEY §2.5, §2.2 M3, §2.4 J4)
         "out_degree": pl.out_degree,
         "in_degree": pl.in_degree,
@@ -708,6 +709,7 @@ def oracle_sql() -> dict[str, str]:
         "retention_cohorts": _an().RETENTION_COHORTS_SQL,
         "users_per_type_kmv": _kmv_by_sql(),
         "weighted_event_sample": _weighted_sample_sql(),
+        "daily_click_purchase_matrix": _an().DAILY_CLICK_PURCHASE_MATRIX_SQL,
         "out_degree": (
             "SELECT l_orderkey AS src, COUNT(*) AS outdeg "
             "FROM lineitem GROUP BY l_orderkey"

@@ -1057,6 +1057,91 @@ def stratified_event_sample(
 
 
 # --------------------------------------------------------------------------
+# full outer join (daily click/purchase matrix with empty sides kept)
+# --------------------------------------------------------------------------
+
+
+def _daily_type_counts(sf_dir: str, etype: str, out_col: str) -> ray.data.Dataset:
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        t = t.filter(pc.equal(t.column("event_type"), etype))
+        if len(t) == 0:
+            return
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()), DAY_US)
+        g = (
+            pa.table(
+                {"user_id": t.column("user_id"), "day": day, out_col: _ones(len(t))}
+            )
+            .group_by(["user_id", "day"])
+            .aggregate([(out_col, "sum")])
+        )
+        yield g.rename_columns(["user_id", "day", out_col])
+
+    g = ev.map_batches(pre, batch_format="pyarrow").groupby(
+        ["user_id", "day"]
+    ).sum(out_col)
+
+    def rn(t: pa.Table):
+        if len(t) == 0 or f"sum({out_col})" not in t.schema.names:
+            return
+        yield t.rename_columns(["user_id", "day", out_col])
+
+    return g.map_batches(rn, batch_format="pyarrow")
+
+
+def daily_click_purchase_matrix(sf_dir: str) -> ray.data.Dataset:
+    """Per (user, day): click count and purchase count, keeping days
+    where only one side is present — the FULL OUTER join shape (keys
+    coalesce, absent side filled with 0).  Both inputs are already
+    reduced to per-key counts before the join, so the outer join moves
+    O(active user-days), never raw events."""
+    from .joins import hash_join
+
+    c = _daily_type_counts(sf_dir, "click", "n_clicks")
+    p = _daily_type_counts(sf_dir, "purchase", "n_purchases")
+    j = hash_join(
+        c, p, on=("user_id", "day"), how="full_outer", num_partitions=P
+    )
+
+    def finish(t: pa.Table):
+        if len(t) == 0 or "n_clicks" not in t.schema.names:
+            return
+        zero = pa.scalar(0, pa.int64())
+        yield pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": t.column("day"),
+                "n_clicks": pc.coalesce(t.column("n_clicks"), zero),
+                "n_purchases": pc.coalesce(t.column("n_purchases"), zero),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+DAILY_CLICK_PURCHASE_MATRIX_SQL = """
+WITH c AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+    CAST(COUNT(*) AS BIGINT) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY user_id, day
+),
+p AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+    CAST(COUNT(*) AS BIGINT) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, day
+)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+  COALESCE(c.day, p.day) AS day,
+  COALESCE(c.n_clicks, 0) AS n_clicks,
+  COALESCE(p.n_purchases, 0) AS n_purchases
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id AND c.day = p.day
+"""
+
+
+# --------------------------------------------------------------------------
 # weighted sampling (probability ∝ value, pure-integer thresholds)
 # --------------------------------------------------------------------------
 
