@@ -28,6 +28,7 @@ import ray.data
 from . import configure_data_context
 from .joins import join_auto
 from .relational import P, _i64, _read, _ts
+from .shuffle import keyed_reagg
 
 configure_data_context()  # entry path: hash-shuffle strategy required
 
@@ -58,15 +59,15 @@ def order_count_distribution(sf_dir: str) -> ray.data.Dataset:
         )
         yield g.rename_columns(["o_custkey", "n"])
 
-    per_cust = (
-        _read(sf_dir, "orders", ["o_custkey"])
-        .map_batches(pre, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .sum("n")
+    per_cust = keyed_reagg(
+        _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+            pre, batch_format="pyarrow"
+        ),
+        ["o_custkey"], [("n", "sum")], P,
     )
 
     def to_hist(t: pa.Table):
-        if len(t) == 0 or "sum(n)" not in t.schema.names:
+        if len(t) == 0 or "n" not in t.schema.names:
             return
         g = (
             t.rename_columns(["o_custkey", "c_count"])
@@ -131,17 +132,16 @@ def big_orders(sf_dir: str) -> ray.data.Dataset:
         ).group_by(["l_orderkey"]).aggregate([("q", "sum")])
         yield g.rename_columns(["l_orderkey", "q"])
 
-    li = (
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-        .map_batches(pre, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .sum("q")
+    li = keyed_reagg(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+            pre, batch_format="pyarrow"
+        ),
+        ["l_orderkey"], [("q", "sum")], P,
     )
 
     def having(t: pa.Table):
-        if len(t) == 0 or "sum(q)" not in t.schema.names:
+        if len(t) == 0 or "q" not in t.schema.names:
             return
-        t = t.rename_columns(["l_orderkey", "q"])
         t = t.filter(pc.greater(t.column("q"), BIG_ORDER_MIN_QTY))
         if len(t) == 0:
             return
@@ -237,18 +237,10 @@ def inactive_customers(sf_dir: str) -> ray.data.Dataset:
             return
         yield t.select(["o_custkey"]).group_by(["o_custkey"]).aggregate([])
 
-    active = (
-        orders.map_batches(active_pre, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .count()
+    active = keyed_reagg(
+        orders.map_batches(active_pre, batch_format="pyarrow"),
+        ["o_custkey"], [], P,
     )
-
-    def keys_only(t: pa.Table):
-        if len(t) == 0 or "o_custkey" not in t.schema.names:
-            return
-        yield t.select(["o_custkey"])
-
-    active = active.map_batches(keys_only, batch_format="pyarrow")
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
     inactive = join_auto(
@@ -362,19 +354,10 @@ def avg_yearly(sf_dir: str) -> ray.data.Dataset:
         )
         yield g.rename_columns(["l_partkey", "sq", "n"])
 
-    stats = (
-        li_filtered()
-        .map_batches(stat_pre, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .sum(["sq", "n"])
+    stats = keyed_reagg(
+        li_filtered().map_batches(stat_pre, batch_format="pyarrow"),
+        ["l_partkey"], [("sq", "sum"), ("n", "sum")], P,
     )
-
-    def rn(t: pa.Table):
-        if len(t) == 0 or "sum(sq)" not in t.schema.names:
-            return
-        yield t.rename_columns(["l_partkey", "sq", "n"])
-
-    stats = stats.map_batches(rn, batch_format="pyarrow")
     j = join_auto(li_filtered(), stats, on=("l_partkey",), num_partitions=P)
 
     def partial(t: pa.Table):
@@ -441,25 +424,20 @@ def mode_event_type(sf_dir: str) -> ray.data.Dataset:
         )
         yield g.rename_columns(["user_id", "event_type", "n"])
 
-    pairs = (
-        _read(sf_dir, "events", ["user_id", "event_type"])
-        .map_batches(pre, batch_format="pyarrow")
-        .groupby(["user_id", "event_type"])
-        .sum("n")
+    # ONE repartition by user co-locates all of a user's (type, n)
+    # partials; the argmax block re-aggregates them in arrow first —
+    # no Dataset.groupby aggregator anywhere (measured ~4× faster at
+    # 1M events; see shuffle.keyed_reagg)
+    pairs = _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+        pre, batch_format="pyarrow"
     )
-
-    def strip(t: pa.Table):
-        if len(t) == 0 or "sum(n)" not in t.schema.names:
-            return
-        yield t.rename_columns(["user_id", "event_type", "n"])
-
-    co = pairs.map_batches(strip, batch_format="pyarrow").repartition(
-        P, keys=["user_id"]
-    )
+    co = pairs.repartition(P, keys=["user_id"])
 
     def argmax(t: pa.Table):
         if t.num_rows == 0 or "user_id" not in t.schema.names:
             return
+        t = t.group_by(["user_id", "event_type"]).aggregate([("n", "sum")])
+        t = t.rename_columns(["user_id", "event_type", "n"])
         u = t.column("user_id").to_numpy(zero_copy_only=False)
         ty = np.asarray(t.column("event_type").to_pylist(), dtype=object)
         n = t.column("n").to_numpy(zero_copy_only=False)
@@ -588,25 +566,18 @@ def event_value_quantiles(sf_dir: str) -> ray.data.Dataset:
         )
         yield g.rename_columns(["event_type", "value", "cnt"])
 
-    vc = (
-        _read(sf_dir, "events", ["event_type", "value"])
-        .map_batches(pre, batch_format="pyarrow")
-        .groupby(["event_type", "value"])
-        .sum("cnt")
+    vc = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        pre, batch_format="pyarrow"
     )
-
-    def strip(t: pa.Table):
-        if len(t) == 0 or "sum(cnt)" not in t.schema.names:
-            return
-        yield t.rename_columns(["event_type", "value", "cnt"])
-
-    co = vc.map_batches(strip, batch_format="pyarrow").repartition(
-        P, keys=["event_type"]
-    )
+    co = vc.repartition(P, keys=["event_type"])
 
     def pick(t: pa.Table):
         if t.num_rows == 0 or "event_type" not in t.schema.names:
             return
+        # re-aggregate the per-block value-count partials in arrow
+        # (all partials of one type co-reside after the repartition)
+        t = t.group_by(["event_type", "value"]).aggregate([("cnt", "sum")])
+        t = t.rename_columns(["event_type", "value", "cnt"])
         ty = np.asarray(t.column("event_type").to_pylist(), dtype=object)
         v = t.column("value").to_numpy(zero_copy_only=False)
         c = t.column("cnt").to_numpy(zero_copy_only=False)
@@ -648,11 +619,11 @@ DAY_US = 86_400_000_000
 def retention_cohorts(sf_dir: str) -> ray.data.Dataset:
     """Cohort retention matrix: users grouped by first-activity DAY,
     counted in each later day they were active (daily because the
-    testdata spans one month).  cohort/activity days are integer epoch
-    day codes; both the first-day reduce and the distinct (user, day)
-    dedup pre-combine per block, the cohort table joins back under the
-    broadcast guard, and the final (cohort, k) count is a tiny
-    groupby."""
+    testdata spans one month).  Days are integer epoch day codes;
+    distinct (user, day) pairs dedup per block, then ONE repartition by
+    user makes the cohort (min day) and every (cohort, k) pair
+    block-local — no second shuffle, no join; the final matrix
+    coalesces O(days²) partials."""
     ev = _read(sf_dir, "events", ["user_id", "ts"])
 
     def mcodes(t: pa.Table):
@@ -664,57 +635,38 @@ def retention_cohorts(sf_dir: str) -> ray.data.Dataset:
 
     em = ev.map_batches(mcodes, batch_format="pyarrow")
 
-    def pre_min(t: pa.Table):
-        if len(t) == 0:
-            return
-        g = t.group_by(["user_id"]).aggregate([("mcode", "min")])
-        yield g.rename_columns(["user_id", "cohort"])
-
-    cohort = (
-        em.map_batches(pre_min, batch_format="pyarrow")
-        .groupby("user_id")
-        .min("cohort")
-    )
-
-    def rn_c(t: pa.Table):
-        if len(t) == 0 or "min(cohort)" not in t.schema.names:
-            return
-        yield t.rename_columns(["user_id", "cohort"])
-
-    cohort = cohort.map_batches(rn_c, batch_format="pyarrow")
-
     def pre_dedup(t: pa.Table):
         if len(t) == 0:
             return
         yield t.group_by(["user_id", "mcode"]).aggregate([])
 
-    active = (
-        em.map_batches(pre_dedup, batch_format="pyarrow")
-        .groupby(["user_id", "mcode"])
-        .count()
+    # ONE repartition by user: a block then holds ALL of a user's
+    # distinct activity days, so the cohort (min day) AND the (cohort,
+    # k) pairs are block-local — no second groupby, no join at all
+    co = em.map_batches(pre_dedup, batch_format="pyarrow").repartition(
+        P, keys=["user_id"]
     )
 
-    def keys2(t: pa.Table):
-        if len(t) == 0 or "user_id" not in t.schema.names:
-            return
-        yield t.select(["user_id", "mcode"])
-
-    active = active.map_batches(keys2, batch_format="pyarrow")
-    j = join_auto(active, cohort, on=("user_id",), num_partitions=P)
-
     def agg(t: pa.Table):
-        if len(t) == 0 or "cohort" not in t.schema.names:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
             return
-        k = pc.subtract(t.column("mcode"), t.column("cohort"))
+        t = t.group_by(["user_id", "mcode"]).aggregate([])  # cross-block dedup
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        mc = t.column("mcode").to_numpy(zero_copy_only=False)
+        order = np.lexsort((mc, u))
+        u, mc = u[order], mc[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        sizes = np.diff(np.r_[starts, len(u)])
+        cohort = np.repeat(mc[starts], sizes)  # per-user min = first sorted
         g = (
-            pa.table({"cohort": t.column("cohort"), "k": k})
-            .append_column("n", _ones(len(t)))
+            pa.table({"cohort": pa.array(cohort), "k": pa.array(mc - cohort)})
+            .append_column("n", _ones(len(u)))
             .group_by(["cohort", "k"])
             .aggregate([("n", "sum")])
         )
         yield g.rename_columns(["cohort", "k", "n_users"])
 
-    partials = j.map_batches(agg, batch_format="pyarrow")
+    partials = co.map_batches(agg, batch_size=None, batch_format="pyarrow")
     g = partials.repartition(1)  # O(months²) rows per partial
 
     def finish(t: pa.Table):
@@ -780,11 +732,9 @@ def nation_year_rollup(sf_dir: str) -> ray.data.Dataset:
         )
         yield g.rename_columns(["c_nationkey", "o_year", "price_c", "n"])
 
-    leaf = (
-        j.map_batches(pre, batch_format="pyarrow")
-        .groupby(["c_nationkey", "o_year"])
-        .sum(["price_c", "n"])
-    )
+    # leaf partials are ≤ nations·years rows per block — coalesce +
+    # in-block re-agg beats a keyed shuffle (pricing_summary pattern)
+    leaf = j.map_batches(pre, batch_format="pyarrow")
 
     import os
 
@@ -802,10 +752,13 @@ def nation_year_rollup(sf_dir: str) -> ray.data.Dataset:
     def finish(t: pa.Table):
         if t.num_rows == 0 or "c_nationkey" not in t.schema.names:
             return
+        t = t.group_by(["c_nationkey", "o_year"]).aggregate(
+            [("price_c", "sum"), ("n", "sum")]
+        )
         nk = t.column("c_nationkey").to_numpy(zero_copy_only=False)
         yr = t.column("o_year").to_numpy(zero_copy_only=False)
-        pcs = t.column("sum(price_c)").to_numpy(zero_copy_only=False)
-        ns = t.column("sum(n)").to_numpy(zero_copy_only=False)
+        pcs = t.column("price_c_sum").to_numpy(zero_copy_only=False)
+        ns = t.column("n_sum").to_numpy(zero_copy_only=False)
         nm = np.asarray([names[int(k)] for k in nk], dtype=object)
         # per-nation subtotals
         un, inv = np.unique(nm, return_inverse=True)
@@ -860,10 +813,9 @@ def _partkey_year_flags(sf_dir: str) -> ray.data.Dataset:
         ).group_by(["l_partkey"]).aggregate([("in_a", "max"), ("in_b", "max")])
         yield g.rename_columns(["l_partkey", "in_a", "in_b"])
 
-    return (
-        li.map_batches(pre, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .max(["in_a", "in_b"])
+    return keyed_reagg(
+        li.map_batches(pre, batch_format="pyarrow"),
+        ["l_partkey"], [("in_a", "max"), ("in_b", "max")], P,
     )
 
 
@@ -871,10 +823,10 @@ def _setop(sf_dir: str, want_b: int) -> ray.data.Dataset:
     flags = _partkey_year_flags(sf_dir)
 
     def pick(t: pa.Table):
-        if len(t) == 0 or "max(in_a)" not in t.schema.names:
+        if len(t) == 0 or "in_a" not in t.schema.names:
             return
-        a = t.column("max(in_a)")
-        b = t.column("max(in_b)")
+        a = t.column("in_a")
+        b = t.column("in_b")
         keep = pc.and_(pc.equal(a, 1), pc.equal(b, want_b))
         out = t.filter(keep).select(["l_partkey"])
         if len(out):
@@ -1015,18 +967,15 @@ def stratified_event_sample(
         )
         yield g.rename_columns(["event_type", "n"])
 
-    counts = {
-        r["event_type"]: r["n"]
-        for r in _read(sf_dir, "events", ["event_type"])
+    # ≤ |types| partial rows per block: fold the partials driver-side
+    # (bounded by types·blocks) instead of spinning up a keyed shuffle
+    counts: dict = {}
+    for r in (
+        _read(sf_dir, "events", ["event_type"])
         .map_batches(cnt_pre, batch_format="pyarrow")
-        .groupby("event_type")
-        .sum("n")
-        .map_batches(
-            lambda t: t.rename_columns(["event_type", "n"]),
-            batch_format="pyarrow",
-        )
         .take_all()
-    }
+    ):
+        counts[r["event_type"]] = counts.get(r["event_type"], 0) + r["n"]
     vocab = np.asarray(sorted(counts), dtype=object)
     keep_all = np.zeros(len(vocab), bool)
     thr = np.zeros(len(vocab), np.uint64)
@@ -1080,16 +1029,10 @@ def _daily_type_counts(sf_dir: str, etype: str, out_col: str) -> ray.data.Datase
         )
         yield g.rename_columns(["user_id", "day", out_col])
 
-    g = ev.map_batches(pre, batch_format="pyarrow").groupby(
-        ["user_id", "day"]
-    ).sum(out_col)
-
-    def rn(t: pa.Table):
-        if len(t) == 0 or f"sum({out_col})" not in t.schema.names:
-            return
-        yield t.rename_columns(["user_id", "day", out_col])
-
-    return g.map_batches(rn, batch_format="pyarrow")
+    return keyed_reagg(
+        ev.map_batches(pre, batch_format="pyarrow"),
+        ["user_id", "day"], [(out_col, "sum")], P,
+    )
 
 
 def daily_click_purchase_matrix(sf_dir: str) -> ray.data.Dataset:

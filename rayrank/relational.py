@@ -205,17 +205,14 @@ def _li_revenue_agg(
         agg = block.group_by(["l_orderkey"]).aggregate([("rev_i", "sum")])
         yield agg.rename_columns(["l_orderkey", "rev_i"])
 
-    partials = _read(sf_dir, "lineitem", cols).map_batches(
-        partial, batch_format="pyarrow"
+    from .shuffle import keyed_reagg
+
+    return keyed_reagg(
+        _read(sf_dir, "lineitem", cols).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["l_orderkey"], [("rev_i", "sum")], P,
     )
-    g = partials.groupby("l_orderkey").sum("rev_i")
-
-    def rename(t: pa.Table):
-        if len(t) == 0 or "sum(rev_i)" not in t.schema.names:
-            return
-        yield t.rename_columns(["l_orderkey", "rev_i"])
-
-    return g.map_batches(rename, batch_format="pyarrow")
 
 
 def top_revenue_orders(sf_dir: str, k: int = 10) -> ray.data.Dataset:
@@ -339,25 +336,38 @@ def nation_revenue(sf_dir: str) -> ray.data.Dataset:
 
     orders = orders.map_batches(o_prep, batch_format="pyarrow")
 
+    from .shuffle import keyed_reagg
+
     j1 = join_auto(
         orders, li, on=("o_orderkey",), right_on=("l_orderkey",),
         num_partitions=P,
     ).select_columns(["o_custkey", "rev_i"])
-    by_cust = j1.groupby("o_custkey").sum("rev_i")
 
-    def rn1(t: pa.Table):
-        if len(t) == 0 or "sum(rev_i)" not in t.schema.names:
+    def cust_pre(t: pa.Table):
+        if len(t) == 0 or "rev_i" not in t.schema.names:
             return
-        yield t.rename_columns(["o_custkey", "rev_i"])
+        g = t.group_by(["o_custkey"]).aggregate([("rev_i", "sum")])
+        yield g.rename_columns(["o_custkey", "rev_i"])
 
-    by_cust = by_cust.map_batches(rn1, batch_format="pyarrow")
+    by_cust = keyed_reagg(
+        j1.map_batches(cust_pre, batch_format="pyarrow"),
+        ["o_custkey"], [("rev_i", "sum")], P,
+    )
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     j2 = join_auto(
         by_cust, cust, on=("o_custkey",), right_on=("c_custkey",),
         num_partitions=P,
     ).select_columns(["c_nationkey", "rev_i"])
-    by_nation = j2.groupby("c_nationkey").sum("rev_i")
+
+    # ≤ 25 nation partials per block: coalesce + in-block re-agg
+    def nation_pre(t: pa.Table):
+        if len(t) == 0 or "rev_i" not in t.schema.names:
+            return
+        g = t.group_by(["c_nationkey"]).aggregate([("rev_i", "sum")])
+        yield g.rename_columns(["c_nationkey", "rev_i"])
+
+    by_nation = j2.map_batches(nation_pre, batch_format="pyarrow").repartition(1)
 
     # bounded dimension broadcast: nation is ≤ 25 rows by construction
     nt = pq.read_table(
@@ -368,10 +378,11 @@ def nation_revenue(sf_dir: str) -> ray.data.Dataset:
     )
 
     def finish(t: pa.Table):
-        if len(t) == 0 or "sum(rev_i)" not in t.schema.names:
+        if len(t) == 0 or "rev_i" not in t.schema.names:
             return
+        t = t.group_by(["c_nationkey"]).aggregate([("rev_i", "sum")])
         keys = t.column("c_nationkey").to_numpy(zero_copy_only=False)
-        rev = t.column("sum(rev_i)").to_numpy(zero_copy_only=False)
+        rev = t.column("rev_i_sum").to_numpy(zero_copy_only=False)
         yield pa.table(
             {
                 "n_name": pa.array([names[int(k)] for k in keys], pa.string()),
@@ -379,7 +390,9 @@ def nation_revenue(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return by_nation.map_batches(finish, batch_format="pyarrow")
+    return by_nation.map_batches(
+        finish, batch_size=None, batch_format="pyarrow"
+    )
 
 
 NATION_REVENUE_SQL = """
@@ -503,23 +516,21 @@ def user_distinct_event_types(sf_dir: str) -> ray.data.Dataset:
         yield t.group_by(["user_id", "event_type"]).aggregate([])
 
     pairs = ev.map_batches(pre, batch_format="pyarrow")
-    uniq = pairs.groupby(["user_id", "event_type"]).count()
+    # ONE repartition by user co-locates a user's (user, type) partial
+    # pairs; the block kernel dedups across partials and counts per
+    # user — replaces two stacked Dataset.groupby shuffles
+    co = pairs.repartition(P, keys=["user_id"])
 
-    def strip(t: pa.Table):
-        if len(t) == 0 or "user_id" not in t.schema.names:
+    def count_block(t: pa.Table):
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
             return
-        yield t.select(["user_id"])
+        u = t.group_by(["user_id", "event_type"]).aggregate([])
+        g = u.select(["user_id"]).group_by(["user_id"]).aggregate(
+            [([], "count_all")]
+        )
+        yield g.rename_columns(["user_id", "distinct_types"])
 
-    cnt = uniq.map_batches(strip, batch_format="pyarrow").groupby(
-        "user_id"
-    ).count()
-
-    def rename(t: pa.Table):
-        if len(t) == 0 or "count()" not in t.schema.names:
-            return
-        yield t.rename_columns(["user_id", "distinct_types"])
-
-    return cnt.map_batches(rename, batch_format="pyarrow")
+    return co.map_batches(count_block, batch_size=None, batch_format="pyarrow")
 
 
 USER_DISTINCT_EVENT_TYPES_SQL = (
@@ -615,16 +626,10 @@ def user_event_pivot(sf_dir: str) -> ray.data.Dataset:
     pairs = _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
         pre, batch_format="pyarrow"
     )
-    g = pairs.groupby(["user_id", "event_type"]).sum("n")
-
-    def strip(t: pa.Table):
-        if len(t) == 0 or "sum(n)" not in t.schema.names:
-            return
-        yield t.rename_columns(["user_id", "event_type", "n"])
-
-    g = g.map_batches(strip, batch_format="pyarrow")
-    # all rows of one user must land in one block for the pivot
-    co = g.repartition(P, keys=["user_id"])
+    # all rows of one user land in one block; the pivot's scatter-ADD
+    # (np.add.at) folds duplicate (user, type) partials itself, so no
+    # Dataset.groupby aggregator is needed before the repartition
+    co = pairs.repartition(P, keys=["user_id"])
     types = np.asarray(EVENT_TYPES)
 
     def pivot(t: pa.Table):
@@ -682,16 +687,17 @@ def funnel_conversions(sf_dir: str) -> ray.data.Dataset:
         ).group_by(["user_id"]).aggregate([("us", "min")])
         yield g.rename_columns(["user_id", "us"])
 
-    s_min = ev.map_batches(pre_signup, batch_format="pyarrow").groupby(
-        "user_id"
-    ).min("us")
+    from .shuffle import keyed_reagg
 
-    def rn_s(t: pa.Table):
-        if len(t) == 0 or "min(us)" not in t.schema.names:
+    def rn_us(t: pa.Table):
+        if len(t) == 0 or "us" not in t.schema.names:
             return
         yield t.rename_columns(["user_id", "signup_us"])
 
-    s_min = s_min.map_batches(rn_s, batch_format="pyarrow")
+    s_min = keyed_reagg(
+        ev.map_batches(pre_signup, batch_format="pyarrow"),
+        ["user_id"], [("us", "min")], P,
+    ).map_batches(rn_us, batch_format="pyarrow")
 
     def purchases(t: pa.Table):
         if len(t) == 0:
@@ -723,10 +729,10 @@ def funnel_conversions(sf_dir: str) -> ray.data.Dataset:
         yield g.rename_columns(["user_id", "signup_us", "pus"])
 
     w = j.map_batches(window, batch_format="pyarrow")
-    out = w.groupby(["user_id", "signup_us"]).min("pus")
+    out = keyed_reagg(w, ["user_id", "signup_us"], [("pus", "min")], P)
 
     def fin(t: pa.Table):
-        if len(t) == 0 or "min(pus)" not in t.schema.names:
+        if len(t) == 0 or "pus" not in t.schema.names:
             return
         yield t.rename_columns(["user_id", "signup_us", "purchase_us"])
 

