@@ -39,6 +39,12 @@ def _an():
     return analytics
 
 
+def _dec():
+    from rayrank import decision
+
+    return decision
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rayrank import pipelines as pl
     from rayrank import relational as rel
@@ -71,6 +77,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_per_type_kmv": pl.users_per_type_kmv,
         "weighted_event_sample": _an().weighted_event_sample,
         "daily_click_purchase_matrix": _an().daily_click_purchase_matrix,
+        "promo_revenue": _dec().promo_revenue,
+        "priority_counts": _dec().priority_counts,
+        "supplier_part_stats": _dec().supplier_part_stats,
+        "volume_shipping": _dec().volume_shipping,
+        "top_returned_customers": _dec().top_returned_customers,
+        "props_k_stats": _dec().props_k_stats,
+        "part_pairs_topk": _dec().part_pairs_topk,
+        "value_hour_corr": _dec().value_hour_corr,
         # degrees / weights / dangling / prune (SURVEY §2.5, §2.2 M3, §2.4 J4)
         "out_degree": pl.out_degree,
         "in_degree": pl.in_degree,
@@ -710,6 +724,14 @@ def oracle_sql() -> dict[str, str]:
         "users_per_type_kmv": _kmv_by_sql(),
         "weighted_event_sample": _weighted_sample_sql(),
         "daily_click_purchase_matrix": _an().DAILY_CLICK_PURCHASE_MATRIX_SQL,
+        "promo_revenue": _dec().PROMO_REVENUE_SQL,
+        "priority_counts": _dec().PRIORITY_COUNTS_SQL,
+        "supplier_part_stats": _dec().SUPPLIER_PART_STATS_SQL,
+        "volume_shipping": _dec().VOLUME_SHIPPING_SQL,
+        "top_returned_customers": _dec().TOP_RETURNED_CUSTOMERS_SQL,
+        "props_k_stats": _dec().PROPS_K_STATS_SQL,
+        "part_pairs_topk": _dec().PART_PAIRS_TOPK_SQL,
+        "value_hour_corr": _dec().VALUE_HOUR_CORR_SQL,
         "out_degree": (
             "SELECT l_orderkey AS src, COUNT(*) AS outdeg "
             "FROM lineitem GROUP BY l_orderkey"

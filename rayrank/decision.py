@@ -1,0 +1,826 @@
+"""Decision-support join funnels and behavioral analytics — round-2
+additions widening the TPC-H-shaped surface (Q4/Q7/Q10/Q14/Q16
+analogues over the testdata columns that were still unused:
+``o_orderpriority``, ``l_suppkey``/``s_nationkey``, ``l_returnflag``,
+``p_type``/``p_brand``) plus semi-structured JSON extraction over
+``events.props``, a market-basket co-occurrence top-k, and exact
+per-group Pearson correlation.
+
+Exactness strategy is the one pinned in :mod:`rayrank.relational`:
+snap 2-decimal monetary factors to int64, aggregate in integers, and
+convert to double ONCE with an expression restated identically in the
+SQL oracle (never rely on the database's internal float reduction).
+Correlation follows :func:`rayrank.analytics.event_value_stats`: int64
+first/second moments per block, arbitrary-precision Python ints for
+the ≤|groups| cross terms (HUGEINT in SQL), one identical float
+formula at the end.
+
+Scale notes: every fact scan pre-aggregates inside ``map_batches``
+before any shuffle; dimension sides (part, supplier, customer) go
+through :func:`rayrank.joins.join_auto`'s broadcast-when-small guard;
+tiny-cardinality finals (priorities, brand×type, nation pairs, event
+types) use the coalesce + in-block re-agg pattern (pricing_summary);
+the one unbounded-cardinality aggregate (part pairs) uses
+``keyed_reagg`` + per-block top-k cutoffs so the coalesce merges
+O(P·k) rows, never the pair table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from . import configure_data_context
+from .joins import join_auto
+from .relational import P, _i64, _read, _ts
+from .shuffle import keyed_reagg
+
+configure_data_context()  # entry path: hash-shuffle strategy required
+
+
+def _ones(n: int) -> pa.Array:
+    return pa.array(np.ones(n, np.int64))
+
+
+# --------------------------------------------------------------------------
+# promo revenue share (TPC-H Q14 shape): fact ⋈ broadcast dim → one scalar
+# --------------------------------------------------------------------------
+
+PROMO_WINDOW = ((1998, 1, 1), (1999, 1, 1))
+
+
+def promo_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Percent of discounted revenue from PROMO-type parts shipped in
+    one year.  lineitem pre-aggregates (partkey, rev_i) per block, the
+    part dimension joins via the broadcast guard, and the two global
+    sums coalesce O(blocks) two-int partials."""
+    cols = ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        m = pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), _ts(*PROMO_WINDOW[0])),
+            pc.less(t.column("l_shipdate"), _ts(*PROMO_WINDOW[1])),
+        )
+        t = t.filter(m)
+        if len(t) == 0:
+            return
+        price_c = _i64(t.column("l_extendedprice"), 100)
+        disc_b = _i64(t.column("l_discount"), 100)
+        g = pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "rev_i": pa.array(price_c * (100 - disc_b)),
+            }
+        ).group_by(["l_partkey"]).aggregate([("rev_i", "sum")])
+        yield g.rename_columns(["l_partkey", "rev_i"])
+
+    li = keyed_reagg(
+        _read(sf_dir, "lineitem", cols).map_batches(pre, batch_format="pyarrow"),
+        ["l_partkey"], [("rev_i", "sum")], P,
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    j = join_auto(
+        li, part, on=("l_partkey",), right_on=("p_partkey",),
+        num_partitions=P,
+    )
+
+    def split(t: pa.Table):
+        if len(t) == 0 or "p_type" not in t.schema.names:
+            return
+        rev = t.column("rev_i").to_numpy(zero_copy_only=False)
+        promo = pc.equal(t.column("p_type"), "PROMO").to_numpy(
+            zero_copy_only=False
+        )
+        yield pa.table(
+            {
+                "promo_i": pa.array([int(rev[promo].sum())]),
+                "total_i": pa.array([int(rev.sum())]),
+            }
+        )
+
+    g = j.map_batches(split, batch_format="pyarrow").repartition(1)
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "promo_i" not in t.schema.names:
+            return
+        promo = sum(t.column("promo_i").to_pylist())
+        total = sum(t.column("total_i").to_pylist())
+        yield pa.table(
+            {"promo_revenue": pa.array([100.0 * float(promo) / float(total)])}
+        )
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+PROMO_REVENUE_SQL = """
+WITH f AS (
+  SELECT l_partkey,
+    CAST(ROUND(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS rev_i
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1999-01-01'
+)
+SELECT 100.0
+  * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN f.rev_i ELSE 0 END) AS DOUBLE)
+  / CAST(SUM(f.rev_i) AS DOUBLE) AS promo_revenue
+FROM f JOIN part p ON f.l_partkey = p.p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# late-order priority counts (TPC-H Q4 shape): per-order max → join → count
+# --------------------------------------------------------------------------
+
+Q4_WINDOW = ((1997, 1, 1), (1998, 1, 1))
+Q4_LATE_US = 60 * 86_400_000_000  # shipped > 60 days after order date
+
+
+def priority_counts(sf_dir: str) -> ray.data.Dataset:
+    """Orders placed in one year whose latest line shipped > 60 days
+    after the order date, counted per priority.  EXISTS(shipdate >
+    cutoff) ≡ max(shipdate) > cutoff, so the fact side reduces to one
+    row per order BEFORE the join; the 5-group final coalesces."""
+
+    def li_pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        g = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "ship_us": pc.cast(t.column("l_shipdate"), pa.int64()),
+            }
+        ).group_by(["l_orderkey"]).aggregate([("ship_us", "max")])
+        yield g.rename_columns(["l_orderkey", "max_ship_us"])
+
+    li = keyed_reagg(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+            li_pre, batch_format="pyarrow"
+        ),
+        ["l_orderkey"], [("max_ship_us", "max")], P,
+    )
+
+    def o_pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        m = pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), _ts(*Q4_WINDOW[0])),
+            pc.less(t.column("o_orderdate"), _ts(*Q4_WINDOW[1])),
+        )
+        t = t.filter(m)
+        if len(t) == 0:
+            return
+        yield pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "odate_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(o_pre, batch_format="pyarrow")
+    j = join_auto(
+        orders, li, on=("o_orderkey",), right_on=("l_orderkey",),
+        num_partitions=P,
+    )
+
+    def late(t: pa.Table):
+        if len(t) == 0 or "max_ship_us" not in t.schema.names:
+            return
+        lim = pc.add(t.column("odate_us"), Q4_LATE_US)
+        t = t.filter(pc.greater(t.column("max_ship_us"), lim))
+        if len(t) == 0:
+            return
+        g = (
+            t.select(["o_orderpriority"])
+            .append_column("n", _ones(len(t)))
+            .group_by(["o_orderpriority"])
+            .aggregate([("n", "sum")])
+        )
+        yield g.rename_columns(["o_orderpriority", "n"])
+
+    g = j.map_batches(late, batch_format="pyarrow").repartition(1)
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "o_orderpriority" not in t.schema.names:
+            return
+        g = t.group_by(["o_orderpriority"]).aggregate([("n", "sum")])
+        yield g.rename_columns(["o_orderpriority", "order_count"])
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+PRIORITY_COUNTS_SQL = """
+WITH l AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS max_ship FROM lineitem GROUP BY 1
+)
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o JOIN l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.max_ship > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY o.o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# distinct suppliers per brand×type (TPC-H Q16 shape)
+# --------------------------------------------------------------------------
+
+
+def supplier_part_stats(sf_dir: str) -> ray.data.Dataset:
+    """Distinct supplier count per (p_brand, p_type) among parts that
+    actually shipped.  The fact side dedups (partkey, suppkey) per
+    block, the keyed shuffle dedups globally, the part dimension joins
+    broadcast, and the brand×type distinct-count folds in the final
+    coalesce (≤ brands·types·suppliers reduced rows)."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield t.group_by(["l_partkey", "l_suppkey"]).aggregate([])
+
+    pairs = keyed_reagg(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+            pre, batch_format="pyarrow"
+        ),
+        ["l_partkey", "l_suppkey"], [], P,
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type"])
+    j = join_auto(
+        pairs, part, on=("l_partkey",), right_on=("p_partkey",),
+        num_partitions=P,
+    )
+
+    def bt_pre(t: pa.Table):
+        if len(t) == 0 or "p_brand" not in t.schema.names:
+            return
+        yield t.select(["p_brand", "p_type", "l_suppkey"]).group_by(
+            ["p_brand", "p_type", "l_suppkey"]
+        ).aggregate([])
+
+    g = j.map_batches(bt_pre, batch_format="pyarrow").repartition(1)
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "p_brand" not in t.schema.names:
+            return
+        u = t.group_by(["p_brand", "p_type", "l_suppkey"]).aggregate([])
+        g2 = (
+            u.select(["p_brand", "p_type"])
+            .append_column("n", _ones(len(u)))
+            .group_by(["p_brand", "p_type"])
+            .aggregate([("n", "sum")])
+        )
+        yield g2.rename_columns(["p_brand", "p_type", "supplier_cnt"])
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+SUPPLIER_PART_STATS_SQL = """
+SELECT p.p_brand, p.p_type,
+  CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand, p.p_type
+"""
+
+
+# --------------------------------------------------------------------------
+# cross-nation trade volume (TPC-H Q7 shape): 4-table funnel
+# --------------------------------------------------------------------------
+
+Q7_YEARS = (1997, 1998)
+
+
+def volume_shipping(sf_dir: str) -> ray.data.Dataset:
+    """Discounted revenue between (supplier nation → customer nation)
+    pairs per ship-year, supplier nation ≠ customer nation.  The fact
+    scan reduces to (orderkey, suppnation, year, rev_i) partials before
+    the orders join; supplier and customer ride the broadcast guard;
+    nation names resolve from the 25-row driver dictionary; the
+    ≤ 25·24·2-group final coalesces."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    names = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+
+    cols = [
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate",
+    ]
+
+    def li_pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        yr = pc.year(t.column("l_shipdate"))
+        m = pc.or_(pc.equal(yr, Q7_YEARS[0]), pc.equal(yr, Q7_YEARS[1]))
+        t = t.append_column("l_year", pc.cast(yr, pa.int64())).filter(m)
+        if len(t) == 0:
+            return
+        price_c = _i64(t.column("l_extendedprice"), 100)
+        disc_b = _i64(t.column("l_discount"), 100)
+        g = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "l_year": t.column("l_year"),
+                "rev_i": pa.array(price_c * (100 - disc_b)),
+            }
+        ).group_by(["l_orderkey", "l_suppkey", "l_year"]).aggregate(
+            [("rev_i", "sum")]
+        )
+        yield g.rename_columns(["l_orderkey", "l_suppkey", "l_year", "rev_i"])
+
+    li = _read(sf_dir, "lineitem", cols).map_batches(
+        li_pre, batch_format="pyarrow"
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li = join_auto(
+        li, supp, on=("l_suppkey",), right_on=("s_suppkey",), num_partitions=P
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j = join_auto(
+        li, orders, on=("l_orderkey",), right_on=("o_orderkey",),
+        num_partitions=P,
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j = join_auto(
+        j, cust, on=("o_custkey",), right_on=("c_custkey",), num_partitions=P
+    )
+
+    def reduce_pairs(t: pa.Table):
+        if len(t) == 0 or "c_nationkey" not in t.schema.names:
+            return
+        t = t.filter(
+            pc.not_equal(
+                pc.cast(t.column("s_nationkey"), pa.int64()),
+                pc.cast(t.column("c_nationkey"), pa.int64()),
+            )
+        )
+        if len(t) == 0:
+            return
+        g = pa.table(
+            {
+                "sn": t.column("s_nationkey"),
+                "cn": t.column("c_nationkey"),
+                "l_year": t.column("l_year"),
+                "rev_i": t.column("rev_i"),
+            }
+        ).group_by(["sn", "cn", "l_year"]).aggregate([("rev_i", "sum")])
+        yield g.rename_columns(["sn", "cn", "l_year", "rev_i"])
+
+    g = j.map_batches(reduce_pairs, batch_format="pyarrow").repartition(1)
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "sn" not in t.schema.names:
+            return
+        t = t.group_by(["sn", "cn", "l_year"]).aggregate([("rev_i", "sum")])
+        sn = t.column("sn").to_numpy(zero_copy_only=False)
+        cn = t.column("cn").to_numpy(zero_copy_only=False)
+        rev = t.column("rev_i_sum").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "supp_nation": pa.array(
+                    [names[int(k)] for k in sn], pa.string()
+                ),
+                "cust_nation": pa.array(
+                    [names[int(k)] for k in cn], pa.string()
+                ),
+                "l_year": t.column("l_year"),
+                "revenue": pa.array(rev.astype(np.float64) / 10000.0),
+            }
+        )
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+VOLUME_SHIPPING_SQL = """
+WITH f AS (
+  SELECT l_orderkey, l_suppkey,
+    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+    CAST(ROUND(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS rev_i
+  FROM lineitem WHERE year(l_shipdate) IN (1997, 1998)
+)
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, f.l_year,
+  CAST(SUM(f.rev_i) AS DOUBLE)/10000.0 AS revenue
+FROM f
+JOIN supplier s ON f.l_suppkey = s.s_suppkey
+JOIN orders o ON f.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE s.s_nationkey <> c.c_nationkey
+GROUP BY n1.n_name, n2.n_name, f.l_year
+"""
+
+
+# --------------------------------------------------------------------------
+# top returned-revenue customers (TPC-H Q10 shape)
+# --------------------------------------------------------------------------
+
+Q10_WINDOW = ((1998, 7, 1), (1998, 10, 1))
+Q10_K = 20
+
+
+def top_returned_customers(sf_dir: str, k: int = Q10_K) -> ray.data.Dataset:
+    """Top-k customers by revenue on RETURNED lines for orders placed
+    in one quarter, with name/nation/balance context.  Funnel reduces
+    between joins (order→rev, customer→rev); deterministic (revenue
+    desc, c_custkey) tie-break on exact doubles."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    names = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+
+    cols = ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+
+    def li_pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+        if len(t) == 0:
+            return
+        price_c = _i64(t.column("l_extendedprice"), 100)
+        disc_b = _i64(t.column("l_discount"), 100)
+        g = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev_i": pa.array(price_c * (100 - disc_b)),
+            }
+        ).group_by(["l_orderkey"]).aggregate([("rev_i", "sum")])
+        yield g.rename_columns(["l_orderkey", "rev_i"])
+
+    li = keyed_reagg(
+        _read(sf_dir, "lineitem", cols).map_batches(li_pre, batch_format="pyarrow"),
+        ["l_orderkey"], [("rev_i", "sum")], P,
+    )
+
+    def o_pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        m = pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), _ts(*Q10_WINDOW[0])),
+            pc.less(t.column("o_orderdate"), _ts(*Q10_WINDOW[1])),
+        )
+        t = t.filter(m)
+        if len(t) == 0:
+            return
+        yield t.select(["o_orderkey", "o_custkey"])
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(o_pre, batch_format="pyarrow")
+    j = join_auto(
+        orders, li, on=("o_orderkey",), right_on=("l_orderkey",),
+        num_partitions=P,
+    )
+
+    def per_cust(t: pa.Table):
+        if len(t) == 0 or "rev_i" not in t.schema.names:
+            return
+        g = t.select(["o_custkey", "rev_i"]).group_by(["o_custkey"]).aggregate(
+            [("rev_i", "sum")]
+        )
+        yield g.rename_columns(["o_custkey", "rev_i"])
+
+    percust = keyed_reagg(
+        j.map_batches(per_cust, batch_format="pyarrow"),
+        ["o_custkey"], [("rev_i", "sum")], P,
+    )
+    cust = _read(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey", "c_acctbal"]
+    )
+    jc = join_auto(
+        percust, cust, on=("o_custkey",), right_on=("c_custkey",),
+        num_partitions=P,
+    )
+
+    def finish(t: pa.Table):
+        if len(t) == 0 or "c_name" not in t.schema.names:
+            return
+        rev = t.column("rev_i").to_numpy(zero_copy_only=False)
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "c_name": t.column("c_name"),
+                "revenue": pa.array(rev.astype(np.float64) / 10000.0),
+                "n_name": pa.array([names[int(x)] for x in nk], pa.string()),
+                "c_acctbal": t.column("c_acctbal"),
+            }
+        )
+
+    return (
+        jc.map_batches(finish, batch_format="pyarrow")
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+TOP_RETURNED_CUSTOMERS_SQL = """
+WITH l AS (
+  SELECT l_orderkey,
+    SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS rev_i
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+),
+o AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-07-01'
+    AND o_orderdate < TIMESTAMP '1998-10-01'
+),
+pc AS (
+  SELECT o.o_custkey, SUM(l.rev_i) AS rev_i
+  FROM o JOIN l ON o.o_orderkey = l.l_orderkey GROUP BY 1
+)
+SELECT c.c_custkey, c.c_name, CAST(pc.rev_i AS DOUBLE)/10000.0 AS revenue,
+  n.n_name, c.c_acctbal
+FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY revenue DESC, c.c_custkey LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# semi-structured extraction: events.props JSON field stats per type
+# --------------------------------------------------------------------------
+
+_PROPS_K_RE = r'"k":\s*(?P<k>\d+)'  # extract_regex needs a NAMED group
+
+
+def props_k_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-event-type count/sum/max/mean of the integer field ``k``
+    embedded in the ``props`` JSON string — the vectorized
+    semi-structured-extraction pattern (``pc.extract_regex`` per batch,
+    no row loop, no JSON parser).  Integer sums; mean converts once."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        ex = pc.extract_regex(t.column("props"), _PROPS_K_RE)
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        g = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "s": k,
+                "mx": k,
+                "n": _ones(len(t)),
+            }
+        ).group_by(["event_type"]).aggregate(
+            [("s", "sum"), ("mx", "max"), ("n", "sum")]
+        )
+        yield g.rename_columns(["event_type", "s", "mx", "n"])
+
+    g = (
+        _read(sf_dir, "events", ["event_type", "props"])
+        .map_batches(pre, batch_format="pyarrow")
+        .repartition(1)  # ≤ |event types| rows per partial
+    )
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return
+        t = t.group_by(["event_type"]).aggregate(
+            [("s", "sum"), ("mx", "max"), ("n", "sum")]
+        )
+        s = t.column("s_sum").to_numpy(zero_copy_only=False)
+        n = t.column("n_sum").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_events": t.column("n_sum"),
+                "sum_k": t.column("s_sum"),
+                "max_k": t.column("mx_max"),
+                "avg_k": pa.array(
+                    s.astype(np.float64) / n.astype(np.float64)
+                ),
+            }
+        )
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+PROPS_K_STATS_SQL = """
+WITH b AS (
+  SELECT event_type,
+    CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(k) AS BIGINT) AS sum_k, CAST(MAX(k) AS BIGINT) AS max_k,
+  CAST(SUM(k) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS avg_k
+FROM b GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# market-basket co-occurrence: top-k part pairs ordered together
+# --------------------------------------------------------------------------
+
+PART_PAIRS_K = 20
+
+
+def part_pairs_topk(sf_dir: str, k: int = PART_PAIRS_K) -> ray.data.Dataset:
+    """Top-k pairs of parts appearing in the same order.  One
+    repartition by orderkey co-locates each order's lines; the block
+    kernel dedups parts per order and emits all within-order pairs
+    VECTORIZED (repeat/cumsum index arithmetic — per-order fan-out is
+    bounded by lines-per-order², ~55 here, never corpus-quadratic);
+    global pair counts reduce via ``keyed_reagg``; each count block
+    keeps its local top-k so the final coalesce merges O(P·k) rows."""
+
+    def dedup_pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    co = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(dedup_pre, batch_format="pyarrow")
+        .repartition(P, keys=["l_orderkey"])
+    )
+
+    def pairs(t: pa.Table):
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return
+        t = t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        sizes = np.diff(np.r_[starts, len(ok)])
+        # element i pairs with the (group_size - 1 - local_pos) elements
+        # after it; enumerate those pairs with pure index arithmetic
+        local = np.arange(len(ok)) - np.repeat(starts, sizes)
+        cnt = np.repeat(sizes, sizes) - 1 - local
+        first = np.repeat(np.arange(len(ok)), cnt)
+        cum = np.cumsum(cnt)
+        off = np.arange(int(cnt.sum())) - np.repeat(cum - cnt, cnt)
+        second = first + 1 + off
+        if len(first) == 0:
+            return
+        g = pa.table(
+            {
+                "pa_key": pa.array(pk[first]),
+                "pb_key": pa.array(pk[second]),
+                "n": pa.array(np.ones(len(first), np.int64)),
+            }
+        ).group_by(["pa_key", "pb_key"]).aggregate([("n", "sum")])
+        yield g.rename_columns(["pa_key", "pb_key", "n"])
+
+    counted = keyed_reagg(
+        co.map_batches(pairs, batch_size=None, batch_format="pyarrow"),
+        ["pa_key", "pb_key"], [("n", "sum")], P,
+    )
+
+    def local_topk(t: pa.Table):
+        if t.num_rows == 0 or "pa_key" not in t.schema.names:
+            return
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        a = t.column("pa_key").to_numpy(zero_copy_only=False)
+        b = t.column("pb_key").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a, -n))[:k]
+        yield t.take(pa.array(order))
+
+    merged = counted.map_batches(
+        local_topk, batch_size=None, batch_format="pyarrow"
+    ).repartition(1)
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "pa_key" not in t.schema.names:
+            return
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        a = t.column("pa_key").to_numpy(zero_copy_only=False)
+        b = t.column("pb_key").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a, -n))[:k]
+        out = t.take(pa.array(order))
+        yield out.rename_columns(["pa_key", "pb_key", "pair_count"])
+
+    return merged.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+PART_PAIRS_TOPK_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS pa_key, b.l_partkey AS pb_key,
+  CAST(COUNT(*) AS BIGINT) AS pair_count
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY pair_count DESC, pa_key, pb_key LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# exact per-group Pearson correlation (integer moments)
+# --------------------------------------------------------------------------
+
+
+def value_hour_corr(sf_dir: str) -> ray.data.Dataset:
+    """Per-event-type Pearson correlation between event value (cents)
+    and hour-of-day — EXACT against SQL: both sides accumulate the five
+    integer moments (Σx, Σy, Σxy, Σx², Σy²) and apply the identical
+    float formula once; cross terms use Python big ints on the
+    ≤|groups| reduced rows (HUGEINT in SQL).  Headroom: x ≤ 3.3e4,
+    y ≤ 23 ⇒ Σx² partials safe to ~8e9 rows/block in int64."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        x = _i64(t.column("value"), 100)
+        y = (
+            pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+            // 3_600_000_000
+        ) % 24
+        g = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sxx": pa.array(x * x),
+                "syy": pa.array(y * y),
+                "n": _ones(len(t)),
+            }
+        ).group_by(["event_type"]).aggregate(
+            [(c, "sum") for c in ("sx", "sy", "sxy", "sxx", "syy", "n")]
+        )
+        yield g.rename_columns(
+            ["event_type", "sx", "sy", "sxy", "sxx", "syy", "n"]
+        )
+
+    g = (
+        _read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(pre, batch_format="pyarrow")
+        .repartition(1)  # ≤ |event types| rows per partial
+    )
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return
+        t = t.group_by(["event_type"]).aggregate(
+            [(c, "sum") for c in ("sx", "sy", "sxy", "sxx", "syy", "n")]
+        )
+        corrs = []
+        for sx, sy, sxy, sxx, syy, n in zip(
+            t.column("sx_sum").to_pylist(),
+            t.column("sy_sum").to_pylist(),
+            t.column("sxy_sum").to_pylist(),
+            t.column("sxx_sum").to_pylist(),
+            t.column("syy_sum").to_pylist(),
+            t.column("n_sum").to_pylist(),
+        ):
+            cov = n * sxy - sx * sy
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            corrs.append(
+                float(cov) / (np.sqrt(float(vx)) * np.sqrt(float(vy)))
+            )
+        yield pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_events": t.column("n_sum"),
+                "corr_value_hour": pa.array(corrs, pa.float64()),
+            }
+        )
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+VALUE_HOUR_CORR_SQL = """
+WITH b AS (
+  SELECT event_type,
+    CAST(ROUND(value*100) AS BIGINT) AS x,
+    (epoch_us(ts) // 3600000000) % 24 AS y
+  FROM events
+),
+a AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+    CAST(SUM(x*y) AS HUGEINT) AS sxy,
+    SUM(CAST(x AS HUGEINT)*x) AS sxx, CAST(SUM(y*y) AS HUGEINT) AS syy
+  FROM b GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+  CAST(n*sxy - sx*sy AS DOUBLE)
+    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+       * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_value_hour
+FROM a
+"""
