@@ -179,6 +179,16 @@ def run_bench() -> dict:
         hits_2iter(sf_dir).count()
         queries["hits_2iter"] = time.perf_counter() - t0
 
+        from rayrank.decision import part_pairs_topk, volume_shipping
+
+        t0 = time.perf_counter()
+        volume_shipping(sf_dir).count()
+        queries["volume_shipping"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        part_pairs_topk(sf_dir).count()
+        queries["part_pairs_topk"] = time.perf_counter() - t0
+
     out = {
         "metric": (
             "wall sec of reference-exact PageRank to eps=1e-6 on the "

@@ -144,25 +144,10 @@ def priority_counts(sf_dir: str) -> ray.data.Dataset:
     """Orders placed in one year whose latest line shipped > 60 days
     after the order date, counted per priority.  EXISTS(shipdate >
     cutoff) ≡ max(shipdate) > cutoff, so the fact side reduces to one
-    row per order BEFORE the join; the 5-group final coalesces."""
-
-    def li_pre(t: pa.Table):
-        if len(t) == 0:
-            return
-        g = pa.table(
-            {
-                "l_orderkey": t.column("l_orderkey"),
-                "ship_us": pc.cast(t.column("l_shipdate"), pa.int64()),
-            }
-        ).group_by(["l_orderkey"]).aggregate([("ship_us", "max")])
-        yield g.rename_columns(["l_orderkey", "max_ship_us"])
-
-    li = keyed_reagg(
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
-            li_pre, batch_format="pyarrow"
-        ),
-        ["l_orderkey"], [("max_ship_us", "max")], P,
-    )
+    row per order BEFORE the join; when the date-filtered order-key set
+    fits the broadcast guard it semi-filters lineitem BEFORE the max
+    shuffle (the window keeps ~1/7 of orders, so the keyed exchange
+    shrinks by the same factor); the 5-group final coalesces."""
 
     def o_pre(t: pa.Table):
         if len(t) == 0:
@@ -184,7 +169,41 @@ def priority_counts(sf_dir: str) -> ray.data.Dataset:
 
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
-    ).map_batches(o_pre, batch_format="pyarrow")
+    ).map_batches(o_pre, batch_format="pyarrow").materialize()
+
+    li_raw = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    from .joins import BROADCAST_JOIN_LIMIT, broadcast_semi_filter
+
+    if orders.count() <= BROADCAST_JOIN_LIMIT:
+        tabs = list(
+            orders.select_columns(["o_orderkey"]).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        keys = (
+            pa.concat_tables(tabs).column("o_orderkey").to_numpy(
+                zero_copy_only=False
+            )
+            if tabs
+            else np.empty(0, np.int64)
+        )
+        li_raw = broadcast_semi_filter(li_raw, keys, "l_orderkey", True)
+
+    def li_pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        g = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "ship_us": pc.cast(t.column("l_shipdate"), pa.int64()),
+            }
+        ).group_by(["l_orderkey"]).aggregate([("ship_us", "max")])
+        yield g.rename_columns(["l_orderkey", "max_ship_us"])
+
+    li = keyed_reagg(
+        li_raw.map_batches(li_pre, batch_format="pyarrow"),
+        ["l_orderkey"], [("max_ship_us", "max")], P,
+    )
     j = join_auto(
         orders, li, on=("o_orderkey",), right_on=("l_orderkey",),
         num_partitions=P,
