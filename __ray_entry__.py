@@ -85,6 +85,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_stats": _dec().props_k_stats,
         "part_pairs_topk": _dec().part_pairs_topk,
         "value_hour_corr": _dec().value_hour_corr,
+        "user_value_moving_avg": _dec().user_value_moving_avg,
+        "customer_order_ranks": _dec().customer_order_ranks,
+        "degree_assortativity": _dec().degree_assortativity,
+        "part_jaccard_topk": _dec().part_jaccard_topk,
         # degrees / weights / dangling / prune (SURVEY §2.5, §2.2 M3, §2.4 J4)
         "out_degree": pl.out_degree,
         "in_degree": pl.in_degree,
@@ -732,6 +736,10 @@ def oracle_sql() -> dict[str, str]:
         "props_k_stats": _dec().PROPS_K_STATS_SQL,
         "part_pairs_topk": _dec().PART_PAIRS_TOPK_SQL,
         "value_hour_corr": _dec().VALUE_HOUR_CORR_SQL,
+        "user_value_moving_avg": _dec().USER_VALUE_MOVING_AVG_SQL,
+        "customer_order_ranks": _dec().CUSTOMER_ORDER_RANKS_SQL,
+        "degree_assortativity": _dec().DEGREE_ASSORTATIVITY_SQL,
+        "part_jaccard_topk": _dec().PART_JACCARD_TOPK_SQL,
         "out_degree": (
             "SELECT l_orderkey AS src, COUNT(*) AS outdeg "
             "FROM lineitem GROUP BY l_orderkey"

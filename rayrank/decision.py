@@ -44,6 +44,30 @@ def _ones(n: int) -> pa.Array:
     return pa.array(np.ones(n, np.int64))
 
 
+def _collect_kv(ds: ray.data.Dataset, key_col: str, val_col: str, limit=None):
+    """Driver-collect a (key, value) lookup under the broadcast guard,
+    sorted by key for searchsorted probes; ``None`` when the table
+    exceeds the limit (caller falls back to a partitioned hash join).
+    Streams batches and bails early, so an over-limit table never
+    materializes on the driver."""
+    from .joins import BROADCAST_JOIN_LIMIT
+
+    limit = BROADCAST_JOIN_LIMIT if limit is None else limit
+    tabs, total = [], 0
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        tabs.append(b)
+        total += len(b)
+        if total > limit:
+            return None
+    if not tabs:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    t = pa.concat_tables(tabs)
+    k = t.column(key_col).to_numpy(zero_copy_only=False)
+    v = t.column(val_col).to_numpy(zero_copy_only=False)
+    o = np.argsort(k)
+    return k[o], v[o]
+
+
 # --------------------------------------------------------------------------
 # promo revenue share (TPC-H Q14 shape): fact ⋈ broadcast dim → one scalar
 # --------------------------------------------------------------------------
@@ -842,4 +866,438 @@ SELECT event_type, CAST(n AS BIGINT) AS n_events,
     / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
        * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_value_hour
 FROM a
+"""
+
+
+# --------------------------------------------------------------------------
+# trailing moving average (ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)
+# --------------------------------------------------------------------------
+
+MA_WINDOW = 3
+
+
+def user_value_moving_avg(sf_dir: str, k: int = MA_WINDOW) -> ray.data.Dataset:
+    """Per-event trailing k-row mean of `value` per user ordered by
+    (ts, event_id) — the bounded-window sibling of
+    :func:`rayrank.analytics.user_running_totals`.  One keyed
+    repartition co-locates each user; the kernel is a lexsort + integer
+    prefix sum with a k-lagged difference (cent snap ⇒ the window sum is
+    exact; one float division per row, restated identically in SQL)."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "us": pc.cast(t.column("ts"), pa.int64()),
+                "val_c": pa.array(_i64(t.column("value"), 100)),
+            }
+        )
+
+    co = ev.map_batches(prep, batch_format="pyarrow").repartition(
+        P, keys=["user_id"]
+    )
+
+    def window(t: pa.Table):
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        e = t.column("event_id").to_numpy(zero_copy_only=False)
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        vc = t.column("val_c").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, us, u))
+        u, e, vc = u[order], e[order], vc[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        sizes = np.diff(np.r_[starts, len(u)])
+        local = np.arange(len(u)) - np.repeat(starts, sizes)
+        cs = np.cumsum(vc)
+        # window sum = cs[i] - cs[i-k], clamped at the group start
+        lag = np.maximum(
+            np.arange(len(u)) - k, np.repeat(starts, sizes) - 1
+        )
+        wsum = cs - np.where(lag >= 0, cs[np.maximum(lag, 0)], np.int64(0))
+        wn = np.minimum(local + 1, k)
+        yield pa.table(
+            {
+                "event_id": pa.array(e),
+                "user_id": pa.array(u),
+                "ma_value": pa.array(
+                    wsum.astype(np.float64) / 100.0 / wn.astype(np.float64)
+                ),
+            }
+        )
+
+    return co.map_batches(window, batch_size=None, batch_format="pyarrow")
+
+
+USER_VALUE_MOVING_AVG_SQL = """
+SELECT event_id, user_id,
+  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS DOUBLE)/100.0
+    / CAST(COUNT(*) OVER w AS DOUBLE) AS ma_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# rank within group (ROW_NUMBER over PARTITION BY)
+# --------------------------------------------------------------------------
+
+
+def customer_order_ranks(sf_dir: str) -> ray.data.Dataset:
+    """Every order ranked within its customer by (o_totalprice desc,
+    o_orderkey) — full ROW_NUMBER assignment, not just top-k.  One
+    keyed repartition, then a block-local lexsort rank; the orderkey
+    tie-break makes ranks deterministic (double compare only — both
+    sides order the same stored doubles, no arithmetic)."""
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    co = orders.repartition(P, keys=["o_custkey"])
+
+    def rank(t: pa.Table):
+        if t.num_rows == 0 or "o_custkey" not in t.schema.names:
+            return
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        o = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, -p, c))
+        c, o, p = c[order], o[order], p[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        sizes = np.diff(np.r_[starts, len(c)])
+        rnk = np.arange(len(c)) - np.repeat(starts, sizes) + 1
+        yield pa.table(
+            {
+                "o_orderkey": pa.array(o),
+                "o_custkey": pa.array(c),
+                "o_totalprice": pa.array(p),
+                "rnk": pa.array(rnk.astype(np.int64)),
+            }
+        )
+
+    return co.map_batches(rank, batch_size=None, batch_format="pyarrow")
+
+
+CUSTOMER_ORDER_RANKS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# degree assortativity of the lineitem bipartite graph (exact moments)
+# --------------------------------------------------------------------------
+
+
+def degree_assortativity(sf_dir: str) -> ray.data.Dataset:
+    """Pearson correlation between source out-degree and target
+    in-degree across all edge rows of the (orderkey → partkey)
+    multigraph — one scalar summarizing hub-to-hub wiring.  Degrees
+    reduce via ``keyed_reagg``; each degree table joins back under the
+    broadcast guard; the five integer moments fold in the final
+    coalesce (HUGEINT cross terms in SQL, big ints here)."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def pre_out(t: pa.Table):
+        if len(t) == 0:
+            return
+        g = (
+            t.select(["l_orderkey"])
+            .append_column("d", _ones(len(t)))
+            .group_by(["l_orderkey"])
+            .aggregate([("d", "sum")])
+        )
+        yield g.rename_columns(["l_orderkey", "outdeg"])
+
+    def pre_in(t: pa.Table):
+        if len(t) == 0:
+            return
+        g = (
+            t.select(["l_partkey"])
+            .append_column("d", _ones(len(t)))
+            .group_by(["l_partkey"])
+            .aggregate([("d", "sum")])
+        )
+        yield g.rename_columns(["l_partkey", "indeg"])
+
+    outdeg = keyed_reagg(
+        li.map_batches(pre_out, batch_format="pyarrow"),
+        ["l_orderkey"], [("outdeg", "sum")], P,
+    )
+    indeg = keyed_reagg(
+        li.map_batches(pre_in, batch_format="pyarrow"),
+        ["l_partkey"], [("indeg", "sum")], P,
+    )
+    def _moments_table(x: np.ndarray, y: np.ndarray):
+        return pa.table(
+            {
+                "sx": pa.array([int(x.sum())]),
+                "sy": pa.array([int(y.sum())]),
+                "sxy": pa.array([int((x * y).sum())]),
+                "sxx": pa.array([int((x * x).sum())]),
+                "syy": pa.array([int((y * y).sum())]),
+                "n": pa.array([len(x)]),
+            }
+        )
+
+    kv_out = _collect_kv(outdeg, "l_orderkey", "outdeg")
+    kv_in = _collect_kv(indeg, "l_partkey", "indeg")
+    if kv_out is not None and kv_in is not None:
+        # degree tables fit the guard: ship them once, probe per batch
+        # (searchsorted is exact — every edge key exists by construction)
+        import ray as _ray
+
+        refs = tuple(_ray.put(a) for a in (*kv_out, *kv_in))
+
+        def probe(t: pa.Table):
+            if len(t) == 0:
+                return
+            ok, od, pk, idg = (_ray.get(r) for r in refs)
+            s = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            d = t.column("l_partkey").to_numpy(zero_copy_only=False)
+            x = od[np.searchsorted(ok, s)]
+            y = idg[np.searchsorted(pk, d)]
+            yield _moments_table(x, y)
+
+        g = li.map_batches(probe, batch_format="pyarrow").repartition(1)
+    else:
+        j = join_auto(li, outdeg, on=("l_orderkey",), num_partitions=P)
+        j = join_auto(j, indeg, on=("l_partkey",), num_partitions=P)
+
+        def moments(t: pa.Table):
+            if len(t) == 0 or "indeg" not in t.schema.names:
+                return
+            x = t.column("outdeg").to_numpy(zero_copy_only=False)
+            y = t.column("indeg").to_numpy(zero_copy_only=False)
+            yield _moments_table(x, y)
+
+        g = j.map_batches(moments, batch_format="pyarrow").repartition(1)
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "sx" not in t.schema.names:
+            return
+        sx = sum(t.column("sx").to_pylist())
+        sy = sum(t.column("sy").to_pylist())
+        sxy = sum(t.column("sxy").to_pylist())
+        sxx = sum(t.column("sxx").to_pylist())
+        syy = sum(t.column("syy").to_pylist())
+        n = sum(t.column("n").to_pylist())
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        r = float(cov) / (np.sqrt(float(vx)) * np.sqrt(float(vy)))
+        yield pa.table(
+            {
+                "n_edges": pa.array([n], pa.int64()),
+                "assortativity": pa.array([r], pa.float64()),
+            }
+        )
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+DEGREE_ASSORTATIVITY_SQL = """
+WITH o AS (SELECT l_orderkey, COUNT(*) AS outdeg FROM lineitem GROUP BY 1),
+i AS (SELECT l_partkey, COUNT(*) AS indeg FROM lineitem GROUP BY 1),
+e AS (
+  SELECT o.outdeg AS x, i.indeg AS y
+  FROM lineitem l
+  JOIN o ON l.l_orderkey = o.l_orderkey
+  JOIN i ON l.l_partkey = i.l_partkey
+),
+a AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+    SUM(CAST(x AS HUGEINT)*y) AS sxy,
+    SUM(CAST(x AS HUGEINT)*x) AS sxx, SUM(CAST(y AS HUGEINT)*y) AS syy
+  FROM e
+)
+SELECT CAST(n AS BIGINT) AS n_edges,
+  CAST(n*sxy - sx*sy AS DOUBLE)
+    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+       * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS assortativity
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
+# neighbor Jaccard similarity top-k (normalized co-occurrence)
+# --------------------------------------------------------------------------
+
+JACCARD_PAIRS_K = 20
+
+
+def part_jaccard_topk(sf_dir: str, k: int = JACCARD_PAIRS_K) -> ray.data.Dataset:
+    """Top-k part pairs by Jaccard similarity of their ORDER sets:
+    |A∩B| comes from the within-order pair counts (the part_pairs
+    machinery), |A| and |B| from per-part distinct-order counts joined
+    back under the broadcast guard; jacc = c/(da+db−c) is one exact
+    small-int division, identical on both sides, so the (jacc desc,
+    pa, pb) top-k is deterministic."""
+
+    def dedup_pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    dd = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        dedup_pre, batch_format="pyarrow"
+    )
+    co = dd.repartition(P, keys=["l_orderkey"])
+
+    def pairs(t: pa.Table):
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return
+        t = t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        sizes = np.diff(np.r_[starts, len(ok)])
+        local = np.arange(len(ok)) - np.repeat(starts, sizes)
+        cnt = np.repeat(sizes, sizes) - 1 - local
+        first = np.repeat(np.arange(len(ok)), cnt)
+        cum = np.cumsum(cnt)
+        off = np.arange(int(cnt.sum())) - np.repeat(cum - cnt, cnt)
+        second = first + 1 + off
+        if len(first) == 0:
+            return
+        g = pa.table(
+            {
+                "pa_key": pa.array(pk[first]),
+                "pb_key": pa.array(pk[second]),
+                "c": pa.array(np.ones(len(first), np.int64)),
+            }
+        ).group_by(["pa_key", "pb_key"]).aggregate([("c", "sum")])
+        yield g.rename_columns(["pa_key", "pb_key", "c"])
+
+    counted = keyed_reagg(
+        co.map_batches(pairs, batch_size=None, batch_format="pyarrow"),
+        ["pa_key", "pb_key"], [("c", "sum")], P,
+    )
+
+    # per-part distinct-order counts (the dedup stream reduced by part)
+    def per_part(t: pa.Table):
+        if len(t) == 0 or "l_partkey" not in t.schema.names:
+            return
+        g = (
+            t.select(["l_partkey"])
+            .append_column("d", _ones(len(t)))
+            .group_by(["l_partkey"])
+            .aggregate([("d", "sum")])
+        )
+        yield g.rename_columns(["l_partkey", "d"])
+
+    # NOTE: per-block dedup partials may double-count an order split
+    # across blocks, so count from the orderkey-partitioned stream
+    # where each (order, part) survives exactly once
+    def strict_dedup(t: pa.Table):
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return
+        yield t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    deg = keyed_reagg(
+        co.map_batches(strict_dedup, batch_size=None, batch_format="pyarrow")
+        .map_batches(per_part, batch_format="pyarrow"),
+        ["l_partkey"], [("d", "sum")], P,
+    )
+
+    def _score_table(a, b, c, da, db):
+        jac = c.astype(np.float64) / (da + db - c).astype(np.float64)
+        order = np.lexsort((b, a, -jac))[:k]
+        return pa.table(
+            {
+                "pa_key": pa.array(a[order]),
+                "pb_key": pa.array(b[order]),
+                "jaccard": pa.array(jac[order]),
+            }
+        )
+
+    kv = _collect_kv(deg, "l_partkey", "d")
+    if kv is not None:
+        # per-part degree fits the guard: broadcast once, probe both
+        # pair endpoints per batch — no join touches the pair table
+        import ray as _ray
+
+        kref, vref = _ray.put(kv[0]), _ray.put(kv[1])
+
+        def score_bcast(t: pa.Table):
+            if t.num_rows == 0 or "pa_key" not in t.schema.names:
+                return
+            pk, dv = _ray.get(kref), _ray.get(vref)
+            a = t.column("pa_key").to_numpy(zero_copy_only=False)
+            b = t.column("pb_key").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            yield _score_table(
+                a, b, c, dv[np.searchsorted(pk, a)], dv[np.searchsorted(pk, b)]
+            )
+
+        merged = counted.map_batches(
+            score_bcast, batch_size=None, batch_format="pyarrow"
+        ).repartition(1)
+    else:
+        j = join_auto(
+            counted, deg, on=("pa_key",), right_on=("l_partkey",),
+            num_partitions=P,
+        )
+
+        def rn_da(t: pa.Table):
+            if len(t) == 0 or "d" not in t.schema.names:
+                return
+            yield t.rename_columns(["pa_key", "pb_key", "c", "da"])
+
+        j = j.map_batches(rn_da, batch_format="pyarrow")
+        j = join_auto(
+            j, deg, on=("pb_key",), right_on=("l_partkey",), num_partitions=P
+        )
+
+        def score_topk(t: pa.Table):
+            if len(t) == 0 or "d" not in t.schema.names:
+                return
+            yield _score_table(
+                t.column("pa_key").to_numpy(zero_copy_only=False),
+                t.column("pb_key").to_numpy(zero_copy_only=False),
+                t.column("c").to_numpy(zero_copy_only=False),
+                t.column("da").to_numpy(zero_copy_only=False),
+                t.column("d").to_numpy(zero_copy_only=False),
+            )
+
+        merged = j.map_batches(
+            score_topk, batch_size=None, batch_format="pyarrow"
+        ).repartition(1)
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "pa_key" not in t.schema.names:
+            return
+        jac = t.column("jaccard").to_numpy(zero_copy_only=False)
+        a = t.column("pa_key").to_numpy(zero_copy_only=False)
+        b = t.column("pb_key").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a, -jac))[:k]
+        yield t.take(pa.array(order))
+
+    return merged.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+PART_JACCARD_TOPK_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+deg AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS dd FROM d GROUP BY 1),
+p AS (
+  SELECT a.l_partkey AS pa_key, b.l_partkey AS pb_key,
+    CAST(COUNT(*) AS BIGINT) AS c
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT p.pa_key, p.pb_key,
+  CAST(p.c AS DOUBLE)/CAST(da.dd + db.dd - p.c AS DOUBLE) AS jaccard
+FROM p JOIN deg da ON p.pa_key = da.l_partkey
+JOIN deg db ON p.pb_key = db.l_partkey
+ORDER BY jaccard DESC, p.pa_key, p.pb_key LIMIT 20
 """
