@@ -33,6 +33,12 @@ def _terms():
     return terms
 
 
+def _pl():
+    from rayrank import pipelines
+
+    return pipelines
+
+
 def _an():
     from rayrank import analytics
 
@@ -66,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_type": _an().mode_event_type,
         "user_running_totals": _an().user_running_totals,
         "nation_year_rollup": _an().nation_year_rollup,
+        "nation_year_cube": _an().nation_year_cube,
         "event_value_stats": _an().event_value_stats,
         "stratified_event_sample": _an().stratified_event_sample,
         "price_quantiles_cont": pl.price_quantiles_cont,
@@ -73,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_churned": _an().parts_churned,
         "clustering_coeff": pl.clustering_coeff,
         "event_value_quantiles": _an().event_value_quantiles,
+        "event_value_mad": _an().event_value_mad,
         "retention_cohorts": _an().retention_cohorts,
         "users_per_type_kmv": pl.users_per_type_kmv,
         "weighted_event_sample": _an().weighted_event_sample,
@@ -85,15 +93,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_stats": _dec().props_k_stats,
         "part_pairs_topk": _dec().part_pairs_topk,
         "value_hour_corr": _dec().value_hour_corr,
+        "event_value_regression": _dec().event_value_regression,
         "user_value_moving_avg": _dec().user_value_moving_avg,
         "customer_order_ranks": _dec().customer_order_ranks,
         "degree_assortativity": _dec().degree_assortativity,
         "part_jaccard_topk": _dec().part_jaccard_topk,
+        "adamic_adar_topk": _dec().adamic_adar_topk,
         # degrees / weights / dangling / prune (SURVEY §2.5, §2.2 M3, §2.4 J4)
         "out_degree": pl.out_degree,
         "in_degree": pl.in_degree,
         "edge_weights": pl.edge_weights,
         "degree_histogram": pl.degree_histogram,
+        "edge_reciprocity": pl.edge_reciprocity,
         "distinct_vertex_count": pl.distinct_vertex_count,
         "dangling_vertices": pl.dangling_vertices,
         "hot_targets": pl.hot_targets,
@@ -107,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hash_sample": pl.docs_hash_sample,
         "term_doc_freq": _terms().term_doc_freq,
         "tfidf_top_terms": _terms().tfidf_top_terms,
+        "inverted_index": _terms().inverted_index,
         "token_counts": pl.token_counts,
         "doc_stats": pl.doc_stats,                      # rows-only (fingerprint)
         "doc_quality": pl.doc_quality,
@@ -128,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann_topk": pl.ivf_ann_topk,                # rows-only (approximate)
         # graph algorithms (north_rule §2.11)
         "pagerank_2iter": pl.pagerank_2iter,
+        "pagerank_personalized_2iter": pl.pagerank_personalized_2iter,
         "hits_2iter": pl.hits_2iter,
         "pagerank_converged": pl.pagerank_converged,
         "triangle_count": pl.triangle_count_sf,
@@ -174,6 +187,52 @@ r2 AS (
          0.85*COALESCE(c1.c, 0.0)
          + (0.85*(SELECT m FROM am1) + 0.15) * (1.0/sqrt((SELECT n FROM nn))) AS x
   FROM verts v LEFT JOIN c1 ON v.v = c1.v
+),
+l1b AS (SELECT SUM(ABS(x)) AS s FROM r2)
+SELECT v AS name, ROUND(x/(SELECT s FROM l1b), 6) AS score FROM r2
+"""
+
+
+# Personalized 2-iter PageRank: identical unroll to _PAGERANK_2ITER_SQL
+# but the teleport/dangling coefficient multiplies a per-vertex v̂
+# (indicator on names LIKE '1%', scaled by the reciprocal norm exactly
+# as CsrShard.scale_v multiplies by 1/‖v‖₂) instead of uniform 1/√n.
+# x0 stays uniform — power_method inits x0 = 1/√n regardless of v
+# (pagerank.py:152-156).
+_PAGERANK_PPR_2ITER_SQL = """
+WITH raw AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+outdeg AS (SELECT s, COUNT(*) AS d FROM raw GROUP BY s),
+e AS (SELECT s, t, COUNT(*) AS m FROM raw GROUP BY s, t),
+w AS (SELECT e.s, e.t, CAST(e.m AS DOUBLE)/o.d AS w FROM e JOIN outdeg o ON e.s = o.s),
+vsel AS (
+  SELECT v, CASE WHEN v LIKE '1%' THEN 1.0 ELSE 0.0 END AS vi FROM verts
+),
+vinv AS (SELECT 1.0/sqrt(SUM(vi*vi)) AS inv FROM vsel),
+vhat AS (SELECT v, vi * (SELECT inv FROM vinv) AS vh FROM vsel),
+x0 AS (SELECT v.v, 1.0/sqrt(nn.n) AS x FROM verts v, nn),
+dang AS (SELECT v.v FROM verts v LEFT JOIN outdeg o ON v.v = o.s WHERE o.s IS NULL),
+am0 AS (SELECT COALESCE(SUM(x.x), 0.0) AS m FROM dang d JOIN x0 x ON d.v = x.v),
+c0 AS (SELECT w.t AS v, SUM(w.w * x.x) AS c FROM w JOIN x0 x ON w.s = x.v GROUP BY w.t),
+r1 AS (
+  SELECT v.v,
+         0.85*COALESCE(c0.c, 0.0)
+         + (0.85*(SELECT m FROM am0) + (1.0 - 0.85)) * vh.vh AS x
+  FROM verts v LEFT JOIN c0 ON v.v = c0.v JOIN vhat vh ON v.v = vh.v
+),
+l1a AS (SELECT SUM(ABS(x)) AS s FROM r1),
+x1 AS (SELECT v, x/(SELECT s FROM l1a) AS x FROM r1),
+am1 AS (SELECT COALESCE(SUM(x.x), 0.0) AS m FROM dang d JOIN x1 x ON d.v = x.v),
+c1 AS (SELECT w.t AS v, SUM(w.w * x.x) AS c FROM w JOIN x1 x ON w.s = x.v GROUP BY w.t),
+r2 AS (
+  SELECT v.v,
+         0.85*COALESCE(c1.c, 0.0)
+         + (0.85*(SELECT m FROM am1) + (1.0 - 0.85)) * vh.vh AS x
+  FROM verts v LEFT JOIN c1 ON v.v = c1.v JOIN vhat vh ON v.v = vh.v
 ),
 l1b AS (SELECT SUM(ABS(x)) AS s FROM r2)
 SELECT v AS name, ROUND(x/(SELECT s FROM l1b), 6) AS score FROM r2
@@ -717,6 +776,7 @@ def oracle_sql() -> dict[str, str]:
         "mode_event_type": _an().MODE_EVENT_TYPE_SQL,
         "user_running_totals": _an().USER_RUNNING_TOTALS_SQL,
         "nation_year_rollup": _an().NATION_YEAR_ROLLUP_SQL,
+        "nation_year_cube": _an().NATION_YEAR_CUBE_SQL,
         "event_value_stats": _an().EVENT_VALUE_STATS_SQL,
         "stratified_event_sample": _stratified_sample_sql(),
         "price_quantiles_cont": _interp_quantiles_sql(),
@@ -724,6 +784,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_churned": _an().PARTS_CHURNED_SQL,
         "clustering_coeff": _CLUSTERING_COEFF_SQL,
         "event_value_quantiles": _an().EVENT_VALUE_QUANTILES_SQL,
+        "event_value_mad": _an().EVENT_VALUE_MAD_SQL,
         "retention_cohorts": _an().RETENTION_COHORTS_SQL,
         "users_per_type_kmv": _kmv_by_sql(),
         "weighted_event_sample": _weighted_sample_sql(),
@@ -736,10 +797,12 @@ def oracle_sql() -> dict[str, str]:
         "props_k_stats": _dec().PROPS_K_STATS_SQL,
         "part_pairs_topk": _dec().PART_PAIRS_TOPK_SQL,
         "value_hour_corr": _dec().VALUE_HOUR_CORR_SQL,
+        "event_value_regression": _dec().EVENT_VALUE_REGRESSION_SQL,
         "user_value_moving_avg": _dec().USER_VALUE_MOVING_AVG_SQL,
         "customer_order_ranks": _dec().CUSTOMER_ORDER_RANKS_SQL,
         "degree_assortativity": _dec().DEGREE_ASSORTATIVITY_SQL,
         "part_jaccard_topk": _dec().PART_JACCARD_TOPK_SQL,
+        "adamic_adar_topk": _dec().ADAMIC_ADAR_TOPK_SQL,
         "out_degree": (
             "SELECT l_orderkey AS src, COUNT(*) AS outdeg "
             "FROM lineitem GROUP BY l_orderkey"
@@ -761,6 +824,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT outdeg, CAST(COUNT(*) AS BIGINT) AS n_vertices "
             "FROM d GROUP BY outdeg"
         ),
+        "edge_reciprocity": _pl().EDGE_RECIPROCITY_SQL,
         "distinct_vertex_count": (
             f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ({_VERTS})"
         ),
@@ -799,6 +863,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_hash_sample": _hash_sample_sql(),
         "term_doc_freq": _terms().TERM_DOC_FREQ_SQL,
         "tfidf_top_terms": _terms().TFIDF_TOP_TERMS_SQL,
+        "inverted_index": _terms().INVERTED_INDEX_SQL,
         "doc_quality": _doc_quality_sql(),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "purchase_signup_asof": (
@@ -869,6 +934,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, vec_id, ROUND(cos, 4) AS cosine FROM r WHERE rn <= 5"
         ),
         "pagerank_2iter": _PAGERANK_2ITER_SQL,
+        "pagerank_personalized_2iter": _PAGERANK_PPR_2ITER_SQL,
         "hits_2iter": _HITS_2ITER_SQL,
         "pagerank_converged": _PAGERANK_CONV_SQL,
         "connected_components": _CC_SQL,

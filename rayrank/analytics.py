@@ -608,6 +608,85 @@ FROM events GROUP BY event_type
 """
 
 
+def event_value_mad(sf_dir: str) -> ray.data.Dataset:
+    """Per-event-type median absolute deviation — the robust-spread
+    two-level quantile (median of |value − median|).  Rides the SAME
+    co-located value-count histogram as event_value_quantiles: the
+    median is a rank pick, |v − med| is one vectorized float op over
+    the histogram keys (identical float64 subtraction on the SQL side,
+    so deviations are bit-equal), and the MAD is a second rank pick —
+    the raw rows are never re-scanned and the driver never sees
+    values."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        g = (
+            t.select(["event_type", "value"])
+            .append_column("cnt", _ones(len(t)))
+            .group_by(["event_type", "value"])
+            .aggregate([("cnt", "sum")])
+        )
+        yield g.rename_columns(["event_type", "value", "cnt"])
+
+    vc = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        pre, batch_format="pyarrow"
+    )
+    co = vc.repartition(P, keys=["event_type"])
+
+    def pick(t: pa.Table):
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return
+        t = t.group_by(["event_type", "value"]).aggregate([("cnt", "sum")])
+        t = t.rename_columns(["event_type", "value", "cnt"])
+        ty = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        c = t.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, ty))
+        ty, v, c = ty[order], v[order], c[order]
+        starts = np.flatnonzero(np.r_[True, ty[1:] != ty[:-1]])
+        ends = np.r_[starts[1:], len(ty)]
+        names, meds, mads, ns = [], [], [], []
+        for s, e in zip(starts, ends):
+            vv, cc = v[s:e], c[s:e]
+            cum = np.cumsum(cc)
+            n = int(cum[-1])
+            # quantile_disc rank rule (verified): max(1, ceil(q·N))
+            med = float(vv[np.searchsorted(cum, max(1, -(-n // 2)))])
+            d = np.abs(vv - med)  # same float64 op as SQL's ABS(value-med)
+            o2 = np.argsort(d, kind="stable")
+            d, c2 = d[o2], cc[o2]
+            cum2 = np.cumsum(c2)
+            mad = float(d[np.searchsorted(cum2, max(1, -(-n // 2)))])
+            names.append(ty[s])
+            meds.append(med)
+            mads.append(mad)
+            ns.append(n)
+        yield pa.table(
+            {
+                "event_type": pa.array(names, pa.string()),
+                "n_events": pa.array(ns, pa.int64()),
+                "median": pa.array(meds, pa.float64()),
+                "mad": pa.array(mads, pa.float64()),
+            }
+        )
+
+    return co.map_batches(pick, batch_size=None, batch_format="pyarrow")
+
+
+EVENT_VALUE_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, m.n AS n_events, m.med AS median,
+  quantile_disc(ABS(e.value - m.med), 0.5) AS mad
+FROM events e JOIN med m ON e.event_type = m.event_type
+GROUP BY e.event_type, m.med, m.n
+"""
+
+
 # --------------------------------------------------------------------------
 # retention cohorts (first-activity month × months-since matrix)
 # --------------------------------------------------------------------------
@@ -696,12 +775,11 @@ FROM a JOIN c ON a.user_id = c.user_id GROUP BY c.cohort, k
 # --------------------------------------------------------------------------
 
 
-def nation_year_rollup(sf_dir: str) -> ray.data.Dataset:
-    """Order revenue by (nation, year) with per-nation subtotals and a
-    grand total — GROUP BY ROLLUP.  The leaf aggregate is the only
-    wide step; subtotals re-aggregate the O(nations·years) leaf rows in
-    one block.  Sentinels ('ALL', -1) stand in for ROLLUP's NULLs so
-    the hash compare is type-stable."""
+def _nation_year_leaf(sf_dir: str):
+    """Shared leaf for ROLLUP/CUBE: a 1-partition Dataset of
+    (c_nationkey, o_year, price_c, n) partials plus the nationkey→name
+    lookup.  The leaf aggregate is the only wide step; both hierarchies
+    re-aggregate the O(nations·years) leaf rows in one block."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
 
     def o_prep(t: pa.Table):
@@ -747,7 +825,14 @@ def nation_year_rollup(sf_dir: str) -> ray.data.Dataset:
         zip(nt.column("n_nationkey").to_pylist(), nt.column("n_name").to_pylist())
     )
 
-    g = leaf.repartition(1)  # O(nations·years) rows
+    return leaf.repartition(1), names  # O(nations·years) rows
+
+
+def nation_year_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Order revenue by (nation, year) with per-nation subtotals and a
+    grand total — GROUP BY ROLLUP.  Sentinels ('ALL', -1) stand in for
+    ROLLUP's NULLs so the hash compare is type-stable."""
+    g, names = _nation_year_leaf(sf_dir)
 
     def finish(t: pa.Table):
         if t.num_rows == 0 or "c_nationkey" not in t.schema.names:
@@ -780,6 +865,68 @@ def nation_year_rollup(sf_dir: str) -> ray.data.Dataset:
         )
 
     return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+def nation_year_cube(sf_dir: str) -> ray.data.Dataset:
+    """Order revenue by (nation, year) with BOTH marginals and a grand
+    total — GROUP BY CUBE.  Same reduced-leaf strategy as the rollup
+    (one wide leaf aggregate, all four grouping sets derived from the
+    O(nations·years) rows in one block); integer sums ⇒ every grouping
+    set is order-independent and hash-exact."""
+    g, names = _nation_year_leaf(sf_dir)
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "c_nationkey" not in t.schema.names:
+            return
+        t = t.group_by(["c_nationkey", "o_year"]).aggregate(
+            [("price_c", "sum"), ("n", "sum")]
+        )
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        yr = t.column("o_year").to_numpy(zero_copy_only=False)
+        pcs = t.column("price_c_sum").to_numpy(zero_copy_only=False)
+        ns = t.column("n_sum").to_numpy(zero_copy_only=False)
+        nm = np.asarray([names[int(k)] for k in nk], dtype=object)
+        un, inv = np.unique(nm, return_inverse=True)
+        nat_p = np.zeros(len(un), np.int64)
+        nat_n = np.zeros(len(un), np.int64)
+        np.add.at(nat_p, inv, pcs)
+        np.add.at(nat_n, inv, ns)
+        uy, invy = np.unique(yr, return_inverse=True)
+        yr_p = np.zeros(len(uy), np.int64)
+        yr_n = np.zeros(len(uy), np.int64)
+        np.add.at(yr_p, invy, pcs)
+        np.add.at(yr_n, invy, ns)
+        out_nm = np.r_[
+            nm, un, np.full(len(uy), "ALL", dtype=object),
+            np.asarray(["ALL"], dtype=object),
+        ]
+        out_yr = np.r_[yr, np.full(len(un), -1, np.int64), uy, [-1]]
+        out_p = np.r_[pcs, nat_p, yr_p, [int(pcs.sum())]]
+        out_n = np.r_[ns, nat_n, yr_n, [int(ns.sum())]]
+        yield pa.table(
+            {
+                "n_name": pa.array(out_nm.tolist(), pa.string()),
+                "o_year": pa.array(out_yr),
+                "revenue": pa.array(out_p.astype(np.float64) / 100.0),
+                "n_orders": pa.array(out_n),
+            }
+        )
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+NATION_YEAR_CUBE_SQL = """
+WITH b AS (
+  SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+    CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS price_c
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT COALESCE(n_name, 'ALL') AS n_name, COALESCE(o_year, -1) AS o_year,
+  CAST(SUM(price_c) AS DOUBLE)/100.0 AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM b GROUP BY CUBE(n_name, o_year)
+"""
 
 
 # --------------------------------------------------------------------------

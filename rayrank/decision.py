@@ -870,6 +870,100 @@ FROM a
 
 
 # --------------------------------------------------------------------------
+# per-group OLS regression (regr_slope / regr_intercept shape)
+# --------------------------------------------------------------------------
+
+
+def event_value_regression(sf_dir: str) -> ray.data.Dataset:
+    """Per-event-type least-squares line value_cents = a·hour + b —
+    EXACT against SQL by the value_hour_corr strategy: both sides
+    accumulate the integer moments (n, Σx, Σy, Σxy, Σx²), form the
+    closed-form numerators/denominator in big ints (HUGEINT in SQL),
+    and divide once as float64.  slope = (nΣxy − ΣxΣy)/(nΣx² − Σx²_),
+    intercept = (ΣyΣx² − ΣxΣxy)/(nΣx² − Σx²_) — the intercept uses the
+    joint closed form, NOT (ȳ − slope·x̄), so no intermediate float
+    product exists on either side."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        x = (
+            pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+            // 3_600_000_000
+        ) % 24
+        y = _i64(t.column("value"), 100)
+        g = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "sx": pa.array(x),
+                "sy": pa.array(y),
+                "sxy": pa.array(x * y),
+                "sxx": pa.array(x * x),
+                "n": _ones(len(t)),
+            }
+        ).group_by(["event_type"]).aggregate(
+            [(c, "sum") for c in ("sx", "sy", "sxy", "sxx", "n")]
+        )
+        yield g.rename_columns(["event_type", "sx", "sy", "sxy", "sxx", "n"])
+
+    g = (
+        _read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(pre, batch_format="pyarrow")
+        .repartition(1)  # ≤ |event types| rows per partial
+    )
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return
+        t = t.group_by(["event_type"]).aggregate(
+            [(c, "sum") for c in ("sx", "sy", "sxy", "sxx", "n")]
+        )
+        slopes, icepts = [], []
+        for sx, sy, sxy, sxx, n in zip(
+            t.column("sx_sum").to_pylist(),
+            t.column("sy_sum").to_pylist(),
+            t.column("sxy_sum").to_pylist(),
+            t.column("sxx_sum").to_pylist(),
+            t.column("n_sum").to_pylist(),
+        ):
+            den = n * sxx - sx * sx  # Python big ints: no overflow
+            slopes.append(float(n * sxy - sx * sy) / float(den))
+            icepts.append(float(sy * sxx - sx * sxy) / float(den))
+        yield pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_events": t.column("n_sum"),
+                "slope_cents_per_hour": pa.array(slopes, pa.float64()),
+                "intercept_cents": pa.array(icepts, pa.float64()),
+            }
+        )
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+EVENT_VALUE_REGRESSION_SQL = """
+WITH b AS (
+  SELECT event_type,
+    (epoch_us(ts) // 3600000000) % 24 AS x,
+    CAST(ROUND(value*100) AS BIGINT) AS y
+  FROM events
+),
+a AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+    CAST(SUM(x*y) AS HUGEINT) AS sxy, CAST(SUM(x*x) AS HUGEINT) AS sxx
+  FROM b GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+    AS slope_cents_per_hour,
+  CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+    AS intercept_cents
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
 # trailing moving average (ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)
 # --------------------------------------------------------------------------
 
@@ -1300,4 +1394,133 @@ SELECT p.pa_key, p.pb_key,
 FROM p JOIN deg da ON p.pa_key = da.l_partkey
 JOIN deg db ON p.pb_key = db.l_partkey
 ORDER BY jaccard DESC, p.pa_key, p.pb_key LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction (log-weighted common neighbors, top-k)
+# --------------------------------------------------------------------------
+
+AA_TOPK = 20
+
+
+def adamic_adar_topk(sf_dir: str, k: int = AA_TOPK) -> ray.data.Dataset:
+    """Top-k part pairs by Adamic-Adar score over the order-part
+    bipartite graph: AA(a,b) = Σ over common orders o of 1/ln(|o|).
+
+    Exactness technique (new in this family): the irrational per-center
+    contribution 1/ln(s) is QUANTIZED to int64 at wedge time —
+    wq = ⌊1e9/ln(s) + 0.5⌋, identical float expression both sides
+    (FLOOR(x+0.5), not ROUND: numpy rounds half-to-even, DuckDB
+    half-away) — so the per-pair score is an exact integer sum, the
+    top-k ranks on the INTEGER with (pa, pb) tie-break, and the float
+    score is one division by 1e9 at the end.  Same wedge machinery as
+    part_pairs/part_jaccard: one repartition by orderkey, vectorized
+    pair expansion, block-local pre-sum, keyed re-agg, O(k) merge."""
+
+    def dedup_pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    dd = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+        dedup_pre, batch_format="pyarrow"
+    )
+    co = dd.repartition(P, keys=["l_orderkey"])
+
+    def pairs(t: pa.Table):
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return
+        t = t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        sizes = np.diff(np.r_[starts, len(ok)])
+        # per-order quantized weight, expanded to rows then to pairs
+        w_grp = np.zeros(len(sizes), np.int64)
+        big = sizes >= 2
+        w_grp[big] = np.floor(
+            1e9 / np.log(sizes[big].astype(np.float64)) + 0.5
+        ).astype(np.int64)
+        w_row = np.repeat(w_grp, sizes)
+        local = np.arange(len(ok)) - np.repeat(starts, sizes)
+        cnt = np.repeat(sizes, sizes) - 1 - local
+        first = np.repeat(np.arange(len(ok)), cnt)
+        cum = np.cumsum(cnt)
+        off = np.arange(int(cnt.sum())) - np.repeat(cum - cnt, cnt)
+        second = first + 1 + off
+        if len(first) == 0:
+            return
+        g = pa.table(
+            {
+                "pa_key": pa.array(pk[first]),
+                "pb_key": pa.array(pk[second]),
+                "wq": pa.array(w_row[first]),
+            }
+        ).group_by(["pa_key", "pb_key"]).aggregate([("wq", "sum")])
+        yield g.rename_columns(["pa_key", "pb_key", "wq"])
+
+    counted = keyed_reagg(
+        co.map_batches(pairs, batch_size=None, batch_format="pyarrow"),
+        ["pa_key", "pb_key"], [("wq", "sum")], P,
+    )
+
+    def local_topk(t: pa.Table):
+        if t.num_rows == 0 or "wq" not in t.schema.names:
+            return
+        a = t.column("pa_key").to_numpy(zero_copy_only=False)
+        b = t.column("pb_key").to_numpy(zero_copy_only=False)
+        w = t.column("wq").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a, -w))[:k]
+        yield pa.table(
+            {
+                "pa_key": pa.array(a[order]),
+                "pb_key": pa.array(b[order]),
+                "wq": pa.array(w[order]),
+            }
+        )
+
+    pre = counted.map_batches(
+        local_topk, batch_size=None, batch_format="pyarrow"
+    ).repartition(1)
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "wq" not in t.schema.names:
+            return
+        a = t.column("pa_key").to_numpy(zero_copy_only=False)
+        b = t.column("pb_key").to_numpy(zero_copy_only=False)
+        w = t.column("wq").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a, -w))[:k]
+        yield pa.table(
+            {
+                "pa_key": pa.array(a[order]),
+                "pb_key": pa.array(b[order]),
+                "adamic_adar": pa.array(
+                    w[order].astype(np.float64) / 1e9, pa.float64()
+                ),
+            }
+        )
+
+    return pre.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+ADAMIC_ADAR_TOPK_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+deg AS (
+  SELECT l_orderkey,
+    CAST(FLOOR(1e9/ln(CAST(COUNT(*) AS DOUBLE)) + 0.5) AS BIGINT) AS wq
+  FROM d GROUP BY l_orderkey HAVING COUNT(*) >= 2
+),
+p AS (
+  SELECT a.l_partkey AS pa_key, b.l_partkey AS pb_key,
+    CAST(SUM(g.wq) AS BIGINT) AS swq
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN deg g ON g.l_orderkey = a.l_orderkey
+  GROUP BY 1, 2
+)
+SELECT pa_key, pb_key, CAST(swq AS DOUBLE)/1e9 AS adamic_adar
+FROM p ORDER BY swq DESC, pa_key, pb_key LIMIT 20
 """

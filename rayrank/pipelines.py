@@ -128,6 +128,92 @@ def degree_histogram(sf_dir: str) -> ray.data.Dataset:
     return h.map_batches(rename, batch_format="pyarrow")
 
 
+def edge_reciprocity(sf_dir: str) -> ray.data.Dataset:
+    """Single-row graph reciprocity of the directed lineitem edge set:
+    n_directed distinct non-loop edges, n_reciprocal = edges whose
+    reverse also exists, and their exact ratio (one integer division
+    as float64, identical both sides).  Shape: canonicalize (lo, hi)
+    per block with fwd/rev flags pre-maxed (the setop flag trick), ONE
+    keyed re-agg completes the flags, then three scalar partial sums
+    coalesce — the driver sees one row."""
+    from .shuffle import keyed_reagg
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        g = pa.table(
+            {
+                "lo": pa.array(lo),
+                "hi": pa.array(hi),
+                "f": pa.array((s < d).astype(np.int64)),
+                "r": pa.array((s > d).astype(np.int64)),
+            }
+        ).group_by(["lo", "hi"]).aggregate([("f", "max"), ("r", "max")])
+        yield g.rename_columns(["lo", "hi", "f", "r"])
+
+    flags = keyed_reagg(
+        sf_edges(sf_dir).map_batches(pre, batch_format="pyarrow"),
+        ["lo", "hi"], [("f", "max"), ("r", "max")], P,
+    )
+
+    def partial(t: pa.Table):
+        if t.num_rows == 0 or "f" not in t.schema.names:
+            return
+        f = t.column("f").to_numpy(zero_copy_only=False)
+        r = t.column("r").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "nd": pa.array([int(f.sum() + r.sum())]),
+                "nr": pa.array([int(2 * (f & r).sum())]),
+            }
+        )
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "nd" not in t.schema.names:
+            return
+        nd = int(pc.sum(t.column("nd")).as_py())
+        nr = int(pc.sum(t.column("nr")).as_py())
+        yield pa.table(
+            {
+                "n_directed": pa.array([nd]),
+                "n_reciprocal": pa.array([nr]),
+                "reciprocity": pa.array([float(nr) / float(nd)], pa.float64()),
+            }
+        )
+
+    return (
+        flags.map_batches(partial, batch_size=None, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_size=None, batch_format="pyarrow")
+    )
+
+
+EDGE_RECIPROCITY_SQL = """
+WITH e AS (
+  SELECT DISTINCT l_orderkey AS s, l_partkey AS t
+  FROM lineitem WHERE l_orderkey <> l_partkey
+),
+c AS (
+  SELECT LEAST(s, t) AS lo, GREATEST(s, t) AS hi,
+    MAX(CASE WHEN s < t THEN 1 ELSE 0 END) AS f,
+    MAX(CASE WHEN s > t THEN 1 ELSE 0 END) AS r
+  FROM e GROUP BY 1, 2
+)
+SELECT CAST(SUM(f) + SUM(r) AS BIGINT) AS n_directed,
+  CAST(2*SUM(f*r) AS BIGINT) AS n_reciprocal,
+  CAST(2*SUM(f*r) AS DOUBLE)/CAST(SUM(f) + SUM(r) AS DOUBLE) AS reciprocity
+FROM c
+"""
+
+
 def _vertices(sf_dir: str) -> ray.data.Dataset:
     e = sf_edges(sf_dir)
     a = e.select_columns(["src"]).map_batches(
@@ -787,6 +873,56 @@ def pagerank_2iter(sf_dir: str) -> ray.data.Dataset:
     # two unconditional iterations, and the lagged convergence check
     # could otherwise return after one on near-fixed-point inputs
     res = power_method(gdir, max_iterations=2, epsilon=0.0)
+    ds = res.scores_dataset(gdir)
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"name": t.column("name"), "score": pc.round(t.column("score"), 6)}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+PPR_PREFIX = "1"  # personalization seed set: names starting with "1"
+
+
+@ray.remote
+def _prefix_v_part(
+    graph_dir: str, q: int, Q: int, size: int, prefix: str
+) -> np.ndarray:
+    """Indicator personalization partition for names with a prefix —
+    built from the partition's own vertex file (no driver vertex scan;
+    same shape as search._v_part, reference pagerank.py:81-97)."""
+    import pyarrow.parquet as pq
+
+    v = np.zeros(size, np.float64)
+    part_dir = os.path.join(graph_dir, "vertices", f"q={q}")
+    if not os.path.isdir(part_dir):
+        return v
+    t = pq.read_table(part_dir, columns=["vid", "name"])
+    mask = pc.starts_with(t.column("name"), prefix).to_numpy(
+        zero_copy_only=False
+    )
+    vids = t.column("vid").to_numpy()[mask]
+    v[vids // Q] = 1.0
+    return v
+
+
+def pagerank_personalized_2iter(sf_dir: str) -> ray.data.Dataset:
+    """Two reference-exact PERSONALIZED power iterations (v = indicator
+    on names starting with '1', L2-normalized actor-side; x0 stays
+    uniform 1/√n exactly as power_method does).  SQL oracle unrolls the
+    same two updates with a per-vertex v̂ column — flips the
+    personalization path (previously pytest-only) to hash-checked."""
+    from .graph import GraphMeta
+    from .pagerank import power_method
+
+    gdir = _graph(sf_dir, "directed")
+    meta = GraphMeta.load(os.path.join(gdir, "meta.json"))
+    v_parts = [
+        _prefix_v_part.remote(gdir, q, meta.Q, meta.part_sizes[q], PPR_PREFIX)
+        for q in range(meta.Q)
+    ]
+    res = power_method(gdir, max_iterations=2, epsilon=0.0, v_parts=v_parts)
     ds = res.scores_dataset(gdir)
     return ds.map_batches(
         lambda t: pa.table(

@@ -174,6 +174,64 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     )
 
 
+VOCAB_K = 100
+
+
+def inverted_index(sf_dir: str, k: int = VOCAB_K) -> ray.data.Dataset:
+    """(term, df, postings) inverted index for the top-``k``-DF
+    vocabulary — the search-index-build stage: postings is the
+    doc_id-sorted posting list (comma-joined so the hash compare is
+    type-stable; a list<int64> column would hash unreliably through
+    pandas).  The vocabulary (k rows) broadcasts as a filter value-set;
+    ONE keyed repartition co-locates each term's unique (doc, term)
+    rows, and the list build is a block-local lexsort — raw tokens
+    never shuffle (they were pre-reduced by term_frequencies), the
+    driver only sees the k-row vocabulary."""
+    tf = term_frequencies(sf_dir)
+    vocab = (
+        _doc_freq(tf).sort(["df", "term"], descending=[True, False]).limit(k)
+    )
+    vt = vocab.take_all()  # k rows — bounded driver materialization
+    value_set = pa.array(sorted(r["term"] for r in vt), pa.string())
+
+    def keep(t: pa.Table):
+        if len(t) == 0 or "term" not in t.schema.names:
+            return
+        m = pc.is_in(t.column("term"), value_set=value_set)
+        t = t.filter(m)
+        if len(t):
+            yield t.select(["doc_id", "term"])
+
+    co = tf.map_batches(keep, batch_format="pyarrow").repartition(
+        P, keys=["term"]
+    )
+
+    def build(t: pa.Table):
+        if t.num_rows == 0 or "term" not in t.schema.names:
+            return
+        term = np.asarray(t.column("term").to_pylist(), dtype=object)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, term))
+        term, doc = term[order], doc[order]
+        starts = np.flatnonzero(np.r_[True, term[1:] != term[:-1]])
+        ends = np.r_[starts[1:], len(term)]
+        yield pa.table(
+            {
+                "term": pa.array(term[starts].tolist(), pa.string()),
+                "df": pa.array(ends - starts),
+                "postings": pa.array(
+                    [
+                        ",".join(str(int(d)) for d in doc[s:e])
+                        for s, e in zip(starts, ends)
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return co.map_batches(build, batch_size=None, batch_format="pyarrow")
+
+
 _TOK_CTE = r"""
 tok AS (
   SELECT doc_id,
@@ -208,5 +266,15 @@ r AS (
 )
 SELECT doc_id, term, tf, df, score, CAST(rn AS BIGINT) AS rn
 FROM r WHERE rn <= 3
+"""
+)
+
+INVERTED_INDEX_SQL = (
+    "WITH " + _TOK_CTE + """,
+vocab AS (SELECT term, df FROM dfq ORDER BY df DESC, term LIMIT 100)
+SELECT v.term, v.df,
+  string_agg(CAST(t.doc_id AS VARCHAR), ',' ORDER BY t.doc_id) AS postings
+FROM tfq t JOIN vocab v USING (term)
+GROUP BY v.term, v.df
 """
 )
