@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": pl.clustering_coeff,
         "event_value_quantiles": _an().event_value_quantiles,
         "event_value_mad": _an().event_value_mad,
+        "user_last_event": _an().user_last_event,
+        "part_skyline": _an().part_skyline,
+        "event_value_ntile": _an().event_value_ntile,
         "retention_cohorts": _an().retention_cohorts,
         "users_per_type_kmv": pl.users_per_type_kmv,
         "weighted_event_sample": _an().weighted_event_sample,
@@ -785,6 +788,9 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coeff": _CLUSTERING_COEFF_SQL,
         "event_value_quantiles": _an().EVENT_VALUE_QUANTILES_SQL,
         "event_value_mad": _an().EVENT_VALUE_MAD_SQL,
+        "user_last_event": _an().USER_LAST_EVENT_SQL,
+        "part_skyline": _an().PART_SKYLINE_SQL,
+        "event_value_ntile": _an().EVENT_VALUE_NTILE_SQL,
         "retention_cohorts": _an().RETENTION_COHORTS_SQL,
         "users_per_type_kmv": _kmv_by_sql(),
         "weighted_event_sample": _weighted_sample_sql(),

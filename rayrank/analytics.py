@@ -1278,3 +1278,202 @@ SELECT COALESCE(n_name, 'ALL') AS n_name, COALESCE(o_year, -1) AS o_year,
   CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM b GROUP BY ROLLUP(n_name, o_year)
 """
+
+
+# --------------------------------------------------------------------------
+# argmax-by (last event per user), Pareto skyline, NTILE buckets
+# --------------------------------------------------------------------------
+
+
+def user_last_event(sf_dir: str) -> ray.data.Dataset:
+    """Each user's LAST event (max (ts, event_id), fully deterministic)
+    — the argmax-by / LAST_VALUE shape.  Two-phase max-by: each block
+    keeps one candidate row per user (lexsort + group-end take), ONE
+    keyed repartition co-locates the ≤ blocks·users candidates, and the
+    same kernel picks the final row.  Whole rows never shuffle twice;
+    values are carried, not re-joined."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def last_per_user(t: pa.Table):
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, u))
+        u_s = u[order]
+        ends = np.flatnonzero(np.r_[u_s[1:] != u_s[:-1], True])
+        yield t.take(pa.array(order[ends]))
+
+    cand = ev.map_batches(last_per_user, batch_format="pyarrow")
+    co = cand.repartition(P, keys=["user_id"])
+
+    def finish(t: pa.Table):
+        for out in last_per_user(t):
+            yield pa.table(
+                {
+                    "user_id": out.column("user_id"),
+                    "last_ts": out.column("ts"),
+                    "last_event_type": out.column("event_type"),
+                    "last_event_id": out.column("event_id"),
+                }
+            )
+
+    return co.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+USER_LAST_EVENT_SQL = """
+WITH r AS (
+  SELECT user_id, ts, event_type, event_id,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+  event_id AS last_event_id
+FROM r WHERE rn = 1
+"""
+
+
+def _skyline_mask(qty: np.ndarray, rev: np.ndarray) -> np.ndarray:
+    """Boolean mask of Pareto-optimal (maximize both) points.  A point
+    survives iff its rev equals the max rev at its qty level AND beats
+    the max rev over all STRICTLY higher qty levels (ties on both
+    coordinates all survive — no strict coordinate, no dominance)."""
+    order = np.lexsort((-rev, -qty))
+    q_s, r_s = qty[order], rev[order]
+    starts = np.flatnonzero(np.r_[True, q_s[1:] != q_s[:-1]])
+    level_max = r_s[starts]  # first row per level has the level max
+    higher = np.r_[np.int64(-(1 << 62)), np.maximum.accumulate(level_max)[:-1]]
+    lvl = np.cumsum(np.r_[np.int64(0), np.diff(q_s) != 0])
+    keep_sorted = (r_s == level_max[lvl]) & (level_max[lvl] > higher[lvl])
+    mask = np.zeros(len(qty), bool)
+    mask[order] = keep_sorted
+    return mask
+
+
+def part_skyline(sf_dir: str) -> ray.data.Dataset:
+    """Pareto frontier of parts over (total quantity, total revenue),
+    both maximized — the skyline operator.  Exact: quantities and
+    cents are integer sums.  Scale shape: per-part partials pre-combine
+    per block, ONE keyed re-agg completes the totals, each block prunes
+    to its LOCAL skyline (any globally non-dominated point is
+    non-dominated in its block, so local pruning is lossless), and the
+    O(frontier·blocks) survivors merge in one final skyline pass."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        g = pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "qty": pa.array(_i64(t.column("l_quantity"), 1)),
+                "rev_c": pa.array(_i64(t.column("l_extendedprice"), 100)),
+            }
+        ).group_by(["l_partkey"]).aggregate([("qty", "sum"), ("rev_c", "sum")])
+        yield g.rename_columns(["l_partkey", "qty", "rev_c"])
+
+    totals = keyed_reagg(
+        li.map_batches(pre, batch_format="pyarrow"),
+        ["l_partkey"], [("qty", "sum"), ("rev_c", "sum")], P,
+    )
+
+    def local_prune(t: pa.Table):
+        if t.num_rows == 0 or "qty" not in t.schema.names:
+            return
+        qty = t.column("qty").to_numpy(zero_copy_only=False)
+        rev = t.column("rev_c").to_numpy(zero_copy_only=False)
+        yield t.filter(pa.array(_skyline_mask(qty, rev)))
+
+    pruned = totals.map_batches(
+        local_prune, batch_size=None, batch_format="pyarrow"
+    ).repartition(1)
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "qty" not in t.schema.names:
+            return
+        qty = t.column("qty").to_numpy(zero_copy_only=False)
+        rev = t.column("rev_c").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(_skyline_mask(qty, rev)))
+        yield pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "qty": t.column("qty"),
+                "revenue": pc.divide(
+                    pc.cast(t.column("rev_c"), pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return pruned.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+PART_SKYLINE_SQL = """
+WITH pp AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem GROUP BY 1
+)
+SELECT p.l_partkey, p.qty, CAST(p.rev_c AS DOUBLE)/100.0 AS revenue
+FROM pp p WHERE NOT EXISTS (
+  SELECT 1 FROM pp q
+  WHERE q.qty >= p.qty AND q.rev_c >= p.rev_c
+    AND (q.qty > p.qty OR q.rev_c > p.rev_c)
+)
+"""
+
+
+NTILE_BUCKETS = 4
+
+
+def event_value_ntile(sf_dir: str, b: int = NTILE_BUCKETS) -> ray.data.Dataset:
+    """NTILE(4) quartile bucket of every event's value within its
+    event type, ordered by (value, event_id) so ties are deterministic.
+    The NTILE fill rule is RESTATED explicitly on both sides (first
+    n % b buckets get ⌈n/b⌉ rows) rather than trusting the database's
+    internal formula — the interp_quantiles exactness family.  ONE
+    keyed repartition co-locates each type; the bucket assignment is a
+    lexsort + vectorized boundary arithmetic."""
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    co = ev.repartition(P, keys=["event_type"])
+
+    def bucketize(t: pa.Table):
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return
+        ty = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, v, ty))
+        ty_s, eid_s = ty[order], eid[order]
+        starts = np.flatnonzero(np.r_[True, ty_s[1:] != ty_s[:-1]])
+        sizes = np.diff(np.r_[starts, len(ty_s)])
+        idx = np.arange(len(ty_s)) - np.repeat(starts, sizes)  # 0-based rank
+        n = np.repeat(sizes, sizes)
+        size = n // b          # small-bucket size
+        extra = n % b          # first `extra` buckets take size+1
+        cut = (size + 1) * extra
+        small = idx >= cut
+        bucket = np.where(small, extra + (idx - cut) // np.maximum(size, 1),
+                          idx // (size + 1))
+        out = np.empty(len(ty_s), np.int64)
+        out[order] = bucket + 1
+        yield pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "value": t.column("value"),
+                "quartile": pa.array(out),
+            }
+        )
+
+    return co.map_batches(bucketize, batch_size=None, batch_format="pyarrow")
+
+
+EVENT_VALUE_NTILE_SQL = """
+SELECT event_id, event_type, value,
+  CAST(NTILE(4) OVER (PARTITION BY event_type
+                      ORDER BY value, event_id) AS BIGINT) AS quartile
+FROM events
+"""
