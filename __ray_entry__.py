@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": _dec().degree_assortativity,
         "part_jaccard_topk": _dec().part_jaccard_topk,
         "adamic_adar_topk": _dec().adamic_adar_topk,
+        "urgent_year_revenue": _dec().urgent_year_revenue,
         # degrees / weights / dangling / prune (SURVEY §2.5, §2.2 M3, §2.4 J4)
         "out_degree": pl.out_degree,
         "in_degree": pl.in_degree,
@@ -809,6 +810,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": _dec().DEGREE_ASSORTATIVITY_SQL,
         "part_jaccard_topk": _dec().PART_JACCARD_TOPK_SQL,
         "adamic_adar_topk": _dec().ADAMIC_ADAR_TOPK_SQL,
+        "urgent_year_revenue": _dec().URGENT_YEAR_REVENUE_SQL,
         "out_degree": (
             "SELECT l_orderkey AS src, COUNT(*) AS outdeg "
             "FROM lineitem GROUP BY l_orderkey"

@@ -1524,3 +1524,83 @@ p AS (
 SELECT pa_key, pb_key, CAST(swq AS DOUBLE)/1e9 AS adamic_adar
 FROM p ORDER BY swq DESC, pa_key, pb_key LIMIT 20
 """
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered semi-join funnel
+# --------------------------------------------------------------------------
+
+
+def urgent_year_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Lineitem revenue per ship-year restricted to 1-URGENT orders —
+    the Bloom-prefiltered semi-join funnel.  The urgent key set can be
+    too large to broadcast exactly at corpus scale, so a Bloom bitmap
+    (10 bits/key, k=7, ~1% FP) ships once via ray.put and drops ~80% of
+    lineitem rows BEFORE the semi-join shuffle; the exact join behind
+    it removes the false positives, so the result is EXACT and the
+    oracle is the plain join SQL.  Aggregation is integer cents with a
+    coalesced tiny re-agg (pricing_summary pattern)."""
+    from .joins import bloom_bits, bloom_prefilter
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def ukeys_fn(t: pa.Table):
+        if len(t) == 0:
+            return
+        t = t.filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))
+        if len(t):
+            yield t.select(["o_orderkey"])
+
+    ukeys = o.map_batches(ukeys_fn, batch_format="pyarrow").materialize()
+    n_keys = ukeys.count()
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice"]
+    )
+    bits_ref, m, k = bloom_bits(ukeys, "o_orderkey", n_keys)
+    maybe = bloom_prefilter(li, "l_orderkey", bits_ref, m, k)
+    exact = join_auto(
+        maybe, ukeys, on=("l_orderkey",), right_on=("o_orderkey",),
+        how="semi", num_partitions=P,
+    )
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "l_shipdate" not in t.schema.names:
+            return
+        g = pa.table(
+            {
+                "yr": pc.cast(pc.year(t.column("l_shipdate")), pa.int64()),
+                "rev_c": pa.array(_i64(t.column("l_extendedprice"), 100)),
+                "n": _ones(len(t)),
+            }
+        ).group_by(["yr"]).aggregate([("rev_c", "sum"), ("n", "sum")])
+        yield g.rename_columns(["yr", "rev_c", "n"])
+
+    g = exact.map_batches(pre, batch_format="pyarrow").repartition(1)
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "yr" not in t.schema.names:
+            return
+        t = t.group_by(["yr"]).aggregate([("rev_c", "sum"), ("n", "sum")])
+        yield pa.table(
+            {
+                "yr": t.column("yr"),
+                "revenue": pc.divide(
+                    pc.cast(t.column("rev_c_sum"), pa.float64()), 100.0
+                ),
+                "n_items": t.column("n_sum"),
+            }
+        )
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+URGENT_YEAR_REVENUE_SQL = """
+SELECT CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+  CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0
+    AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1
+"""

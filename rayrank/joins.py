@@ -326,6 +326,84 @@ def broadcast_semi_filter(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+_BLOOM_SALT = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
+
+
+def _bloom_positions(v: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(len(v), k) uint64 bit positions via double hashing
+    (Kirsch–Mitzenmacher: pos_i = h1 + i·h2 mod m, m a power of two,
+    h2 forced odd so the probe sequence never degenerates)."""
+    from .sketch import splitmix64
+
+    x = v.astype(np.uint64)
+    h1 = splitmix64(x)
+    h2 = splitmix64(x ^ _BLOOM_SALT) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) & np.uint64(m - 1)
+
+
+def bloom_bits(
+    ds: ray.data.Dataset,
+    column: str,
+    n_keys: int,
+    bits_per_key: int = 10,
+    num_hashes: int = 7,
+):
+    """Build a Bloom filter over an int64 key column, distributed:
+    each block sets its keys' bits in a LOCAL bitmap (vectorized
+    double-hash, no Python loop over rows), the per-block bitmaps ship
+    as single binary rows, and the driver ORs ≤ num-blocks fixed-size
+    words (at real scale this OR would tree-reduce, but the payload is
+    m/8 bytes per block regardless of row count — the reduction is
+    already data-independent).  Returns (ObjectRef bitmap, m, k) for
+    :func:`bloom_prefilter`."""
+    import ray as _ray
+
+    m = 1 << int(np.ceil(np.log2(max(64, n_keys * bits_per_key))))
+    k = num_hashes
+
+    def partial(t: pa.Table):
+        if t.num_rows == 0 or column not in t.schema.names:
+            return
+        v = t.column(column).to_numpy(zero_copy_only=False)
+        pos = _bloom_positions(v, m, k).ravel()
+        bits = np.zeros(m // 64, np.uint64)
+        np.bitwise_or.at(
+            bits, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+        yield pa.table({"bits": pa.array([bits.tobytes()], pa.large_binary())})
+
+    merged = np.zeros(m // 64, np.uint64)
+    for row in ds.map_batches(
+        partial, batch_size=None, batch_format="pyarrow"
+    ).take_all():  # ≤ num-blocks rows of m/8 bytes each
+        merged |= np.frombuffer(row["bits"], np.uint64)
+    return _ray.put(merged), m, k
+
+
+def bloom_prefilter(
+    ds: ray.data.Dataset, column: str, bits_ref, m: int, k: int
+) -> ray.data.Dataset:
+    """Keep rows whose key MAY be in the Bloom set (no false negatives;
+    false positives pass and must be removed by the exact join behind
+    it).  The bitmap ships once via ray.put and is probed vectorized
+    per batch — this is the shuffle-volume reducer in front of a
+    partitioned semi join when the key set is too big to broadcast
+    exactly."""
+    import ray as _ray
+
+    def fn(t: pa.Table) -> pa.Table:
+        bits = _ray.get(bits_ref)
+        v = t.column(column).to_numpy(zero_copy_only=False)
+        pos = _bloom_positions(v, m, k)
+        word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit = ((word >> (pos & np.uint64(63))) & np.uint64(1)).all(axis=1)
+        return t.filter(pa.array(hit))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
