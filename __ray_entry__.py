@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_last_event": _an().user_last_event,
         "part_skyline": _an().part_skyline,
         "event_value_ntile": _an().event_value_ntile,
+        "daily_event_spine": _an().daily_event_spine,
         "retention_cohorts": _an().retention_cohorts,
         "users_per_type_kmv": pl.users_per_type_kmv,
         "weighted_event_sample": _an().weighted_event_sample,
@@ -792,6 +793,7 @@ def oracle_sql() -> dict[str, str]:
         "user_last_event": _an().USER_LAST_EVENT_SQL,
         "part_skyline": _an().PART_SKYLINE_SQL,
         "event_value_ntile": _an().EVENT_VALUE_NTILE_SQL,
+        "daily_event_spine": _an().DAILY_EVENT_SPINE_SQL,
         "retention_cohorts": _an().RETENTION_COHORTS_SQL,
         "users_per_type_kmv": _kmv_by_sql(),
         "weighted_event_sample": _weighted_sample_sql(),

@@ -189,6 +189,22 @@ def run_bench() -> dict:
         part_pairs_topk(sf_dir).count()
         queries["part_pairs_topk"] = time.perf_counter() - t0
 
+        from rayrank.decision import adamic_adar_topk, urgent_year_revenue
+        from rayrank.terms import inverted_index
+
+        t0 = time.perf_counter()
+        adamic_adar_topk(sf_dir).count()
+        queries["adamic_adar_topk"] = time.perf_counter() - t0
+
+        # bloom-prefiltered semi-join funnel (exact-join backstop)
+        t0 = time.perf_counter()
+        urgent_year_revenue(sf_dir).count()
+        queries["urgent_year_revenue"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        inverted_index(sf_dir).count()
+        queries["inverted_index"] = time.perf_counter() - t0
+
     out = {
         "metric": (
             "wall sec of reference-exact PageRank to eps=1e-6 on the "

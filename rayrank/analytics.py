@@ -1477,3 +1477,72 @@ SELECT event_id, event_type, value,
                       ORDER BY value, event_id) AS BIGINT) AS quartile
 FROM events
 """
+
+
+def daily_event_spine(sf_dir: str) -> ray.data.Dataset:
+    """Per-type daily event counts over a GAP-FREE date spine: every
+    (event_type, day) cell in the global [min_day, max_day] range
+    appears, zero-filled — the generate_series / calendar-spine shape.
+    The spine is built from the already-reduced (type, day, n) table
+    (cardinality = types·days, tiny by construction), so the cross
+    join never touches raw rows."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        day = pc.divide(pc.cast(t.column("ts"), pa.int64()), DAY_US)
+        g = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "day": day,
+                "n": _ones(len(t)),
+            }
+        ).group_by(["event_type", "day"]).aggregate([("n", "sum")])
+        yield g.rename_columns(["event_type", "day", "n"])
+
+    g = (
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(pre, batch_format="pyarrow")
+        .repartition(1)  # ≤ types·days rows per partial
+    )
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return
+        t = t.group_by(["event_type", "day"]).aggregate([("n", "sum")])
+        ty = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        n = t.column("n_sum").to_numpy(zero_copy_only=False)
+        lo, hi = int(day.min()), int(day.max())
+        span = hi - lo + 1
+        types = np.unique(ty)
+        tix = {v: i for i, v in enumerate(types)}
+        grid = np.zeros((len(types), span), np.int64)
+        rows = np.fromiter((tix[v] for v in ty), np.int64, len(ty))
+        grid[rows, day - lo] = n
+        yield pa.table(
+            {
+                "event_type": pa.array(
+                    np.repeat(types, span).tolist(), pa.string()
+                ),
+                "day": pa.array(np.tile(np.arange(lo, hi + 1), len(types))),
+                "n_events": pa.array(grid.ravel()),
+            }
+        )
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+DAILY_EVENT_SPINE_SQL = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM c),
+days AS (SELECT unnest(generate_series(b.lo, b.hi)) AS day FROM b),
+types AS (SELECT DISTINCT event_type FROM c)
+SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n_events
+FROM types t CROSS JOIN days d
+LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day
+"""
