@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_click_window": pl.purchase_click_window,
         "event_window_counts": pl.event_window_counts,
         "events_prior_hour_counts": pl.events_prior_hour_counts,
+        "hopping_event_counts": pl.hopping_event_counts,
         "price_quantiles": pl.price_quantiles,
         "frequent_event_types": pl.frequent_event_types,
         "kmv_distinct_parts": pl.kmv_distinct_parts,
@@ -919,6 +920,7 @@ def oracle_sql() -> dict[str, str]:
             "AND epoch_us(b.ts) < epoch_us(a.ts) "
             "GROUP BY 1, 2"
         ),
+        "hopping_event_counts": _pl().HOPPING_EVENT_COUNTS_SQL,
         "frequent_event_types": (
             "SELECT event_type AS value, COUNT(*) AS cnt FROM events "
             "GROUP BY 1 HAVING COUNT(*) >= CEIL(0.125 * "

@@ -713,6 +713,61 @@ def event_window_counts(sf_dir: str) -> ray.data.Dataset:
     return g.map_batches(finish, batch_format="pyarrow")
 
 
+HOP_US = 3_600_000_000  # 1h hop
+HOP_WINDOW_HOPS = 2  # 2h windows ⇒ each event lands in 2 windows
+
+
+def hopping_event_counts(sf_dir: str) -> ray.data.Dataset:
+    """Hopping-window counts per event type: 2-hour windows starting
+    every hour (window w covers [w·1h, w·1h + 2h)), so each event
+    expands to exactly 2 (window, type) rows — the overlapping-window
+    flat-map shape that tumbling windows can't express.  The expansion
+    is one vectorized tile per block; counts pre-combine before the
+    keyed shuffle.  Window ids are integer epoch hours — exact."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def expand(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        hr = (
+            pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+            // HOP_US
+        )
+        wins = np.concatenate([hr - i for i in range(HOP_WINDOW_HOPS)])
+        ty = pa.concat_arrays(
+            [t.column("event_type").combine_chunks()] * HOP_WINDOW_HOPS
+        )
+        g = pa.table(
+            {
+                "win_hour": pa.array(wins),
+                "event_type": ty,
+                "cnt": pa.array(np.ones(len(wins), np.int64)),
+            }
+        ).group_by(["win_hour", "event_type"]).aggregate([("cnt", "sum")])
+        yield g.rename_columns(["win_hour", "event_type", "cnt"])
+
+    from .shuffle import keyed_reagg
+
+    return keyed_reagg(
+        ds.map_batches(expand, batch_format="pyarrow"),
+        ["win_hour", "event_type"], [("cnt", "sum")], P,
+    )
+
+
+HOPPING_EVENT_COUNTS_SQL = """
+WITH b AS (
+  SELECT epoch_us(ts) // 3600000000 AS hr, event_type FROM events
+),
+x AS (
+  SELECT hr AS win_hour, event_type FROM b
+  UNION ALL
+  SELECT hr - 1 AS win_hour, event_type FROM b
+)
+SELECT win_hour, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM x GROUP BY 1, 2
+"""
+
+
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.2) -> ray.data.Dataset:
     """Embedding-cosine near-dup candidates (rows-only: LSH bucketing is
     approximate by construction; exact-cosine verification inside)."""

@@ -192,6 +192,15 @@ def inverted_index(sf_dir: str, k: int = VOCAB_K) -> ray.data.Dataset:
     already-reduced per-term table (|vocab| rows) — the v1 that picked
     the vocabulary FIRST tokenized the corpus twice and paid two
     aggregator shuffles (22.7 s → ~6 s at SF=0.1)."""
+    return inverted_index_ds(_read_docs(sf_dir), k)
+
+
+def inverted_index_ds(
+    docs: ray.data.Dataset, k: int = VOCAB_K, num_partitions: int = P
+) -> ray.data.Dataset:
+    """Dataset-input core of :func:`inverted_index` (docstring there);
+    also the bench surface for text-pipeline scaling runs over
+    synthetic corpora."""
 
     def pairs(t: pa.Table):
         if len(t) == 0:
@@ -205,8 +214,8 @@ def inverted_index(sf_dir: str, k: int = VOCAB_K) -> ray.data.Dataset:
             ["doc_id", "term"]
         ).aggregate([])
 
-    co = _read_docs(sf_dir).map_batches(pairs, batch_format="pyarrow").repartition(
-        P, keys=["term"]
+    co = docs.map_batches(pairs, batch_format="pyarrow").repartition(
+        num_partitions, keys=["term"]
     )
 
     def build(t: pa.Table):
