@@ -51,6 +51,12 @@ def _dec():
     return decision
 
 
+def _rep():
+    from rayrank import reports
+
+    return reports
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rayrank import pipelines as pl
     from rayrank import relational as rel
@@ -104,6 +110,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_jaccard_topk": _dec().part_jaccard_topk,
         "adamic_adar_topk": _dec().adamic_adar_topk,
         "urgent_year_revenue": _dec().urgent_year_revenue,
+        # TPC-H Q2/Q11/Q15/Q19/Q20 shapes (reports.py)
+        "important_parts": _rep().important_parts,
+        "top_suppliers": _rep().top_suppliers,
+        "disjunctive_revenue": _rep().disjunctive_revenue,
+        "cheapest_supplier_per_part": _rep().cheapest_supplier_per_part,
+        "dominant_suppliers": _rep().dominant_suppliers,
+        "market_share": _rep().market_share,
+        "top_brand_by_nation": _rep().top_brand_by_nation,
+        "median_order_gap": _rep().median_order_gap,
         # degrees / weights / dangling / prune (SURVEY §2.5, §2.2 M3, §2.4 J4)
         "out_degree": pl.out_degree,
         "in_degree": pl.in_degree,
@@ -153,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": pl.connected_components_sf,
         "label_propagation": pl.label_propagation_sf,   # rows-only (labels ARE vids)
         "component_count": pl.component_count_sf,
+        "component_size_histogram": pl.component_size_histogram,
         "bfs_depths": pl.bfs_depths_sf,
         "sssp_dists": pl.sssp_dists_sf,
         "kcore_vertices": pl.kcore_vertices_sf,
@@ -326,6 +342,17 @@ lab(it, v, l) AS (
 _CC_SQL = (
     _CC_LABELS_CTE
     + f"SELECT v AS name, l AS component FROM lab WHERE it = {_CC_ITERS}"
+)
+
+_COMPONENT_SIZE_HIST_SQL = (
+    _CC_LABELS_CTE
+    + f"""
+SELECT size, CAST(COUNT(*) AS BIGINT) AS num_components
+FROM (
+  SELECT l, CAST(COUNT(*) AS BIGINT) AS size
+  FROM lab WHERE it = {_CC_ITERS} GROUP BY l
+) GROUP BY size
+"""
 )
 
 # BFS hop distance from the min-name vertex on the same undirected
@@ -814,6 +841,14 @@ def oracle_sql() -> dict[str, str]:
         "part_jaccard_topk": _dec().PART_JACCARD_TOPK_SQL,
         "adamic_adar_topk": _dec().ADAMIC_ADAR_TOPK_SQL,
         "urgent_year_revenue": _dec().URGENT_YEAR_REVENUE_SQL,
+        "important_parts": _rep().IMPORTANT_PARTS_SQL,
+        "top_suppliers": _rep().TOP_SUPPLIERS_SQL,
+        "disjunctive_revenue": _rep().DISJUNCTIVE_REVENUE_SQL,
+        "cheapest_supplier_per_part": _rep().CHEAPEST_SUPPLIER_PER_PART_SQL,
+        "dominant_suppliers": _rep().DOMINANT_SUPPLIERS_SQL,
+        "market_share": _rep().MARKET_SHARE_SQL,
+        "top_brand_by_nation": _rep().TOP_BRAND_BY_NATION_SQL,
+        "median_order_gap": _rep().MEDIAN_ORDER_GAP_SQL,
         "out_degree": (
             "SELECT l_orderkey AS src, COUNT(*) AS outdeg "
             "FROM lineitem GROUP BY l_orderkey"
@@ -951,6 +986,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_converged": _PAGERANK_CONV_SQL,
         "connected_components": _CC_SQL,
         "component_count": _COMPONENT_COUNT_SQL,
+        "component_size_histogram": _COMPONENT_SIZE_HIST_SQL,
         "bfs_depths": _BFS_SQL,
         "sssp_dists": _SSSP_SQL,
         "kcore_vertices": _KCORE_SQL,

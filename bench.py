@@ -596,14 +596,19 @@ def run_ingest_scaling() -> dict:
 
 
 _INVINDEX_REP = int(os.environ.get("INVINDEX_REP", "64"))
-_INVINDEX_CORPUS = f"/tmp/rayrank_invindex_corpus_{_INVINDEX_REP}"
+_INVINDEX_CORPUS = f"/tmp/rayrank_invindex_corpus_v2_{_INVINDEX_REP}"
 
 
 def _invindex_corpus_dir() -> str:
     """Deterministic synthetic text corpus for the text-pipeline
-    scaling run: the sf0.1 documents table tiled with doc_id offsets
-    (same token distribution, INVINDEX_REP× the rows).  Written once,
-    reused by every parallelism level so the job is identical."""
+    scaling run: the sf0.1 documents table tiled with doc_id offsets,
+    every token suffixed with its replica tag (one vectorized RE2
+    rewrite per replica).  The testdata corpus has only 31 distinct
+    tokens, which caps the term-keyed reduce at 31-way parallelism
+    and made the first scaling run key-limited (0.575); the per-
+    replica namespace gives 31×REP terms with the same per-doc token
+    counts.  Written once, reused by every parallelism level so the
+    job is identical."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -618,10 +623,13 @@ def _invindex_corpus_dir() -> str:
     import pyarrow.compute as pc
 
     for r in range(_INVINDEX_REP):
+        txt = pc.replace_substring_regex(
+            base.column("text"), pattern=r"(\S+)", replacement=f"\\1_r{r:03d}"
+        )
         t = pa.table(
             {
                 "doc_id": pc.add(base.column("doc_id"), r * n),
-                "text": base.column("text"),
+                "text": txt,
             }
         )
         pq.write_table(t, os.path.join(_INVINDEX_CORPUS, f"part-{r:03d}.parquet"))

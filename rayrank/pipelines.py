@@ -1124,6 +1124,58 @@ def label_propagation_sf(sf_dir: str) -> ray.data.Dataset:
     return lp.labels_dataset(gdir).select_columns(["name", "label"])
 
 
+def component_size_histogram(sf_dir: str) -> ray.data.Dataset:
+    """(component size → number of components) on the undirected
+    lineitem graph — the aggregate-of-aggregate shape over the CC
+    labels.  Per-block (component, n) partials ride ONE keyed re-agg;
+    the size histogram itself is tiny (≤ distinct sizes) and folds in
+    a single coalesced block.  SQL oracle: the bounded min-label
+    recursive CTE (the connected_components oracle) re-aggregated."""
+    from .components import canonical_components, connected_components
+    from .shuffle import keyed_reagg
+
+    gdir = _graph(sf_dir, "undirected")
+    cc = connected_components(gdir)
+    labels = canonical_components(cc, gdir)
+
+    def pre(t: pa.Table):
+        if t.num_rows == 0 or "component" not in t.schema.names:
+            return
+        g = (
+            t.select(["component"])
+            .append_column("n", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["component"])
+            .aggregate([("n", "sum")])
+        )
+        yield g.rename_columns(["component", "n"])
+
+    sizes = keyed_reagg(
+        labels.map_batches(pre, batch_format="pyarrow"),
+        ["component"], [("n", "sum")], P,
+    )
+
+    def size_pre(t: pa.Table):
+        if t.num_rows == 0 or "n" not in t.schema.names:
+            return
+        g = (
+            t.select(["n"])
+            .append_column("c", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["n"])
+            .aggregate([("c", "sum")])
+        )
+        yield g.rename_columns(["size", "num_components"])
+
+    g = sizes.map_batches(size_pre, batch_format="pyarrow").repartition(1)
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "size" not in t.schema.names:
+            return
+        g2 = t.group_by(["size"]).aggregate([("num_components", "sum")])
+        yield g2.rename_columns(["size", "num_components"])
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
 def component_count_sf(sf_dir: str) -> pa.Table:
     """Number of connected components — distributed distinct-count of
     the label partitions (per-shard unique → tiny groupby; the driver

@@ -200,19 +200,42 @@ def inverted_index_ds(
 ) -> ray.data.Dataset:
     """Dataset-input core of :func:`inverted_index` (docstring there);
     also the bench surface for text-pipeline scaling runs over
-    synthetic corpora."""
+    synthetic corpora.
+
+    Combiner-style: each block emits PER-TERM posting-list partials
+    (term, docs ``list<int64>``, df) instead of raw (doc, term) pairs,
+    so the keyed shuffle moves ≤ blocks·|vocab| rows (each term string
+    once per block) rather than one row per pair; the reduce merges
+    the partial lists with one vectorized int64 lexsort + dedup and
+    renders postings via ``pc.binary_join`` — no Python-object sort or
+    per-doc ``str()`` loop anywhere (the v2 object-lexsort build was
+    the reduce hot spot in the text-pipeline scaling run)."""
 
     def pairs(t: pa.Table):
         if len(t) == 0:
             return
-        docs, terms = _token_pairs(t)
-        if len(docs) == 0:
+        docs_np, terms = _token_pairs(t)
+        if len(docs_np) == 0:
             return
-        # block-local pair dedup: the shuffle moves unique-per-block
-        # (doc, term) rows, not raw tokens
-        yield pa.table({"doc_id": pa.array(docs), "term": terms}).group_by(
+        pt = pa.table({"doc_id": pa.array(docs_np), "term": terms}).group_by(
             ["doc_id", "term"]
         ).aggregate([])
+        enc = pc.dictionary_encode(pt.column("term").combine_chunks())
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        doc = pt.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, idx))
+        idx_s, doc_s = idx[order], doc[order]
+        starts = np.flatnonzero(np.r_[True, idx_s[1:] != idx_s[:-1]])
+        offsets = np.r_[starts, len(doc_s)].astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(doc_s)
+        )
+        yield pa.table(
+            {
+                "term": enc.dictionary.take(pa.array(idx_s[starts])),
+                "docs": lists,
+            }
+        )
 
     co = docs.map_batches(pairs, batch_format="pyarrow").repartition(
         num_partitions, keys=["term"]
@@ -221,26 +244,29 @@ def inverted_index_ds(
     def build(t: pa.Table):
         if t.num_rows == 0 or "term" not in t.schema.names:
             return
-        term = np.asarray(t.column("term").to_pylist(), dtype=object)
-        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((doc, term))
-        term, doc = term[order], doc[order]
-        # global pair dedup is block-local here: all copies co-reside
-        keep = np.r_[True, (term[1:] != term[:-1]) | (doc[1:] != doc[:-1])]
-        term, doc = term[keep], doc[keep]
-        starts = np.flatnonzero(np.r_[True, term[1:] != term[:-1]])
-        ends = np.r_[starts[1:], len(term)]
+        enc = pc.dictionary_encode(t.column("term").combine_chunks())
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        order = np.argsort(idx, kind="stable")
+        lst = t.column("docs").combine_chunks().take(pa.array(order))
+        vals = lst.flatten().to_numpy(zero_copy_only=False)
+        lens = np.diff(lst.offsets.to_numpy(zero_copy_only=False))
+        tid = np.repeat(idx[order], lens)
+        vo = np.lexsort((vals, tid))
+        tid_s, val_s = tid[vo], vals[vo]
+        # exact pair dedup (duplicate doc_id rows in the corpus)
+        keep = np.r_[True, (tid_s[1:] != tid_s[:-1]) | (val_s[1:] != val_s[:-1])]
+        tid_s, val_s = tid_s[keep], val_s[keep]
+        starts = np.flatnonzero(np.r_[True, tid_s[1:] != tid_s[:-1]])
+        offsets = np.r_[starts, len(val_s)].astype(np.int32)
+        merged = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pc.cast(pa.array(val_s), pa.string()),
+        )
         yield pa.table(
             {
-                "term": pa.array(term[starts].tolist(), pa.string()),
-                "df": pa.array(ends - starts),
-                "postings": pa.array(
-                    [
-                        ",".join(str(int(d)) for d in doc[s:e])
-                        for s, e in zip(starts, ends)
-                    ],
-                    pa.string(),
-                ),
+                "term": enc.dictionary.take(pa.array(tid_s[starts])),
+                "df": pa.array(np.diff(offsets).astype(np.int64)),
+                "postings": pc.binary_join(merged, ","),
             }
         )
 
