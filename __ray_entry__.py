@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_doc_freq": _terms().term_doc_freq,
         "tfidf_top_terms": _terms().tfidf_top_terms,
         "inverted_index": _terms().inverted_index,
+        "top_bigrams": _terms().top_bigrams,
         "token_counts": pl.token_counts,
         "doc_stats": pl.doc_stats,                      # rows-only (fingerprint)
         "doc_quality": pl.doc_quality,
@@ -910,6 +911,7 @@ def oracle_sql() -> dict[str, str]:
         "term_doc_freq": _terms().TERM_DOC_FREQ_SQL,
         "tfidf_top_terms": _terms().TFIDF_TOP_TERMS_SQL,
         "inverted_index": _terms().INVERTED_INDEX_SQL,
+        "top_bigrams": _terms().TOP_BIGRAMS_SQL,
         "doc_quality": _doc_quality_sql(),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "purchase_signup_asof": (

@@ -320,3 +320,99 @@ FROM tfq t JOIN vocab v USING (term)
 GROUP BY v.term, v.df
 """
 )
+
+
+# --------------------------------------------------------------------------
+# top bigrams: adjacent-token pairs, vectorized from the list offsets
+# --------------------------------------------------------------------------
+
+TOP_BIGRAMS_K = 15
+
+
+def top_bigrams(sf_dir: str, k: int = TOP_BIGRAMS_K) -> ray.data.Dataset:
+    """Global top-k adjacent-token bigrams (count desc, bigram asc).
+    Pairing is pure offset arithmetic on the split list array (empty
+    tokens dropped FIRST, so adjacency matches the filtered sequence —
+    same rule as the SQL's list_filter→list_zip); per-block counts
+    pre-combine, ONE bigram-keyed shuffle reduces, each reduce block
+    emits its boundary-tie-complete local top-k, and the O(blocks·k)
+    candidates fold in a single coalesced block.  Never materializes
+    the bigram vocabulary outside the keyed partitions."""
+
+    def pairs(t: pa.Table):
+        if len(t) == 0:
+            return
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t.column("text")), pattern=r"\s+"
+        )
+        arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offsets = arr.offsets.to_numpy(zero_copy_only=False)
+        vals = arr.values
+        doc_idx = np.repeat(np.arange(len(arr)), np.diff(offsets))
+        keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+        vals_k = vals.filter(pa.array(keep))
+        doc_k = doc_idx[keep]
+        n = len(vals_k)
+        if n < 2:
+            return
+        adj = doc_k[1:] == doc_k[:-1]
+        if not adj.any():
+            return
+        m = pa.array(adj)
+        bigram = pc.binary_join_element_wise(
+            vals_k.slice(0, n - 1).filter(m), vals_k.slice(1).filter(m), " "
+        )
+        g = (
+            pa.table({"bigram": bigram})
+            .append_column("cnt", pa.array(np.ones(len(bigram), np.int64)))
+            .group_by(["bigram"])
+            .aggregate([("cnt", "sum")])
+        )
+        yield g.rename_columns(["bigram", "cnt"])
+
+    from .shuffle import keyed_reagg
+
+    counts = keyed_reagg(
+        _read_docs(sf_dir).map_batches(pairs, batch_format="pyarrow"),
+        ["bigram"], [("cnt", "sum")], P,
+    )
+
+    def local_topk(t: pa.Table):
+        if t.num_rows == 0 or "cnt" not in t.schema.names:
+            return
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        if len(cnt) > k:
+            # boundary-tie-complete cutoff: keep everything >= the kth
+            # largest count, so the global winner set is preserved
+            kth = np.partition(cnt, len(cnt) - k)[len(cnt) - k]
+            t = t.filter(pc.greater_equal(t.column("cnt"), int(kth)))
+        yield t
+
+    g = counts.map_batches(
+        local_topk, batch_size=None, batch_format="pyarrow"
+    ).repartition(1)
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "bigram" not in t.schema.names:
+            return
+        big = np.asarray(t.column("bigram").to_pylist(), dtype=object)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((big, -cnt))[:k]
+        yield t.take(pa.array(order))
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+TOP_BIGRAMS_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS lst
+  FROM documents
+), big AS (
+  SELECT u[1] || ' ' || u[2] AS bigram
+  FROM tok, UNNEST(list_zip(lst[1:-1], lst[2:])) AS t(u)
+  WHERE u[1] IS NOT NULL AND u[2] IS NOT NULL
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM big
+GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT {TOP_BIGRAMS_K}
+"""
