@@ -57,6 +57,12 @@ def _rep():
     return reports
 
 
+def _tx():
+    from rayrank import text
+
+    return text
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rayrank import pipelines as pl
     from rayrank import relational as rel
@@ -85,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_in_both_years": _an().parts_in_both_years,
         "parts_churned": _an().parts_churned,
         "clustering_coeff": pl.clustering_coeff,
+        "two_hop_neighbors": pl.two_hop_neighbors,
         "event_value_quantiles": _an().event_value_quantiles,
         "event_value_mad": _an().event_value_mad,
         "user_last_event": _an().user_last_event,
@@ -119,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": _rep().market_share,
         "top_brand_by_nation": _rep().top_brand_by_nation,
         "median_order_gap": _rep().median_order_gap,
+        "forecast_revenue": _rep().forecast_revenue,
         # degrees / weights / dangling / prune (SURVEY §2.5, §2.2 M3, §2.4 J4)
         "out_degree": pl.out_degree,
         "in_degree": pl.in_degree,
@@ -135,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_filter_docs": pl.query_filter_docs,
         # text / dedup / events / ann
         "docs_exact_dedup": pl.docs_exact_dedup,
+        "fuzzy_name_pairs": _tx().fuzzy_name_pairs,
         "docs_hash_sample": pl.docs_hash_sample,
         "term_doc_freq": _terms().term_doc_freq,
         "tfidf_top_terms": _terms().tfidf_top_terms,
@@ -850,6 +859,7 @@ def oracle_sql() -> dict[str, str]:
         "market_share": _rep().MARKET_SHARE_SQL,
         "top_brand_by_nation": _rep().TOP_BRAND_BY_NATION_SQL,
         "median_order_gap": _rep().MEDIAN_ORDER_GAP_SQL,
+        "forecast_revenue": _rep().FORECAST_REVENUE_SQL,
         "out_degree": (
             "SELECT l_orderkey AS src, COUNT(*) AS outdeg "
             "FROM lineitem GROUP BY l_orderkey"
@@ -872,6 +882,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM d GROUP BY outdeg"
         ),
         "edge_reciprocity": _pl().EDGE_RECIPROCITY_SQL,
+        "two_hop_neighbors": _pl().TWO_HOP_NEIGHBORS_SQL,
+        "fuzzy_name_pairs": _tx().FUZZY_NAME_PAIRS_SQL,
         "distinct_vertex_count": (
             f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ({_VERTS})"
         ),

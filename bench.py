@@ -205,6 +205,19 @@ def run_bench() -> dict:
         inverted_index(sf_dir).count()
         queries["inverted_index"] = time.perf_counter() - t0
 
+        from rayrank.pipelines import two_hop_neighbors
+        from rayrank.reports import market_share
+
+        # 5-table funnel with a big-big order join
+        t0 = time.perf_counter()
+        market_share(sf_dir).count()
+        queries["market_share"] = time.perf_counter() - t0
+
+        # deduped und self-join (the deg² expansion shape)
+        t0 = time.perf_counter()
+        two_hop_neighbors(sf_dir).count()
+        queries["two_hop_neighbors"] = time.perf_counter() - t0
+
     out = {
         "metric": (
             "wall sec of reference-exact PageRank to eps=1e-6 on the "

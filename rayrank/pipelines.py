@@ -1124,6 +1124,105 @@ def label_propagation_sf(sf_dir: str) -> ray.data.Dataset:
     return lp.labels_dataset(gdir).select_columns(["name", "label"])
 
 
+def two_hop_neighbors(sf_dir: str) -> ray.data.Dataset:
+    """(name, ball2) — the number of distinct vertices within ≤ 2 hops
+    of each vertex (self excluded) on the undirected lineitem graph:
+    the multi-hop expansion + distinct-count shape.  One keyed dedup
+    builds the distinct und edge set, a partitioned self-join on the
+    middle vertex expands 2-hop paths (the Σ deg(m)² blow-up is the
+    shuffle cost — pre-deduped edges bound it), pairs dedup with one
+    keyed re-agg, and the per-vertex count folds from block partials."""
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    def und_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        g = pa.table(
+            {
+                "a": pa.array(np.r_[s, d]),
+                "b": pa.array(np.r_[d, s]),
+            }
+        ).group_by(["a", "b"]).aggregate([])
+        yield g.rename_columns(["a", "b"])
+
+    und = keyed_reagg(
+        sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
+        ["a", "b"], [], P,
+    )
+
+    def as_mid(t: pa.Table):
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return
+        yield pa.table({"m": t.column("b"), "b2": t.column("a")})
+
+    two = join_auto(
+        und, und.map_batches(as_mid, batch_format="pyarrow"),
+        on=("b",), right_on=("m",), num_partitions=P,
+    )
+
+    def hop2_pairs(t: pa.Table):
+        if t.num_rows == 0 or "b2" not in t.schema.names:
+            return
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b2").to_numpy(zero_copy_only=False)
+        keep = a != b
+        if not keep.any():
+            return
+        g = pa.table(
+            {"a": pa.array(a[keep]), "b": pa.array(b[keep])}
+        ).group_by(["a", "b"]).aggregate([])
+        yield g.rename_columns(["a", "b"])
+
+    pairs = keyed_reagg(
+        two.map_batches(hop2_pairs, batch_format="pyarrow").union(und),
+        ["a", "b"], [], P,
+    )
+
+    def count_pre(t: pa.Table):
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return
+        g = (
+            t.select(["a"])
+            .append_column("n", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["a"])
+            .aggregate([("n", "sum")])
+        )
+        yield g.rename_columns(["name", "ball2"])
+
+    return keyed_reagg(
+        pairs.map_batches(count_pre, batch_format="pyarrow"),
+        ["name"], [("ball2", "sum")], P,
+    )
+
+
+TWO_HOP_NEIGHBORS_SQL = """
+WITH raw AS (
+  SELECT l_orderkey AS s, l_partkey AS t FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+  )
+),
+reach AS (
+  SELECT e1.a, e2.b FROM und e1 JOIN und e2 ON e1.b = e2.a
+  WHERE e1.a <> e2.b
+  UNION ALL
+  SELECT a, b FROM und
+)
+SELECT a AS name, CAST(COUNT(DISTINCT b) AS BIGINT) AS ball2
+FROM reach GROUP BY 1
+"""
+
+
 def component_size_histogram(sf_dir: str) -> ray.data.Dataset:
     """(component size → number of components) on the undirected
     lineitem graph — the aggregate-of-aggregate shape over the CC

@@ -847,3 +847,67 @@ WITH d AS (
 SELECT o_custkey, quantile_disc(gap, 0.5) AS median_gap_days
 FROM g WHERE gap IS NOT NULL GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# forecast revenue (TPC-H Q6 shape): pure filter-scan aggregate
+# --------------------------------------------------------------------------
+
+Q6_YEAR = 1997
+Q6_DISC = (5, 7)  # discount in hundredths, inclusive band
+Q6_MAX_QTY = 24
+
+
+def forecast_revenue(sf_dir: str) -> ray.data.Dataset:
+    """``SUM(extendedprice · discount)`` over a date/discount/quantity
+    band — the canonical predicate-pushdown scan: no join, no keyed
+    shuffle, one int64 partial per block coalescing to a single row.
+    The revenue unit is cents·hundredths (price_c · disc_b), converted
+    once with the identical expression in SQL."""
+    cols = ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        m = pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), _ts(Q6_YEAR, 1, 1)),
+            pc.less(t.column("l_shipdate"), _ts(Q6_YEAR + 1, 1, 1)),
+        )
+        t = t.filter(m)
+        if len(t) == 0:
+            return
+        disc = _i64(t.column("l_discount"), 100)
+        qty = _i64(t.column("l_quantity"))
+        keep = (disc >= Q6_DISC[0]) & (disc <= Q6_DISC[1]) & (qty < Q6_MAX_QTY)
+        if not keep.any():
+            return
+        price = _i64(t.column("l_extendedprice"), 100)[keep]
+        yield pa.table({"rev_part": pa.array([int((price * disc[keep]).sum())])})
+
+    g = (
+        _read(sf_dir, "lineitem", cols)
+        .map_batches(pre, batch_format="pyarrow")
+        .repartition(1)
+    )
+
+    def finish(t: pa.Table):
+        tot = (
+            sum(t.column("rev_part").to_pylist())
+            if t.num_rows and "rev_part" in t.schema.names
+            else 0
+        )
+        yield pa.table({"revenue": pa.array([float(tot) / 10000.0])})
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+FORECAST_REVENUE_SQL = f"""
+SELECT COALESCE(SUM(
+    CAST(ROUND(l_extendedprice*100) AS BIGINT)
+    * CAST(ROUND(l_discount*100) AS BIGINT)), 0) / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01'
+  AND l_shipdate < TIMESTAMP '{Q6_YEAR + 1}-01-01'
+  AND CAST(ROUND(l_discount*100) AS BIGINT) BETWEEN {Q6_DISC[0]} AND {Q6_DISC[1]}
+  AND CAST(ROUND(l_quantity) AS BIGINT) < {Q6_MAX_QTY}
+"""

@@ -602,3 +602,116 @@ def simhash_candidates(
         lambda t: t.rename_columns(["a", "b", "hamming", "truncated"]),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy pairing via deletion-neighborhood blocking (SymSpell/FastSS idea)
+# ---------------------------------------------------------------------------
+
+
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact edit-distance ≤ 1 check (the verify kernel — runs only on
+    blocked candidates, never all-pairs)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def fuzzy_name_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Distinct part-name pairs within edit distance 1 — fuzzy (typo)
+    dedup via deletion-neighborhood blocking: two strings are within
+    one edit iff they share a key in {x} ∪ deletions₁(x), so each
+    DISTINCT name emits |name|+1 keys, candidates pair only inside a
+    key bucket, and the exact edit-distance kernel verifies (no false
+    negatives by construction; blocking false positives are filtered).
+    All-pairs never happens — neither over the corpus (the variant
+    expansion runs on the REDUCED distinct-name table) nor inside a
+    bucket (bucket size is bounded by alphabet × name length).
+    SQL oracle: brute-force levenshtein over the distinct names."""
+    from .relational import _read
+    from .shuffle import keyed_reagg
+
+    def block_distinct(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield t.select(["p_name"]).group_by(["p_name"]).aggregate([])
+
+    names = keyed_reagg(
+        _read(sf_dir, "part", ["p_name"]).map_batches(
+            block_distinct, batch_format="pyarrow"
+        ),
+        ["p_name"], [], NUM_PARTITIONS_DEFAULT,
+    )
+
+    def variants(t: pa.Table):
+        if t.num_rows == 0 or "p_name" not in t.schema.names:
+            return
+        ks, ns = [], []
+        for nm in t.column("p_name").to_pylist():  # reduced vocab table
+            ks.append(nm)
+            ns.append(nm)
+            for i in range(len(nm)):
+                ks.append(nm[:i] + nm[i + 1:])
+                ns.append(nm)
+        yield pa.table({"variant": pa.array(ks), "nm": pa.array(ns)})
+
+    co = names.map_batches(variants, batch_format="pyarrow").repartition(
+        NUM_PARTITIONS_DEFAULT, keys=["variant"]
+    )
+
+    def bucket_pairs(t: pa.Table):
+        if t.num_rows == 0 or "variant" not in t.schema.names:
+            return
+        var = np.asarray(t.column("variant").to_pylist(), dtype=object)
+        nm = np.asarray(t.column("nm").to_pylist(), dtype=object)
+        order = np.lexsort((nm, var))
+        var, nm = var[order], nm[order]
+        starts = np.flatnonzero(np.r_[True, var[1:] != var[:-1]])
+        ends = np.r_[starts[1:], len(var)]
+        a_out, b_out = [], []
+        for s, e in zip(starts, ends):
+            grp = nm[s:e]
+            for i in range(len(grp)):
+                for j in range(i + 1, len(grp)):
+                    if grp[i] != grp[j]:
+                        a_out.append(grp[i])
+                        b_out.append(grp[j])
+        if not a_out:
+            return
+        g = pa.table(
+            {"name_a": pa.array(a_out), "name_b": pa.array(b_out)}
+        ).group_by(["name_a", "name_b"]).aggregate([])
+        yield g.rename_columns(["name_a", "name_b"])
+
+    cand = keyed_reagg(
+        co.map_batches(bucket_pairs, batch_size=None, batch_format="pyarrow"),
+        ["name_a", "name_b"], [], NUM_PARTITIONS_DEFAULT,
+    )
+
+    def verify(t: pa.Table):
+        if t.num_rows == 0 or "name_a" not in t.schema.names:
+            return
+        a = t.column("name_a").to_pylist()
+        b = t.column("name_b").to_pylist()
+        keep = [_ed_le1(x, y) for x, y in zip(a, b)]
+        t = t.filter(pa.array(keep))
+        if len(t):
+            yield t
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+FUZZY_NAME_PAIRS_SQL = """
+WITH n AS (SELECT DISTINCT p_name AS nm FROM part)
+SELECT a.nm AS name_a, b.nm AS name_b
+FROM n a, n b
+WHERE a.nm < b.nm AND levenshtein(a.nm, b.nm) <= 1
+"""
