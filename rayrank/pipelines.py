@@ -1127,13 +1127,19 @@ def label_propagation_sf(sf_dir: str) -> ray.data.Dataset:
 def two_hop_neighbors(sf_dir: str) -> ray.data.Dataset:
     """(name, ball2) — the number of distinct vertices within ≤ 2 hops
     of each vertex (self excluded) on the undirected lineitem graph:
-    the multi-hop expansion + distinct-count shape.  One keyed dedup
-    builds the distinct und edge set, a partitioned self-join on the
-    middle vertex expands 2-hop paths (the Σ deg(m)² blow-up is the
-    shuffle cost — pre-deduped edges bound it), pairs dedup with one
-    keyed re-agg, and the per-vertex count folds from block partials."""
-    from .joins import join_auto
-    from .shuffle import keyed_reagg
+    the multi-hop expansion + distinct-count shape.  NO join and NO
+    pair-level shuffle: because und is symmetric, routing the deduped
+    edge set by its SECOND endpoint co-locates each mid vertex m's
+    full neighbor set N(m); the block then emits N(m) ONCE per
+    receiver as a ``list<int64>`` payload — (a, N(m)) for every
+    a ∈ N(m), plus (m, N(m)) for the 1-hop set — so the wire carries
+    Σ deg rows (not the Σ deg² expansion, ~19 M at SF=0.1; the same
+    bytes move, but per-row shuffle overhead is what dominates).  One
+    repartition by receiver co-locates everything a vertex can reach
+    in ≤ 2 hops; the distinct count is a single vectorized lexsort +
+    dedup per block.  P2=32 — the one deliberately expansion-heavy
+    query."""
+    P2 = 32
 
     def und_pre(t: pa.Table):
         if len(t) == 0 or "src" not in t.schema.names:
@@ -1152,53 +1158,68 @@ def two_hop_neighbors(sf_dir: str) -> ray.data.Dataset:
         ).group_by(["a", "b"]).aggregate([])
         yield g.rename_columns(["a", "b"])
 
-    und = keyed_reagg(
-        sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
-        ["a", "b"], [], P,
-    )
+    # block-deduped both-direction rows route STRAIGHT to the mid
+    # partition: the global (a, b) dedup happens inside the mid block
+    # (every copy of (a, m) lands there), saving a whole keyed re-agg
+    und = sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow")
 
-    def as_mid(t: pa.Table):
+    mid = und.repartition(P2, keys=["b"])
+
+    def ship_nbr_sets(t: pa.Table):
         if t.num_rows == 0 or "a" not in t.schema.names:
-            return
-        yield pa.table({"m": t.column("b"), "b2": t.column("a")})
-
-    two = join_auto(
-        und, und.map_batches(as_mid, batch_format="pyarrow"),
-        on=("b",), right_on=("m",), num_partitions=P,
-    )
-
-    def hop2_pairs(t: pa.Table):
-        if t.num_rows == 0 or "b2" not in t.schema.names:
             return
         a = t.column("a").to_numpy(zero_copy_only=False)
-        b = t.column("b2").to_numpy(zero_copy_only=False)
-        keep = a != b
-        if not keep.any():
-            return
-        g = pa.table(
-            {"a": pa.array(a[keep]), "b": pa.array(b[keep])}
-        ).group_by(["a", "b"]).aggregate([])
-        yield g.rename_columns(["a", "b"])
-
-    pairs = keyed_reagg(
-        two.map_batches(hop2_pairs, batch_format="pyarrow").union(und),
-        ["a", "b"], [], P,
-    )
-
-    def count_pre(t: pa.Table):
-        if t.num_rows == 0 or "a" not in t.schema.names:
-            return
-        g = (
-            t.select(["a"])
-            .append_column("n", pa.array(np.ones(len(t), np.int64)))
-            .group_by(["a"])
-            .aggregate([("n", "sum")])
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((a, b))
+        a_s, b_s = a[order], b[order]
+        uniq = np.r_[True, (b_s[1:] != b_s[:-1]) | (a_s[1:] != a_s[:-1])]
+        a_s, b_s = a_s[uniq], b_s[uniq]
+        starts = np.flatnonzero(np.r_[True, b_s[1:] != b_s[:-1]])
+        d = np.diff(np.r_[starts, len(b_s)])
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.r_[starts, len(a_s)].astype(np.int32)), pa.array(a_s)
         )
-        yield g.rename_columns(["name", "ball2"])
+        gidx = np.repeat(np.arange(len(d)), d)
+        # 2-hop: every member of N(m) receives N(m); 1-hop: m itself does
+        yield pa.table(
+            {
+                "recv": pa.array(np.r_[a_s, b_s[starts]]),
+                "nbrs": pa.concat_arrays(
+                    [lists.take(pa.array(gidx)), lists]
+                ),
+            }
+        )
 
-    return keyed_reagg(
-        pairs.map_batches(count_pre, batch_format="pyarrow"),
-        ["name"], [("ball2", "sum")], P,
+    shipped = mid.map_batches(
+        ship_nbr_sets, batch_size=None, batch_format="pyarrow"
+    ).repartition(P2, keys=["recv"])
+
+    def count_distinct(t: pa.Table):
+        if t.num_rows == 0 or "recv" not in t.schema.names:
+            return
+        recv = t.column("recv").to_numpy(zero_copy_only=False)
+        lst = t.column("nbrs").combine_chunks()
+        vals = lst.flatten().to_numpy(zero_copy_only=False)
+        lens = np.diff(lst.offsets.to_numpy(zero_copy_only=False))
+        owner = np.repeat(recv, lens)
+        order = np.lexsort((vals, owner))
+        o_s, v_s = owner[order], vals[order]
+        keep = np.r_[True, (o_s[1:] != o_s[:-1]) | (v_s[1:] != v_s[:-1])]
+        keep &= o_s != v_s  # self excluded
+        o_k = o_s[keep]
+        if len(o_k) == 0:
+            return
+        starts = np.flatnonzero(np.r_[True, o_k[1:] != o_k[:-1]])
+        cnt = np.diff(np.r_[starts, len(o_k)])
+        yield pa.table(
+            {
+                "name": pa.array(o_k[starts]),
+                "ball2": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return shipped.map_batches(
+        count_distinct, batch_size=None, batch_format="pyarrow"
     )
 
 
