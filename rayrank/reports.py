@@ -522,6 +522,7 @@ FROM d JOIN supplier s ON d.l_suppkey = s.s_suppkey
 
 Q8_SUPP_NATION = "NATION_0"
 Q8_REGION = "AMERICA"
+P_WIDE = 32  # the order-grain reduce/join stages of the Q8 funnel
 
 
 def market_share(sf_dir: str) -> ray.data.Dataset:
@@ -571,8 +572,34 @@ def market_share(sf_dir: str) -> ray.data.Dataset:
 
     li_agg = keyed_reagg(
         j_sn.map_batches(pre, batch_format="pyarrow"),
-        ["l_orderkey"], [("num_i", "sum"), ("den_i", "sum")], P,
+        ["l_orderkey"], [("num_i", "sum"), ("den_i", "sum")], P_WIDE,
     )
+
+    # region filter pushes to the CUSTOMER side before any big join:
+    # only the target region's customers (≈1/|regions| of them) reach
+    # the orders semi-join, and the 5-table funnel needs no post-join
+    # region filter at all
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j_cn = join_auto(
+        cust, nat.map_batches(
+            lambda t: t.rename_columns(["cn_key", "cn_name", "cn_reg"]),
+            batch_format="pyarrow",
+        ),
+        on=("c_nationkey",), right_on=("cn_key",), num_partitions=P,
+    )
+    j_cr = join_auto(
+        j_cn, reg, on=("cn_reg",), right_on=("r_regionkey",),
+        num_partitions=P,
+    )
+
+    def am_keys(t: pa.Table):
+        if len(t) == 0 or "r_name" not in t.schema.names:
+            return
+        t = t.filter(pc.equal(t.column("r_name"), Q8_REGION))
+        if len(t):
+            yield t.select(["c_custkey"])
+
+    cust_am = j_cr.map_batches(am_keys, batch_format="pyarrow")
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
@@ -587,32 +614,18 @@ def market_share(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    orders_f = join_auto(
+        orders.map_batches(o_prep, batch_format="pyarrow"), cust_am,
+        on=("o_custkey",), right_on=("c_custkey",), how="semi",
+        num_partitions=P_WIDE,
+    )
     j_o = join_auto(
-        li_agg, orders.map_batches(o_prep, batch_format="pyarrow"),
-        on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=P,
-    )
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    j_c = join_auto(
-        j_o, cust, on=("o_custkey",), right_on=("c_custkey",),
-        num_partitions=P,
-    )
-    j_cn = join_auto(
-        j_c, nat.map_batches(
-            lambda t: t.rename_columns(["cn_key", "cn_name", "cn_reg"]),
-            batch_format="pyarrow",
-        ),
-        on=("c_nationkey",), right_on=("cn_key",), num_partitions=P,
-    )
-    j_r = join_auto(
-        j_cn, reg, on=("cn_reg",), right_on=("r_regionkey",),
-        num_partitions=P,
+        li_agg, orders_f,
+        on=("l_orderkey",), right_on=("o_orderkey",), num_partitions=P_WIDE,
     )
 
     def per_year(t: pa.Table):
-        if len(t) == 0 or "r_name" not in t.schema.names:
-            return
-        t = t.filter(pc.equal(t.column("r_name"), Q8_REGION))
-        if len(t) == 0:
+        if len(t) == 0 or "o_year" not in t.schema.names:
             return
         g = pa.table(
             {
@@ -623,7 +636,7 @@ def market_share(sf_dir: str) -> ray.data.Dataset:
         ).group_by(["o_year"]).aggregate([("num_i", "sum"), ("den_i", "sum")])
         yield g.rename_columns(["o_year", "num_i", "den_i"])
 
-    g = j_r.map_batches(per_year, batch_format="pyarrow").repartition(1)
+    g = j_o.map_batches(per_year, batch_format="pyarrow").repartition(1)
 
     def finish(t: pa.Table):
         if t.num_rows == 0 or "o_year" not in t.schema.names:
