@@ -43,6 +43,28 @@ from .shuffle import keyed_reagg
 configure_data_context()  # entry path: hash-shuffle strategy required
 
 
+
+def _read_lineitem_window(
+    sf_dir: str, cols: list[str], lo: tuple, hi: tuple
+) -> ray.data.Dataset:
+    """Column-pruned lineitem scan with the ship-date window pushed to
+    the parquet reader (row-group/predicate pushdown — rows outside the
+    window never leave storage).  The in-block re-filter in each
+    consumer stays: pushdown granularity is the row group, so residual
+    rows can appear, and exactness must not depend on reader behavior."""
+    import datetime as _dt
+    import os as _os
+
+    import pyarrow.dataset as _pds
+
+    f = (_pds.field("l_shipdate") >= _dt.datetime(*lo)) & (
+        _pds.field("l_shipdate") < _dt.datetime(*hi)
+    )
+    return ray.data.read_parquet(
+        _os.path.join(sf_dir, "lineitem.parquet"), columns=cols, filter=f
+    )
+
+
 def _ones(n: int) -> pa.Array:
     return pa.array(np.ones(n, np.int64))
 
@@ -156,7 +178,7 @@ def top_suppliers(sf_dir: str) -> ray.data.Dataset:
         yield g.rename_columns(["l_suppkey", "rev_i"])
 
     g = (
-        _read(sf_dir, "lineitem", cols)
+        _read_lineitem_window(sf_dir, cols, Q15_WINDOW[0], Q15_WINDOW[1])
         .map_batches(pre, batch_format="pyarrow")
         .repartition(1)
     )
@@ -440,7 +462,9 @@ def dominant_suppliers(sf_dir: str) -> ray.data.Dataset:
         yield g.rename_columns(["l_partkey", "l_suppkey", "q"])
 
     co = (
-        _read(sf_dir, "lineitem", cols)
+        _read_lineitem_window(
+            sf_dir, cols, (Q20_YEAR, 1, 1), (Q20_YEAR + 1, 1, 1)
+        )
         .map_batches(pre, batch_format="pyarrow")
         .repartition(P, keys=["l_partkey"])
     )
@@ -898,7 +922,9 @@ def forecast_revenue(sf_dir: str) -> ray.data.Dataset:
         yield pa.table({"rev_part": pa.array([int((price * disc[keep]).sum())])})
 
     g = (
-        _read(sf_dir, "lineitem", cols)
+        _read_lineitem_window(
+            sf_dir, cols, (Q6_YEAR, 1, 1), (Q6_YEAR + 1, 1, 1)
+        )
         .map_batches(pre, batch_format="pyarrow")
         .repartition(1)
     )
