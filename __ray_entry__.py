@@ -63,6 +63,12 @@ def _tx():
     return text
 
 
+def _truss():
+    from rayrank import truss
+
+    return truss
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rayrank import pipelines as pl
     from rayrank import relational as rel
@@ -92,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_churned": _an().parts_churned,
         "clustering_coeff": pl.clustering_coeff,
         "two_hop_neighbors": pl.two_hop_neighbors,
+        "edge_support": _truss().edge_support,
+        "k_truss_edges": _truss().k_truss,
         "event_value_quantiles": _an().event_value_quantiles,
         "event_value_mad": _an().event_value_mad,
         "user_last_event": _an().user_last_event,
@@ -883,6 +891,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "edge_reciprocity": _pl().EDGE_RECIPROCITY_SQL,
         "two_hop_neighbors": _pl().TWO_HOP_NEIGHBORS_SQL,
+        "edge_support": _truss().EDGE_SUPPORT_SQL,
+        # k_truss_edges: fixpoint peel — not single-SQL-expressible; rows-only
+        # (exact networkx parity in tests/test_truss.py)
         "fuzzy_name_pairs": _tx().FUZZY_NAME_PAIRS_SQL,
         "distinct_vertex_count": (
             f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ({_VERTS})"

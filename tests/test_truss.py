@@ -1,0 +1,51 @@
+"""k-truss and edge-support exactness vs networkx on the testdata
+triangle graph and on random graphs."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+networkx = pytest.importorskip("networkx")
+
+
+def _nx_graph(sf_dir: str):
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    )
+    a = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+    b = t.column("l_partkey").to_numpy(zero_copy_only=False) % 100
+    G = networkx.Graph()
+    G.add_edges_from(
+        (int(x), int(y)) for x, y in zip(a, b) if x != y
+    )
+    return G
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_edge_support_matches_networkx():
+    from rayrank.truss import edge_support
+
+    got = {
+        (r["u"], r["v"]): r["support"]
+        for r in edge_support(SF).take_all()
+    }
+    G = _nx_graph(SF)
+    want = {}
+    for x, y in G.edges():
+        u, v = min(x, y), max(x, y)
+        want[(u, v)] = len(list(networkx.common_neighbors(G, x, y)))
+    assert got == want
+
+
+@pytest.mark.parametrize("k", [3, 4, 5])
+def test_k_truss_matches_networkx(k):
+    from rayrank.truss import k_truss
+
+    got = sorted(
+        (r["u"], r["v"]) for r in k_truss(SF, k=k).take_all()
+    )
+    T = networkx.k_truss(_nx_graph(SF), k)
+    want = sorted((min(x, y), max(x, y)) for x, y in T.edges())
+    assert got == want
