@@ -1546,3 +1546,90 @@ SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n_events
 FROM types t CROSS JOIN days d
 LEFT JOIN c ON c.event_type = t.event_type AND c.day = d.day
 """
+
+
+# --------------------------------------------------------------------------
+# grouped interpolated quantile (per-group quantile_cont)
+# --------------------------------------------------------------------------
+
+P90_Q = 0.9
+
+
+def event_value_p90(sf_dir: str) -> ray.data.Dataset:
+    """Per-event-type linearly-interpolated p90 of ``value`` — the
+    grouped quantile_cont shape.  Same one-shuffle value-histogram
+    layout as :func:`event_value_quantiles`; the pick is the EXPLICIT
+    two-rank interpolation (pos = q·(N−1), lo = 1+⌊pos⌋,
+    hi = min(lo+1 if frac≠0 else lo, N), value = x_lo + frac·(x_hi −
+    x_lo)) restated with identical float64 expressions in the SQL
+    oracle — bit-exact independent of DuckDB's internal formula
+    (the interp_quantiles technique, grouped)."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        g = (
+            t.select(["event_type", "value"])
+            .append_column("cnt", _ones(len(t)))
+            .group_by(["event_type", "value"])
+            .aggregate([("cnt", "sum")])
+        )
+        yield g.rename_columns(["event_type", "value", "cnt"])
+
+    vc = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        pre, batch_format="pyarrow"
+    )
+    co = vc.repartition(P, keys=["event_type"])
+
+    def pick(t: pa.Table):
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return
+        t = t.group_by(["event_type", "value"]).aggregate([("cnt", "sum")])
+        t = t.rename_columns(["event_type", "value", "cnt"])
+        ty = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        c = t.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, ty))
+        ty, v, c = ty[order], v[order], c[order]
+        starts = np.flatnonzero(np.r_[True, ty[1:] != ty[:-1]])
+        ends = np.r_[starts[1:], len(ty)]
+        cum = np.cumsum(c)
+        base = np.r_[np.int64(0), cum[starts[1:] - 1]]
+        n = cum[ends - 1] - base
+        pos = P90_Q * (n - 1).astype(np.float64)
+        frac = pos - np.floor(pos)
+        lor = np.floor(pos).astype(np.int64) + 1
+        hir = np.minimum(lor + (frac != 0).astype(np.int64), n)
+        ilo = np.searchsorted(cum, base + lor, side="left")
+        ihi = np.searchsorted(cum, base + hir, side="left")
+        p90 = v[ilo] + frac * (v[ihi] - v[ilo])
+        yield pa.table(
+            {
+                "event_type": pa.array(ty[starts].tolist(), pa.string()),
+                "p90": pa.array(p90, pa.float64()),
+            }
+        )
+
+    return co.map_batches(pick, batch_size=None, batch_format="pyarrow")
+
+
+EVENT_VALUE_P90_SQL = """
+WITH n AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1
+),
+o AS (
+  SELECT event_type, value AS x,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS r
+  FROM events
+),
+p AS (SELECT event_type, n, CAST(0.9 AS DOUBLE)*(n-1) AS pos FROM n),
+p2 AS (SELECT event_type, n, pos, CAST(FLOOR(pos) AS BIGINT)+1 AS lor,
+              pos - FLOOR(pos) AS frac FROM p),
+p3 AS (SELECT event_type, lor, frac,
+              LEAST(lor + CASE WHEN frac <> 0 THEN 1 ELSE 0 END, n) AS hir
+       FROM p2)
+SELECT p3.event_type, lo.x + p3.frac*(hi.x - lo.x) AS p90
+FROM p3
+JOIN o lo ON lo.event_type = p3.event_type AND lo.r = p3.lor
+JOIN o hi ON hi.event_type = p3.event_type AND hi.r = p3.hir
+"""
