@@ -43,6 +43,10 @@ def main(argv=None) -> int:
     parser.add_argument("--graph_dir", default=None,
                         help="reuse/persist the built graph layout")
     parser.add_argument("--ckpt_dir", default=None)
+    parser.add_argument("--scores_out", default=None,
+                        help="write the full score vector as a resumable "
+                        "partitioned parquet directory (part=NNNN/_SUCCESS "
+                        "markers; a rerun skips finished partitions)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.DEBUG if args.verbose else logging.INFO,
@@ -98,6 +102,17 @@ def main(argv=None) -> int:
         )
 
     scores = res.scores_dataset(gdir)
+    if args.scores_out:
+        from rayrank.sinks import resumable_write, with_part
+
+        manifest = resumable_write(
+            with_part(scores, "name", num_parts=args.num_partitions),
+            args.scores_out, num_parts=args.num_partitions,
+        )
+        log.info(
+            "scores_out: %d rows written, %d partitions skipped",
+            manifest["rows_written"], len(manifest["skipped"]),
+        )
     report = top_k(
         scores,
         query=args.search_query,
