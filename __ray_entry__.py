@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_order_gap": _rep().median_order_gap,
         "forecast_revenue": _rep().forecast_revenue,
         "event_value_p90": _an().event_value_p90,
+        "sole_supplier_orders": _rep().sole_supplier_orders,
         # degrees / weights / dangling / prune (SURVEY §2.5, §2.2 M3, §2.4 J4)
         "out_degree": pl.out_degree,
         "in_degree": pl.in_degree,
@@ -870,6 +871,7 @@ def oracle_sql() -> dict[str, str]:
         "median_order_gap": _rep().MEDIAN_ORDER_GAP_SQL,
         "forecast_revenue": _rep().FORECAST_REVENUE_SQL,
         "event_value_p90": _an().EVENT_VALUE_P90_SQL,
+        "sole_supplier_orders": _rep().SOLE_SUPPLIER_ORDERS_SQL,
         "out_degree": (
             "SELECT l_orderkey AS src, COUNT(*) AS outdeg "
             "FROM lineitem GROUP BY l_orderkey"

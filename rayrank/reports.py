@@ -950,3 +950,102 @@ WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01'
   AND CAST(ROUND(l_discount*100) AS BIGINT) BETWEEN {Q6_DISC[0]} AND {Q6_DISC[1]}
   AND CAST(ROUND(l_quantity) AS BIGINT) < {Q6_MAX_QTY}
 """
+
+
+# --------------------------------------------------------------------------
+# sole-supplier orders (TPC-H Q21 family): per-group all-same predicate
+# --------------------------------------------------------------------------
+
+
+def sole_supplier_orders(sf_dir: str) -> ray.data.Dataset:
+    """Per supplier, how many multi-line orders they handled ALONE —
+    the per-group "all rows agree" EXISTS/NOT-EXISTS shape (Q21's
+    only-supplier-who-failed test, minus the date columns this
+    lineitem lacks).  The predicate `COUNT(*)≥2 AND COUNT(DISTINCT
+    suppkey)=1` decomposes into combiner-friendly partials
+    (min_sk, max_sk, cnt) — per-block reduce first, ONE orderkey-keyed
+    re-agg completes them, and `min==max ∧ cnt≥2` evaluates vectorized;
+    the per-supplier count coalesces (≤ |suppliers| rows) and the name
+    joins broadcast."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        g = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "mn": t.column("l_suppkey"),
+                "mx": t.column("l_suppkey"),
+                "cnt": _ones(len(t)),
+            }
+        ).group_by(["l_orderkey"]).aggregate(
+            [("mn", "min"), ("mx", "max"), ("cnt", "sum")]
+        )
+        yield g.rename_columns(["l_orderkey", "mn", "mx", "cnt"])
+
+    per_order = keyed_reagg(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).map_batches(
+            pre, batch_format="pyarrow"
+        ),
+        ["l_orderkey"],
+        [("mn", "min"), ("mx", "max"), ("cnt", "sum")],
+        P,
+    )
+
+    def sole(t: pa.Table):
+        if t.num_rows == 0 or "mn" not in t.schema.names:
+            return
+        mn = t.column("mn").to_numpy(zero_copy_only=False)
+        mx = t.column("mx").to_numpy(zero_copy_only=False)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        keep = (mn == mx) & (cnt >= 2)
+        if not keep.any():
+            return
+        g = pa.table(
+            {
+                "sk": pa.array(mn[keep]),
+                "n": pa.array(np.ones(int(keep.sum()), np.int64)),
+            }
+        ).group_by(["sk"]).aggregate([("n", "sum")])
+        yield g.rename_columns(["sk", "sole_orders"])
+
+    g = per_order.map_batches(
+        sole, batch_size=None, batch_format="pyarrow"
+    ).repartition(1)
+
+    def per_supp(t: pa.Table):
+        if t.num_rows == 0 or "sk" not in t.schema.names:
+            return
+        g2 = t.group_by(["sk"]).aggregate([("sole_orders", "sum")])
+        yield g2.rename_columns(["sk", "sole_orders"])
+
+    counts = g.map_batches(per_supp, batch_size=None, batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    j = join_auto(
+        counts, supp, on=("sk",), right_on=("s_suppkey",), num_partitions=P
+    )
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "s_name" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "s_suppkey": t.column("sk"),
+                "s_name": t.column("s_name"),
+                "sole_orders": t.column("sole_orders"),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SOLE_SUPPLIER_ORDERS_SQL = """
+WITH s AS (
+  SELECT l_orderkey, MIN(l_suppkey) AS sk
+  FROM lineitem
+  GROUP BY 1 HAVING COUNT(*) >= 2 AND COUNT(DISTINCT l_suppkey) = 1
+)
+SELECT sp.s_suppkey, sp.s_name, CAST(COUNT(*) AS BIGINT) AS sole_orders
+FROM s JOIN supplier sp ON s.sk = sp.s_suppkey
+GROUP BY 1, 2
+"""
