@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue": _rep().forecast_revenue,
         "event_value_p90": _an().event_value_p90,
         "sole_supplier_orders": _rep().sole_supplier_orders,
+        "weighted_median_price": _rep().weighted_median_price,
         # degrees / weights / dangling / prune (SURVEY §2.5, §2.2 M3, §2.4 J4)
         "out_degree": pl.out_degree,
         "in_degree": pl.in_degree,
@@ -872,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
         "forecast_revenue": _rep().FORECAST_REVENUE_SQL,
         "event_value_p90": _an().EVENT_VALUE_P90_SQL,
         "sole_supplier_orders": _rep().SOLE_SUPPLIER_ORDERS_SQL,
+        "weighted_median_price": _rep().WEIGHTED_MEDIAN_PRICE_SQL,
         "out_degree": (
             "SELECT l_orderkey AS src, COUNT(*) AS outdeg "
             "FROM lineitem GROUP BY l_orderkey"

@@ -1049,3 +1049,84 @@ SELECT sp.s_suppkey, sp.s_name, CAST(COUNT(*) AS BIGINT) AS sole_orders
 FROM s JOIN supplier sp ON s.sk = sp.s_suppkey
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# weighted median: integer cumulative-weight rank rule
+# --------------------------------------------------------------------------
+
+
+def weighted_median_price(sf_dir: str) -> ray.data.Dataset:
+    """Per return flag, the quantity-weighted median line price — the
+    weighted-quantile shape.  The pick rule is restated EXPLICITLY on
+    both sides (smallest price whose cumulative quantity satisfies
+    ``2·cw ≥ total``) so it is a pure INTEGER comparison — no float
+    exists anywhere before the final /100 display conversion.
+    (price, weight) partials pre-combine per block; ONE flag-keyed
+    repartition co-locates each flag's price histogram; sort + cumsum
+    + pick run vectorized in-block."""
+    cols = ["l_returnflag", "l_extendedprice", "l_quantity"]
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        g = pa.table(
+            {
+                "f": t.column("l_returnflag"),
+                "p": pa.array(_i64(t.column("l_extendedprice"), 100)),
+                "w": pa.array(_i64(t.column("l_quantity"))),
+            }
+        ).group_by(["f", "p"]).aggregate([("w", "sum")])
+        yield g.rename_columns(["f", "p", "w"])
+
+    co = _read(sf_dir, "lineitem", cols).map_batches(
+        pre, batch_format="pyarrow"
+    ).repartition(P, keys=["f"])
+
+    def pick(t: pa.Table):
+        if t.num_rows == 0 or "f" not in t.schema.names:
+            return
+        t = t.group_by(["f", "p"]).aggregate([("w", "sum")])
+        t = t.rename_columns(["f", "p", "w"])
+        f = np.asarray(t.column("f").to_pylist(), dtype=object)
+        p = t.column("p").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, f))
+        f, p, w = f[order], p[order], w[order]
+        starts = np.flatnonzero(np.r_[True, f[1:] != f[:-1]])
+        ends = np.r_[starts[1:], len(f)]
+        cum = np.cumsum(w)
+        base = np.r_[np.int64(0), cum[starts[1:] - 1]]
+        tot = cum[ends - 1] - base
+        # smallest p with 2·cw ≥ tot: cw ≥ ceil(tot/2) — integer rank
+        ranks = -(-tot // 2)
+        idx = np.searchsorted(cum, base + ranks, side="left")
+        yield pa.table(
+            {
+                "l_returnflag": pa.array(f[starts].tolist(), pa.string()),
+                "wmedian_price": pa.array(
+                    p[idx].astype(np.float64) / 100.0, pa.float64()
+                ),
+            }
+        )
+
+    return co.map_batches(pick, batch_size=None, batch_format="pyarrow")
+
+
+WEIGHTED_MEDIAN_PRICE_SQL = """
+WITH g AS (
+  SELECT l_returnflag AS f,
+    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS p,
+    SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT f, p,
+    SUM(w) OVER (PARTITION BY f ORDER BY p) AS cw,
+    SUM(w) OVER (PARTITION BY f) AS tot
+  FROM g
+)
+SELECT f AS l_returnflag,
+  CAST(MIN(p) AS DOUBLE) / 100.0 AS wmedian_price
+FROM c WHERE 2*cw >= tot GROUP BY 1
+"""
