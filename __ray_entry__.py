@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_jaccard_topk": _dec().part_jaccard_topk,
         "adamic_adar_topk": _dec().adamic_adar_topk,
         "urgent_year_revenue": _dec().urgent_year_revenue,
+        "product_type_profit": _dec().product_type_profit,
+        "linestatus_priority_counts": _dec().linestatus_priority_counts,
         # TPC-H Q2/Q11/Q15/Q19/Q20 shapes (reports.py)
         "important_parts": _rep().important_parts,
         "top_suppliers": _rep().top_suppliers,
@@ -160,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _terms().tfidf_top_terms,
         "inverted_index": _terms().inverted_index,
         "top_bigrams": _terms().top_bigrams,
+        "doc_repetition": _terms().doc_repetition,
+        "contamination_ngram": _terms().contamination_ngram,
         "token_counts": pl.token_counts,
         "doc_stats": pl.doc_stats,                      # rows-only (fingerprint)
         "doc_quality": pl.doc_quality,
@@ -853,6 +857,8 @@ def oracle_sql() -> dict[str, str]:
         "volume_shipping": _dec().VOLUME_SHIPPING_SQL,
         "top_returned_customers": _dec().TOP_RETURNED_CUSTOMERS_SQL,
         "props_k_stats": _dec().PROPS_K_STATS_SQL,
+        "product_type_profit": _dec().PRODUCT_TYPE_PROFIT_SQL,
+        "linestatus_priority_counts": _dec().LINESTATUS_PRIORITY_COUNTS_SQL,
         "part_pairs_topk": _dec().PART_PAIRS_TOPK_SQL,
         "value_hour_corr": _dec().VALUE_HOUR_CORR_SQL,
         "event_value_regression": _dec().EVENT_VALUE_REGRESSION_SQL,
@@ -941,6 +947,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _terms().TFIDF_TOP_TERMS_SQL,
         "inverted_index": _terms().INVERTED_INDEX_SQL,
         "top_bigrams": _terms().TOP_BIGRAMS_SQL,
+        "doc_repetition": _terms().DOC_REPETITION_SQL,
+        "contamination_ngram": _terms().CONTAMINATION_NGRAM_SQL,
         "doc_quality": _doc_quality_sql(),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "purchase_signup_asof": (

@@ -1604,3 +1604,232 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '1-URGENT'
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# product-type profit (TPC-H Q9 shape): revenue − cost by supplier
+# nation × ship-year
+# --------------------------------------------------------------------------
+
+Q9_TYPE = "PROMO"
+
+
+def product_type_profit(sf_dir: str) -> ray.data.Dataset:
+    """Per supplier-nation/ship-year profit on one part type — the Q9
+    shape adapted to the testdata schema (no partsupp table; unit cost
+    is ``p_retailprice``).  Exactness: per-line profit is the pure-int
+    expression ``price_c·(100−disc_b) − retail_c·qty·100`` (common
+    1e-4-dollar unit), summed in int64, one double conversion at the
+    end.  Scale shape: the filtered part side rides ``join_auto``'s
+    broadcast guard into the fact scan; the scan reduces to
+    (suppkey, year, profit) partials before the supplier join, so the
+    second join moves O(suppliers·years) rows; nation names resolve
+    from the 25-row driver dictionary; the ≤25·years-group final
+    coalesces."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    names = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type", "p_retailprice"])
+
+    def p_pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        t = t.filter(pc.equal(t.column("p_type"), Q9_TYPE))
+        if len(t) == 0:
+            return
+        yield pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "retail_c": pa.array(_i64(t.column("p_retailprice"), 100)),
+            }
+        )
+
+    part = part.map_batches(p_pre, batch_format="pyarrow")
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate",
+        ],
+    )
+    j = join_auto(
+        li, part, on=("l_partkey",), right_on=("p_partkey",), num_partitions=P
+    )
+
+    def profit_pre(t: pa.Table):
+        if len(t) == 0 or "retail_c" not in t.schema.names:
+            return
+        price_c = _i64(t.column("l_extendedprice"), 100)
+        disc_b = _i64(t.column("l_discount"), 100)
+        qty = _i64(t.column("l_quantity"))
+        retail_c = t.column("retail_c").to_numpy(zero_copy_only=False)
+        profit_i = price_c * (100 - disc_b) - retail_c * qty * 100
+        yr = pc.cast(pc.year(t.column("l_shipdate")), pa.int64())
+        g = pa.table(
+            {
+                "l_suppkey": t.column("l_suppkey"),
+                "l_year": yr,
+                "profit_i": pa.array(profit_i),
+            }
+        ).group_by(["l_suppkey", "l_year"]).aggregate([("profit_i", "sum")])
+        yield g.rename_columns(["l_suppkey", "l_year", "profit_i"])
+
+    by_supp = j.map_batches(profit_pre, batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    j2 = join_auto(
+        by_supp, supp, on=("l_suppkey",), right_on=("s_suppkey",),
+        num_partitions=P,
+    )
+
+    def nation_pre(t: pa.Table):
+        if len(t) == 0 or "s_nationkey" not in t.schema.names:
+            return
+        g = pa.table(
+            {
+                "nk": t.column("s_nationkey"),
+                "l_year": t.column("l_year"),
+                "profit_i": t.column("profit_i"),
+            }
+        ).group_by(["nk", "l_year"]).aggregate([("profit_i", "sum")])
+        yield g.rename_columns(["nk", "l_year", "profit_i"])
+
+    g = j2.map_batches(nation_pre, batch_format="pyarrow").repartition(1)
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "nk" not in t.schema.names:
+            return
+        t = t.group_by(["nk", "l_year"]).aggregate([("profit_i", "sum")])
+        nk = t.column("nk").to_numpy(zero_copy_only=False)
+        pi = t.column("profit_i_sum").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "nation": pa.array([names[int(k)] for k in nk], pa.string()),
+                "l_year": t.column("l_year"),
+                "profit": pa.array(pi.astype(np.float64) / 10000.0),
+            }
+        )
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+PRODUCT_TYPE_PROFIT_SQL = f"""
+WITH f AS (
+  SELECT l_suppkey, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+    CAST(ROUND(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+    - CAST(ROUND(p_retailprice*100) AS BIGINT)
+      * CAST(ROUND(l_quantity) AS BIGINT) * 100 AS profit_i
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = '{Q9_TYPE}'
+)
+SELECT n.n_name AS nation, f.l_year,
+  CAST(SUM(f.profit_i) AS DOUBLE)/10000.0 AS profit
+FROM f
+JOIN supplier s ON f.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# line-status priority counts (TPC-H Q12 shape): CASE-sum over a join
+# --------------------------------------------------------------------------
+
+Q12_WINDOW = ((1997, 1, 1), (1998, 1, 1))
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def linestatus_priority_counts(sf_dir: str) -> ray.data.Dataset:
+    """Per line status, how many shipped lines belong to high- vs
+    low-priority orders — the Q12 CASE-sum-over-a-join shape (grouping
+    key adapted: ``l_linestatus`` stands in for the absent
+    ``l_shipmode``).  The fact scan reduces to (orderkey, status, cnt)
+    partials inside the window before the orders join; the CASE split
+    is a vectorized mask over the joined priority; the 2-group final
+    coalesces."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_shipdate"])
+    lo, hi = Q12_WINDOW
+
+    def li_pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        m = pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), _ts(*lo)),
+            pc.less(t.column("l_shipdate"), _ts(*hi)),
+        )
+        t = t.filter(m)
+        if len(t) == 0:
+            return
+        g = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linestatus": t.column("l_linestatus"),
+                "cnt": _ones(len(t)),
+            }
+        ).group_by(["l_orderkey", "l_linestatus"]).aggregate([("cnt", "sum")])
+        yield g.rename_columns(["l_orderkey", "l_linestatus", "cnt"])
+
+    li = li.map_batches(li_pre, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = join_auto(
+        li, orders, on=("l_orderkey",), right_on=("o_orderkey",),
+        num_partitions=P,
+    )
+
+    def case_pre(t: pa.Table):
+        if len(t) == 0 or "o_orderpriority" not in t.schema.names:
+            return
+        high = pc.is_in(
+            t.column("o_orderpriority"),
+            value_set=pa.array(list(_Q12_HIGH), pa.string()),
+        ).to_numpy(zero_copy_only=False)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        g = pa.table(
+            {
+                "l_linestatus": t.column("l_linestatus"),
+                "high_line_count": pa.array(np.where(high, cnt, 0)),
+                "low_line_count": pa.array(np.where(high, 0, cnt)),
+            }
+        ).group_by(["l_linestatus"]).aggregate(
+            [("high_line_count", "sum"), ("low_line_count", "sum")]
+        )
+        yield g.rename_columns(
+            ["l_linestatus", "high_line_count", "low_line_count"]
+        )
+
+    g = j.map_batches(case_pre, batch_format="pyarrow").repartition(1)
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "l_linestatus" not in t.schema.names:
+            return
+        g2 = t.group_by(["l_linestatus"]).aggregate(
+            [("high_line_count", "sum"), ("low_line_count", "sum")]
+        )
+        yield g2.rename_columns(
+            ["l_linestatus", "high_line_count", "low_line_count"]
+        )
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+LINESTATUS_PRIORITY_COUNTS_SQL = f"""
+SELECT l_linestatus,
+  CAST(SUM(CASE WHEN o_orderpriority IN {_Q12_HIGH!r} THEN 1 ELSE 0 END)
+    AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN {_Q12_HIGH!r} THEN 1 ELSE 0 END)
+    AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""

@@ -416,3 +416,205 @@ WITH tok AS (
 SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM big
 GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT {TOP_BIGRAMS_K}
 """
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition signal: per-doc distinct-token ratio
+# --------------------------------------------------------------------------
+
+
+def doc_repetition(sf_dir: str) -> ray.data.Dataset:
+    """Per-document token-repetition signal (the Gopher "fraction of
+    duplicate tokens" quality rule): total tokens, distinct tokens, and
+    ``rep_ratio = 1 − distinct/total``.  Entirely block-local — a
+    document's text is one row, so both counts come from one in-block
+    arrow group_by; NO shuffle at any scale.  The ratio is a single
+    float expression restated identically in SQL, so it is bit-stable."""
+
+    def per_doc(t: pa.Table):
+        if len(t) == 0:
+            return
+        docs, terms = _token_pairs(t)
+        if len(docs) == 0:
+            return
+        ones = pa.array(np.ones(len(docs), np.int64))
+        tot = (
+            pa.table({"doc_id": pa.array(docs), "one": ones})
+            .group_by(["doc_id"]).aggregate([("one", "sum")])
+        )
+        dis = (
+            pa.table({"doc_id": pa.array(docs), "w": terms})
+            .group_by(["doc_id", "w"]).aggregate([])
+            .group_by(["doc_id"]).aggregate([("w", "count")])
+        )
+        # align: both tables keyed by doc_id (KEYS FIRST in this pyarrow)
+        tk = tot.column("doc_id").to_numpy(zero_copy_only=False)
+        tv = tot.column("one_sum").to_numpy(zero_copy_only=False)
+        dk = dis.column("doc_id").to_numpy(zero_copy_only=False)
+        dv = dis.column("w_count").to_numpy(zero_copy_only=False)
+        o_t, o_d = np.argsort(tk), np.argsort(dk)
+        tk, tv = tk[o_t], tv[o_t]
+        dv = dv[o_d]
+        nt = tv.astype(np.int64)
+        nd = dv.astype(np.int64)
+        yield pa.table(
+            {
+                "doc_id": pa.array(tk),
+                "n_tokens": pa.array(nt),
+                "n_distinct": pa.array(nd),
+                "rep_ratio": pa.array(
+                    1.0 - nd.astype(np.float64) / nt.astype(np.float64)
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(per_doc, batch_format="pyarrow")
+
+
+DOC_REPETITION_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS lst
+  FROM documents
+)
+SELECT doc_id, CAST(len(lst) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(lst)) AS BIGINT) AS n_distinct,
+  1.0 - CAST(len(list_distinct(lst)) AS DOUBLE) / CAST(len(lst) AS DOUBLE)
+    AS rep_ratio
+FROM tok WHERE len(lst) > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination: exact n-gram overlap vs a holdout set
+# --------------------------------------------------------------------------
+
+N_GRAM = 3  # 31-token synthetic vocab: 3-grams give non-degenerate overlap
+HOLDOUT_MOD = 50  # docs with doc_id % 50 == 0 act as the "benchmark" set
+
+
+def _gram_pairs(t: pa.Table, n: int):
+    """(doc row-index, n-gram string) pairs for a block, vectorized from
+    the split list offsets — top_bigrams' adjacency rule generalized to
+    n: a window starting at flat position i is valid iff positions i and
+    i+n−1 fall in the same document."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(t.column("text")), pattern=r"\s+"
+    )
+    arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    vals = arr.values
+    doc_idx = np.repeat(np.arange(len(arr)), np.diff(offsets))
+    keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+    vals_k = vals.filter(pa.array(keep))
+    doc_k = doc_idx[keep]
+    m = len(vals_k)
+    if m < n:
+        return None, None
+    valid = doc_k[: m - n + 1] == doc_k[n - 1 :]
+    if not valid.any():
+        return None, None
+    vm = pa.array(valid)
+    parts = [vals_k.slice(i, m - n + 1).filter(vm) for i in range(n)]
+    gram = pc.binary_join_element_wise(*parts, " ")
+    rows = doc_k[: m - n + 1][valid]
+    return rows, gram
+
+
+def contamination_ngram(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark-decontamination report: for every corpus document, the
+    number of DISTINCT ``N_GRAM``-grams it shares with the holdout
+    ("benchmark") docs (``doc_id % 50 == 0``) — the exact n-gram overlap
+    check run before training on scraped data (13-gram in the published
+    recipes; 3 here because the synthetic corpus has a 31-token
+    vocabulary).  Scale shape: both sides shingle
+    vectorized per block and pre-distinct with an in-block group_by (a
+    document is ONE row, so per-block distinct == global distinct for
+    the (doc, gram) pairs); the holdout gram set reduces through one
+    gram-keyed ``keyed_reagg``; membership is a semi join under
+    ``join_auto``'s broadcast guard (zero shuffle while the holdout
+    vocabulary is small, partitioned hash semi above it); matched pairs
+    fold to per-doc counts with one doc-keyed reagg.  The corpus gram
+    table itself is never materialized anywhere."""
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    def side(holdout: bool):
+        def fn(t: pa.Table):
+            if len(t) == 0:
+                return
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % HOLDOUT_MOD == 0) if holdout else (
+                ids % HOLDOUT_MOD != 0
+            )
+            t2 = t.filter(pa.array(mask))
+            if len(t2) == 0:
+                return
+            rows, gram = _gram_pairs(t2, N_GRAM)
+            if rows is None:
+                return
+            if holdout:
+                yield pa.table({"gram": gram}).group_by(["gram"]).aggregate([])
+            else:
+                docs = t2.column("doc_id").to_numpy(zero_copy_only=False)[rows]
+                yield pa.table(
+                    {"doc_id": pa.array(docs), "gram": gram}
+                ).group_by(["doc_id", "gram"]).aggregate([])
+
+        return fn
+
+    corp = _read_docs(sf_dir).map_batches(side(False), batch_format="pyarrow")
+    hold = _read_docs(sf_dir).map_batches(side(True), batch_format="pyarrow")
+
+    def add_one(t: pa.Table):
+        if len(t) == 0 or "gram" not in t.schema.names:
+            return
+        yield t.append_column("one", pa.array(np.ones(len(t), np.int64)))
+
+    hold_keys = keyed_reagg(
+        hold.map_batches(add_one, batch_format="pyarrow"),
+        ["gram"], [("one", "sum")], P,
+    ).select_columns(["gram"])
+
+    hit = join_auto(corp, hold_keys, on=("gram",), how="semi", num_partitions=P)
+
+    def cnt(t: pa.Table):
+        if len(t) == 0 or "doc_id" not in t.schema.names:
+            return
+        g = (
+            pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "one": pa.array(np.ones(len(t), np.int64)),
+                }
+            ).group_by(["doc_id"]).aggregate([("one", "sum")])
+        )
+        yield g.rename_columns(["doc_id", "contaminated"])
+
+    return keyed_reagg(
+        hit.map_batches(cnt, batch_format="pyarrow"),
+        ["doc_id"], [("contaminated", "sum")], P,
+    )
+
+
+_G_PARTS = " || ' ' || ".join(f"u[{i + 1}]" for i in range(N_GRAM))
+_G_ZIPS = ", ".join(f"lst[{i + 1}:]" for i in range(N_GRAM))
+
+CONTAMINATION_NGRAM_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS lst
+  FROM documents
+), g AS (
+  SELECT doc_id, {_G_PARTS} AS gram
+  FROM tok, UNNEST(list_zip({_G_ZIPS})) AS t(u)
+  WHERE u[{N_GRAM}] IS NOT NULL
+), hold AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % {HOLDOUT_MOD} = 0
+), corp AS (
+  SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % {HOLDOUT_MOD} <> 0
+)
+SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS contaminated
+FROM corp c JOIN hold h USING (gram)
+GROUP BY 1
+"""
