@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": _terms().top_bigrams,
         "doc_repetition": _terms().doc_repetition,
         "contamination_ngram": _terms().contamination_ngram,
+        "cross_source_ngram_overlap": _terms().cross_source_ngram_overlap,
         "token_counts": pl.token_counts,
         "doc_stats": pl.doc_stats,                      # rows-only (fingerprint)
         "doc_quality": pl.doc_quality,
@@ -949,6 +950,7 @@ def oracle_sql() -> dict[str, str]:
         "top_bigrams": _terms().TOP_BIGRAMS_SQL,
         "doc_repetition": _terms().DOC_REPETITION_SQL,
         "contamination_ngram": _terms().CONTAMINATION_NGRAM_SQL,
+        "cross_source_ngram_overlap": _terms().CROSS_SOURCE_NGRAM_OVERLAP_SQL,
         "doc_quality": _doc_quality_sql(),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "purchase_signup_asof": (

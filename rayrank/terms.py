@@ -618,3 +618,135 @@ SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS contaminated
 FROM corp c JOIN hold h USING (gram)
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# cross-source corpus similarity: shared distinct n-grams per source pair
+# --------------------------------------------------------------------------
+
+MAX_SOURCES = 63  # masks live in int64
+
+
+def cross_source_ngram_overlap(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-overlap matrix: for every pair of ``source`` values, how
+    many DISTINCT ``N_GRAM``-grams the two sources share — the
+    cross-crawl redundancy check run before mixing scraped corpora.
+
+    Scale shape: sources are a bounded dimension (guarded ≤ 63, raises
+    above — the masks live in one int64); each block shingles
+    vectorized and dedups (gram, source-bit) pairs with an in-block
+    arrow group_by, so per gram at most |sources| rows shuffle (1–2 in
+    practice); ONE gram-keyed repartition completes the OR as a
+    sum-of-distinct-bits; per-block (mask, cnt) histograms coalesce to
+    ≤ |masks| rows; the pair expansion is a vectorized popcount over
+    the mask histogram — the gram table never leaves the keyed
+    partitions and no pair list is ever materialized per gram."""
+    src_ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+    )
+
+    def s_distinct(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield t.group_by(["source"]).aggregate([])
+
+    srcs = sorted(
+        set(
+            v
+            for b in src_ds.map_batches(s_distinct, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow")
+            for v in b.column("source").to_pylist()
+        )
+    )
+    if len(srcs) > MAX_SOURCES:
+        raise ValueError(
+            f"cross_source_ngram_overlap supports <= {MAX_SOURCES} sources, "
+            f"got {len(srcs)}; widen the mask type before raising the cap"
+        )
+    bit_of = {s: i for i, s in enumerate(srcs)}
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def gram_masks(t: pa.Table):
+        if len(t) == 0:
+            return
+        rows, gram = _gram_pairs(t, N_GRAM)
+        if rows is None:
+            return
+        src = t.column("source").to_pylist()
+        bits = np.array([np.int64(1) << bit_of[s] for s in src], np.int64)[rows]
+        # distinct (gram, bitval) pairs: sum-of-distinct-bits == OR, so
+        # the whole OR-fold stays in arrow group_by kernels (no string
+        # sort); per gram ≤ |sources| rows shuffle, 1–2 in practice
+        yield (
+            pa.table({"gram": gram, "bitval": pa.array(bits)})
+            .group_by(["gram", "bitval"]).aggregate([])
+        )
+
+    partials = docs.map_batches(gram_masks, batch_format="pyarrow")
+    co = partials.repartition(P, keys=["gram"])
+
+    def fold(t: pa.Table):
+        if t.num_rows == 0 or "gram" not in t.schema.names:
+            return
+        g = (
+            t.group_by(["gram", "bitval"]).aggregate([])
+            .group_by(["gram"]).aggregate([("bitval", "sum")])
+        )
+        mask = g.column("bitval_sum")
+        hist = (
+            pa.table(
+                {"mask": mask, "cnt": pa.array(np.ones(len(g), np.int64))}
+            ).group_by(["mask"]).aggregate([("cnt", "sum")])
+        )
+        yield hist.rename_columns(["mask", "cnt"])
+
+    hist = co.map_batches(
+        fold, batch_size=None, batch_format="pyarrow"
+    ).repartition(1)
+
+    def expand(t: pa.Table):
+        if t.num_rows == 0 or "mask" not in t.schema.names:
+            return
+        t = t.group_by(["mask"]).aggregate([("cnt", "sum")])
+        mask = t.column("mask").to_numpy(zero_copy_only=False)
+        cnt = t.column("cnt_sum").to_numpy(zero_copy_only=False)
+        a_out, b_out, n_out = [], [], []
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                both = (mask >> i & 1).astype(bool) & (
+                    mask >> j & 1
+                ).astype(bool)
+                n = int(cnt[both].sum())
+                if n > 0:
+                    a_out.append(srcs[i])
+                    b_out.append(srcs[j])
+                    n_out.append(n)
+        yield pa.table(
+            {
+                "source_a": pa.array(a_out, pa.string()),
+                "source_b": pa.array(b_out, pa.string()),
+                "shared_ngrams": pa.array(n_out, pa.int64()),
+            }
+        )
+
+    return hist.map_batches(expand, batch_size=None, batch_format="pyarrow")
+
+
+CROSS_SOURCE_NGRAM_OVERLAP_SQL = rf"""
+WITH tok AS (
+  SELECT source,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS lst
+  FROM documents
+), g AS (
+  SELECT DISTINCT source, {_G_PARTS} AS gram
+  FROM tok, UNNEST(list_zip({_G_ZIPS})) AS t(u)
+  WHERE u[{N_GRAM}] IS NOT NULL
+)
+SELECT a.source AS source_a, b.source AS source_b,
+  CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2
+"""
