@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_order_gap": _rep().median_order_gap,
         "forecast_revenue": _rep().forecast_revenue,
         "event_value_p90": _an().event_value_p90,
+        "event_value_outliers": _an().event_value_outliers,
+        "event_value_percent_rank": _an().event_value_percent_rank,
         "sole_supplier_orders": _rep().sole_supplier_orders,
         "weighted_median_price": _rep().weighted_median_price,
         # degrees / weights / dangling / prune (SURVEY §2.5, §2.2 M3, §2.4 J4)
@@ -879,6 +881,8 @@ def oracle_sql() -> dict[str, str]:
         "median_order_gap": _rep().MEDIAN_ORDER_GAP_SQL,
         "forecast_revenue": _rep().FORECAST_REVENUE_SQL,
         "event_value_p90": _an().EVENT_VALUE_P90_SQL,
+        "event_value_outliers": _an().EVENT_VALUE_OUTLIERS_SQL,
+        "event_value_percent_rank": _an().EVENT_VALUE_PERCENT_RANK_SQL,
         "sole_supplier_orders": _rep().SOLE_SUPPLIER_ORDERS_SQL,
         "weighted_median_price": _rep().WEIGHTED_MEDIAN_PRICE_SQL,
         "out_degree": (

@@ -1633,3 +1633,161 @@ FROM p3
 JOIN o lo ON lo.event_type = p3.event_type AND lo.r = p3.lor
 JOIN o hi ON hi.event_type = p3.event_type AND hi.r = p3.hir
 """
+
+
+# --------------------------------------------------------------------------
+# per-group z-score outliers (pure-integer 3-sigma rule, zero float)
+# --------------------------------------------------------------------------
+
+OUTLIER_Z = 3
+
+
+def event_value_outliers(sf_dir: str, z: int = OUTLIER_Z) -> ray.data.Dataset:
+    """Events whose ``value`` is more than ``z`` population standard
+    deviations from their event type's mean — anomaly flagging with a
+    PURE-INTEGER rule (the event_value_stats moment technique, pushed
+    into the filter).  `z > k` is restated as
+    ``(vc·n − S)² > k²·(n·Q − S²)`` (cents moments S=Σvc, Q=Σvc²),
+    which on the Ray side collapses to two per-type integer value
+    thresholds via T = isqrt(k²(nQ−S²)):
+    ``vc > (S+T)//n  OR  vc ≤ (S−T−1)//n`` — exact because for ints
+    a² > m ⟺ |a| > isqrt(m).  No float exists on either side, so the
+    match is bit-trivial.  Scale shape: pass 1 is the tiny per-type
+    moment reduce (block partials, ≤|types| rows cross the wire); the
+    thresholds are broadcast and pass 2 is a stateless vectorized
+    filter over the stream — no join, no shuffle of event rows."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        vc = _i64(t.column("value"), 100)
+        g = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "s": pa.array(vc),
+                "ssq": pa.array(vc * vc),
+                "n": _ones(len(t)),
+            }
+        ).group_by(["event_type"]).aggregate(
+            [("s", "sum"), ("ssq", "sum"), ("n", "sum")]
+        )
+        yield g.rename_columns(["event_type", "s", "ssq", "n"])
+
+    cols = ["event_id", "event_type", "value"]
+    partials = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        pre, batch_format="pyarrow"
+    )
+    import math
+
+    # driver fold over the ≤ |types|·blocks partial rows (arbitrary-
+    # precision Python ints for the n·Q − S² cross term)
+    acc: dict[str, list[int]] = {}
+    for r in partials.take_all():
+        a = acc.setdefault(r["event_type"], [0, 0, 0])
+        a[0] += int(r["s"])
+        a[1] += int(r["ssq"])
+        a[2] += int(r["n"])
+    thr: dict[str, tuple[int, int]] = {}
+    for ty, (s, q, n) in acc.items():
+        t_int = math.isqrt(z * z * (n * q - s * s))
+        thr[ty] = ((s - t_int - 1) // n, (s + t_int) // n)
+
+    def flag(t: pa.Table):
+        if len(t) == 0:
+            return
+        vc = _i64(t.column("value"), 100)
+        ty = t.column("event_type").to_pylist()
+        lo = np.fromiter((thr[x][0] for x in ty), np.int64, len(ty))
+        hi = np.fromiter((thr[x][1] for x in ty), np.int64, len(ty))
+        keep = (vc > hi) | (vc <= lo)
+        if not keep.any():
+            return
+        yield t.select(cols).filter(pa.array(keep))
+
+    return _read(sf_dir, "events", cols).map_batches(
+        flag, batch_format="pyarrow"
+    )
+
+
+EVENT_VALUE_OUTLIERS_SQL = f"""
+WITH b AS (
+  SELECT event_id, event_type, value,
+         CAST(ROUND(value*100) AS BIGINT) AS vc FROM events
+),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(vc AS HUGEINT)) AS s, SUM(CAST(vc AS HUGEINT)*vc) AS q
+  FROM b GROUP BY 1
+)
+SELECT b.event_id, b.event_type, b.value
+FROM b JOIN m USING (event_type)
+WHERE (CAST(b.vc AS HUGEINT)*m.n - m.s)*(CAST(b.vc AS HUGEINT)*m.n - m.s)
+      > {OUTLIER_Z * OUTLIER_Z}*(m.n*m.q - m.s*m.s)
+"""
+
+
+# --------------------------------------------------------------------------
+# per-group percent_rank (min-rank window shape)
+# --------------------------------------------------------------------------
+
+
+def event_value_percent_rank(sf_dir: str) -> ray.data.Dataset:
+    """``PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value)``
+    for every event — the min-rank window shape.  The formula is
+    restated explicitly on both sides (never the DB's internal one):
+    ``pct = (rank_min − 1)/(n − 1)`` as one float64 division, 0.0 when
+    n = 1.  rank_min − 1 = count of strictly-smaller values in the
+    group, computed vectorized from one in-block lexsort
+    (first-occurrence index propagation — no searchsorted per group).
+    Scale shape: ONE event_type-keyed repartition; groups rank wholly
+    in-block (same co-location assumption as event_value_p90)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    co = ds.repartition(P, keys=["event_type"])
+
+    def rank(t: pa.Table):
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return
+        ty = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, ty))
+        ty, v, eid = ty[order], v[order], eid[order]
+        m = len(ty)
+        idx = np.arange(m, dtype=np.int64)
+        grp_new = np.r_[True, ty[1:] != ty[:-1]]
+        val_new = grp_new | np.r_[True, v[1:] != v[:-1]]
+        grp_start = np.maximum.accumulate(np.where(grp_new, idx, 0))
+        val_start = np.maximum.accumulate(np.where(val_new, idx, 0))
+        # group sizes: end − start, broadcast back per row
+        starts = np.flatnonzero(grp_new)
+        ends = np.r_[starts[1:], m]
+        n = np.repeat(ends - starts, ends - starts)
+        rk0 = val_start - grp_start  # rank_min − 1
+        pct = np.where(
+            n == 1, 0.0, rk0.astype(np.float64) / (n - 1).astype(np.float64)
+        )
+        yield pa.table(
+            {
+                "event_id": pa.array(eid),
+                "event_type": pa.array(ty.tolist(), pa.string()),
+                "value": pa.array(v, pa.float64()),
+                "pct_rank": pa.array(pct, pa.float64()),
+            }
+        )
+
+    return co.map_batches(rank, batch_size=None, batch_format="pyarrow")
+
+
+EVENT_VALUE_PERCENT_RANK_SQL = """
+WITH r AS (
+  SELECT event_id, event_type, value,
+    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+    CAST(RANK() OVER (PARTITION BY event_type ORDER BY value) AS BIGINT)
+      AS rk
+  FROM events
+)
+SELECT event_id, event_type, value,
+  CASE WHEN n = 1 THEN CAST(0 AS DOUBLE)
+       ELSE CAST(rk - 1 AS DOUBLE)/CAST(n - 1 AS DOUBLE) END AS pct_rank
+FROM r
+"""
