@@ -200,7 +200,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_depths": pl.bfs_depths_sf,
         "sssp_dists": pl.sssp_dists_sf,
         "kcore_vertices": pl.kcore_vertices_sf,
+        # sequence packing (concat-and-chunk; distributed prefix sum)
+        "pack_sequences": _packmod().pack_sequences,
+        "packed_sequence_stats": _packmod().packed_sequence_stats,
     }
+
+
+def _packmod():
+    from rayrank import packing
+
+    return packing
 
 
 _VERTS = (
@@ -1035,6 +1044,8 @@ def oracle_sql() -> dict[str, str]:
         "bfs_depths": _BFS_SQL,
         "sssp_dists": _SSSP_SQL,
         "kcore_vertices": _KCORE_SQL,
+        "pack_sequences": _packmod().PACK_SEQUENCES_SQL,
+        "packed_sequence_stats": _packmod().PACKED_SEQUENCE_STATS_SQL,
         "triangle_count": (
             "WITH raw AS (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem), "
             "und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v "

@@ -1,0 +1,211 @@
+"""Sequence packing: the concat-and-chunk training-data layout.
+
+The standard LLM pretraining step — concatenate every document's tokens
+in a fixed global order (doc_id) and cut the stream into fixed-capacity
+sequences (``SEQ_CAPACITY`` tokens) — reduces to a GLOBAL EXCLUSIVE
+PREFIX SUM over per-document token counts: a doc starting at stream
+offset ``st`` with ``n`` tokens lands in sequences ``st // C`` through
+``(st + n − 1) // C``.  Pure integer arithmetic end to end, so the SQL
+oracle (one window cumsum) matches bit-trivially.
+
+Distributed prefix-sum shape (the new primitive here):
+
+1. per-doc token counts are computed per row (a document is ONE parquet
+   row, so no reduce is needed), vectorized from the split-list offsets;
+2. docs are assigned a DETERMINISTIC bucket ``doc_id // BUCKET_SPAN`` —
+   deterministic from the data, never from runtime batching, so the two
+   consumers below can recompute it consistently without materializing
+   anything;
+3. bucket token totals (one keyed re-agg of pre-reduced partials,
+   ≤ |buckets| rows) come to the driver, which exclusive-scans them in
+   bucket order — the only inherently sequential step, O(|buckets|)
+   with |buckets| = ceil(max_doc_id / BUCKET_SPAN) (size BUCKET_SPAN so
+   this stays ~1e6 rows at trillion-doc scale; a second scan level
+   would extend it);
+4. one bucket-keyed repartition co-locates each bucket, an in-block
+   lexsort + cumsum yields the local exclusive prefix, and
+   ``start = bucket_offset + local_prefix``.
+
+Only (doc_id, n_tokens, bucket) int64 triples ever shuffle — the text
+column never leaves pass 1's streaming scan.
+
+Tokenization contract: whitespace split of the trimmed text, empty
+tokens dropped (byte-identical to the ``token_counts`` oracle); docs
+with zero tokens are excluded on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from . import configure_data_context
+from .shuffle import keyed_reagg
+
+configure_data_context()  # entry path: hash-shuffle strategy required
+
+P = 8
+SEQ_CAPACITY = 256
+BUCKET_SPAN = 32
+
+
+def _doc_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_tokens, bucket) per document with n_tokens > 0."""
+
+    def count(t: pa.Table):
+        if len(t) == 0:
+            return
+        trimmed = pc.utf8_trim_whitespace(t.column("text"))
+        toks = pc.split_pattern_regex(trimmed, pattern=r"\s+")
+        arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        lens = np.diff(arr.offsets.to_numpy(zero_copy_only=False))
+        # trimmed non-empty text splits into only non-empty tokens;
+        # the sole empty-token case is the empty doc ([""] → 0)
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        n = np.where(empty, np.int64(0), lens.astype(np.int64))
+        keep = n > 0
+        if not keep.any():
+            return
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)[keep]
+        yield pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "n_tokens": pa.array(n[keep]),
+                "bucket": pa.array(doc // BUCKET_SPAN),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+def pack_sequences(
+    sf_dir: str, capacity: int = SEQ_CAPACITY
+) -> ray.data.Dataset:
+    """Per doc: (doc_id, n_tokens, seq_first, seq_last) under the
+    concat-and-chunk rule (module docstring)."""
+    counts = _doc_token_counts(sf_dir)
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "bucket" not in t.schema.names:
+            return
+        g = t.group_by(["bucket"]).aggregate([("n_tokens", "sum")])
+        yield g.rename_columns(["bucket", "n_tokens"])
+
+    bucket_partials = counts.map_batches(pre, batch_format="pyarrow")
+    bucket_sums = keyed_reagg(
+        bucket_partials, ["bucket"], [("n_tokens", "sum")], num_partitions=P
+    ).take_all()  # ≤ |buckets| rows — the one driver-side (sequential) scan
+
+    bucket_sums.sort(key=lambda r: r["bucket"])
+    offsets: dict[int, int] = {}
+    run = 0
+    for r in bucket_sums:
+        offsets[r["bucket"]] = run
+        run += int(r["n_tokens"])
+
+    co = counts.repartition(P, keys=["bucket"])
+
+    def assign(t: pa.Table):
+        if t.num_rows == 0 or "bucket" not in t.schema.names:
+            return
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, b))
+        b, doc, n = b[order], doc[order], n[order]
+        # exclusive cumsum, reset at bucket boundaries
+        cum = np.cumsum(n)
+        local = cum - n
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        base = local[starts]  # stream offset already consumed per bucket
+        local = local - np.repeat(base, np.diff(np.r_[starts, len(b)]))
+        off = np.fromiter((offsets[x] for x in b), np.int64, len(b))
+        st = off + local
+        yield pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "n_tokens": pa.array(n),
+                "seq_first": pa.array(st // capacity),
+                "seq_last": pa.array((st + n - 1) // capacity),
+            }
+        )
+
+    return co.map_batches(assign, batch_size=None, batch_format="pyarrow")
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE
+    array_length(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+    AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+  FROM tok WHERE n_tokens > 0
+)
+SELECT doc_id, n_tokens,
+  st // {SEQ_CAPACITY} AS seq_first,
+  (st + n_tokens - 1) // {SEQ_CAPACITY} AS seq_last
+FROM p
+"""
+
+
+def packed_sequence_stats(
+    sf_dir: str, capacity: int = SEQ_CAPACITY
+) -> ray.data.Dataset:
+    """Per sequence id: how many docs START in it and how many tokens
+    it holds — the packing-efficiency report (last sequence may be
+    short; every other sequence holds exactly ``capacity`` tokens by
+    construction, so the token count is derived, not re-summed: this
+    re-aggregates only the tiny (doc → seq_first) assignment)."""
+    packed = pack_sequences(sf_dir, capacity)
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "seq_first" not in t.schema.names:
+            return
+        g = (
+            t.select(["seq_first", "n_tokens"])
+            .rename_columns(["seq_id", "n_tokens"])
+            .append_column("docs_started", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["seq_id"])
+            .aggregate([("docs_started", "sum"), ("n_tokens", "sum")])
+        )
+        yield g.rename_columns(["seq_id", "docs_started", "n_tokens"])
+
+    partials = packed.map_batches(pre, batch_format="pyarrow")
+    return keyed_reagg(
+        partials,
+        ["seq_id"],
+        [("docs_started", "sum"), ("n_tokens", "sum")],
+        num_partitions=P,
+    )
+
+
+PACKED_SEQUENCE_STATS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE
+    array_length(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+    AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+  FROM tok WHERE n_tokens > 0
+)
+SELECT st // {SEQ_CAPACITY} AS seq_id,
+  CAST(COUNT(*) AS BIGINT) AS docs_started,
+  SUM(n_tokens) AS n_tokens
+FROM p GROUP BY 1
+"""
