@@ -203,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequence packing (concat-and-chunk; distributed prefix sum)
         "pack_sequences": _packmod().pack_sequences,
         "packed_sequence_stats": _packmod().packed_sequence_stats,
+        "shuffle_order": _packmod().shuffle_order,
+        "mixture_sample": _packmod().mixture_sample,
     }
 
 
@@ -601,6 +603,49 @@ sk1 AS (SELECT (x + 11400714819323198485) % {_M64} AS z FROM sk0),
 sk2 AS (SELECT {_sm64_mul('xor(z, z // 1073741824)', 0xBF58476D1CE4E5B9)} AS z FROM sk1),
 sk3 AS (SELECT {_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FROM sk2),
 hh AS (SELECT xor(z, z // 2147483648) AS z FROM sk3)"""
+
+
+def _sm64_id_cte(src: str) -> str:
+    """Like ``_sm64_cte`` but carries an ``id`` column through:
+    ``src`` must provide (id, x); yields hh(id, z)."""
+    return f"""
+sk0 AS (SELECT id, CAST(x AS HUGEINT) AS x FROM {src}),
+sk1 AS (SELECT id, (x + 11400714819323198485) % {_M64} AS z FROM sk0),
+sk2 AS (SELECT id, {_sm64_mul('xor(z, z // 1073741824)', 0xBF58476D1CE4E5B9)} AS z FROM sk1),
+sk3 AS (SELECT id, {_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FROM sk2),
+hh AS (SELECT id, xor(z, z // 2147483648) AS z FROM sk3)"""
+
+
+def _shuffle_order_sql() -> str:
+    return f"""
+WITH {_sm64_id_cte('(SELECT doc_id AS id, doc_id AS x FROM documents)')}
+SELECT id AS doc_id,
+  CAST(ROW_NUMBER() OVER (ORDER BY z) - 1 AS BIGINT) AS pos
+FROM hh"""
+
+
+def _mixture_sample_sql() -> str:
+    return f"""
+WITH {_sm64_id_cte('(SELECT doc_id AS id, doc_id AS x FROM documents)')},
+tok AS (
+  SELECT doc_id, source, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE
+    array_length(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+    AS n_tokens
+  FROM documents
+),
+t2 AS (SELECT * FROM tok WHERE n_tokens > 0),
+j AS (
+  SELECT t.doc_id, t.source, t.n_tokens, h.z
+  FROM t2 t JOIN hh h ON t.doc_id = h.id
+),
+bud AS (SELECT source, SUM(n_tokens) // 2 AS b FROM t2 GROUP BY source),
+c AS (
+  SELECT doc_id, source, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY z) AS cum
+  FROM j
+)
+SELECT c.doc_id, c.source, c.n_tokens
+FROM c JOIN bud ON c.source = bud.source WHERE c.cum <= bud.b"""
 
 
 # HITS, two unrolled iterations (pinned rule in rayrank.hits): A is the
@@ -1046,6 +1091,8 @@ def oracle_sql() -> dict[str, str]:
         "kcore_vertices": _KCORE_SQL,
         "pack_sequences": _packmod().PACK_SEQUENCES_SQL,
         "packed_sequence_stats": _packmod().PACKED_SEQUENCE_STATS_SQL,
+        "shuffle_order": _shuffle_order_sql(),
+        "mixture_sample": _mixture_sample_sql(),
         "triangle_count": (
             "WITH raw AS (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem), "
             "und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v "

@@ -53,8 +53,11 @@ SEQ_CAPACITY = 256
 BUCKET_SPAN = 32
 
 
-def _doc_token_counts(sf_dir: str) -> ray.data.Dataset:
-    """(doc_id, n_tokens, bucket) per document with n_tokens > 0."""
+def _doc_token_counts(
+    sf_dir: str, carry: tuple[str, ...] = ()
+) -> ray.data.Dataset:
+    """(doc_id, n_tokens, bucket, *carry) per document with
+    n_tokens > 0.  ``carry`` columns ride along unchanged."""
 
     def count(t: pa.Table):
         if len(t) == 0:
@@ -71,16 +74,19 @@ def _doc_token_counts(sf_dir: str) -> ray.data.Dataset:
         if not keep.any():
             return
         doc = t.column("doc_id").to_numpy(zero_copy_only=False)[keep]
-        yield pa.table(
-            {
-                "doc_id": pa.array(doc),
-                "n_tokens": pa.array(n[keep]),
-                "bucket": pa.array(doc // BUCKET_SPAN),
-            }
-        )
+        cols = {
+            "doc_id": pa.array(doc),
+            "n_tokens": pa.array(n[keep]),
+            "bucket": pa.array(doc // BUCKET_SPAN),
+        }
+        mask = pa.array(keep)
+        for c in carry:
+            cols[c] = t.column(c).combine_chunks().filter(mask)
+        yield pa.table(cols)
 
     ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", *carry],
     )
     return ds.map_batches(count, batch_format="pyarrow")
 
@@ -189,6 +195,191 @@ def packed_sequence_stats(
         [("docs_started", "sum"), ("n_tokens", "sum")],
         num_partitions=P,
     )
+
+
+SHUFFLE_BUCKET_BITS = 8  # 256 hash-range buckets
+
+
+def shuffle_order(
+    sf_dir: str, bits: int = SHUFFLE_BUCKET_BITS
+) -> ray.data.Dataset:
+    """(doc_id, pos): the DETERMINISTIC global training-shuffle
+    permutation — pos = 0-based rank of ``splitmix64(doc_id)``.
+
+    A global sort expressed as the same two-level prefix-sum shape as
+    :func:`pack_sequences`, except the bucket key is the hash's HIGH
+    ``bits`` (so bucket order IS hash order and bucket sizes are
+    uniform regardless of doc_id skew): per-block bucket counts →
+    one keyed re-agg (≤ 2^bits rows to the driver's exclusive scan)
+    → one bucket-keyed repartition → in-block sort by hash.  Only
+    (doc_id, hash, bucket) int64 triples shuffle; splitmix64 is a
+    bijection on uint64, so ranks are total (no tie rule needed) and
+    the permutation replays bit-identically across runs and cluster
+    sizes — unlike ``Dataset.random_shuffle``."""
+    from .sketch import splitmix64
+
+    shift = np.uint64(64 - bits)
+
+    def hb(t: pa.Table):
+        if len(t) == 0:
+            return
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = splitmix64(doc.astype(np.uint64))
+        yield pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "h": pa.array(h.view(np.int64)),
+                "bucket": pa.array((h >> shift).astype(np.int64)),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).map_batches(hb, batch_format="pyarrow")
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "bucket" not in t.schema.names:
+            return
+        g = (
+            t.select(["bucket"])
+            .append_column("cnt", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["bucket"])
+            .aggregate([("cnt", "sum")])
+        )
+        yield g.rename_columns(["bucket", "cnt"])
+
+    counts = keyed_reagg(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["bucket"],
+        [("cnt", "sum")],
+        num_partitions=P,
+    ).take_all()
+    counts.sort(key=lambda r: r["bucket"])
+    offsets: dict[int, int] = {}
+    run = 0
+    for r in counts:
+        offsets[r["bucket"]] = run
+        run += int(r["cnt"])
+
+    co = ds.repartition(P, keys=["bucket"])
+
+    def rank(t: pa.Table):
+        if t.num_rows == 0 or "bucket" not in t.schema.names:
+            return
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        h = t.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, b))
+        b, h, doc = b[order], h[order], doc[order]
+        local = np.arange(len(b), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        local -= np.repeat(local[starts], np.diff(np.r_[starts, len(b)]))
+        off = np.fromiter((offsets[x] for x in b), np.int64, len(b))
+        yield pa.table({"doc_id": pa.array(doc), "pos": pa.array(off + local)})
+
+    return co.map_batches(rank, batch_size=None, batch_format="pyarrow")
+
+
+def mixture_sample(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, source, n_tokens): the token-budget mixture selection —
+    per source, walk documents in splitmix64(doc_id) hash order and
+    keep them while the running token total stays within that source's
+    budget (``total_tokens(source) // 2``; inclusive rule
+    ``cum ≤ budget``).  The standard "sample each corpus down to its
+    mixture weight" pretraining step, deterministic end to end.
+
+    Same grouped two-level prefix sum as :func:`shuffle_order` with a
+    compound (source, hash-range) bucket: per-source budgets AND
+    per-bucket token offsets both come from ONE tiny keyed re-agg
+    (≤ |sources|·2^bits rows), so a giant source never concentrates in
+    one partition — the in-block step only ever sees one hash-range
+    slice of it.  Pure integer thresholding: replays bit-identically
+    at any cluster size, and the SQL oracle's window cumsum matches
+    exactly."""
+    from .sketch import splitmix64
+
+    bits = SHUFFLE_BUCKET_BITS
+    shift = np.uint64(64 - bits)
+    counts = _doc_token_counts(sf_dir, carry=("source",))
+
+    def hb(t: pa.Table):
+        if len(t) == 0 or "doc_id" not in t.schema.names:
+            return
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = splitmix64(doc.astype(np.uint64))
+        yield (
+            t.select(["doc_id", "source", "n_tokens"])
+            .append_column("h", pa.array(h.view(np.int64)))
+            .append_column("hb", pa.array((h >> shift).astype(np.int64)))
+        )
+
+    ds = counts.map_batches(hb, batch_format="pyarrow")
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "hb" not in t.schema.names:
+            return
+        g = (
+            t.select(["source", "hb", "n_tokens"])
+            .group_by(["source", "hb"])
+            .aggregate([("n_tokens", "sum")])
+        )
+        yield g.rename_columns(["source", "hb", "n_tokens"])
+
+    partials = keyed_reagg(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["source", "hb"],
+        [("n_tokens", "sum")],
+        num_partitions=P,
+    ).take_all()  # ≤ |sources|·2^bits rows
+    partials.sort(key=lambda r: (r["source"], r["hb"]))
+    offsets: dict[tuple[str, int], int] = {}
+    budget: dict[str, int] = {}
+    for r in partials:
+        s = r["source"]
+        offsets[(s, r["hb"])] = budget.get(s, 0)
+        budget[s] = budget.get(s, 0) + int(r["n_tokens"])
+    budget = {s: tot // 2 for s, tot in budget.items()}
+
+    co = ds.repartition(P, keys=["source", "hb"])
+
+    def pick(t: pa.Table):
+        if t.num_rows == 0 or "hb" not in t.schema.names:
+            return
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        hb_ = t.column("hb").to_numpy(zero_copy_only=False)
+        h = t.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        scode, sidx = np.unique(src, return_inverse=True)
+        order = np.lexsort((h, hb_, sidx))
+        sidx, hb_, h, doc, n = (
+            sidx[order], hb_[order], h[order], doc[order], n[order]
+        )
+        grp = sidx * (np.int64(1) << np.int64(bits)) + hb_
+        cum = np.cumsum(n)
+        excl = cum - n
+        starts = np.flatnonzero(np.r_[True, grp[1:] != grp[:-1]])
+        excl = excl - np.repeat(excl[starts], np.diff(np.r_[starts, len(grp)]))
+        off = np.fromiter(
+            (offsets[(scode[s], b)] for s, b in zip(sidx, hb_)),
+            np.int64,
+            len(grp),
+        )
+        bud = np.fromiter(
+            (budget[scode[s]] for s in sidx), np.int64, len(grp)
+        )
+        keep = off + excl + n <= bud
+        if not keep.any():
+            return
+        yield pa.table(
+            {
+                "doc_id": pa.array(doc[keep]),
+                "source": pa.array(scode[sidx[keep]]),
+                "n_tokens": pa.array(n[keep]),
+            }
+        )
+
+    return co.map_batches(pick, batch_size=None, batch_format="pyarrow")
 
 
 PACKED_SEQUENCE_STATS_SQL = f"""

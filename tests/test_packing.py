@@ -47,6 +47,47 @@ def test_pack_sequences_capacity(capacity):
     assert m == _expected(capacity)
 
 
+def test_shuffle_order_is_permutation():
+    from rayrank.packing import shuffle_order
+    from rayrank.sketch import splitmix64
+
+    got = pa.concat_tables(
+        shuffle_order(SF_DIR, bits=4).iter_batches(batch_format="pyarrow")
+    )
+    doc = np.array(got.column("doc_id").to_pylist())
+    pos = np.array(got.column("pos").to_pylist())
+    assert sorted(pos) == list(range(len(doc)))  # total 0-based permutation
+    # rank order == splitmix64 order regardless of bucket width
+    h = splitmix64(doc.astype(np.uint64))
+    assert list(doc[np.argsort(pos)]) == list(doc[np.argsort(h)])
+
+
+def test_mixture_sample_budget_rule():
+    from rayrank.packing import mixture_sample
+    from rayrank.sketch import splitmix64
+
+    got = pa.concat_tables(
+        mixture_sample(SF_DIR).iter_batches(batch_format="pyarrow")
+    ).to_pandas()
+    exp = _expected(1)  # doc -> (anything); reuse for token counts
+    t = pq.read_table(
+        SF_DIR + "/documents.parquet", columns=["doc_id", "text", "source"]
+    ).to_pandas()
+    t["n"] = [len(s.split()) for s in t["text"]]
+    t = t[t["n"] > 0].copy()
+    t["h"] = splitmix64(t["doc_id"].to_numpy().astype(np.uint64))
+    kept = set()
+    for src, g in t.groupby("source"):
+        g = g.sort_values("h")
+        bud = int(g["n"].sum()) // 2
+        cum = g["n"].cumsum()
+        kept |= set(g.loc[cum <= bud, "doc_id"])
+    assert set(got["doc_id"]) == kept
+    # every kept row carries its true token count
+    m = dict(zip(t["doc_id"], t["n"]))
+    assert all(m[d] == n for d, n in zip(got["doc_id"], got["n_tokens"]))
+
+
 def test_packed_stats_conservation():
     capacity = 128
     stats = pa.concat_tables(
