@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _terms().tfidf_top_terms,
         "inverted_index": _terms().inverted_index,
         "top_bigrams": _terms().top_bigrams,
+        "bigram_pmi": _terms().bigram_pmi,
         "doc_repetition": _terms().doc_repetition,
         "contamination_ngram": _terms().contamination_ngram,
         "cross_source_ngram_overlap": _terms().cross_source_ngram_overlap,
@@ -1006,6 +1007,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _terms().TFIDF_TOP_TERMS_SQL,
         "inverted_index": _terms().INVERTED_INDEX_SQL,
         "top_bigrams": _terms().TOP_BIGRAMS_SQL,
+        "bigram_pmi": _terms().BIGRAM_PMI_SQL,
         "doc_repetition": _terms().DOC_REPETITION_SQL,
         "contamination_ngram": _terms().CONTAMINATION_NGRAM_SQL,
         "cross_source_ngram_overlap": _terms().CROSS_SOURCE_NGRAM_OVERLAP_SQL,

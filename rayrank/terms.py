@@ -750,3 +750,179 @@ SELECT a.source AS source_a, b.source AS source_b,
 FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# Bigram PMI: collocation strength over adjacent token pairs
+# --------------------------------------------------------------------------
+
+BIGRAM_PMI_K = 50
+BIGRAM_PMI_MIN_CNT = 5
+
+
+def bigram_pmi(
+    sf_dir: str, k: int = BIGRAM_PMI_K, min_count: int = BIGRAM_PMI_MIN_CNT
+) -> ray.data.Dataset:
+    """Top-k adjacent-token bigrams by pointwise mutual information
+    ``ln(c_ab·Nu²/(c_a·c_b·Nb))`` with ``c_ab ≥ min_count`` (rank on
+    the ROUNDED score, bigram-asc ties — the tfidf_top_terms rule).
+
+    Scale shape: unigram counts reduce to a VOCAB-bounded table
+    (driver-folded and broadcast here; a partitioned lookup above a
+    vocab cap would be the 100-TB path), bigram counts reduce by ONE
+    (a, b)-keyed shuffle, and the reduced bigram table is materialized
+    once — bounded by bigram vocabulary, never corpus rows — so the
+    Nb scalar fold and the scoring pass reuse it without recomputing
+    the scan.  The PMI double is computed with ONE explicit
+    left-associated expression mirrored in the SQL oracle, so the
+    match never depends on DuckDB's internal float algebra."""
+    from .shuffle import keyed_reagg
+
+    def uni(t: pa.Table):
+        if len(t) == 0:
+            return
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t.column("text")), pattern=r"\s+"
+        )
+        arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        vals = arr.values.filter(pc.not_equal(arr.values, ""))
+        if len(vals) == 0:
+            return
+        g = (
+            pa.table({"tok": vals})
+            .append_column("cnt", pa.array(np.ones(len(vals), np.int64)))
+            .group_by(["tok"])
+            .aggregate([("cnt", "sum")])
+        )
+        yield g.rename_columns(["tok", "cnt"])
+
+    ucnt = keyed_reagg(
+        _read_docs(sf_dir).map_batches(uni, batch_format="pyarrow"),
+        ["tok"], [("cnt", "sum")], P,
+    ).take_all()  # vocab-bounded
+    cdict = {r["tok"]: int(r["cnt"]) for r in ucnt}
+    nu = float(sum(cdict.values()))
+
+    def pairs(t: pa.Table):
+        if len(t) == 0:
+            return
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t.column("text")), pattern=r"\s+"
+        )
+        arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offsets = arr.offsets.to_numpy(zero_copy_only=False)
+        vals = arr.values
+        doc_idx = np.repeat(np.arange(len(arr)), np.diff(offsets))
+        keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+        vals_k = vals.filter(pa.array(keep))
+        doc_k = doc_idx[keep]
+        n = len(vals_k)
+        if n < 2:
+            return
+        adj = doc_k[1:] == doc_k[:-1]
+        if not adj.any():
+            return
+        m = pa.array(adj)
+        g = (
+            pa.table(
+                {
+                    "a": vals_k.slice(0, n - 1).filter(m),
+                    "b": vals_k.slice(1).filter(m),
+                }
+            )
+            .append_column("cnt", pa.array(np.ones(int(adj.sum()), np.int64)))
+            .group_by(["a", "b"])
+            .aggregate([("cnt", "sum")])
+        )
+        yield g.rename_columns(["a", "b", "cnt"])
+
+    counts = keyed_reagg(
+        _read_docs(sf_dir).map_batches(pairs, batch_format="pyarrow"),
+        ["a", "b"], [("cnt", "sum")], P,
+    ).materialize()  # bigram-vocab-bounded reduced table
+
+    def nb_part(t: pa.Table):
+        if t.num_rows == 0 or "cnt" not in t.schema.names:
+            return
+        yield pa.table({"s": pa.array([int(
+            pc.sum(t.column("cnt")).as_py() or 0)])})
+
+    nb = float(sum(
+        r["s"] for r in counts.map_batches(
+            nb_part, batch_size=None, batch_format="pyarrow"
+        ).take_all()
+    ))
+
+    def score(t: pa.Table):
+        if t.num_rows == 0 or "cnt" not in t.schema.names:
+            return
+        t = t.filter(pc.greater_equal(t.column("cnt"), min_count))
+        if t.num_rows == 0:
+            return
+        a = t.column("a").to_pylist()
+        b = t.column("b").to_pylist()
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        ca = np.fromiter((cdict[x] for x in a), np.float64, len(a))
+        cb = np.fromiter((cdict[x] for x in b), np.float64, len(b))
+        # ONE left-associated expression, mirrored verbatim in SQL
+        pmi = np.round(
+            np.log((cnt.astype(np.float64) * nu) * nu / ((ca * cb) * nb)), 6
+        )
+        out = pa.table(
+            {
+                "bigram": pc.binary_join_element_wise(
+                    t.column("a"), t.column("b"), " "
+                ),
+                "cnt": t.column("cnt"),
+                "pmi": pa.array(pmi),
+            }
+        )
+        if out.num_rows > k:
+            kth = np.partition(pmi, len(pmi) - k)[len(pmi) - k]
+            out = out.filter(pc.greater_equal(out.column("pmi"), float(kth)))
+        yield out
+
+    g = counts.map_batches(
+        score, batch_size=None, batch_format="pyarrow"
+    ).repartition(1)
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "bigram" not in t.schema.names:
+            return
+        big = np.asarray(t.column("bigram").to_pylist(), dtype=object)
+        pmi = t.column("pmi").to_numpy(zero_copy_only=False)
+        order = np.lexsort((big, -pmi))[:k]
+        yield t.take(pa.array(order))
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+BIGRAM_PMI_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS lst
+  FROM documents
+),
+uni AS (SELECT unnest(lst) AS t FROM tok),
+ucnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY t),
+nu AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM ucnt),
+big AS (
+  SELECT u[1] AS a, u[2] AS b
+  FROM tok, UNNEST(list_zip(lst[1:-1], lst[2:])) AS t(u)
+  WHERE u[1] IS NOT NULL AND u[2] IS NOT NULL
+),
+bcnt AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM big GROUP BY a, b
+),
+nb AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM bcnt),
+p AS (
+  SELECT a || ' ' || b AS bigram, cnt,
+    ROUND(LN((CAST(cnt AS DOUBLE) * nu.n) * nu.n
+             / ((CAST(ua.c AS DOUBLE) * ub.c) * nb.n)), 6) AS pmi
+  FROM bcnt JOIN ucnt ua ON bcnt.a = ua.t JOIN ucnt ub ON bcnt.b = ub.t,
+       nu, nb
+  WHERE cnt >= {BIGRAM_PMI_MIN_CNT}
+)
+SELECT bigram, cnt, pmi FROM p
+QUALIFY ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram) <= {BIGRAM_PMI_K}
+"""
