@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": pl.ann_topk,
         "lsh_ann_topk": pl.lsh_ann_topk,                # rows-only (approximate)
         "ivf_ann_topk": pl.ivf_ann_topk,                # rows-only (approximate)
+        "embedding_pca": _annmod().pca_top_component,   # rows-only (float fold order)
         # graph algorithms (north_rule §2.11)
         "pagerank_2iter": pl.pagerank_2iter,
         "pagerank_personalized_2iter": pl.pagerank_personalized_2iter,
@@ -199,8 +200,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_count": pl.component_count_sf,
         "component_size_histogram": pl.component_size_histogram,
         "bfs_depths": pl.bfs_depths_sf,
+        "landmark_assignment": pl.landmark_assignment_sf,
         "sssp_dists": pl.sssp_dists_sf,
         "kcore_vertices": pl.kcore_vertices_sf,
+        "mis_vertices": pl.mis_vertices_sf,          # rows-only (vid-space priorities)
         # sequence packing (concat-and-chunk; distributed prefix sum)
         "pack_sequences": _packmod().pack_sequences,
         "packed_sequence_stats": _packmod().packed_sequence_stats,
@@ -213,6 +216,12 @@ def _packmod():
     from rayrank import packing
 
     return packing
+
+
+def _annmod():
+    from rayrank import ann
+
+    return ann
 
 
 _VERTS = (
@@ -424,6 +433,47 @@ bfs(it, v, d) AS (
   GROUP BY bfs.it + 1, e.b
 )
 SELECT v AS name, MIN(d) AS depth FROM bfs GROUP BY v
+"""
+
+# Nearest-landmark assignment from the 4 smallest vertex names: the
+# _BFS_SQL bounded min-plus recursion carrying the seed rank, then a
+# per-vertex lexicographic (dist, seed-rank) pick — exactly the
+# encoded-label minimum rayrank.bfs.landmarks propagates (label =
+# dist·K + rank, relaxed by min(+K) on the unchanged gather_min
+# kernel: K-landmark assignment costs ONE BFS, not K).
+_LANDMARK_SQL = f"""
+WITH RECURSIVE
+raw AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+  )
+),
+seeds AS (
+  SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v) - 1 AS BIGINT) AS si
+  FROM (SELECT v FROM verts ORDER BY v LIMIT 4)
+),
+bfs(it, v, si, d) AS (
+  SELECT 0, v, si, CAST(0 AS BIGINT) FROM seeds
+  UNION ALL
+  SELECT bfs.it + 1, e.b, bfs.si, MIN(bfs.d) + 1
+  FROM bfs JOIN und e ON bfs.v = e.a
+  WHERE bfs.it < {_CC_ITERS}
+  GROUP BY bfs.it + 1, e.b, bfs.si
+),
+dist AS (SELECT v, si, MIN(d) AS d FROM bfs GROUP BY v, si),
+pick AS (
+  SELECT v, si, d,
+    ROW_NUMBER() OVER (PARTITION BY v ORDER BY d, si) AS rn
+  FROM dist
+)
+SELECT p.v AS name, p.d AS dist, s.v AS landmark
+FROM pick p JOIN seeds s ON p.si = s.si WHERE p.rn = 1
 """
 
 # Weighted SSSP from the min-name vertex: same bounded min-plus
@@ -1089,6 +1139,7 @@ def oracle_sql() -> dict[str, str]:
         "component_count": _COMPONENT_COUNT_SQL,
         "component_size_histogram": _COMPONENT_SIZE_HIST_SQL,
         "bfs_depths": _BFS_SQL,
+        "landmark_assignment": _LANDMARK_SQL,
         "sssp_dists": _SSSP_SQL,
         "kcore_vertices": _KCORE_SQL,
         "pack_sequences": _packmod().PACK_SEQUENCES_SQL,

@@ -444,3 +444,84 @@ def ivf_topk(
         local_topk, batch_format="pyarrow"
     )
     return _merge_topk(partials, k, id_col)
+
+
+# --------------------------------------------------------------------------
+# PCA: top principal component via map-side Gram/moment partials
+# --------------------------------------------------------------------------
+
+def pca_moments(ds: ray.data.Dataset, col: str = "embedding"):
+    """(n, Σx, Σxxᵀ) over an embedding column: each block folds to
+    D + D² doubles REGARDLESS of row count (the classic data-parallel
+    covariance shape — one streaming pass, no materialization of X),
+    partials concat on the driver (O(blocks·D²), data-size-free)."""
+
+    def part(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        x = _emb_matrix(t, col).astype(np.float64)
+        yield pa.table(
+            {
+                "n": pa.array([x.shape[0]], pa.int64()),
+                "sx": pa.array([x.sum(axis=0)]),
+                "sxx": pa.array([(x.T @ x).ravel()]),
+            }
+        )
+
+    n = 0
+    sx = None
+    sxx = None
+    for r in ds.map_batches(part, batch_format="pyarrow").take_all():
+        n += int(r["n"])
+        v = np.asarray(r["sx"], np.float64)
+        m = np.asarray(r["sxx"], np.float64)
+        sx = v if sx is None else sx + v
+        sxx = m if sxx is None else sxx + m
+    if n == 0:
+        raise ValueError("empty embedding dataset")
+    d = len(sx)
+    return n, sx, sxx.reshape(d, d)
+
+
+def pca_top_component(
+    sf_dir: str, col: str = "embedding", iters: int = 200, tol: float = 1e-12
+) -> ray.data.Dataset:
+    """(dim, loading, eigval): the top principal component of the
+    embedding covariance.  Distributed part = ONE pass of moment
+    partials (see pca_moments); the driver then power-iterates the
+    D×D covariance — O(D²) work, independent of corpus size.
+    Deterministic: init = ones/√D, sign pinned so the
+    largest-|loading| coordinate is positive.  Rows-only for the
+    driver gate: the float partial-sum order is block-dependent
+    (pytest checks allclose vs a single-process numpy mirror)."""
+    import os
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=[col]
+    )
+    n, sx, sxx = pca_moments(ds, col)
+    mu = sx / n
+    cov = sxx / n - np.outer(mu, mu)
+    d = cov.shape[0]
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(iters):
+        w = cov @ v
+        nw = np.linalg.norm(w)
+        if nw == 0.0:
+            break
+        w /= nw
+        if np.linalg.norm(w - v) < tol:
+            v = w
+            break
+        v = w
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    eig = float(v @ cov @ v)
+    out = pa.table(
+        {
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "loading": pa.array(v),
+            "eigval": pa.array(np.full(d, eig)),
+        }
+    )
+    return ray.data.from_arrow(out)

@@ -198,3 +198,133 @@ def reachable_dists(result: LabelResult, graph_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(fin, batch_format="pyarrow")
+
+
+def smallest_vertex_names(graph_dir: str, k: int) -> list[str]:
+    """The k lexicographically-smallest vertex names — per-block
+    partial top-k folded on the driver (O(blocks·k) rows), never
+    materializing the dictionary.  Deterministic landmark seed set,
+    mirrored by the oracle's ORDER BY name LIMIT k."""
+    verts = ray.data.read_parquet(
+        os.path.join(graph_dir, "vertices"), columns=["name"]
+    )
+
+    def block_topk(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        names = sorted(t.column("name").to_pylist())[:k]
+        yield pa.table({"name": pa.array(names, pa.string())})
+
+    parts = [
+        r["name"]
+        for r in verts.map_batches(
+            block_topk, batch_format="pyarrow"
+        ).take_all()
+    ]
+    if not parts:
+        raise ValueError(f"empty vertex dictionary in {graph_dir}")
+    return sorted(parts)[:k]
+
+
+def _seed_locals_idx(
+    graph_dir: str, seed_names: list[str], Q: int
+) -> tuple[dict[int, tuple[np.ndarray, np.ndarray]], list[str]]:
+    """Like seed_locals but keeps WHICH seed each local index is:
+    q → (locals, seed_idx), seed_idx = rank in the sorted seed set."""
+    ordered = sorted(set(seed_names))
+    names = pa.array(ordered, pa.string())
+    verts = ray.data.read_parquet(
+        os.path.join(graph_dir, "vertices"), columns=["vid", "name"]
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("name"), value_set=names))
+
+    blocks = list(
+        verts.map_batches(pick, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    hits = pa.concat_tables(
+        blocks
+        or [pa.table({"vid": pa.array([], pa.int64()), "name": pa.array([], pa.string())})]
+    )
+    vids = hits.column("vid").to_numpy(zero_copy_only=False)
+    hnames = hits.column("name").to_pylist()
+    if len(vids) != len(ordered):
+        missing = set(ordered) - set(hnames)
+        raise ValueError(f"seed names not in vertex dictionary: {sorted(missing)}")
+    rank = {n: i for i, n in enumerate(ordered)}
+    idx = np.fromiter((rank[n] for n in hnames), np.int64, len(hnames))
+    out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for q in range(Q):
+        sel = vids % Q == q
+        if sel.any():
+            out[q] = ((vids[sel] // Q).astype(np.int64), idx[sel])
+    return out, ordered
+
+
+def landmarks(
+    graph_dir: str,
+    seed_names: list[str],
+    max_iterations: int = 200,
+    shards: list | None = None,
+) -> tuple[LabelResult, list[str]]:
+    """Nearest-landmark assignment: for every vertex, the hop distance
+    to the closest seed and WHICH seed (min-dist ties → smallest seed
+    rank).  ONE encoded int64 label per vertex regardless of seed
+    count: label = dist·S + seed_idx, relaxed by min(+S) — the
+    lexicographic (dist, seed) minimum rides the unchanged gather_min
+    kernel, so K-landmark assignment costs exactly one BFS, not K."""
+    from .graph import GraphMeta
+    from .shards import create_shards
+
+    meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
+    if shards is None:
+        shards = create_shards(graph_dir, meta)
+    locs, ordered = _seed_locals_idx(graph_dir, seed_names, meta.Q)
+    step = len(ordered)
+
+    def init(sh):
+        empty = np.empty(0, np.int64)
+        ray.get(
+            [
+                s.init_landmarks.remote(*locs.get(q, (empty, empty)), step)
+                for q, s in enumerate(sh)
+            ]
+        )
+
+    res = iterate_labels(
+        graph_dir,
+        gather_method="gather_min",
+        reduce_method="reduce_min_plus_s",
+        max_iterations=max_iterations,
+        shards=shards,
+        algo_name="landmarks",
+        init_fn=init,
+    )
+    return res, ordered
+
+
+def landmark_table(
+    result: LabelResult, graph_dir: str, ordered_seeds: list[str]
+) -> ray.data.Dataset:
+    """(name, dist, landmark) for reached vertices — encoded labels
+    decoded block-wise (dist = label // S, landmark = seeds[label % S]);
+    unreached rows filtered, no driver materialization."""
+    ds = result.labels_dataset(graph_dir)
+    step = len(ordered_seeds)
+    seeds = np.asarray(ordered_seeds, dtype=object)
+
+    def fin(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.less(t.column("label"), pa.scalar(INF_DIST)))
+        lab = keep.column("label").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "name": keep.column("name"),
+                "dist": pa.array(lab // step),
+                "landmark": pa.array(seeds[lab % step], pa.string()),
+            }
+        )
+
+    return ds.map_batches(fin, batch_format="pyarrow")

@@ -1,0 +1,140 @@
+"""Maximal independent set — deterministic Luby-by-hash-priority on the
+actor-resident CSR shard loop (7th gather/reduce instance; extends the
+reference's iterative-algorithm surface the same way CC/LP/k-core do —
+reference pagerank.py:100 is the pattern ancestor).
+
+Rule (pinned): priority = splitmix64(vid), a bijection → unique.  Each
+synchronous round, (A) every undecided vertex whose priority is a
+strict minimum over its undecided neighbourhood enters the set, then
+(B) undecided neighbours of set members are excluded.  With unique
+priorities this converges to EXACTLY the lexicographically-first MIS —
+the one sequential greedy produces scanning vertices in increasing
+priority — so the result is independent of Q, scheduling, and cluster
+size, and a plain-Python greedy is an exact oracle (tests).  Expected
+round count is O(log n) (Luby 1986; Blelloch-Fineman-Shun 2012 for the
+greedy-equivalence argument).
+
+No SQL oracle: priorities live in the polars-xxhash vid space (same
+reason label_propagation is rows-only), and the two-phase sync round
+needs two references to the recursive table, which SQL's single-ref
+recursion cannot express.
+
+Two gathers+reduces per round, Q×Q int64 message exchange, labels
+resident — identical scale shape to CC (rayrank/components.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from .graph import GraphMeta
+from .iterate import LabelResult
+from .shards import create_shards, gather_refs
+
+MIS_IN = 1
+
+
+def mis(
+    graph_dir: str,
+    max_iterations: int = 200,
+    shards: list | None = None,
+) -> LabelResult:
+    """Run to fixpoint (no undecided vertices).  Labels: 1 = in the
+    set, 2 = excluded."""
+    meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
+    Q = meta.Q
+    if shards is None:
+        shards = create_shards(graph_dir, meta)
+    ray.get([s.init_mis.remote() for s in shards])
+
+    history: list[dict] = []
+    converged = False
+    it = -1
+    for it in range(max_iterations):
+        msgs = gather_refs(shards, "gather_min_undecided_pri")
+        selected = sum(
+            ray.get(
+                [
+                    shards[q].reduce_mis_select.remote(
+                        *[msgs[p][q] for p in range(Q)]
+                    )
+                    for q in range(Q)
+                ]
+            )
+        )
+        msgs = gather_refs(shards, "gather_has_in")
+        excluded = sum(
+            ray.get(
+                [
+                    shards[q].reduce_mis_exclude.remote(
+                        *[msgs[p][q] for p in range(Q)]
+                    )
+                    for q in range(Q)
+                ]
+            )
+        )
+        undecided = sum(ray.get([s.undecided_count.remote() for s in shards]))
+        history.append(
+            {
+                "iteration": it,
+                "selected": int(selected),
+                "excluded": int(excluded),
+                "undecided": int(undecided),
+                "algorithm": "mis",
+            }
+        )
+        if undecided == 0:
+            converged = True
+            break
+
+    return LabelResult(
+        meta=meta,
+        part_refs=[s.get_labels.remote() for s in shards],
+        iterations=it + 1,
+        converged=converged,
+        history=history,
+    )
+
+
+def mis_members(result: LabelResult, graph_dir: str) -> ray.data.Dataset:
+    """(name) of set members — block-wise filter of the zero-shuffle
+    labels dataset, no driver materialization."""
+    ds = result.labels_dataset(graph_dir)
+
+    def fin(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(t.column("label"), MIS_IN))
+        return pa.table({"name": keep.column("name")})
+
+    return ds.map_batches(fin, batch_format="pyarrow")
+
+
+def greedy_mis_oracle(
+    edges: list[tuple[str, str]], name_to_vid: dict[str, int]
+) -> set[str]:
+    """Exact single-process oracle: sequential greedy in increasing
+    splitmix64(vid) priority (drops self-loops, undirected)."""
+    from .sketch import splitmix64
+
+    names = sorted(name_to_vid)
+    vids = np.fromiter((name_to_vid[n] for n in names), np.int64, len(names))
+    pri = splitmix64(vids)
+    adj: dict[str, set] = {n: set() for n in names}
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    chosen: set[str] = set()
+    blocked: set[str] = set()
+    for i in np.argsort(pri):
+        n = names[i]
+        if n in blocked:
+            continue
+        chosen.add(n)
+        blocked |= adj[n]
+    return chosen

@@ -57,6 +57,20 @@ def _doc_token_counts(
     sf_dir: str, carry: tuple[str, ...] = ()
 ) -> ray.data.Dataset:
     """(doc_id, n_tokens, bucket, *carry) per document with
+    n_tokens > 0, from ``{sf_dir}/documents.parquet``."""
+    return _doc_token_counts_ds(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", *carry],
+        ),
+        carry,
+    )
+
+
+def _doc_token_counts_ds(
+    docs: ray.data.Dataset, carry: tuple[str, ...] = ()
+) -> ray.data.Dataset:
+    """(doc_id, n_tokens, bucket, *carry) per document with
     n_tokens > 0.  ``carry`` columns ride along unchanged."""
 
     def count(t: pa.Table):
@@ -84,11 +98,7 @@ def _doc_token_counts(
             cols[c] = t.column(c).combine_chunks().filter(mask)
         yield pa.table(cols)
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text", *carry],
-    )
-    return ds.map_batches(count, batch_format="pyarrow")
+    return docs.map_batches(count, batch_format="pyarrow")
 
 
 def pack_sequences(
@@ -96,7 +106,21 @@ def pack_sequences(
 ) -> ray.data.Dataset:
     """Per doc: (doc_id, n_tokens, seq_first, seq_last) under the
     concat-and-chunk rule (module docstring)."""
-    counts = _doc_token_counts(sf_dir)
+    return pack_sequences_ds(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        ),
+        capacity,
+    )
+
+
+def pack_sequences_ds(
+    docs: ray.data.Dataset, capacity: int = SEQ_CAPACITY
+) -> ray.data.Dataset:
+    """Dataset-input core of :func:`pack_sequences` (bench feeds the
+    tiled scaling corpus here)."""
+    counts = _doc_token_counts_ds(docs)
 
     def pre(t: pa.Table):
         if len(t) == 0 or "bucket" not in t.schema.names:

@@ -888,6 +888,35 @@ def bfs_depths_sf(sf_dir: str) -> ray.data.Dataset:
     return reachable_depths(res, gdir)
 
 
+def landmark_assignment_sf(sf_dir: str, k: int = 4) -> ray.data.Dataset:
+    """(name, dist, landmark) nearest-landmark assignment from the k
+    lexicographically-smallest vertex names on the undirected lineitem
+    graph — K-source BFS in ONE encoded int64 label per vertex
+    (rayrank.bfs.landmarks; label = dist·K + seed rank, min-plus +K).
+    SQL oracle: the _BFS_SQL bounded recursion per seed, then the
+    per-vertex lexicographic (dist, seed-rank) pick — identical to the
+    encoded minimum by construction."""
+    from .bfs import landmark_table, landmarks, smallest_vertex_names
+
+    gdir = _graph(sf_dir, "undirected")
+    seeds = smallest_vertex_names(gdir, k)
+    res, ordered = landmarks(gdir, seeds)
+    return landmark_table(res, gdir, ordered)
+
+
+def mis_vertices_sf(sf_dir: str) -> ray.data.Dataset:
+    """(name) maximal-independent-set members of the undirected
+    lineitem graph — deterministic Luby-by-hash on the shard loop
+    (rayrank.mis; equals sequential greedy in splitmix64(vid) order).
+    Rows-only for the driver: priorities live in vid space (same
+    reason as label_propagation); exact greedy oracle in pytest."""
+    from .mis import mis, mis_members
+
+    gdir = _graph(sf_dir, "undirected")
+    res = mis(gdir)
+    return mis_members(res, gdir)
+
+
 def sssp_dists_sf(sf_dir: str) -> ray.data.Dataset:
     """(name, dist) weighted shortest-path distances from the
     lexicographically-minimum vertex on the undirected lineitem graph,

@@ -301,6 +301,115 @@ class CsrShard:
         self.labels = new
         return changed
 
+    # ------------------------------------------------------------------
+    # Maximal independent set (deterministic Luby-by-hash priority)
+    # ------------------------------------------------------------------
+
+    def init_mis(self) -> None:
+        """MIS init: status lives in ``labels`` (0 undecided / 1 in /
+        2 out); the tie-free priority ``splitmix64(vid)`` (bijective →
+        unique) is resident actor-side.  Requires the undirected
+        no-self-loop layout (derive_undirected drops loops) — a
+        self-neighbor can never be a strict priority minimum and would
+        deadlock undecided."""
+        from .sketch import splitmix64
+
+        vids = np.arange(self.s_p, dtype=np.int64) * self.Q + self.p
+        self._mis_pri = splitmix64(vids)
+        self.labels = np.zeros(self.s_p, np.int64)
+
+    _MIS_NONE = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def gather_min_undecided_pri(self):
+        """Per-destination MIN priority among UNDECIDED source
+        neighbors (UINT64_MAX where none; shipped as the int64 view,
+        viewed back in the reduce)."""
+        if len(self.w) == 0:
+            return self._unwrap1(
+                tuple(
+                    (self.out_local[q], np.empty(0, np.int64))
+                    for q in range(self.Q)
+                )
+            )
+        pri = self._mis_pri[self.src_l].copy()
+        pri[self.labels[self.src_l] != 0] = self._MIS_NONE
+        mins = np.minimum.reduceat(pri, self.seg)
+        return self._unwrap1(
+            tuple(
+                (self.out_local[q], mins[self.route[q]].view(np.int64))
+                for q in range(self.Q)
+            )
+        )
+
+    def reduce_mis_select(self, *parts) -> int:
+        """Select round: an undecided vertex whose own priority is a
+        STRICT minimum over its undecided neighbourhood enters the
+        set.  Unique priorities make the strictness tie-free, so the
+        fixpoint equals the sequential greedy MIS in priority order."""
+        m = np.full(self.s_p, self._MIS_NONE, np.uint64)
+        for idx, vals in parts:
+            if len(idx):
+                np.minimum.at(m, idx, np.asarray(vals, np.int64).view(np.uint64))
+        newly = (self.labels == 0) & (self._mis_pri < m)
+        self.labels[newly] = 1
+        return int(np.count_nonzero(newly))
+
+    def gather_has_in(self):
+        """Per-destination max of (source status == IN)."""
+        if len(self.w) == 0:
+            return self._unwrap1(
+                tuple(
+                    (self.out_local[q], np.empty(0, np.int64))
+                    for q in range(self.Q)
+                )
+            )
+        flag = (self.labels[self.src_l] == 1).astype(np.int64)
+        maxs = np.maximum.reduceat(flag, self.seg)
+        return self._unwrap1(
+            tuple((self.out_local[q], maxs[self.route[q]]) for q in range(self.Q))
+        )
+
+    def reduce_mis_exclude(self, *parts) -> int:
+        """Exclude round: undecided vertices adjacent to an IN vertex
+        leave the race."""
+        has = np.zeros(self.s_p, np.int64)
+        for idx, vals in parts:
+            if len(idx):
+                np.maximum.at(has, idx, vals)
+        newly = (self.labels == 0) & (has == 1)
+        self.labels[newly] = 2
+        return int(np.count_nonzero(newly))
+
+    def undecided_count(self) -> int:
+        return int(np.count_nonzero(self.labels == 0))
+
+    def init_landmarks(self, source_locals: np.ndarray, seed_idx: np.ndarray, step: int) -> None:
+        """Nearest-landmark init: label = ENCODED (dist, seed) pair
+        ``dist·step + seed_idx`` (step = #seeds).  Seeds start at
+        dist 0 → label = their seed index; INF_DIST elsewhere.  The
+        min-plus relaxation with +step then propagates the
+        LEXICOGRAPHIC (dist, seed_idx) minimum — same gather_min
+        kernel as BFS, one int64 per vertex for K sources.  Margin:
+        encoded values ≤ max_iter·step + step ≪ INF_DIST = 2^62."""
+        self.labels = np.full(self.s_p, INF_DIST, np.int64)
+        self._land_step = int(step)
+        if len(source_locals):
+            self.labels[np.asarray(source_locals, np.int64)] = np.asarray(
+                seed_idx, np.int64
+            )
+
+    def reduce_min_plus_s(self, *parts) -> int:
+        """Encoded nearest-landmark relaxation: label[v] ←
+        min(label[v], min_in-nbr label + step).  INF stays dominant
+        exactly as in reduce_min_plus1."""
+        new = self.labels.copy()
+        for idx, mins in parts:
+            if len(idx):
+                np.minimum.at(new, idx, mins + self._land_step)
+        changed = int(np.count_nonzero(new != self.labels))
+        self.labels = new
+        return changed
+
     def gather_min(self):
         """Per-destination min of source labels (CC round A)."""
         if len(self.w) == 0:
