@@ -926,3 +926,144 @@ p AS (
 SELECT bigram, cnt, pmi FROM p
 QUALIFY ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram) <= {BIGRAM_PMI_K}
 """
+
+
+# --------------------------------------------------------------------------
+# Corpus-unigram document scoring (quality-filter / perplexity-proxy stage)
+# --------------------------------------------------------------------------
+
+UNIGRAM_VOCAB_K = 16
+
+
+def doc_unigram_rarity(
+    sf_dir: str, vocab_k: int = UNIGRAM_VOCAB_K
+) -> ray.data.Dataset:
+    """Per-document corpus-unigram statistics — the quality-filter /
+    perplexity-proxy stage of a training-data pipeline: documents made
+    of globally common tokens score high ``commonness``; documents
+    with many tokens outside the top-``vocab_k`` vocabulary score high
+    ``oov_frac`` (the OOV-rate filter).
+
+    Output: (doc_id, n_tok, oov_n, commonness, oov_frac) where
+    ``commonness = (Σ_tokens cnt(tok)) / (n_tok · N)`` with cnt the
+    corpus unigram count and N the corpus token total.
+
+    Exactness: every aggregate is an int64 sum; the two doubles are
+    each ONE division of exactly-representable integers (mirrored
+    verbatim in SQL), so the hash match is independent of float
+    summation order — the fixed-point-sum rule from relational.py.
+
+    Scale shape: the unigram reduce is VOCAB-bounded (keyed_reagg →
+    driver fold → broadcast, the bigram_pmi pattern); per-document
+    scoring is then block-local with ZERO further shuffle, because a
+    document is one parquet row and never splits across blocks.  The
+    per-block python lookup iterates the block's REDUCED (doc, term)
+    pairs (vocab·docs-bounded), never raw tokens.
+    """
+    from .shuffle import keyed_reagg
+
+    def uni(t: pa.Table):
+        if len(t) == 0:
+            return
+        docs, terms = _token_pairs(t)
+        if len(docs) == 0:
+            return
+        g = (
+            pa.table({"tok": terms})
+            .append_column("cnt", pa.array(np.ones(len(docs), np.int64)))
+            .group_by(["tok"])
+            .aggregate([("cnt", "sum")])
+        )
+        yield g.rename_columns(["tok", "cnt"])
+
+    ucnt = keyed_reagg(
+        _read_docs(sf_dir).map_batches(uni, batch_format="pyarrow"),
+        ["tok"], [("cnt", "sum")], P,
+    ).take_all()  # vocab-bounded
+    cdict = {r["tok"]: int(r["cnt"]) for r in ucnt}
+    n_total = float(sum(cdict.values()))  # exact: int total < 2^53
+    vocab = {
+        t
+        for t, _ in sorted(cdict.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :vocab_k
+        ]
+    }
+
+    def score(t: pa.Table):
+        if len(t) == 0:
+            return
+        docs, terms = _token_pairs(t)
+        if len(docs) == 0:
+            return
+        red = (
+            pa.table({"doc_id": pa.array(docs), "term": terms})
+            .append_column("tf", pa.array(np.ones(len(docs), np.int64)))
+            .group_by(["doc_id", "term"])
+            .aggregate([("tf", "sum")])
+            .rename_columns(["doc_id", "term", "tf"])
+        )
+        terms_r = red.column("term").to_pylist()
+        tf = red.column("tf").to_numpy(zero_copy_only=False)
+        cnt = np.fromiter(
+            (cdict[x] for x in terms_r), np.int64, len(terms_r)
+        )
+        oov = np.fromiter(
+            (0 if x in vocab else 1 for x in terms_r), np.int64, len(terms_r)
+        )
+        per = (
+            pa.table(
+                {
+                    "doc_id": red.column("doc_id"),
+                    "n_tok": pa.array(tf),
+                    "rar": pa.array(tf * cnt),
+                    "oov_n": pa.array(tf * oov),
+                }
+            )
+            .group_by(["doc_id"])
+            .aggregate([("n_tok", "sum"), ("rar", "sum"), ("oov_n", "sum")])
+            .rename_columns(["doc_id", "n_tok", "rar", "oov_n"])
+        )
+        n_tok = per.column("n_tok").to_numpy(zero_copy_only=False)
+        rar = per.column("rar").to_numpy(zero_copy_only=False)
+        oov_n = per.column("oov_n").to_numpy(zero_copy_only=False)
+        # ONE division of exact integers each, mirrored verbatim in SQL
+        commonness = rar.astype(np.float64) / (
+            n_tok.astype(np.float64) * n_total
+        )
+        oov_frac = oov_n.astype(np.float64) / n_tok.astype(np.float64)
+        yield pa.table(
+            {
+                "doc_id": per.column("doc_id"),
+                "n_tok": per.column("n_tok"),
+                "oov_n": per.column("oov_n"),
+                "commonness": pa.array(commonness),
+                "oov_frac": pa.array(oov_frac),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+DOC_UNIGRAM_RARITY_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> '')) AS t
+  FROM documents
+),
+cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t),
+ntok AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt),
+vocab AS (SELECT t FROM cnt ORDER BY c DESC, t LIMIT {UNIGRAM_VOCAB_K}),
+per AS (
+  SELECT k.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_tok,
+    CAST(SUM(c.c) AS BIGINT) AS rar,
+    CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_n
+  FROM tok k JOIN cnt c ON k.t = c.t LEFT JOIN vocab v ON k.t = v.t
+  GROUP BY k.doc_id
+)
+SELECT doc_id, n_tok, oov_n,
+  CAST(rar AS DOUBLE) / (CAST(n_tok AS DOUBLE) * ntok.n) AS commonness,
+  CAST(oov_n AS DOUBLE) / CAST(n_tok AS DOUBLE) AS oov_frac
+FROM per, ntok
+"""
