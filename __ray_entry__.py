@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_churned": _an().parts_churned,
         "clustering_coeff": pl.clustering_coeff,
         "two_hop_neighbors": pl.two_hop_neighbors,
+        "common_neighbors": pl.common_neighbors,
         "edge_support": _truss().edge_support,
         "k_truss_edges": _truss().k_truss,
         "event_value_quantiles": _an().event_value_quantiles,
@@ -1014,6 +1015,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "edge_reciprocity": _pl().EDGE_RECIPROCITY_SQL,
         "two_hop_neighbors": _pl().TWO_HOP_NEIGHBORS_SQL,
+        "common_neighbors": _pl().COMMON_NEIGHBORS_SQL,
         "edge_support": _truss().EDGE_SUPPORT_SQL,
         # k_truss_edges: fixpoint peel — not single-SQL-expressible; rows-only
         # (exact networkx parity in tests/test_truss.py)

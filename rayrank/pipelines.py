@@ -1273,6 +1273,170 @@ FROM reach GROUP BY 1
 """
 
 
+CN_DEG_CAP = 24
+CN_TOP_K = 100
+
+
+def common_neighbors(sf_dir: str) -> ray.data.Dataset:
+    """Link prediction by common-neighbor counting on the undirected
+    lineitem graph: the top-``CN_TOP_K`` NON-edges (u, v) ranked by
+    the number of shared neighbors ``cn`` (ties: Σ deg(center) asc,
+    then u, v) — the candidate-generation stage of a link-prediction /
+    recommendation pipeline (Adamic-Adar family, kept in integers so
+    the oracle match is exact).
+
+    Hub rule (standard for this family, and the scale guard): only
+    centers with ``2 ≤ deg ≤ CN_DEG_CAP`` generate wedges, so the pair
+    expansion is Σ_{deg≤cap} deg² ≈ cap·|E|, never the unbounded hub
+    quadratic; the cap is part of the operator contract and mirrored
+    in the SQL oracle.
+
+    Scale shape: the two_hop_neighbors routing — block-deduped
+    both-direction edges repartition ONCE by the center endpoint, so
+    each center's full (globally deduped) neighbor set is block-local;
+    pair emission is a vectorized segmented arange (no per-center
+    Python loop); per-block ``group_by`` pre-combines before the ONE
+    (u, v)-keyed re-agg; existing edges leave via a keyed anti-join;
+    the final top-k uses the pre-truncate → coalesce → re-rank pattern
+    (≤ k rows per block cross the wire)."""
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    P2 = 16
+
+    def und_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        g = pa.table(
+            {"a": pa.array(np.r_[s, d]), "b": pa.array(np.r_[d, s])}
+        ).group_by(["a", "b"]).aggregate([])
+        yield g.rename_columns(["a", "b"])
+
+    und = sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow")
+    mid = und.repartition(P2, keys=["b"])
+
+    def emit_pairs(t: pa.Table):
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((a, b))
+        a_s, b_s = a[order], b[order]
+        uniq = np.r_[True, (b_s[1:] != b_s[:-1]) | (a_s[1:] != a_s[:-1])]
+        a_s, b_s = a_s[uniq], b_s[uniq]  # global dedup: all copies land here
+        starts = np.flatnonzero(np.r_[True, b_s[1:] != b_s[:-1]])
+        deg = np.diff(np.r_[starts, len(b_s)])
+        ok = (deg >= 2) & (deg <= CN_DEG_CAP)
+        if not ok.any():
+            return
+        starts, deg = starts[ok], deg[ok]
+        # neighbors of each kept center, ascending (lexsort guarantees)
+        take = np.repeat(starts, deg) + _seg_arange(deg)
+        vals = a_s[take]
+        seg_starts = np.r_[0, np.cumsum(deg)[:-1]]
+        # each position p in its segment pairs with the tail after it
+        tail = np.repeat(seg_starts + deg, deg) - np.arange(len(vals)) - 1
+        first = np.repeat(np.arange(len(vals)), tail)
+        second = first + _seg_arange(tail) + 1
+        if len(first) == 0:
+            return
+        sdeg = np.repeat(np.repeat(deg.astype(np.int64), deg), tail)
+        g = (
+            pa.table(
+                {
+                    "u": pa.array(vals[first]),
+                    "v": pa.array(vals[second]),
+                    "cn": pa.array(np.ones(len(first), np.int64)),
+                    "sdeg": pa.array(sdeg),
+                }
+            )
+            .group_by(["u", "v"])
+            .aggregate([("cn", "sum"), ("sdeg", "sum")])
+        )
+        yield g.rename_columns(["u", "v", "cn", "sdeg"])
+
+    pairs = keyed_reagg(
+        mid.map_batches(emit_pairs, batch_size=None, batch_format="pyarrow"),
+        ["u", "v"], [("cn", "sum"), ("sdeg", "sum")], P2,
+    )
+    fresh = join_auto(pairs, und, on=("u", "v"), right_on=("a", "b"),
+                      how="anti", num_partitions=P2)
+
+    def local_topk(t: pa.Table):
+        if t.num_rows == 0 or "cn" not in t.schema.names:
+            return
+        t = _cn_rank_head(t, CN_TOP_K)
+        yield t
+
+    g = fresh.map_batches(
+        local_topk, batch_size=None, batch_format="pyarrow"
+    ).repartition(1)
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "cn" not in t.schema.names:
+            return
+        yield _cn_rank_head(t, CN_TOP_K)
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+def _seg_arange(lens: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... concatenated — vectorized segmented arange."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    starts = np.r_[0, np.cumsum(lens)[:-1]]
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+
+def _cn_rank_head(t: pa.Table, k: int) -> pa.Table:
+    """(cn desc, sdeg asc, u, v) head-k — all-integer total order."""
+    cn = t.column("cn").to_numpy(zero_copy_only=False)
+    sdeg = t.column("sdeg").to_numpy(zero_copy_only=False)
+    u = t.column("u").to_numpy(zero_copy_only=False)
+    v = t.column("v").to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, u, sdeg, -cn))[:k]
+    return t.take(pa.array(order))
+
+
+COMMON_NEIGHBORS_SQL = f"""
+WITH raw AS (
+  SELECT l_orderkey AS s, l_partkey AS t FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+  )
+),
+deg AS (
+  SELECT b AS c, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY b
+),
+elig AS (SELECT c, d FROM deg WHERE d BETWEEN 2 AND {CN_DEG_CAP}),
+wedge AS (
+  SELECT e1.a AS u, e2.a AS v, el.d
+  FROM und e1 JOIN und e2 ON e1.b = e2.b AND e1.a < e2.a
+  JOIN elig el ON el.c = e1.b
+),
+cnt AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(d) AS BIGINT) AS sdeg
+  FROM wedge GROUP BY u, v
+),
+fresh AS (
+  SELECT cnt.* FROM cnt ANTI JOIN und ON cnt.u = und.a AND cnt.v = und.b
+)
+SELECT u, v, cn, sdeg FROM fresh
+QUALIFY ROW_NUMBER() OVER (ORDER BY cn DESC, sdeg, u, v) <= {CN_TOP_K}
+"""
+
+
 def component_size_histogram(sf_dir: str) -> ray.data.Dataset:
     """(component size → number of components) on the undirected
     lineitem graph — the aggregate-of-aggregate shape over the CC
