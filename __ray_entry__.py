@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": pl.clustering_coeff,
         "two_hop_neighbors": pl.two_hop_neighbors,
         "common_neighbors": pl.common_neighbors,
+        "random_walks": pl.random_walks,
         "edge_support": _truss().edge_support,
         "k_truss_edges": _truss().k_truss,
         "event_value_quantiles": _an().event_value_quantiles,
@@ -701,6 +702,54 @@ SELECT c.doc_id, c.source, c.n_tokens
 FROM c JOIN bud ON c.source = bud.source WHERE c.cum <= bud.b"""
 
 
+def _random_walks_sql(steps: int) -> str:
+    """Unrolled deterministic-walk oracle (rayrank.pipelines
+    .random_walks): per step, the splitmix64 chain over
+    (cur·8 + s) mod 2^64 in HUGEINT picks the rank-(z % deg) neighbor
+    in ascending order — bit-for-bit the numpy kernel."""
+    ctes = []
+    selects = ["SELECT seed, CAST(0 AS BIGINT) AS step, cur AS vertex FROM w0"]
+    for s in range(steps):
+        ctes.append(f"""
+w{s}k0 AS (SELECT seed, cur,
+  (CAST(cur AS HUGEINT) * 8 + {s}) % {_M64} AS x FROM w{s}),
+w{s}k1 AS (SELECT seed, cur,
+  (x + 11400714819323198485) % {_M64} AS z FROM w{s}k0),
+w{s}k2 AS (SELECT seed, cur,
+  {_sm64_mul('xor(z, z // 1073741824)', 0xBF58476D1CE4E5B9)} AS z FROM w{s}k1),
+w{s}k3 AS (SELECT seed, cur,
+  {_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FROM w{s}k2),
+w{s}h AS (SELECT seed, cur, xor(z, z // 2147483648) AS z FROM w{s}k3),
+w{s + 1} AS (
+  SELECT h.seed, adj.b AS cur
+  FROM w{s}h h
+  JOIN deg ON deg.a = h.cur
+  JOIN adj ON adj.a = h.cur AND adj.rn = CAST(h.z % deg.d AS BIGINT)
+)""")
+        selects.append(
+            f"SELECT seed, CAST({s + 1} AS BIGINT) AS step, cur AS vertex"
+            f" FROM w{s + 1}"
+        )
+    return f"""
+WITH raw AS (
+  SELECT l_orderkey AS s, l_partkey AS t FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+  )
+),
+adj AS (
+  SELECT a, b,
+    CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) - 1 AS BIGINT) AS rn
+  FROM und
+),
+deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY a),
+w0 AS (SELECT a AS seed, a AS cur FROM deg),{",".join(ctes)}
+{" UNION ALL ".join(selects)}"""
+
+
 # HITS, two unrolled iterations (pinned rule in rayrank.hits): A is the
 # multiplicity-weighted adjacency over the lineitem string graph,
 # hub0 = 1/sqrt(n), auth = normalize2(A^T hub), hub = normalize2(A auth).
@@ -1016,6 +1065,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_reciprocity": _pl().EDGE_RECIPROCITY_SQL,
         "two_hop_neighbors": _pl().TWO_HOP_NEIGHBORS_SQL,
         "common_neighbors": _pl().COMMON_NEIGHBORS_SQL,
+        "random_walks": _random_walks_sql(_pl().RW_STEPS),
         "edge_support": _truss().EDGE_SUPPORT_SQL,
         # k_truss_edges: fixpoint peel — not single-SQL-expressible; rows-only
         # (exact networkx parity in tests/test_truss.py)

@@ -1522,3 +1522,145 @@ def corpus_flagship(sf: float = 0.001, top_k: int = 20) -> ray.data.Dataset:
     res = power_method(gdir)
     scores = res.scores_dataset(gdir)
     return scores.sort("score", descending=True).limit(top_k)
+
+
+RW_STEPS = 3
+
+
+def random_walks(sf_dir: str, steps: int = RW_STEPS) -> ray.data.Dataset:
+    """Deterministic random walks on the undirected lineitem graph —
+    the walk-corpus generation stage of a node2vec/DeepWalk embedding
+    pipeline.  One walk starts at EVERY vertex; at step ``s`` a walker
+    at ``cur`` moves to the ``splitmix64(cur·8 + s) mod deg(cur)``-th
+    neighbor in ascending-neighbor order, so the whole corpus is a
+    pure function of the graph (bit-identical replay, no RNG state —
+    the hash_sample / shuffle_order rule applied to walks).
+
+    Output: (seed, step, vertex) for step 0..``steps``; every walk
+    completes (the undirected graph has no dangling vertices).
+
+    Scale shape: adjacency is flattened to (a, rn, b) rows with a
+    block-local segmented rank (one repartition by vertex, vectorized
+    dedup + rank), materialized ONCE and reused by all steps; each
+    step is two keyed joins (degree lookup, then (cur, pick)=(a, rn))
+    through ``join_auto`` — broadcast when the graph fits, partitioned
+    hash join at scale.  Walker rows are (seed, cur) int64 pairs, so a
+    step shuffles O(V) scalars; a resident-shard kernel (the SpMV
+    layout) would replace the per-step join at cluster scale — this is
+    the documented partitioning assumption."""
+    from .joins import join_auto
+    from .sketch import splitmix64
+
+    P2 = 16
+
+    def und_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        g = pa.table(
+            {"a": pa.array(np.r_[s, d]), "b": pa.array(np.r_[d, s])}
+        ).group_by(["a", "b"]).aggregate([])
+        yield g.rename_columns(["a", "b"])
+
+    und = sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow")
+    mid = und.repartition(P2, keys=["a"])
+
+    def rank_adj(t: pa.Table):
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        uniq = np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+        a_s, b_s = a_s[uniq], b_s[uniq]  # global dedup: keyed by a
+        starts = np.flatnonzero(np.r_[True, a_s[1:] != a_s[:-1]])
+        d = np.diff(np.r_[starts, len(a_s)])
+        yield pa.table(
+            {
+                "a": pa.array(a_s),
+                "rn": pa.array(_seg_arange(d)),
+                "b": pa.array(b_s),
+            }
+        )
+
+    adj = mid.map_batches(
+        rank_adj, batch_size=None, batch_format="pyarrow"
+    ).materialize()  # edge-bounded, reused by every step
+
+    def to_deg(t: pa.Table):
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return
+        g = (
+            t.select(["a"])
+            .append_column("d", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["a"])
+            .aggregate([("d", "sum")])
+        )
+        yield g.rename_columns(["a", "d"])
+
+    # adj blocks are already a-complete, so per-block counts ARE degrees
+    deg = adj.map_batches(
+        to_deg, batch_size=None, batch_format="pyarrow"
+    ).materialize()  # vertex-bounded
+
+    def seed0(t: pa.Table):
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return
+        yield pa.table({"seed": t.column("a"), "cur": t.column("a")})
+
+    walkers = deg.map_batches(seed0, batch_format="pyarrow")
+
+    def snapshot(s: int):
+        def fn(t: pa.Table):
+            if t.num_rows == 0 or "seed" not in t.schema.names:
+                return
+            yield pa.table(
+                {
+                    "seed": t.column("seed"),
+                    "step": pa.array(np.full(len(t), s, np.int64)),
+                    "vertex": t.column("cur"),
+                }
+            )
+        return fn
+
+    out = walkers.map_batches(snapshot(0), batch_format="pyarrow")
+    for s in range(steps):
+        wd = join_auto(walkers, deg, on=("cur",), right_on=("a",),
+                       num_partitions=P2)
+
+        def pick(t: pa.Table, _s=s):
+            if t.num_rows == 0 or "d" not in t.schema.names:
+                return
+            cur = t.column("cur").to_numpy(zero_copy_only=False)
+            d = t.column("d").to_numpy(zero_copy_only=False)
+            with np.errstate(over="ignore"):
+                z = splitmix64(cur * np.int64(8) + np.int64(_s))
+            rn = (z % d.astype(np.uint64)).astype(np.int64)
+            yield pa.table(
+                {
+                    "seed": t.column("seed"),
+                    "cur": t.column("cur"),
+                    "rn": pa.array(rn),
+                }
+            )
+
+        picked = wd.map_batches(pick, batch_format="pyarrow")
+        moved = join_auto(picked, adj, on=("cur", "rn"),
+                          right_on=("a", "rn"), num_partitions=P2)
+
+        def advance(t: pa.Table):
+            if t.num_rows == 0 or "b" not in t.schema.names:
+                return
+            yield pa.table({"seed": t.column("seed"), "cur": t.column("b")})
+
+        walkers = moved.map_batches(advance, batch_format="pyarrow")
+        out = out.union(
+            walkers.map_batches(snapshot(s + 1), batch_format="pyarrow")
+        )
+    return out
