@@ -207,6 +207,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_dists": pl.sssp_dists_sf,
         "kcore_vertices": pl.kcore_vertices_sf,
         "mis_vertices": pl.mis_vertices_sf,          # rows-only (vid-space priorities)
+        "graph_coloring": pl.graph_coloring_sf,      # rows-only (vid-space priorities)
         # sequence packing (concat-and-chunk; distributed prefix sum)
         "pack_sequences": _packmod().pack_sequences,
         "packed_sequence_stats": _packmod().packed_sequence_stats,

@@ -138,3 +138,111 @@ def greedy_mis_oracle(
         chosen.add(n)
         blocked |= adj[n]
     return chosen
+
+
+def coloring(
+    graph_dir: str,
+    max_colors: int = 256,
+    shards: list | None = None,
+) -> LabelResult:
+    """Greedy graph coloring by iterated hash-MIS (batched
+    Jones–Plassmann): color class ``c`` is the deterministic greedy
+    MIS of the residual graph after classes ``0..c-1`` are removed.
+
+    Rule (pinned): the same splitmix64(vid) priority as :func:`mis`,
+    so each class — and therefore the whole coloring — equals the
+    sequential algorithm "repeat greedy MIS in priority order on the
+    residual graph", independent of Q, scheduling, and cluster size.
+    Exact sequential oracle in tests (greedy_coloring_oracle).
+
+    Scale shape: identical to :func:`mis` per inner round (two
+    gathers, Q×Q int64 scalars, resident state); the outer loop runs
+    once per color class — O(Δ) classes on bounded-degree graphs,
+    O(log n) inner rounds each."""
+    meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
+    Q = meta.Q
+    if shards is None:
+        shards = create_shards(graph_dir, meta)
+    ray.get([s.init_coloring.remote() for s in shards])
+
+    history: list[dict] = []
+    converged = False
+    rounds = 0
+    for c in range(max_colors):
+        while True:
+            rounds += 1
+            msgs = gather_refs(shards, "gather_min_undecided_pri")
+            ray.get(
+                [
+                    shards[q].reduce_mis_select.remote(
+                        *[msgs[p][q] for p in range(Q)]
+                    )
+                    for q in range(Q)
+                ]
+            )
+            msgs = gather_refs(shards, "gather_has_in")
+            ray.get(
+                [
+                    shards[q].reduce_mis_exclude.remote(
+                        *[msgs[p][q] for p in range(Q)]
+                    )
+                    for q in range(Q)
+                ]
+            )
+            undecided = sum(
+                ray.get([s.undecided_count.remote() for s in shards])
+            )
+            if undecided == 0:
+                break
+        remaining = sum(
+            ray.get([s.color_commit.remote(c) for s in shards])
+        )
+        history.append(
+            {
+                "iteration": c,
+                "uncolored": int(remaining),
+                "algorithm": "coloring",
+            }
+        )
+        if remaining == 0:
+            converged = True
+            break
+    ray.get([s.finish_coloring.remote() for s in shards])
+
+    return LabelResult(
+        meta=meta,
+        part_refs=[s.get_labels.remote() for s in shards],
+        iterations=rounds,
+        converged=converged,
+        history=history,
+    )
+
+
+def greedy_coloring_oracle(
+    edges: list[tuple[str, str]], name_to_vid: dict[str, int]
+) -> dict[str, int]:
+    """Exact single-process oracle: repeat sequential greedy MIS in
+    increasing splitmix64(vid) priority on the residual graph; class
+    ``c`` is round ``c``'s MIS."""
+    from .sketch import splitmix64
+
+    names = sorted(name_to_vid)
+    vids = np.fromiter((name_to_vid[n] for n in names), np.int64, len(names))
+    pri = splitmix64(vids)
+    order = [names[i] for i in np.argsort(pri)]
+    adj: dict[str, set] = {n: set() for n in names}
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    colors: dict[str, int] = {}
+    c = 0
+    while len(colors) < len(names):
+        blocked: set[str] = set()
+        for n in order:
+            if n in colors or n in blocked:
+                continue
+            colors[n] = c
+            blocked |= adj[n]
+        c += 1
+    return colors

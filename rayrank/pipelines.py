@@ -1664,3 +1664,21 @@ def random_walks(sf_dir: str, steps: int = RW_STEPS) -> ray.data.Dataset:
             walkers.map_batches(snapshot(s + 1), batch_format="pyarrow")
         )
     return out
+
+
+def graph_coloring_sf(sf_dir: str) -> ray.data.Dataset:
+    """(name, color) greedy coloring of the undirected lineitem graph
+    by iterated hash-MIS (rayrank.mis.coloring; class c = deterministic
+    greedy MIS of the residual graph).  Rows-only for the driver:
+    priorities live in vid space (same reason as mis_vertices); exact
+    sequential oracle in pytest."""
+    from .mis import coloring
+
+    gdir = _graph(sf_dir, "undirected")
+    res = coloring(gdir)
+    ds = res.labels_dataset(gdir)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"name": t.column("name"), "color": t.column("label")})
+
+    return ds.map_batches(fin, batch_format="pyarrow")

@@ -383,6 +383,31 @@ class CsrShard:
     def undecided_count(self) -> int:
         return int(np.count_nonzero(self.labels == 0))
 
+    # ------------------------------------------------------------------
+    # Greedy coloring by iterated hash-MIS (Jones–Plassmann batched)
+    # ------------------------------------------------------------------
+
+    def init_coloring(self) -> None:
+        """Coloring init: reuses the FULL MIS kernel set unchanged —
+        labels carry the per-round MIS status (0 undecided / 1 in /
+        2 out-or-already-colored; colored vertices are invisible to
+        both gathers, exactly like MIS 'out'), colors are resident."""
+        self.init_mis()
+        self._colors = np.full(self.s_p, -1, np.int64)
+
+    def color_commit(self, c: int) -> int:
+        """After a MIS fixpoint: set members take color ``c``; reset
+        labels for the next round (colored → 2, rest back to 0).
+        Returns the number of still-uncolored vertices."""
+        self._colors[self.labels == 1] = c
+        self.labels = np.where(self._colors >= 0, 2, 0).astype(np.int64)
+        return int(np.count_nonzero(self.labels == 0))
+
+    def finish_coloring(self) -> None:
+        """Expose colors through the label machinery (get_labels /
+        write_labels / zip_names)."""
+        self.labels = self._colors
+
     def init_landmarks(self, source_locals: np.ndarray, seed_idx: np.ndarray, step: int) -> None:
         """Nearest-landmark init: label = ENCODED (dist, seed) pair
         ``dist·step + seed_idx`` (step = #seeds).  Seeds start at
