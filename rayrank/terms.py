@@ -1067,3 +1067,169 @@ SELECT doc_id, n_tok, oov_n,
   CAST(oov_n AS DOUBLE) / CAST(n_tok AS DOUBLE) AS oov_frac
 FROM per, ntok
 """
+
+
+# --------------------------------------------------------------------------
+# Corpus-duplicate n-gram fraction (MassiveText/RefinedWeb boilerplate rule)
+# --------------------------------------------------------------------------
+
+DUP_NGRAM_N = 4
+DUP_NGRAM_DF = 2
+
+
+def duplicate_ngram_fraction(
+    sf_dir: str, n: int = DUP_NGRAM_N, min_df: int = DUP_NGRAM_DF
+) -> ray.data.Dataset:
+    """Per-document fraction of ``n``-gram positions whose gram occurs
+    in ≥ ``min_df`` DISTINCT documents — the cross-corpus duplicated
+    n-gram filter from the published web-corpus recipes (boilerplate /
+    template detection; documents above a threshold get dropped).
+
+    Output: (doc_id, n_pos, dup_pos, dup_frac); docs shorter than
+    ``n`` tokens have no positions and are excluded on both sides;
+    ``dup_frac`` is ONE division of exact int64 counts.
+
+    Scale shape: per-block (doc, gram) position counts pre-combine
+    with an in-block group_by ((doc, gram) block-distinct == global —
+    a document is one row); gram document-frequency reduces from the
+    already-distinct pair stream through one gram-keyed re-agg and the
+    ≥ min_df survivors form the dup set (bounded by the duplicated
+    vocabulary, far smaller than the corpus); membership is a semi
+    join under the broadcast guard; per-doc totals are block-local.
+    The raw gram stream is never materialized."""
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    def pair_counts(t: pa.Table):
+        """(doc_id, gram, tf) position counts + (doc_id, n_pos) totals,
+        marked by a side column so one scan feeds both consumers."""
+        if len(t) == 0:
+            return
+        rows, gram = _gram_pairs(t, n)
+        if rows is None:
+            return
+        docs = t.column("doc_id").to_numpy(zero_copy_only=False)[rows]
+        g = (
+            pa.table({"doc_id": pa.array(docs), "gram": gram})
+            .append_column("tf", pa.array(np.ones(len(docs), np.int64)))
+            .group_by(["doc_id", "gram"])
+            .aggregate([("tf", "sum")])
+        )
+        yield g.rename_columns(["doc_id", "gram", "tf"])
+
+    pairs = _read_docs(sf_dir).map_batches(
+        pair_counts, batch_format="pyarrow"
+    ).materialize()  # (doc, gram)-distinct rows; reused by df + totals
+
+    def df_partial(t: pa.Table):
+        if len(t) == 0 or "gram" not in t.schema.names:
+            return
+        g = (
+            t.select(["gram"])
+            .append_column("df", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["gram"])
+            .aggregate([("df", "sum")])
+        )
+        yield g.rename_columns(["gram", "df"])
+
+    dfs = keyed_reagg(
+        pairs.map_batches(df_partial, batch_format="pyarrow"),
+        ["gram"], [("df", "sum")], P,
+    )
+
+    def dup_only(t: pa.Table):
+        if len(t) == 0 or "df" not in t.schema.names:
+            return
+        keep = t.filter(pc.greater_equal(t.column("df"), min_df))
+        if len(keep) == 0:
+            return
+        yield keep.select(["gram"])
+
+    dup = dfs.map_batches(dup_only, batch_format="pyarrow")
+
+    def tot_partial(t: pa.Table):
+        if len(t) == 0 or "tf" not in t.schema.names:
+            return
+        g = (
+            t.select(["doc_id", "tf"])
+            .group_by(["doc_id"])
+            .aggregate([("tf", "sum")])
+        )
+        yield g.rename_columns(["doc_id", "n_pos"])
+
+    totals = keyed_reagg(
+        pairs.map_batches(tot_partial, batch_format="pyarrow"),
+        ["doc_id"], [("n_pos", "sum")], P,
+    )
+
+    hit = join_auto(pairs, dup, on=("gram",), how="semi", num_partitions=P)
+
+    def dup_partial(t: pa.Table):
+        if len(t) == 0 or "tf" not in t.schema.names:
+            return
+        g = (
+            t.select(["doc_id", "tf"])
+            .group_by(["doc_id"])
+            .aggregate([("tf", "sum")])
+        )
+        yield g.rename_columns(["doc_id", "dup_pos"])
+
+    dup_pos = keyed_reagg(
+        hit.map_batches(dup_partial, batch_format="pyarrow"),
+        ["doc_id"], [("dup_pos", "sum")], P,
+    )
+
+    joined = join_auto(
+        totals, dup_pos, on=("doc_id",), how="left_outer", num_partitions=P
+    )
+
+    def finish(t: pa.Table):
+        if len(t) == 0 or "n_pos" not in t.schema.names:
+            return
+        n_pos = t.column("n_pos").to_numpy(zero_copy_only=False)
+        dp = (
+            pc.fill_null(t.column("dup_pos"), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        frac = dp.astype(np.float64) / n_pos.astype(np.float64)
+        yield pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_pos": t.column("n_pos"),
+                "dup_pos": pa.array(dp),
+                "dup_frac": pa.array(frac),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+_DUP_PARTS = " || ' ' || ".join(f"u[{i + 1}]" for i in range(DUP_NGRAM_N))
+_DUP_ZIPS = ", ".join(f"lst[{i + 1}:]" for i in range(DUP_NGRAM_N))
+
+DUPLICATE_NGRAM_FRACTION_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS lst
+  FROM documents
+), g AS (
+  SELECT doc_id, {_DUP_PARTS} AS gram
+  FROM tok, UNNEST(list_zip({_DUP_ZIPS})) AS t(u)
+  WHERE u[{DUP_NGRAM_N}] IS NOT NULL
+), tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pos FROM g GROUP BY doc_id
+), df AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram
+), dup AS (
+  SELECT gram FROM df WHERE df >= {DUP_NGRAM_DF}
+), d AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_pos
+  FROM g SEMI JOIN dup USING (gram) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_pos,
+  COALESCE(d.dup_pos, 0) AS dup_pos,
+  CAST(COALESCE(d.dup_pos, 0) AS DOUBLE) / CAST(t.n_pos AS DOUBLE)
+    AS dup_frac
+FROM tot t LEFT JOIN d ON t.doc_id = d.doc_id
+"""
