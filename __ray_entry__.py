@@ -89,7 +89,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avg_yearly": _an().avg_yearly,
         "mode_event_type": _an().mode_event_type,
         "user_running_totals": _an().user_running_totals,
-        "user_moving_window": _an().user_moving_window,
         "nation_year_rollup": _an().nation_year_rollup,
         "nation_year_cube": _an().nation_year_cube,
         "event_value_stats": _an().event_value_stats,
@@ -995,7 +994,6 @@ def oracle_sql() -> dict[str, str]:
         "avg_yearly": _an().AVG_YEARLY_SQL,
         "mode_event_type": _an().MODE_EVENT_TYPE_SQL,
         "user_running_totals": _an().USER_RUNNING_TOTALS_SQL,
-        "user_moving_window": _an().USER_MOVING_WINDOW_SQL,
         "nation_year_rollup": _an().NATION_YEAR_ROLLUP_SQL,
         "nation_year_cube": _an().NATION_YEAR_CUBE_SQL,
         "event_value_stats": _an().EVENT_VALUE_STATS_SQL,

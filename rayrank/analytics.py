@@ -1791,73 +1791,3 @@ SELECT event_id, event_type, value,
        ELSE CAST(rk - 1 AS DOUBLE)/CAST(n - 1 AS DOUBLE) END AS pct_rank
 FROM r
 """
-
-
-MOVING_W = 3
-
-
-def user_moving_window(sf_dir: str, w: int = MOVING_W) -> ray.data.Dataset:
-    """Per-event ``w``-row moving count and value sum per user, ordered
-    by (ts, event_id) — the bounded ROWS BETWEEN window shape
-    (user_running_totals is the UNBOUNDED sibling).  Same scale shape:
-    ONE keyed repartition co-locates each user; the kernel is a single
-    lexsort + integer prefix sum, with the window start clamped at the
-    group base (cent snap keeps every sum exact — the only double is
-    one final /100 mirrored in SQL)."""
-    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
-
-    def prep(t: pa.Table):
-        if len(t) == 0:
-            return
-        yield pa.table(
-            {
-                "event_id": t.column("event_id"),
-                "user_id": t.column("user_id"),
-                "us": pc.cast(t.column("ts"), pa.int64()),
-                "val_c": pa.array(_i64(t.column("value"), 100)),
-            }
-        )
-
-    co = ev.map_batches(prep, batch_format="pyarrow").repartition(
-        P, keys=["user_id"]
-    )
-
-    def moving(t: pa.Table):
-        if t.num_rows == 0 or "user_id" not in t.schema.names:
-            return
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
-        e = t.column("event_id").to_numpy(zero_copy_only=False)
-        us = t.column("us").to_numpy(zero_copy_only=False)
-        vc = t.column("val_c").to_numpy(zero_copy_only=False)
-        order = np.lexsort((e, us, u))
-        u, e, us, vc = u[order], e[order], us[order], vc[order]
-        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-        sizes = np.diff(np.r_[starts, len(u)])
-        idx = np.arange(len(u))
-        pos = idx - np.repeat(starts, sizes)
-        w_eff = np.minimum(pos + 1, w)
-        cs = np.cumsum(vc)
-        prev = idx - w_eff
-        win_v = cs - np.where(prev >= 0, cs[np.maximum(prev, 0)], np.int64(0))
-        yield pa.table(
-            {
-                "event_id": pa.array(e),
-                "user_id": pa.array(u),
-                "us": pa.array(us),
-                "win_n": pa.array(w_eff.astype(np.int64)),
-                "win_value": pa.array(win_v.astype(np.float64) / 100.0),
-            }
-        )
-
-    return co.map_batches(moving, batch_size=None, batch_format="pyarrow")
-
-
-USER_MOVING_WINDOW_SQL = f"""
-SELECT event_id, user_id, epoch_us(ts) AS us,
-  CAST(COUNT(*) OVER w AS BIGINT) AS win_n,
-  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER w AS DOUBLE)/100.0
-    AS win_value
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-             ROWS BETWEEN {MOVING_W - 1} PRECEDING AND CURRENT ROW)
-"""
