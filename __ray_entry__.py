@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": _terms().bigram_pmi,
         "doc_unigram_rarity": _terms().doc_unigram_rarity,
         "duplicate_ngram_fraction": _terms().duplicate_ngram_fraction,
+        "bpe_merges": _terms().bpe_merges,
         "doc_repetition": _terms().doc_repetition,
         "contamination_ngram": _terms().contamination_ngram,
         "cross_source_ngram_overlap": _terms().cross_source_ngram_overlap,
@@ -1115,6 +1116,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_pmi": _terms().BIGRAM_PMI_SQL,
         "doc_unigram_rarity": _terms().DOC_UNIGRAM_RARITY_SQL,
         "duplicate_ngram_fraction": _terms().DUPLICATE_NGRAM_FRACTION_SQL,
+        "bpe_merges": _terms().BPE_MERGES_SQL,
         "doc_repetition": _terms().DOC_REPETITION_SQL,
         "contamination_ngram": _terms().CONTAMINATION_NGRAM_SQL,
         "cross_source_ngram_overlap": _terms().CROSS_SOURCE_NGRAM_OVERLAP_SQL,

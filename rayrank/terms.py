@@ -1233,3 +1233,178 @@ SELECT t.doc_id, t.n_pos,
     AS dup_frac
 FROM tot t LEFT JOIN d ON t.doc_id = d.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# BPE merge training rounds (tokenizer-training stage)
+# --------------------------------------------------------------------------
+
+BPE_ROUNDS = 3
+BPE_SEP = "~"
+
+
+def _bpe_apply_merge(vals: np.ndarray, docs: np.ndarray, a: str, b: str):
+    """Greedy left-to-right non-overlapping merge of adjacent (a, b)
+    token pairs within each document — str.replace semantics on the
+    space-joined stream (consecutive overlapping matches only occur
+    when a == b; keeping even offsets within each run IS the greedy
+    scan)."""
+    if len(vals) < 2:
+        return vals, docs
+    m = (vals[:-1] == a) & (vals[1:] == b) & (docs[:-1] == docs[1:])
+    idx = np.flatnonzero(m)
+    if len(idx) == 0:
+        return vals, docs
+    run_start = np.r_[True, idx[1:] != idx[:-1] + 1]
+    run_id = np.cumsum(run_start) - 1
+    offset = idx - idx[run_start][run_id]
+    keep = idx[offset % 2 == 0]
+    out = vals.copy()
+    out[keep] = a + BPE_SEP + b
+    drop = np.zeros(len(vals), bool)
+    drop[keep + 1] = True
+    return out[~drop], docs[~drop]
+
+
+def bpe_merges(sf_dir: str, rounds: int = BPE_ROUNDS) -> ray.data.Dataset:
+    """The first ``rounds`` byte-pair-encoding merge rules learned from
+    the corpus — the tokenizer-training stage of an LLM data pipeline.
+    Each round counts every adjacent token pair (overlaps counted, the
+    standard BPE statistic), picks the (count desc, a asc, b asc)
+    maximum, and rewrites the corpus by greedy left-to-right
+    non-overlapping replacement; merged tokens join with ``~``
+    (assumes ``~`` absent from the raw vocabulary).
+
+    Output: (round, a, b, cnt) — the chosen pair per round with its
+    pre-merge count.
+
+    Scale shape: each round is ONE corpus scan (earlier merges are
+    REPLAYED per block instead of materializing a mutated corpus —
+    rounds × scan beats corpus-sized state); pair counts pre-combine
+    per block and reduce through one keyed re-agg (bigram-vocab
+    bounded); the driver folds only per-block argmax partials, never
+    the pair table.  SQL oracle: the merge rewrite is expressed as
+    string replace() over a DOUBLE-SPACED token join — each token owns
+    its delimiters, so leftmost-non-overlapping replace() is exactly
+    the greedy token merge, and the pair pick is a scalar CTE the next
+    round's rewrite cross-joins."""
+    from .shuffle import keyed_reagg
+
+    merges: list[tuple[str, str]] = []
+    out_rows = []
+    for r in range(1, rounds + 1):
+        cur = list(merges)
+
+        def count_pairs(t: pa.Table, _m=cur):
+            if len(t) == 0:
+                return
+            docs, terms = _token_pairs(t)
+            if len(docs) == 0:
+                return
+            vals = terms.to_numpy(zero_copy_only=False).astype(object)
+            for a, b in _m:  # replay: ≤ rounds tiny vectorized passes
+                vals, docs = _bpe_apply_merge(vals, docs, a, b)
+            if len(vals) < 2:
+                return
+            adj = docs[1:] == docs[:-1]
+            if not adj.any():
+                return
+            g = (
+                pa.table(
+                    {
+                        "a": pa.array(vals[:-1][adj].tolist(), pa.string()),
+                        "b": pa.array(vals[1:][adj].tolist(), pa.string()),
+                        "cnt": pa.array(
+                            np.ones(int(adj.sum()), np.int64)
+                        ),
+                    }
+                )
+                .group_by(["a", "b"])
+                .aggregate([("cnt", "sum")])
+            )
+            yield g.rename_columns(["a", "b", "cnt"])
+
+        reduced = keyed_reagg(
+            _read_docs(sf_dir).map_batches(count_pairs, batch_format="pyarrow"),
+            ["a", "b"], [("cnt", "sum")], P,
+        )
+
+        def local_max(t: pa.Table):
+            if len(t) == 0 or "cnt" not in t.schema.names:
+                return
+            cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+            top = t.filter(pc.equal(t.column("cnt"), int(cnt.max())))
+            rows = sorted(
+                zip(
+                    top.column("a").to_pylist(),
+                    top.column("b").to_pylist(),
+                    top.column("cnt").to_pylist(),
+                )
+            )
+            a, b, c = rows[0]
+            yield pa.table(
+                {"a": [a], "b": [b], "cnt": pa.array([c], pa.int64())}
+            )
+
+        cands = reduced.map_batches(
+            local_max, batch_size=None, batch_format="pyarrow"
+        ).take_all()  # ≤ one row per reduce partition
+        if not cands:
+            break
+        a, b, c = min(
+            ((r_["a"], r_["b"], int(r_["cnt"])) for r_ in cands),
+            key=lambda x: (-x[2], x[0], x[1]),
+        )
+        merges.append((a, b))
+        out_rows.append((r, a, b, c))
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "round": pa.array([x[0] for x in out_rows], pa.int64()),
+                "a": pa.array([x[1] for x in out_rows], pa.string()),
+                "b": pa.array([x[2] for x in out_rows], pa.string()),
+                "cnt": pa.array([x[3] for x in out_rows], pa.int64()),
+            }
+        )
+    )
+
+
+def bpe_merges_sql(rounds: int = BPE_ROUNDS) -> str:
+    """Programmatic oracle: round r counts pairs of the round-(r-1)
+    stream, picks (cnt desc, a, b) LIMIT 1, and rewrites via replace()
+    on the double-spaced join (see bpe_merges docstring)."""
+    ctes = [r"""
+d0 AS (
+  SELECT doc_id,
+    ' ' || array_to_string(
+      list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''),
+      '  ') || ' ' AS s
+  FROM documents
+)"""]
+    sels = []
+    for r in range(1, rounds + 1):
+        ctes.append(rf"""
+p{r} AS (
+  SELECT u[1] AS a, u[2] AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT list_filter(string_split_regex(trim(s), '\s+'), x -> x <> '')
+      AS lst FROM d{r - 1}
+  ), UNNEST(list_zip(lst[1:-1], lst[2:])) AS t(u)
+  WHERE u[1] IS NOT NULL AND u[2] IS NOT NULL
+  GROUP BY a, b
+),
+t{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+d{r} AS (
+  SELECT d.doc_id,
+    replace(d.s, ' ' || t.a || '  ' || t.b || ' ',
+                 ' ' || t.a || '{BPE_SEP}' || t.b || ' ') AS s
+  FROM d{r - 1} d CROSS JOIN t{r} t
+)""")
+        sels.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, a, b, cnt FROM t{r}"
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL ".join(sels)
+
+
+BPE_MERGES_SQL = bpe_merges_sql()
