@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_sequence_stats": _packmod().packed_sequence_stats,
         "shuffle_order": _packmod().shuffle_order,
         "mixture_sample": _packmod().mixture_sample,
+        "dataset_split": _packmod().dataset_split,
     }
 
 
@@ -703,6 +704,29 @@ c AS (
 )
 SELECT c.doc_id, c.source, c.n_tokens
 FROM c JOIN bud ON c.source = bud.source WHERE c.cum <= bud.b"""
+
+
+def _dataset_split_sql() -> str:
+    from rayrank.packing import SPLIT_TRAIN_T, SPLIT_VAL_T
+
+    return f"""
+WITH {_sm64_id_cte('(SELECT doc_id AS id, doc_id AS x FROM documents)')},
+tok AS (
+  SELECT doc_id, source, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE
+    array_length(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+    AS n_tokens
+  FROM documents
+),
+j AS (
+  SELECT t.source, t.n_tokens, h.z
+  FROM tok t JOIN hh h ON t.doc_id = h.id WHERE t.n_tokens > 0
+)
+SELECT source,
+  CASE WHEN z < {SPLIT_TRAIN_T} THEN 'train'
+       WHEN z < {SPLIT_VAL_T} THEN 'val' ELSE 'test' END AS split,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM j GROUP BY 1, 2"""
 
 
 def _random_walks_sql(steps: int) -> str:
@@ -1205,6 +1229,7 @@ def oracle_sql() -> dict[str, str]:
         "packed_sequence_stats": _packmod().PACKED_SEQUENCE_STATS_SQL,
         "shuffle_order": _shuffle_order_sql(),
         "mixture_sample": _mixture_sample_sql(),
+        "dataset_split": _dataset_split_sql(),
         "triangle_count": (
             "WITH raw AS (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem), "
             "und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v "

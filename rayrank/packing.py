@@ -424,3 +424,57 @@ SELECT st // {SEQ_CAPACITY} AS seq_id,
   SUM(n_tokens) AS n_tokens
 FROM p GROUP BY 1
 """
+
+
+# fractions of 2^64 in exact integers: train 80%, val 10%, test 10%
+_M64_INT = 1 << 64
+SPLIT_TRAIN_T = _M64_INT * 8 // 10
+SPLIT_VAL_T = _M64_INT * 9 // 10
+
+
+def dataset_split(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic train/val/test split accounting — the
+    dataset-partitioning stage: every document lands in a split by its
+    hash range (``splitmix64(doc_id)`` < 80 % / 90 % of 2^64), so the
+    assignment is a pure function of the id, replays bit-identically
+    at any cluster size, and never needs a stored assignment table.
+    Output: (source, split, n_docs, n_tokens) — the per-source audit
+    that catches skewed splits before a training run.
+
+    Exactness: the thresholds are exact integers ⌊2^64·f⌋ compared in
+    uint64 (HUGEINT in SQL) — zero float anywhere (the weighted_sample
+    pure-integer-threshold rule).  Scale shape: one scan, block-local
+    (source, split) partials, ONE keyed re-agg over ≤ |sources|·3
+    rows."""
+    from .sketch import splitmix64
+
+    tt = np.uint64(SPLIT_TRAIN_T)
+    tv = np.uint64(SPLIT_VAL_T)
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "n_tokens" not in t.schema.names:
+            return
+        z = splitmix64(t.column("doc_id").to_numpy(zero_copy_only=False))
+        split = np.where(z < tt, "train", np.where(z < tv, "val", "test"))
+        g = (
+            pa.table(
+                {
+                    "source": t.column("source"),
+                    "split": pa.array(split.tolist(), pa.string()),
+                    "n_docs": pa.array(np.ones(len(t), np.int64)),
+                    "n_tokens": t.column("n_tokens"),
+                }
+            )
+            .group_by(["source", "split"])
+            .aggregate([("n_docs", "sum"), ("n_tokens", "sum")])
+        )
+        yield g.rename_columns(["source", "split", "n_docs", "n_tokens"])
+
+    return keyed_reagg(
+        _doc_token_counts(sf_dir, carry=("source",)).map_batches(
+            pre, batch_format="pyarrow"
+        ),
+        ["source", "split"],
+        [("n_docs", "sum"), ("n_tokens", "sum")],
+        4,
+    )
