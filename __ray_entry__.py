@@ -207,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_depths": pl.bfs_depths_sf,
         "landmark_assignment": pl.landmark_assignment_sf,
         "sssp_dists": pl.sssp_dists_sf,
+        "seed_closeness": pl.seed_closeness_sf,
+        "graph_diameter": pl.graph_diameter_sf,
         "kcore_vertices": pl.kcore_vertices_sf,
         "mis_vertices": pl.mis_vertices_sf,          # rows-only (vid-space priorities)
         "graph_coloring": pl.graph_coloring_sf,      # rows-only (vid-space priorities)
@@ -481,6 +483,90 @@ pick AS (
 )
 SELECT p.v AS name, p.d AS dist, s.v AS landmark
 FROM pick p JOIN seeds s ON p.si = s.si WHERE p.rn = 1
+"""
+
+# Closeness centrality of the 4 smallest vertex names: the
+# _LANDMARK_SQL per-seed bounded min-plus recursion, re-aggregated per
+# SEED instead of per vertex.  n_reached / total_dist are exact BIGINT
+# folds; closeness is ONE double division of those two integers —
+# computed identically by rayrank.bfs.seed_closeness, so the hash
+# match is float-algorithm-independent.
+_SEED_CLOSENESS_SQL = f"""
+WITH RECURSIVE
+raw AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+  )
+),
+seeds AS (
+  SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v) - 1 AS BIGINT) AS si
+  FROM (SELECT v FROM verts ORDER BY v LIMIT 4)
+),
+bfs(it, v, si, d) AS (
+  SELECT 0, v, si, CAST(0 AS BIGINT) FROM seeds
+  UNION ALL
+  SELECT bfs.it + 1, e.b, bfs.si, MIN(bfs.d) + 1
+  FROM bfs JOIN und e ON bfs.v = e.a
+  WHERE bfs.it < {_CC_ITERS}
+  GROUP BY bfs.it + 1, e.b, bfs.si
+),
+dist AS (SELECT v, si, MIN(d) AS d FROM bfs GROUP BY v, si)
+SELECT s.v AS seed,
+  CAST(COUNT(*) AS BIGINT) AS n_reached,
+  CAST(SUM(d.d) AS BIGINT) AS total_dist,
+  CAST(COUNT(*) - 1 AS DOUBLE) / CAST(SUM(d.d) AS DOUBLE) AS closeness
+FROM dist d JOIN seeds s ON d.si = s.si
+GROUP BY s.v
+"""
+
+# Double-sweep diameter lower bound: BFS from the min-name vertex,
+# pick the farthest vertex (max depth, ties → min name — the same
+# scalar fold rayrank.shards.far_vertex_part does), BFS again from it.
+# Two bounded min-plus recursions; the second's seed row references
+# the first's pick.
+_GRAPH_DIAMETER_SQL = f"""
+WITH RECURSIVE
+raw AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+  )
+),
+seed AS (SELECT MIN(v) AS v FROM verts),
+b1(it, v, d) AS (
+  SELECT 0, v, CAST(0 AS BIGINT) FROM seed
+  UNION ALL
+  SELECT b1.it + 1, e.b, MIN(b1.d) + 1
+  FROM b1 JOIN und e ON b1.v = e.a
+  WHERE b1.it < {_CC_ITERS}
+  GROUP BY b1.it + 1, e.b
+),
+d1 AS (SELECT v, MIN(d) AS d FROM b1 GROUP BY v),
+f1 AS (SELECT v, d FROM d1 ORDER BY d DESC, v LIMIT 1),
+b2(it, v, d) AS (
+  SELECT 0, v, CAST(0 AS BIGINT) FROM f1
+  UNION ALL
+  SELECT b2.it + 1, e.b, MIN(b2.d) + 1
+  FROM b2 JOIN und e ON b2.v = e.a
+  WHERE b2.it < {_CC_ITERS}
+  GROUP BY b2.it + 1, e.b
+),
+d2 AS (SELECT v, MIN(d) AS d FROM b2 GROUP BY v),
+f2 AS (SELECT v, d FROM d2 ORDER BY d DESC, v LIMIT 1)
+SELECT seed.v AS start, f1.v AS far1, f1.d AS ecc_start,
+       f2.v AS far2, f2.d AS diameter_lb
+FROM seed, f1, f2
 """
 
 # Weighted SSSP from the min-name vertex: same bounded min-plus
@@ -1224,6 +1310,8 @@ def oracle_sql() -> dict[str, str]:
         "bfs_depths": _BFS_SQL,
         "landmark_assignment": _LANDMARK_SQL,
         "sssp_dists": _SSSP_SQL,
+        "seed_closeness": _SEED_CLOSENESS_SQL,
+        "graph_diameter": _GRAPH_DIAMETER_SQL,
         "kcore_vertices": _KCORE_SQL,
         "pack_sequences": _packmod().PACK_SEQUENCES_SQL,
         "packed_sequence_stats": _packmod().PACKED_SEQUENCE_STATS_SQL,

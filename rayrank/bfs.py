@@ -306,6 +306,103 @@ def landmarks(
     return res, ordered
 
 
+def seed_closeness(
+    graph_dir: str,
+    seed_names: list[str],
+    max_iterations: int = 200,
+    shards: list | None = None,
+) -> pa.Table:
+    """Closeness centrality of each seed: one BFS per seed over the
+    SAME resident shard actors (created once, re-initialised per run —
+    the bench shard-reuse pattern), per-seed (reached, Σdist) folded
+    from per-partition scalar partials (shards.reach_stats_part), so
+    the driver never holds a distance vector.  K seeds cost K·diameter
+    rounds of the unchanged gather_min kernel — no new shuffle shape.
+
+    Exactness: n_reached (incl. the seed at dist 0) and total_dist are
+    exact int64; closeness = (n_reached − 1) / total_dist is ONE
+    float64 division of two exact integers, so the SQL oracle computes
+    the bit-identical double.  Assumes every seed has ≥ 1 finite-dist
+    neighbor (true for any vertex drawn from an edge list)."""
+    from .graph import GraphMeta
+    from .shards import create_shards, reach_stats_part
+
+    meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
+    if shards is None:
+        shards = create_shards(graph_dir, meta)
+    seeds, ns, tots = sorted(set(seed_names)), [], []
+    for s in seeds:
+        res = bfs(graph_dir, [s], max_iterations=max_iterations, shards=shards)
+        parts = ray.get(
+            [reach_stats_part.remote(ref) for ref in res.part_refs]
+        )
+        ns.append(sum(p[0] for p in parts))
+        tots.append(sum(p[1] for p in parts))
+    return pa.table(
+        {
+            "seed": pa.array(seeds, pa.string()),
+            "n_reached": pa.array(ns, pa.int64()),
+            "total_dist": pa.array(tots, pa.int64()),
+            "closeness": pa.array(
+                [float(n - 1) / float(t) for n, t in zip(ns, tots)],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _farthest(result: LabelResult, graph_dir: str) -> tuple[str, int]:
+    """(name, dist) of the farthest reached vertex — max finite dist,
+    lexicographically-min name on ties; Q scalar pairs folded on the
+    driver (shards.far_vertex_part does the per-partition pick)."""
+    from .shards import far_vertex_part
+
+    vert_dir = os.path.join(graph_dir, "vertices")
+    parts = ray.get(
+        [
+            far_vertex_part.remote(vert_dir, q, ref)
+            for q, ref in enumerate(result.part_refs)
+        ]
+    )
+    dmax = max(d for d, _ in parts)
+    if dmax < 0:
+        raise ValueError("BFS reached no vertex")
+    return min(n for d, n in parts if d == dmax), dmax
+
+
+def diameter_sweep(
+    graph_dir: str,
+    max_iterations: int = 200,
+    shards: list | None = None,
+) -> pa.Table:
+    """Double-sweep diameter lower bound: BFS from the min-name vertex,
+    hop to its farthest vertex (ties → min name), BFS again — the
+    second eccentricity is the classic double-sweep bound (exact on
+    trees, ≥ diameter/2 always).  Two BFS runs on shared resident
+    shards; only (name, dist) scalar pairs reach the driver.  One row:
+    (start, far1, ecc_start, far2, diameter_lb)."""
+    from .graph import GraphMeta
+    from .shards import create_shards
+
+    meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
+    if shards is None:
+        shards = create_shards(graph_dir, meta)
+    start = min_vertex_name(graph_dir)
+    r1 = bfs(graph_dir, [start], max_iterations=max_iterations, shards=shards)
+    far1, ecc1 = _farthest(r1, graph_dir)
+    r2 = bfs(graph_dir, [far1], max_iterations=max_iterations, shards=shards)
+    far2, ecc2 = _farthest(r2, graph_dir)
+    return pa.table(
+        {
+            "start": pa.array([start], pa.string()),
+            "far1": pa.array([far1], pa.string()),
+            "ecc_start": pa.array([ecc1], pa.int64()),
+            "far2": pa.array([far2], pa.string()),
+            "diameter_lb": pa.array([ecc2], pa.int64()),
+        }
+    )
+
+
 def landmark_table(
     result: LabelResult, graph_dir: str, ordered_seeds: list[str]
 ) -> ray.data.Dataset:

@@ -904,6 +904,31 @@ def landmark_assignment_sf(sf_dir: str, k: int = 4) -> ray.data.Dataset:
     return landmark_table(res, gdir, ordered)
 
 
+def seed_closeness_sf(sf_dir: str, k: int = 4) -> pa.Table:
+    """(seed, n_reached, total_dist, closeness) closeness centrality of
+    the k lexicographically-smallest vertices on the undirected
+    lineitem graph — one BFS per seed on shared resident shards
+    (rayrank.bfs.seed_closeness); integer fold + ONE float division.
+    SQL oracle: the _LANDMARK_SQL per-seed bounded min-plus recursion,
+    re-aggregated per seed instead of per vertex."""
+    from .bfs import seed_closeness, smallest_vertex_names
+
+    gdir = _graph(sf_dir, "undirected")
+    return seed_closeness(gdir, smallest_vertex_names(gdir, k))
+
+
+def graph_diameter_sf(sf_dir: str) -> pa.Table:
+    """(start, far1, ecc_start, far2, diameter_lb) double-sweep
+    diameter lower bound of the undirected lineitem graph — two chained
+    BFS runs on shared resident shards (rayrank.bfs.diameter_sweep);
+    farthest pick = (max dist, min name) scalar fold.  SQL oracle: two
+    bounded min-plus recursions, the second seeded by the first's
+    (max depth, min name) pick."""
+    from .bfs import diameter_sweep
+
+    return diameter_sweep(_graph(sf_dir, "undirected"))
+
+
 def mis_vertices_sf(sf_dir: str) -> ray.data.Dataset:
     """(name) maximal-independent-set members of the undirected
     lineitem graph — deterministic Luby-by-hash on the shard loop

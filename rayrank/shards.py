@@ -39,6 +39,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
@@ -762,6 +763,40 @@ def unique_labels_part(vals) -> pa.Table:
     """Local distinct of one label partition (map-side combine for the
     distributed component count)."""
     return pa.table({"label": np.unique(np.asarray(vals, np.int64))})
+
+
+@ray.remote
+def reach_stats_part(vals) -> tuple:
+    """(#reached, Σdist, max dist) of ONE distance partition — the
+    per-partition partial for closeness / eccentricity folds; three
+    scalars leave the task, never a vector (r1 VERDICT finding #2
+    discipline)."""
+    v = np.asarray(vals, np.int64)
+    m = v < INF_DIST
+    if not m.any():
+        return 0, 0, -1
+    d = v[m]
+    return int(len(d)), int(d.sum()), int(d.max())
+
+
+@ray.remote
+def far_vertex_part(vert_dir: str, q: int, vals) -> tuple:
+    """(max finite dist, lexicographically-min name at that dist) of
+    ONE distance partition — the per-partition partial for the
+    farthest-vertex pick of the diameter double sweep.  Names come
+    from the co-resident vertex partition (same no-shuffle layout as
+    zip_names); (-1, "") when the partition has no reached vertex."""
+    v = np.asarray(vals, np.int64)
+    m = v < INF_DIST
+    if not m.any():
+        return -1, ""
+    dmax = int(v[m].max())
+    at = np.flatnonzero(v == dmax)
+    d = os.path.join(vert_dir, f"q={q}")
+    vt = pq.read_table(d, columns=["vid", "name"])
+    order = np.argsort(vt.column("vid").to_numpy())
+    names = vt.column("name").take(pa.array(order[at]))
+    return dmax, pc.min(names).as_py()
 
 
 def create_shards(graph_dir: str, meta) -> list:

@@ -111,3 +111,45 @@ def test_random_graphs(tmp_path, seed, n, m):
     present = {v for e in edges for v in e}
     seeds = [s for s in seeds if s in present] or [sorted(present)[0]]
     assert engine_depths(gdir, seeds) == python_bfs(edges, seeds)
+
+
+def test_seed_closeness_matches_python(tmp_path):
+    from rayrank.bfs import seed_closeness, smallest_vertex_names
+
+    gdir = str(tmp_path / "g")
+    build_undirected(SMALL_EDGES, gdir)
+    seeds = smallest_vertex_names(gdir, 3)
+    got = {
+        r["seed"]: (r["n_reached"], r["total_dist"], r["closeness"])
+        for r in seed_closeness(gdir, seeds).to_pylist()
+    }
+    for s in seeds:
+        dist = python_bfs(SMALL_EDGES, [s])
+        n, tot = len(dist), sum(dist.values())
+        assert got[s] == (n, tot, float(n - 1) / float(tot))
+
+
+@pytest.mark.parametrize("seed,n,m", [(21, 40, 70), (22, 25, 90)])
+def test_diameter_sweep_matches_python(tmp_path, seed, n, m):
+    from rayrank.bfs import diameter_sweep
+
+    rng = np.random.default_rng(seed)
+    edges = [
+        (str(a), str(b))
+        for a, b in zip(rng.integers(0, n, m), rng.integers(0, n, m))
+    ]
+    gdir = str(tmp_path / "g")
+    build_undirected(edges, gdir, Q=3)
+    row = diameter_sweep(gdir).to_pylist()[0]
+    present = {v for e in edges for v in e}
+    start = min(present)
+    d1 = python_bfs(edges, [start])
+    ecc1 = max(d1.values())
+    far1 = min(v for v, d in d1.items() if d == ecc1)
+    d2 = python_bfs(edges, [far1])
+    ecc2 = max(d2.values())
+    far2 = min(v for v, d in d2.items() if d == ecc2)
+    assert row == {
+        "start": start, "far1": far1, "ecc_start": ecc1,
+        "far2": far2, "diameter_lb": ecc2,
+    }
