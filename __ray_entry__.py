@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": rel.top_revenue_orders,
         "nation_revenue": rel.nation_revenue,
         "user_sessions": rel.user_sessions,
+        "user_streaks": rel.user_streaks,
         "user_distinct_event_types": rel.user_distinct_event_types,
         "top_orders_per_customer": rel.top_orders_per_customer,
         "user_event_pivot": rel.user_event_pivot,
@@ -92,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_year_rollup": _an().nation_year_rollup,
         "nation_year_cube": _an().nation_year_cube,
         "event_value_stats": _an().event_value_stats,
+        "event_value_histogram": _an().event_value_histogram,
         "stratified_event_sample": _an().stratified_event_sample,
         "price_quantiles_cont": pl.price_quantiles_cont,
         "parts_in_both_years": _an().parts_in_both_years,
@@ -160,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "query_filter_docs": pl.query_filter_docs,
         # text / dedup / events / ann
         "docs_exact_dedup": pl.docs_exact_dedup,
+        "docs_normalized_dedup": pl.docs_normalized_dedup,
         "fuzzy_name_pairs": _tx().fuzzy_name_pairs,
         "docs_hash_sample": pl.docs_hash_sample,
         "term_doc_freq": _terms().term_doc_freq,
@@ -1095,6 +1098,7 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue_orders": rel.TOP_REVENUE_ORDERS_SQL,
         "nation_revenue": rel.NATION_REVENUE_SQL,
         "user_sessions": rel.USER_SESSIONS_SQL,
+        "user_streaks": rel.USER_STREAKS_SQL,
         "user_distinct_event_types": rel.USER_DISTINCT_EVENT_TYPES_SQL,
         "top_orders_per_customer": rel.TOP_ORDERS_PER_CUSTOMER_SQL,
         "user_event_pivot": rel.USER_EVENT_PIVOT_SQL,
@@ -1108,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_year_rollup": _an().NATION_YEAR_ROLLUP_SQL,
         "nation_year_cube": _an().NATION_YEAR_CUBE_SQL,
         "event_value_stats": _an().EVENT_VALUE_STATS_SQL,
+        "event_value_histogram": _an().EVENT_VALUE_HISTOGRAM_SQL,
         "stratified_event_sample": _stratified_sample_sql(),
         "price_quantiles_cont": _interp_quantiles_sql(),
         "parts_in_both_years": _an().PARTS_IN_BOTH_YEARS_SQL,
@@ -1217,6 +1222,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docs_exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "docs_normalized_dedup": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY "
+            "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
         ),
         "docs_hash_sample": _hash_sample_sql(),
         "term_doc_freq": _terms().TERM_DOC_FREQ_SQL,

@@ -1791,3 +1791,70 @@ SELECT event_id, event_type, value,
        ELSE CAST(rk - 1 AS DOUBLE)/CAST(n - 1 AS DOUBLE) END AS pct_rank
 FROM r
 """
+
+
+# --------------------------------------------------------------------------
+# equal-width value histogram: two-pass with broadcast scalar bounds
+# --------------------------------------------------------------------------
+
+HIST_BINS = 20
+
+
+def event_value_histogram(sf_dir: str) -> ray.data.Dataset:
+    """(bin, n_events) equal-width histogram of event values over
+    HIST_BINS bins — the canonical two-pass broadcast-scalar shape:
+    pass 1 folds per-block (min, max) cent partials to two driver
+    scalars; pass 2 bins PURE-INTEGER (``(vc − lo)·B // (hi − lo)``,
+    clamped to B−1 so the max lands in the last bin) and pre-combines
+    per block, so only ≤ B rows per block reach the final re-agg.
+    Zero float anywhere ⇒ the SQL oracle's ``//`` floor-division is
+    bit-identical.  Assumes hi > lo (any non-constant column)."""
+
+    def mm(t: pa.Table):
+        if len(t) == 0:
+            return
+        vc = _i64(t.column("value"), 100)
+        yield pa.table({"lo": [int(vc.min())], "hi": [int(vc.max())]})
+
+    ev = _read(sf_dir, "events", ["value"])
+    parts = ev.map_batches(mm, batch_format="pyarrow").take_all()
+    lo = min(r["lo"] for r in parts)
+    hi = max(r["hi"] for r in parts)
+    if hi == lo:
+        hi = lo + 1  # constant column: everything in bin 0
+
+    def binner(t: pa.Table):
+        if len(t) == 0:
+            return
+        vc = _i64(t.column("value"), 100)
+        b = np.minimum((vc - lo) * HIST_BINS // (hi - lo), HIST_BINS - 1)
+        g = (
+            pa.table({"bin": pa.array(b.astype(np.int64)), "n": _ones(len(t))})
+            .group_by(["bin"])
+            .aggregate([("n", "sum")])
+        )
+        yield g.rename_columns(["bin", "n_events"])
+
+    # ≤ HIST_BINS rows per block: repartition(1) + in-block re-agg
+    # beats a keyed shuffle (tiny-partial rule, CLAUDE.md)
+    partials = ev.map_batches(binner, batch_format="pyarrow").repartition(1)
+
+    def fin(t: pa.Table):
+        if t.num_rows == 0 or "bin" not in t.schema.names:
+            return
+        g = t.group_by(["bin"]).aggregate([("n_events", "sum")])
+        yield g.rename_columns(["bin", "n_events"])
+
+    return partials.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+EVENT_VALUE_HISTOGRAM_SQL = f"""
+WITH b AS (
+  SELECT CAST(ROUND(value*100) AS BIGINT) AS vc FROM events
+),
+mm AS (SELECT MIN(vc) AS lo, MAX(vc) AS hi FROM b)
+SELECT CAST(LEAST((vc - lo) * {HIST_BINS} // (hi - lo), {HIST_BINS} - 1)
+            AS BIGINT) AS bin,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM b, mm GROUP BY 1
+"""

@@ -312,6 +312,22 @@ def docs_exact_dedup(sf_dir: str) -> ray.data.Dataset:
     return exact_dedup(slim).select_columns(["doc_id"])
 
 
+def docs_normalized_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup AFTER text canonicalization (lowercase, punctuation
+    runs → one space, trim) — catches trivially-reformatted duplicates
+    raw-byte dedup misses, the standard first rung of a near-dup
+    ladder.  Same slim shuffle as docs_exact_dedup: only (doc_id,
+    sha256(canon)) cross the wire; the text payload never leaves the
+    reading task.  SQL oracle groups by the identical regexp_replace
+    canonical form (sha collisions negligible)."""
+    from .text import canonicalize, exact_dedup, with_text_sha256
+
+    ds = canonicalize(_read(sf_dir, "documents", ["doc_id", "text"]))
+    ds = with_text_sha256(ds, col="canon")
+    slim = ds.select_columns(["doc_id", "text_sha256"])
+    return exact_dedup(slim).select_columns(["doc_id"])
+
+
 def token_counts(sf_dir: str) -> ray.data.Dataset:
     from .text import TokenCounter
 

@@ -755,3 +755,70 @@ p AS (
 SELECT s.user_id, s.signup_us, p.purchase_us
 FROM s JOIN p ON s.user_id = p.user_id
 """
+
+
+def user_streaks(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, max_streak) — longest run of CONSECUTIVE active days
+    per user (the gaps-and-islands shape).  Block-local (user, day)
+    distinct shrinks the shuffle to active-days rows, ONE keyed
+    repartition makes users block-complete, then a fully vectorized
+    run detector (lexsort + cross-block dedup + break cumsum) emits
+    per-user maxima — no per-row or per-group Python loop.  SQL oracle
+    is the classic ``day − ROW_NUMBER()`` island grouping."""
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def days(t: pa.Table):
+        if len(t) == 0:
+            return
+        us = pc.cast(t.column("ts"), pa.int64())
+        day = pc.divide(us, 86_400_000_000)  # int64 floor: ts ≥ epoch
+        g = (
+            pa.table({"user_id": t.column("user_id"), "day": day})
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+        yield g
+
+    ev = ev.map_batches(days, batch_format="pyarrow").repartition(
+        P, keys=["user_id"]
+    )
+
+    def streaks(t: pa.Table):
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        # a (user, day) pair can arrive from several source blocks
+        keep = np.r_[True, (u[1:] != u[:-1]) | (d[1:] != d[:-1])]
+        u, d = u[keep], d[keep]
+        brk = np.r_[True, (u[1:] != u[:-1]) | (d[1:] - d[:-1] != 1)]
+        starts = np.flatnonzero(brk)
+        lengths = np.diff(np.r_[starts, len(u)]).astype(np.int64)
+        g = (
+            pa.table({"user_id": pa.array(u[starts]), "s": pa.array(lengths)})
+            .group_by(["user_id"])
+            .aggregate([("s", "max")])
+        )
+        yield g.rename_columns(["user_id", "max_streak"])
+
+    return ev.map_batches(streaks, batch_size=None, batch_format="pyarrow")
+
+
+USER_STREAKS_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+  FROM events
+),
+r AS (
+  SELECT user_id, day,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM d
+),
+s AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak
+  FROM r GROUP BY user_id, day - rn
+)
+SELECT user_id, MAX(streak) AS max_streak FROM s GROUP BY user_id
+"""

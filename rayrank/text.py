@@ -176,6 +176,28 @@ class Fingerprinter:
         )
 
 
+def canonicalize(
+    ds: ray.data.Dataset, col: str = "text", out: str = "canon"
+) -> ray.data.Dataset:
+    """Near-exact-dedup canonical form: lowercase → each run of
+    non-alphanumerics → one space → trim.  Vectorized Arrow kernels
+    (RE2), mirrored bit-for-bit by DuckDB's
+    ``trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))``
+    (also RE2)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        c = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t.column(col)),
+                pattern="[^a-z0-9]+",
+                replacement=" ",
+            )
+        )
+        return t.append_column(out, c)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def with_text_sha256(ds: ray.data.Dataset, col: str = "text") -> ray.data.Dataset:
     def fn(t: pa.Table) -> pa.Table:
         hs = [

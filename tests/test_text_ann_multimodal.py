@@ -329,3 +329,35 @@ def test_simhash_bucket_cap_flag():
     assert len(rows) == 6  # C(4,2) pairs survive the cap
     assert all(r["truncated"] == 8 for r in rows)  # 12 - 4, flagged
     assert all(r["hamming"] == 0 for r in rows)
+
+
+def test_canonicalize_and_normalized_dedup():
+    from rayrank.text import canonicalize
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "Hello, World!",
+                    "hello   world",
+                    "HELLO.world",
+                    "a different doc",
+                    "  hello world  ",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    ds = canonicalize(ray.data.from_arrow(tbl))
+    canon = {r["doc_id"]: r["canon"] for r in rows_of(ds)}
+    assert canon[0] == canon[1] == canon[2] == canon[4] == "hello world"
+    assert canon[3] == "a different doc"
+    out = rows_of(
+        exact_dedup(
+            with_text_sha256(ds, col="canon").select_columns(
+                ["doc_id", "text_sha256"]
+            )
+        )
+    )
+    assert sorted(r["doc_id"] for r in out) == [0, 3]
