@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_neighbors": pl.common_neighbors,
         "random_walks": pl.random_walks,
         "edge_support": _truss().edge_support,
+        "rich_club": _truss().rich_club,
         "k_truss_edges": _truss().k_truss,
         "event_value_quantiles": _an().event_value_quantiles,
         "event_value_mad": _an().event_value_mad,
@@ -194,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_parts": pl.hll_distinct_parts,
         "embedding_near_dups": pl.embedding_near_dup_pairs,  # rows-only
         "ann_topk": pl.ann_topk,
+        "embedding_quantize": _annmod().embedding_quantize,
         "lsh_ann_topk": pl.lsh_ann_topk,                # rows-only (approximate)
         "ivf_ann_topk": pl.ivf_ann_topk,                # rows-only (approximate)
         "embedding_pca": _annmod().pca_top_component,   # rows-only (float fold order)
@@ -208,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_count": pl.component_count_sf,
         "component_size_histogram": pl.component_size_histogram,
         "bfs_depths": pl.bfs_depths_sf,
+        "descendant_depths": pl.descendant_depths_sf,
         "landmark_assignment": pl.landmark_assignment_sf,
         "sssp_dists": pl.sssp_dists_sf,
         "seed_closeness": pl.seed_closeness_sf,
@@ -441,6 +444,30 @@ bfs(it, v, d) AS (
   UNION ALL
   SELECT bfs.it + 1, e.b, MIN(bfs.d) + 1
   FROM bfs JOIN und e ON bfs.v = e.a
+  WHERE bfs.it < {_CC_ITERS}
+  GROUP BY bfs.it + 1, e.b
+)
+SELECT v AS name, MIN(d) AS depth FROM bfs GROUP BY v
+"""
+
+# Directed reachability depths from the min-name vertex: the _BFS_SQL
+# bounded min-plus recursion over the STORED edge direction only (no
+# reversed union).  Self-loops never relax (d+1 > d), so DISTINCT
+# pairs suffice.  Mirrors rayrank.pipelines.descendant_depths_sf.
+_DESCENDANT_SQL = f"""
+WITH RECURSIVE
+raw AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+dir AS (SELECT DISTINCT s AS a, t AS b FROM raw WHERE s <> t),
+seed AS (SELECT MIN(v) AS v FROM verts),
+bfs(it, v, d) AS (
+  SELECT 0, v, CAST(0 AS BIGINT) FROM seed
+  UNION ALL
+  SELECT bfs.it + 1, e.b, MIN(bfs.d) + 1
+  FROM bfs JOIN dir e ON bfs.v = e.a
   WHERE bfs.it < {_CC_ITERS}
   GROUP BY bfs.it + 1, e.b
 )
@@ -1185,6 +1212,7 @@ def oracle_sql() -> dict[str, str]:
         "common_neighbors": _pl().COMMON_NEIGHBORS_SQL,
         "random_walks": _random_walks_sql(_pl().RW_STEPS),
         "edge_support": _truss().EDGE_SUPPORT_SQL,
+        "rich_club": _truss().RICH_CLUB_SQL,
         # k_truss_edges: fixpoint peel — not single-SQL-expressible; rows-only
         # (exact networkx parity in tests/test_truss.py)
         "fuzzy_name_pairs": _tx().FUZZY_NAME_PAIRS_SQL,
@@ -1298,6 +1326,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kmv_distinct_parts": _kmv_sql("l_partkey", "lineitem", 64),
         "hll_distinct_parts": _hll_sql("l_partkey", "lineitem", 12),
+        "embedding_quantize": _annmod().EMBEDDING_QUANTIZE_SQL,
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
             "FROM embeddings WHERE vec_id < 3), "
@@ -1317,6 +1346,7 @@ def oracle_sql() -> dict[str, str]:
         "component_count": _COMPONENT_COUNT_SQL,
         "component_size_histogram": _COMPONENT_SIZE_HIST_SQL,
         "bfs_depths": _BFS_SQL,
+        "descendant_depths": _DESCENDANT_SQL,
         "landmark_assignment": _LANDMARK_SQL,
         "sssp_dists": _SSSP_SQL,
         "seed_closeness": _SEED_CLOSENESS_SQL,

@@ -525,3 +525,111 @@ def pca_top_component(
         }
     )
     return ray.data.from_arrow(out)
+
+
+def _emb_matrix64(t: pa.Table, col: str) -> np.ndarray:
+    """Vectorized list<float> → (n, d) float64 matrix: reshape the
+    child values buffer when row lengths are uniform (no per-row
+    Python), falling back to _emb_matrix otherwise.  float32→float64
+    widening is exact, matching SQL's CAST(e AS DOUBLE)."""
+    arr = t.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_fixed_size_list(arr.type):
+        d = arr.type.list_size
+        vals = arr.values.to_numpy(zero_copy_only=False)
+        return vals.astype(np.float64).reshape(len(arr), d)
+    offs = arr.offsets.to_numpy()
+    widths = np.diff(offs)
+    if len(widths) and (widths == widths[0]).all():
+        vals = arr.values.to_numpy(zero_copy_only=False)[offs[0] : offs[-1]]
+        return vals.astype(np.float64).reshape(len(arr), int(widths[0]))
+    return _emb_matrix(t, col)
+
+
+SQ_LEVELS = 255.0
+
+
+def scalar_quantize(ds: ray.data.Dataset, col: str = "embedding") -> ray.data.Dataset:
+    """Per-dimension uint8 scalar quantization (the standard 4×
+    index-compression step before ANN): code = ⌊(v − lo_d)·255 /
+    (hi_d − lo_d)⌋ clamped to 255, lo/hi = per-dimension corpus
+    min/max.  Two passes: D-scalar (dim, lo, hi) block partials fold
+    on the driver and broadcast back in the closure; pass 2 is one
+    vectorized matrix expression per block.  Output (vec_id, code_sum,
+    code_min, code_max) — integer checksums of the code matrix, so the
+    SQL oracle (same left-to-right float expression per element, then
+    exact int aggregates) matches bit-for-bit.  Assumes hi_d > lo_d
+    (any non-constant dimension)."""
+
+    def mm(t: pa.Table):
+        if len(t) == 0:
+            return
+        m = _emb_matrix64(t, col)
+        yield pa.table(
+            {
+                "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+                "lo": pa.array(m.min(axis=0)),
+                "hi": pa.array(m.max(axis=0)),
+            }
+        )
+
+    lo: dict[int, float] = {}
+    hi: dict[int, float] = {}
+    for r in ds.map_batches(mm, batch_format="pyarrow").take_all():
+        d = r["dim"]
+        lo[d] = min(lo.get(d, np.inf), r["lo"])
+        hi[d] = max(hi.get(d, -np.inf), r["hi"])
+    dims = sorted(lo)
+    lo_v = np.array([lo[d] for d in dims])
+    hi_v = np.array([hi[d] for d in dims])
+
+    def quant(t: pa.Table):
+        if len(t) == 0:
+            return
+        m = _emb_matrix64(t, col)
+        codes = np.minimum(
+            np.floor((m - lo_v) * SQ_LEVELS / (hi_v - lo_v)), SQ_LEVELS
+        ).astype(np.int64)
+        yield pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "code_sum": pa.array(codes.sum(axis=1)),
+                "code_min": pa.array(codes.min(axis=1)),
+                "code_max": pa.array(codes.max(axis=1)),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH u AS (
+  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS e,
+    UNNEST(range(len(embedding))) AS i
+  FROM embeddings
+),
+mm AS (SELECT i, MIN(e) AS lo, MAX(e) AS hi FROM u GROUP BY i),
+c AS (
+  SELECT u.vec_id,
+    CAST(LEAST(FLOOR((u.e - mm.lo) * 255.0 / (mm.hi - mm.lo)), 255.0)
+         AS BIGINT) AS code
+  FROM u JOIN mm ON u.i = mm.i
+)
+SELECT vec_id, CAST(SUM(code) AS BIGINT) AS code_sum,
+  MIN(code) AS code_min, MAX(code) AS code_max
+FROM c GROUP BY vec_id
+"""
+
+
+def embedding_quantize(sf_dir: str) -> ray.data.Dataset:
+    """queries() entry: scalar-quantization checksums over the
+    embeddings table."""
+    import os
+
+    return scalar_quantize(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+    )

@@ -904,6 +904,21 @@ def bfs_depths_sf(sf_dir: str) -> ray.data.Dataset:
     return reachable_depths(res, gdir)
 
 
+def descendant_depths_sf(sf_dir: str) -> ray.data.Dataset:
+    """(name, depth) hop distances from the min-name vertex following
+    the STORED edge direction (directed reachability — who does the
+    root transitively link to, and how far).  Same gather_min/min-plus
+    loop as bfs_depths but on the directed layout: self-loops never
+    relax (d+1 > d), so the oracle's DISTINCT (s, t) walk recursion is
+    equivalent."""
+    from .bfs import bfs, min_vertex_name, reachable_depths
+
+    gdir = _graph(sf_dir, "directed")
+    seed = min_vertex_name(gdir)
+    res = bfs(gdir, [seed])
+    return reachable_depths(res, gdir)
+
+
 def landmark_assignment_sf(sf_dir: str, k: int = 4) -> ray.data.Dataset:
     """(name, dist, landmark) nearest-landmark assignment from the k
     lexicographically-smallest vertex names on the undirected lineitem

@@ -195,3 +195,130 @@ def k_truss(sf_dir: str, k: int = 4) -> ray.data.Dataset:
             break
         n = n2
     return edges
+
+
+RICH_KS = (4, 8, 16)
+
+
+def rich_club(sf_dir: str) -> pa.Table:
+    """(k, n_rich, rich_edges, phi) rich-club coefficient of the
+    triangle-bearing graph at degree thresholds RICH_KS: φ(k) =
+    2·E_k / (n_k·(n_k−1)) over vertices with degree > k.  Fully
+    distributed: distinct-neighbor degrees via one keyed re-agg, then
+    the edge table joins the degree table on EACH endpoint (join_auto:
+    broadcast under the small-side limit, partitioned hash above — no
+    driver-side degree vector), and per-block counts per k fold to
+    3·|ks| scalars.  φ is ONE double division of two exact int64
+    products, so the SQL oracle is bit-identical; thresholds with
+    n_rich < 2 are omitted (φ undefined)."""
+    edges = _canonical_edges(sf_dir)
+
+    def both(t: pa.Table):
+        if t.num_rows == 0 or "u" not in t.schema.names:
+            return
+        v = pa.array(
+            np.concatenate(
+                [
+                    t.column("u").to_numpy(zero_copy_only=False),
+                    t.column("v").to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        g = (
+            pa.table({"v": v, "d": pa.array(np.ones(len(v), np.int64))})
+            .group_by(["v"])
+            .aggregate([("d", "sum")])
+        )
+        yield g.rename_columns(["v", "d"])
+
+    deg = keyed_reagg(
+        edges.map_batches(both, batch_format="pyarrow"), ["v"], [("d", "sum")], P
+    )
+
+    # n_k: per-block count of deg > k, folded to |ks| scalars
+    def nk(t: pa.Table):
+        if t.num_rows == 0 or "d" not in t.schema.names:
+            return
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "k": pa.array(list(RICH_KS), pa.int64()),
+                "n": pa.array([int((d > k).sum()) for k in RICH_KS], pa.int64()),
+            }
+        )
+
+    n_rich = {k: 0 for k in RICH_KS}
+    for r in deg.map_batches(nk, batch_format="pyarrow").take_all():
+        n_rich[r["k"]] += r["n"]
+
+    du = join_auto(edges, deg, on=("u",), right_on=("v",)).map_batches(
+        lambda t: t.rename_columns(
+            ["du" if c == "d" else c for c in t.schema.names]
+        ),
+        batch_format="pyarrow",
+    )
+    dv = join_auto(du, deg, on=("v",), right_on=("v",))
+
+    def ek(t: pa.Table):
+        if t.num_rows == 0 or "du" not in t.schema.names:
+            return
+        a = t.column("du").to_numpy(zero_copy_only=False)
+        b = t.column("d").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "k": pa.array(list(RICH_KS), pa.int64()),
+                "e": pa.array(
+                    [int(((a > k) & (b > k)).sum()) for k in RICH_KS], pa.int64()
+                ),
+            }
+        )
+
+    rich_edges = {k: 0 for k in RICH_KS}
+    for r in dv.map_batches(ek, batch_format="pyarrow").take_all():
+        rich_edges[r["k"]] += r["e"]
+
+    ks = [k for k in RICH_KS if n_rich[k] > 1]
+    return pa.table(
+        {
+            "k": pa.array(ks, pa.int64()),
+            "n_rich": pa.array([n_rich[k] for k in ks], pa.int64()),
+            "rich_edges": pa.array([rich_edges[k] for k in ks], pa.int64()),
+            "phi": pa.array(
+                [
+                    float(2 * rich_edges[k]) / float(n_rich[k] * (n_rich[k] - 1))
+                    for k in ks
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+RICH_CLUB_SQL = """
+WITH raw AS (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem),
+und AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM raw WHERE a <> b
+),
+adj AS (SELECT u AS x FROM und UNION ALL SELECT v FROM und),
+deg AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY x),
+ks(k) AS (VALUES (CAST(4 AS BIGINT)), (CAST(8 AS BIGINT)), (CAST(16 AS BIGINT))),
+nr AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_rich
+  FROM ks JOIN deg ON deg.d > ks.k GROUP BY k
+),
+er AS (
+  SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS rich_edges
+  FROM und e
+  JOIN deg du ON du.v = e.u
+  JOIN deg dv ON dv.v = e.v
+  JOIN ks ON du.d > ks.k AND dv.d > ks.k
+  GROUP BY ks.k
+)
+SELECT nr.k, nr.n_rich,
+  COALESCE(er.rich_edges, CAST(0 AS BIGINT)) AS rich_edges,
+  CAST(2 * COALESCE(er.rich_edges, 0) AS DOUBLE)
+    / CAST(nr.n_rich * (nr.n_rich - 1) AS DOUBLE) AS phi
+FROM nr LEFT JOIN er ON nr.k = er.k
+WHERE nr.n_rich > 1
+"""

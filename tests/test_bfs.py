@@ -153,3 +153,21 @@ def test_diameter_sweep_matches_python(tmp_path, seed, n, m):
         "start": start, "far1": far1, "ecc_start": ecc1,
         "far2": far2, "diameter_lb": ecc2,
     }
+
+
+def test_directed_bfs(tmp_path):
+    """BFS over the stored (directed) layout must not follow reverse
+    edges — mirrors descendant_depths_sf semantics."""
+    from rayrank.graph import build_graph
+
+    edges = [("a", "b"), ("b", "c"), ("d", "a"), ("c", "c")]
+    t = pa.table(
+        {
+            "src_name": pa.array([s for s, _ in edges], pa.string()),
+            "dst_name": pa.array([d for _, d in edges], pa.string()),
+        }
+    )
+    gdir = str(tmp_path / "g")
+    build_graph(ray.data.from_arrow(t), gdir, num_partitions=3)
+    got = engine_depths(gdir, ["a"])
+    assert got == {"a": 0, "b": 1, "c": 2}  # d unreachable forward

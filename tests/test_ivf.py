@@ -98,3 +98,34 @@ def test_probe_subset_scores_only_probed_lists(corpus):
     assert len(out) > 0
     for r in out:
         assert list_of_vec[r["vec_id"]] == probe_of_query[r["query_id"]]
+
+
+def test_scalar_quantize_known_codes():
+    from rayrank.ann import scalar_quantize
+
+    emb = [
+        [0.0, 10.0],
+        [1.0, 20.0],
+        [2.0, 30.0],
+        [4.0, 50.0],
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "embedding": pa.array(emb, pa.list_(pa.float32())),
+            }
+        )
+    )
+    got = {r["vec_id"]: r for r in scalar_quantize(ds).take_all()}
+    # dim0: lo=0 hi=4 → codes 0, 63, 127, 255; dim1: lo=10 hi=50 → 0, 63, 127, 255
+    import numpy as np
+
+    m = np.asarray(emb, np.float64)
+    lo, hi = m.min(axis=0), m.max(axis=0)
+    codes = np.minimum(np.floor((m - lo) * 255.0 / (hi - lo)), 255.0).astype(int)
+    for i in range(4):
+        assert got[i]["code_sum"] == codes[i].sum()
+        assert got[i]["code_min"] == codes[i].min()
+        assert got[i]["code_max"] == codes[i].max()
+    assert got[3]["code_min"] == 255 and got[3]["code_max"] == 255

@@ -49,3 +49,30 @@ def test_k_truss_matches_networkx(k):
     T = networkx.k_truss(_nx_graph(SF), k)
     want = sorted((min(x, y), max(x, y)) for x, y in T.edges())
     assert got == want
+
+
+def test_rich_club_matches_networkx():
+    nx = pytest.importorskip("networkx")
+    from rayrank.truss import RICH_KS, rich_club
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["k"]: r for r in rich_club(sf).to_pylist()}
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(sf + "/lineitem.parquet", columns=["l_suppkey", "l_partkey"])
+    g = nx.Graph()
+    for a, b in zip(
+        t.column("l_suppkey").to_pylist(), t.column("l_partkey").to_pylist()
+    ):
+        b %= 100
+        if a != b:
+            g.add_edge(a, b)
+    phi = nx.rich_club_coefficient(g, normalized=False)
+    for k in RICH_KS:
+        n = sum(1 for _, d in g.degree() if d > k)
+        if n > 1:
+            assert got[k]["n_rich"] == n
+            assert got[k]["phi"] == pytest.approx(phi.get(k, 0.0), abs=1e-12)
+        else:
+            assert k not in got
