@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": rel.top_orders_per_customer,
         "user_event_pivot": rel.user_event_pivot,
         "funnel_conversions": rel.funnel_conversions,
+        "three_step_funnel": rel.three_step_funnel,
         "order_count_distribution": _an().order_count_distribution,
         "big_orders": _an().big_orders,
         "inactive_customers": _an().inactive_customers,
@@ -173,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": _terms().bigram_pmi,
         "doc_unigram_rarity": _terms().doc_unigram_rarity,
         "duplicate_ngram_fraction": _terms().duplicate_ngram_fraction,
+        "span_dedup_stats": _terms().span_dedup_stats,
+        "ngram_novelty": _terms().ngram_novelty,
         "bpe_merges": _terms().bpe_merges,
         "doc_repetition": _terms().doc_repetition,
         "contamination_ngram": _terms().contamination_ngram,
@@ -1130,6 +1133,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_customer": rel.TOP_ORDERS_PER_CUSTOMER_SQL,
         "user_event_pivot": rel.USER_EVENT_PIVOT_SQL,
         "funnel_conversions": rel.FUNNEL_CONVERSIONS_SQL,
+        "three_step_funnel": rel.THREE_STEP_FUNNEL_SQL,
         "order_count_distribution": _an().ORDER_COUNT_DISTRIBUTION_SQL,
         "big_orders": _an().BIG_ORDERS_SQL,
         "inactive_customers": _an().INACTIVE_CUSTOMERS_SQL,
@@ -1263,6 +1267,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_pmi": _terms().BIGRAM_PMI_SQL,
         "doc_unigram_rarity": _terms().DOC_UNIGRAM_RARITY_SQL,
         "duplicate_ngram_fraction": _terms().DUPLICATE_NGRAM_FRACTION_SQL,
+        "span_dedup_stats": _terms().SPAN_DEDUP_STATS_SQL,
+        "ngram_novelty": _terms().NGRAM_NOVELTY_SQL,
         "bpe_merges": _terms().BPE_MERGES_SQL,
         "doc_repetition": _terms().DOC_REPETITION_SQL,
         "contamination_ngram": _terms().CONTAMINATION_NGRAM_SQL,

@@ -822,3 +822,116 @@ s AS (
 )
 SELECT user_id, MAX(streak) AS max_streak FROM s GROUP BY user_id
 """
+
+
+def _min_ts_by_user(
+    ev: ray.data.Dataset, etype: str, out: str
+) -> ray.data.Dataset:
+    """(user_id, out=min epoch-us) for one event type — block-local
+    partial min + one keyed re-agg."""
+    from .shuffle import keyed_reagg
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        keep = t.filter(pc.equal(t.column("event_type"), etype))
+        if keep.num_rows == 0:
+            return
+        g = (
+            pa.table(
+                {
+                    "user_id": keep.column("user_id"),
+                    out: pc.cast(keep.column("ts"), pa.int64()),
+                }
+            )
+            .group_by(["user_id"])
+            .aggregate([(out, "min")])
+        )
+        yield g.rename_columns(["user_id", out])
+
+    return keyed_reagg(
+        ev.map_batches(pre, batch_format="pyarrow"), ["user_id"], [(out, "min")], P
+    )
+
+
+def three_step_funnel(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, signup_us, click_us, purchase_us) — users completing
+    the STRICTLY-ORDERED chain earliest signup < earliest click after
+    it < earliest purchase after that (sequence-match funnel; the
+    2-step funnel_conversions generalized to a dependent chain).
+    Each step is one distributed join (join_auto: broadcast small
+    side) + filtered per-user min re-agg — the per-step reduced table
+    is ≤ |users| rows, so later steps shrink monotonically.  All
+    values are exact int64 epoch-us."""
+    from .shuffle import keyed_reagg
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    s = _min_ts_by_user(ev, "signup", "signup_us")
+
+    def step(prev: ray.data.Dataset, etype: str, after: str, out: str):
+        def pre(t: pa.Table):
+            if len(t) == 0 or after not in t.schema.names:
+                return
+            keep = t.filter(
+                pc.and_(
+                    pc.equal(t.column("event_type"), etype),
+                    pc.greater(
+                        pc.cast(t.column("ts"), pa.int64()), t.column(after)
+                    ),
+                )
+            )
+            if keep.num_rows == 0:
+                return
+            g = (
+                pa.table(
+                    {
+                        "user_id": keep.column("user_id"),
+                        after: keep.column(after),
+                        out: pc.cast(keep.column("ts"), pa.int64()),
+                    }
+                )
+                .group_by(["user_id", after])
+                .aggregate([(out, "min")])
+            )
+            yield g.rename_columns(["user_id", after, out])
+
+        j = join_auto(ev, prev, on=("user_id",))
+        return keyed_reagg(
+            j.map_batches(pre, batch_format="pyarrow"),
+            ["user_id", after],
+            [(out, "min")],
+            P,
+        )
+
+    c = step(s, "click", "signup_us", "click_us")
+    p = step(c, "purchase", "click_us", "purchase_us")
+    out = join_auto(p, s, on=("user_id",))
+
+    def order_cols(t: pa.Table):
+        if t.num_rows == 0 or "purchase_us" not in t.schema.names:
+            return
+        yield t.select(["user_id", "signup_us", "click_us", "purchase_us"])
+
+    return out.map_batches(order_cols, batch_format="pyarrow")
+
+
+THREE_STEP_FUNNEL_SQL = """
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS signup_us FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS click_us
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s.signup_us
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_us
+  GROUP BY e.user_id
+)
+SELECT p.user_id, s.signup_us, c.click_us, p.purchase_us
+FROM p JOIN c ON p.user_id = c.user_id JOIN s ON p.user_id = s.user_id
+"""

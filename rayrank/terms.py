@@ -1408,3 +1408,312 @@ d{r} AS (
 
 
 BPE_MERGES_SQL = bpe_merges_sql()
+
+
+# --------------------------------------------------------------------------
+# span-level dedup accounting: tokens covered by duplicated n-grams
+# --------------------------------------------------------------------------
+
+
+def _gram_pairs_pos(t: pa.Table, n: int):
+    """(doc_id values, in-doc window position, n-gram string) for a
+    block — _gram_pairs extended with the 0-based position of each
+    window inside its document (flat index minus the document's first
+    flat index; pure offset arithmetic, no per-row loop)."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(t.column("text")), pattern=r"\s+"
+    )
+    arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    vals = arr.values
+    doc_idx = np.repeat(np.arange(len(arr)), np.diff(offsets))
+    keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+    vals_k = vals.filter(pa.array(keep))
+    doc_k = doc_idx[keep]
+    m = len(vals_k)
+    if m < n:
+        return None, None, None
+    run_starts = np.flatnonzero(np.r_[True, doc_k[1:] != doc_k[:-1]])
+    run_lens = np.diff(np.r_[run_starts, m])
+    doc_start_flat = np.repeat(run_starts, run_lens)
+    valid = doc_k[: m - n + 1] == doc_k[n - 1 :]
+    if not valid.any():
+        return None, None, None
+    vm = pa.array(valid)
+    parts = [vals_k.slice(i, m - n + 1).filter(vm) for i in range(n)]
+    gram = pc.binary_join_element_wise(*parts, " ")
+    flat = np.arange(m - n + 1)[valid]
+    rows = doc_k[flat]
+    pos = flat - doc_start_flat[flat]
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)[rows]
+    return ids, pos.astype(np.int64), gram
+
+
+def span_dedup_stats(
+    sf_dir: str, n: int = DUP_NGRAM_N, min_df: int = DUP_NGRAM_DF
+) -> ray.data.Dataset:
+    """Span-level dedup accounting (the passage-dedup recipe of
+    "Deduplicating Training Data Makes Language Models Better", public
+    arXiv 2107.06499): per document, how many TOKENS are covered by
+    the union of windows [p, p+n) whose n-gram occurs in ≥ ``min_df``
+    distinct documents.  Output (doc_id, n_tokens, covered_tokens,
+    covered_frac); docs shorter than n tokens are excluded both sides
+    (they have no windows), so n_tokens = n_pos + n − 1 exactly.
+
+    Scale shape: pass 1 reuses the duplicate_ngram_fraction reduce
+    (block-distinct (doc, gram) → gram-keyed df re-agg → dup set,
+    bounded by the duplicated vocabulary); pass 2 re-scans with
+    positions, keeps only dup-gram windows via join_auto semi (the
+    broadcast guard applies), ONE doc-keyed repartition co-locates a
+    document's surviving positions, and the island kernel (sort +
+    gap>n−1 breaks) is fully vectorized.  Interval union is exact:
+    islands are separated by gaps ≥ n, so island [s, e] contributes
+    e − s + n non-overlapping tokens."""
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    def pair_distinct(t: pa.Table):
+        if len(t) == 0:
+            return
+        rows, gram = _gram_pairs(t, n)
+        if rows is None:
+            return
+        docs = t.column("doc_id").to_numpy(zero_copy_only=False)[rows]
+        g = (
+            pa.table(
+                {
+                    "doc_id": pa.array(docs),
+                    "gram": gram,
+                    "tf": pa.array(np.ones(len(docs), np.int64)),
+                }
+            )
+            .group_by(["doc_id", "gram"])
+            .aggregate([("tf", "sum")])
+        )
+        yield g.rename_columns(["doc_id", "gram", "tf"])
+
+    pairs = _read_docs(sf_dir).map_batches(
+        pair_distinct, batch_format="pyarrow"
+    ).materialize()  # (doc, gram)-distinct; feeds df AND totals
+
+    def df_partial(t: pa.Table):
+        if len(t) == 0 or "gram" not in t.schema.names:
+            return
+        g = (
+            t.select(["gram"])
+            .append_column("df", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["gram"])
+            .aggregate([("df", "sum")])
+        )
+        yield g.rename_columns(["gram", "df"])
+
+    dfs = keyed_reagg(
+        pairs.map_batches(df_partial, batch_format="pyarrow"),
+        ["gram"], [("df", "sum")], P,
+    )
+
+    def dup_only(t: pa.Table):
+        if len(t) == 0 or "df" not in t.schema.names:
+            return
+        keep = t.filter(pc.greater_equal(t.column("df"), min_df))
+        if len(keep):
+            yield keep.select(["gram"])
+
+    dup = dfs.map_batches(dup_only, batch_format="pyarrow")
+
+    def tot_partial(t: pa.Table):
+        if len(t) == 0 or "tf" not in t.schema.names:
+            return
+        g = (
+            t.select(["doc_id", "tf"])
+            .group_by(["doc_id"])
+            .aggregate([("tf", "sum")])
+        )
+        yield g.rename_columns(["doc_id", "n_pos"])
+
+    totals = keyed_reagg(
+        pairs.map_batches(tot_partial, batch_format="pyarrow"),
+        ["doc_id"], [("n_pos", "sum")], P,
+    )
+
+    def positions(t: pa.Table):
+        if len(t) == 0:
+            return
+        ids, pos, gram = _gram_pairs_pos(t, n)
+        if ids is None:
+            return
+        yield pa.table({"doc_id": pa.array(ids), "pos": pa.array(pos), "gram": gram})
+
+    pos_stream = _read_docs(sf_dir).map_batches(positions, batch_format="pyarrow")
+    hits = join_auto(pos_stream, dup, on=("gram",), how="semi", num_partitions=P)
+    co = hits.repartition(P, keys=["doc_id"])
+
+    def islands(t: pa.Table):
+        if t.num_rows == 0 or "pos" not in t.schema.names:
+            return
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        p = t.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        brk = np.r_[True, (d[1:] != d[:-1]) | (p[1:] - p[:-1] > n - 1)]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(d)] - 1
+        cover = (p[ends] - p[starts] + n).astype(np.int64)
+        g = (
+            pa.table({"doc_id": pa.array(d[starts]), "covered": pa.array(cover)})
+            .group_by(["doc_id"])
+            .aggregate([("covered", "sum")])
+        )
+        yield g.rename_columns(["doc_id", "covered"])
+
+    covered = co.map_batches(islands, batch_size=None, batch_format="pyarrow")
+    joined = join_auto(
+        totals, covered, on=("doc_id",), how="left_outer", num_partitions=P
+    )
+
+    def finish(t: pa.Table):
+        if len(t) == 0 or "n_pos" not in t.schema.names:
+            return
+        n_tok = pc.add(t.column("n_pos"), n - 1)
+        cov = (
+            pc.fill_null(t.column("covered"), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        nt = n_tok.to_numpy(zero_copy_only=False).astype(np.int64)
+        yield pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(nt),
+                "covered_tokens": pa.array(cov),
+                "covered_frac": pa.array(
+                    cov.astype(np.float64) / nt.astype(np.float64)
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+_SPAN_PARTS = " || ' ' || ".join(f"u[{i + 1}]" for i in range(DUP_NGRAM_N))
+_SPAN_ZIPS = ", ".join(f"lst[{i + 1}:]" for i in range(DUP_NGRAM_N))
+
+SPAN_DEDUP_STATS_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS lst
+  FROM documents
+), g AS (
+  SELECT doc_id, {_SPAN_PARTS} AS gram, pos
+  FROM (
+    SELECT doc_id,
+      UNNEST(list_zip({_SPAN_ZIPS})) AS u,
+      UNNEST(range(len(lst))) AS pos
+    FROM tok
+  )
+  WHERE u[{DUP_NGRAM_N}] IS NOT NULL
+), tot AS (
+  SELECT doc_id, CAST(COUNT(*) + {DUP_NGRAM_N} - 1 AS BIGINT) AS n_tokens
+  FROM g GROUP BY doc_id
+), df AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram
+), dup AS (SELECT gram FROM df WHERE df >= {DUP_NGRAM_DF}),
+dg AS (SELECT doc_id, pos FROM g SEMI JOIN dup USING (gram)),
+r AS (
+  SELECT doc_id, pos,
+    CASE WHEN LAG(pos) OVER w IS NULL
+           OR pos - LAG(pos) OVER w > {DUP_NGRAM_N} - 1
+         THEN 1 ELSE 0 END AS brk
+  FROM dg WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+i AS (
+  SELECT doc_id, pos,
+    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS isl
+  FROM r
+),
+c1 AS (
+  SELECT doc_id, isl, MAX(pos) - MIN(pos) + {DUP_NGRAM_N} AS c
+  FROM i GROUP BY doc_id, isl
+),
+cov AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS covered FROM c1 GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens,
+  COALESCE(cov.covered, CAST(0 AS BIGINT)) AS covered_tokens,
+  CAST(COALESCE(cov.covered, 0) AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+    AS covered_frac
+FROM tot t LEFT JOIN cov ON t.doc_id = cov.doc_id
+"""
+
+
+NOVELTY_BUCKET = 50
+
+
+def ngram_novelty(sf_dir: str, n: int = DUP_NGRAM_N) -> ray.data.Dataset:
+    """(bucket, new_grams) vocabulary-growth curve: how many DISTINCT
+    n-grams appear for the FIRST time in each ``NOVELTY_BUCKET``-doc
+    slab of the corpus (first occurrence = min doc_id) — the
+    diminishing-novelty diagnostic used to decide when more crawl data
+    stops adding content.  Scale shape: block-local (gram, min-doc)
+    partials (min-of-mins exact), ONE gram-keyed re-agg (bounded by
+    the distinct-gram vocabulary), then ≤ buckets-per-block partials
+    fold through a tiny re-agg.  All int64."""
+    from .shuffle import keyed_reagg
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        rows, gram = _gram_pairs(t, n)
+        if rows is None:
+            return
+        docs = t.column("doc_id").to_numpy(zero_copy_only=False)[rows]
+        g = (
+            pa.table({"gram": gram, "fd": pa.array(docs)})
+            .group_by(["gram"])
+            .aggregate([("fd", "min")])
+        )
+        yield g.rename_columns(["gram", "fd"])
+
+    firsts = keyed_reagg(
+        _read_docs(sf_dir).map_batches(pre, batch_format="pyarrow"),
+        ["gram"], [("fd", "min")], P,
+    )
+
+    def buckets(t: pa.Table):
+        if t.num_rows == 0 or "fd" not in t.schema.names:
+            return
+        b = t.column("fd").to_numpy(zero_copy_only=False) // NOVELTY_BUCKET
+        g = (
+            pa.table(
+                {
+                    "bucket": pa.array(b.astype(np.int64)),
+                    "new_grams": pa.array(np.ones(len(b), np.int64)),
+                }
+            )
+            .group_by(["bucket"])
+            .aggregate([("new_grams", "sum")])
+        )
+        yield g.rename_columns(["bucket", "new_grams"])
+
+    return keyed_reagg(
+        firsts.map_batches(buckets, batch_format="pyarrow"),
+        ["bucket"], [("new_grams", "sum")], 4,
+    )
+
+
+_NOV_PARTS = " || ' ' || ".join(f"u[{i + 1}]" for i in range(DUP_NGRAM_N))
+_NOV_ZIPS = ", ".join(f"lst[{i + 1}:]" for i in range(DUP_NGRAM_N))
+
+NGRAM_NOVELTY_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS lst
+  FROM documents
+), g AS (
+  SELECT doc_id, {_NOV_PARTS} AS gram
+  FROM tok, UNNEST(list_zip({_NOV_ZIPS})) AS t(u)
+  WHERE u[{DUP_NGRAM_N}] IS NOT NULL
+), f AS (SELECT gram, MIN(doc_id) AS fd FROM g GROUP BY gram)
+SELECT fd // {NOVELTY_BUCKET} AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS new_grams
+FROM f GROUP BY 1
+"""

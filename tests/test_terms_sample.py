@@ -56,3 +56,50 @@ def test_token_pairs_drops_empty_docs():
     docs, terms = _token_pairs(t)
     assert docs.tolist() == [1, 1, 1, 4]
     assert terms.to_pylist() == ["a", "b", "a", "c"]
+
+
+def test_span_dedup_stats_brute_force(tmp_path):
+    """Interval-union coverage vs a per-doc brute-force mirror on a
+    corpus with overlapping + disjoint duplicated passages."""
+    import pyarrow.parquet as pq
+    from rayrank.terms import span_dedup_stats
+
+    texts = {
+        1: "a b c d e f g h i j",          # shares a..g with doc 2
+        2: "a b c d e f g x y z",
+        3: "p q r s t u v w",              # unique
+        4: "x y z a b c d q q q q q q",    # shares x y z + a b c d
+        5: "q q q q q",                    # shares q-runs with doc 4
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    N = 4
+    grams = {}
+    for d, s in texts.items():
+        tk = s.split()
+        grams[d] = [" ".join(tk[i : i + N]) for i in range(len(tk) - N + 1)]
+    df = {}
+    for d, gs in grams.items():
+        for g in set(gs):
+            df[g] = df.get(g, 0) + 1
+    want = {}
+    for d, s in texts.items():
+        tk = s.split()
+        covered = set()
+        for i, g in enumerate(grams[d]):
+            if df[g] >= 2:
+                covered.update(range(i, i + N))
+        want[d] = (len(tk), len(covered))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"])
+        for b in span_dedup_stats(str(tmp_path)).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    assert got == want
