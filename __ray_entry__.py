@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": pl.embedding_near_dup_pairs,  # rows-only
         "ann_topk": pl.ann_topk,
         "embedding_quantize": _annmod().embedding_quantize,
+        "mutual_knn_pairs": _annmod().mutual_knn_pairs,
         "lsh_ann_topk": pl.lsh_ann_topk,                # rows-only (approximate)
         "ivf_ann_topk": pl.ivf_ann_topk,                # rows-only (approximate)
         "embedding_pca": _annmod().pca_top_component,   # rows-only (float fold order)
@@ -219,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seed_closeness": pl.seed_closeness_sf,
         "graph_diameter": pl.graph_diameter_sf,
         "kcore_vertices": pl.kcore_vertices_sf,
+        "core_numbers": pl.core_numbers_sf,
         "mis_vertices": pl.mis_vertices_sf,          # rows-only (vid-space priorities)
         "graph_coloring": pl.graph_coloring_sf,      # rows-only (vid-space priorities)
         # sequence packing (concat-and-chunk; distributed prefix sum)
@@ -676,6 +678,47 @@ _COMPONENT_COUNT_SQL = (
     + "SELECT CAST(COUNT(DISTINCT l) AS BIGINT) AS components "
     + f"FROM lab WHERE it = {_CC_ITERS}"
 )
+
+
+def _core_numbers_sql(k_max: int = 4) -> str:
+    """Bounded core decomposition: one single-reference recursive peel
+    CTE per k (the _KCORE_SQL monotone rule), core = #surviving peels
+    per vertex (alive sets are nested).  Mirrors
+    rayrank.kcore.core_numbers."""
+    cores = ",\n".join(
+        f"""c{k}(it, v) AS (
+  SELECT 0, v FROM verts
+  UNION ALL
+  SELECT c.it + 1, e.b
+  FROM c{k} c JOIN und e ON c.v = e.a
+  WHERE c.it < {_CC_ITERS}
+  GROUP BY c.it + 1, e.b
+  HAVING COUNT(*) >= {k}
+)"""
+        for k in range(1, k_max + 1)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT v FROM c{k} WHERE it = {_CC_ITERS}"
+        for k in range(1, k_max + 1)
+    )
+    return f"""
+WITH RECURSIVE
+raw AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+  )
+),
+{cores},
+u AS ({unions})
+SELECT verts.v AS name, CAST(COUNT(u.v) AS BIGINT) AS core
+FROM verts LEFT JOIN u ON verts.v = u.v GROUP BY verts.v
+"""
 
 
 def _doc_quality_sql() -> str:
@@ -1333,6 +1376,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_parts": _kmv_sql("l_partkey", "lineitem", 64),
         "hll_distinct_parts": _hll_sql("l_partkey", "lineitem", 12),
         "embedding_quantize": _annmod().EMBEDDING_QUANTIZE_SQL,
+        "mutual_knn_pairs": _annmod().MUTUAL_KNN_SQL,
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
             "FROM embeddings WHERE vec_id < 3), "
@@ -1358,6 +1402,7 @@ def oracle_sql() -> dict[str, str]:
         "seed_closeness": _SEED_CLOSENESS_SQL,
         "graph_diameter": _GRAPH_DIAMETER_SQL,
         "kcore_vertices": _KCORE_SQL,
+        "core_numbers": _core_numbers_sql(),
         "pack_sequences": _packmod().PACK_SEQUENCES_SQL,
         "packed_sequence_stats": _packmod().PACKED_SEQUENCE_STATS_SQL,
         "shuffle_order": _shuffle_order_sql(),

@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -633,3 +634,90 @@ def embedding_quantize(sf_dir: str) -> ray.data.Dataset:
             columns=["vec_id", "embedding"],
         )
     )
+
+
+MUTUAL_K = 5
+
+
+def mutual_knn_pairs(sf_dir: str, k: int = MUTUAL_K) -> ray.data.Dataset:
+    """(a, b) reciprocal-nearest-neighbor pairs: a is in b's exact
+    cosine top-k (self excluded) AND b is in a's — the RNN primitive
+    behind embedding-dedup clustering and mutual-kNN graphs.  Exact n²
+    baseline: the full (ordered-by-vec_id) query matrix broadcasts once
+    through brute_force_topk's per-block matmul partials; the
+    LSH-bucketed path (embedding_near_dups / lsh_topk) is the scale
+    route when n² is off the table.  Top-(k+1) then self-dropped keeps
+    the non-self ranking exact (removing one element preserves
+    relative order); mutuality = one (min, max)-keyed count==2 over
+    m·k rows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    order = np.argsort(t.column("vec_id").to_numpy(zero_copy_only=False))
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)[order]
+    qm = _emb_matrix64(t, "embedding")[order]
+
+    res = brute_force_topk(
+        ray.data.read_parquet(path, columns=["vec_id", "embedding"]),
+        qm,
+        k=k + 1,
+    )
+
+    def fin(t: pa.Table):
+        if t.num_rows == 0 or "query_id" not in t.schema.names:
+            return
+        q = ids[t.column("query_id").to_numpy(zero_copy_only=False)]
+        v = t.column("vec_id").to_numpy(zero_copy_only=False)
+        cos = t.column("cosine").to_numpy(zero_copy_only=False)
+        keep = q != v
+        q, v, cos = q[keep], v[keep], cos[keep]
+        o = np.lexsort((v, -cos, q))
+        q, v = q[o], v[o]
+        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+        rank = np.arange(len(q)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(q)])
+        )
+        q, v = q[rank < k], v[rank < k]
+        g = (
+            pa.table(
+                {
+                    "a": pa.array(np.minimum(q, v)),
+                    "b": pa.array(np.maximum(q, v)),
+                    "c": pa.array(np.ones(len(q), np.int64)),
+                }
+            )
+            .group_by(["a", "b"])
+            .aggregate([("c", "sum")])
+        )
+        g = g.rename_columns(["a", "b", "c"])
+        both = g.filter(pc.equal(g.column("c"), 2))
+        if both.num_rows:
+            yield both.select(["a", "b"])
+
+    # _merge_topk already coalesced to ONE tiny (m·(k+1)-row) block
+    return res.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+MUTUAL_KNN_SQL = f"""
+WITH s AS (
+  SELECT q.vec_id AS qid, e.vec_id AS vid,
+    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id <> e.vec_id
+),
+r AS (
+  SELECT qid, vid,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+  FROM s
+),
+t AS (SELECT qid, vid FROM r WHERE rn <= {MUTUAL_K}),
+m AS (
+  SELECT LEAST(qid, vid) AS a, GREATEST(qid, vid) AS b, COUNT(*) AS c
+  FROM t GROUP BY 1, 2
+)
+SELECT a, b FROM m WHERE c = 2
+"""

@@ -72,3 +72,54 @@ def core_vertices(result: LabelResult, graph_dir: str) -> ray.data.Dataset:
         return pa.table({"name": keep.column("name")})
 
     return ds.map_batches(fin, batch_format="pyarrow")
+
+
+CORE_K_MAX = 4
+
+
+@ray.remote
+def _sum_alive(*vals) -> np.ndarray:
+    """Elementwise sum of one partition's alive vectors across the K
+    peels — alive sets are NESTED (k-core ⊆ (k−1)-core), so the sum IS
+    min(coreness, K).  Runs task-side; the driver never holds a
+    vector."""
+    return np.sum([np.asarray(v, np.int64) for v in vals], axis=0)
+
+
+def core_numbers(
+    graph_dir: str,
+    k_max: int = CORE_K_MAX,
+    shards: list | None = None,
+) -> ray.data.Dataset:
+    """(name, core) bounded k-core decomposition: core =
+    min(coreness, k_max) = Σ_{k=1..k_max} alive_k(v), computed as
+    k_max synchronous peels on SHARED resident shards (one
+    create_shards; init_kcore re-initialises per run).  The per-k
+    alive partitions are object-store snapshots; a per-partition task
+    sums them and zips names co-resident — no shuffle, no driver
+    vector.  SQL oracle: k_max single-reference recursive peel CTEs
+    (the _KCORE_SQL rule per k), summed per vertex."""
+    from .graph import GraphMeta
+    from .shards import create_shards, zip_names
+
+    meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
+    if shards is None:
+        shards = create_shards(graph_dir, meta)
+    per_k = [
+        kcore(graph_dir, k, shards=shards).part_refs
+        for k in range(1, k_max + 1)
+    ]
+    vert_dir = os.path.join(graph_dir, "vertices")
+    refs = [
+        zip_names.remote(
+            vert_dir,
+            q,
+            meta.Q,
+            _sum_alive.remote(*[per_k[i][q] for i in range(k_max)]),
+            "core",
+        )
+        for q in range(meta.Q)
+    ]
+    return ray.data.from_arrow_refs(refs).map_batches(
+        lambda t: t.select(["name", "core"]), batch_format="pyarrow"
+    )

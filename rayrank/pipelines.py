@@ -1002,6 +1002,17 @@ def kcore_vertices_sf(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     return core_vertices(res, gdir)
 
 
+def core_numbers_sf(sf_dir: str) -> ray.data.Dataset:
+    """(name, core) bounded k-core decomposition (core = min(coreness,
+    4)) of the undirected lineitem graph — k_max peels on shared
+    resident shards, per-partition alive-sum + co-resident name zip
+    (rayrank.kcore.core_numbers).  SQL oracle: one recursive peel CTE
+    per k, summed per vertex."""
+    from .kcore import core_numbers
+
+    return core_numbers(_graph(sf_dir, "undirected"))
+
+
 def pagerank_2iter(sf_dir: str) -> ray.data.Dataset:
     """Exactly two reference-exact power iterations on the lineitem edge
     table — SQL-expressible by unrolling (oracle does the same two

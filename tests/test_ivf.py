@@ -129,3 +129,50 @@ def test_scalar_quantize_known_codes():
         assert got[i]["code_min"] == codes[i].min()
         assert got[i]["code_max"] == codes[i].max()
     assert got[3]["code_min"] == 255 and got[3]["code_max"] == 255
+
+
+def test_mutual_knn_pairs_brute_force(tmp_path):
+    import pyarrow.parquet as pq
+
+    from rayrank.ann import mutual_knn_pairs
+
+    rng = np.random.default_rng(31)
+    n, d, k = 24, 6, 3
+    m = rng.normal(size=(n, d))
+    m[5] = m[2]  # exact duplicate pair → guaranteed mutual
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [row.astype(np.float32).tolist() for row in m],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    # python mirror: exact cosine, (cos desc, id asc), self excluded
+    x = np.asarray(
+        [np.asarray(r, np.float64) for r in t.column("embedding").to_pylist()]
+    )
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = xn @ xn.T
+    top = {}
+    for i in range(n):
+        cand = [(-sims[i, j], j) for j in range(n) if j != i]
+        cand.sort()
+        top[i] = {j for _, j in cand[:k]}
+    want = {
+        (a, b)
+        for a in range(n)
+        for b in top[a]
+        if a < b and a in top[b]
+    }
+    got = {
+        (r["a"], r["b"])
+        for b_ in mutual_knn_pairs(str(tmp_path), k=k).iter_batches(
+            batch_format="pyarrow"
+        )
+        for r in b_.to_pylist()
+    }
+    assert got == want and (2, 5) in got

@@ -78,3 +78,34 @@ def test_random_multigraphs(tmp_path, seed, n, m, k):
     gdir = str(tmp_path / "g")
     build_undirected(edges, gdir, Q=3)
     assert engine_core(gdir, k) == nx_core(edges, k)
+
+
+@pytest.mark.parametrize("seed,n,m", [(23, 40, 160), (29, 25, 60)])
+def test_core_numbers_networkx(tmp_path, seed, n, m):
+    """Bounded decomposition = min(networkx core_number, k_max)."""
+    import networkx as nx
+
+    from rayrank.kcore import core_numbers
+
+    rng = np.random.default_rng(seed)
+    edges = [
+        (str(a), str(b))
+        for a, b in zip(
+            rng.integers(0, n, m).tolist(), rng.integers(0, n, m).tolist()
+        )
+    ]
+    gdir = str(tmp_path / "g")
+    build_undirected(edges, gdir, Q=3)
+    g = nx.Graph()
+    for a, b in edges:
+        if a != b:
+            g.add_edge(a, b)
+    for a, b in edges:
+        g.add_node(a), g.add_node(b)
+    want = {v: min(c, 4) for v, c in nx.core_number(g).items()}
+    got = {
+        r["name"]: r["core"]
+        for b in core_numbers(gdir, 4).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    assert got == want
