@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_size_histogram": pl.component_size_histogram,
         "bfs_depths": pl.bfs_depths_sf,
         "descendant_depths": pl.descendant_depths_sf,
+        "shortest_path_counts": pl.shortest_path_counts_sf,
         "landmark_assignment": pl.landmark_assignment_sf,
         "sssp_dists": pl.sssp_dists_sf,
         "seed_closeness": pl.seed_closeness_sf,
@@ -229,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_order": _packmod().shuffle_order,
         "mixture_sample": _packmod().mixture_sample,
         "dataset_split": _packmod().dataset_split,
+        "doc_chunks": _packmod().doc_chunks,
     }
 
 
@@ -477,6 +479,49 @@ bfs(it, v, d) AS (
   GROUP BY bfs.it + 1, e.b
 )
 SELECT v AS name, MIN(d) AS depth FROM bfs GROUP BY v
+"""
+
+# σ shortest-path counts from the min-name vertex: exact distances via
+# the bounded min-plus recursion, then a LAYERED second recursion that
+# extends only along dist→dist+1 edges — every extension of a shortest
+# path by a shortest edge is a shortest path, so SUM(c) per layer is
+# exactly σ (Brandes' forward pass; mirrors
+# rayrank.bfs.shortest_path_counts).
+_PATH_COUNTS_SQL = f"""
+WITH RECURSIVE
+raw AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+  )
+),
+seed AS (SELECT MIN(v) AS v FROM verts),
+bfs(it, v, d) AS (
+  SELECT 0, v, CAST(0 AS BIGINT) FROM seed
+  UNION ALL
+  SELECT bfs.it + 1, e.b, MIN(bfs.d) + 1
+  FROM bfs JOIN und e ON bfs.v = e.a
+  WHERE bfs.it < {_CC_ITERS}
+  GROUP BY bfs.it + 1, e.b
+),
+dst AS (SELECT v, MIN(d) AS d FROM bfs GROUP BY v),
+pc(it, v, c) AS (
+  SELECT 0, v, CAST(1 AS BIGINT) FROM seed
+  UNION ALL
+  SELECT pc.it + 1, e.b, SUM(pc.c)
+  FROM pc JOIN und e ON pc.v = e.a
+  JOIN dst du ON du.v = pc.v
+  JOIN dst dv ON dv.v = e.b
+  WHERE du.d = pc.it AND dv.d = pc.it + 1 AND pc.it < {_CC_ITERS}
+  GROUP BY pc.it + 1, e.b
+)
+SELECT dst.v AS name, dst.d AS dist, pc.c AS paths
+FROM dst JOIN pc ON pc.v = dst.v AND pc.it = dst.d
 """
 
 # Nearest-landmark assignment from the 4 smallest vertex names: the
@@ -1397,6 +1442,7 @@ def oracle_sql() -> dict[str, str]:
         "component_size_histogram": _COMPONENT_SIZE_HIST_SQL,
         "bfs_depths": _BFS_SQL,
         "descendant_depths": _DESCENDANT_SQL,
+        "shortest_path_counts": _PATH_COUNTS_SQL,
         "landmark_assignment": _LANDMARK_SQL,
         "sssp_dists": _SSSP_SQL,
         "seed_closeness": _SEED_CLOSENESS_SQL,
@@ -1408,6 +1454,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_order": _shuffle_order_sql(),
         "mixture_sample": _mixture_sample_sql(),
         "dataset_split": _dataset_split_sql(),
+        "doc_chunks": _packmod().DOC_CHUNKS_SQL,
         "triangle_count": (
             "WITH raw AS (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem), "
             "und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v "

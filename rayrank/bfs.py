@@ -306,6 +306,61 @@ def landmarks(
     return res, ordered
 
 
+def shortest_path_counts(
+    graph_dir: str,
+    seed_names: list[str],
+    max_iterations: int = 200,
+) -> ray.data.Dataset:
+    """(name, dist, paths) — σ(v), the number of distinct shortest
+    paths from the seed set to every reached vertex (the forward pass
+    of Brandes' betweenness algorithm).  BFS to fixpoint first (exact
+    layers resident on the shards), then one layer-synchronous σ round
+    per BFS level: gather = per-destination Σσ over sources one hop
+    closer (the unchanged CSR message plumbing), reduce assigns the
+    layer.  Counting WALKS of minimal length equals counting paths, so
+    the SQL oracle's layered recursion (extend only dist→dist+1 edges)
+    matches exactly.  Driver sees only scalars; the (dist, σ) result
+    zips names co-resident per partition."""
+    from .graph import GraphMeta
+    from .shards import (
+        create_shards,
+        gather_refs,
+        reach_stats_part,
+        zip_path_counts,
+    )
+
+    meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
+    shards = create_shards(graph_dir, meta)
+    res = bfs(graph_dir, seed_names, max_iterations=max_iterations, shards=shards)
+    stats = ray.get([reach_stats_part.remote(r) for r in res.part_refs])
+    depth = max(s[2] for s in stats)
+
+    locs = seed_locals(graph_dir, seed_names, meta.Q)
+    empty = np.empty(0, np.int64)
+    ray.get(
+        [
+            s.init_path_counts.remote(locs.get(q, empty))
+            for q, s in enumerate(shards)
+        ]
+    )
+    Q = meta.Q
+    for t in range(1, depth + 1):
+        ray.get([s.set_path_round.remote(t) for s in shards])
+        msgs = gather_refs(shards, "gather_paths")
+        ray.get(
+            [
+                shards[p].reduce_paths.remote(*[msgs[q][p] for q in range(Q)])
+                for p in range(Q)
+            ]
+        )
+    vert_dir = os.path.join(graph_dir, "vertices")
+    refs = [
+        zip_path_counts.remote(vert_dir, q, Q, s.get_path_state.remote())
+        for q, s in enumerate(shards)
+    ]
+    return ray.data.from_arrow_refs(refs)
+
+
 def seed_closeness(
     graph_dir: str,
     seed_names: list[str],

@@ -478,3 +478,68 @@ def dataset_split(sf_dir: str) -> ray.data.Dataset:
         [("n_docs", "sum"), ("n_tokens", "sum")],
         4,
     )
+
+
+CHUNK_LEN = 32
+CHUNK_STRIDE = 24  # 8-token overlap
+
+
+def doc_chunks(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, chunk_id, start_tok, chunk_tokens) sliding-window
+    document chunking (the RAG / context-window prep stage): windows
+    of CHUNK_LEN tokens every CHUNK_STRIDE, the final window
+    truncated; a doc shorter than one window is a single chunk
+    (LEN/STRIDE sized to the synthetic corpus' 20-100-token docs).
+    Chunk count = 1 + max(0, ⌈(n − LEN)/STRIDE⌉) — pure integer
+    arithmetic, entirely block-local (a document is one parquet row;
+    windows never cross blocks), zero shuffle.  The SQL oracle builds
+    the same windows with range()."""
+
+    def chunks(t: pa.Table):
+        if len(t) == 0 or "n_tokens" not in t.schema.names:
+            return
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = n > 0
+        n, ids = n[keep], ids[keep]
+        if len(n) == 0:
+            return
+        # chunks per doc: 1 + ceil(max(0, n - LEN) / STRIDE)
+        extra = np.maximum(n - CHUNK_LEN, 0)
+        cnt = 1 + (extra + CHUNK_STRIDE - 1) // CHUNK_STRIDE
+        doc = np.repeat(ids, cnt)
+        ntok = np.repeat(n, cnt)
+        total = int(cnt.sum())
+        starts_of_doc = np.r_[0, np.cumsum(cnt)[:-1]]
+        cid = np.arange(total) - np.repeat(starts_of_doc, cnt)
+        start = cid * CHUNK_STRIDE
+        clen = np.minimum(ntok - start, CHUNK_LEN)
+        yield pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "chunk_id": pa.array(cid.astype(np.int64)),
+                "start_tok": pa.array(start.astype(np.int64)),
+                "chunk_tokens": pa.array(clen.astype(np.int64)),
+            }
+        )
+
+    return _doc_token_counts(sf_dir).map_batches(chunks, batch_format="pyarrow")
+
+
+DOC_CHUNKS_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE
+    array_length(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+    AS n FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+    UNNEST(range(1 + CAST(CEIL(CAST(GREATEST(n - {CHUNK_LEN}, 0) AS DOUBLE)
+                               / {CHUNK_STRIDE}) AS BIGINT))) AS chunk_id
+  FROM tok WHERE n > 0
+)
+SELECT doc_id, chunk_id,
+  chunk_id * {CHUNK_STRIDE} AS start_tok,
+  LEAST(n - chunk_id * {CHUNK_STRIDE}, {CHUNK_LEN}) AS chunk_tokens
+FROM c
+"""

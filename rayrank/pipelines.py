@@ -919,6 +919,18 @@ def descendant_depths_sf(sf_dir: str) -> ray.data.Dataset:
     return reachable_depths(res, gdir)
 
 
+def shortest_path_counts_sf(sf_dir: str) -> ray.data.Dataset:
+    """(name, dist, paths) σ-counts from the min-name vertex on the
+    undirected lineitem graph — Brandes forward pass on the shard loop
+    (rayrank.bfs.shortest_path_counts).  SQL oracle: layered recursion
+    extending only dist→dist+1 edges over the bounded-BFS distance
+    table."""
+    from .bfs import min_vertex_name, shortest_path_counts
+
+    gdir = _graph(sf_dir, "undirected")
+    return shortest_path_counts(gdir, [min_vertex_name(gdir)])
+
+
 def landmark_assignment_sf(sf_dir: str, k: int = 4) -> ray.data.Dataset:
     """(name, dist, landmark) nearest-landmark assignment from the k
     lexicographically-smallest vertex names on the undirected lineitem

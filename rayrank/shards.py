@@ -451,6 +451,67 @@ class CsrShard:
             tuple((self.out_local[q], mins[self.route[q]]) for q in range(self.Q))
         )
 
+    # ------------------------------------------------------------------
+    # shortest-path counts (σ, the Brandes forward pass)
+    # ------------------------------------------------------------------
+
+    def init_path_counts(self, source_locals: np.ndarray) -> None:
+        """σ-counting init, run AFTER a BFS converged on these shards:
+        the resident labels (exact hop distances) are stashed as the
+        layer index, counts start at 1 on the seeds.  Layer-synchronous
+        rounds then fill σ(v) = Σ σ(u) over in-neighbors one hop
+        closer — the forward pass of Brandes' betweenness algorithm,
+        riding the same CSR/message plumbing as gather_min."""
+        self._pc_dist = self.labels.copy()
+        self._pc_cnt = np.zeros(self.s_p, np.int64)
+        if len(source_locals):
+            self._pc_cnt[np.asarray(source_locals, np.int64)] = 1
+        self._pc_round = 0
+
+    def set_path_round(self, t: int) -> None:
+        self._pc_round = int(t)
+
+    def gather_paths(self):
+        """Per-destination sum of σ over sources at layer round−1
+        (sources at other layers contribute 0; collapsed CSR rows =
+        simple-graph edges, matching the DISTINCT-pair oracle)."""
+        if len(self.w) == 0:
+            return self._unwrap1(
+                tuple(
+                    (self.out_local[q], np.empty(0, np.int64))
+                    for q in range(self.Q)
+                )
+            )
+        at_prev = self._pc_dist[self.src_l] == self._pc_round - 1
+        vals = np.where(at_prev, self._pc_cnt[self.src_l], 0)
+        sums = np.add.reduceat(vals, self.seg)
+        return self._unwrap1(
+            tuple((self.out_local[q], sums[self.route[q]]) for q in range(self.Q))
+        )
+
+    def reduce_paths(self, *parts) -> int:
+        """Assign σ to this partition's layer-round vertices.  Guard:
+        raise (never wrap) past 2^62 — the close_wedges uint64-guard
+        rule."""
+        t = self._pc_round
+        acc = np.zeros(self.s_p, np.int64)
+        for idx, vals in parts:
+            if len(idx):
+                np.add.at(acc, idx, vals)
+        mask = self._pc_dist == t
+        if mask.any():
+            mx = acc[mask].max()
+            if mx > (1 << 62):
+                raise OverflowError(
+                    f"shortest-path counts exceed the int64 guard ({mx})"
+                )
+            self._pc_cnt[mask] = acc[mask]
+        return int(mask.sum())
+
+    def get_path_state(self):
+        """(dist, σ) snapshot of this partition."""
+        return self._pc_dist, self._pc_cnt
+
     def init_kcore(self, k: int) -> None:
         """k-core peel init: all vertices alive (labels=1), threshold
         stored actor-side so the generic reduce signature stays
@@ -763,6 +824,30 @@ def unique_labels_part(vals) -> pa.Table:
     """Local distinct of one label partition (map-side combine for the
     distributed component count)."""
     return pa.table({"label": np.unique(np.asarray(vals, np.int64))})
+
+
+@ray.remote
+def zip_path_counts(vert_dir: str, q: int, Q: int, state) -> pa.Table:
+    """(name, dist, paths) for ONE partition's reached vertices —
+    names attached co-resident like zip_names, unreached rows
+    filtered task-side."""
+    dist, cnt = state
+    d = np.asarray(dist, np.int64)
+    c = np.asarray(cnt, np.int64)
+    keep = d < INF_DIST
+    vdir = os.path.join(vert_dir, f"q={q}")
+    if not os.path.isdir(vdir):
+        return pa.table(
+            {
+                "name": pa.array([], pa.string()),
+                "dist": pa.array([], pa.int64()),
+                "paths": pa.array([], pa.int64()),
+            }
+        )
+    vt = pq.read_table(vdir, columns=["vid", "name"])
+    order = np.argsort(vt.column("vid").to_numpy())
+    names = vt.column("name").take(pa.array(order[np.flatnonzero(keep)]))
+    return pa.table({"name": names, "dist": d[keep], "paths": c[keep]})
 
 
 @ray.remote

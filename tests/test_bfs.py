@@ -171,3 +171,41 @@ def test_directed_bfs(tmp_path):
     build_graph(ray.data.from_arrow(t), gdir, num_partitions=3)
     got = engine_depths(gdir, ["a"])
     assert got == {"a": 0, "b": 1, "c": 2}  # d unreachable forward
+
+
+@pytest.mark.parametrize("seed,n,m", [(41, 30, 80), (43, 50, 90)])
+def test_shortest_path_counts_sigma(tmp_path, seed, n, m):
+    """σ vs a python Brandes forward pass on random graphs."""
+    from rayrank.bfs import shortest_path_counts
+
+    rng = np.random.default_rng(seed)
+    edges = [
+        (str(a), str(b))
+        for a, b in zip(rng.integers(0, n, m), rng.integers(0, n, m))
+    ]
+    gdir = str(tmp_path / "g")
+    build_undirected(edges, gdir, Q=3)
+    present = sorted({v for e in edges for v in e})
+    src = present[0]
+    dist = python_bfs(edges, [src])
+    # python sigma: process vertices in BFS layer order
+    adj: dict[str, set] = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    sigma = {src: 1}
+    for d in range(1, max(dist.values(), default=0) + 1):
+        for v in [x for x, dd in dist.items() if dd == d]:
+            sigma[v] = sum(
+                sigma[u] for u in adj.get(v, ()) if dist.get(u) == d - 1
+            )
+    got = {
+        r["name"]: (r["dist"], r["paths"])
+        for b_ in shortest_path_counts(gdir, [src]).iter_batches(
+            batch_format="pyarrow"
+        )
+        for r in b_.to_pylist()
+    }
+    want = {v: (dist[v], sigma[v]) for v in dist}
+    assert got == want

@@ -100,3 +100,40 @@ def test_packed_stats_conservation():
     assert sum(stats.column("docs_started").to_pylist()) == len(exp)
     seqs = set(stats.column("seq_id").to_pylist())
     assert seqs == {a for a, _ in exp.values()}
+
+
+def test_doc_chunks_windows(tmp_path):
+    import pyarrow.parquet as pq
+
+    from rayrank.packing import CHUNK_LEN, CHUNK_STRIDE, doc_chunks
+
+    texts = {
+        1: " ".join(["t"] * 5),           # 1 chunk of 5
+        2: " ".join(["t"] * CHUNK_LEN),   # exactly one full window
+        3: " ".join(["t"] * (CHUNK_LEN + 1)),  # 2 chunks, 2nd short
+        4: " ".join(["t"] * 100),
+        5: "",                            # excluded (0 tokens)
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["start_tok"], r["chunk_tokens"])
+        for b in doc_chunks(str(tmp_path)).iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    )
+    want = []
+    for d, s in texts.items():
+        n = len(s.split())
+        if n == 0:
+            continue
+        cnt = 1 + max(0, -(-(n - CHUNK_LEN) // CHUNK_STRIDE)) if n > CHUNK_LEN else 1
+        for c in range(cnt):
+            start = c * CHUNK_STRIDE
+            want.append((d, c, start, min(n - start, CHUNK_LEN)))
+    assert got == sorted(want)
