@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_depths": pl.bfs_depths_sf,
         "descendant_depths": pl.descendant_depths_sf,
         "shortest_path_counts": pl.shortest_path_counts_sf,
+        "betweenness_contrib": pl.betweenness_contrib_sf,  # rows-only (float fold)
         "landmark_assignment": pl.landmark_assignment_sf,
         "sssp_dists": pl.sssp_dists_sf,
         "seed_closeness": pl.seed_closeness_sf,

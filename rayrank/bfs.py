@@ -306,28 +306,13 @@ def landmarks(
     return res, ordered
 
 
-def shortest_path_counts(
-    graph_dir: str,
-    seed_names: list[str],
-    max_iterations: int = 200,
-) -> ray.data.Dataset:
-    """(name, dist, paths) — σ(v), the number of distinct shortest
-    paths from the seed set to every reached vertex (the forward pass
-    of Brandes' betweenness algorithm).  BFS to fixpoint first (exact
-    layers resident on the shards), then one layer-synchronous σ round
-    per BFS level: gather = per-destination Σσ over sources one hop
-    closer (the unchanged CSR message plumbing), reduce assigns the
-    layer.  Counting WALKS of minimal length equals counting paths, so
-    the SQL oracle's layered recursion (extend only dist→dist+1 edges)
-    matches exactly.  Driver sees only scalars; the (dist, σ) result
-    zips names co-resident per partition."""
+def _sigma_pass(graph_dir: str, seed_names: list[str], max_iterations: int):
+    """BFS to fixpoint + layer-synchronous σ rounds (the Brandes
+    forward pass) on fresh resident shards; returns (shards, Q, depth)
+    with (layer, σ) state resident for a result zip or the backward
+    pass."""
     from .graph import GraphMeta
-    from .shards import (
-        create_shards,
-        gather_refs,
-        reach_stats_part,
-        zip_path_counts,
-    )
+    from .shards import create_shards, gather_refs, reach_stats_part
 
     meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
     shards = create_shards(graph_dir, meta)
@@ -353,9 +338,65 @@ def shortest_path_counts(
                 for p in range(Q)
             ]
         )
+    return shards, Q, depth
+
+
+def shortest_path_counts(
+    graph_dir: str,
+    seed_names: list[str],
+    max_iterations: int = 200,
+) -> ray.data.Dataset:
+    """(name, dist, paths) — σ(v), the number of distinct shortest
+    paths from the seed set to every reached vertex (the forward pass
+    of Brandes' betweenness algorithm).  BFS to fixpoint first (exact
+    layers resident on the shards), then one layer-synchronous σ round
+    per BFS level: gather = per-destination Σσ over sources one hop
+    closer (the unchanged CSR message plumbing), reduce assigns the
+    layer.  Counting WALKS of minimal length equals counting paths, so
+    the SQL oracle's layered recursion (extend only dist→dist+1 edges)
+    matches exactly.  Driver sees only scalars; the (dist, σ) result
+    zips names co-resident per partition."""
+    from .shards import zip_path_counts
+
+    shards, Q, _ = _sigma_pass(graph_dir, seed_names, max_iterations)
     vert_dir = os.path.join(graph_dir, "vertices")
     refs = [
         zip_path_counts.remote(vert_dir, q, Q, s.get_path_state.remote())
+        for q, s in enumerate(shards)
+    ]
+    return ray.data.from_arrow_refs(refs)
+
+
+def betweenness_contrib(
+    graph_dir: str,
+    seed_names: list[str],
+    max_iterations: int = 200,
+) -> ray.data.Dataset:
+    """(name, dependency) — single-source Brandes dependency δ(v) =
+    Σ_{w ∈ succ(v)} σ(v)/σ(w) · (1 + δ(w)): the per-source summand of
+    betweenness centrality (betweenness = Σ over sources of δ, seeds
+    excluded by convention — δ(seed) reported as accumulated, callers
+    drop it).  Backward layer-synchronous rounds over the SAME
+    resident (layer, σ) state as the forward pass: gather ships
+    (1 + δ(w))/σ(w) from layer-t vertices, reduce applies the
+    resident σ(v) at layer t−1.  Float payloads — no SQL oracle (sum
+    order); exact vs a python Brandes mirror in pytest."""
+    from .shards import gather_refs, zip_delta
+
+    shards, Q, depth = _sigma_pass(graph_dir, seed_names, max_iterations)
+    ray.get([s.init_betweenness.remote() for s in shards])
+    for t in range(depth, 0, -1):
+        ray.get([s.set_path_round.remote(t) for s in shards])
+        msgs = gather_refs(shards, "gather_delta")
+        ray.get(
+            [
+                shards[p].reduce_delta.remote(*[msgs[q][p] for q in range(Q)])
+                for p in range(Q)
+            ]
+        )
+    vert_dir = os.path.join(graph_dir, "vertices")
+    refs = [
+        zip_delta.remote(vert_dir, q, s.get_betweenness_state.remote())
         for q, s in enumerate(shards)
     ]
     return ray.data.from_arrow_refs(refs)

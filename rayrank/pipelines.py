@@ -931,6 +931,18 @@ def shortest_path_counts_sf(sf_dir: str) -> ray.data.Dataset:
     return shortest_path_counts(gdir, [min_vertex_name(gdir)])
 
 
+def betweenness_contrib_sf(sf_dir: str) -> ray.data.Dataset:
+    """(name, dependency) single-source Brandes dependency from the
+    min-name vertex on the undirected lineitem graph
+    (rayrank.bfs.betweenness_contrib).  Rows-only for the driver —
+    float accumulation order; exact python-Brandes mirror in
+    tests/test_bfs.py."""
+    from .bfs import betweenness_contrib, min_vertex_name
+
+    gdir = _graph(sf_dir, "undirected")
+    return betweenness_contrib(gdir, [min_vertex_name(gdir)])
+
+
 def landmark_assignment_sf(sf_dir: str, k: int = 4) -> ray.data.Dataset:
     """(name, dist, landmark) nearest-landmark assignment from the k
     lexicographically-smallest vertex names on the undirected lineitem

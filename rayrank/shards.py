@@ -512,6 +512,49 @@ class CsrShard:
         """(dist, σ) snapshot of this partition."""
         return self._pc_dist, self._pc_cnt
 
+    def init_betweenness(self) -> None:
+        """Dependency-accumulation init (run AFTER the σ pass): δ = 0
+        everywhere; layers and σ stay resident from init_path_counts."""
+        self._bw_delta = np.zeros(self.s_p, np.float64)
+
+    def gather_delta(self):
+        """Backward Brandes messages: per-destination Σ over sources
+        at layer ``round`` of (1 + δ(w)) / σ(w).  The σ(v) factor is
+        applied reduce-side where σ(v) is resident, so the message is
+        one float per (source-layer vertex, destination)."""
+        if len(self.w) == 0:
+            return self._unwrap1(
+                tuple(
+                    (self.out_local[q], np.empty(0, np.float64))
+                    for q in range(self.Q)
+                )
+            )
+        at_t = self._pc_dist[self.src_l] == self._pc_round
+        sig = self._pc_cnt[self.src_l].astype(np.float64)
+        contrib = np.where(
+            at_t, (1.0 + self._bw_delta[self.src_l]) / np.maximum(sig, 1.0), 0.0
+        )
+        sums = np.add.reduceat(contrib, self.seg)
+        return self._unwrap1(
+            tuple((self.out_local[q], sums[self.route[q]]) for q in range(self.Q))
+        )
+
+    def reduce_delta(self, *parts) -> int:
+        """δ(v) = σ(v) · Σ messages, assigned at layer round − 1."""
+        t = self._pc_round
+        acc = np.zeros(self.s_p, np.float64)
+        for idx, vals in parts:
+            if len(idx):
+                np.add.at(acc, idx, vals)
+        mask = self._pc_dist == t - 1
+        if mask.any():
+            self._bw_delta[mask] = self._pc_cnt[mask] * acc[mask]
+        return int(mask.sum())
+
+    def get_betweenness_state(self):
+        """(dist, δ) snapshot of this partition."""
+        return self._pc_dist, self._bw_delta
+
     def init_kcore(self, k: int) -> None:
         """k-core peel init: all vertices alive (labels=1), threshold
         stored actor-side so the generic reduce signature stays
@@ -848,6 +891,27 @@ def zip_path_counts(vert_dir: str, q: int, Q: int, state) -> pa.Table:
     order = np.argsort(vt.column("vid").to_numpy())
     names = vt.column("name").take(pa.array(order[np.flatnonzero(keep)]))
     return pa.table({"name": names, "dist": d[keep], "paths": c[keep]})
+
+
+@ray.remote
+def zip_delta(vert_dir: str, q: int, state) -> pa.Table:
+    """(name, dependency) for ONE partition's reached vertices."""
+    dist, delta = state
+    d = np.asarray(dist, np.int64)
+    x = np.asarray(delta, np.float64)
+    keep = d < INF_DIST
+    vdir = os.path.join(vert_dir, f"q={q}")
+    if not os.path.isdir(vdir):
+        return pa.table(
+            {
+                "name": pa.array([], pa.string()),
+                "dependency": pa.array([], pa.float64()),
+            }
+        )
+    vt = pq.read_table(vdir, columns=["vid", "name"])
+    order = np.argsort(vt.column("vid").to_numpy())
+    names = vt.column("name").take(pa.array(order[np.flatnonzero(keep)]))
+    return pa.table({"name": names, "dependency": x[keep]})
 
 
 @ray.remote

@@ -209,3 +209,50 @@ def test_shortest_path_counts_sigma(tmp_path, seed, n, m):
     }
     want = {v: (dist[v], sigma[v]) for v in dist}
     assert got == want
+
+
+@pytest.mark.parametrize("seed,n,m", [(47, 25, 70), (53, 40, 85)])
+def test_betweenness_contrib_brandes(tmp_path, seed, n, m):
+    """δ vs a python Brandes backward pass (allclose 1e-9)."""
+    from rayrank.bfs import betweenness_contrib
+
+    rng = np.random.default_rng(seed)
+    edges = [
+        (str(a), str(b))
+        for a, b in zip(rng.integers(0, n, m), rng.integers(0, n, m))
+    ]
+    gdir = str(tmp_path / "g")
+    build_undirected(edges, gdir, Q=3)
+    present = sorted({v for e in edges for v in e})
+    src = present[0]
+    dist = python_bfs(edges, [src])
+    adj: dict[str, set] = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    sigma = {src: 1}
+    dmax = max(dist.values(), default=0)
+    for d in range(1, dmax + 1):
+        for v in [x for x, dd in dist.items() if dd == d]:
+            sigma[v] = sum(
+                sigma[u] for u in adj.get(v, ()) if dist.get(u) == d - 1
+            )
+    delta = {v: 0.0 for v in dist}
+    for d in range(dmax, 0, -1):
+        for v in [x for x, dd in dist.items() if dd == d - 1]:
+            delta[v] = sigma[v] * sum(
+                (1.0 + delta[w]) / sigma[w]
+                for w in adj.get(v, ())
+                if dist.get(w) == d
+            )
+    got = {
+        r["name"]: r["dependency"]
+        for b_ in betweenness_contrib(gdir, [src]).iter_batches(
+            batch_format="pyarrow"
+        )
+        for r in b_.to_pylist()
+    }
+    assert set(got) == set(delta)
+    for v in delta:
+        assert got[v] == pytest.approx(delta[v], abs=1e-9)
