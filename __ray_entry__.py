@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_order": _packmod().shuffle_order,
         "mixture_sample": _packmod().mixture_sample,
         "dataset_split": _packmod().dataset_split,
+        "corpus_prep_stats": pl.corpus_prep_stats,
         "doc_chunks": _packmod().doc_chunks,
     }
 
@@ -937,6 +938,46 @@ SELECT source,
 FROM j GROUP BY 1, 2"""
 
 
+def _corpus_prep_sql() -> str:
+    from rayrank.packing import SPLIT_TRAIN_T, SPLIT_VAL_T
+    from rayrank.pipelines import PREP_MIN_TOKENS
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+    CAST(CASE WHEN trim(text) = '' THEN 0 ELSE
+      array_length(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+      AS n
+  FROM documents
+),
+d1 AS (
+  SELECT * FROM base
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM base GROUP BY text)
+),
+d2 AS (
+  SELECT * FROM d1
+  WHERE doc_id IN (
+    SELECT MIN(doc_id) FROM d1
+    GROUP BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+  )
+),
+g AS (SELECT * FROM d2 WHERE n >= {PREP_MIN_TOKENS}),
+{_sm64_id_cte("(SELECT doc_id AS id, doc_id AS x FROM g)")}
+SELECT '0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n) AS BIGINT) AS n_tokens FROM base
+UNION ALL
+SELECT '1_exact_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(n) AS BIGINT) FROM d1
+UNION ALL
+SELECT '2_normalized_dedup', CAST(COUNT(*) AS BIGINT), CAST(SUM(n) AS BIGINT) FROM d2
+UNION ALL
+SELECT '3_quality_gate', CAST(COUNT(*) AS BIGINT), CAST(SUM(n) AS BIGINT) FROM g
+UNION ALL
+SELECT CASE WHEN h.z < {SPLIT_TRAIN_T} THEN '4_train'
+            WHEN h.z < {SPLIT_VAL_T} THEN '4_val' ELSE '4_test' END,
+  CAST(COUNT(*) AS BIGINT), CAST(SUM(g.n) AS BIGINT)
+FROM g JOIN hh h ON g.doc_id = h.id GROUP BY 1"""
+
+
 def _random_walks_sql(steps: int) -> str:
     """Unrolled deterministic-walk oracle (rayrank.pipelines
     .random_walks): per step, the splitmix64 chain over
@@ -1455,6 +1496,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_order": _shuffle_order_sql(),
         "mixture_sample": _mixture_sample_sql(),
         "dataset_split": _dataset_split_sql(),
+        "corpus_prep_stats": _corpus_prep_sql(),
         "doc_chunks": _packmod().DOC_CHUNKS_SQL,
         "triangle_count": (
             "WITH raw AS (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem), "

@@ -328,6 +328,106 @@ def docs_normalized_dedup(sf_dir: str) -> ray.data.Dataset:
     return exact_dedup(slim).select_columns(["doc_id"])
 
 
+PREP_MIN_TOKENS = 20
+
+
+def corpus_prep_stats(sf_dir: str) -> ray.data.Dataset:
+    """(stage, n_docs, n_tokens) accounting for the full training-data
+    prep chain — the flagship LLM-corpus composition over the engine's
+    own primitives, each stage feeding the next:
+
+      input → exact_dedup (raw sha) → normalized_dedup (canonical sha)
+      → quality gate (≥ PREP_MIN_TOKENS ws-tokens)
+      → train/val/test split (splitmix64 hash ranges)
+
+    Survivor rule everywhere is min-doc_id-per-key, so the SQL oracle
+    is a plain CTE chain.  Scale shape: the two dedups shuffle only
+    (doc_id, sha); token counts and the split are block-local; each
+    stage's (n_docs, n_tokens) partials fold through one tiny re-agg.
+    All counts exact int64."""
+    from .packing import SPLIT_TRAIN_T, SPLIT_VAL_T
+    from .sketch import splitmix64
+    from .shuffle import keyed_reagg
+    from .text import canonicalize, exact_dedup, with_text_sha256
+
+    tt, tv = np.uint64(SPLIT_TRAIN_T), np.uint64(SPLIT_VAL_T)
+
+    def with_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t.column("text")), pattern=r"\s+"
+        )
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pc.equal(pc.utf8_trim_whitespace(t.column("text")), "")
+        n = np.where(empty.to_numpy(zero_copy_only=False), 0, n)
+        return t.append_column("n_tokens", pa.array(n))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        with_counts, batch_format="pyarrow"
+    )
+    d1 = exact_dedup(with_text_sha256(ds), key="text_sha256").select_columns(
+        ["doc_id", "text", "n_tokens"]
+    )
+    d2 = exact_dedup(
+        with_text_sha256(canonicalize(d1), col="canon"), key="text_sha256"
+    ).select_columns(["doc_id", "n_tokens"])
+
+    def gate_and_stats(t: pa.Table):
+        if len(t) == 0 or "n_tokens" not in t.schema.names:
+            return
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        rows = [("2_normalized_dedup", len(n), int(n.sum()))]
+        keep = n >= PREP_MIN_TOKENS
+        n, ids = n[keep], ids[keep]
+        rows.append(("3_quality_gate", len(n), int(n.sum())))
+        z = splitmix64(ids)
+        split = np.where(z < tt, "4_train", np.where(z < tv, "4_val", "4_test"))
+        yield pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "stage": pa.array([s for s, _, _ in rows], pa.string()),
+                        "n_docs": pa.array([d for _, d, _ in rows], pa.int64()),
+                        "n_tokens": pa.array([k for _, _, k in rows], pa.int64()),
+                    }
+                ),
+                pa.table({"stage": pa.array(split.tolist(), pa.string()),
+                          "n_docs": pa.array(np.ones(len(n), np.int64)),
+                          "n_tokens": pa.array(n)})
+                .group_by(["stage"])
+                .aggregate([("n_docs", "sum"), ("n_tokens", "sum")])
+                .rename_columns(["stage", "n_docs", "n_tokens"]),
+            ]
+        )
+
+    def base_stats(t: pa.Table, stage: str):
+        if len(t) == 0 or "n_tokens" not in t.schema.names:
+            return
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "stage": pa.array([stage], pa.string()),
+                "n_docs": pa.array([len(n)], pa.int64()),
+                "n_tokens": pa.array([int(n.sum())], pa.int64()),
+            }
+        )
+
+    def stats_input(t: pa.Table):
+        yield from base_stats(t, "0_input")
+
+    def stats_exact(t: pa.Table):
+        yield from base_stats(t, "1_exact_dedup")
+
+    parts = (
+        ds.map_batches(stats_input, batch_format="pyarrow")
+        .union(d1.map_batches(stats_exact, batch_format="pyarrow"))
+        .union(d2.map_batches(gate_and_stats, batch_format="pyarrow"))
+    )
+    return keyed_reagg(
+        parts, ["stage"], [("n_docs", "sum"), ("n_tokens", "sum")], 4
+    )
+
+
 def token_counts(sf_dir: str) -> ray.data.Dataset:
     from .text import TokenCounter
 
