@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_year_cube": _an().nation_year_cube,
         "event_value_stats": _an().event_value_stats,
         "event_value_histogram": _an().event_value_histogram,
+        "open_orders_over_time": _an().open_orders_over_time,
+        "fk_violations": _an().fk_violations,
         "stratified_event_sample": _an().stratified_event_sample,
         "price_quantiles_cont": pl.price_quantiles_cont,
         "parts_in_both_years": _an().parts_in_both_years,
@@ -1274,6 +1276,8 @@ def oracle_sql() -> dict[str, str]:
         "nation_year_cube": _an().NATION_YEAR_CUBE_SQL,
         "event_value_stats": _an().EVENT_VALUE_STATS_SQL,
         "event_value_histogram": _an().EVENT_VALUE_HISTOGRAM_SQL,
+        "open_orders_over_time": _an().OPEN_ORDERS_SQL,
+        "fk_violations": _an().FK_VIOLATIONS_SQL,
         "stratified_event_sample": _stratified_sample_sql(),
         "price_quantiles_cont": _interp_quantiles_sql(),
         "parts_in_both_years": _an().PARTS_IN_BOTH_YEARS_SQL,

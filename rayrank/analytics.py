@@ -1858,3 +1858,191 @@ SELECT CAST(LEAST((vc - lo) * {HIST_BINS} // (hi - lo), {HIST_BINS} - 1)
   CAST(COUNT(*) AS BIGINT) AS n_events
 FROM b, mm GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# interval stabbing: open orders per day (sweep-line +1/−1 prefix sum)
+# --------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def open_orders_over_time(sf_dir: str) -> ray.data.Dataset:
+    """(day, open_orders) — how many orders are open on each knot day,
+    an order being open from its order date through its last lineitem
+    ship date (orders with no lineitems have no interval).  The
+    classic sweep-line shape: per-order (+1 at start, −1 after end)
+    deltas pre-combine per block, ONE day-keyed re-agg bounds the
+    stream at distinct-knot-days rows, and the prefix sum runs in one
+    tiny coalesced block (the day domain is thousands of knots no
+    matter the row count — same rationale as the packing bucket scan).
+    Pure integer epoch-days; output rows at delta days only (the step
+    function's knots), identical to the SQL window prefix."""
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    def ship_pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        day = pc.cast(
+            pc.divide(pc.cast(t.column("l_shipdate"), pa.int64()), _DAY_US),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"l_orderkey": t.column("l_orderkey"), "ed": day})
+            .group_by(["l_orderkey"])
+            .aggregate([("ed", "max")])
+        )
+        yield g.rename_columns(["l_orderkey", "ed"])
+
+    ends = keyed_reagg(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+            ship_pre, batch_format="pyarrow"
+        ),
+        ["l_orderkey"], [("ed", "max")], P,
+    )
+
+    def ord_pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield pa.table(
+            {
+                "l_orderkey": t.column("o_orderkey"),
+                "sd": pc.cast(
+                    pc.divide(
+                        pc.cast(t.column("o_orderdate"), pa.int64()), _DAY_US
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        ord_pre, batch_format="pyarrow"
+    )
+    j = join_auto(orders, ends, on=("l_orderkey",), num_partitions=P)
+
+    def deltas(t: pa.Table):
+        if len(t) == 0 or "ed" not in t.schema.names:
+            return
+        sd = t.column("sd").to_numpy(zero_copy_only=False)
+        ed = t.column("ed").to_numpy(zero_copy_only=False)
+        day = np.concatenate([sd, ed + 1])
+        dd = np.concatenate(
+            [np.ones(len(sd), np.int64), np.full(len(ed), -1, np.int64)]
+        )
+        g = (
+            pa.table({"day": pa.array(day), "delta": pa.array(dd)})
+            .group_by(["day"])
+            .aggregate([("delta", "sum")])
+        )
+        yield g.rename_columns(["day", "delta"])
+
+    knots = keyed_reagg(
+        j.map_batches(deltas, batch_format="pyarrow"), ["day"], [("delta", "sum")], P
+    ).repartition(1)
+
+    def prefix(t: pa.Table):
+        if t.num_rows == 0 or "day" not in t.schema.names:
+            return
+        g = t.group_by(["day"]).aggregate([("delta", "sum")])
+        day = g.column("day").to_numpy(zero_copy_only=False)
+        dd = g.column("delta_sum").to_numpy(zero_copy_only=False)
+        o = np.argsort(day)
+        yield pa.table(
+            {
+                "day": pa.array(day[o]),
+                "open_orders": pa.array(np.cumsum(dd[o]).astype(np.int64)),
+            }
+        )
+
+    return knots.map_batches(prefix, batch_size=None, batch_format="pyarrow")
+
+
+OPEN_ORDERS_SQL = """
+WITH ends AS (
+  SELECT l_orderkey,
+    MAX(CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT)) AS ed
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS sd, e.ed
+  FROM orders o JOIN ends e ON o.o_orderkey = e.l_orderkey
+),
+d AS (
+  SELECT sd AS day, 1 AS dd FROM j
+  UNION ALL SELECT ed + 1, -1 FROM j
+),
+g AS (SELECT day, CAST(SUM(dd) AS BIGINT) AS delta FROM d GROUP BY day)
+SELECT day, CAST(SUM(delta) OVER (ORDER BY day) AS BIGINT) AS open_orders
+FROM g
+"""
+
+
+# --------------------------------------------------------------------------
+# referential-integrity audit (distributed anti-join counts)
+# --------------------------------------------------------------------------
+
+_FK_PAIRS = [
+    ("orders_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def fk_violations(sf_dir: str) -> pa.Table:
+    """(fk, violations) referential-integrity audit across every
+    foreign-key edge of the schema — the ingest-gate data-quality
+    check a pipeline runs before training jobs consume a drop.  Each
+    edge is one distributed anti join (join_auto: keys-only right side
+    broadcasts under the guard, hash-partitions above) + a count; the
+    driver folds |edges| scalars.  All-zero on a consistent extract —
+    the value is the guarantee, and any violation surfaces with its
+    edge name."""
+    from .joins import join_auto
+
+    rows = []
+    for name, lt, lk, rt, rk in _FK_PAIRS:
+        anti = join_auto(
+            _read(sf_dir, lt, [lk]),
+            _read(sf_dir, rt, [rk]),
+            on=(lk,),
+            right_on=(rk,),
+            how="anti",
+            num_partitions=P,
+        )
+        rows.append((name, anti.count()))
+    return pa.table(
+        {
+            "fk": pa.array([n for n, _ in rows], pa.string()),
+            "violations": pa.array([v for _, v in rows], pa.int64()),
+        }
+    )
+
+
+FK_VIOLATIONS_SQL = """
+SELECT 'orders_custkey' AS fk, CAST(COUNT(*) AS BIGINT) AS violations
+FROM orders ANTI JOIN customer ON o_custkey = c_custkey
+UNION ALL
+SELECT 'lineitem_orderkey', CAST(COUNT(*) AS BIGINT)
+FROM lineitem ANTI JOIN orders ON l_orderkey = o_orderkey
+UNION ALL
+SELECT 'lineitem_partkey', CAST(COUNT(*) AS BIGINT)
+FROM lineitem ANTI JOIN part ON l_partkey = p_partkey
+UNION ALL
+SELECT 'lineitem_suppkey', CAST(COUNT(*) AS BIGINT)
+FROM lineitem ANTI JOIN supplier ON l_suppkey = s_suppkey
+UNION ALL
+SELECT 'customer_nationkey', CAST(COUNT(*) AS BIGINT)
+FROM customer ANTI JOIN nation ON c_nationkey = n_nationkey
+UNION ALL
+SELECT 'supplier_nationkey', CAST(COUNT(*) AS BIGINT)
+FROM supplier ANTI JOIN nation ON s_nationkey = n_nationkey
+UNION ALL
+SELECT 'nation_regionkey', CAST(COUNT(*) AS BIGINT)
+FROM nation ANTI JOIN region ON n_regionkey = r_regionkey
+"""
