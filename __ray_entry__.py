@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": pl.ann_topk,
         "embedding_quantize": _annmod().embedding_quantize,
         "mutual_knn_pairs": _annmod().mutual_knn_pairs,
+        "knn_graph_components": pl.knn_graph_components,
         "lsh_ann_topk": pl.lsh_ann_topk,                # rows-only (approximate)
         "ivf_ann_topk": pl.ivf_ann_topk,                # rows-only (approximate)
         "embedding_pca": _annmod().pca_top_component,   # rows-only (float fold order)
@@ -980,6 +981,54 @@ SELECT CASE WHEN h.z < {SPLIT_TRAIN_T} THEN '4_train'
 FROM g JOIN hh h ON g.doc_id = h.id GROUP BY 1"""
 
 
+def _knn_cc_sql() -> str:
+    """Mutual-kNN pairs (the MUTUAL_KNN_SQL CTEs) fed into the bounded
+    min-label CC recursion (_CC_LABELS_CTE pattern) over the pair
+    members — mirrors rayrank.pipelines.knn_graph_components."""
+    from rayrank.ann import MUTUAL_K
+
+    return f"""
+WITH RECURSIVE
+s AS (
+  SELECT q.vec_id AS qid, e.vec_id AS vid,
+    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM embeddings q CROSS JOIN embeddings e
+  WHERE q.vec_id <> e.vec_id
+),
+r AS (
+  SELECT qid, vid,
+    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
+  FROM s
+),
+t AS (SELECT qid, vid FROM r WHERE rn <= {MUTUAL_K}),
+m AS (
+  SELECT LEAST(qid, vid) AS a, GREATEST(qid, vid) AS b, COUNT(*) AS c
+  FROM t GROUP BY 1, 2
+),
+pairs AS (
+  SELECT CAST(a AS VARCHAR) AS s, CAST(b AS VARCHAR) AS t FROM m WHERE c = 2
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM pairs UNION ALL SELECT t FROM pairs)),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM pairs WHERE s <> t
+    UNION ALL SELECT t, s FROM pairs WHERE s <> t
+    UNION ALL SELECT v, v FROM verts
+  )
+),
+lab(it, v, l) AS (
+  SELECT 0, v, v FROM verts
+  UNION ALL
+  SELECT lab.it + 1, e.b, MIN(lab.l)
+  FROM lab JOIN und e ON lab.v = e.a
+  WHERE lab.it < {_CC_ITERS}
+  GROUP BY lab.it + 1, e.b
+)
+SELECT v AS name, l AS component FROM lab WHERE it = {_CC_ITERS}
+"""
+
+
 def _random_walks_sql(steps: int) -> str:
     """Unrolled deterministic-walk oracle (rayrank.pipelines
     .random_walks): per step, the splitmix64 chain over
@@ -1468,6 +1517,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_parts": _hll_sql("l_partkey", "lineitem", 12),
         "embedding_quantize": _annmod().EMBEDDING_QUANTIZE_SQL,
         "mutual_knn_pairs": _annmod().MUTUAL_KNN_SQL,
+        "knn_graph_components": _knn_cc_sql(),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
             "FROM embeddings WHERE vec_id < 3), "

@@ -1336,6 +1336,37 @@ def connected_components_sf(sf_dir: str) -> ray.data.Dataset:
     return canonical_components(cc, gdir)
 
 
+def knn_graph_components(sf_dir: str) -> ray.data.Dataset:
+    """(name, component=min member name) connected components of the
+    MUTUAL-kNN graph over the embeddings table — the embedding-dedup
+    clustering composite (RNN pairs → graph → CC), and the one
+    clustering path with an EXACT SQL oracle (the LSH/minhash cluster
+    analogues are approximate by design, rows-only).  Pipeline: exact
+    reciprocal top-k pairs (ann.mutual_knn_pairs), cast to the name
+    edge schema, ONE graph build, shard-loop CC, canonical min-name
+    labels.  Vertices with no mutual neighbor are absent (no edge ⇒
+    not in the graph), mirrored by the oracle's pair-member vertex
+    set."""
+    from .ann import mutual_knn_pairs
+    from .components import canonical_components, connected_components
+
+    def names(t: pa.Table):
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "src_name": pc.cast(t.column("a"), pa.string()),
+                "dst_name": pc.cast(t.column("b"), pa.string()),
+            }
+        )
+
+    edges = mutual_knn_pairs(sf_dir).map_batches(names, batch_format="pyarrow")
+    gdir = tempfile.mkdtemp(prefix="rayrank_knn_cc_")
+    build_graph(edges, gdir, num_partitions=P, undirected=True)
+    cc = connected_components(gdir)
+    return canonical_components(cc, gdir)
+
+
 def label_propagation_sf(sf_dir: str) -> ray.data.Dataset:
     from .labelprop import label_propagation
 
