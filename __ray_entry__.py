@@ -985,7 +985,7 @@ def _knn_cc_sql() -> str:
     """Mutual-kNN pairs (the MUTUAL_KNN_SQL CTEs) fed into the bounded
     min-label CC recursion (_CC_LABELS_CTE pattern) over the pair
     members — mirrors rayrank.pipelines.knn_graph_components."""
-    from rayrank.ann import MUTUAL_K
+    from rayrank.pipelines import KNN_CC_K
 
     return f"""
 WITH RECURSIVE
@@ -1001,7 +1001,7 @@ r AS (
     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rn
   FROM s
 ),
-t AS (SELECT qid, vid FROM r WHERE rn <= {MUTUAL_K}),
+t AS (SELECT qid, vid FROM r WHERE rn <= {KNN_CC_K}),
 m AS (
   SELECT LEAST(qid, vid) AS a, GREATEST(qid, vid) AS b, COUNT(*) AS c
   FROM t GROUP BY 1, 2

@@ -1336,6 +1336,9 @@ def connected_components_sf(sf_dir: str) -> ray.data.Dataset:
     return canonical_components(cc, gdir)
 
 
+KNN_CC_K = 2
+
+
 def knn_graph_components(sf_dir: str) -> ray.data.Dataset:
     """(name, component=min member name) connected components of the
     MUTUAL-kNN graph over the embeddings table — the embedding-dedup
@@ -1346,7 +1349,9 @@ def knn_graph_components(sf_dir: str) -> ray.data.Dataset:
     edge schema, ONE graph build, shard-loop CC, canonical min-name
     labels.  Vertices with no mutual neighbor are absent (no edge ⇒
     not in the graph), mirrored by the oracle's pair-member vertex
-    set."""
+    set.  k=2 (strictest mutuality) — the k=5 mutual graph percolates
+    into one giant component on this corpus; at 2 the clustering is
+    real (93 components at sf0.001)."""
     from .ann import mutual_knn_pairs
     from .components import canonical_components, connected_components
 
@@ -1360,7 +1365,9 @@ def knn_graph_components(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    edges = mutual_knn_pairs(sf_dir).map_batches(names, batch_format="pyarrow")
+    edges = mutual_knn_pairs(sf_dir, k=KNN_CC_K).map_batches(
+        names, batch_format="pyarrow"
+    )
     gdir = tempfile.mkdtemp(prefix="rayrank_knn_cc_")
     build_graph(edges, gdir, num_partitions=P, undirected=True)
     cc = connected_components(gdir)
