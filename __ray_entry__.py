@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": pl.price_quantiles,
         "frequent_event_types": pl.frequent_event_types,
         "kmv_distinct_parts": pl.kmv_distinct_parts,
+        "parts_kmv_jaccard": pl.parts_kmv_jaccard,
         "hll_distinct_parts": pl.hll_distinct_parts,
         "embedding_near_dups": pl.embedding_near_dup_pairs,  # rows-only
         "ann_topk": pl.ann_topk,
@@ -886,6 +887,59 @@ sk3 AS (SELECT id, {_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS 
 hh AS (SELECT id, xor(z, z // 2147483648) AS z FROM sk3)"""
 
 
+def _sm64_suffixed_cte(src: str, sfx: str) -> str:
+    """_sm64_cte with suffixed CTE names so two hash chains coexist in
+    one WITH list; yields hh{sfx}(z)."""
+    return f"""
+sk0{sfx} AS (SELECT CAST(x AS HUGEINT) AS x FROM {src}),
+sk1{sfx} AS (SELECT (x + 11400714819323198485) % {_M64} AS z FROM sk0{sfx}),
+sk2{sfx} AS (SELECT {_sm64_mul('xor(z, z // 1073741824)', 0xBF58476D1CE4E5B9)} AS z FROM sk1{sfx}),
+sk3{sfx} AS (SELECT {_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FROM sk2{sfx}),
+hh{sfx} AS (SELECT xor(z, z // 2147483648) AS z FROM sk3{sfx})"""
+
+
+def _kmv_jaccard_sql(k: int = 64) -> str:
+    from rayrank.analytics import SETOP_YEAR_A, SETOP_YEAR_B
+
+    src_a = (
+        f"(SELECT DISTINCT l_partkey AS x FROM lineitem "
+        f"WHERE year(l_shipdate) = {SETOP_YEAR_A})"
+    )
+    src_b = (
+        f"(SELECT DISTINCT l_partkey AS x FROM lineitem "
+        f"WHERE year(l_shipdate) = {SETOP_YEAR_B})"
+    )
+    return f"""
+WITH {_sm64_suffixed_cte(src_a, "a")},
+{_sm64_suffixed_cte(src_b, "b")},
+ha AS (
+  SELECT z FROM (
+    SELECT z, ROW_NUMBER() OVER (ORDER BY z) AS rn
+    FROM (SELECT DISTINCT z FROM hha)
+  ) WHERE rn <= {k}
+),
+hb AS (
+  SELECT z FROM (
+    SELECT z, ROW_NUMBER() OVER (ORDER BY z) AS rn
+    FROM (SELECT DISTINCT z FROM hhb)
+  ) WHERE rn <= {k}
+),
+u AS (
+  SELECT z FROM (
+    SELECT z, ROW_NUMBER() OVER (ORDER BY z) AS rn
+    FROM (SELECT z FROM ha UNION SELECT z FROM hb)
+  ) WHERE rn <= {k}
+),
+c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c FROM u
+  WHERE z IN (SELECT z FROM ha) AND z IN (SELECT z FROM hb)
+),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u)
+SELECT CAST({k} AS BIGINT) AS k, kk.n AS union_k, c.c AS inter_k,
+  CAST(c.c AS DOUBLE) / CAST(kk.n AS DOUBLE) AS jaccard_est
+FROM c, kk"""
+
+
 def _shuffle_order_sql() -> str:
     return f"""
 WITH {_sm64_id_cte('(SELECT doc_id AS id, doc_id AS x FROM documents)')}
@@ -1514,6 +1568,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(unnest(v) AS DOUBLE) AS value FROM a"
         ),
         "kmv_distinct_parts": _kmv_sql("l_partkey", "lineitem", 64),
+        "parts_kmv_jaccard": _kmv_jaccard_sql(),
         "hll_distinct_parts": _hll_sql("l_partkey", "lineitem", 12),
         "embedding_quantize": _annmod().EMBEDDING_QUANTIZE_SQL,
         "mutual_knn_pairs": _annmod().MUTUAL_KNN_SQL,

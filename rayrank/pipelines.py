@@ -1137,6 +1137,33 @@ def core_numbers_sf(sf_dir: str) -> ray.data.Dataset:
     return core_numbers(_graph(sf_dir, "undirected"))
 
 
+def parts_kmv_jaccard(sf_dir: str) -> pa.Table:
+    """(k, union_k, inter_k, jaccard_est) KMV set-similarity estimate
+    between the partkey sets shipped in the two set-op years — the
+    sketch-based answer to parts_in_both_years' exact INTERSECT, at
+    O(k) driver traffic instead of a keyed shuffle
+    (rayrank.sketch.kmv_jaccard).  SQL oracle replays the identical
+    splitmix64 chain per side in HUGEINT."""
+    from .analytics import SETOP_YEAR_A, SETOP_YEAR_B
+    from .sketch import kmv_jaccard
+
+    def year_parts(y: int):
+        def fn(t: pa.Table):
+            if len(t) == 0:
+                return
+            yr = pc.year(t.column("l_shipdate"))
+            keep = t.filter(pc.equal(yr, y))
+            if keep.num_rows:
+                yield keep.select(["l_partkey"])
+
+        return fn
+
+    base = _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate"])
+    a = base.map_batches(year_parts(SETOP_YEAR_A), batch_format="pyarrow")
+    b = base.map_batches(year_parts(SETOP_YEAR_B), batch_format="pyarrow")
+    return kmv_jaccard(a, b, "l_partkey", "l_partkey", k=64)
+
+
 def pagerank_2iter(sf_dir: str) -> ray.data.Dataset:
     """Exactly two reference-exact power iterations on the lineitem edge
     table — SQL-expressible by unrolling (oracle does the same two

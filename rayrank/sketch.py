@@ -263,3 +263,56 @@ def hash_sample(
         return t.filter(pa.array(h < thresh))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def kmv_sketch(ds: ray.data.Dataset, column: str, k: int = 64) -> np.ndarray:
+    """The k smallest splitmix64 hashes of ``column``'s distinct values
+    — per-block ≤k-row partials, ONE driver fold of k·blocks hashes
+    (never the value set).  Deterministic: a pure function of the
+    value SET, so sketches of the same set agree at any cluster
+    size."""
+
+    def part(t: pa.Table):
+        if t.num_rows == 0 or column not in t.schema.names:
+            return
+        v = t.column(column).to_numpy(zero_copy_only=False)
+        h = np.unique(splitmix64(np.unique(v)))
+        yield pa.table({"h": pa.array(h[:k], pa.uint64())})
+
+    hs = [
+        r["h"] for r in ds.map_batches(part, batch_format="pyarrow").take_all()
+    ]
+    if not hs:
+        return np.empty(0, np.uint64)
+    return np.unique(np.asarray(hs, np.uint64))[:k]
+
+
+def kmv_jaccard(
+    a_ds: ray.data.Dataset,
+    b_ds: ray.data.Dataset,
+    col_a: str,
+    col_b: str,
+    k: int = 64,
+) -> pa.Table:
+    """One-row KMV Jaccard estimate between two key sets: union sketch
+    = k smallest of merge(sketch_A, sketch_B); estimate = (union-sketch
+    hashes present in BOTH side sketches) / |union sketch| — the
+    standard mergeable set-similarity estimator (exact when both sets
+    fit in k).  Only 2·k hashes ever reach the driver; ONE double
+    division of exact ints, mirrored by the SQL oracle."""
+    ha = kmv_sketch(a_ds, col_a, k)
+    hb = kmv_sketch(b_ds, col_b, k)
+    u = np.unique(np.concatenate([ha, hb]))[:k]
+    both = np.intersect1d(ha, hb)
+    c = int(np.isin(u, both).sum())
+    n = int(len(u))
+    return pa.table(
+        {
+            "k": pa.array([k], pa.int64()),
+            "union_k": pa.array([n], pa.int64()),
+            "inter_k": pa.array([c], pa.int64()),
+            "jaccard_est": pa.array(
+                [float(c) / float(n) if n else 0.0], pa.float64()
+            ),
+        }
+    )

@@ -102,3 +102,34 @@ def test_hll_empty_and_single():
     ds = ray.data.from_items([{"x": 42}])
     row = _one_row(hll_distinct(ds, "x", p=12))
     assert abs(row["est_distinct"] - 1.0) < 0.01
+
+
+def test_kmv_jaccard_exact_small_sets():
+    """Union fits in k → the estimator is EXACT Jaccard."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayrank.sketch import kmv_jaccard
+
+    a = ray.data.from_arrow(pa.table({"x": pa.array(list(range(0, 30)), pa.int64())}))
+    b = ray.data.from_arrow(pa.table({"x": pa.array(list(range(20, 50)), pa.int64())}))
+    row = kmv_jaccard(a, b, "x", "x", k=64).to_pylist()[0]
+    # |A∪B| = 50, |A∩B| = 10 → exact
+    assert row["union_k"] == 50 and row["inter_k"] == 10
+    assert row["jaccard_est"] == 10 / 50
+
+
+def test_kmv_jaccard_estimates_overlap():
+    import pyarrow as pa
+    import ray.data
+
+    from rayrank.sketch import kmv_jaccard
+
+    n = 20_000
+    a = ray.data.from_arrow(pa.table({"x": pa.array(list(range(n)), pa.int64())}))
+    b = ray.data.from_arrow(
+        pa.table({"x": pa.array(list(range(n // 2, n + n // 2)), pa.int64())})
+    )
+    row = kmv_jaccard(a, b, "x", "x", k=256).to_pylist()[0]
+    # true J = (n/2) / (3n/2) = 1/3; KMV with k=256 ⇒ ~±0.06
+    assert abs(row["jaccard_est"] - 1 / 3) < 0.1
