@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": rel.user_event_pivot,
         "funnel_conversions": rel.funnel_conversions,
         "three_step_funnel": rel.three_step_funnel,
+        "conversion_lag_histogram": rel.conversion_lag_histogram,
         "order_count_distribution": _an().order_count_distribution,
         "big_orders": _an().big_orders,
         "inactive_customers": _an().inactive_customers,
@@ -95,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_year_cube": _an().nation_year_cube,
         "event_value_stats": _an().event_value_stats,
         "event_value_histogram": _an().event_value_histogram,
+        "event_value_winsorized": _an().event_value_winsorized,
         "open_orders_over_time": _an().open_orders_over_time,
         "fk_violations": _an().fk_violations,
         "stratified_event_sample": _an().stratified_event_sample,
@@ -107,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": pl.random_walks,
         "edge_support": _truss().edge_support,
         "rich_club": _truss().rich_club,
+        "knn_degree_curve": _truss().knn_degree_curve,
         "k_truss_edges": _truss().k_truss,
         "event_value_quantiles": _an().event_value_quantiles,
         "event_value_mad": _an().event_value_mad,
@@ -1369,6 +1372,7 @@ def oracle_sql() -> dict[str, str]:
         "user_event_pivot": rel.USER_EVENT_PIVOT_SQL,
         "funnel_conversions": rel.FUNNEL_CONVERSIONS_SQL,
         "three_step_funnel": rel.THREE_STEP_FUNNEL_SQL,
+        "conversion_lag_histogram": rel.CONVERSION_LAG_SQL,
         "order_count_distribution": _an().ORDER_COUNT_DISTRIBUTION_SQL,
         "big_orders": _an().BIG_ORDERS_SQL,
         "inactive_customers": _an().INACTIVE_CUSTOMERS_SQL,
@@ -1379,6 +1383,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_year_cube": _an().NATION_YEAR_CUBE_SQL,
         "event_value_stats": _an().EVENT_VALUE_STATS_SQL,
         "event_value_histogram": _an().EVENT_VALUE_HISTOGRAM_SQL,
+        "event_value_winsorized": _an().EVENT_VALUE_WINSORIZED_SQL,
         "open_orders_over_time": _an().OPEN_ORDERS_SQL,
         "fk_violations": _an().FK_VIOLATIONS_SQL,
         "stratified_event_sample": _stratified_sample_sql(),
@@ -1454,6 +1459,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _random_walks_sql(_pl().RW_STEPS),
         "edge_support": _truss().EDGE_SUPPORT_SQL,
         "rich_club": _truss().RICH_CLUB_SQL,
+        "knn_degree_curve": _truss().KNN_DEGREE_CURVE_SQL,
         # k_truss_edges: fixpoint peel — not single-SQL-expressible; rows-only
         # (exact networkx parity in tests/test_truss.py)
         "fuzzy_name_pairs": _tx().FUZZY_NAME_PAIRS_SQL,

@@ -2046,3 +2046,98 @@ UNION ALL
 SELECT 'nation_regionkey', CAST(COUNT(*) AS BIGINT)
 FROM nation ANTI JOIN region ON n_regionkey = r_regionkey
 """
+
+
+# --------------------------------------------------------------------------
+# winsorized mean: clip at exact per-group p10/p90, then integer mean
+# --------------------------------------------------------------------------
+
+WINSOR_LO, WINSOR_HI = 0.10, 0.90
+
+
+def event_value_winsorized(sf_dir: str) -> ray.data.Dataset:
+    """(event_type, lo_cents, hi_cents, winsorized_mean) — the robust
+    mean with values clipped at the exact per-type p10/p90
+    (quantile_disc rank rule max(1, ⌈q·N⌉)).  Rides the SAME
+    co-located (type, cents, count) histogram as the grouped
+    quantiles: cutoff pick AND clipped integer sum happen in ONE
+    block-local kernel — no second pass over the raw rows, no driver
+    values.  mean = float(Σ clipped cents)/100/N, the identical
+    division chain in SQL."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        g = (
+            pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "vc": pa.array(_i64(t.column("value"), 100)),
+                    "cnt": _ones(len(t)),
+                }
+            )
+            .group_by(["event_type", "vc"])
+            .aggregate([("cnt", "sum")])
+        )
+        yield g.rename_columns(["event_type", "vc", "cnt"])
+
+    co = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        pre, batch_format="pyarrow"
+    ).repartition(P, keys=["event_type"])
+
+    def pick(t: pa.Table):
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return
+        t = t.group_by(["event_type", "vc"]).aggregate([("cnt", "sum")])
+        t = t.rename_columns(["event_type", "vc", "cnt"])
+        ty = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        v = t.column("vc").to_numpy(zero_copy_only=False)
+        c = t.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, ty))
+        ty, v, c = ty[order], v[order], c[order]
+        starts = np.flatnonzero(np.r_[True, ty[1:] != ty[:-1]])
+        ends = np.r_[starts[1:], len(ty)]
+        cum = np.cumsum(c)
+        base = np.r_[np.int64(0), cum[starts[1:] - 1]]
+        totals = cum[ends - 1] - base
+        los, his, means = [], [], []
+        for gi, (s, e) in enumerate(zip(starts, ends)):
+            n = int(totals[gi])
+            cuts = []
+            for q in (WINSOR_LO, WINSOR_HI):
+                rank = max(1, int(np.ceil(q * n)))
+                idx = int(np.searchsorted(cum[s:e], base[gi] + rank, side="left"))
+                cuts.append(int(v[s + idx]))
+            lo, hi = cuts
+            clipped = np.clip(v[s:e], lo, hi)
+            total = int((clipped * c[s:e]).sum())
+            los.append(lo), his.append(hi)
+            means.append(float(total) / 100.0 / n)
+        yield pa.table(
+            {
+                "event_type": pa.array(ty[starts].tolist(), pa.string()),
+                "lo_cents": pa.array(los, pa.int64()),
+                "hi_cents": pa.array(his, pa.int64()),
+                "winsorized_mean": pa.array(means, pa.float64()),
+            }
+        )
+
+    return co.map_batches(pick, batch_size=None, batch_format="pyarrow")
+
+
+EVENT_VALUE_WINSORIZED_SQL = f"""
+WITH b AS (
+  SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS vc FROM events
+),
+q AS (
+  SELECT event_type,
+    quantile_disc(vc, {WINSOR_LO}) AS lo,
+    quantile_disc(vc, {WINSOR_HI}) AS hi
+  FROM b GROUP BY event_type
+)
+SELECT b.event_type, q.lo AS lo_cents, q.hi AS hi_cents,
+  CAST(SUM(LEAST(GREATEST(b.vc, q.lo), q.hi)) AS DOUBLE) / 100.0 / COUNT(*)
+    AS winsorized_mean
+FROM b JOIN q ON b.event_type = q.event_type
+GROUP BY b.event_type, q.lo, q.hi
+"""

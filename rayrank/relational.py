@@ -935,3 +935,58 @@ p AS (
 SELECT p.user_id, s.signup_us, c.click_us, p.purchase_us
 FROM p JOIN c ON p.user_id = c.user_id JOIN s ON p.user_id = s.user_id
 """
+
+
+def conversion_lag_histogram(sf_dir: str) -> ray.data.Dataset:
+    """(lag_days, n_users) — the time-to-convert survival histogram:
+    whole days between a user's first signup and their first
+    in-window purchase (funnel_conversions' output re-binned; pure
+    integer ⌊Δus/day⌋).  Block partials + one tiny keyed re-agg over
+    ≤ 8 distinct lags."""
+    from .shuffle import keyed_reagg
+
+    conv = funnel_conversions(sf_dir)
+
+    def lag(t: pa.Table):
+        if t.num_rows == 0 or "purchase_us" not in t.schema.names:
+            return
+        d = (
+            t.column("purchase_us").to_numpy(zero_copy_only=False)
+            - t.column("signup_us").to_numpy(zero_copy_only=False)
+        ) // 86_400_000_000
+        g = (
+            pa.table(
+                {
+                    "lag_days": pa.array(d.astype(np.int64)),
+                    "n_users": pa.array(np.ones(len(d), np.int64)),
+                }
+            )
+            .group_by(["lag_days"])
+            .aggregate([("n_users", "sum")])
+        )
+        yield g.rename_columns(["lag_days", "n_users"])
+
+    return keyed_reagg(
+        conv.map_batches(lag, batch_format="pyarrow"),
+        ["lag_days"], [("n_users", "sum")], 4,
+    )
+
+
+CONVERSION_LAG_SQL = f"""
+WITH s AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS signup_us FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(e.ts) >= s.signup_us
+    AND epoch_us(e.ts) <= s.signup_us + {FUNNEL_WINDOW_US}
+  GROUP BY e.user_id
+)
+SELECT (p.purchase_us - s.signup_us) // 86400000000 AS lag_days,
+  CAST(COUNT(*) AS BIGINT) AS n_users
+FROM s JOIN p ON s.user_id = p.user_id
+GROUP BY 1
+"""

@@ -322,3 +322,122 @@ SELECT nr.k, nr.n_rich,
 FROM nr LEFT JOIN er ON nr.k = er.k
 WHERE nr.n_rich > 1
 """
+
+
+def knn_degree_curve(sf_dir: str) -> ray.data.Dataset:
+    """(degree, n_vertices, total_nbr_deg, knn) — the average-
+    neighbor-degree curve k_nn(d) (the degree-correlation profile
+    behind the scalar assortativity): for each simple degree d, the
+    mean over degree-d vertices of their neighbors' mean degree...
+    restated EXACTLY in integers as total_nbr_deg / (d · n_vertices)
+    — Σ over degree-d vertices of Σ neighbor degrees, ONE double
+    division at the end.  Scale shape: degree table via keyed re-agg,
+    edge table joins deg on the NEIGHBOR endpoint (join_auto), per-
+    vertex neighbor-degree sums re-agg by vertex, then a ≤|degrees|
+    fold."""
+    from .shuffle import keyed_reagg
+
+    edges = _canonical_edges(sf_dir)
+
+    def both_dirs(t: pa.Table):
+        if t.num_rows == 0 or "u" not in t.schema.names:
+            return
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "a": pa.array(np.concatenate([u, v])),
+                "b": pa.array(np.concatenate([v, u])),
+            }
+        )
+
+    adj = edges.map_batches(both_dirs, batch_format="pyarrow")
+
+    def deg_pre(t: pa.Table):
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return
+        g = (
+            pa.table(
+                {"v": t.column("a"), "d": pa.array(np.ones(len(t), np.int64))}
+            )
+            .group_by(["v"])
+            .aggregate([("d", "sum")])
+        )
+        yield g.rename_columns(["v", "d"])
+
+    deg = keyed_reagg(
+        adj.map_batches(deg_pre, batch_format="pyarrow"), ["v"], [("d", "sum")], P
+    )
+
+    # neighbor-degree sums: (a, b) ⋈ deg(b) → Σ per a
+    j = join_auto(adj, deg, on=("b",), right_on=("v",), num_partitions=P)
+
+    def nd_pre(t: pa.Table):
+        if t.num_rows == 0 or "d" not in t.schema.names:
+            return
+        g = (
+            pa.table({"v": t.column("a"), "nd": t.column("d")})
+            .group_by(["v"])
+            .aggregate([("nd", "sum")])
+        )
+        yield g.rename_columns(["v", "nd"])
+
+    nbr = keyed_reagg(
+        j.map_batches(nd_pre, batch_format="pyarrow"), ["v"], [("nd", "sum")], P
+    )
+    full = join_auto(nbr, deg, on=("v",), num_partitions=P)
+
+    def curve(t: pa.Table):
+        if t.num_rows == 0 or "nd" not in t.schema.names:
+            return
+        g = (
+            pa.table(
+                {
+                    "degree": t.column("d"),
+                    "n_vertices": pa.array(np.ones(len(t), np.int64)),
+                    "total_nbr_deg": t.column("nd"),
+                }
+            )
+            .group_by(["degree"])
+            .aggregate([("n_vertices", "sum"), ("total_nbr_deg", "sum")])
+        )
+        yield g.rename_columns(["degree", "n_vertices", "total_nbr_deg"])
+
+    folded = keyed_reagg(
+        full.map_batches(curve, batch_format="pyarrow"),
+        ["degree"], [("n_vertices", "sum"), ("total_nbr_deg", "sum")], 4,
+    )
+
+    def fin(t: pa.Table):
+        if t.num_rows == 0 or "degree" not in t.schema.names:
+            return
+        d = t.column("degree").to_numpy(zero_copy_only=False)
+        n = t.column("n_vertices").to_numpy(zero_copy_only=False)
+        s = t.column("total_nbr_deg").to_numpy(zero_copy_only=False)
+        yield t.append_column(
+            "knn",
+            pa.array(s.astype(np.float64) / (d * n).astype(np.float64)),
+        )
+
+    return folded.map_batches(fin, batch_format="pyarrow")
+
+
+KNN_DEGREE_CURVE_SQL = """
+WITH raw AS (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem),
+und AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM raw WHERE a <> b
+),
+adj AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+deg AS (SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY a),
+nbr AS (
+  SELECT adj.a AS v, CAST(SUM(dn.d) AS BIGINT) AS nd
+  FROM adj JOIN deg dn ON dn.v = adj.b GROUP BY adj.a
+)
+SELECT dv.d AS degree,
+  CAST(COUNT(*) AS BIGINT) AS n_vertices,
+  CAST(SUM(nbr.nd) AS BIGINT) AS total_nbr_deg,
+  CAST(SUM(nbr.nd) AS DOUBLE) / CAST(dv.d * COUNT(*) AS DOUBLE) AS knn
+FROM nbr JOIN deg dv ON dv.v = nbr.v
+GROUP BY dv.d
+"""
