@@ -2141,3 +2141,106 @@ SELECT b.event_type, q.lo AS lo_cents, q.hi AS hi_cents,
 FROM b JOIN q ON b.event_type = q.event_type
 GROUP BY b.event_type, q.lo, q.hi
 """
+
+
+# --------------------------------------------------------------------------
+# inter-arrival gap quantiles: window diff → grouped exact quantiles
+# --------------------------------------------------------------------------
+
+
+def event_gap_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """(event_type, median_gap_us, p90_gap_us, n_gaps) — exact
+    quantiles of the inter-arrival gaps between consecutive
+    same-(user, type) events: the window-diff → grouped-quantile
+    composition.  ONE user-keyed repartition makes each user's stream
+    block-complete; the diff kernel is a lexsort + shifted compare
+    (gap multisets are tie-order invariant: consecutive diffs of a
+    sorted multiset don't depend on how equal timestamps order); gaps
+    leave the block as (type, gap, count) histogram partials, and the
+    rank pick (max(1, ⌈q·N⌉), the verified quantile_disc rule) is
+    block-local after the type-keyed repartition — the driver never
+    sees a gap."""
+
+    def prep(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "us": pc.cast(t.column("ts"), pa.int64()),
+            }
+        )
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"]).map_batches(
+        prep, batch_format="pyarrow"
+    ).repartition(P, keys=["user_id"])
+
+    def gaps(t: pa.Table):
+        if t.num_rows == 0 or "us" not in t.schema.names:
+            return
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ty = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        order = np.lexsort((us, ty, u))
+        u, ty, us = u[order], ty[order], us[order]
+        same = (u[1:] == u[:-1]) & (ty[1:] == ty[:-1])
+        if not same.any():
+            return
+        g = (
+            pa.table(
+                {
+                    "event_type": pa.array(ty[1:][same].tolist(), pa.string()),
+                    "gap": pa.array((us[1:] - us[:-1])[same]),
+                    "cnt": _ones(int(same.sum())),
+                }
+            )
+            .group_by(["event_type", "gap"])
+            .aggregate([("cnt", "sum")])
+        )
+        yield g.rename_columns(["event_type", "gap", "cnt"])
+
+    co = ev.map_batches(gaps, batch_format="pyarrow").repartition(
+        P, keys=["event_type"]
+    )
+
+    def pick(t: pa.Table):
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return
+        t = t.group_by(["event_type", "gap"]).aggregate([("cnt", "sum")])
+        t = t.rename_columns(["event_type", "gap", "cnt"])
+        ty = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        v = t.column("gap").to_numpy(zero_copy_only=False)
+        c = t.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, ty))
+        ty, v, c = ty[order], v[order], c[order]
+        starts = np.flatnonzero(np.r_[True, ty[1:] != ty[:-1]])
+        ends = np.r_[starts[1:], len(ty)]
+        cum = np.cumsum(c)
+        base = np.r_[np.int64(0), cum[starts[1:] - 1]]
+        totals = cum[ends - 1] - base
+        cols = {"event_type": pa.array(ty[starts].tolist(), pa.string())}
+        for q, nm in ((0.5, "median_gap_us"), (0.9, "p90_gap_us")):
+            ranks = np.maximum(1, np.ceil(q * totals).astype(np.int64))
+            idx = np.searchsorted(cum, base + ranks, side="left")
+            cols[nm] = pa.array(v[idx], pa.int64())
+        cols["n_gaps"] = pa.array(totals.astype(np.int64))
+        yield pa.table(cols)
+
+    return co.map_batches(pick, batch_size=None, batch_format="pyarrow")
+
+
+EVENT_GAP_QUANTILES_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+    LAG(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts)) AS prev
+  FROM events
+),
+g AS (SELECT event_type, us - prev AS gap FROM o WHERE prev IS NOT NULL)
+SELECT event_type,
+  quantile_disc(gap, 0.5) AS median_gap_us,
+  quantile_disc(gap, 0.9) AS p90_gap_us,
+  CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM g GROUP BY event_type
+"""
