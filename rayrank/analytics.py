@@ -2244,3 +2244,99 @@ SELECT event_type,
   CAST(COUNT(*) AS BIGINT) AS n_gaps
 FROM g GROUP BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# equal-frequency (decile) revenue share: exact cutoffs then binned sums
+# --------------------------------------------------------------------------
+
+
+def revenue_by_price_decile(sf_dir: str) -> ray.data.Dataset:
+    """(decile, n_items, revenue_cents, revenue_share) — revenue
+    concentration across exact price deciles: the equal-FREQUENCY
+    complement of event_value_histogram's equal-width bins.  Pass 1:
+    the distributed exact-quantile machinery (value-count partials,
+    rank pick) yields the 9 cent cutoffs — 9 scalars to the driver.
+    Pass 2: bin = #cuts strictly below the value (np.searchsorted
+    'left' == SQL len(list_filter(cuts, c -> c < vc)) — identical on
+    ties), block-local integer sums, one tiny keyed re-agg; shares are
+    per-row divisions of exact int64 sums by the exact total."""
+    from .quantiles import exact_quantiles
+    from .shuffle import keyed_reagg
+
+    def cents(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield pa.table({"vc": pa.array(_i64(t.column("l_extendedprice"), 100))})
+
+    base = _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+        cents, batch_format="pyarrow"
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    cuts = np.array(
+        sorted(
+            int(r["value"])
+            for r in exact_quantiles(base, "vc", qs=qs).take_all()
+        ),
+        np.int64,
+    )
+
+    def binned(t: pa.Table):
+        if len(t) == 0 or "vc" not in t.schema.names:
+            return
+        vc = t.column("vc").to_numpy(zero_copy_only=False)
+        d = np.searchsorted(cuts, vc, side="left").astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "decile": pa.array(d),
+                    "n_items": _ones(len(vc)),
+                    "revenue_cents": pa.array(vc),
+                }
+            )
+            .group_by(["decile"])
+            .aggregate([("n_items", "sum"), ("revenue_cents", "sum")])
+        )
+        yield g.rename_columns(["decile", "n_items", "revenue_cents"])
+
+    folded = keyed_reagg(
+        base.map_batches(binned, batch_format="pyarrow"),
+        ["decile"], [("n_items", "sum"), ("revenue_cents", "sum")], 4,
+    ).repartition(1)
+
+    def fin(t: pa.Table):
+        if t.num_rows == 0 or "decile" not in t.schema.names:
+            return
+        t = t.group_by(["decile"]).aggregate(
+            [("n_items", "sum"), ("revenue_cents", "sum")]
+        )
+        t = t.rename_columns(["decile", "n_items", "revenue_cents"])
+        rev = t.column("revenue_cents").to_numpy(zero_copy_only=False)
+        tot = int(rev.sum())
+        yield t.append_column(
+            "revenue_share",
+            pa.array(rev.astype(np.float64) / float(tot), pa.float64()),
+        )
+
+    return folded.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+REVENUE_BY_PRICE_DECILE_SQL = """
+WITH b AS (
+  SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS vc FROM lineitem
+),
+q AS (
+  SELECT quantile_disc(vc, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts
+  FROM b
+),
+t AS (SELECT CAST(SUM(vc) AS BIGINT) AS tot FROM b),
+binned AS (
+  SELECT CAST(len(list_filter(q.cuts, c -> c < b.vc)) AS BIGINT) AS decile,
+    b.vc
+  FROM b, q
+)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(vc) AS BIGINT) AS revenue_cents,
+  CAST(SUM(vc) AS DOUBLE) / CAST(t.tot AS DOUBLE) AS revenue_share
+FROM binned, t GROUP BY decile, t.tot
+"""
