@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_winsorized": _an().event_value_winsorized,
         "event_gap_quantiles": _an().event_gap_quantiles,
         "revenue_by_price_decile": _an().revenue_by_price_decile,
+        "customers_all_expedited": _an().customers_all_expedited,
+        "nation_monthly_mom": _an().nation_monthly_mom,
         "open_orders_over_time": _an().open_orders_over_time,
         "fk_violations": _an().fk_violations,
         "stratified_event_sample": _an().stratified_event_sample,
@@ -1388,6 +1390,8 @@ def oracle_sql() -> dict[str, str]:
         "event_value_winsorized": _an().EVENT_VALUE_WINSORIZED_SQL,
         "event_gap_quantiles": _an().EVENT_GAP_QUANTILES_SQL,
         "revenue_by_price_decile": _an().REVENUE_BY_PRICE_DECILE_SQL,
+        "customers_all_expedited": _an().CUSTOMERS_ALL_EXPEDITED_SQL,
+        "nation_monthly_mom": _an().NATION_MONTHLY_MOM_SQL,
         "open_orders_over_time": _an().OPEN_ORDERS_SQL,
         "fk_violations": _an().FK_VIOLATIONS_SQL,
         "stratified_event_sample": _stratified_sample_sql(),

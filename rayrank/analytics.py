@@ -2340,3 +2340,184 @@ SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_items,
   CAST(SUM(vc) AS DOUBLE) / CAST(t.tot AS DOUBLE) AS revenue_share
 FROM binned, t GROUP BY decile, t.tot
 """
+
+
+# --------------------------------------------------------------------------
+# relational division: customers whose EVERY order is urgent
+# --------------------------------------------------------------------------
+
+
+def customers_all_expedited(sf_dir: str) -> ray.data.Dataset:
+    """(o_custkey, n_orders) — customers with ≥1 order and NO order
+    below '3-MEDIUM' priority (the relational-division shape: "for
+    all" restated as a conditional-count equality; priorities are
+    '1-'..'5-'-prefixed, so the cut is one string compare).  Block
+    partials carry (n, n_ok) per customer; ONE keyed re-agg; the
+    division predicate n == n_ok filters block-locally.  The terminal
+    filter always yields (possibly zero-row) TYPED tables so an empty
+    result keeps its schema."""
+    from .shuffle import keyed_reagg
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        urgent = pc.cast(
+            pc.less_equal(t.column("o_orderpriority"), "3-MEDIUM"), pa.int64()
+        )
+        g = (
+            pa.table(
+                {
+                    "o_custkey": t.column("o_custkey"),
+                    "n_orders": _ones(len(t)),
+                    "n_urgent": urgent,
+                }
+            )
+            .group_by(["o_custkey"])
+            .aggregate([("n_orders", "sum"), ("n_urgent", "sum")])
+        )
+        yield g.rename_columns(["o_custkey", "n_orders", "n_urgent"])
+
+    folded = keyed_reagg(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+            pre, batch_format="pyarrow"
+        ),
+        ["o_custkey"], [("n_orders", "sum"), ("n_urgent", "sum")], P,
+    )
+
+    def fin(t: pa.Table):
+        if t.num_rows == 0 or "n_orders" not in t.schema.names:
+            return
+        keep = t.filter(
+            pc.equal(t.column("n_orders"), t.column("n_urgent"))
+        )
+        yield keep.select(["o_custkey", "n_orders"])
+
+    return folded.map_batches(fin, batch_format="pyarrow")
+
+
+CUSTOMERS_ALL_EXPEDITED_SQL = """
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) = SUM(CASE WHEN o_orderpriority <= '3-MEDIUM' THEN 1 ELSE 0 END)
+"""
+
+
+# --------------------------------------------------------------------------
+# aggregate-then-window: month-over-month revenue change per nation
+# --------------------------------------------------------------------------
+
+
+def nation_monthly_mom(sf_dir: str) -> ray.data.Dataset:
+    """(n_name, month, revenue_cents, mom_change) — monthly revenue per
+    nation with the month-over-month ratio: the aggregate-THEN-window
+    composition.  The heavy part is the integer month re-agg
+    (fixed-point cents; customer→nation broadcast-joined); the window
+    runs over the REDUCED series (nations × months rows), co-located
+    per nation, LAG = one vectorized shifted compare.  mom_change =
+    (cur − prev)/prev, one double division of exact ints per row;
+    first month per nation is NULL both sides."""
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    orders = _read(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        us = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        day = us // 86_400_000_000
+        # month id = year*12 + (month-1), from epoch days via numpy
+        dt = (day.astype("datetime64[D]")).astype("datetime64[M]")
+        month = dt.astype(np.int64) + 1970 * 12
+        yield pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "month": pa.array(month),
+                "rev": pa.array(_i64(t.column("o_totalprice"), 100)),
+            }
+        )
+
+    j = join_auto(
+        orders.map_batches(pre, batch_format="pyarrow"),
+        cust,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        num_partitions=P,
+    )
+    j2 = join_auto(j, nat, on=("c_nationkey",), right_on=("n_nationkey",))
+
+    def month_pre(t: pa.Table):
+        if len(t) == 0 or "n_name" not in t.schema.names:
+            return
+        g = (
+            pa.table(
+                {
+                    "n_name": t.column("n_name"),
+                    "month": t.column("month"),
+                    "revenue_cents": t.column("rev"),
+                }
+            )
+            .group_by(["n_name", "month"])
+            .aggregate([("revenue_cents", "sum")])
+        )
+        yield g.rename_columns(["n_name", "month", "revenue_cents"])
+
+    series = keyed_reagg(
+        j2.map_batches(month_pre, batch_format="pyarrow"),
+        ["n_name", "month"], [("revenue_cents", "sum")], P,
+    ).repartition(P, keys=["n_name"])
+
+    def window(t: pa.Table):
+        if t.num_rows == 0 or "n_name" not in t.schema.names:
+            return
+        t = t.group_by(["n_name", "month"]).aggregate(
+            [("revenue_cents", "sum")]
+        ).rename_columns(["n_name", "month", "revenue_cents"])
+        nm = np.asarray(t.column("n_name").to_pylist(), dtype=object)
+        mo = t.column("month").to_numpy(zero_copy_only=False)
+        rv = t.column("revenue_cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((mo, nm))
+        nm, mo, rv = nm[order], mo[order], rv[order]
+        same = np.r_[False, nm[1:] == nm[:-1]]
+        prev = np.r_[np.int64(0), rv[:-1]]
+        change = np.where(
+            same, (rv - prev).astype(np.float64) / prev.astype(np.float64), np.nan
+        )
+        yield pa.table(
+            {
+                "n_name": pa.array(nm.tolist(), pa.string()),
+                "month": pa.array(mo),
+                "revenue_cents": pa.array(rv),
+                "mom_change": pa.array(change, pa.float64()),
+            }
+        )
+
+    return series.map_batches(window, batch_size=None, batch_format="pyarrow")
+
+
+NATION_MONTHLY_MOM_SQL = """
+WITH j AS (
+  SELECT n.n_name,
+    (year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1) AS month,
+    CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+s AS (
+  SELECT n_name, CAST(month AS BIGINT) AS month,
+    CAST(SUM(rev) AS BIGINT) AS revenue_cents
+  FROM j GROUP BY 1, 2
+)
+SELECT n_name, month, revenue_cents,
+  CAST(revenue_cents - LAG(revenue_cents) OVER w AS DOUBLE)
+    / CAST(LAG(revenue_cents) OVER w AS DOUBLE) AS mom_change
+FROM s WINDOW w AS (PARTITION BY n_name ORDER BY month)
+"""
