@@ -2486,10 +2486,13 @@ def nation_monthly_mom(sf_dir: str) -> ray.data.Dataset:
         order = np.lexsort((mo, nm))
         nm, mo, rv = nm[order], mo[order], rv[order]
         same = np.r_[False, nm[1:] == nm[:-1]]
-        prev = np.r_[np.int64(0), rv[:-1]]
-        change = np.where(
-            same, (rv - prev).astype(np.float64) / prev.astype(np.float64), np.nan
-        )
+        prev = np.r_[np.int64(1), rv[:-1]]  # sentinel dodges 0-div at group starts
+        with np.errstate(divide="ignore", invalid="ignore"):
+            change = np.where(
+                same,
+                (rv - prev).astype(np.float64) / prev.astype(np.float64),
+                np.nan,
+            )
         yield pa.table(
             {
                 "n_name": pa.array(nm.tolist(), pa.string()),
