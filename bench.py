@@ -651,6 +651,62 @@ def _invindex_corpus_dir() -> str:
     return _INVINDEX_CORPUS
 
 
+def spandedup_once() -> dict:
+    """Span-level dedup coverage (terms.span_dedup_stats) over the
+    tiled corpus — two corpus scans, a gram-keyed df reduce, a
+    position-stream semi join and a doc-keyed island kernel: the
+    heaviest multi-shuffle text stage, measured end to end."""
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import tempfile
+
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from rayrank import configure_data_context
+    from rayrank.terms import span_dedup_stats
+
+    configure_data_context()
+    cdir = _invindex_corpus_dir()
+    import pyarrow.parquet as pq
+
+    pq.read_table(cdir, columns=["doc_id"])  # warm page cache
+    tmp = tempfile.mkdtemp(prefix="rayrank_span_")
+    os.symlink(cdir, os.path.join(tmp, "documents.parquet"))
+    t0 = time.perf_counter()
+    n = span_dedup_stats(tmp).count()
+    dt = time.perf_counter() - t0
+    ray.shutdown()
+    return {"num_cpus": ncpu, "docs": n, "spandedup_sec": round(dt, 3),
+            "docs_per_sec": round(n / dt, 1)}
+
+
+def run_spandedup_scaling(repeats: int = 2) -> dict:
+    def sub(ncpu):
+        best = None
+        for _ in range(repeats):
+            _quiesce()
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--spandedup-once"],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["spandedup_sec"] < best["spandedup_sec"]:
+                best = r
+        return best
+
+    lo = sub(8)
+    hi = sub(32)
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4
+    return {
+        "mode": "spandedup_scaling",
+        "spandedup_lo": lo,
+        "spandedup_hi": hi,
+        "scaling_efficiency_spandedup": round(eff, 3),
+    }
+
+
 def invindex_once() -> dict:
     """Inverted-index build over the tiled corpus — tokenize (regex
     split) + block dedup + ONE keyed shuffle + block-local build; the
@@ -771,6 +827,12 @@ if __name__ == "__main__":
         sys.exit(0)
     if "--packing-scaling" in sys.argv:
         print(json.dumps(run_packing_scaling()))
+        sys.exit(0)
+    if "--spandedup-once" in sys.argv:
+        print(json.dumps(spandedup_once()))
+        sys.exit(0)
+    if "--spandedup-scaling" in sys.argv:
+        print(json.dumps(run_spandedup_scaling()))
         sys.exit(0)
     if "--invindex-once" in sys.argv:
         print(json.dumps(invindex_once()))
