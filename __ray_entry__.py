@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": pl.doc_quality,
         "ngram_jaccard_pairs": pl.ngram_jaccard_pairs,
         "minhash_clusters": pl.minhash_clusters,        # rows-only
+        "minhash_sigs_exact": _tx().minhash_sigs_exact,
+        "lsh_band_keys": _tx().lsh_band_keys,
         "simhash_pairs": pl.simhash_pairs,              # rows-only
         "event_transitions": pl.event_transitions,
         "purchase_signup_asof": pl.purchase_signup_asof,
@@ -905,6 +907,112 @@ sk3{sfx} AS (SELECT {_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS
 hh{sfx} AS (SELECT xor(z, z // 2147483648) AS z FROM sk3{sfx})"""
 
 
+def _sm64_carry_cte(src: str, carry: list[str], sfx: str) -> str:
+    """_sm64_cte with suffixed names AND arbitrary carried key columns
+    so splitmix64 applications can be CHAINED (shingle combining, band
+    folds): ``src`` must provide (*carry, x); yields hh{sfx}(*carry, z).
+    CTE staging keeps each z referenced twice per stage without the
+    exponential blowup a nested-expression expansion would cause."""
+    cols = ", ".join(carry)
+    pre = f"{cols}, " if carry else ""
+    return f"""
+sk0{sfx} AS (SELECT {pre}CAST(x AS HUGEINT) AS x FROM {src}),
+sk1{sfx} AS (SELECT {pre}(x + 11400714819323198485) % {_M64} AS z FROM sk0{sfx}),
+sk2{sfx} AS (SELECT {pre}{_sm64_mul('xor(z, z // 1073741824)', 0xBF58476D1CE4E5B9)} AS z FROM sk1{sfx}),
+sk3{sfx} AS (SELECT {pre}{_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FROM sk2{sfx}),
+hh{sfx} AS (SELECT {pre}xor(z, z // 2147483648) AS z FROM sk3{sfx})"""
+
+
+_I64_WRAP = (
+    "CAST(CASE WHEN z >= 9223372036854775808 THEN z - 18446744073709551616 "
+    "ELSE z END AS BIGINT)"
+)
+
+
+def _minhash_shingle_ctes() -> str:
+    """Shared CTE prefix: tokenize documents, rank tokens alphabetically
+    (1-based — numpy codepoint order == DuckDB binary collation on the
+    ASCII corpus), form positional word 3-grams, and chain three
+    splitmix64 stages into the shingle hash hhg3(doc_id, z).  Mirrors
+    rayrank.text._block_exact_sigs bit-for-bit."""
+    return f"""
+mhbase AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS lst
+  FROM documents
+),
+mhtok AS (
+  SELECT doc_id, UNNEST(lst) AS tok, UNNEST(range(len(lst))) AS pos FROM mhbase
+),
+mhvocab AS (
+  SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tid
+  FROM (SELECT DISTINCT tok FROM mhtok)
+),
+mhtid AS (
+  SELECT t.doc_id, t.pos, CAST(v.tid AS HUGEINT) AS tid
+  FROM mhtok t JOIN mhvocab v USING (tok)
+),
+mhtri AS (
+  SELECT a.doc_id, a.tid AS t0, b.tid AS t1, c.tid AS t2
+  FROM mhtid a
+  JOIN mhtid b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN mhtid c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+{_sm64_carry_cte('(SELECT doc_id, t1, t2, t0 AS x FROM mhtri)', ['doc_id', 't1', 't2'], 'g1')},
+{_sm64_carry_cte('(SELECT doc_id, t2, xor(z, t1) AS x FROM hhg1)', ['doc_id', 't2'], 'g2')},
+{_sm64_carry_cte('(SELECT doc_id, xor(z, t2) AS x FROM hhg2)', ['doc_id'], 'g3')}"""
+
+
+def _minhash_mh_ctes(num_perm: int) -> str:
+    """Extends the shingle prefix with the per-permutation salt cross
+    join + fourth chain + per-doc minimum: mh(doc_id, perm, z)."""
+    from rayrank.text import minhash_exact_seeds
+
+    lits = ", ".join(
+        f"CAST('{int(s)}' AS HUGEINT)" for s in minhash_exact_seeds(num_perm)
+    )
+    return f"""{_minhash_shingle_ctes()},
+mhperms AS (SELECT UNNEST(range({num_perm})) AS perm, UNNEST([{lits}]) AS seed),
+{_sm64_carry_cte(
+    '(SELECT s.doc_id, p.perm, xor(s.z, p.seed) AS x '
+    'FROM hhg3 s CROSS JOIN mhperms p)',
+    ['doc_id', 'perm'], 'g4')},
+mh AS (SELECT doc_id, perm, MIN(z) AS z FROM hhg4 GROUP BY doc_id, perm)"""
+
+
+def _minhash_sigs_exact_sql(num_perm: int = 8) -> str:
+    return f"""
+WITH {_minhash_mh_ctes(num_perm)}
+SELECT doc_id, CAST(perm AS BIGINT) AS perm, {_I64_WRAP} AS minhash FROM mh"""
+
+
+def _lsh_band_keys_sql(num_perm: int = 8, rpb: int = 4) -> str:
+    assert rpb == 4, "band pivot below is written for rows_per_band=4"
+    return f"""
+WITH {_minhash_mh_ctes(num_perm)},
+mhbm AS (
+  SELECT doc_id, CAST(perm // {rpb} AS BIGINT) AS band,
+    MAX(CASE WHEN perm % {rpb} = 0 THEN z END) AS m0,
+    MAX(CASE WHEN perm % {rpb} = 1 THEN z END) AS m1,
+    MAX(CASE WHEN perm % {rpb} = 2 THEN z END) AS m2,
+    MAX(CASE WHEN perm % {rpb} = 3 THEN z END) AS m3
+  FROM mh GROUP BY doc_id, perm // {rpb}
+),
+{_sm64_carry_cte(
+    '(SELECT doc_id, band, m1, m2, m3, m0 AS x FROM mhbm)',
+    ['doc_id', 'band', 'm1', 'm2', 'm3'], 'b1')},
+{_sm64_carry_cte(
+    '(SELECT doc_id, band, m2, m3, xor(z, m1) AS x FROM hhb1)',
+    ['doc_id', 'band', 'm2', 'm3'], 'b2')},
+{_sm64_carry_cte(
+    '(SELECT doc_id, band, m3, xor(z, m2) AS x FROM hhb2)',
+    ['doc_id', 'band', 'm3'], 'b3')},
+{_sm64_carry_cte(
+    '(SELECT doc_id, band, xor(z, m3) AS x FROM hhb3)',
+    ['doc_id', 'band'], 'b4')}
+SELECT doc_id, band, {_I64_WRAP} AS band_hash FROM hhb4"""
+
+
 def _kmv_jaccard_sql(k: int = 64) -> str:
     from rayrank.analytics import SETOP_YEAR_A, SETOP_YEAR_B
 
@@ -1598,6 +1706,8 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cos DESC, vec_id) AS rn FROM s) "
             "SELECT query_id, vec_id, ROUND(cos, 4) AS cosine FROM r WHERE rn <= 5"
         ),
+        "minhash_sigs_exact": _minhash_sigs_exact_sql(),
+        "lsh_band_keys": _lsh_band_keys_sql(),
         "pagerank_2iter": _PAGERANK_2ITER_SQL,
         "pagerank_personalized_2iter": _PAGERANK_PPR_2ITER_SQL,
         "hits_2iter": _HITS_2ITER_SQL,

@@ -737,3 +737,164 @@ SELECT a.nm AS name_a, b.nm AS name_b
 FROM n a, n b
 WHERE a.nm < b.nm AND levenshtein(a.nm, b.nm) <= 1
 """
+
+
+# ---------------------------------------------------------------------------
+# SQL-exact MinHash (splitmix64 over token-id shingles)
+# ---------------------------------------------------------------------------
+
+MINHASH_EXACT_PERMS = 8
+MINHASH_EXACT_RPB = 4  # rows per LSH band -> 2 bands at 8 permutations
+
+
+def minhash_exact_seeds(num_perm: int = MINHASH_EXACT_PERMS) -> np.ndarray:
+    """Per-permutation salt: splitmix64(p + 1), p = 0..num_perm-1.
+    Computed once host-side and inlined as literals into the SQL
+    oracle, so both engines use the identical salt table."""
+    from .sketch import splitmix64
+
+    return splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64))
+
+
+def _sorted_vocab(sf_dir: str) -> np.ndarray:
+    """Global distinct token array, ascending — the domain of the SQL
+    side's ``DENSE_RANK() OVER (ORDER BY tok)`` (tokens are ASCII, so
+    numpy codepoint order == DuckDB binary collation).  Vocab-bounded
+    reduce + driver sort; a distributed rank assignment would replace
+    the take_all at open-vocabulary scale."""
+    from .terms import _read_docs
+
+    def uni(t: pa.Table):
+        if len(t) == 0:
+            return
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t.column("text")), pattern=r"\s+"
+        )
+        arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        vals = arr.values.filter(pc.not_equal(arr.values, ""))
+        if len(vals) == 0:
+            return
+        yield pa.table({"tok": pc.unique(vals)})
+
+    rows = (
+        _read_docs(sf_dir)
+        .map_batches(uni, batch_format="pyarrow")
+        .groupby("tok")
+        .count()
+        .take_all()
+    )
+    return np.sort(np.array([r["tok"] for r in rows], dtype=object))
+
+
+def _block_exact_sigs(
+    t: pa.Table, vocab: np.ndarray, seeds: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc exact-minhash matrix for one block: returns
+    (doc_ids[ndoc], mins[ndoc, P] uint64).  A document is ONE parquet
+    row, so every shingle of a doc lands in the same block and the
+    per-doc minima are complete block-locally — zero shuffle.  min
+    over the shingle multiset equals min over the set, so no distinct
+    pass is needed.  Shingle key sm64(sm64(sm64(t0)^t1)^t2) over word
+    3-grams of 1-based alphabetic token ranks; minhash_p =
+    min sm64(shingle ^ seed_p)."""
+    from .sketch import splitmix64
+
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(t.column("text")), pattern=r"\s+"
+    )
+    arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(arr)), np.diff(offsets))
+    vals = arr.values
+    keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+    terms = vals.filter(pa.array(keep)).to_numpy(zero_copy_only=False)
+    didx = doc_idx[keep]
+    empty = (np.array([], np.int64), np.zeros((0, len(seeds)), np.uint64))
+    if len(terms) < 3:
+        return empty
+    tid = (np.searchsorted(vocab, terms) + 1).astype(np.uint64)
+    m = (didx[:-2] == didx[1:-1]) & (didx[1:-1] == didx[2:])
+    if not m.any():
+        return empty
+    sh = splitmix64(
+        splitmix64(splitmix64(tid[:-2][m]) ^ tid[1:-1][m]) ^ tid[2:][m]
+    )
+    gdoc = didx[:-2][m]
+    starts = np.flatnonzero(np.r_[True, gdoc[1:] != gdoc[:-1]])
+    doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)[gdoc[starts]]
+    mins = np.empty((len(starts), len(seeds)), np.uint64)
+    for p, seed in enumerate(seeds):
+        mins[:, p] = np.minimum.reduceat(splitmix64(sh ^ seed), starts)
+    return doc_ids.astype(np.int64), mins
+
+
+def minhash_sigs_exact(
+    sf_dir: str, num_perm: int = MINHASH_EXACT_PERMS
+) -> ray.data.Dataset:
+    """(doc_id, perm, minhash) — deterministic MinHash signature rows
+    whose every bit is reproducible in ANSI SQL (unlike ``MinHasher``,
+    whose shingle hash is polars xxhash).  The only global step is the
+    vocab-bounded token-rank reduce; signatures are block-local."""
+    from .terms import _read_docs
+
+    vocab = _sorted_vocab(sf_dir)
+    seeds = minhash_exact_seeds(num_perm)
+
+    def sigs(t: pa.Table):
+        if len(t) == 0:
+            return
+        doc_ids, mins = _block_exact_sigs(t, vocab, seeds)
+        if len(doc_ids) == 0:
+            return
+        n, p = mins.shape
+        yield pa.table(
+            {
+                "doc_id": pa.array(np.repeat(doc_ids, p)),
+                "perm": pa.array(np.tile(np.arange(p, dtype=np.int64), n)),
+                "minhash": pa.array(mins.ravel().view(np.int64)),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(sigs, batch_format="pyarrow")
+
+
+def lsh_band_keys(
+    sf_dir: str,
+    num_perm: int = MINHASH_EXACT_PERMS,
+    rows_per_band: int = MINHASH_EXACT_RPB,
+) -> ray.data.Dataset:
+    """(doc_id, band, band_hash) — banded LSH bucket keys folded from
+    the exact-minhash signature: acc = sm64(m0); acc = sm64(acc ^ m_j)
+    for the remaining rows of the band.  Docs sharing a band_hash are
+    LSH candidates; the fold is SQL-reproducible so the bucketing
+    itself is oracle-checked, not just its row count."""
+    from .sketch import splitmix64
+    from .terms import _read_docs
+
+    assert num_perm % rows_per_band == 0
+    vocab = _sorted_vocab(sf_dir)
+    seeds = minhash_exact_seeds(num_perm)
+    bands = num_perm // rows_per_band
+
+    def keys(t: pa.Table):
+        if len(t) == 0:
+            return
+        doc_ids, mins = _block_exact_sigs(t, vocab, seeds)
+        n = len(doc_ids)
+        if n == 0:
+            return
+        hashes = np.empty((n, bands), np.uint64)
+        for b in range(bands):
+            acc = splitmix64(mins[:, b * rows_per_band])
+            for j in range(1, rows_per_band):
+                acc = splitmix64(acc ^ mins[:, b * rows_per_band + j])
+            hashes[:, b] = acc
+        yield pa.table(
+            {
+                "doc_id": pa.array(np.repeat(doc_ids.astype(np.int64), bands)),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
+                "band_hash": pa.array(hashes.ravel().view(np.int64)),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(keys, batch_format="pyarrow")
