@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_converged": pl.pagerank_converged,
         "triangle_count": pl.triangle_count_sf,
         "connected_components": pl.connected_components_sf,
+        "strongly_connected_components": pl.strongly_connected_components_sf,
         "label_propagation": pl.label_propagation_sf,   # rows-only (labels ARE vids)
         "component_count": pl.component_count_sf,
         "component_size_histogram": pl.component_size_histogram,

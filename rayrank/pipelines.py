@@ -966,6 +966,42 @@ def _edge_names(ds: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+SCC_BACK_QTY = 40
+
+
+def scc_edges(sf_dir: str) -> ray.data.Dataset:
+    """Named edge table of a cyclic order↔part graph: ``o<okey> →
+    p<pkey>`` for every lineitem row, plus back edges ``p<pkey> →
+    o<okey>`` on returned first lines (``l_returnflag='R' AND
+    l_linenumber=1 AND l_quantity >= 40``) — the predicate was tuned so
+    BOTH testdata SFs show a rich nontrivial-SCC size distribution
+    (neither one giant SCC nor all singletons)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        o = pc.binary_join_element_wise(
+            "o", pc.cast(t.column("l_orderkey"), pa.string()), ""
+        )
+        p = pc.binary_join_element_wise(
+            "p", pc.cast(t.column("l_partkey"), pa.string()), ""
+        )
+        back = pc.and_(
+            pc.and_(
+                pc.equal(t.column("l_returnflag"), "R"),
+                pc.equal(t.column("l_linenumber"), 1),
+            ),
+            pc.greater_equal(t.column("l_quantity"), SCC_BACK_QTY),
+        )
+        fwd = pa.table({"src_name": o, "dst_name": p})
+        rev = pa.table({"src_name": p, "dst_name": o}).filter(back)
+        return pa.concat_tables([fwd, rev])
+
+    return _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_returnflag", "l_linenumber", "l_quantity"],
+    ).map_batches(fn, batch_format="pyarrow")
+
+
 def _graph(sf_dir: str, kind: str) -> str:
     key = (os.path.abspath(sf_dir), kind)
     if key in _GRAPH_CACHE:
@@ -981,6 +1017,12 @@ def _graph(sf_dir: str, kind: str) -> str:
         from .graph import derive_reversed
 
         derive_reversed(_graph(sf_dir, "directed"), gdir)
+    elif kind == "scc":
+        build_graph(scc_edges(sf_dir), gdir, num_partitions=P)
+    elif kind == "scc_rev":
+        from .graph import derive_reversed
+
+        derive_reversed(_graph(sf_dir, "scc"), gdir)
     else:  # tri
         build_graph(
             _edge_names(tri_edges(sf_dir)), gdir, num_partitions=P, undirected=True
@@ -1361,6 +1403,21 @@ def connected_components_sf(sf_dir: str) -> ray.data.Dataset:
     gdir = _graph(sf_dir, "undirected")
     cc = connected_components(gdir)
     return canonical_components(cc, gdir)
+
+
+def strongly_connected_components_sf(sf_dir: str) -> ray.data.Dataset:
+    """(name, component=min member name) strongly connected components
+    of the cyclic order↔part lineitem graph (scc_edges) — trim +
+    forward-coloring + backward-mark peel on the shard loop
+    (rayrank/scc.py).  No SQL oracle (reachability closure is quadratic
+    in DuckDB) → rows-only; pytest pins exact equality vs networkx."""
+    from .components import canonical_components
+    from .scc import scc
+
+    gdir = _graph(sf_dir, "scc")
+    rdir = _graph(sf_dir, "scc_rev")
+    res = scc(gdir, rdir)
+    return canonical_components(res, gdir)
 
 
 KNN_CC_K = 2

@@ -624,6 +624,156 @@ class CsrShard:
         self.labels = new
         return changed
 
+    # ------------------------------------------------------------------
+    # strongly connected components (trim + forward-label coloring peel)
+    # ------------------------------------------------------------------
+
+    def _scc_vids(self) -> np.ndarray:
+        return np.arange(self.s_p, dtype=np.int64) * self.Q + self.p
+
+    def init_scc(self) -> None:
+        """State lives on the FORWARD shard set; the reversed set gets
+        per-iteration snapshots via scc_set_state (the HITS fwd→rev
+        ObjectRef handoff pattern, hits.py)."""
+        self.scc_active = np.ones(self.s_p, bool)
+        self.scc_id = np.full(self.s_p, -1, np.int64)
+        self.scc_mark = np.zeros(self.s_p, bool)
+        self.labels = np.full(self.s_p, INF_DIST, np.int64)
+
+    def scc_get_state(self):
+        return (self.scc_active, self.labels, self.scc_mark)
+
+    def scc_set_state(self, state) -> None:
+        self.scc_active, self.labels, self.scc_mark = state
+
+    def scc_reset_labels(self) -> None:
+        """F := own vid on active vertices, INF on settled ones."""
+        self.labels = np.where(self.scc_active, self._scc_vids(), INF_DIST)
+
+    def gather_min_active(self):
+        """gather_min with settled senders masked to INF (they must
+        neither seed nor relay labels through the residual graph)."""
+        if len(self.w) == 0:
+            return self._unwrap1(
+                tuple(
+                    (self.out_local[q], np.empty(0, np.int64))
+                    for q in range(self.Q)
+                )
+            )
+        lab = np.where(
+            self.scc_active[self.src_l], self.labels[self.src_l], INF_DIST
+        )
+        mins = np.minimum.reduceat(lab, self.seg)
+        return self._unwrap1(
+            tuple((self.out_local[q], mins[self.route[q]]) for q in range(self.Q))
+        )
+
+    def reduce_min_active(self, *parts) -> int:
+        """reduce_min, then re-pin settled receivers to INF so they
+        never look like region members again."""
+        new = self.labels.copy()
+        for idx, mins in parts:
+            if len(idx):
+                np.minimum.at(new, idx, mins)
+        new[~self.scc_active] = INF_DIST
+        changed = int(np.count_nonzero(new != self.labels))
+        self.labels = new
+        return changed
+
+    def gather_active_count(self):
+        """Per-destination count of ACTIVE sources (collapsed edges, so
+        this is the residual in-degree on the forward layout and the
+        residual out-degree on the reversed one)."""
+        if len(self.w) == 0:
+            return self._unwrap1(
+                tuple(
+                    (self.out_local[q], np.empty(0, np.int64))
+                    for q in range(self.Q)
+                )
+            )
+        vals = self.scc_active[self.src_l].astype(np.int64)
+        sums = np.add.reduceat(vals, self.seg)
+        return self._unwrap1(
+            tuple((self.out_local[q], sums[self.route[q]]) for q in range(self.Q))
+        )
+
+    def scc_set_indeg(self, *parts) -> None:
+        arr = np.zeros(self.s_p, np.int64)
+        for idx, vals in parts:
+            if len(idx):
+                np.add.at(arr, idx, vals)
+        self._scc_indeg = arr
+
+    def scc_trim_outdeg(self, *parts) -> int:
+        """Trim: an active vertex with residual in-degree 0 or residual
+        out-degree 0 is a singleton SCC — settle it as its own id."""
+        out = np.zeros(self.s_p, np.int64)
+        for idx, vals in parts:
+            if len(idx):
+                np.add.at(out, idx, vals)
+        t = self.scc_active & ((self._scc_indeg == 0) | (out == 0))
+        if t.any():
+            self.scc_id[t] = self._scc_vids()[t]
+            self.scc_active &= ~t
+        return int(t.sum())
+
+    def scc_init_mark(self) -> int:
+        """Region owners (F == own vid) seed the backward reach."""
+        self.scc_mark = self.scc_active & (self.labels == self._scc_vids())
+        return int(self.scc_mark.sum())
+
+    def gather_mark_max(self):
+        """Reversed-layout gather: per-destination max of (F if marked
+        and active else −1) over sources — i.e. over the ORIGINAL
+        graph's out-neighbours.  At the F fixpoint every out-neighbour
+        has F(w) ≤ F(v), so max == F(v) ⟺ some marked out-neighbour
+        shares v's region: v reaches its owner through region-internal
+        vertices only (region-internality is what makes the backward
+        pass sound — see rayrank/scc.py module docstring)."""
+        if len(self.w) == 0:
+            return self._unwrap1(
+                tuple(
+                    (self.out_local[q], np.empty(0, np.int64))
+                    for q in range(self.Q)
+                )
+            )
+        vals = np.where(
+            self.scc_mark[self.src_l] & self.scc_active[self.src_l],
+            self.labels[self.src_l],
+            -1,
+        )
+        maxs = np.maximum.reduceat(vals, self.seg)
+        return self._unwrap1(
+            tuple((self.out_local[q], maxs[self.route[q]]) for q in range(self.Q))
+        )
+
+    def scc_reduce_mark(self, *parts) -> int:
+        got = np.full(self.s_p, -1, np.int64)
+        for idx, vals in parts:
+            if len(idx):
+                np.maximum.at(got, idx, vals)
+        new = self.scc_mark | (
+            self.scc_active & (self.labels != INF_DIST) & (got == self.labels)
+        )
+        changed = int(np.count_nonzero(new != self.scc_mark))
+        self.scc_mark = new
+        return changed
+
+    def scc_commit(self) -> int:
+        """Settle every marked vertex with scc_id = its region owner F;
+        returns the remaining active count."""
+        m = self.scc_mark
+        if m.any():
+            self.scc_id[m] = self.labels[m]
+            self.scc_active &= ~m
+            self.scc_mark = np.zeros(self.s_p, bool)
+        return int(self.scc_active.sum())
+
+    def scc_finish(self) -> None:
+        """Expose scc ids through the label machinery (labels_dataset,
+        write_labels, zip_names)."""
+        self.labels = self.scc_id
+
     def gather_counts(self):
         """Per-(destination, label) multiplicity-weighted counts (LP
         round A), combined map-side."""
