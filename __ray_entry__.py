@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_2iter": pl.pagerank_2iter,
         "pagerank_personalized_2iter": pl.pagerank_personalized_2iter,
         "hits_2iter": pl.hits_2iter,
+        "katz_centrality": pl.katz_centrality_sf,
         "pagerank_converged": pl.pagerank_converged,
         "triangle_count": pl.triangle_count_sf,
         "connected_components": pl.connected_components_sf,
@@ -1266,6 +1267,29 @@ def _hits_half(prev: str, out: str, src_col: str, dst_col: str) -> str:
 )"""
 
 
+# Katz centrality, 3 unrolled iterations of the INTEGER z-recurrence
+# z0 = 1, z_{t+1} = Aᵀz_t + 16^{t+1}, katz = z3/16³ (rayrank/katz.py).
+# Every CTE value is an exact integer carried in DOUBLE (< 2^53), so
+# the fold order can't matter; the single division is written the same
+# on both sides — bit-identical match, no ROUND.
+_KATZ_SQL = """
+WITH raw AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+e AS (SELECT s, t, CAST(COUNT(*) AS DOUBLE) AS m FROM raw GROUP BY s, t),
+z0 AS (SELECT v, 1.0 AS z FROM verts),
+s1 AS (SELECT e.t AS v, SUM(e.m * z.z) AS c FROM e JOIN z0 z ON e.s = z.v GROUP BY e.t),
+z1 AS (SELECT v.v, 16.0 + COALESCE(s1.c, 0.0) AS z FROM verts v LEFT JOIN s1 ON v.v = s1.v),
+s2 AS (SELECT e.t AS v, SUM(e.m * z.z) AS c FROM e JOIN z1 z ON e.s = z.v GROUP BY e.t),
+z2 AS (SELECT v.v, 256.0 + COALESCE(s2.c, 0.0) AS z FROM verts v LEFT JOIN s2 ON v.v = s2.v),
+s3 AS (SELECT e.t AS v, SUM(e.m * z.z) AS c FROM e JOIN z2 z ON e.s = z.v GROUP BY e.t),
+z3 AS (SELECT v.v, 4096.0 + COALESCE(s3.c, 0.0) AS z FROM verts v LEFT JOIN s3 ON v.v = s3.v)
+SELECT v AS name, z / 4096.0 AS katz FROM z3
+"""
+
+
 _HITS_2ITER_SQL = f"""
 WITH raw AS (
   SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
@@ -1712,6 +1736,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_2iter": _PAGERANK_2ITER_SQL,
         "pagerank_personalized_2iter": _PAGERANK_PPR_2ITER_SQL,
         "hits_2iter": _HITS_2ITER_SQL,
+        "katz_centrality": _KATZ_SQL,
         "pagerank_converged": _PAGERANK_CONV_SQL,
         "connected_components": _CC_SQL,
         "component_count": _COMPONENT_COUNT_SQL,

@@ -1405,6 +1405,19 @@ def connected_components_sf(sf_dir: str) -> ray.data.Dataset:
     return canonical_components(cc, gdir)
 
 
+def katz_centrality_sf(sf_dir: str) -> ray.data.Dataset:
+    """(name, katz) — exactly 3 Katz iterations (α=1/16, β=1,
+    multiplicity adjacency) on the directed lineitem graph.  The
+    integer z-recurrence (rayrank/katz.py) makes every distributed sum
+    exact, so the unrolled SQL oracle matches BIT-IDENTICALLY (one
+    shared final /16³ division — no rounding needed)."""
+    from .katz import katz
+
+    gdir = _graph(sf_dir, "directed")
+    res = katz(gdir, iters=3)
+    return res.scores_dataset(gdir).select_columns(["name", "katz"])
+
+
 def strongly_connected_components_sf(sf_dir: str) -> ray.data.Dataset:
     """(name, component=min member name) strongly connected components
     of the cyclic order↔part lineitem graph (scc_edges) — trim +

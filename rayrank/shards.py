@@ -253,6 +253,15 @@ class CsrShard:
         to the other shard set (and final extraction)."""
         return inv_norm * self.hits_in
 
+    def katz_update(self, add: float) -> float:
+        """Katz integer recurrence z ← Aᵀz + βᵗ on the HITS gather
+        state (rayrank/katz.py): values are exact integers carried in
+        float64, so the fold is order-free below 2^53.  Returns the
+        partition max for the driver's exactness guard."""
+        base = self.hits_in if self.hits_in is not None else np.zeros(self.s_p)
+        self.hits_y = base + add
+        return float(self.hits_y.max()) if self.s_p else 0.0
+
     def set_hits_y(self, arr: np.ndarray) -> None:
         self.hits_y = np.asarray(arr, np.float64)
 
