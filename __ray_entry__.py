@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_price_decile": _an().revenue_by_price_decile,
         "customers_all_expedited": _an().customers_all_expedited,
         "nation_monthly_mom": _an().nation_monthly_mom,
+        "gini_order_revenue": _an().gini_order_revenue,
         "open_orders_over_time": _an().open_orders_over_time,
         "fk_violations": _an().fk_violations,
         "stratified_event_sample": _an().stratified_event_sample,
@@ -1525,6 +1526,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_price_decile": _an().REVENUE_BY_PRICE_DECILE_SQL,
         "customers_all_expedited": _an().CUSTOMERS_ALL_EXPEDITED_SQL,
         "nation_monthly_mom": _an().NATION_MONTHLY_MOM_SQL,
+        "gini_order_revenue": _an().GINI_ORDER_REVENUE_SQL,
         "open_orders_over_time": _an().OPEN_ORDERS_SQL,
         "fk_violations": _an().FK_VIOLATIONS_SQL,
         "stratified_event_sample": _stratified_sample_sql(),

@@ -2524,3 +2524,166 @@ SELECT n_name, month, revenue_cents,
     / CAST(LAG(revenue_cents) OVER w AS DOUBLE) AS mom_change
 FROM s WINDOW w AS (PARTITION BY n_name ORDER BY month)
 """
+
+
+# --------------------------------------------------------------------------
+# Gini coefficient of per-order revenue (inequality statistic)
+# --------------------------------------------------------------------------
+
+
+MANTISSA_BITS = 4  # sub-buckets per octave in the monotone value bucketing
+
+
+def _exact_rank_sums(x: np.ndarray) -> tuple[int, int]:
+    """(Σx, Σ j·x) with j the 0-based index, EXACT Python ints for any
+    non-negative int64 x — dynamic power-of-two chunking keeps every
+    numpy partial below 2^62 (the in-chunk rank part is one int64
+    np.dot; chunk bases fold in Python), so nothing can wrap at any
+    data scale."""
+    n_b = len(x)
+    xmax = int(x.max()) if n_b else 0
+    if xmax == 0:
+        return 0, 0
+    # total: chunk so each reduceat partial stays below 2^62
+    c_t = 1 << max(0, 62 - xmax.bit_length())
+    parts = np.add.reduceat(x, np.arange(0, n_b, min(c_t, n_b)))
+    t_b = sum(int(s) for s in parts)
+    # rank-weighted: j = C·chunk + jc; Σ jc·x ≤ C·T_b < 2^62
+    c = 1 << max(0, 62 - t_b.bit_length())
+    c = min(c, 1 << 30)
+    w = int(np.dot(np.arange(n_b, dtype=np.int64) & (c - 1), x))
+    chunk_sums = np.add.reduceat(x, np.arange(0, n_b, c))
+    w += sum(int(i) * c * int(s) for i, s in enumerate(chunk_sums))
+    return t_b, w
+
+
+def gini_order_revenue(sf_dir: str) -> pa.Table:
+    """Gini coefficient of per-order revenue via the sorted-rank
+    identity G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) (x ascending,
+    1-based), computed EXACTLY without a global sort:
+
+      * per-order revenue in integer cent·pct units (block partials →
+        keyed_reagg by orderkey, the NATION_REVENUE_SQL convention);
+      * a MONOTONE value bucketing — frexp exponent + 4 mantissa bits
+        (order-preserving, needs no vmax pass; ≤ ~16·53 buckets) — so
+        global rank = bucket count-offset + in-bucket rank;
+      * ONE bucket-keyed repartition; per bucket the kernel sorts
+        ascending and folds Σ j·x with dynamic power-of-two chunking
+        (C chosen so C·T_b < 2^62: the in-chunk part is one int64
+        np.dot, chunk bases fold in Python ints — exact at ANY scale,
+        never wraps), emitting (bucket, n, t, w) with t/w as
+        decimal128(38);
+      * the driver scans only the ≤ ~850 bucket rows: off_b =
+        exclusive count prefix, S = Σ (off_b+1)·T_b + W_b in Python
+        ints.
+
+    Rank ties need no rule: equal values share a bucket (bucketing is
+    a function of the value) and Σ i·x over a tie block is
+    permutation-invariant.  The ONLY float op — the final
+    (2S−(n+1)T)/(nT) after integer→double casts — is written
+    identically in the SQL oracle (HUGEINT side), so the driver match
+    is bit-identical."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table):
+        if len(t) == 0:
+            return
+        rev = _i64(t.column("l_extendedprice"), 100) * (
+            100 - _i64(t.column("l_discount"), 100)
+        )
+        g = (
+            pa.table({"l_orderkey": t.column("l_orderkey"), "v": pa.array(rev)})
+            .group_by(["l_orderkey"])
+            .aggregate([("v", "sum")])
+        )
+        yield g.rename_columns(["l_orderkey", "v"])
+
+    rev = keyed_reagg(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [("v", "sum")],
+        num_partitions=P,
+    )
+
+    def bucketize(t: pa.Table):
+        if t.num_rows == 0 or "v" not in t.schema.names:
+            return
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        if v.size and int(v.max()) >= 1 << 53:
+            raise OverflowError("gini: value exceeds exact-double range")
+        m, e = np.frexp(v.astype(np.float64))
+        scale = 1 << (MANTISSA_BITS + 1)
+        bucket = e.astype(np.int64) * (1 << MANTISSA_BITS) + np.floor(
+            m * scale
+        ).astype(np.int64)
+        yield pa.table({"bucket": pa.array(bucket), "v": pa.array(v)})
+
+    co = rev.map_batches(bucketize, batch_format="pyarrow").repartition(
+        P, keys=["bucket"]
+    )
+
+    def per_bucket(t: pa.Table):
+        if t.num_rows == 0 or "bucket" not in t.schema.names:
+            return
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, b))
+        b, v = b[order], v[order]
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        ends = np.r_[starts[1:], len(b)]
+        rows = []
+        for s, e in zip(starts, ends):
+            t_b, w_b = _exact_rank_sums(v[s:e])
+            rows.append((int(b[s]), int(e - s), t_b, w_b))
+        dec = pa.decimal128(38, 0)
+        yield pa.table(
+            {
+                "bucket": pa.array([r[0] for r in rows], pa.int64()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "t": pa.array([r[2] for r in rows], dec),
+                "w": pa.array([r[3] for r in rows], dec),
+            }
+        )
+
+    stats = sorted(
+        (
+            (r["bucket"], r["n"], int(r["t"]), int(r["w"]))
+            for r in co.map_batches(
+                per_bucket, batch_size=None, batch_format="pyarrow"
+            ).take_all()
+        ),
+    )
+    n_tot, t_tot, s_tot, off = 0, 0, 0, 0
+    for _, n_b, t_b, w_b in stats:
+        s_tot += (off + 1) * t_b + w_b
+        off += n_b
+        n_tot += n_b
+        t_tot += t_b
+    gini = (
+        float(2 * s_tot - (n_tot + 1) * t_tot) / float(n_tot * t_tot)
+        if n_tot and t_tot
+        else 0.0
+    )
+    return pa.table(
+        {
+            "n_orders": pa.array([n_tot], pa.int64()),
+            "gini": pa.array([gini], pa.float64()),
+        }
+    )
+
+
+GINI_ORDER_REVENUE_SQL = """
+WITH rev AS (
+  SELECT l_orderkey,
+    SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS v
+  FROM lineitem GROUP BY l_orderkey
+),
+r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS i FROM rev),
+agg AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               SUM(CAST(v AS HUGEINT)) AS t,
+               SUM(CAST(i AS HUGEINT) * v) AS s FROM r)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       CAST(2*s - (n+1)*t AS DOUBLE) / CAST(n*t AS DOUBLE) AS gini
+FROM agg
+"""
