@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct_parts": pl.kmv_distinct_parts,
         "parts_kmv_jaccard": pl.parts_kmv_jaccard,
         "hll_distinct_parts": pl.hll_distinct_parts,
+        "cms_part_counts": pl.cms_part_counts,
         "embedding_near_dups": pl.embedding_near_dup_pairs,  # rows-only
         "ann_topk": pl.ann_topk,
         "embedding_quantize": _annmod().embedding_quantize,
@@ -1464,6 +1465,28 @@ SELECT CAST(CASE WHEN nu < {k} THEN nu
 FROM st"""
 
 
+def _cms_sql(col: str, table: str, width: int, depth: int) -> str:
+    """Count-min sketch rebuilt in SQL: the same splitmix64(k·depth+d)
+    % width buckets (one carry CTE chain), exact integer counters,
+    MIN over depth rows per distinct key — matches rayrank.sketch.
+    cms_sketch/cms_estimates bit-for-bit."""
+    ds = ", ".join(str(d) for d in range(depth))
+    src = (
+        f"(SELECT {col} AS k, d, CAST({col}*{depth} + d AS HUGEINT) AS x "
+        f"FROM {table} CROSS JOIN (SELECT UNNEST([{ds}]) AS d) dd)"
+    )
+    return f"""
+WITH {_sm64_carry_cte(src, ["k", "d"], "")},
+counters AS (SELECT d, z % {width} AS bucket, COUNT(*) AS c FROM hh GROUP BY 1, 2),
+kb AS (SELECT DISTINCT k, d, z % {width} AS bucket FROM hh),
+est AS (
+  SELECT kb.k, MIN(c.c) AS e
+  FROM kb JOIN counters c ON c.d = kb.d AND c.bucket = kb.bucket
+  GROUP BY kb.k
+)
+SELECT k AS {col}, CAST(e AS BIGINT) AS est_count FROM est"""
+
+
 def _hll_sql(col: str, table: str, p: int) -> str:
     m = 1 << p
     wmask = (1 << (64 - p)) - 1
@@ -1719,6 +1742,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_parts": _kmv_sql("l_partkey", "lineitem", 64),
         "parts_kmv_jaccard": _kmv_jaccard_sql(),
         "hll_distinct_parts": _hll_sql("l_partkey", "lineitem", 12),
+        "cms_part_counts": _cms_sql("l_partkey", "lineitem", 256, 4),
         "embedding_quantize": _annmod().EMBEDDING_QUANTIZE_SQL,
         "mutual_knn_pairs": _annmod().MUTUAL_KNN_SQL,
         "knn_graph_components": _knn_cc_sql(),

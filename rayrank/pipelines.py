@@ -697,6 +697,37 @@ def hll_distinct_parts(sf_dir: str) -> ray.data.Dataset:
     return hll_distinct(_read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey", p=12)
 
 
+def cms_part_counts(sf_dir: str) -> ray.data.Dataset:
+    """(l_partkey, est_count) count-min-sketch frequency estimates for
+    every distinct lineitem.l_partkey (width 256 × depth 4, one
+    splitmix64 chain) — deliberately narrow so collisions occur and
+    the MIN across depths does real work.  Counters are exact integers
+    and the hash is the HUGEINT-reproducible splitmix64, so the SQL
+    oracle rebuilds the same grid and matches every estimate exactly."""
+    from .shuffle import keyed_reagg
+    from .sketch import cms_estimates, cms_sketch
+
+    grid = cms_sketch(_read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey")
+
+    def uniq(t: pa.Table):
+        if len(t) == 0:
+            return
+        u = pc.unique(t.column("l_partkey"))
+        yield pa.table(
+            {"l_partkey": u, "one": pa.array(np.ones(len(u), np.int64))}
+        )
+
+    keys = keyed_reagg(
+        _read(sf_dir, "lineitem", ["l_partkey"]).map_batches(
+            uniq, batch_format="pyarrow"
+        ),
+        ["l_partkey"],
+        [("one", "sum")],
+        num_partitions=P,
+    ).select_columns(["l_partkey"])
+    return cms_estimates(keys, "l_partkey", grid)
+
+
 def price_quantiles(sf_dir: str) -> ray.data.Dataset:
     """Exact quantile_disc of lineitem.l_extendedprice at binary-exact
     q (so ceil(q·N) is float64-identical in engine and oracle) —

@@ -316,3 +316,98 @@ def kmv_jaccard(
             ),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# count-min sketch (Cormode & Muthukrishnan 2005, public algorithm)
+# --------------------------------------------------------------------------
+
+CMS_WIDTH = 256
+CMS_DEPTH = 4
+
+
+def cms_sketch(
+    ds: ray.data.Dataset,
+    column: str,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> np.ndarray:
+    """depth×width count-min counter grid over ``column`` — the
+    frequency-estimation sketch (est ≥ true, error ≤ N/width w.h.p.).
+    One splitmix64 chain serves all rows: h_d(k) = splitmix64(k·depth
+    + d) % width (k·depth + d < 2^63 required — raises otherwise).
+
+    Scale shape: each block folds to ≤ depth·width nonzero counter
+    partials inside ``map_batches`` (np.bincount per row of the grid);
+    ONE keyed re-agg over (d, bucket) reduces them; the driver holds
+    only the grid — memory bounded by the SKETCH, never the data.
+    Counters are exact integers, so the merge is order-free and the
+    estimates replay bit-identically at any cluster size."""
+    from .shuffle import keyed_reagg
+
+    def partial(t: pa.Table):
+        if t.num_rows == 0 or column not in t.schema.names:
+            return
+        k = t.column(column).to_numpy(zero_copy_only=False)
+        if len(k) and (int(k.max()) * depth + depth - 1) >= 1 << 63:
+            raise OverflowError("cms_sketch: key·depth exceeds int63")
+        ku = k.astype(np.uint64)
+        parts = []
+        for d in range(depth):
+            with np.errstate(over="ignore"):
+                h = splitmix64(ku * np.uint64(depth) + np.uint64(d)) % np.uint64(
+                    width
+                )
+            cnt = np.bincount(h.astype(np.int64), minlength=width)
+            nz = np.flatnonzero(cnt)
+            parts.append(
+                pa.table(
+                    {
+                        "d": pa.array(np.full(len(nz), d, np.int64)),
+                        "bucket": pa.array(nz.astype(np.int64)),
+                        "c": pa.array(cnt[nz]),
+                    }
+                )
+            )
+        yield pa.concat_tables(parts)
+
+    rows = keyed_reagg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["d", "bucket"],
+        [("c", "sum")],
+        num_partitions=4,
+    ).take_all()
+    grid = np.zeros((depth, width), np.int64)
+    for r in rows:
+        grid[r["d"], r["bucket"]] = r["c"]
+    return grid
+
+
+def cms_estimates(
+    keys: ray.data.Dataset,
+    column: str,
+    grid: np.ndarray,
+    out_col: str = "est_count",
+) -> ray.data.Dataset:
+    """(column, est_count) per input key row: est = min over the grid's
+    depth rows of the key's counter — the grid is broadcast via
+    ``ray.put`` once (tiny) and looked up inside ``map_batches``."""
+    import ray
+
+    depth, width = grid.shape
+    grid_ref = ray.put(grid)
+
+    def est(t: pa.Table, g=grid_ref) -> pa.Table:
+        gr = g if isinstance(g, np.ndarray) else ray.get(g)
+        k = t.column(column).to_numpy(zero_copy_only=False)
+        ku = k.astype(np.uint64)
+        e = np.full(len(k), np.iinfo(np.int64).max, np.int64)
+        for d in range(depth):
+            with np.errstate(over="ignore"):
+                h = splitmix64(ku * np.uint64(depth) + np.uint64(d)) % np.uint64(
+                    width
+                )
+            np.minimum(e, gr[d, h.astype(np.int64)], out=e)
+        return pa.table({column: t.column(column), out_col: pa.array(e)})
+
+    return keys.map_batches(est, batch_format="pyarrow")

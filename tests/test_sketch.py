@@ -133,3 +133,36 @@ def test_kmv_jaccard_estimates_overlap():
     row = kmv_jaccard(a, b, "x", "x", k=256).to_pylist()[0]
     # true J = (n/2) / (3n/2) = 1/3; KMV with k=256 ⇒ ~±0.06
     assert abs(row["jaccard_est"] - 1 / 3) < 0.1
+
+
+def test_cms_grid_matches_single_machine_rebuild():
+    import pyarrow as pa
+    import ray.data
+
+    from rayrank.sketch import cms_estimates, cms_sketch, splitmix64
+
+    rng = np.random.default_rng(42)
+    keys = rng.zipf(1.5, size=30_000).astype(np.int64) % 500
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys)})).repartition(8)
+    W, D = 64, 3
+    grid = cms_sketch(ds, "k", width=W, depth=D)
+
+    ref = np.zeros((D, W), np.int64)
+    for d in range(D):
+        h = splitmix64(keys.astype(np.uint64) * np.uint64(D) + np.uint64(d)) % np.uint64(W)
+        ref[d] = np.bincount(h.astype(np.int64), minlength=W)
+    assert (grid == ref).all()  # block partitioning cannot change the grid
+
+    # estimates dominate true counts and equal the grid-min rule
+    true = {int(k): int(c) for k, c in zip(*np.unique(keys, return_counts=True))}
+    uniq = ray.data.from_arrow(
+        pa.table({"k": pa.array(sorted(true), pa.int64())})
+    )
+    for r in cms_estimates(uniq, "k", grid).take_all():
+        k, e = r["k"], r["est_count"]
+        assert e >= true[k]
+        hs = [
+            int(splitmix64(np.array([k * D + d], np.uint64))[0] % np.uint64(W))
+            for d in range(D)
+        ]
+        assert e == min(int(grid[d, hs[d]]) for d in range(D))
