@@ -83,6 +83,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_distinct_event_types": rel.user_distinct_event_types,
         "top_orders_per_customer": rel.top_orders_per_customer,
         "user_event_pivot": rel.user_event_pivot,
+        "user_event_unpivot": rel.user_event_unpivot,
+        "table_profile": rel.table_profile,
+        "benford_order_totals": rel.benford_order_totals,
+        "hopping_distinct_users": pl.hopping_distinct_users,
+        "part_pair_lift": _dec().part_pair_lift,
         "funnel_conversions": rel.funnel_conversions,
         "three_step_funnel": rel.three_step_funnel,
         "conversion_lag_histogram": rel.conversion_lag_histogram,
@@ -102,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_all_expedited": _an().customers_all_expedited,
         "nation_monthly_mom": _an().nation_monthly_mom,
         "gini_order_revenue": _an().gini_order_revenue,
+        "pareto_revenue_point": _an().pareto_revenue_point,
         "open_orders_over_time": _an().open_orders_over_time,
         "fk_violations": _an().fk_violations,
         "stratified_event_sample": _an().stratified_event_sample,
@@ -175,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text / dedup / events / ann
         "docs_exact_dedup": pl.docs_exact_dedup,
         "docs_normalized_dedup": pl.docs_normalized_dedup,
+        "docs_redact": pl.docs_redact,
         "fuzzy_name_pairs": _tx().fuzzy_name_pairs,
         "docs_hash_sample": pl.docs_hash_sample,
         "term_doc_freq": _terms().term_doc_freq,
@@ -1531,6 +1538,11 @@ def oracle_sql() -> dict[str, str]:
         "user_distinct_event_types": rel.USER_DISTINCT_EVENT_TYPES_SQL,
         "top_orders_per_customer": rel.TOP_ORDERS_PER_CUSTOMER_SQL,
         "user_event_pivot": rel.USER_EVENT_PIVOT_SQL,
+        "user_event_unpivot": rel.USER_EVENT_UNPIVOT_SQL,
+        "table_profile": rel.TABLE_PROFILE_SQL,
+        "benford_order_totals": rel.BENFORD_ORDER_TOTALS_SQL,
+        "hopping_distinct_users": _pl().HOPPING_DISTINCT_USERS_SQL,
+        "part_pair_lift": _dec().PART_PAIR_LIFT_SQL,
         "funnel_conversions": rel.FUNNEL_CONVERSIONS_SQL,
         "three_step_funnel": rel.THREE_STEP_FUNNEL_SQL,
         "conversion_lag_histogram": rel.CONVERSION_LAG_SQL,
@@ -1550,6 +1562,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_all_expedited": _an().CUSTOMERS_ALL_EXPEDITED_SQL,
         "nation_monthly_mom": _an().NATION_MONTHLY_MOM_SQL,
         "gini_order_revenue": _an().GINI_ORDER_REVENUE_SQL,
+        "pareto_revenue_point": _an().PARETO_REVENUE_POINT_SQL,
         "open_orders_over_time": _an().OPEN_ORDERS_SQL,
         "fk_violations": _an().FK_VIOLATIONS_SQL,
         "stratified_event_sample": _stratified_sample_sql(),
@@ -1668,6 +1681,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY "
             "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
         ),
+        "docs_redact": _pl().DOCS_REDACT_SQL,
         "docs_hash_sample": _hash_sample_sql(),
         "term_doc_freq": _terms().TERM_DOC_FREQ_SQL,
         "tfidf_top_terms": _terms().TFIDF_TOP_TERMS_SQL,

@@ -2557,32 +2557,11 @@ def _exact_rank_sums(x: np.ndarray) -> tuple[int, int]:
     return t_b, w
 
 
-def gini_order_revenue(sf_dir: str) -> pa.Table:
-    """Gini coefficient of per-order revenue via the sorted-rank
-    identity G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) (x ascending,
-    1-based), computed EXACTLY without a global sort:
-
-      * per-order revenue in integer cent·pct units (block partials →
-        keyed_reagg by orderkey, the NATION_REVENUE_SQL convention);
-      * a MONOTONE value bucketing — frexp exponent + 4 mantissa bits
-        (order-preserving, needs no vmax pass; ≤ ~16·53 buckets) — so
-        global rank = bucket count-offset + in-bucket rank;
-      * ONE bucket-keyed repartition; per bucket the kernel sorts
-        ascending and folds Σ j·x with dynamic power-of-two chunking
-        (C chosen so C·T_b < 2^62: the in-chunk part is one int64
-        np.dot, chunk bases fold in Python ints — exact at ANY scale,
-        never wraps), emitting (bucket, n, t, w) with t/w as
-        decimal128(38);
-      * the driver scans only the ≤ ~850 bucket rows: off_b =
-        exclusive count prefix, S = Σ (off_b+1)·T_b + W_b in Python
-        ints.
-
-    Rank ties need no rule: equal values share a bucket (bucketing is
-    a function of the value) and Σ i·x over a tie block is
-    permutation-invariant.  The ONLY float op — the final
-    (2S−(n+1)T)/(nT) after integer→double casts — is written
-    identically in the SQL oracle (HUGEINT side), so the driver match
-    is bit-identical."""
+def _order_rev_bucketed(sf_dir: str):
+    """Per-order revenue (integer cent·pct, NATION_REVENUE_SQL
+    convention) bucketized by the monotone frexp+MANTISSA_BITS key and
+    co-located by ONE bucket-keyed repartition — the shared front end
+    of the rank-statistic queries (gini, pareto point)."""
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def partial(t: pa.Table):
@@ -2610,7 +2589,7 @@ def gini_order_revenue(sf_dir: str) -> pa.Table:
             return
         v = t.column("v").to_numpy(zero_copy_only=False)
         if v.size and int(v.max()) >= 1 << 53:
-            raise OverflowError("gini: value exceeds exact-double range")
+            raise OverflowError("rank stats: value exceeds exact-double range")
         m, e = np.frexp(v.astype(np.float64))
         scale = 1 << (MANTISSA_BITS + 1)
         bucket = e.astype(np.int64) * (1 << MANTISSA_BITS) + np.floor(
@@ -2618,9 +2597,15 @@ def gini_order_revenue(sf_dir: str) -> pa.Table:
         ).astype(np.int64)
         yield pa.table({"bucket": pa.array(bucket), "v": pa.array(v)})
 
-    co = rev.map_batches(bucketize, batch_format="pyarrow").repartition(
+    return rev.map_batches(bucketize, batch_format="pyarrow").repartition(
         P, keys=["bucket"]
     )
+
+
+def _bucket_stats(co) -> list[tuple[int, int, int, int]]:
+    """Ascending (bucket, n_b, ΣT_b, Σj·x_b) rows — ≤ ~850 of them —
+    via the exact chunked per-bucket kernel (never wraps); the only
+    thing the driver ever materializes."""
 
     def per_bucket(t: pa.Table):
         if t.num_rows == 0 or "bucket" not in t.schema.names:
@@ -2645,14 +2630,41 @@ def gini_order_revenue(sf_dir: str) -> pa.Table:
             }
         )
 
-    stats = sorted(
-        (
-            (r["bucket"], r["n"], int(r["t"]), int(r["w"]))
-            for r in co.map_batches(
-                per_bucket, batch_size=None, batch_format="pyarrow"
-            ).take_all()
-        ),
+    return sorted(
+        (r["bucket"], r["n"], int(r["t"]), int(r["w"]))
+        for r in co.map_batches(
+            per_bucket, batch_size=None, batch_format="pyarrow"
+        ).take_all()
     )
+
+
+def gini_order_revenue(sf_dir: str) -> pa.Table:
+    """Gini coefficient of per-order revenue via the sorted-rank
+    identity G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) (x ascending,
+    1-based), computed EXACTLY without a global sort:
+
+      * per-order revenue in integer cent·pct units (block partials →
+        keyed_reagg by orderkey, the NATION_REVENUE_SQL convention);
+      * a MONOTONE value bucketing — frexp exponent + 4 mantissa bits
+        (order-preserving, needs no vmax pass; ≤ ~16·53 buckets) — so
+        global rank = bucket count-offset + in-bucket rank;
+      * ONE bucket-keyed repartition; per bucket the kernel sorts
+        ascending and folds Σ j·x with dynamic power-of-two chunking
+        (C chosen so C·T_b < 2^62: the in-chunk part is one int64
+        np.dot, chunk bases fold in Python ints — exact at ANY scale,
+        never wraps), emitting (bucket, n, t, w) with t/w as
+        decimal128(38);
+      * the driver scans only the ≤ ~850 bucket rows: off_b =
+        exclusive count prefix, S = Σ (off_b+1)·T_b + W_b in Python
+        ints.
+
+    Rank ties need no rule: equal values share a bucket (bucketing is
+    a function of the value) and Σ i·x over a tie block is
+    permutation-invariant.  The ONLY float op — the final
+    (2S−(n+1)T)/(nT) after integer→double casts — is written
+    identically in the SQL oracle (HUGEINT side), so the driver match
+    is bit-identical."""
+    stats = _bucket_stats(_order_rev_bucketed(sf_dir))
     n_tot, t_tot, s_tot, off = 0, 0, 0, 0
     for _, n_b, t_b, w_b in stats:
         s_tot += (off + 1) * t_b + w_b
@@ -2686,4 +2698,89 @@ agg AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
 SELECT CAST(n AS BIGINT) AS n_orders,
        CAST(2*s - (n+1)*t AS DOUBLE) / CAST(n*t AS DOUBLE) AS gini
 FROM agg
+"""
+
+
+def pareto_revenue_point(sf_dir: str) -> pa.Table:
+    """The Lorenz-curve 50% point: the smallest k such that the k
+    highest-revenue orders cover at least half of total revenue
+    (integer rule 2·cum ≥ total — no T/2 fraction exists), plus the
+    exact covered amount and its share.
+
+    Two bounded passes over the shared bucketized revenue front end
+    (:func:`_order_rev_bucketed`): (1) the ≤ ~850 bucket stat rows
+    locate the crossing bucket B* from the top (Python-int cumulative
+    — exact); (2) ONE filtered fetch of B*'s values (a single
+    octave-slice of the distribution — raise MANTISSA_BITS if a slice
+    ever outgrows a block) finishes the prefix inside the tie-safe
+    rule: k is invariant to tie order because every row at the
+    crossing shares the same value.  Output integers are exact; the
+    one float (share = covered/total after integer→double casts) is
+    written identically in the SQL oracle."""
+    stats = _bucket_stats(_order_rev_bucketed(sf_dir))
+    t_tot = sum(t_b for _, _, t_b, _ in stats)
+    if t_tot == 0:
+        return pa.table(
+            {
+                "k_orders": pa.array([], pa.int64()),
+                "covered_cents": pa.array([], pa.int64()),
+                "total_cents": pa.array([], pa.int64()),
+                "share": pa.array([], pa.float64()),
+            }
+        )
+    cum_above, n_above, b_star = 0, 0, None
+    for bucket, n_b, t_b, _ in reversed(stats):
+        if 2 * (cum_above + t_b) >= t_tot:
+            b_star = bucket
+            break
+        cum_above += t_b
+        n_above += n_b
+    def pick(t: pa.Table):
+        if t.num_rows == 0 or "bucket" not in t.schema.names:
+            return
+        yield t.filter(pc.equal(t.column("bucket"), b_star))
+
+    vals = sorted(
+        (
+            r["v"]
+            for r in _order_rev_bucketed(sf_dir)
+            .map_batches(pick, batch_format="pyarrow")
+            .take_all()
+        ),
+        reverse=True,
+    )
+    covered, k = cum_above, n_above
+    for v in vals:
+        covered += int(v)
+        k += 1
+        if 2 * covered >= t_tot:
+            break
+    return pa.table(
+        {
+            "k_orders": pa.array([k], pa.int64()),
+            "covered_cents": pa.array([covered], pa.int64()),
+            "total_cents": pa.array([t_tot], pa.int64()),
+            "share": pa.array([float(covered) / float(t_tot)], pa.float64()),
+        }
+    )
+
+
+PARETO_REVENUE_POINT_SQL = """
+WITH rev AS (
+  SELECT l_orderkey,
+    SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS v
+  FROM lineitem GROUP BY l_orderkey
+),
+r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v DESC) AS i,
+             SUM(CAST(v AS HUGEINT)) OVER
+               (ORDER BY v DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM rev),
+tot AS (SELECT SUM(CAST(v AS HUGEINT)) AS t FROM rev),
+s AS (SELECT i, cum FROM r, tot WHERE 2*cum >= tot.t ORDER BY i LIMIT 1)
+SELECT CAST(s.i AS BIGINT) AS k_orders,
+       CAST(s.cum AS BIGINT) AS covered_cents,
+       CAST(tot.t AS BIGINT) AS total_cents,
+       CAST(s.cum AS DOUBLE) / CAST(tot.t AS DOUBLE) AS share
+FROM s, tot
 """

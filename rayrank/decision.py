@@ -1833,3 +1833,125 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY 1
 """
+
+
+def part_pair_lift(sf_dir: str, k: int = PART_PAIRS_K) -> pa.Table:
+    """Market-basket association rules for the top-k co-purchased part
+    pairs: support (co-occurrence count), confidence P(b|a), and lift
+    n·c_ab/(c_a·c_b).  Reuses :func:`part_pairs_topk` for the pair
+    counts (its O(P·k) merge), adds one (order, part)-deduped per-part
+    count pass on the same orderkey co-location, then joins only the
+    ≤ 2k needed item counts driver-side (bounded by k, never by the
+    catalog).  All counts are exact integers; the two floats are
+    single divisions of int64 products written identically in SQL."""
+    pairs = part_pairs_topk(sf_dir, k=k).take_all()
+    if not pairs:
+        return pa.table(
+            {
+                "pa_key": pa.array([], pa.int64()),
+                "pb_key": pa.array([], pa.int64()),
+                "pair_count": pa.array([], pa.int64()),
+                "confidence": pa.array([], pa.float64()),
+                "lift": pa.array([], pa.float64()),
+            }
+        )
+    needed = sorted({r["pa_key"] for r in pairs} | {r["pb_key"] for r in pairs})
+    needed_arr = pa.array(needed, pa.int64())
+
+    def dedup_pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    co = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(dedup_pre, batch_format="pyarrow")
+        .repartition(P, keys=["l_orderkey"])
+    )
+
+    def per_part(t: pa.Table):
+        """Orders are co-located ⇒ block dedup is global; emit exact
+        per-part basket counts filtered to the needed parts (≤ 2k
+        rows per block)."""
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return
+        d = t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        d = d.filter(pc.is_in(d.column("l_partkey"), value_set=needed_arr))
+        if len(d) == 0:
+            return
+        g = (
+            d.append_column("c", pa.array(np.ones(len(d), np.int64)))
+            .group_by(["l_partkey"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["l_partkey", "c"])
+        )
+        yield g
+
+    item: dict[int, int] = {}
+    for r in co.map_batches(
+        per_part, batch_size=None, batch_format="pyarrow"
+    ).take_all():
+        item[r["l_partkey"]] = item.get(r["l_partkey"], 0) + r["c"]
+    n_total = (
+        _read(sf_dir, "lineitem", ["l_orderkey"])
+        .map_batches(
+            _distinct_orders_partial, batch_format="pyarrow"
+        )
+        .repartition(1)
+        .map_batches(_distinct_orders_merge, batch_size=None, batch_format="pyarrow")
+        .take_all()[0]["n"]
+    )
+
+    out = []
+    for r in sorted(pairs, key=lambda r: (-r["pair_count"], r["pa_key"], r["pb_key"])):
+        a, b, cab = r["pa_key"], r["pb_key"], r["pair_count"]
+        ca, cb = item[a], item[b]
+        out.append(
+            (
+                a, b, cab,
+                float(cab) / float(ca),
+                float(n_total * cab) / float(ca * cb),
+            )
+        )
+    return pa.table(
+        {
+            "pa_key": pa.array([o[0] for o in out], pa.int64()),
+            "pb_key": pa.array([o[1] for o in out], pa.int64()),
+            "pair_count": pa.array([o[2] for o in out], pa.int64()),
+            "confidence": pa.array([o[3] for o in out], pa.float64()),
+            "lift": pa.array([o[4] for o in out], pa.float64()),
+        }
+    )
+
+
+def _distinct_orders_partial(t: pa.Table):
+    if len(t) == 0:
+        return
+    yield t.group_by(["l_orderkey"]).aggregate([])
+
+
+def _distinct_orders_merge(t: pa.Table):
+    if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+        return
+    n = len(t.group_by(["l_orderkey"]).aggregate([]))
+    yield pa.table({"n": pa.array([n], pa.int64())})
+
+
+PART_PAIR_LIFT_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nn AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem),
+ic AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+p AS (
+  SELECT a.l_partkey AS pa_key, b.l_partkey AS pb_key,
+    CAST(COUNT(*) AS BIGINT) AS pair_count
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 ORDER BY pair_count DESC, pa_key, pb_key LIMIT 20
+)
+SELECT p.pa_key, p.pb_key, p.pair_count,
+  CAST(p.pair_count AS DOUBLE) / CAST(ca.c AS DOUBLE) AS confidence,
+  CAST(nn.n * p.pair_count AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE) AS lift
+FROM p
+JOIN ic ca ON ca.l_partkey = p.pa_key
+JOIN ic cb ON cb.l_partkey = p.pb_key, nn
+"""

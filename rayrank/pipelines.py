@@ -312,6 +312,46 @@ def docs_exact_dedup(sf_dir: str) -> ray.data.Dataset:
     return exact_dedup(slim).select_columns(["doc_id"])
 
 
+REDACT_PATTERN = r"\b(customer|key|value)\b"
+REDACT_MASK = "[MASK]"
+
+
+def docs_redact(sf_dir: str) -> ray.data.Dataset:
+    """Sensitive-term redaction (the PII-scrub shape on a corpus with
+    no real PII: a blocklist of tokens stands in for emails/phones) —
+    (doc_id, n_masked, text_redacted).  Pure per-block Arrow RE2
+    kernels, zero shuffle; DuckDB's regexp_replace/regexp_extract_all
+    are also RE2, so both the replacement and the non-overlapping
+    match COUNT are bit-identical (the canonicalize precedent,
+    rayrank/text.py)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_masked": pc.cast(
+                    pc.count_substring_regex(txt, REDACT_PATTERN), pa.int64()
+                ),
+                "text_redacted": pc.replace_substring_regex(
+                    txt, pattern=REDACT_PATTERN, replacement=REDACT_MASK
+                ),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+DOCS_REDACT_SQL = rf"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{REDACT_PATTERN}')) AS BIGINT) AS n_masked,
+  regexp_replace(text, '{REDACT_PATTERN}', '{REDACT_MASK}', 'g') AS text_redacted
+FROM documents
+"""
+
+
 def docs_normalized_dedup(sf_dir: str) -> ray.data.Dataset:
     """Exact dedup AFTER text canonicalization (lowercase, punctuation
     runs → one space, trim) — catches trivially-reformatted duplicates
@@ -912,6 +952,63 @@ x AS (
 )
 SELECT win_hour, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM x GROUP BY 1, 2
+"""
+
+
+def hopping_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """Distinct USERS per hopping window (2-hour windows every hour —
+    same expansion as :func:`hopping_event_counts`) — the overlapping-
+    window DISTINCT aggregate, which unlike a count cannot pre-combine
+    as a sum: each block first dedups its (window, user) pairs (block
+    partial), ONE window-keyed repartition co-locates a window's
+    partials, and the block-local re-dedup is then globally exact.
+    Only already-deduped (window, user) int64 pairs shuffle."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def expand(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        hr = (
+            pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+            // HOP_US
+        )
+        wins = np.concatenate([hr - i for i in range(HOP_WINDOW_HOPS)])
+        uid = np.tile(
+            t.column("user_id").to_numpy(zero_copy_only=False), HOP_WINDOW_HOPS
+        )
+        yield pa.table(
+            {"win_hour": pa.array(wins), "user_id": pa.array(uid)}
+        ).group_by(["win_hour", "user_id"]).aggregate([])
+
+    co = ds.map_batches(expand, batch_format="pyarrow").repartition(
+        P, keys=["win_hour"]
+    )
+
+    def count_distinct(t: pa.Table):
+        if t.num_rows == 0 or "win_hour" not in t.schema.names:
+            return
+        d = t.group_by(["win_hour", "user_id"]).aggregate([])
+        g = (
+            d.append_column("n_users", pa.array(np.ones(len(d), np.int64)))
+            .group_by(["win_hour"])
+            .aggregate([("n_users", "sum")])
+        )
+        yield g.rename_columns(["win_hour", "n_users"])
+
+    return co.map_batches(count_distinct, batch_size=None, batch_format="pyarrow")
+
+
+HOPPING_DISTINCT_USERS_SQL = """
+WITH b AS (
+  SELECT epoch_us(ts) // 3600000000 AS hr, user_id FROM events
+),
+x AS (
+  SELECT hr AS win_hour, user_id FROM b
+  UNION ALL
+  SELECT hr - 1 AS win_hour, user_id FROM b
+)
+SELECT win_hour, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM x GROUP BY 1
 """
 
 

@@ -990,3 +990,166 @@ SELECT (p.purchase_us - s.signup_us) // 86400000000 AS lag_days,
 FROM s JOIN p ON s.user_id = p.user_id
 GROUP BY 1
 """
+
+
+def user_event_unpivot(sf_dir: str) -> ray.data.Dataset:
+    """Melt (wide→long, the inverse of :func:`user_event_pivot`): the
+    pivot's per-user count columns stream back out as (user_id,
+    event_type, n) rows with zero cells dropped — so the round trip
+    pivot∘unpivot reproduces the plain long groupby exactly, which is
+    what the SQL oracle states.  Per block: one vectorized
+    repeat/concat per type column — no shuffle beyond the pivot's
+    own."""
+    wide = user_event_pivot(sf_dir)
+
+    def melt(t: pa.Table):
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return
+        u = t.column("user_id")
+        parts = []
+        for name in EVENT_TYPES:
+            n = t.column(f"n_{name}").to_numpy(zero_copy_only=False)
+            keep = n > 0
+            if not keep.any():
+                continue
+            parts.append(
+                pa.table(
+                    {
+                        "user_id": u.filter(pa.array(keep)),
+                        "event_type": pa.array(
+                            np.full(int(keep.sum()), name, object), pa.string()
+                        ),
+                        "n": pa.array(n[keep]),
+                    }
+                )
+            )
+        if parts:
+            yield pa.concat_tables(parts)
+
+    return wide.map_batches(melt, batch_size=None, batch_format="pyarrow")
+
+
+USER_EVENT_UNPIVOT_SQL = """
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY user_id, event_type
+"""
+
+
+PROFILE_COLUMNS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def table_profile(sf_dir: str) -> pa.Table:
+    """Data-quality profile of lineitem's numeric columns — one row per
+    column with (n_rows, n_null, min_v, max_v).  ONE pruned scan; each
+    block folds all columns to a 4-row partial inside ``map_batches``
+    (counts are exact integers; min/max of doubles are value PICKS, not
+    folds — order-free by construction); a coalesce of O(blocks·4)
+    partial rows finishes.  The SQL oracle is the per-column UNION ALL
+    of the same aggregates."""
+    cols = list(PROFILE_COLUMNS)
+
+    def partial(t: pa.Table):
+        if len(t) == 0:
+            return
+        names, nr, nn, mn, mx = [], [], [], [], []
+        for c in cols:
+            col = t.column(c)
+            names.append(c)
+            nr.append(len(col))
+            nn.append(col.null_count)
+            v = col.drop_null()
+            mn.append(pc.min(v).as_py() if len(v) else None)
+            mx.append(pc.max(v).as_py() if len(v) else None)
+        yield pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "n_rows": pa.array(nr, pa.int64()),
+                "n_null": pa.array(nn, pa.int64()),
+                "min_v": pa.array(mn, pa.float64()),
+                "max_v": pa.array(mx, pa.float64()),
+            }
+        )
+
+    merged = (
+        _read(sf_dir, "lineitem", cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+    )
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "column" not in t.schema.names:
+            return
+        g = t.group_by(["column"]).aggregate(
+            [("n_rows", "sum"), ("n_null", "sum"), ("min_v", "min"), ("max_v", "max")]
+        ).rename_columns(["column", "n_rows", "n_null", "min_v", "max_v"])
+        yield g
+
+    out = merged.map_batches(finish, batch_size=None, batch_format="pyarrow")
+    return out
+
+
+TABLE_PROFILE_SQL = " UNION ALL ".join(
+    f"""SELECT '{c}' AS column, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+  CAST(MIN({c}) AS DOUBLE) AS min_v, CAST(MAX({c}) AS DOUBLE) AS max_v
+FROM lineitem"""
+    for c in PROFILE_COLUMNS
+)
+
+
+def benford_order_totals(sf_dir: str) -> pa.Table:
+    """Benford's-law first-digit distribution of order totals (a
+    data-quality / fraud-screen shape): leading digit of the exact
+    integer cents value → (digit, n, share).  The digit is pure
+    integer arithmetic (repeated //10 — ≤ 19 vectorized passes, no
+    float log near power-of-ten boundaries); per-block 9-bin bincount
+    partials coalesce into one 9-row result.  share = n/total is the
+    single division mirrored in SQL."""
+    o = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table):
+        if len(t) == 0:
+            return
+        d = _i64(t.column("o_totalprice"), 100)
+        m = d >= 10
+        while m.any():
+            d[m] //= 10
+            m = d >= 10
+        cnt = np.bincount(d, minlength=10)[1:10]
+        yield pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    merged = o.map_batches(partial, batch_format="pyarrow").repartition(1)
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "digit" not in t.schema.names:
+            return
+        g = (
+            t.group_by(["digit"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["digit", "n"])
+        )
+        g = g.filter(pc.greater(g.column("n"), 0))
+        n = g.column("n").to_numpy(zero_copy_only=False)
+        tot = int(n.sum())
+        yield g.append_column(
+            "share", pa.array(n.astype(np.float64) / float(tot))
+        )
+
+    return merged.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+BENFORD_ORDER_TOTALS_SQL = """
+WITH v AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS c FROM orders),
+g AS (
+  SELECT CAST(SUBSTR(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM v GROUP BY 1
+),
+t AS (SELECT SUM(n) AS tot FROM g)
+SELECT digit, n, CAST(n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share FROM g, t
+"""
