@@ -69,6 +69,12 @@ def _truss():
     return truss
 
 
+def _mm():
+    from rayrank import multimodal
+
+    return multimodal
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rayrank import pipelines as pl
     from rayrank import relational as rel
@@ -84,6 +90,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": rel.top_orders_per_customer,
         "user_event_pivot": rel.user_event_pivot,
         "user_event_unpivot": rel.user_event_unpivot,
+        "user_event_entropy": rel.user_event_entropy,
+        "media_decode_features": _mm().media_decode_features,
+        "media_frame_sizes": _mm().media_frame_sizes,
         "table_profile": rel.table_profile,
         "benford_order_totals": rel.benford_order_totals,
         "hopping_distinct_users": pl.hopping_distinct_users,
@@ -1539,6 +1548,9 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_customer": rel.TOP_ORDERS_PER_CUSTOMER_SQL,
         "user_event_pivot": rel.USER_EVENT_PIVOT_SQL,
         "user_event_unpivot": rel.USER_EVENT_UNPIVOT_SQL,
+        "user_event_entropy": rel.USER_EVENT_ENTROPY_SQL,
+        "media_decode_features": _mm().MEDIA_DECODE_FEATURES_SQL,
+        "media_frame_sizes": _mm().MEDIA_FRAME_SIZES_SQL,
         "table_profile": rel.TABLE_PROFILE_SQL,
         "benford_order_totals": rel.BENFORD_ORDER_TOTALS_SQL,
         "hopping_distinct_users": _pl().HOPPING_DISTINCT_USERS_SQL,

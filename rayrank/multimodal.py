@@ -148,3 +148,145 @@ def sample_frames(
         batch_size=16,
         concurrency=(1, concurrency),
     )
+
+
+# --------------------------------------------------------------------------
+# driver-facing queries: the documents table as a stand-in media corpus
+# --------------------------------------------------------------------------
+
+MEDIA_KINDS = ("image", "audio", "video")
+_HEX = "0123456789abcdef"
+
+
+def media_from_documents(sf_dir: str) -> ray.data.Dataset:
+    """documents → MEDIA_SCHEMA rows: payload = the utf-8 text bytes
+    (the only deterministic binary source in the testdata), kind cycled
+    by doc_id % 3.  This is the typed-opaque-binary ingest shape: the
+    payload column is never interpreted until a decode stage."""
+    import os
+
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def to_media(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        kinds = np.asarray(MEDIA_KINDS, dtype=object)[did % 3]
+        return pa.table(
+            {
+                "media_id": t.column("doc_id"),
+                "kind": pa.array(kinds, pa.string()),
+                "payload": pc.cast(t.column("text"), pa.binary()),
+                "meta": pa.array(["{}"] * len(t), pa.string()),
+            }
+        )
+
+    return ds.map_batches(to_media, batch_format="pyarrow")
+
+
+def media_decode_features(sf_dir: str) -> ray.data.Dataset:
+    """Full decode plumbing as a driver query: binary ingest →
+    actor-pool :class:`DecodeStub` (fake codec: sha256-derived 8-float
+    features, once-per-actor state) → vectorized unnest to
+    (media_id, feat_idx, f, payload_bytes) scalar rows.
+
+    SQL-checkable because the fake decode is pure arithmetic on the
+    payload's sha256 digest: the oracle re-derives each byte from the
+    hex string with an instr('0123...f') lookup and states the same
+    left-associated (b0+b1+b2+b3)/4.0/255.0 expression (feature 0 is
+    overwritten with octet_length/4096.0, as the stub does)."""
+    feats = decode_features(media_from_documents(sf_dir), fake=True)
+
+    def unnest(t: pa.Table):
+        n = t.num_rows
+        if n == 0 or "media_id" not in t.schema.names:
+            return
+        mat = (
+            t.column("features")
+            .combine_chunks()
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(n, 8)
+        )
+        mid = t.column("media_id").to_numpy(zero_copy_only=False)
+        pb = t.column("payload_bytes").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "media_id": pa.array(np.repeat(mid, 8)),
+                "feat_idx": pa.array(np.tile(np.arange(8, dtype=np.int64), n)),
+                "f": pa.array(mat.ravel(), pa.float64()),
+                "payload_bytes": pa.array(np.repeat(pb, 8)),
+            }
+        )
+
+    return feats.map_batches(unnest, batch_format="pyarrow")
+
+
+def _hex_byte(i: int) -> str:
+    """SQL for byte i (0-based) of the sha256 hex digest column h."""
+    return (
+        f"(16*(instr('{_HEX}', substr(h, {2 * i + 1}, 1))-1)"
+        f" + (instr('{_HEX}', substr(h, {2 * i + 2}, 1))-1))"
+    )
+
+
+def _feat_sql(g: int) -> str:
+    if g == 0:
+        return "CAST(L AS DOUBLE) / 4096.0"
+    b = " + ".join(_hex_byte(4 * g + j) for j in range(4))
+    return f"CAST({b} AS DOUBLE) / 4.0 / 255.0"
+
+
+MEDIA_DECODE_FEATURES_SQL = (
+    "WITH b AS (SELECT doc_id AS media_id, sha256(text) AS h,"
+    " octet_length(encode(text)) AS L FROM documents)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT media_id, CAST({g} AS BIGINT) AS feat_idx,"
+        f" {_feat_sql(g)} AS f, CAST(L AS BIGINT) AS payload_bytes FROM b"
+        for g in range(8)
+    )
+)
+
+
+def media_frame_sizes(sf_dir: str, num_frames: int = 4) -> ray.data.Dataset:
+    """Frame-sampling plumbing as a driver query: binary ingest →
+    actor-pool :class:`FrameSampler` (equal-chunk split, ≤ num_frames
+    rows per payload) → (media_id, frame, chunk_bytes).  The chunk
+    arithmetic (n = max(1, min(F, L)); step = max(1, L // n); slice
+    lengths) is pure integer math restated verbatim in the oracle."""
+    import pyarrow.compute as pc
+
+    frames = sample_frames(media_from_documents(sf_dir), num_frames=num_frames)
+
+    def sizes(t: pa.Table):
+        if t.num_rows == 0 or "media_id" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "frame": t.column("frame"),
+                "chunk_bytes": pc.cast(
+                    pc.binary_length(t.column("chunk")), pa.int64()
+                ),
+            }
+        )
+
+    return frames.map_batches(sizes, batch_format="pyarrow")
+
+
+MEDIA_FRAME_SIZES_SQL = """
+WITH b AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS L FROM documents
+),
+q AS (
+  SELECT media_id, L, GREATEST(1, L // GREATEST(1, LEAST(4, L))) AS step,
+         UNNEST(range(GREATEST(1, LEAST(4, L)))) AS f
+  FROM b
+)
+SELECT media_id, CAST(f AS BIGINT) AS frame,
+  CAST(GREATEST(0, LEAST(L, (f+1)*step) - LEAST(L, f*step)) AS BIGINT)
+    AS chunk_bytes
+FROM q
+"""

@@ -1153,3 +1153,75 @@ g AS (
 t AS (SELECT SUM(n) AS tot FROM g)
 SELECT digit, n, CAST(n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share FROM g, t
 """
+
+
+def user_event_entropy(sf_dir: str) -> ray.data.Dataset:
+    """Shannon entropy (nats) of each user's event-type distribution —
+    the diversity/segmentation shape.  Reuses the
+    :func:`user_event_pivot` wide front end (fixed 5-type vocabulary),
+    then evaluates H = ln(t) − (Σ_j n_j·ln(n_j))/t per row with the
+    SAME explicit left-associated expression tree the SQL oracle
+    states: 5 CASE terms added in EVENT_TYPES order.
+
+    Float exactness: every ln argument is an INTEGER count, and libm's
+    ``math.log`` is bit-identical to DuckDB's ``ln`` on integer-valued
+    doubles (verified exhaustively to 2M; ``np.log``'s SIMD path is
+    NOT — it differs in the last ulp on ~25% of ints, so the kernel
+    maps distinct counts through a ``math.log`` lookup instead)."""
+    import math
+
+    wide = user_event_pivot(sf_dir)
+
+    def ent(t: pa.Table):
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return
+        mat = np.stack(
+            [
+                t.column(f"n_{name}").to_numpy(zero_copy_only=False)
+                for name in EVENT_TYPES
+            ],
+            axis=1,
+        )
+        tot = mat.sum(axis=1)
+        vals = np.unique(np.concatenate([mat.ravel(), tot]))
+        vals = vals[vals > 0]
+        lut = np.array([math.log(int(v)) for v in vals], np.float64)
+
+        def ln_of(x: np.ndarray) -> np.ndarray:
+            out = np.zeros(x.shape, np.float64)
+            pos = x > 0
+            out[pos] = lut[np.searchsorted(vals, x[pos])]
+            return out
+
+        s = mat[:, 0].astype(np.float64) * ln_of(mat[:, 0])
+        for j in range(1, len(EVENT_TYPES)):
+            s = s + mat[:, j].astype(np.float64) * ln_of(mat[:, j])
+        h = ln_of(tot) - s / tot.astype(np.float64)
+        yield pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n_events": pa.array(tot),
+                "entropy": pa.array(h),
+            }
+        )
+
+    return wide.map_batches(ent, batch_size=None, batch_format="pyarrow")
+
+
+_ENT_TOT = " + ".join(f"n_{name}" for name in EVENT_TYPES)
+_ENT_TERMS = " + ".join(
+    f"CASE WHEN n_{name} > 0 THEN CAST(n_{name} AS DOUBLE) * "
+    f"ln(CAST(n_{name} AS DOUBLE)) ELSE 0.0 END"
+    for name in EVENT_TYPES
+)
+USER_EVENT_ENTROPY_SQL = f"""
+WITH w AS (
+  SELECT user_id,
+    {', '.join(f"SUM(CASE WHEN event_type = '{name}' THEN 1 ELSE 0 END) AS n_{name}" for name in EVENT_TYPES)}
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST({_ENT_TOT} AS BIGINT) AS n_events,
+  ln(CAST({_ENT_TOT} AS DOUBLE))
+    - ({_ENT_TERMS}) / CAST({_ENT_TOT} AS DOUBLE) AS entropy
+FROM w
+"""
