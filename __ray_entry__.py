@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avg_yearly": _an().avg_yearly,
         "mode_event_type": _an().mode_event_type,
         "user_running_totals": _an().user_running_totals,
+        "user_cumulative_distinct": _an().user_cumulative_distinct,
+        "event_type_trigrams": _an().event_type_trigrams,
         "nation_year_rollup": _an().nation_year_rollup,
         "nation_year_cube": _an().nation_year_cube,
         "event_value_stats": _an().event_value_stats,
@@ -128,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_neighbors": pl.common_neighbors,
         "random_walks": pl.random_walks,
         "edge_support": _truss().edge_support,
+        "edge_jaccard": _truss().edge_jaccard,
         "rich_club": _truss().rich_club,
         "knn_degree_curve": _truss().knn_degree_curve,
         "k_truss_edges": _truss().k_truss,
@@ -166,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dominant_suppliers": _rep().dominant_suppliers,
         "market_share": _rep().market_share,
         "top_brand_by_nation": _rep().top_brand_by_nation,
+        "nation_supplier_hhi": _rep().nation_supplier_hhi,
         "median_order_gap": _rep().median_order_gap,
         "forecast_revenue": _rep().forecast_revenue,
         "event_value_p90": _an().event_value_p90,
@@ -213,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": pl.minhash_clusters,        # rows-only
         "minhash_sigs_exact": _tx().minhash_sigs_exact,
         "lsh_band_keys": _tx().lsh_band_keys,
+        "lsh_candidate_jaccard": _tx().lsh_candidate_jaccard,
         "simhash_pairs": pl.simhash_pairs,              # rows-only
         "event_transitions": pl.event_transitions,
         "purchase_signup_asof": pl.purchase_signup_asof,
@@ -233,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_components": pl.knn_graph_components,
         "lsh_ann_topk": pl.lsh_ann_topk,                # rows-only (approximate)
         "ivf_ann_topk": pl.ivf_ann_topk,                # rows-only (approximate)
+        "semantic_dedup": pl.semantic_dedup,            # rows-only (k-means)
         "embedding_pca": _annmod().pca_top_component,   # rows-only (float fold order)
         # graph algorithms (north_rule §2.11)
         "pagerank_2iter": pl.pagerank_2iter,
@@ -1006,10 +1012,11 @@ WITH {_minhash_mh_ctes(num_perm)}
 SELECT doc_id, CAST(perm AS BIGINT) AS perm, {_I64_WRAP} AS minhash FROM mh"""
 
 
-def _lsh_band_keys_sql(num_perm: int = 8, rpb: int = 4) -> str:
+def _lsh_band_ctes(num_perm: int = 8, rpb: int = 4) -> str:
+    """CTE chain from documents to banded LSH keys hhb4(doc_id, band, z)
+    — shared by the band-keys oracle and the candidate-Jaccard oracle."""
     assert rpb == 4, "band pivot below is written for rows_per_band=4"
-    return f"""
-WITH {_minhash_mh_ctes(num_perm)},
+    return f"""{_minhash_mh_ctes(num_perm)},
 mhbm AS (
   SELECT doc_id, CAST(perm // {rpb} AS BIGINT) AS band,
     MAX(CASE WHEN perm % {rpb} = 0 THEN z END) AS m0,
@@ -1029,8 +1036,46 @@ mhbm AS (
     ['doc_id', 'band', 'm3'], 'b3')},
 {_sm64_carry_cte(
     '(SELECT doc_id, band, xor(z, m3) AS x FROM hhb3)',
-    ['doc_id', 'band'], 'b4')}
+    ['doc_id', 'band'], 'b4')}"""
+
+
+def _lsh_band_keys_sql(num_perm: int = 8, rpb: int = 4) -> str:
+    return f"""
+WITH {_lsh_band_ctes(num_perm, rpb)}
 SELECT doc_id, band, {_I64_WRAP} AS band_hash FROM hhb4"""
+
+
+def _lsh_candidate_jaccard_sql(num_perm: int = 8, rpb: int = 4) -> str:
+    """Candidate pairs from shared LSH buckets, then EXACT shingle-set
+    Jaccard per pair — hhg3 is the per-doc shingle multiset from the
+    shared minhash prefix; DISTINCT makes it the set."""
+    return f"""
+WITH {_lsh_band_ctes(num_perm, rpb)},
+bk AS (SELECT doc_id, band, z FROM hhb4),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bk a JOIN bk b ON a.band = b.band AND a.z = b.z
+    AND a.doc_id < b.doc_id
+),
+shs AS (SELECT DISTINCT doc_id, z FROM hhg3),
+shsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shs GROUP BY doc_id),
+shint AS (
+  SELECT c.da, c.db, CAST(COUNT(*) AS BIGINT) AS i
+  FROM cand c
+  JOIN shs sa ON sa.doc_id = c.da
+  JOIN shs sb ON sb.doc_id = c.db AND sb.z = sa.z
+  GROUP BY c.da, c.db
+)
+SELECT c.da AS doc_a, c.db AS doc_b,
+  COALESCE(i.i, CAST(0 AS BIGINT)) AS inter_size,
+  za.n + zb.n - COALESCE(i.i, CAST(0 AS BIGINT)) AS union_size,
+  CAST(COALESCE(i.i, CAST(0 AS BIGINT)) AS DOUBLE)
+    / CAST(za.n + zb.n - COALESCE(i.i, CAST(0 AS BIGINT)) AS DOUBLE)
+    AS jaccard
+FROM cand c
+JOIN shsz za ON za.doc_id = c.da
+JOIN shsz zb ON zb.doc_id = c.db
+LEFT JOIN shint i ON i.da = c.da AND i.db = c.db"""
 
 
 def _kmv_jaccard_sql(k: int = 64) -> str:
@@ -1564,6 +1609,8 @@ def oracle_sql() -> dict[str, str]:
         "avg_yearly": _an().AVG_YEARLY_SQL,
         "mode_event_type": _an().MODE_EVENT_TYPE_SQL,
         "user_running_totals": _an().USER_RUNNING_TOTALS_SQL,
+        "user_cumulative_distinct": _an().USER_CUMULATIVE_DISTINCT_SQL,
+        "event_type_trigrams": _an().EVENT_TYPE_TRIGRAMS_SQL,
         "nation_year_rollup": _an().NATION_YEAR_ROLLUP_SQL,
         "nation_year_cube": _an().NATION_YEAR_CUBE_SQL,
         "event_value_stats": _an().EVENT_VALUE_STATS_SQL,
@@ -1616,6 +1663,7 @@ def oracle_sql() -> dict[str, str]:
         "dominant_suppliers": _rep().DOMINANT_SUPPLIERS_SQL,
         "market_share": _rep().MARKET_SHARE_SQL,
         "top_brand_by_nation": _rep().TOP_BRAND_BY_NATION_SQL,
+        "nation_supplier_hhi": _rep().NATION_SUPPLIER_HHI_SQL,
         "median_order_gap": _rep().MEDIAN_ORDER_GAP_SQL,
         "forecast_revenue": _rep().FORECAST_REVENUE_SQL,
         "event_value_p90": _an().EVENT_VALUE_P90_SQL,
@@ -1649,6 +1697,7 @@ def oracle_sql() -> dict[str, str]:
         "common_neighbors": _pl().COMMON_NEIGHBORS_SQL,
         "random_walks": _random_walks_sql(_pl().RW_STEPS),
         "edge_support": _truss().EDGE_SUPPORT_SQL,
+        "edge_jaccard": _truss().EDGE_JACCARD_SQL,
         "rich_club": _truss().RICH_CLUB_SQL,
         "knn_degree_curve": _truss().KNN_DEGREE_CURVE_SQL,
         # k_truss_edges: fixpoint peel — not single-SQL-expressible; rows-only
@@ -1785,6 +1834,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "minhash_sigs_exact": _minhash_sigs_exact_sql(),
         "lsh_band_keys": _lsh_band_keys_sql(),
+        "lsh_candidate_jaccard": _lsh_candidate_jaccard_sql(),
         "pagerank_2iter": _PAGERANK_2ITER_SQL,
         "pagerank_personalized_2iter": _PAGERANK_PPR_2ITER_SQL,
         "hits_2iter": _HITS_2ITER_SQL,

@@ -541,6 +541,167 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
 
 
 # --------------------------------------------------------------------------
+# cumulative distinct event types per user (running COUNT(DISTINCT))
+# --------------------------------------------------------------------------
+
+
+def user_cumulative_distinct(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, user_id, us, cum_types) — at every event, how many
+    DISTINCT event types the user has produced so far (running
+    count-distinct; SQL can't window COUNT(DISTINCT) directly, so both
+    sides restate it as the prefix sum of first-occurrence flags over
+    the (ts, event_id) order).  ONE user-keyed repartition co-locates
+    each user; the kernel is two lexsorts + an integer prefix sum —
+    first-occurrence flags come from the (user, type, time) order,
+    the running sum from the (user, time) order."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "us": pc.cast(t.column("ts"), pa.int64()),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    co = ev.map_batches(prep, batch_format="pyarrow").repartition(
+        P, keys=["user_id"]
+    )
+
+    def kernel(t: pa.Table):
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        e = t.column("event_id").to_numpy(zero_copy_only=False)
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        _, tc = np.unique(
+            np.asarray(t.column("event_type").to_pylist(), dtype=object),
+            return_inverse=True,
+        )
+        o1 = np.lexsort((e, us, tc, u))
+        gu, gt = u[o1], tc[o1]
+        first_sorted = np.r_[True, (gu[1:] != gu[:-1]) | (gt[1:] != gt[:-1])]
+        flag = np.empty(len(u), np.int64)
+        flag[o1] = first_sorted.astype(np.int64)
+        o2 = np.lexsort((e, us, u))
+        u2, e2, us2, f2 = u[o2], e[o2], us[o2], flag[o2]
+        starts = np.flatnonzero(np.r_[True, u2[1:] != u2[:-1]])
+        sizes = np.diff(np.r_[starts, len(u2)])
+        cs = np.cumsum(f2)
+        base = np.r_[np.int64(0), cs[starts[1:] - 1]] if len(starts) else cs[:0]
+        cum = cs - np.repeat(base, sizes)
+        yield pa.table(
+            {
+                "event_id": pa.array(e2),
+                "user_id": pa.array(u2),
+                "us": pa.array(us2),
+                "cum_types": pa.array(cum.astype(np.int64)),
+            }
+        )
+
+    return co.map_batches(kernel, batch_size=None, batch_format="pyarrow")
+
+
+USER_CUMULATIVE_DISTINCT_SQL = """
+WITH f AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+)
+SELECT event_id, user_id, us,
+  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) OVER (
+    PARTITION BY user_id ORDER BY us, event_id
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
+# event-type trigrams: per-user sequential pattern counts
+# --------------------------------------------------------------------------
+
+
+def event_type_trigrams(sf_dir: str) -> ray.data.Dataset:
+    """(t0, t1, t2, n) — global counts of consecutive event-type
+    triples within each user's (ts, event_id)-ordered stream (sequence
+    mining's frequent-trigram primitive; the event-stream sibling of
+    terms.top_bigrams).  ONE user-keyed repartition; the kernel sorts
+    each block once, masks user boundaries by shift-compare, and
+    pre-combines counts block-locally; the final reduce is a keyed
+    re-agg over the type³-bounded triple table."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "us": pc.cast(t.column("ts"), pa.int64()),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    co = ev.map_batches(prep, batch_format="pyarrow").repartition(
+        P, keys=["user_id"]
+    )
+
+    def triples(t: pa.Table):
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        e = t.column("event_id").to_numpy(zero_copy_only=False)
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, us, u))
+        u = u[order]
+        ty = t.column("event_type").take(pa.array(order))
+        if len(u) < 3:
+            return
+        m = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        if not m.any():
+            return
+        mk = pa.array(m)
+        n = len(u)
+        g = (
+            pa.table(
+                {
+                    "t0": ty.slice(0, n - 2).filter(mk),
+                    "t1": ty.slice(1, n - 2).filter(mk),
+                    "t2": ty.slice(2, n - 2).filter(mk),
+                }
+            )
+            .append_column("n", pa.array(np.ones(int(m.sum()), np.int64)))
+            .group_by(["t0", "t1", "t2"])
+            .aggregate([("n", "sum")])
+        )
+        yield g.rename_columns(["t0", "t1", "t2", "n"])
+
+    return keyed_reagg(
+        co.map_batches(triples, batch_size=None, batch_format="pyarrow"),
+        ["t0", "t1", "t2"], [("n", "sum")], 4,
+    )
+
+
+EVENT_TYPE_TRIGRAMS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type AS t0,
+    LEAD(event_type, 1) OVER w AS t1,
+    LEAD(event_type, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT t0, t1, t2, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE t2 IS NOT NULL GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
 # grouped exact quantiles (per-group quantile_disc)
 # --------------------------------------------------------------------------
 

@@ -337,8 +337,10 @@ def ivf_centroids(
             sums = np.zeros((_c, _d), np.float64)
             np.add.at(sums, a, xn)
             cnts = np.bincount(a, minlength=_c).astype(np.int64)
+            bkey = int(t.column(id_col).to_numpy(zero_copy_only=False).min())
             yield pa.table(
                 {
+                    "bkey": pa.array(np.full(_c, bkey, np.int64)),
                     "cid": pa.array(np.arange(_c, dtype=np.int64)),
                     "cnt": pa.array(cnts),
                     "vsum": pa.FixedSizeListArray.from_arrays(
@@ -347,19 +349,36 @@ def ivf_centroids(
                 }
             )
 
+        # Collect partials FIRST and fold them in (bkey, cid) row order
+        # with np.add.at: float sums don't commute, and streaming
+        # iteration yields blocks in completion order, so an
+        # arrival-order fold made the trained centroids differ run to
+        # run (and a fancy-index += would silently drop duplicate cids
+        # when iter_batches coalesces partials).  Driver state stays
+        # O(blocks·C·D) — partials, never the corpus.
+        parts = [
+            b
+            for b in corpus.map_batches(
+                partial, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
         sums = np.zeros((c_n, dim), np.float64)
         cnts = np.zeros(c_n, np.int64)
-        for b in corpus.map_batches(
-            partial, batch_format="pyarrow"
-        ).iter_batches(batch_format="pyarrow"):
-            cid = b.column("cid").to_numpy(zero_copy_only=False)
-            cnts[cid] += b.column("cnt").to_numpy(zero_copy_only=False)
-            vs = b.column("vsum")
+        if parts:
+            allp = pa.concat_tables(parts)
+            bk = allp.column("bkey").to_numpy(zero_copy_only=False)
+            cid = allp.column("cid").to_numpy(zero_copy_only=False)
+            cn = allp.column("cnt").to_numpy(zero_copy_only=False)
+            vs = allp.column("vsum")
             if isinstance(vs, pa.ChunkedArray):
                 vs = vs.combine_chunks()
-            sums[cid] += vs.values.to_numpy(zero_copy_only=False).reshape(
-                len(cid), dim
+            vmat = vs.values.to_numpy(zero_copy_only=False).reshape(
+                len(allp), dim
             )
+            o = np.lexsort((cid, bk))
+            np.add.at(cnts, cid[o], cn[o])
+            np.add.at(sums, cid[o], vmat[o])
         nonempty = cnts > 0
         new = cent.copy()
         new[nonempty] = sums[nonempty] / cnts[nonempty, None]
@@ -721,3 +740,130 @@ m AS (
 )
 SELECT a, b FROM m WHERE c = 2
 """
+
+
+# --------------------------------------------------------------------------
+# SemDedup-style embedding deduplication (cluster → keeper → threshold)
+# --------------------------------------------------------------------------
+
+SEMDEDUP_CENTROIDS = 16
+SEMDEDUP_TAU = 0.95
+
+
+def semantic_dedup(
+    sf_dir: str,
+    n_centroids: int = SEMDEDUP_CENTROIDS,
+    tau: float = SEMDEDUP_TAU,
+    centroids: np.ndarray | None = None,
+) -> ray.data.Dataset:
+    """(vec_id, cluster, keeper_id, cos_keeper, is_dup) — SemDedup-style
+    semantic deduplication (Abbas et al. 2023, arXiv:2303.09540): train
+    a spherical k-means coarse quantizer, pick each cluster's keeper
+    deterministically (min vec_id), and flag every other member whose
+    cosine to the keeper exceeds ``tau`` as a semantic duplicate.
+    Unlike the published all-pairs-within-cluster variant, similarity
+    is measured against the single keeper — O(cluster) per cluster, no
+    quadratic blowup, and the decision is reproducible.
+
+    Scale shape: three streaming passes over the embeddings —
+    (1) Lloyd rounds via ``ivf_centroids`` (O(C·D) driver state),
+    (2) per-block (cluster, min-id) partials folded to C keepers,
+    (3) keeper vectors fetched by a broadcast id filter (C rows) and
+    every vector scored against ITS cluster's keeper in one map.  No
+    oracle: k-means is not SQL-expressible (same status as
+    ivf_ann_topk); the dedup logic is numpy-mirrored in
+    tests/test_ivf.py against the trained centroids."""
+    import os
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(ds, n_centroids=n_centroids)
+    )
+    c_n = cent.shape[0]
+    c_ref = ray.put(cent)
+
+    # pass 2: per-cluster keeper = min vec_id (per-block partials,
+    # C-bounded driver fold)
+    def kmin(t: pa.Table):
+        if len(t) == 0:
+            return
+        c = ray.get(c_ref)
+        xn = _normalize(_emb_matrix(t, "embedding"))
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        a = np.argmax(xn @ c.T, axis=1)
+        mins = np.full(c.shape[0], np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mins, a, ids)
+        hit = mins != np.iinfo(np.int64).max
+        yield pa.table(
+            {
+                "cid": pa.array(np.flatnonzero(hit).astype(np.int64)),
+                "mid": pa.array(mins[hit]),
+            }
+        )
+
+    keeper = np.full(c_n, np.iinfo(np.int64).max, np.int64)
+    for b in ds.map_batches(kmin, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        cid = b.column("cid").to_numpy(zero_copy_only=False)
+        mid = b.column("mid").to_numpy(zero_copy_only=False)
+        np.minimum.at(keeper, cid, mid)
+
+    # pass 3a: fetch the ≤C keeper vectors via a broadcast id filter
+    kid_set = set(int(x) for x in keeper[keeper != np.iinfo(np.int64).max])
+
+    def pick_keepers(t: pa.Table):
+        if len(t) == 0:
+            return
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        m = np.isin(ids, np.fromiter(kid_set, np.int64, len(kid_set)))
+        if not m.any():
+            return
+        yield t.take(pa.array(np.flatnonzero(m)))
+
+    kt = pa.concat_tables(
+        list(
+            ds.map_batches(pick_keepers, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    )
+    k_ids = kt.column("vec_id").to_numpy(zero_copy_only=False)
+    k_vecs = _normalize(_emb_matrix(kt, "embedding"))
+    # keeper vector per cluster, aligned to cluster index
+    kv = np.zeros((c_n, k_vecs.shape[1]), np.float64)
+    pos = {int(i): j for j, i in enumerate(k_ids)}
+    valid = np.zeros(c_n, bool)
+    for c in range(c_n):
+        if keeper[c] != np.iinfo(np.int64).max:
+            kv[c] = k_vecs[pos[int(keeper[c])]]
+            valid[c] = True
+    kv_ref = ray.put((keeper, kv, valid))
+
+    # pass 3b: score every vector against its cluster's keeper
+    def score(t: pa.Table):
+        if len(t) == 0:
+            return
+        c = ray.get(c_ref)
+        kp, kvm, _ = ray.get(kv_ref)
+        xn = _normalize(_emb_matrix(t, "embedding"))
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        a = np.argmax(xn @ c.T, axis=1)
+        cos = np.einsum("ij,ij->i", xn, kvm[a])
+        dup = ((cos >= tau) & (ids != kp[a])).astype(np.int64)
+        yield pa.table(
+            {
+                "vec_id": pa.array(ids),
+                "cluster": pa.array(a.astype(np.int64)),
+                "keeper_id": pa.array(kp[a]),
+                "cos_keeper": pa.array(cos, pa.float64()),
+                "is_dup": pa.array(dup),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

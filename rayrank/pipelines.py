@@ -1075,6 +1075,14 @@ def ivf_ann_topk(sf_dir: str, k: int = 5, m: int = 3) -> ray.data.Dataset:
     )
 
 
+def semantic_dedup(sf_dir: str) -> ray.data.Dataset:
+    """SemDedup-style embedding dedup (rows-only: k-means clusters are
+    not SQL-expressible; dedup logic numpy-mirrored in tests)."""
+    from .ann import semantic_dedup as _sd
+
+    return _sd(sf_dir)
+
+
 # --------------------------------------------------------------------------
 # graph algorithms on testdata edges (shared cached builds)
 # --------------------------------------------------------------------------

@@ -805,6 +805,93 @@ FROM c WHERE rn = 1
 
 
 # --------------------------------------------------------------------------
+# supplier revenue concentration (Herfindahl index) per nation
+# --------------------------------------------------------------------------
+
+
+def nation_supplier_hhi(sf_dir: str) -> ray.data.Dataset:
+    """(n_name, n_suppliers, hhi) — Herfindahl–Hirschman concentration
+    of discounted revenue across each nation's suppliers:
+    HHI = Σ rev_i² / (Σ rev_i)² over the nation's per-supplier exact
+    integer revenues.  The squares exceed int64 at scale (Q11 lesson:
+    never put a wide product in an int64 column), so the fold runs in
+    Python ints over the supplier-DIMENSION-bounded reduced table; the
+    only float op is one double division of two exact integers,
+    restated identically in the SQL oracle (HUGEINT sums there).
+    Scale shape: per-block pre-agg by suppkey → ONE keyed shuffle of
+    (suppkey, rev_i) → broadcast dim joins → |suppliers|-row fold."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        g = pa.table(
+            {"l_suppkey": t.column("l_suppkey"), "rev_i": pa.array(_rev_i(t))}
+        ).group_by(["l_suppkey"]).aggregate([("rev_i", "sum")])
+        yield g.rename_columns(["l_suppkey", "rev_i"])
+
+    per_supp = keyed_reagg(
+        _read(
+            sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"]
+        ).map_batches(pre, batch_format="pyarrow"),
+        ["l_suppkey"], [("rev_i", "sum")], P,
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    j = join_auto(
+        per_supp, supp, on=("l_suppkey",), right_on=("s_suppkey",),
+        num_partitions=P,
+    )
+    j2 = join_auto(
+        j, nat, on=("s_nationkey",), right_on=("n_nationkey",),
+        num_partitions=P,
+    ).repartition(1)
+
+    def hhi(t: pa.Table):
+        if t.num_rows == 0 or "n_name" not in t.schema.names:
+            return
+        names = np.asarray(t.column("n_name").to_pylist(), dtype=object)
+        rev = t.column("rev_i").to_numpy(zero_copy_only=False)
+        order = np.argsort(names, kind="stable")
+        names, rev = names[order], rev[order]
+        starts = np.flatnonzero(np.r_[True, names[1:] != names[:-1]])
+        ends = np.r_[starts[1:], len(names)]
+        out_n, out_c, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            vals = [int(x) for x in rev[s:e]]
+            num = sum(v * v for v in vals)
+            den = sum(vals) ** 2
+            out_n.append(names[s])
+            out_c.append(e - s)
+            out_h.append(float(num) / float(den))
+        yield pa.table(
+            {
+                "n_name": pa.array(out_n, pa.string()),
+                "n_suppliers": pa.array(out_c, pa.int64()),
+                "hhi": pa.array(out_h, pa.float64()),
+            }
+        )
+
+    return j2.map_batches(hhi, batch_size=None, batch_format="pyarrow")
+
+
+NATION_SUPPLIER_HHI_SQL = """
+WITH per_supp AS (
+  SELECT n.n_name, l.l_suppkey,
+    SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+        * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) AS rev_i
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+  CAST(SUM(rev_i * rev_i) AS DOUBLE)
+    / CAST(SUM(rev_i) * SUM(rev_i) AS DOUBLE) AS hhi
+FROM per_supp GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
 # median order gap: per-key windowed diff + grouped exact quantile
 # --------------------------------------------------------------------------
 

@@ -898,3 +898,219 @@ def lsh_band_keys(
         )
 
     return _read_docs(sf_dir).map_batches(keys, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# LSH candidate pairs + exact shingle-set Jaccard (the dedup-eval loop)
+# ---------------------------------------------------------------------------
+
+LSH_BUCKET_GUARD = 4096
+
+
+def _block_shingle_rows(t: pa.Table, vocab: np.ndarray):
+    """Per-doc DISTINCT shingle hashes for one block: (doc_ids, sh)
+    row-aligned arrays.  Same shingle chain as ``_block_exact_sigs``;
+    a document is ONE parquet row, so block-local distinct IS global
+    distinct."""
+    from .sketch import splitmix64
+
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(t.column("text")), pattern=r"\s+"
+    )
+    arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(arr)), np.diff(offsets))
+    vals = arr.values
+    keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+    terms = vals.filter(pa.array(keep)).to_numpy(zero_copy_only=False)
+    didx = doc_idx[keep]
+    empty = (np.array([], np.int64), np.array([], np.uint64))
+    if len(terms) < 3:
+        return empty
+    tid = (np.searchsorted(vocab, terms) + 1).astype(np.uint64)
+    m = (didx[:-2] == didx[1:-1]) & (didx[1:-1] == didx[2:])
+    if not m.any():
+        return empty
+    sh = splitmix64(
+        splitmix64(splitmix64(tid[:-2][m]) ^ tid[1:-1][m]) ^ tid[2:][m]
+    )
+    gdoc = didx[:-2][m]
+    o = np.lexsort((sh, gdoc))
+    gdoc, sh = gdoc[o], sh[o]
+    uniq = np.r_[True, (gdoc[1:] != gdoc[:-1]) | (sh[1:] != sh[:-1])]
+    gdoc, sh = gdoc[uniq], sh[uniq]
+    doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)[gdoc]
+    return doc_ids.astype(np.int64), sh
+
+
+def shingle_rows(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, shingle) — each document's DISTINCT word-3-gram shingle
+    hashes (the exact-Jaccard domain behind the minhash signature).
+    Block-local; zero shuffle."""
+    from .terms import _read_docs
+
+    vocab = _sorted_vocab(sf_dir)
+
+    def rows(t: pa.Table):
+        if len(t) == 0:
+            return
+        doc_ids, sh = _block_shingle_rows(t, vocab)
+        if len(doc_ids) == 0:
+            return
+        yield pa.table(
+            {"doc_id": pa.array(doc_ids), "shingle": pa.array(sh.view(np.int64))}
+        )
+
+    return _read_docs(sf_dir).map_batches(rows, batch_format="pyarrow")
+
+
+def lsh_candidate_jaccard(sf_dir: str) -> ray.data.Dataset:
+    """(doc_a, doc_b, inter_size, union_size, jaccard) — the complete
+    near-dup evaluation loop, every stage oracle-checkable: exact
+    minhash signatures → banded LSH bucket keys → in-bucket candidate
+    pairs → EXACT shingle-set Jaccard per candidate.  This is the
+    measurement that tells a pipeline owner whether their LSH band
+    settings over- or under-merge before they commit to a dedup run.
+
+    Scale shape: ONE (band, band_hash)-keyed repartition forms
+    buckets; pair fan-out is bounded by the bucket-size guard
+    (LSH_BUCKET_GUARD — raises rather than silently truncating, per
+    the repo's no-silent-caps rule; production corpora with hot
+    buckets should use the capped+flagged ``candidate_pairs`` path);
+    the intersection join ships only candidate docs' shingle rows
+    (semi-join bounded by Σ|A| over candidates); sizes and the final
+    enrichment are doc-bounded joins.  The only float op is ONE double
+    division of two exact int64s, restated identically in SQL."""
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    P = NUM_PARTITIONS_DEFAULT
+    bands = lsh_band_keys(sf_dir)
+    co = bands.repartition(P, keys=["band", "band_hash"])
+
+    def pairs(t: pa.Table):
+        if t.num_rows == 0 or "band_hash" not in t.schema.names:
+            return
+        b = t.column("band").to_numpy(zero_copy_only=False)
+        h = t.column("band_hash").to_numpy(zero_copy_only=False)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        o = np.lexsort((d, h, b))
+        b, h, d = b[o], h[o], d[o]
+        starts = np.flatnonzero(np.r_[True, (b[1:] != b[:-1]) | (h[1:] != h[:-1])])
+        ends = np.r_[starts[1:], len(b)]
+        das, dbs = [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            if n > LSH_BUCKET_GUARD:
+                raise ValueError(
+                    f"LSH bucket of size {n} exceeds guard "
+                    f"{LSH_BUCKET_GUARD}; raise the guard or use the "
+                    "capped+flagged candidate_pairs path"
+                )
+            ii, jj = np.triu_indices(n, 1)
+            das.append(d[s:e][ii])
+            dbs.append(d[s:e][jj])
+        if not das:
+            return
+        g = (
+            pa.table(
+                {
+                    "da": pa.array(np.concatenate(das)),
+                    "db": pa.array(np.concatenate(dbs)),
+                }
+            )
+            .group_by(["da", "db"])
+            .aggregate([])
+        )
+        yield g.rename_columns(["da", "db"])
+
+    cand = keyed_reagg(
+        co.map_batches(pairs, batch_size=None, batch_format="pyarrow"),
+        ["da", "db"], [], P,
+    ).materialize()
+
+    sh = shingle_rows(sf_dir)
+
+    # per-doc shingle-set sizes (block-local == global: doc is one row)
+    def sz_pre(t: pa.Table):
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return
+        g = (
+            t.append_column("n", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["doc_id"])
+            .aggregate([("n", "sum")])
+        )
+        yield g.rename_columns(["doc_id", "n"])
+
+    sz = sh.map_batches(sz_pre, batch_format="pyarrow")
+
+    # |A ∩ B|: cand ⋈ shingles(da) semi-joined against shingles(db, z)
+    ja = join_auto(cand, sh, on=("da",), right_on=("doc_id",), num_partitions=P)
+    inter_rows = join_auto(
+        ja, sh, on=("db", "shingle"), right_on=("doc_id", "shingle"),
+        how="semi", num_partitions=P,
+    )
+
+    def ones(t: pa.Table):
+        if t.num_rows == 0 or "da" not in t.schema.names:
+            return
+        g = (
+            t.select(["da", "db"])
+            .append_column("i", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["da", "db"])
+            .aggregate([("i", "sum")])
+        )
+        yield g.rename_columns(["da", "db", "i"])
+
+    def zeros(t: pa.Table):
+        if t.num_rows == 0 or "da" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "da": t.column("da"),
+                "db": t.column("db"),
+                "i": pa.array(np.zeros(len(t), np.int64)),
+            }
+        )
+
+    inter = keyed_reagg(
+        inter_rows.map_batches(ones, batch_format="pyarrow").union(
+            cand.map_batches(zeros, batch_format="pyarrow")
+        ),
+        ["da", "db"], [("i", "sum")], P,
+    )
+
+    j1 = join_auto(inter, sz, on=("da",), right_on=("doc_id",), num_partitions=P)
+
+    def tag_na(t: pa.Table):
+        if t.num_rows == 0 or "n" not in t.schema.names:
+            return
+        yield t.rename_columns(["na" if c == "n" else c for c in t.schema.names])
+
+    j2 = join_auto(
+        j1.map_batches(tag_na, batch_format="pyarrow"), sz,
+        on=("db",), right_on=("doc_id",), num_partitions=P,
+    )
+
+    def fin(t: pa.Table):
+        if t.num_rows == 0 or "na" not in t.schema.names:
+            return
+        i = t.column("i").to_numpy(zero_copy_only=False)
+        na = t.column("na").to_numpy(zero_copy_only=False)
+        nb = t.column("n").to_numpy(zero_copy_only=False)
+        un = na + nb - i
+        yield pa.table(
+            {
+                "doc_a": t.column("da"),
+                "doc_b": t.column("db"),
+                "inter_size": pa.array(i),
+                "union_size": pa.array(un),
+                "jaccard": pa.array(
+                    i.astype(np.float64) / un.astype(np.float64)
+                ),
+            }
+        )
+
+    return j2.map_batches(fin, batch_format="pyarrow")

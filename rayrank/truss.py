@@ -161,6 +161,113 @@ SELECT e.u, e.v, COALESCE(c.s, CAST(0 AS BIGINT)) AS support
 FROM und e LEFT JOIN cnt c ON e.u = c.u AND e.v = c.v
 """
 
+def edge_jaccard(sf_dir: str) -> ray.data.Dataset:
+    """(u, v, support, jacc_den, jaccard) — neighborhood Jaccard
+    similarity of every edge's endpoints (link-prediction / tie-strength
+    metric): |N(u)∩N(v)| / |N(u)\\{v} ∪ N(v)\\{u}|.  The intersection IS
+    the edge's triangle support; the denominator restates as integers
+    (deg(u)−1)+(deg(v)−1)−support, so the only float op is ONE double
+    division restated identically in the SQL oracle.  Degree-1-both
+    edges (den = 0, similarity undefined) are omitted.  Scale shape:
+    the support kernel's wedge join + two dimension-bounded degree
+    joins (join_auto broadcasts the degree table under the small-side
+    limit, partitions above it) — no new shuffle pattern."""
+    edges = _canonical_edges(sf_dir)
+    sup = _support(edges)
+
+    def both(t: pa.Table):
+        if t.num_rows == 0 or "u" not in t.schema.names:
+            return
+        v = pa.array(
+            np.concatenate(
+                [
+                    t.column("u").to_numpy(zero_copy_only=False),
+                    t.column("v").to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        g = (
+            pa.table({"n": v, "d": pa.array(np.ones(len(v), np.int64))})
+            .group_by(["n"])
+            .aggregate([("d", "sum")])
+        )
+        yield g.rename_columns(["n", "d"])
+
+    deg = keyed_reagg(
+        edges.map_batches(both, batch_format="pyarrow"), ["n"], [("d", "sum")], P
+    )
+
+    ju = join_auto(sup, deg, on=("u",), right_on=("n",), num_partitions=P)
+
+    def tag_du(t: pa.Table):
+        if t.num_rows == 0 or "d" not in t.schema.names:
+            return
+        yield t.rename_columns(["du" if c == "d" else c for c in t.schema.names])
+
+    jv = join_auto(
+        ju.map_batches(tag_du, batch_format="pyarrow"),
+        deg, on=("v",), right_on=("n",), num_partitions=P,
+    )
+
+    def fin(t: pa.Table):
+        if t.num_rows == 0 or "du" not in t.schema.names:
+            return
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        du = t.column("du").to_numpy(zero_copy_only=False)
+        dv = t.column("d").to_numpy(zero_copy_only=False)
+        den = du + dv - 2 - s
+        keep = den > 0
+        if not keep.any():
+            return
+        yield pa.table(
+            {
+                "u": pa.array(t.column("u").to_numpy(zero_copy_only=False)[keep]),
+                "v": pa.array(t.column("v").to_numpy(zero_copy_only=False)[keep]),
+                "support": pa.array(s[keep]),
+                "jacc_den": pa.array(den[keep]),
+                "jaccard": pa.array(
+                    s[keep].astype(np.float64) / den[keep].astype(np.float64)
+                ),
+            }
+        )
+
+    return jv.map_batches(fin, batch_format="pyarrow")
+
+
+EDGE_JACCARD_SQL = """
+WITH raw AS (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem),
+und AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM raw WHERE a <> b
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM und e1 JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+roles AS (
+  SELECT x AS u, y AS v FROM tri
+  UNION ALL SELECT x, z FROM tri
+  UNION ALL SELECT y, z FROM tri
+),
+cnt AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS s FROM roles GROUP BY 1, 2),
+adj AS (SELECT u AS x FROM und UNION ALL SELECT v FROM und),
+deg AS (SELECT x AS n, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY x),
+sup AS (
+  SELECT e.u, e.v, COALESCE(c.s, CAST(0 AS BIGINT)) AS support
+  FROM und e LEFT JOIN cnt c ON e.u = c.u AND e.v = c.v
+)
+SELECT s.u, s.v, s.support,
+  du.d + dv.d - 2 - s.support AS jacc_den,
+  CAST(s.support AS DOUBLE)
+    / CAST(du.d + dv.d - 2 - s.support AS DOUBLE) AS jaccard
+FROM sup s
+JOIN deg du ON du.n = s.u
+JOIN deg dv ON dv.n = s.v
+WHERE du.d + dv.d - 2 - s.support > 0
+"""
+
+
 MAX_PEEL_ROUNDS = 64
 
 

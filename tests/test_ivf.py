@@ -176,3 +176,59 @@ def test_mutual_knn_pairs_brute_force(tmp_path):
         for r in b_.to_pylist()
     }
     assert got == want and (2, 5) in got
+
+
+def test_semantic_dedup_mirror_and_flags(tmp_path):
+    """semantic_dedup's distributed plumbing must equal a numpy mirror
+    built from the SAME trained centroids (assign → min-id keeper →
+    cosine-vs-keeper threshold), keepers must never be flagged, and a
+    planted same-direction copy of a keeper must be flagged."""
+    import pyarrow.parquet as pq
+
+    from rayrank.ann import _normalize, semantic_dedup
+
+    ids, x, _ = _clustered()
+    # plant exact-direction duplicates of the first five vectors
+    x2 = np.vstack([x, x[:5] * 1.001])
+    ids2 = np.r_[ids, np.arange(10_000, 10_005)]
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids2),
+            "embedding": pa.array(
+                [list(map(float, row)) for row in x2],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    # train once, share the centroids between the op and the mirror
+    cent = ivf_centroids(
+        ray.data.read_parquet(str(tmp_path / "embeddings.parquet")),
+        n_centroids=8,
+    )
+    res = {
+        r["vec_id"]: (r["cluster"], r["keeper_id"], r["cos_keeper"], r["is_dup"])
+        for r in semantic_dedup(
+            str(tmp_path), n_centroids=8, tau=0.999, centroids=cent
+        ).take_all()
+    }
+    assert len(res) == len(ids2)
+    xn = _normalize(np.asarray([list(map(float, r)) for r in x2.astype(np.float32)]))
+    a = np.argmax(xn @ cent.T, axis=1)
+    keeper = {}
+    for i, c in zip(ids2, a):
+        keeper[c] = min(keeper.get(c, i), i)
+    n_dup = 0
+    for j, (i, c) in enumerate(zip(ids2, a)):
+        kid = keeper[c]
+        kvec = xn[np.flatnonzero(ids2 == kid)[0]]
+        cos = float(xn[j] @ kvec)
+        dup = int(cos >= 0.999 and i != kid)
+        n_dup += dup
+        got = res[i]
+        assert got[0] == c and got[1] == kid and got[3] == dup
+        assert abs(got[2] - cos) < 1e-9
+        if i == kid:
+            assert got[3] == 0
+    assert n_dup >= 1  # planted copies must be caught
