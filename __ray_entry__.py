@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles_cont": pl.price_quantiles_cont,
         "parts_in_both_years": _an().parts_in_both_years,
         "parts_churned": _an().parts_churned,
+        "part_qty_snapshot_diff": _an().part_qty_snapshot_diff,
         "clustering_coeff": pl.clustering_coeff,
         "two_hop_neighbors": pl.two_hop_neighbors,
         "common_neighbors": pl.common_neighbors,
@@ -134,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_club": _truss().rich_club,
         "knn_degree_curve": _truss().knn_degree_curve,
         "k_truss_edges": _truss().k_truss,
+        "maximal_matching": _truss().maximal_matching,  # rows-only (fixpoint)
         "event_value_quantiles": _an().event_value_quantiles,
         "event_value_mad": _an().event_value_mad,
         "user_last_event": _an().user_last_event,
@@ -1628,6 +1630,7 @@ def oracle_sql() -> dict[str, str]:
         "price_quantiles_cont": _interp_quantiles_sql(),
         "parts_in_both_years": _an().PARTS_IN_BOTH_YEARS_SQL,
         "parts_churned": _an().PARTS_CHURNED_SQL,
+        "part_qty_snapshot_diff": _an().PART_QTY_SNAPSHOT_DIFF_SQL,
         "clustering_coeff": _CLUSTERING_COEFF_SQL,
         "event_value_quantiles": _an().EVENT_VALUE_QUANTILES_SQL,
         "event_value_mad": _an().EVENT_VALUE_MAD_SQL,

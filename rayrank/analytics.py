@@ -1166,6 +1166,73 @@ SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = {SETOP_YEAR_B}
 """
 
 
+def part_qty_snapshot_diff(sf_dir: str) -> ray.data.Dataset:
+    """(l_partkey, qty_a, qty_b, change) — CDC-style snapshot diff of
+    per-part shipped quantity between the two snapshot years: every
+    part is classified added / removed / changed / unchanged, the
+    upsert-feed shape a warehouse sync emits.  Zero joins: both
+    snapshots fold in ONE pass as year-masked integer sums (quantity
+    ≥ 1 in the data, so a 0 sum IS absence), one keyed re-agg, then a
+    block-local classification."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        y = pc.year(t.column("l_shipdate"))
+        m = pc.or_(pc.equal(y, SETOP_YEAR_A), pc.equal(y, SETOP_YEAR_B))
+        t2, y2 = t.filter(m), y.filter(m)
+        if len(t2) == 0:
+            return
+        qty = _i64(t2.column("l_quantity"))
+        in_a = pc.equal(y2, SETOP_YEAR_A).to_numpy(zero_copy_only=False)
+        g = pa.table(
+            {
+                "l_partkey": t2.column("l_partkey"),
+                "qty_a": pa.array(np.where(in_a, qty, 0)),
+                "qty_b": pa.array(np.where(in_a, 0, qty)),
+            }
+        ).group_by(["l_partkey"]).aggregate([("qty_a", "sum"), ("qty_b", "sum")])
+        yield g.rename_columns(["l_partkey", "qty_a", "qty_b"])
+
+    red = keyed_reagg(
+        _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate", "l_quantity"])
+        .map_batches(pre, batch_format="pyarrow"),
+        ["l_partkey"], [("qty_a", "sum"), ("qty_b", "sum")], P,
+    )
+
+    def classify(t: pa.Table):
+        if t.num_rows == 0 or "qty_a" not in t.schema.names:
+            return
+        qa = t.column("qty_a").to_numpy(zero_copy_only=False)
+        qb = t.column("qty_b").to_numpy(zero_copy_only=False)
+        lab = np.where(
+            qa == 0, "added",
+            np.where(qb == 0, "removed",
+                     np.where(qa != qb, "changed", "unchanged")),
+        )
+        yield t.append_column("change", pa.array(lab.astype(object), pa.string()))
+
+    return red.map_batches(classify, batch_format="pyarrow")
+
+
+PART_QTY_SNAPSHOT_DIFF_SQL = f"""
+WITH f AS (
+  SELECT l_partkey,
+    CAST(SUM(CASE WHEN year(l_shipdate) = {SETOP_YEAR_A}
+      THEN CAST(ROUND(l_quantity) AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_a,
+    CAST(SUM(CASE WHEN year(l_shipdate) = {SETOP_YEAR_B}
+      THEN CAST(ROUND(l_quantity) AS BIGINT) ELSE 0 END) AS BIGINT) AS qty_b
+  FROM lineitem
+  WHERE year(l_shipdate) IN ({SETOP_YEAR_A}, {SETOP_YEAR_B})
+  GROUP BY l_partkey
+)
+SELECT l_partkey, qty_a, qty_b,
+  CASE WHEN qty_a = 0 THEN 'added' WHEN qty_b = 0 THEN 'removed'
+       WHEN qty_a <> qty_b THEN 'changed' ELSE 'unchanged' END AS change
+FROM f
+"""
+
+
 # --------------------------------------------------------------------------
 # exact per-group variance (integer moments formula)
 # --------------------------------------------------------------------------

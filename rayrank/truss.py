@@ -548,3 +548,171 @@ SELECT dv.d AS degree,
 FROM nbr JOIN deg dv ON dv.v = nbr.v
 GROUP BY dv.d
 """
+
+
+# --------------------------------------------------------------------------
+# deterministic greedy maximal matching (edge-Luby by hash priority)
+# --------------------------------------------------------------------------
+
+
+def maximal_matching(sf_dir: str, max_rounds: int = 64) -> ray.data.Dataset:
+    """(u, v) — edges of the lexicographically-first maximal matching
+    by splitmix64 edge priority (the edge sibling of rayrank.mis:
+    deterministic Luby on the LINE graph).  Each synchronous round
+    selects every alive edge whose priority is the strict minimum over
+    BOTH endpoints' alive incident edges (priorities are unique by
+    construction: splitmix64 of the injective u·2³² + v key, so no
+    tie rule is needed), then removes all edges touching a newly
+    matched vertex.  The fixpoint equals the sequential greedy
+    matching scanning edges in ascending priority — independent of
+    partitioning and scheduling — which the pytest oracle replays
+    exactly (no SQL oracle: the fixpoint needs two references to the
+    recursive table per round).
+
+    Scale shape per round: one endpoint-keyed min re-agg (2 rows per
+    alive edge), two broadcast/hash joins against the per-vertex min
+    table, two anti joins against the newly-matched vertex set; the
+    alive set shrinks monotonically and is re-materialized per round
+    (k_truss pattern).  Expected O(log E) rounds (Luby 1986;
+    Blelloch–Fineman–Shun 2012 for greedy equivalence)."""
+    from .sketch import splitmix64
+
+    def pri(t: pa.Table):
+        if t.num_rows == 0 or "u" not in t.schema.names:
+            return
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        if (u >= 2**32).any() or (v >= 2**32).any():
+            raise ValueError(
+                "maximal_matching: vertex id >= 2^32 breaks the "
+                "injective priority key; widen the key combiner"
+            )
+        h = splitmix64((u.astype(np.uint64) << np.uint64(32))
+                       | v.astype(np.uint64))
+        # order-preserving uint64→int64 map (h ^ 2^63): a raw .view
+        # would invert the order of priorities ≥ 2^63 under int64 MIN
+        hs = (h ^ np.uint64(1 << 63)).view(np.int64)
+        yield pa.table(
+            {"u": pa.array(u), "v": pa.array(v), "h": pa.array(hs)}
+        )
+
+    alive = (
+        _canonical_edges(sf_dir)
+        .map_batches(pri, batch_format="pyarrow")
+        .materialize()
+    )
+    matched_parts: list[pa.Table] = []
+    n = alive.count()
+    for _ in range(max_rounds):
+        if n == 0:
+            break
+
+        def both_ends(t: pa.Table):
+            if t.num_rows == 0 or "h" not in t.schema.names:
+                return
+            g = pa.table(
+                {
+                    "x": pa.array(
+                        np.concatenate(
+                            [
+                                t.column("u").to_numpy(zero_copy_only=False),
+                                t.column("v").to_numpy(zero_copy_only=False),
+                            ]
+                        )
+                    ),
+                    "mh": pa.array(
+                        np.concatenate(
+                            [
+                                t.column("h").to_numpy(zero_copy_only=False),
+                                t.column("h").to_numpy(zero_copy_only=False),
+                            ]
+                        )
+                    ),
+                }
+            ).group_by(["x"]).aggregate([("mh", "min")])
+            yield g.rename_columns(["x", "mh"])
+
+        minh = keyed_reagg(
+            alive.map_batches(both_ends, batch_format="pyarrow"),
+            ["x"], [("mh", "min")], P,
+        )
+
+        ju = join_auto(alive, minh, on=("u",), right_on=("x",), num_partitions=P)
+
+        def tag_mu(t: pa.Table):
+            if t.num_rows == 0 or "mh" not in t.schema.names:
+                return
+            yield t.rename_columns(
+                ["mu" if c == "mh" else c for c in t.schema.names]
+            )
+
+        jv = join_auto(
+            ju.map_batches(tag_mu, batch_format="pyarrow"), minh,
+            on=("v",), right_on=("x",), num_partitions=P,
+        )
+
+        def select(t: pa.Table):
+            if t.num_rows == 0 or "mu" not in t.schema.names:
+                return
+            h = t.column("h").to_numpy(zero_copy_only=False)
+            keep = (h == t.column("mu").to_numpy(zero_copy_only=False)) & (
+                h == t.column("mh").to_numpy(zero_copy_only=False)
+            )
+            if not keep.any():
+                return
+            yield t.filter(pa.array(keep)).select(["u", "v"])
+
+        sel = jv.map_batches(select, batch_format="pyarrow").materialize()
+        sel_tabs = [
+            b for b in sel.iter_batches(batch_format="pyarrow") if b.num_rows
+        ]
+        if not sel_tabs:
+            break
+        sel_t = pa.concat_tables(sel_tabs)
+        matched_parts.append(sel_t)
+        # newly matched vertices (tiny per round: ≤ 2·selected)
+        mv = pa.table(
+            {
+                "x": pa.concat_arrays(
+                    [
+                        sel_t.column("u").combine_chunks(),
+                        sel_t.column("v").combine_chunks(),
+                    ]
+                )
+            }
+        )
+        mverts = ray.data.from_arrow(mv)
+        a1 = join_auto(
+            alive, mverts, on=("u",), right_on=("x",), how="anti",
+            num_partitions=P,
+        )
+        alive = join_auto(
+            a1, mverts, on=("v",), right_on=("x",), how="anti",
+            num_partitions=P,
+        ).materialize()
+        n = alive.count()
+    if not matched_parts:
+        return ray.data.from_arrow(
+            pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+        )
+    return ray.data.from_arrow(pa.concat_tables(matched_parts))
+
+
+def greedy_matching_oracle(edges: list[tuple[int, int]]) -> set[tuple[int, int]]:
+    """Sequential greedy matching in ascending splitmix64 priority —
+    the exact fixpoint maximal_matching must reproduce (tests)."""
+    from .sketch import splitmix64
+
+    uu = np.array([min(a, b) for a, b in edges], np.uint64)
+    vv = np.array([max(a, b) for a, b in edges], np.uint64)
+    h = splitmix64((uu << np.uint64(32)) | vv)
+    order = np.argsort(h)
+    used: set[int] = set()
+    out: set[tuple[int, int]] = set()
+    for i in order:
+        a, b = int(uu[i]), int(vv[i])
+        if a not in used and b not in used and a != b:
+            used.add(a)
+            used.add(b)
+            out.add((a, b))
+    return out

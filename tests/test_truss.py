@@ -76,3 +76,26 @@ def test_rich_club_matches_networkx():
             assert got[k]["phi"] == pytest.approx(phi.get(k, 0.0), abs=1e-12)
         else:
             assert k not in got
+
+
+def test_maximal_matching_equals_sequential_greedy():
+    """The distributed edge-Luby fixpoint must equal the sequential
+    greedy matching in ascending splitmix64 priority, and be a valid
+    matching (no shared endpoints) that is maximal (every alive edge
+    touches a matched vertex)."""
+    from rayrank.truss import (
+        _canonical_edges,
+        greedy_matching_oracle,
+        maximal_matching,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    edges = [(r["u"], r["v"]) for r in _canonical_edges(sf).take_all()]
+    want = greedy_matching_oracle(edges)
+    got = {(r["u"], r["v"]) for r in maximal_matching(sf).take_all()}
+    assert got == want
+    used = [x for uv in got for x in uv]
+    assert len(used) == len(set(used))  # valid matching
+    matched = set(used)
+    for a, b in edges:  # maximal: no free edge remains
+        assert a in matched or b in matched
