@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_jaccard": _truss().edge_jaccard,
         "rich_club": _truss().rich_club,
         "knn_degree_curve": _truss().knn_degree_curve,
+        "degree_centralization": _truss().degree_centralization,
         "k_truss_edges": _truss().k_truss,
         "maximal_matching": _truss().maximal_matching,  # rows-only (fixpoint)
         "event_value_quantiles": _an().event_value_quantiles,
@@ -268,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_coloring": pl.graph_coloring_sf,      # rows-only (vid-space priorities)
         # sequence packing (concat-and-chunk; distributed prefix sum)
         "pack_sequences": _packmod().pack_sequences,
+        "length_curriculum": _packmod().length_curriculum,
         "packed_sequence_stats": _packmod().packed_sequence_stats,
         "shuffle_order": _packmod().shuffle_order,
         "mixture_sample": _packmod().mixture_sample,
@@ -1703,6 +1705,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_jaccard": _truss().EDGE_JACCARD_SQL,
         "rich_club": _truss().RICH_CLUB_SQL,
         "knn_degree_curve": _truss().KNN_DEGREE_CURVE_SQL,
+        "degree_centralization": _truss().DEGREE_CENTRALIZATION_SQL,
         # k_truss_edges: fixpoint peel — not single-SQL-expressible; rows-only
         # (exact networkx parity in tests/test_truss.py)
         "fuzzy_name_pairs": _tx().FUZZY_NAME_PAIRS_SQL,
@@ -1856,6 +1859,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_vertices": _KCORE_SQL,
         "core_numbers": _core_numbers_sql(),
         "pack_sequences": _packmod().PACK_SEQUENCES_SQL,
+        "length_curriculum": _packmod().LENGTH_CURRICULUM_SQL,
         "packed_sequence_stats": _packmod().PACKED_SEQUENCE_STATS_SQL,
         "shuffle_order": _shuffle_order_sql(),
         "mixture_sample": _mixture_sample_sql(),

@@ -543,3 +543,111 @@ SELECT doc_id, chunk_id,
   LEAST(n - chunk_id * {CHUNK_STRIDE}, {CHUNK_LEN}) AS chunk_tokens
 FROM c
 """
+
+
+# --------------------------------------------------------------------------
+# length-ordered curriculum phases (short→long training schedule)
+# --------------------------------------------------------------------------
+
+CURRICULUM_PHASES = 4
+
+
+def length_curriculum(
+    sf_dir: str, k: int = CURRICULUM_PHASES
+) -> ray.data.Dataset:
+    """(doc_id, n_tokens, start, phase) — length-ordered curriculum
+    construction: documents are laid out in ascending (n_tokens,
+    doc_id) order and the token stream is cut into ``k`` equal-token
+    phases (short→long scheduling, the standard length-curriculum
+    recipe).  ``start`` is the doc's exclusive token offset in that
+    order; ``phase = start·k // total`` — pure integers end to end.
+
+    Same distributed prefix-sum shape as :func:`pack_sequences`, but
+    the bucket IS the order key's major component (``n_tokens``): the
+    driver scans per-length totals ascending (≤ distinct-lengths rows
+    — bounded by the max document length, not the corpus), and one
+    length-keyed repartition finishes the minor (doc_id) order
+    block-locally."""
+    counts = _doc_token_counts(sf_dir)
+
+    def rebucket(t: pa.Table):
+        if t.num_rows == 0 or "n_tokens" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": t.column("n_tokens"),
+                "bucket": t.column("n_tokens"),
+            }
+        )
+
+    counts = counts.map_batches(rebucket, batch_format="pyarrow")
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "bucket" not in t.schema.names:
+            return
+        g = t.group_by(["bucket"]).aggregate([("n_tokens", "sum")])
+        yield g.rename_columns(["bucket", "n_tokens"])
+
+    bucket_sums = keyed_reagg(
+        counts.map_batches(pre, batch_format="pyarrow"),
+        ["bucket"], [("n_tokens", "sum")], num_partitions=P,
+    ).take_all()  # ≤ distinct-lengths rows
+    bucket_sums.sort(key=lambda r: r["bucket"])
+    offsets: dict[int, int] = {}
+    run = 0
+    for r in bucket_sums:
+        offsets[r["bucket"]] = run
+        run += int(r["n_tokens"])
+    total = run
+
+    co = counts.repartition(P, keys=["bucket"])
+
+    def assign(t: pa.Table):
+        if t.num_rows == 0 or "bucket" not in t.schema.names:
+            return
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, b))
+        b, doc, n = b[order], doc[order], n[order]
+        cum = np.cumsum(n)
+        local = cum - n
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        base = local[starts]
+        local = local - np.repeat(base, np.diff(np.r_[starts, len(b)]))
+        off = np.fromiter((offsets[x] for x in b), np.int64, len(b))
+        st = off + local
+        yield pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "n_tokens": pa.array(n),
+                "start": pa.array(st),
+                "phase": pa.array(st * k // total),
+            }
+        )
+
+    return co.map_batches(assign, batch_size=None, batch_format="pyarrow")
+
+
+LENGTH_CURRICULUM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, CAST(CASE WHEN trim(text) = '' THEN 0 ELSE
+    array_length(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+    AS n_tokens
+  FROM documents
+),
+t2 AS (SELECT * FROM tok WHERE n_tokens > 0),
+w AS (
+  SELECT doc_id, n_tokens,
+    CAST(COALESCE(SUM(n_tokens) OVER (
+      ORDER BY n_tokens, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS start,
+    CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
+  FROM t2
+)
+SELECT doc_id, n_tokens, start,
+  start * {CURRICULUM_PHASES} // total AS phase
+FROM w
+"""

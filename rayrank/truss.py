@@ -716,3 +716,88 @@ def greedy_matching_oracle(edges: list[tuple[int, int]]) -> set[tuple[int, int]]
             used.add(b)
             out.add((a, b))
     return out
+
+
+# --------------------------------------------------------------------------
+# Freeman degree centralization (hub-dominance scalar)
+# --------------------------------------------------------------------------
+
+
+def degree_centralization(sf_dir: str) -> pa.Table:
+    """(n, max_deg, deg_sum, centralization) — Freeman degree
+    centralization of the triangle-bearing graph: Σ(d_max − d_i) over
+    the theoretical star-graph maximum (n−1)(n−2).  The numerator
+    restates as n·d_max − Σd_i, so the whole statistic folds from the
+    degree table's three scalars (count, max, sum) — per-block partials,
+    O(blocks) driver state, ONE double division restated identically
+    in SQL."""
+    edges = _canonical_edges(sf_dir)
+
+    def both(t: pa.Table):
+        if t.num_rows == 0 or "u" not in t.schema.names:
+            return
+        v = pa.array(
+            np.concatenate(
+                [
+                    t.column("u").to_numpy(zero_copy_only=False),
+                    t.column("v").to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        g = (
+            pa.table({"n": v, "d": pa.array(np.ones(len(v), np.int64))})
+            .group_by(["n"])
+            .aggregate([("d", "sum")])
+        )
+        yield g.rename_columns(["n", "d"])
+
+    deg = keyed_reagg(
+        edges.map_batches(both, batch_format="pyarrow"), ["n"], [("d", "sum")], P
+    )
+
+    def fold(t: pa.Table):
+        if t.num_rows == 0 or "d" not in t.schema.names:
+            return
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "cnt": pa.array([len(d)], pa.int64()),
+                "mx": pa.array([int(d.max())], pa.int64()),
+                "sm": pa.array([int(d.sum())], pa.int64()),
+            }
+        )
+
+    n = mx = sm = 0
+    for r in deg.map_batches(fold, batch_format="pyarrow").take_all():
+        n += r["cnt"]
+        mx = max(mx, r["mx"])
+        sm += r["sm"]
+    cent = float(n * mx - sm) / float((n - 1) * (n - 2)) if n > 2 else 0.0
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "max_deg": pa.array([mx], pa.int64()),
+            "deg_sum": pa.array([sm], pa.int64()),
+            "centralization": pa.array([cent], pa.float64()),
+        }
+    )
+
+
+DEGREE_CENTRALIZATION_SQL = """
+WITH raw AS (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem),
+und AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM raw WHERE a <> b
+),
+adj AS (SELECT u AS x FROM und UNION ALL SELECT v FROM und),
+deg AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY x),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(d) AS BIGINT) AS max_deg,
+    CAST(SUM(d) AS BIGINT) AS deg_sum
+  FROM deg
+)
+SELECT n, max_deg, deg_sum,
+  CAST(n * max_deg - deg_sum AS DOUBLE)
+    / CAST((n - 1) * (n - 2) AS DOUBLE) AS centralization
+FROM agg
+"""
