@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_totals": _an().user_running_totals,
         "user_cumulative_distinct": _an().user_cumulative_distinct,
         "event_type_trigrams": _an().event_type_trigrams,
+        "user_time_weighted_value": _an().user_time_weighted_value,
+        "directed_triads": _truss().directed_triads,
         "nation_year_rollup": _an().nation_year_rollup,
         "nation_year_cube": _an().nation_year_cube,
         "event_value_stats": _an().event_value_stats,
@@ -216,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": pl.token_counts,
         "doc_stats": pl.doc_stats,                      # rows-only (fingerprint)
         "doc_quality": pl.doc_quality,
+        "lang_confusion": pl.lang_confusion,
         "ngram_jaccard_pairs": pl.ngram_jaccard_pairs,
         "minhash_clusters": pl.minhash_clusters,        # rows-only
         "minhash_sigs_exact": _tx().minhash_sigs_exact,
@@ -1615,6 +1618,8 @@ def oracle_sql() -> dict[str, str]:
         "user_running_totals": _an().USER_RUNNING_TOTALS_SQL,
         "user_cumulative_distinct": _an().USER_CUMULATIVE_DISTINCT_SQL,
         "event_type_trigrams": _an().EVENT_TYPE_TRIGRAMS_SQL,
+        "user_time_weighted_value": _an().USER_TIME_WEIGHTED_VALUE_SQL,
+        "directed_triads": _truss().DIRECTED_TRIADS_SQL,
         "nation_year_rollup": _an().NATION_YEAR_ROLLUP_SQL,
         "nation_year_cube": _an().NATION_YEAR_CUBE_SQL,
         "event_value_stats": _an().EVENT_VALUE_STATS_SQL,
@@ -1764,6 +1769,11 @@ def oracle_sql() -> dict[str, str]:
         "contamination_ngram": _terms().CONTAMINATION_NGRAM_SQL,
         "cross_source_ngram_overlap": _terms().CROSS_SOURCE_NGRAM_OVERLAP_SQL,
         "doc_quality": _doc_quality_sql(),
+        "lang_confusion": (
+            f"WITH q AS ({_doc_quality_sql()})\n"
+            "SELECT d.lang, q.lang_pred, CAST(COUNT(*) AS BIGINT) AS n\n"
+            "FROM documents d JOIN q USING (doc_id) GROUP BY 1, 2"
+        ),
         "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
         "purchase_signup_asof": (
             "WITH p AS (SELECT event_id, user_id, ts FROM events "

@@ -702,6 +702,98 @@ FROM s WHERE t2 IS NOT NULL GROUP BY 1, 2, 3
 
 
 # --------------------------------------------------------------------------
+# time-weighted average value per user (step-function integral)
+# --------------------------------------------------------------------------
+
+
+def user_time_weighted_value(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, n_events, twa) — the time-weighted mean of `value`
+    per user: each event's value holds until the next event, so the
+    mean is ∫value dt / (t_last − t_first) = Σ vc·Δus / (span·100) —
+    the step-function integral every metering/billing pipeline needs.
+    The per-term product cents×µs approaches int64 range and the sum
+    exceeds it, so the fold runs in Python ints inside each user's
+    co-located group (HUGEINT in SQL); ONE double division at the
+    end.  Tie order is pinned to (ts, event_id) on both sides —
+    zero-gap terms make tie order among equal timestamps matter.
+    Single-event users (zero span) are excluded."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "us": pc.cast(t.column("ts"), pa.int64()),
+                "vc": pa.array(_i64(t.column("value"), 100)),
+            }
+        )
+
+    co = ev.map_batches(prep, batch_format="pyarrow").repartition(
+        P, keys=["user_id"]
+    )
+
+    def kernel(t: pa.Table):
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        e = t.column("event_id").to_numpy(zero_copy_only=False)
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        vc = t.column("vc").to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, us, u))
+        u, us, vc = u[order], us[order], vc[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        out_u, out_n, out_t = [], [], []
+        for s, en in zip(starts, ends):
+            n = en - s
+            if n < 2 or us[en - 1] == us[s]:
+                continue
+            num = sum(
+                int(vc[i]) * (int(us[i + 1]) - int(us[i]))
+                for i in range(s, en - 1)
+            )
+            den = (int(us[en - 1]) - int(us[s])) * 100
+            out_u.append(int(u[s]))
+            out_n.append(int(n))
+            out_t.append(float(num) / float(den))
+        if not out_u:
+            return
+        yield pa.table(
+            {
+                "user_id": pa.array(out_u, pa.int64()),
+                "n_events": pa.array(out_n, pa.int64()),
+                "twa": pa.array(out_t, pa.float64()),
+            }
+        )
+
+    return co.map_batches(kernel, batch_size=None, batch_format="pyarrow")
+
+
+USER_TIME_WEIGHTED_VALUE_SQL = """
+WITH s AS (
+  SELECT user_id, epoch_us(ts) AS us,
+    CAST(ROUND(value*100) AS BIGINT) AS vc,
+    LEAD(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nus
+  FROM events
+),
+agg AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+    SUM(CASE WHEN nus IS NULL THEN 0
+        ELSE CAST(vc AS HUGEINT) * (nus - us) END) AS num,
+    MAX(us) - MIN(us) AS den
+  FROM s GROUP BY user_id
+)
+SELECT user_id, n_events,
+  CAST(num AS DOUBLE) / CAST(den * 100 AS DOUBLE) AS twa
+FROM agg WHERE den > 0
+"""
+
+
+# --------------------------------------------------------------------------
 # grouped exact quantiles (per-group quantile_disc)
 # --------------------------------------------------------------------------
 

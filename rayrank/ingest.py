@@ -41,6 +41,23 @@ def read_corpus(path: str, columns: list[str] | None = None) -> ray.data.Dataset
     return ray.data.read_parquet(path, columns=columns)
 
 
+def read_corpus_jsonl(
+    path: str, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """Corpus ingest from (optionally gzipped) JSON-Lines exports —
+    the other wire format corpora commonly arrive in.  Ray's JSON
+    reader handles .jsonl / .jsonl.gz natively (pyarrow json backend,
+    one block per file chunk); column pruning happens post-parse (JSONL
+    has no column projection at the read, unlike parquet — prefer
+    parquet for hot paths, keep this for interchange)."""
+    import pyarrow.json as _  # noqa: F401 — fail fast if backend missing
+
+    ds = ray.data.read_json(path)
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds
+
+
 def _sha256_batch(batch: pa.Table) -> pa.Table:
     hashes = [
         hashlib.sha256(c.encode("utf-8")).hexdigest()

@@ -108,6 +108,7 @@ def power_method(
     ckpt_dir: str | None = None,
     ckpt_interval: int = 1,
     resume: bool = False,
+    x0_parts: list | None = None,
 ) -> PageRankResult:
     """Reference-exact power method over the partitioned graph at
     ``graph_dir`` (built by :func:`rayrank.graph.build_graph`).
@@ -116,6 +117,14 @@ def power_method(
     (indicator weights); L2-normalized actor-side exactly as the
     reference net-normalizes (L1 in the builder then L2 at :113 —
     scale-invariant, so a single L2 suffices).
+
+    ``x0_parts``: optional L1-NORMALIZED warm-start iterate partitions
+    (arrays or ObjectRefs, local-index order) — the delta-refresh path:
+    seed from a previous run's converged scores (see
+    :func:`warm_start_parts`) so an incrementally-changed graph
+    converges in far fewer iterations than a uniform cold start.  The
+    fixpoint is start-independent, so the answer is unchanged.
+    Ignored when a checkpoint resume supplies the iterate.
     """
     meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
     Q = meta.Q
@@ -149,12 +158,27 @@ def power_method(
             )
             start_round = last + 1
             dang = sum(p[0] for p in parts)  # checkpointed x is normalized
+    if start_round == 0 and x0_parts is not None:
+        if v_parts is None:
+            ray.get([s.init_uniform_v.remote(v_value) for s in shards])
+        parts = ray.get(
+            [shards[q].set_scores.remote(x0_parts[q]) for q in range(Q)]
+        )
+        l1 = sum(p[1] for p in parts)
+        if not (0.999 <= l1 <= 1.001):
+            raise ValueError(
+                f"x0_parts must be L1-normalized (got ‖x0‖₁={l1}); "
+                "build them with warm_start_parts"
+            )
+        dang = sum(p[0] for p in parts)
+        start_round = -1  # sentinel: iterate from 0 but skip cold init
     if start_round == 0:
         x0 = 1.0 / math.sqrt(n)
         parts = ray.get(
             [s.init_pr.remote(x0, v_value) for s in shards]
         )
         dang = sum(p[0] for p in parts)
+    start_round = max(start_round, 0)
 
     # scalar state: x_t = c_t · y_t ; y lives on the actors
     c_cur = 1.0
@@ -492,3 +516,97 @@ def power_method_dataset(
         if residual < epsilon:
             break
     return x.select_columns(["vid", "score"])
+
+
+# --------------------------------------------------------------------------
+# warm start (delta refresh): seed a run from a previous run's scores
+# --------------------------------------------------------------------------
+
+
+@ray.remote
+def _warm_part(
+    old_graph_dir: str,
+    new_graph_dir: str,
+    q: int,
+    Q: int,
+    new_size: int,
+    old_scores,
+    fill: float,
+) -> np.ndarray:
+    """One NEW partition's warm iterate, built entirely from partition
+    q's files of BOTH graphs: ``part = stable_hash(name) % Q`` does not
+    depend on the vertex rank, so a name keeps its partition across
+    rebuilds and the name⋈score match is partition-local — zero
+    shuffle, O(V/Q) per task.  Vertices absent from the old graph get
+    ``fill`` (the uniform mass)."""
+    import pyarrow.parquet as pq
+
+    v = np.full(new_size, fill, np.float64)
+    old_dir = os.path.join(old_graph_dir, "vertices", f"q={q}")
+    new_dir = os.path.join(new_graph_dir, "vertices", f"q={q}")
+    if not (os.path.isdir(old_dir) and os.path.isdir(new_dir)):
+        return v
+    ot = pq.read_table(old_dir, columns=["vid", "name"])
+    nt = pq.read_table(new_dir, columns=["vid", "name"])
+    if len(ot) == 0 or len(nt) == 0:
+        return v
+    ovals = np.asarray(old_scores, np.float64)[
+        ot.column("vid").to_numpy(zero_copy_only=False) // Q
+    ]
+    onames = np.asarray(ot.column("name").to_pylist(), dtype=object)
+    o = np.argsort(onames, kind="stable")
+    onames_s, ovals_s = onames[o], ovals[o]
+    nnames = np.asarray(nt.column("name").to_pylist(), dtype=object)
+    pos = np.searchsorted(onames_s, nnames)
+    pos_c = np.clip(pos, 0, len(onames_s) - 1)
+    hit = onames_s[pos_c] == nnames
+    nl = nt.column("vid").to_numpy(zero_copy_only=False) // Q
+    v[nl[hit]] = ovals_s[pos_c[hit]]
+    return v
+
+
+def warm_start_parts(
+    old_graph_dir: str,
+    old_result: PageRankResult,
+    new_graph_dir: str,
+) -> list:
+    """L1-normalized ``x0_parts`` for a :func:`power_method` run on
+    ``new_graph_dir``, seeded from ``old_result``'s converged scores on
+    ``old_graph_dir`` — the incremental-update path: after appending /
+    removing edges and rebuilding, the warm run converges to the SAME
+    fixpoint (start-independence of the power method) in far fewer
+    iterations, because most of the mass distribution survives small
+    graph deltas.
+
+    Both graphs must share Q (the hash partitioning is then name-stable
+    and the old→new score transfer is partition-local; see
+    :func:`_warm_part`).  Normalization folds Q scalar partials on the
+    driver; the arrays stay in the object store."""
+    old_meta = old_result.meta
+    new_meta = GraphMeta.load(os.path.join(new_graph_dir, "meta.json"))
+    if old_meta.Q != new_meta.Q:
+        raise ValueError(
+            f"warm start needs matching partition counts "
+            f"(old Q={old_meta.Q}, new Q={new_meta.Q})"
+        )
+    Q = new_meta.Q
+    fill = 1.0 / new_meta.n
+    raw = [
+        _warm_part.remote(
+            old_graph_dir, new_graph_dir, q, Q, new_meta.part_sizes[q],
+            old_result.part_refs[q], fill,
+        )
+        for q in range(Q)
+    ]
+
+    @ray.remote
+    def _l1(a: np.ndarray) -> float:
+        return float(np.abs(a).sum())
+
+    total = sum(ray.get([_l1.remote(r) for r in raw]))
+
+    @ray.remote
+    def _scale(a: np.ndarray, s: float) -> np.ndarray:
+        return np.asarray(a, np.float64) * s
+
+    return [_scale.remote(r, 1.0 / total) for r in raw]

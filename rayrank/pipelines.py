@@ -518,6 +518,38 @@ def doc_quality(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def lang_confusion(sf_dir: str) -> ray.data.Dataset:
+    """(lang, lang_pred, n) — confusion matrix of the stopword-ratio
+    language-ID heuristic against the corpus's labeled ``lang`` column
+    (the evaluation loop a pipeline owner runs before trusting a
+    filter).  Counts are integers; the float score comparisons that
+    pick lang_pred are bit-identical to the SQL oracle (same property
+    doc_quality's value-hash match already proves), and np.argmax's
+    first-max tie rule equals the oracle's ordered CASE chain.
+    One |langs|²-bounded keyed re-agg after block-local counting."""
+    from .shuffle import keyed_reagg
+    from .text import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "lang_pred" not in t.schema.names:
+            return
+        g = (
+            t.select(["lang", "lang_pred"])
+            .append_column("n", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["lang", "lang_pred"])
+            .aggregate([("n", "sum")])
+        )
+        yield g.rename_columns(["lang", "lang_pred", "n"])
+
+    return keyed_reagg(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["lang", "lang_pred"], [("n", "sum")], 4,
+    )
+
+
 def minhash_clusters(sf_dir: str) -> ray.data.Dataset:
     from .text import minhash_dedup_clusters
 

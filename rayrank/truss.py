@@ -801,3 +801,137 @@ SELECT n, max_deg, deg_sum,
     / CAST((n - 1) * (n - 2) AS DOUBLE) AS centralization
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# directed triad census (feed-forward loops vs 3-cycles)
+# --------------------------------------------------------------------------
+
+
+def directed_triads(sf_dir: str) -> pa.Table:
+    """(ffl, cycles) — directed triangle census of the distinct
+    directed edge set: feed-forward loops (a→b, b→c, a→c — counted
+    once, the pattern is role-asymmetric) and directed 3-cycles
+    (a→b→c→a, canonicalized by the cycle's unique minimum vertex so
+    each is counted once).  The network-motif pair whose ratio
+    signals hierarchy vs feedback.  Same wedge-join + closing-semi-
+    join shape as the undirected triangle kernel, run per pattern;
+    both counts fold from per-block partials."""
+
+    def dedup(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        a = t.column("src").to_numpy(zero_copy_only=False)
+        b = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = a != b
+        if not keep.any():
+            return
+        g = pa.table(
+            {"a": pa.array(a[keep]), "b": pa.array(b[keep])}
+        ).group_by(["a", "b"]).aggregate([])
+        yield g.rename_columns(["a", "b"])
+
+    from .pipelines import tri_edges
+
+    d = keyed_reagg(
+        tri_edges(sf_dir).map_batches(dedup, batch_format="pyarrow"),
+        ["a", "b"], [], P,
+    ).materialize()
+
+    def as_mid(t: pa.Table):
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return
+        yield pa.table({"m": t.column("a"), "c": t.column("b")})
+
+    wedges = join_auto(
+        d, d.map_batches(as_mid, batch_format="pyarrow"),
+        on=("b",), right_on=("m",), num_partitions=P,
+    )  # (a, b, c): a→b, b→c
+
+    def ffl_key(t: pa.Table):
+        if t.num_rows == 0 or "c" not in t.schema.names:
+            return
+        keep = pa.array(
+            t.column("a").to_numpy(zero_copy_only=False)
+            != t.column("c").to_numpy(zero_copy_only=False)
+        )
+        t2 = t.filter(keep)
+        if len(t2):
+            yield t2
+
+    ffl_rows = join_auto(
+        wedges.map_batches(ffl_key, batch_format="pyarrow"),
+        d.map_batches(
+            lambda t: pa.table({"ka": t.column("a"), "kb": t.column("b")})
+            if t.num_rows and "a" in t.schema.names
+            else pa.table(
+                {"ka": pa.array([], pa.int64()), "kb": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        on=("a", "c"), right_on=("ka", "kb"), how="semi", num_partitions=P,
+    )
+
+    def cyc_key(t: pa.Table):
+        if t.num_rows == 0 or "c" not in t.schema.names:
+            return
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        keep = pa.array((a < b) & (a < c))
+        t2 = t.filter(keep)
+        if len(t2):
+            yield t2
+
+    cyc_rows = join_auto(
+        wedges.map_batches(cyc_key, batch_format="pyarrow"),
+        d.map_batches(
+            lambda t: pa.table({"ka": t.column("a"), "kb": t.column("b")})
+            if t.num_rows and "a" in t.schema.names
+            else pa.table(
+                {"ka": pa.array([], pa.int64()), "kb": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ),
+        on=("c", "a"), right_on=("ka", "kb"), how="semi", num_partitions=P,
+    )
+
+    def cnt(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        yield pa.table({"n": pa.array([len(t)], pa.int64())})
+
+    ffl = sum(
+        r["n"] for r in ffl_rows.map_batches(cnt, batch_format="pyarrow").take_all()
+    )
+    cyc = sum(
+        r["n"] for r in cyc_rows.map_batches(cnt, batch_format="pyarrow").take_all()
+    )
+    return pa.table(
+        {
+            "ffl": pa.array([ffl], pa.int64()),
+            "cycles": pa.array([cyc], pa.int64()),
+        }
+    )
+
+
+DIRECTED_TRIADS_SQL = """
+WITH d AS (
+  SELECT DISTINCT l_suppkey AS a, l_partkey % 100 AS b
+  FROM lineitem WHERE l_suppkey <> l_partkey % 100
+),
+ffl AS (
+  SELECT COUNT(*) AS n
+  FROM d e1 JOIN d e2 ON e2.a = e1.b
+  JOIN d e3 ON e3.a = e1.a AND e3.b = e2.b
+  WHERE e1.a <> e2.b
+),
+cyc AS (
+  SELECT COUNT(*) AS n
+  FROM d e1 JOIN d e2 ON e2.a = e1.b
+  JOIN d e3 ON e3.a = e2.b AND e3.b = e1.a
+  WHERE e1.a < e1.b AND e1.a < e2.b
+)
+SELECT CAST(ffl.n AS BIGINT) AS ffl, CAST(cyc.n AS BIGINT) AS cycles
+FROM ffl, cyc
+"""

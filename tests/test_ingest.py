@@ -73,3 +73,31 @@ def test_edge_derivation_matches_recompute(corpus_dir):
     want = expected_edges(corpus_dir)
     assert got == want
     assert sum(want.values()) > 4000  # imports + co-commit both fired
+
+
+def test_jsonl_corpus_roundtrip(tmp_path, corpus_dir):
+    """read_corpus_jsonl over a gzipped JSONL export must reproduce the
+    parquet corpus rows exactly (same sha256 invariant input)."""
+    import gzip
+    import json
+
+    import pyarrow.parquet as pq
+
+    from rayrank.ingest import read_corpus_jsonl, with_sha256
+
+    t = pq.read_table(corpus_dir)
+    rows = t.to_pylist()[:200]
+    p = tmp_path / "corpus.jsonl.gz"
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        for r in rows:
+            f.write(json.dumps({k: r[k] for k in ("repo", "path", "content")}) + "\n")
+
+    ds = read_corpus_jsonl(str(p), columns=["repo", "path", "content"])
+    got = {(r["repo"], r["path"]): r["content"] for r in ds.take_all()}
+    want = {(r["repo"], r["path"]): r["content"] for r in rows}
+    assert got == want
+    # sha pipeline runs unchanged on the JSONL source
+    sha = with_sha256(ds).take(1)[0]
+    import hashlib
+
+    assert sha["sha256"] == hashlib.sha256(sha["content"].encode()).hexdigest()

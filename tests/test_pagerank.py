@@ -168,3 +168,44 @@ def test_dataset_variant_personalized(tmp_graph_dir):
             got[vid_to_name[vid]] = sc
     for nm in want:
         assert got[nm] == pytest.approx(want[nm], abs=1e-6)
+
+
+def test_warm_start_delta_refresh(tmp_path):
+    """Delta refresh: after adding edges and rebuilding, a run seeded
+    from the previous converged scores (warm_start_parts) must reach
+    the SAME fixpoint (allclose 1e-6 vs the cold run and the numpy
+    oracle) in FEWER iterations than the cold start."""
+    from rayrank.pagerank import warm_start_parts
+
+    old_dir = str(tmp_path / "g_old")
+    new_dir = str(tmp_path / "g_new")
+    edges = random_edge_list(seed=11, n=60, m=240)
+    build(edges, old_dir)
+    res_old = power_method(old_dir, epsilon=1e-10)
+    assert res_old.converged
+
+    # delta: a handful of new edges, including a brand-new vertex
+    extra = [("60", "1"), ("2", "60"), ("5", "17"), ("30", "31")]
+    build(edges + extra, new_dir)
+
+    cold = power_method(new_dir, epsilon=1e-10)
+    x0 = warm_start_parts(old_dir, res_old, new_dir)
+    warm = power_method(new_dir, epsilon=1e-10, x0_parts=x0)
+
+    assert warm.converged and cold.converged
+    assert warm.iterations < cold.iterations
+    sc_w = warm.scores_by_name(new_dir)
+    sc_c = cold.scores_by_name(new_dir)
+    assert set(sc_w) == set(sc_c)
+    for k in sc_c:
+        assert sc_w[k] == pytest.approx(sc_c[k], abs=1e-6)
+    want, _ = oracle_pagerank_by_name(edges + extra, epsilon=1e-10)
+    for k, v in want.items():
+        assert sc_w[k] == pytest.approx(v, abs=1e-6)
+
+    # unnormalized seeds must be rejected loudly
+    import ray as _ray
+
+    bad = [_ray.put(np.asarray(_ray.get(r)) * 3.0) for r in x0]
+    with pytest.raises(ValueError, match="L1-normalized"):
+        power_method(new_dir, epsilon=1e-10, x0_parts=bad)
