@@ -140,6 +140,13 @@ def run_bench() -> dict:
     queries["triangle_count"] = time.perf_counter() - t0
     extra["triangles"] = tri
 
+    # the resident CSR pools are done — release their CPU reservations
+    # (2·Q default-1-CPU actors otherwise pin ~20/32 CPUs through the
+    # whole data-ops section below and inflate every timing 2-5×)
+    for s in dshards + ushards:
+        ray.kill(s)
+    del dshards, ushards
+
     # -- data ops over the testdata tables -----------------------------
     if os.path.isdir(sf_dir):
         import ray.data

@@ -935,3 +935,141 @@ cyc AS (
 SELECT CAST(ffl.n AS BIGINT) AS ffl, CAST(cyc.n AS BIGINT) AS cycles
 FROM ffl, cyc
 """
+
+
+# --------------------------------------------------------------------------
+# bipartite butterfly census (4-cycles in the supplier-part graph)
+# --------------------------------------------------------------------------
+
+BF_DEG_CAP = 256  # centers above this degree are out of contract (mirrored
+# in the SQL oracle's HAVING; at every test SF the max part degree is far
+# below it — suppliers-per-part is bounded by row density — so the census
+# is exact there; at web scale the cap is the standard hub guard for the
+# wedge family, same contract as pipelines.CN_DEG_CAP)
+
+
+def butterfly_count(sf_dir: str) -> pa.Table:
+    """(wedges, pairs, butterflies) — bipartite 4-cycle census of the
+    supplier–part incidence graph (distinct (l_suppkey, l_partkey)
+    pairs).  Butterflies ((2,2)-bicliques) are THE clustering motif of
+    bipartite graphs (user–item, doc–shard, host–url): for supplier
+    pairs (u, v) sharing m parts, butterflies = Σ C(m, 2), wedges =
+    Σ m, pairs = #{(u,v): m ≥ 1} — counted over part centers with
+    deg ≤ ``BF_DEG_CAP``.
+
+    Scale shape (the two_hop/common_neighbors routing): one
+    repartition by the part key makes every copy of an (s, p) edge
+    block-local, so global dedup + per-center pair emission is a
+    vectorized segmented arange inside the block; per-block group_by
+    pre-combines (u, v) partials before the ONE keyed re-agg; the
+    three scalars fold from per-block Python-int partials (order-
+    independent integer sums — no float arrival-order hazard)."""
+    from .pipelines import _seg_arange
+    from .relational import _read
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "l_suppkey" not in t.schema.names:
+            return
+        g = (
+            pa.table(
+                {"s": t.column("l_suppkey"), "p": t.column("l_partkey")}
+            )
+            .group_by(["s", "p"])
+            .aggregate([])
+        )
+        yield g.rename_columns(["s", "p"])
+
+    mid = (
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+        .map_batches(pre, batch_format="pyarrow")
+        .repartition(P, keys=["p"])
+    )
+
+    def emit(t: pa.Table):
+        if t.num_rows == 0 or "s" not in t.schema.names:
+            return
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        p = t.column("p").to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, p))
+        s, p = s[order], p[order]
+        uniq = np.r_[True, (p[1:] != p[:-1]) | (s[1:] != s[:-1])]
+        s, p = s[uniq], p[uniq]  # all copies of (s,p) share this block
+        starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        deg = np.diff(np.r_[starts, len(p)])
+        ok = (deg >= 2) & (deg <= BF_DEG_CAP)
+        if not ok.any():
+            return
+        starts, deg = starts[ok], deg[ok]
+        vals = s[np.repeat(starts, deg) + _seg_arange(deg)]
+        seg_starts = np.r_[0, np.cumsum(deg)[:-1]]
+        tail = np.repeat(seg_starts + deg, deg) - np.arange(len(vals)) - 1
+        first = np.repeat(np.arange(len(vals)), tail)
+        if len(first) == 0:
+            return
+        second = first + _seg_arange(tail) + 1
+        g = (
+            pa.table(
+                {
+                    "u": pa.array(vals[first]),
+                    "v": pa.array(vals[second]),
+                    "m": pa.array(np.ones(len(first), np.int64)),
+                }
+            )
+            .group_by(["u", "v"])
+            .aggregate([("m", "sum")])
+        )
+        yield g.rename_columns(["u", "v", "m"])
+
+    pairs = keyed_reagg(
+        mid.map_batches(emit, batch_size=None, batch_format="pyarrow"),
+        ["u", "v"], [("m", "sum")], P,
+    )
+
+    def fold(t: pa.Table):
+        if t.num_rows == 0 or "m" not in t.schema.names:
+            return
+        m = t.column("m").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "wedges": pa.array([int(m.sum())], pa.int64()),
+                "pairs": pa.array([len(m)], pa.int64()),
+                "butterflies": pa.array(
+                    [sum(int(x) * (int(x) - 1) // 2 for x in m)], pa.int64()
+                ),
+            }
+        )
+
+    w = pr = bf = 0
+    for row in pairs.map_batches(
+        fold, batch_size=None, batch_format="pyarrow"
+    ).take_all():
+        w += row["wedges"]
+        pr += row["pairs"]
+        bf += row["butterflies"]
+    return pa.table(
+        {
+            "wedges": pa.array([w], pa.int64()),
+            "pairs": pa.array([pr], pa.int64()),
+            "butterflies": pa.array([bf], pa.int64()),
+        }
+    )
+
+
+BUTTERFLY_COUNT_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+),
+d AS (
+  SELECT p FROM e GROUP BY p HAVING COUNT(*) BETWEEN 2 AND {BF_DEG_CAP}
+),
+w AS (
+  SELECT e1.s AS u, e2.s AS v, CAST(COUNT(*) AS BIGINT) AS m
+  FROM e e1 JOIN e e2 ON e1.p = e2.p AND e1.s < e2.s
+  JOIN d ON d.p = e1.p
+  GROUP BY 1, 2
+)
+SELECT CAST(SUM(m) AS BIGINT) AS wedges,
+       CAST(COUNT(*) AS BIGINT) AS pairs,
+       CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS butterflies
+FROM w
+"""
