@@ -110,6 +110,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_trigrams": _an().event_type_trigrams,
         "user_time_weighted_value": _an().user_time_weighted_value,
         "directed_triads": _truss().directed_triads,
+        "butterfly_count": _truss().butterfly_count,
+        "ivm_event_revenue": _an().ivm_event_revenue,
+        "revenue_autocorr": _an().revenue_autocorr,
+        "zorder_layout": _an().zorder_layout,
+        "tokenizer_fertility": pl.tokenizer_fertility,
         "nation_year_rollup": _an().nation_year_rollup,
         "nation_year_cube": _an().nation_year_cube,
         "event_value_stats": _an().event_value_stats,
@@ -956,6 +961,31 @@ sk3{sfx} AS (SELECT {pre}{_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB
 hh{sfx} AS (SELECT {pre}xor(z, z // 2147483648) AS z FROM sk3{sfx})"""
 
 
+def _ivm_event_revenue_sql() -> str:
+    """Full recompute equivalent of the incrementally-maintained
+    aggregate: base rows (pre-cutoff) minus the splitmix64-picked CDC
+    deletes, plus the post-cutoff inserts (rayrank.analytics
+    ivm_event_revenue constants)."""
+    from rayrank.analytics import IVM_CUTOFF_US, IVM_DEL_MOD
+
+    return f"""
+WITH {_sm64_id_cte('(SELECT event_id AS id, event_id AS x FROM events)')},
+ev AS (
+  SELECT event_id, event_type, epoch_us(ts) AS us,
+         CAST(ROUND(value * 100) AS BIGINT) AS vc
+  FROM events
+),
+live AS (
+  SELECT ev.event_type, ev.vc
+  FROM ev JOIN hh ON hh.id = ev.event_id
+  WHERE ev.us >= {IVM_CUTOFF_US} OR hh.z % {IVM_DEL_MOD} <> 0
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(vc) AS BIGINT) AS sum_cents
+FROM live GROUP BY event_type
+"""
+
+
 _I64_WRAP = (
     "CAST(CASE WHEN z >= 9223372036854775808 THEN z - 18446744073709551616 "
     "ELSE z END AS BIGINT)"
@@ -1620,6 +1650,11 @@ def oracle_sql() -> dict[str, str]:
         "event_type_trigrams": _an().EVENT_TYPE_TRIGRAMS_SQL,
         "user_time_weighted_value": _an().USER_TIME_WEIGHTED_VALUE_SQL,
         "directed_triads": _truss().DIRECTED_TRIADS_SQL,
+        "butterfly_count": _truss().BUTTERFLY_COUNT_SQL,
+        "ivm_event_revenue": _ivm_event_revenue_sql(),
+        "revenue_autocorr": _an().REVENUE_AUTOCORR_SQL,
+        "zorder_layout": _an().ZORDER_LAYOUT_SQL,
+        "tokenizer_fertility": _pl().TOKENIZER_FERTILITY_SQL,
         "nation_year_rollup": _an().NATION_YEAR_ROLLUP_SQL,
         "nation_year_cube": _an().NATION_YEAR_CUBE_SQL,
         "event_value_stats": _an().EVENT_VALUE_STATS_SQL,

@@ -19,6 +19,8 @@ table (O(nations·years) rows), never from a second scan.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -3103,4 +3105,259 @@ SELECT CAST(s.i AS BIGINT) AS k_orders,
        CAST(tot.t AS BIGINT) AS total_cents,
        CAST(s.cum AS DOUBLE) / CAST(tot.t AS DOUBLE) AS share
 FROM s, tot
+"""
+
+
+# --------------------------------------------------------------------------
+# incremental view maintenance: CDC delta applied to a materialized agg
+# --------------------------------------------------------------------------
+
+IVM_CUTOFF_US = 1705363200000000  # 2024-01-16 00:00:00 (mid-corpus)
+IVM_DEL_MOD = 10  # splitmix64(event_id) % 10 == 0 -> CDC delete
+
+
+def ivm_event_revenue(sf_dir: str) -> ray.data.Dataset:
+    """(event_type, n, sum_cents) — a materialized per-type revenue
+    aggregate MAINTAINED under a CDC delta instead of recomputed: the
+    base state is the aggregate over events before ``IVM_CUTOFF_US``;
+    the delta stream carries inserts (events at/after the cutoff) and
+    deletes (a deterministic splitmix64-picked tenth of the base).
+    Counts and integer-cent sums form an abelian group, so
+    state ⊕ agg(signed delta) equals the full recompute the SQL oracle
+    runs — the incremental-refresh path that avoids rescanning 100 TB
+    of history for a daily tail of new rows.  Both the state partials
+    and the signed delta partials are block-local group_bys merged by
+    ONE |types|-bounded keyed re-agg; groups whose maintained count
+    hits zero are retracted (dropped)."""
+    from .sketch import splitmix64
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def partials(t: pa.Table):
+        if len(t) == 0 or "event_id" not in t.schema.names:
+            return
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        vc = _i64(t.column("value"), 100)
+        h = splitmix64(
+            t.column("event_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        base = us < IVM_CUTOFF_US
+        deleted = base & (h % IVM_DEL_MOD == 0)
+        inserted = ~base
+        # signs: +1 state row, -1 CDC delete, +1 CDC insert
+        sign = base.astype(np.int64) - deleted.astype(np.int64) + inserted.astype(np.int64)
+        keep = sign != 0
+        et = t.column("event_type")
+        g = (
+            pa.table(
+                {
+                    "event_type": et.filter(pa.array(keep)),
+                    "n": pa.array(sign[keep]),
+                    "sc": pa.array(sign[keep] * vc[keep]),
+                }
+            )
+            .group_by(["event_type"])
+            .aggregate([("n", "sum"), ("sc", "sum")])
+        )
+        yield g.rename_columns(["event_type", "n", "sc"])
+
+    merged = keyed_reagg(
+        ev.map_batches(partials, batch_format="pyarrow"),
+        ["event_type"], [("n", "sum"), ("sc", "sum")], 4,
+    )
+
+    def fin(t: pa.Table):
+        if t.num_rows == 0 or "n" not in t.schema.names:
+            return
+        t = t.filter(pc.greater(t.column("n"), 0))  # group retraction
+        if t.num_rows:
+            yield t.rename_columns(["event_type", "n", "sum_cents"])
+
+    return merged.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# daily-revenue autocorrelation (seasonality probe, lags 1..7)
+# --------------------------------------------------------------------------
+
+AC_MAX_LAG = 7
+
+
+def revenue_autocorr(sf_dir: str) -> pa.Table:
+    """(lag, n, r) — Pearson autocorrelation of the daily order-revenue
+    series at calendar-day lags 1..``AC_MAX_LAG`` (pairs exist only
+    where BOTH days have orders), the seasonality probe behind
+    forecast/backfill decisions.  The heavy reduction (orders → one
+    int-cent total per day) is distributed and exact; the day series
+    is calendar-bounded (~2.4k rows), so the lag moments fold in ONE
+    block with Python-int arithmetic (cents² sums exceed int64 —
+    HUGEINT in the oracle), and r is the textbook integer-moment
+    formula with the SAME final double expression on both sides."""
+    od = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "o_orderdate" not in t.schema.names:
+            return
+        us = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        g = (
+            pa.table(
+                {
+                    "day": pa.array(us // 86_400_000_000),
+                    "cents": pa.array(_i64(t.column("o_totalprice"), 100)),
+                }
+            )
+            .group_by(["day"])
+            .aggregate([("cents", "sum")])
+        )
+        yield g.rename_columns(["day", "cents"])
+
+    daily = keyed_reagg(od.map_batches(pre, batch_format="pyarrow"),
+                        ["day"], [("cents", "sum")], 4).repartition(1)
+
+    def fold(t: pa.Table):
+        if t.num_rows == 0 or "day" not in t.schema.names:
+            return
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        order = np.argsort(day)
+        day, cents = day[order], cents[order]
+        pos = {int(d): i for i, d in enumerate(day)}
+        out_l, out_n, out_r = [], [], []
+        for lag in range(1, AC_MAX_LAG + 1):
+            xs, ys = [], []
+            for i, d in enumerate(day):
+                j = pos.get(int(d) + lag)
+                if j is not None:
+                    xs.append(int(cents[i]))
+                    ys.append(int(cents[j]))
+            n = len(xs)
+            if n < 2:
+                continue
+            sx, sy = sum(xs), sum(ys)
+            sxx = sum(v * v for v in xs)
+            syy = sum(v * v for v in ys)
+            sxy = sum(a * b for a, b in zip(xs, ys))
+            va, vb = n * sxx - sx * sx, n * syy - sy * sy
+            if va <= 0 or vb <= 0:
+                continue
+            out_l.append(lag)
+            out_n.append(n)
+            out_r.append(
+                float(n * sxy - sx * sy) / math.sqrt(float(va) * float(vb))
+            )
+        if not out_l:
+            return
+        yield pa.table(
+            {
+                "lag": pa.array(out_l, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+                "r": pa.array(out_r, pa.float64()),
+            }
+        )
+
+    return daily.map_batches(fold, batch_size=None, batch_format="pyarrow")
+
+
+REVENUE_AUTOCORR_SQL = f"""
+WITH d AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+l AS (SELECT unnest(range(1, {AC_MAX_LAG + 1})) AS lg),
+p AS (
+  SELECT l.lg, a.cents AS x, b.cents AS y
+  FROM l CROSS JOIN d a JOIN d b ON b.day = a.day + l.lg
+),
+m AS (
+  SELECT lg, CAST(COUNT(*) AS HUGEINT) AS n,
+    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+    SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy,
+    SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM p GROUP BY lg
+)
+SELECT CAST(lg AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+  CAST(n * sxy - sx * sy AS DOUBLE)
+    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+           * CAST(n * syy - sy * sy AS DOUBLE)) AS r
+FROM m
+WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# z-order (Morton) layout buckets — space-filling-curve data clustering
+# --------------------------------------------------------------------------
+
+Z_BITS = 10
+Z_BUCKET_SHIFT = 14  # 20-bit code >> 14 -> 64 buckets
+
+
+def zorder_layout(sf_dir: str) -> ray.data.Dataset:
+    """(bucket, n, min_x, max_x, min_y, max_y) — lineitem rows
+    clustered by the Morton (z-order) interleave of
+    (l_partkey mod 2^10, l_suppkey mod 2^10), bucketed by the code's
+    top 6 bits: the space-filling-curve layout that gives a 100-TB
+    table min/max-prunable files on BOTH dimensions at once (each
+    bucket's x AND y ranges are tight, which no single-column sort
+    achieves).  The per-bucket extents this emits are exactly the
+    file-skipping statistics a reader would prune with.  Pure integer
+    bit arithmetic, vectorized; block-local pre-agg to ≤64 groups,
+    one tiny keyed re-agg."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    mask = (1 << Z_BITS) - 1
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "l_partkey" not in t.schema.names:
+            return
+        x = t.column("l_partkey").to_numpy(zero_copy_only=False) & mask
+        y = t.column("l_suppkey").to_numpy(zero_copy_only=False) & mask
+        z = np.zeros(len(x), np.int64)
+        for i in range(Z_BITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        g = (
+            pa.table(
+                {
+                    "bucket": pa.array(z >> Z_BUCKET_SHIFT),
+                    "n": pa.array(np.ones(len(x), np.int64)),
+                    "min_x": pa.array(x), "max_x": pa.array(x),
+                    "min_y": pa.array(y), "max_y": pa.array(y),
+                }
+            )
+            .group_by(["bucket"])
+            .aggregate(
+                [("n", "sum"), ("min_x", "min"), ("max_x", "max"),
+                 ("min_y", "min"), ("max_y", "max")]
+            )
+        )
+        yield g.rename_columns(["bucket", "n", "min_x", "max_x", "min_y", "max_y"])
+
+    return keyed_reagg(
+        li.map_batches(pre, batch_format="pyarrow"),
+        ["bucket"],
+        [("n", "sum"), ("min_x", "min"), ("max_x", "max"),
+         ("min_y", "min"), ("max_y", "max")],
+        4,
+    )
+
+
+_ZTERMS = " + ".join(
+    f"((x // {1 << i}) % 2) * {1 << (2 * i)}"
+    f" + ((y // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+    for i in range(Z_BITS)
+)
+
+ZORDER_LAYOUT_SQL = f"""
+WITH s AS (
+  SELECT l_partkey % {1 << Z_BITS} AS x, l_suppkey % {1 << Z_BITS} AS y
+  FROM lineitem
+),
+z AS (SELECT x, y, ({_ZTERMS}) // {1 << Z_BUCKET_SHIFT} AS bucket FROM s)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+  CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+FROM z GROUP BY bucket
 """

@@ -2176,3 +2176,66 @@ def graph_coloring_sf(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"name": t.column("name"), "color": t.column("label")})
 
     return ds.map_batches(fin, batch_format="pyarrow")
+
+
+def tokenizer_fertility(sf_dir: str) -> ray.data.Dataset:
+    """(lang, docs, tokens, chars, fertility) — tokens-per-character by
+    language, the tokenizer-efficiency metric a multilingual training
+    pipeline tracks (a tokenizer with poor fertility on a language
+    inflates its effective cost per document).  Token rule is the
+    whitespace count token_counts already SQL-matches; chars is
+    utf8 code-point length.  Integer sums via block-local group_by +
+    one |langs|-bounded keyed re-agg; fertility is ONE double division
+    applied identically in the oracle."""
+    from .shuffle import keyed_reagg
+    from .text import TokenCounter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ds = ds.map_batches(TokenCounter, batch_format="pyarrow", concurrency=(1, 4))
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "ws_tokens" not in t.schema.names:
+            return
+        g = (
+            pa.table(
+                {
+                    "lang": t.column("lang"),
+                    "docs": pa.array(np.ones(len(t), np.int64)),
+                    "tokens": t.column("ws_tokens"),
+                    "chars": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+                }
+            )
+            .group_by(["lang"])
+            .aggregate([("docs", "sum"), ("tokens", "sum"), ("chars", "sum")])
+        )
+        yield g.rename_columns(["lang", "docs", "tokens", "chars"])
+
+    agg = keyed_reagg(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["lang"], [("docs", "sum"), ("tokens", "sum"), ("chars", "sum")], 4,
+    )
+
+    def fin(t: pa.Table):
+        if t.num_rows == 0 or "tokens" not in t.schema.names:
+            return
+        tok = t.column("tokens").to_numpy(zero_copy_only=False).astype(np.float64)
+        ch = t.column("chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        yield t.append_column("fertility", pa.array(tok / ch, pa.float64()))
+
+    return agg.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+TOKENIZER_FERTILITY_SQL = r"""
+WITH s AS (
+  SELECT lang,
+    CAST(CASE WHEN trim(text) = '' THEN 0 ELSE
+      array_length(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS tok,
+    CAST(LENGTH(text) AS BIGINT) AS ch
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(tok) AS BIGINT) AS tokens,
+  CAST(SUM(ch) AS BIGINT) AS chars,
+  CAST(SUM(tok) AS DOUBLE) / CAST(SUM(ch) AS DOUBLE) AS fertility
+FROM s GROUP BY lang
+"""
