@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_autocorr": _an().revenue_autocorr,
         "zorder_layout": _an().zorder_layout,
         "tokenizer_fertility": pl.tokenizer_fertility,
+        "vocab_oov_rate": _terms().vocab_oov_rate,
+        "holdout_contamination": _packmod().holdout_contamination,
         "nation_year_rollup": _an().nation_year_rollup,
         "nation_year_cube": _an().nation_year_cube,
         "event_value_stats": _an().event_value_stats,
@@ -961,6 +963,29 @@ sk3{sfx} AS (SELECT {pre}{_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB
 hh{sfx} AS (SELECT {pre}xor(z, z // 2147483648) AS z FROM sk3{sfx})"""
 
 
+def _holdout_contamination_sql() -> str:
+    """Exact-match decontamination audit: test-split docs (splitmix64
+    hash range) whose RE2 canonical form appears among train-split
+    docs (rayrank.packing.holdout_contamination)."""
+    from rayrank.packing import SPLIT_TRAIN_T, SPLIT_VAL_T
+
+    return f"""
+WITH {_sm64_id_cte('(SELECT doc_id AS id, doc_id AS x FROM documents)')},
+d AS (
+  SELECT doc_id, source,
+    trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS canon
+  FROM documents
+),
+dz AS (SELECT d.*, hh.z FROM d JOIN hh ON hh.id = d.doc_id),
+te AS (SELECT source, canon FROM dz WHERE z >= {SPLIT_VAL_T}),
+tr AS (SELECT DISTINCT canon FROM dz WHERE z < {SPLIT_TRAIN_T})
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_test,
+  CAST(SUM(CASE WHEN tr.canon IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_contaminated
+FROM te LEFT JOIN tr USING (canon) GROUP BY source
+"""
+
+
 def _ivm_event_revenue_sql() -> str:
     """Full recompute equivalent of the incrementally-maintained
     aggregate: base rows (pre-cutoff) minus the splitmix64-picked CDC
@@ -1655,6 +1680,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_autocorr": _an().REVENUE_AUTOCORR_SQL,
         "zorder_layout": _an().ZORDER_LAYOUT_SQL,
         "tokenizer_fertility": _pl().TOKENIZER_FERTILITY_SQL,
+        "vocab_oov_rate": _terms().VOCAB_OOV_RATE_SQL,
+        "holdout_contamination": _holdout_contamination_sql(),
         "nation_year_rollup": _an().NATION_YEAR_ROLLUP_SQL,
         "nation_year_cube": _an().NATION_YEAR_CUBE_SQL,
         "event_value_stats": _an().EVENT_VALUE_STATS_SQL,

@@ -651,3 +651,102 @@ SELECT doc_id, n_tokens, start,
   start * {CURRICULUM_PHASES} // total AS phase
 FROM w
 """
+
+
+# ---------------------------------------------------------------------------
+# exact holdout decontamination audit (train/test split leakage)
+# ---------------------------------------------------------------------------
+
+
+def holdout_contamination(sf_dir: str) -> ray.data.Dataset:
+    """(source, n_test, n_contaminated) — per source, how many
+    held-out (test-split) documents exactly match a training-split
+    document after canonicalization: the exact-match decontamination
+    audit every eval pipeline runs before trusting a benchmark number.
+    Split assignment is the engine's standard pure-integer splitmix64
+    hash range (``dataset_split``); the match key is the RE2 canonical
+    form (lowercase, non-alnum runs → one space) shared bit-for-bit
+    with DuckDB.
+
+    Scale shape: texts never cross the wire — each reading task ships
+    only (sha256(canon), source, tr, te); ONE repartition by sha makes
+    every copy of a text block-local, so the train-occurrence count is
+    exact in-block; per-source partials fold through a
+    |sources|-bounded re-agg."""
+    from .sketch import splitmix64
+    from .text import canonicalize, with_text_sha256
+
+    tt = np.uint64(SPLIT_TRAIN_T)
+    tv = np.uint64(SPLIT_VAL_T)
+
+    ds = canonicalize(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "source"],
+        )
+    )
+    ds = with_text_sha256(ds, col="canon")
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "text_sha256" not in t.schema.names:
+            return
+        z = splitmix64(
+            t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        tr = z < tt
+        te = z >= tv
+        keep = tr | te
+        if not keep.any():
+            return
+        yield pa.table(
+            {
+                "sha": t.column("text_sha256").filter(pa.array(keep)),
+                "source": t.column("source").filter(pa.array(keep)),
+                "tr": pa.array(tr[keep].astype(np.int64)),
+                "te": pa.array(te[keep].astype(np.int64)),
+            }
+        )
+
+    slim = ds.map_batches(pre, batch_format="pyarrow").repartition(
+        P, keys=["sha"]
+    )
+
+    def kernel(t: pa.Table):
+        if t.num_rows == 0 or "sha" not in t.schema.names:
+            return
+        g = (
+            t.select(["sha", "tr"])
+            .group_by(["sha"])
+            .aggregate([("tr", "sum")])
+            .rename_columns(["sha", "ntr"])
+        )
+        j = t.join(g, keys=["sha"])
+        te = j.column("te").to_numpy(zero_copy_only=False)
+        ntr = j.column("ntr").to_numpy(zero_copy_only=False)
+        out = (
+            pa.table(
+                {
+                    "source": j.column("source"),
+                    "n_test": pa.array(te),
+                    "n_contaminated": pa.array(te * (ntr > 0)),
+                }
+            )
+            .group_by(["source"])
+            .aggregate([("n_test", "sum"), ("n_contaminated", "sum")])
+        )
+        if out.num_rows:
+            yield out.rename_columns(["source", "n_test", "n_contaminated"])
+
+    part = slim.map_batches(kernel, batch_size=None, batch_format="pyarrow")
+    out = keyed_reagg(
+        part, ["source"], [("n_test", "sum"), ("n_contaminated", "sum")], 4
+    )
+
+    def fin(t: pa.Table):
+        if t.num_rows == 0 or "n_test" not in t.schema.names:
+            return
+        t = t.filter(pc.greater(t.column("n_test"), 0))
+        if t.num_rows:
+            yield t
+
+    return out.map_batches(fin, batch_size=None, batch_format="pyarrow")

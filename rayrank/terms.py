@@ -1717,3 +1717,115 @@ SELECT fd // {NOVELTY_BUCKET} AS bucket,
   CAST(COUNT(*) AS BIGINT) AS new_grams
 FROM f GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# fixed-vocabulary OOV rate by language
+# ---------------------------------------------------------------------------
+
+OOV_VOCAB_K = 16
+
+
+def vocab_oov_rate(sf_dir: str) -> ray.data.Dataset:
+    """(lang, tokens, oov_tokens, oov_rate) — out-of-vocabulary token
+    fraction per language against the corpus's own top-``OOV_VOCAB_K``
+    unigram vocabulary (rank by count desc, term asc — a total order,
+    so the vocab is deterministic on both sides): the coverage audit
+    run before fixing a tokenizer vocabulary for training.
+
+    Scale shape: the vocab build is the standard vocab-bounded reduce
+    (block-local term partials → one keyed re-agg → a ≤|vocab| table
+    picked ONCE on the driver and closed over — the bigram_pmi
+    broadcast rule); the scoring pass is block-local ``is_in`` with
+    per-lang integer partials and a |langs|-bounded final re-agg; the
+    rate is ONE double division mirrored in the oracle."""
+    from .shuffle import keyed_reagg
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+
+    def term_partial(t: pa.Table):
+        if len(t) == 0:
+            return
+        _, terms = _token_pairs(t)
+        if len(terms) == 0:
+            return
+        g = (
+            pa.table({"term": terms, "n": pa.array(np.ones(len(terms), np.int64))})
+            .group_by(["term"])
+            .aggregate([("n", "sum")])
+        )
+        yield g.rename_columns(["term", "n"])
+
+    counts = keyed_reagg(
+        docs.map_batches(term_partial, batch_format="pyarrow"),
+        ["term"], [("n", "sum")], P,
+    ).take_all()  # vocab-bounded: ≤ distinct-terms rows
+    ranked = sorted(counts, key=lambda r: (-r["n"], r["term"]))
+    vocab = pa.array([r["term"] for r in ranked[:OOV_VOCAB_K]], pa.string())
+
+    def score(t: pa.Table):
+        if len(t) == 0 or "lang" not in t.schema.names:
+            return
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t.column("text")), pattern=r"\s+"
+        )
+        arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offsets = arr.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offsets)
+        langs = np.repeat(
+            np.asarray(t.column("lang").to_pylist(), dtype=object), lens
+        )
+        terms = arr.values
+        keep = pc.not_equal(terms, "").to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return
+        langs = langs[keep]
+        inv = pc.is_in(terms.filter(pa.array(keep)), value_set=vocab)
+        oov = (~inv.to_numpy(zero_copy_only=False)).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "lang": pa.array(langs.tolist(), pa.string()),
+                    "tokens": pa.array(np.ones(len(langs), np.int64)),
+                    "oov_tokens": pa.array(oov),
+                }
+            )
+            .group_by(["lang"])
+            .aggregate([("tokens", "sum"), ("oov_tokens", "sum")])
+        )
+        yield g.rename_columns(["lang", "tokens", "oov_tokens"])
+
+    agg = keyed_reagg(
+        docs.map_batches(score, batch_format="pyarrow"),
+        ["lang"], [("tokens", "sum"), ("oov_tokens", "sum")], 4,
+    )
+
+    def fin(t: pa.Table):
+        if t.num_rows == 0 or "tokens" not in t.schema.names:
+            return
+        tok = t.column("tokens").to_numpy(zero_copy_only=False).astype(np.float64)
+        ov = t.column("oov_tokens").to_numpy(zero_copy_only=False).astype(np.float64)
+        yield t.append_column("oov_rate", pa.array(ov / tok, pa.float64()))
+
+    return agg.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+VOCAB_OOV_RATE_SQL = rf"""
+WITH tok AS (
+  SELECT lang,
+    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> '')) AS term
+  FROM documents
+),
+cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY term),
+voc AS (SELECT term FROM cnt ORDER BY n DESC, term LIMIT {OOV_VOCAB_K})
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS tokens,
+  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS oov_tokens,
+  CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+FROM tok LEFT JOIN voc v USING (term) GROUP BY lang
+"""

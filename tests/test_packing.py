@@ -137,3 +137,46 @@ def test_doc_chunks_windows(tmp_path):
             start = c * CHUNK_STRIDE
             want.append((d, c, start, min(n - start, CHUNK_LEN)))
     assert got == sorted(want)
+
+
+def test_holdout_contamination_planted(tmp_path):
+    """Planted cross-split duplicates must be counted: pick doc_ids
+    whose splitmix64 hash lands in train vs test, give a train/test
+    pair identical canonical text (differing only in case/punct), and
+    check (n_test, n_contaminated) per source."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayrank.packing import (
+        SPLIT_TRAIN_T,
+        SPLIT_VAL_T,
+        holdout_contamination,
+    )
+    from rayrank.sketch import splitmix64
+
+    ids = np.arange(0, 4000, dtype=np.uint64)
+    z = splitmix64(ids)
+    train_ids = ids[z < np.uint64(SPLIT_TRAIN_T)][:3].astype(np.int64)
+    test_ids = ids[z >= np.uint64(SPLIT_VAL_T)][:3].astype(np.int64)
+    assert len(train_ids) == 3 and len(test_ids) == 3
+
+    # test doc 0 duplicates train doc 0 modulo canonicalization;
+    # test doc 1 duplicates train doc 1 exactly; test doc 2 is clean
+    rows = {
+        "doc_id": np.r_[train_ids, test_ids],
+        "text": [
+            "Hello, World!", "same exact text", "unique train three",
+            "hello    world", "same exact text", "clean test doc",
+        ],
+        "source": ["a", "a", "a", "a", "b", "b"],
+    }
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+
+    got = {
+        r["source"]: (r["n_test"], r["n_contaminated"])
+        for r in holdout_contamination(str(d)).take_all()
+    }
+    assert got == {"a": (1, 1), "b": (2, 1)}
