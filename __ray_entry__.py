@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenizer_fertility": pl.tokenizer_fertility,
         "vocab_oov_rate": _terms().vocab_oov_rate,
         "holdout_contamination": _packmod().holdout_contamination,
+        "component_quotient_edges": pl.component_quotient_edges,
         "nation_year_rollup": _an().nation_year_rollup,
         "nation_year_cube": _an().nation_year_cube,
         "event_value_stats": _an().event_value_stats,
@@ -963,6 +964,49 @@ sk3{sfx} AS (SELECT {pre}{_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB
 hh{sfx} AS (SELECT {pre}xor(z, z // 2147483648) AS z FROM sk3{sfx})"""
 
 
+def _component_quotient_sql() -> str:
+    """Quotient graph of the strong-tie contraction: min-label CC over
+    the mult>=QUOTIENT_MIN_MULT undirected subgraph (self-loops keep
+    singletons labeled by their own name), then every distinct full
+    und edge re-keyed to (comp_a, comp_b) supernode pairs and counted
+    (rayrank.pipelines.component_quotient_edges)."""
+    from rayrank.pipelines import QUOTIENT_MIN_MULT
+
+    return f"""
+WITH RECURSIVE
+raw AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+fe AS (
+  SELECT LEAST(s, t) AS u, GREATEST(s, t) AS v, COUNT(*) AS n
+  FROM raw WHERE s <> t GROUP BY 1, 2
+),
+und2 AS (
+  SELECT u AS a, v AS b FROM fe WHERE n >= {QUOTIENT_MIN_MULT}
+  UNION ALL SELECT v, u FROM fe WHERE n >= {QUOTIENT_MIN_MULT}
+  UNION ALL SELECT v, v FROM verts
+),
+lab(it, v, l) AS (
+  SELECT 0, v, v FROM verts
+  UNION ALL
+  SELECT lab.it + 1, e.b, MIN(lab.l)
+  FROM lab JOIN und2 e ON lab.v = e.a
+  WHERE lab.it < {_CC_ITERS}
+  GROUP BY lab.it + 1, e.b
+),
+fin AS (SELECT v, l FROM lab WHERE it = {_CC_ITERS}),
+q AS (
+  SELECT LEAST(lu.l, lv.l) AS ca, GREATEST(lu.l, lv.l) AS cb
+  FROM fe JOIN fin lu ON lu.v = fe.u JOIN fin lv ON lv.v = fe.v
+  WHERE lu.l <> lv.l
+)
+SELECT ca AS comp_a, cb AS comp_b, CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM q GROUP BY 1, 2
+"""
+
+
 def _holdout_contamination_sql() -> str:
     """Exact-match decontamination audit: test-split docs (splitmix64
     hash range) whose RE2 canonical form appears among train-split
@@ -1682,6 +1726,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _pl().TOKENIZER_FERTILITY_SQL,
         "vocab_oov_rate": _terms().VOCAB_OOV_RATE_SQL,
         "holdout_contamination": _holdout_contamination_sql(),
+        "component_quotient_edges": _component_quotient_sql(),
         "nation_year_rollup": _an().NATION_YEAR_ROLLUP_SQL,
         "nation_year_cube": _an().NATION_YEAR_CUBE_SQL,
         "event_value_stats": _an().EVENT_VALUE_STATS_SQL,

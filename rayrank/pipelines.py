@@ -2239,3 +2239,131 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs,
   CAST(SUM(tok) AS DOUBLE) / CAST(SUM(ch) AS DOUBLE) AS fertility
 FROM s GROUP BY lang
 """
+
+
+QUOTIENT_MIN_MULT = 2
+
+
+def component_quotient_edges(sf_dir: str) -> ray.data.Dataset:
+    """(comp_a, comp_b, n_edges) — graph contraction: vertices are
+    collapsed into the connected components of the STRONG-TIE subgraph
+    (undirected lineitem pairs with raw multiplicity ≥
+    ``QUOTIENT_MIN_MULT``), then every distinct full-graph edge is
+    re-expressed between supernodes and counted; intra-supernode edges
+    vanish.  This is the coarsening step of multilevel partitioning /
+    community summarization — the quotient graph is what a 100-TB
+    engine would actually iterate on after contraction.  Component ids
+    are min member NAMES (canonical_components), so the SQL oracle's
+    min-label CTE produces identical ids; vertices outside the strong
+    subgraph stay singletons via left-join + coalesce to their own
+    name.  Scale shape: ONE keyed count builds the distinct und edge
+    set (shared by subgraph and quotient), the contraction itself is
+    the engine's distributed CC, and the relabel is two hash joins on
+    the bounded label table."""
+    from .components import canonical_components, connected_components
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    def und_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        g = (
+            pa.table(
+                {
+                    "u": pa.array(np.minimum(s, d)),
+                    "v": pa.array(np.maximum(s, d)),
+                    "n": pa.array(np.ones(len(s), np.int64)),
+                }
+            )
+            .group_by(["u", "v"])
+            .aggregate([("n", "sum")])
+        )
+        yield g.rename_columns(["u", "v", "n"])
+
+    und = keyed_reagg(
+        sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
+        ["u", "v"], [("n", "sum")], P,
+    ).materialize()  # distinct und edges + multiplicity, reused twice
+
+    def strong_names(t: pa.Table):
+        if t.num_rows == 0 or "n" not in t.schema.names:
+            return
+        t = t.filter(pc.greater_equal(t.column("n"), QUOTIENT_MIN_MULT))
+        if t.num_rows == 0:
+            return
+        yield pa.table(
+            {
+                "src_name": pc.cast(t.column("u"), pa.string()),
+                "dst_name": pc.cast(t.column("v"), pa.string()),
+            }
+        )
+
+    gdir = tempfile.mkdtemp(prefix="rayrank_quotient_")
+    build_graph(
+        und.map_batches(strong_names, batch_format="pyarrow"),
+        gdir, num_partitions=P, undirected=True,
+    )
+    labels = canonical_components(connected_components(gdir), gdir)
+
+    def as_names(t: pa.Table):
+        if t.num_rows == 0 or "u" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "un": pc.cast(t.column("u"), pa.string()),
+                "vn": pc.cast(t.column("v"), pa.string()),
+            }
+        )
+
+    full = und.map_batches(as_names, batch_format="pyarrow")
+    j1 = join_auto(
+        full, labels, on=("un",), right_on=("name",),
+        how="left_outer", num_partitions=P,
+    )
+
+    def lab1(t: pa.Table):
+        if t.num_rows == 0 or "component" not in t.schema.names:
+            return
+        ca = pc.coalesce(t.column("component"), t.column("un"))
+        yield pa.table({"ca": ca, "vn": t.column("vn")})
+
+    j2 = join_auto(
+        j1.map_batches(lab1, batch_format="pyarrow"),
+        labels, on=("vn",), right_on=("name",),
+        how="left_outer", num_partitions=P,
+    )
+
+    def quot(t: pa.Table):
+        if t.num_rows == 0 or "ca" not in t.schema.names:
+            return
+        ca = t.column("ca")
+        cb = pc.coalesce(t.column("component"), t.column("vn"))
+        keep = pc.invert(pc.equal(ca, cb))
+        lo = pc.min_element_wise(ca, cb)
+        hi = pc.max_element_wise(ca, cb)
+        g = (
+            pa.table(
+                {
+                    "comp_a": lo.filter(keep),
+                    "comp_b": hi.filter(keep),
+                    "n_edges": pa.array(
+                        np.ones(int(pc.sum(keep).as_py() or 0), np.int64)
+                    ),
+                }
+            )
+            .group_by(["comp_a", "comp_b"])
+            .aggregate([("n_edges", "sum")])
+        )
+        if g.num_rows:
+            yield g.rename_columns(["comp_a", "comp_b", "n_edges"])
+
+    return keyed_reagg(
+        j2.map_batches(quot, batch_format="pyarrow"),
+        ["comp_a", "comp_b"], [("n_edges", "sum")], P,
+    )
