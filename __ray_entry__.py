@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_oov_rate": _terms().vocab_oov_rate,
         "holdout_contamination": _packmod().holdout_contamination,
         "component_quotient_edges": pl.component_quotient_edges,
+        "global_transitivity": pl.global_transitivity,
+        "ego_network_edges": pl.ego_network_edges,
         "nation_year_rollup": _an().nation_year_rollup,
         "nation_year_cube": _an().nation_year_cube,
         "event_value_stats": _an().event_value_stats,
@@ -964,6 +966,45 @@ sk3{sfx} AS (SELECT {pre}{_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB
 hh{sfx} AS (SELECT {pre}xor(z, z // 2147483648) AS z FROM sk3{sfx})"""
 
 
+def _ego_network_sql() -> str:
+    """Radius-EGO_RADIUS induced subgraph of the EGO_SEEDS_K smallest
+    vertex names: bounded multi-seed min-plus BFS CTE, then the
+    distinct canonical edge set semi-joined into the ball on both
+    endpoints (rayrank.pipelines.ego_network_edges)."""
+    from rayrank.pipelines import EGO_RADIUS, EGO_SEEDS_K
+
+    return f"""
+WITH RECURSIVE
+raw AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+  )
+),
+seed AS (SELECT v FROM verts ORDER BY v LIMIT {EGO_SEEDS_K}),
+bfs(it, v, d) AS (
+  SELECT 0, v, CAST(0 AS BIGINT) FROM seed
+  UNION ALL
+  SELECT bfs.it + 1, e.b, MIN(bfs.d) + 1
+  FROM bfs JOIN und e ON bfs.v = e.a
+  WHERE bfs.it < {EGO_RADIUS}
+  GROUP BY bfs.it + 1, e.b
+),
+ball AS (SELECT v FROM bfs GROUP BY v HAVING MIN(d) <= {EGO_RADIUS}),
+fe AS (
+  SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b
+  FROM raw WHERE s <> t
+)
+SELECT fe.a, fe.b
+FROM fe JOIN ball b1 ON b1.v = fe.a JOIN ball b2 ON b2.v = fe.b
+"""
+
+
 def _component_quotient_sql() -> str:
     """Quotient graph of the strong-tie contraction: min-label CC over
     the mult>=QUOTIENT_MIN_MULT undirected subgraph (self-loops keep
@@ -1727,6 +1768,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_oov_rate": _terms().VOCAB_OOV_RATE_SQL,
         "holdout_contamination": _holdout_contamination_sql(),
         "component_quotient_edges": _component_quotient_sql(),
+        "global_transitivity": _pl().GLOBAL_TRANSITIVITY_SQL,
+        "ego_network_edges": _ego_network_sql(),
         "nation_year_rollup": _an().NATION_YEAR_ROLLUP_SQL,
         "nation_year_cube": _an().NATION_YEAR_CUBE_SQL,
         "event_value_stats": _an().EVENT_VALUE_STATS_SQL,

@@ -2367,3 +2367,146 @@ def component_quotient_edges(sf_dir: str) -> ray.data.Dataset:
         j2.map_batches(quot, batch_format="pyarrow"),
         ["comp_a", "comp_b"], [("n_edges", "sum")], P,
     )
+
+
+def global_transitivity(sf_dir: str) -> pa.Table:
+    """(triangles, wedges, transitivity) — the global clustering
+    coefficient 3·T/W of the triangle-bearing undirected graph, where
+    W = Σ_v C(deg(v), 2) counts open+closed wedges.  The one-number
+    connectivity-quality summary (how much of the neighborhood
+    structure closes into triangles).  Triangles ride the existing
+    shard kernel; degrees are block-local counts on the part=src%Q
+    layout re-summed by ONE keyed re-agg (reader block splits can
+    split a src across blocks); the wedge fold is Python-int exact and
+    order-independent; the ratio is ONE double division mirrored in
+    the oracle."""
+    from .graph import load_edges
+    from .shuffle import keyed_reagg
+    from .triangles import triangle_count
+
+    gdir = _graph(sf_dir, "tri")
+    tri = triangle_count(gdir)
+
+    def deg_block(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        g = t.select(["src"]).group_by(["src"]).aggregate([([], "count_all")])
+        yield g.rename_columns(["src", "degree"])
+
+    deg = keyed_reagg(
+        load_edges(gdir).map_batches(deg_block, batch_format="pyarrow"),
+        ["src"], [("degree", "sum")], P,
+    )
+
+    def wedge_fold(t: pa.Table):
+        if t.num_rows == 0 or "degree" not in t.schema.names:
+            return
+        d = t.column("degree").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {"w": pa.array([sum(int(x) * (int(x) - 1) // 2 for x in d)], pa.int64())}
+        )
+
+    wedges = sum(
+        r["w"]
+        for r in deg.map_batches(
+            wedge_fold, batch_size=None, batch_format="pyarrow"
+        ).take_all()
+    )
+    return pa.table(
+        {
+            "triangles": pa.array([tri], pa.int64()),
+            "wedges": pa.array([wedges], pa.int64()),
+            "transitivity": pa.array(
+                [float(3 * tri) / float(wedges)], pa.float64()
+            ),
+        }
+    )
+
+
+GLOBAL_TRANSITIVITY_SQL = """
+WITH raw AS (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem),
+und AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM raw WHERE a <> b
+),
+deg AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und) GROUP BY x
+),
+w AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS wedges FROM deg),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+  FROM und e1 JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT t.triangles, w.wedges,
+  CAST(3 * t.triangles AS DOUBLE) / CAST(w.wedges AS DOUBLE) AS transitivity
+FROM t, w
+"""
+
+
+EGO_SEEDS_K = 4
+EGO_RADIUS = 2
+
+
+def ego_network_edges(sf_dir: str) -> ray.data.Dataset:
+    """(a, b) — the radius-``EGO_RADIUS`` ego network of the
+    ``EGO_SEEDS_K`` lexicographically-smallest vertices on the
+    undirected lineitem graph: all distinct edges whose BOTH endpoints
+    lie within ``EGO_RADIUS`` hops of the seed set (the induced-
+    subgraph extraction every graph-exploration / debugging workflow
+    needs — pull a neighborhood out of a 100-TB graph without touching
+    the rest).  Multi-source BFS rides the unchanged gather_min shard
+    kernel (one run, K seeds at distance 0); the ball membership then
+    prunes the distinct edge set via two semi-joins (broadcast under
+    the small-side limit, keyed otherwise)."""
+    from .bfs import bfs, reachable_depths, smallest_vertex_names
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    gdir = _graph(sf_dir, "undirected")
+    seeds = smallest_vertex_names(gdir, EGO_SEEDS_K)
+    res = bfs(gdir, seeds, max_iterations=EGO_RADIUS)
+    depths = reachable_depths(res, gdir)
+
+    def ball_names(t: pa.Table):
+        if t.num_rows == 0 or "depth" not in t.schema.names:
+            return
+        t = t.filter(pc.less_equal(t.column("depth"), EGO_RADIUS))
+        if t.num_rows:
+            yield t.select(["name"])
+
+    ball = depths.map_batches(ball_names, batch_format="pyarrow")
+
+    def und_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        # canonical order on NAMES (lexicographic), matching SQL LEAST
+        sn = pc.cast(pa.array(s), pa.string())
+        dn = pc.cast(pa.array(d), pa.string())
+        g = (
+            pa.table(
+                {
+                    "a": pc.min_element_wise(sn, dn),
+                    "b": pc.max_element_wise(sn, dn),
+                }
+            )
+            .group_by(["a", "b"])
+            .aggregate([])
+        )
+        yield g.rename_columns(["a", "b"])
+
+    und = keyed_reagg(
+        sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
+        ["a", "b"], [], P,
+    )
+    j1 = join_auto(und, ball, on=("a",), right_on=("name",), how="semi",
+                   num_partitions=P)
+    return join_auto(j1, ball, on=("b",), right_on=("name",), how="semi",
+                     num_partitions=P)
