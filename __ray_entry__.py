@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holdout_contamination": _packmod().holdout_contamination,
         "component_quotient_edges": pl.component_quotient_edges,
         "global_transitivity": pl.global_transitivity,
+        "bowtie_profile": pl.bowtie_profile,          # rows-only (SCC closure)
         "ego_network_edges": pl.ego_network_edges,
         "nation_year_rollup": _an().nation_year_rollup,
         "nation_year_cube": _an().nation_year_cube,

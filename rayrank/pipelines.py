@@ -2510,3 +2510,132 @@ def ego_network_edges(sf_dir: str) -> ray.data.Dataset:
                    num_partitions=P)
     return join_auto(j1, ball, on=("b",), right_on=("name",), how="semi",
                      num_partitions=P)
+
+
+# --------------------------------------------------------------------------
+# bow-tie decomposition (Broder et al. 2000 web-graph macro-structure)
+# --------------------------------------------------------------------------
+
+
+@ray.remote
+def _label_count_part(ref) -> pa.Table:
+    vals = np.asarray(ref, np.int64)
+    labs, counts = np.unique(vals, return_counts=True)
+    return pa.table({"label": labs, "n": counts.astype(np.int64)})
+
+
+@ray.remote
+def _giant_locals_part(ref, giant: int) -> np.ndarray:
+    return np.flatnonzero(np.asarray(ref, np.int64) == giant).astype(np.int64)
+
+
+@ray.remote
+def _bowtie_count_part(lab_ref, f_ref, r_ref, giant: int, inf: int) -> np.ndarray:
+    lab = np.asarray(lab_ref, np.int64)
+    f = np.asarray(f_ref, np.int64)
+    r = np.asarray(r_ref, np.int64)
+    scc_m = lab == giant
+    out_m = ~scc_m & (f < inf)
+    in_m = ~scc_m & ~out_m & (r < inf)
+    other = ~(scc_m | out_m | in_m)
+    return np.array(
+        [scc_m.sum(), in_m.sum(), out_m.sum(), other.sum()], np.int64
+    )
+
+
+def bowtie_regions(fwd_dir: str, rev_dir: str) -> pa.Table:
+    """(region, n) — Broder bow-tie macro-structure of a directed
+    graph: SCC = the largest strongly connected component (ties: min
+    label vid), IN = vertices reaching the SCC but not in it, OUT =
+    vertices reached from the SCC, OTHER = tendrils + disconnected.
+    The canonical 100-TB web-graph census.
+
+    Fully distributed: SCC rides the existing trim+color shard loop;
+    the giant pick is per-partition (label, n) partials → keyed re-agg
+    → block-local top-1 → ONE coalesced top-1 (the driver never holds
+    the label vector); IN/OUT are two multi-source BFS runs seeded
+    in-place from the giant's per-partition local indices (no name
+    list ships through the driver); the census is Q int-quadruples."""
+    from .graph import GraphMeta
+    from .iterate import iterate_labels
+    from .scc import scc
+    from .shards import INF_DIST, create_shards
+    from .shuffle import keyed_reagg
+
+    meta = GraphMeta.load(os.path.join(fwd_dir, "meta.json"))
+    Q = meta.Q
+    res = scc(fwd_dir, rev_dir)
+
+    # giant SCC label: distributed sizes + pre-truncate/coalesce top-1
+    sizes = keyed_reagg(
+        ray.data.from_arrow_refs(
+            [_label_count_part.remote(ref) for ref in res.part_refs]
+        ),
+        ["label"], [("n", "sum")], P,
+    )
+
+    def top1(t: pa.Table):
+        if t.num_rows == 0 or "n" not in t.schema.names:
+            return
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        i = np.lexsort((lab, -n))[:1]
+        yield t.take(pa.array(i))
+
+    g = (
+        sizes.map_batches(top1, batch_size=None, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(top1, batch_size=None, batch_format="pyarrow")
+        .take_all()
+    )
+    giant = int(g[0]["label"])
+
+    seed_locs = [
+        _giant_locals_part.remote(ref, giant) for ref in res.part_refs
+    ]
+
+    def run_bfs(gdir: str) -> list:
+        shards = create_shards(gdir, GraphMeta.load(os.path.join(gdir, "meta.json")))
+
+        def init(sh):
+            ray.get(
+                [s.init_dists.remote(seed_locs[q]) for q, s in enumerate(sh)]
+            )
+
+        r = iterate_labels(
+            gdir, gather_method="gather_min",
+            reduce_method="reduce_min_plus1", max_iterations=200,
+            shards=shards, algo_name="bowtie_bfs", init_fn=init,
+        )
+        for sh in shards:
+            ray.kill(sh)
+        return r.part_refs
+
+    f_refs = run_bfs(fwd_dir)   # reached FROM the giant -> OUT
+    r_refs = run_bfs(rev_dir)   # reaching the giant -> IN
+
+    counts = sum(
+        ray.get(
+            [
+                _bowtie_count_part.remote(
+                    res.part_refs[q], f_refs[q], r_refs[q], giant, INF_DIST
+                )
+                for q in range(Q)
+            ]
+        )
+    )
+    return pa.table(
+        {
+            "region": pa.array(["scc", "in", "out", "other"], pa.string()),
+            "n": pa.array([int(x) for x in counts], pa.int64()),
+        }
+    )
+
+
+def bowtie_profile(sf_dir: str) -> pa.Table:
+    """Bow-tie census of the cyclic order↔part lineitem graph
+    (scc_edges) — see :func:`bowtie_regions`.  Rows-only driver check
+    (reachability closure is not bounded-SQL-expressible, same as
+    strongly_connected_components); pytest pins exactness vs a
+    networkx reachability oracle."""
+    return bowtie_regions(_graph(sf_dir, "scc"), _graph(sf_dir, "scc_rev"))

@@ -88,3 +88,59 @@ def test_acyclic_graph_all_singletons(tmp_path):
 def test_random_multigraphs(tmp_path, seed, n, m):
     edges = random_edge_list(seed, n, m)
     assert engine_partition(edges, tmp_path) == nx_partition(edges)
+
+
+def _nx_bowtie(edges) -> dict[str, int]:
+    import networkx as nx
+
+    G = nx.DiGraph()
+    G.add_edges_from(edges)
+    sccs = sorted(
+        nx.strongly_connected_components(G), key=len, reverse=True
+    )
+    giant = max(sccs, key=len)
+    assert sum(1 for c in sccs if len(c) == len(giant)) == 1, (
+        "fixture must have a unique largest SCC (engine ties break by vid)"
+    )
+    member = next(iter(giant))
+    fwd = nx.descendants(G, member) | giant
+    rev = nx.ancestors(G, member) | giant
+    n_scc = len(giant)
+    n_out = len(fwd - giant)
+    n_in = len(rev - fwd)
+    n_other = G.number_of_nodes() - n_scc - n_out - n_in
+    return {"scc": n_scc, "in": n_in, "out": n_out, "other": n_other}
+
+
+def test_bowtie_handbuilt(tmp_path):
+    """Core 3-cycle, IN chain, OUT chain, tendril off IN, and a
+    disconnected 2-cycle — every bow-tie region populated."""
+    from rayrank.pipelines import bowtie_regions
+
+    edges = [
+        ("c1", "c2"), ("c2", "c3"), ("c3", "c1"),      # giant SCC
+        ("i1", "c1"), ("i0", "i1"),                    # IN chain
+        ("c3", "o1"), ("o1", "o2"),                    # OUT chain
+        ("i0", "t1"),                                  # tendril (other)
+        ("d1", "d2"), ("d2", "d1"),                    # disconnected SCC
+    ]
+    fwd, rev = build_pair(edges, tmp_path)
+    got = {
+        r["region"]: r["n"]
+        for r in bowtie_regions(fwd, rev).to_pylist()
+    }
+    assert got == _nx_bowtie(edges)
+
+
+@pytest.mark.parametrize("seed,n,m", [(3, 40, 90), (12, 60, 110)])
+def test_bowtie_random_matches_networkx(tmp_path, seed, n, m):
+    from rayrank.pipelines import bowtie_regions
+
+    edges = random_edge_list(seed, n, m)
+    want = _nx_bowtie(edges)
+    fwd, rev = build_pair(edges, tmp_path, Q=3)
+    got = {
+        r["region"]: r["n"]
+        for r in bowtie_regions(fwd, rev).to_pylist()
+    }
+    assert got == want
