@@ -120,6 +120,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_quotient_edges": pl.component_quotient_edges,
         "global_transitivity": pl.global_transitivity,
         "bowtie_profile": pl.bowtie_profile,          # rows-only (SCC closure)
+        "densest_subgraph": _truss().densest_subgraph,  # rows-only (fixpoint)
+        "node2vec_walks": pl.node2vec_walks,
+        "lp_modularity": pl.lp_modularity,            # rows-only (LP vid space)
+        "hyperanf_nf": pl.hyperanf_nf,                # rows-only (probabilistic)
         "ego_network_edges": pl.ego_network_edges,
         "nation_year_rollup": _an().nation_year_rollup,
         "nation_year_cube": _an().nation_year_cube,
@@ -967,6 +971,66 @@ sk3{sfx} AS (SELECT {pre}{_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB
 hh{sfx} AS (SELECT {pre}xor(z, z // 2147483648) AS z FROM sk3{sfx})"""
 
 
+def _node2vec_sql() -> str:
+    """Unrolled biased second-order walks: per step, candidate weights
+    by CASE (return / distance-1 / distance-2), windowed cumulative
+    weight, threshold = splitmix64(cur*16+step) mod total via the
+    carry CTE, first rank past the threshold wins
+    (rayrank.pipelines.node2vec_walks)."""
+    from rayrank.pipelines import (
+        N2V_STEPS,
+        N2V_W_COMMON,
+        N2V_W_FAR,
+        N2V_W_RET,
+    )
+
+    parts = [
+        """raw AS (SELECT l_orderkey AS s, l_partkey AS t FROM lineitem),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+  )
+),
+adj AS (
+  SELECT a, ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) - 1 AS rn, b
+  FROM und
+),
+w0 AS (SELECT DISTINCT a AS seed, a AS prev, a AS cur FROM und)"""
+    ]
+    sel = ["SELECT seed, CAST(0 AS BIGINT) AS step, cur AS vertex FROM w0"]
+    for st in range(1, N2V_STEPS + 1):
+        parts.append(
+            f"""cand{st} AS (
+  SELECT w.seed, w.cur AS pn, ad.rn, ad.b AS nxt,
+    CASE WHEN ad.b = w.prev THEN {N2V_W_RET}
+         WHEN m.a IS NOT NULL THEN {N2V_W_COMMON}
+         ELSE {N2V_W_FAR} END AS wt
+  FROM w{st - 1} w
+  JOIN adj ad ON ad.a = w.cur
+  LEFT JOIN und m ON m.a = ad.b AND m.b = w.prev
+),
+cum{st} AS (
+  SELECT seed, pn, rn, nxt, wt,
+    SUM(wt) OVER (PARTITION BY seed ORDER BY rn) AS cw,
+    SUM(wt) OVER (PARTITION BY seed) AS tw
+  FROM cand{st}
+),{_sm64_carry_cte(f"(SELECT seed, cur * 16 + {st} AS x FROM w{st - 1})", ["seed"], f"n{st}")},
+w{st} AS (
+  SELECT seed, pn AS prev, nxt AS cur FROM (
+    SELECT c.seed, c.pn, c.nxt,
+      ROW_NUMBER() OVER (PARTITION BY c.seed ORDER BY c.rn) AS k
+    FROM cum{st} c JOIN hhn{st} h ON h.seed = c.seed
+    WHERE CAST(c.cw AS HUGEINT) > h.z % CAST(c.tw AS HUGEINT)
+  ) WHERE k = 1
+)"""
+        )
+        sel.append(
+            f"SELECT seed, CAST({st} AS BIGINT) AS step, cur AS vertex FROM w{st}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel)
+
+
 def _ego_network_sql() -> str:
     """Radius-EGO_RADIUS induced subgraph of the EGO_SEEDS_K smallest
     vertex names: bounded multi-seed min-plus BFS CTE, then the
@@ -1771,6 +1835,7 @@ def oracle_sql() -> dict[str, str]:
         "component_quotient_edges": _component_quotient_sql(),
         "global_transitivity": _pl().GLOBAL_TRANSITIVITY_SQL,
         "ego_network_edges": _ego_network_sql(),
+        "node2vec_walks": _node2vec_sql(),
         "nation_year_rollup": _an().NATION_YEAR_ROLLUP_SQL,
         "nation_year_cube": _an().NATION_YEAR_CUBE_SQL,
         "event_value_stats": _an().EVENT_VALUE_STATS_SQL,

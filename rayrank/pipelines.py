@@ -2607,8 +2607,11 @@ def bowtie_regions(fwd_dir: str, rev_dir: str) -> pa.Table:
             reduce_method="reduce_min_plus1", max_iterations=200,
             shards=shards, algo_name="bowtie_bfs", init_fn=init,
         )
-        for sh in shards:
-            ray.kill(sh)
+        # force the label snapshots into the object store BEFORE the
+        # actor handles drop (an eager ray.kill here lost queued
+        # get_labels tasks -> ActorDiedError in the census tasks);
+        # scope-drop termination is graceful and objects persist
+        ray.wait(r.part_refs, num_returns=len(r.part_refs))
         return r.part_refs
 
     f_refs = run_bfs(fwd_dir)   # reached FROM the giant -> OUT
@@ -2639,3 +2642,290 @@ def bowtie_profile(sf_dir: str) -> pa.Table:
     strongly_connected_components); pytest pins exactness vs a
     networkx reachability oracle."""
     return bowtie_regions(_graph(sf_dir, "scc"), _graph(sf_dir, "scc_rev"))
+
+
+N2V_STEPS = 3
+N2V_W_RET = 4    # b == prev       (return,   1/p with p = 1/2, scaled ×2)
+N2V_W_COMMON = 2  # edge(b, prev)  (distance-1 neighbor, weight 1 ×2)
+N2V_W_FAR = 1    # otherwise       (distance-2 hop, 1/q with q = 2, ×2)
+
+
+def node2vec_walks(sf_dir: str, steps: int = N2V_STEPS) -> ray.data.Dataset:
+    """Biased second-order (node2vec) walks on the undirected lineitem
+    graph — random_walks' corpus generator upgraded with the
+    return/in-out bias (p = 1/2, q = 2): from context (prev → cur) the
+    neighbor b of cur is drawn with integer weight ``N2V_W_RET`` when
+    b = prev, ``N2V_W_COMMON`` when (b, prev) is an edge, else
+    ``N2V_W_FAR``.  The draw is the engine's deterministic-hash rule:
+    threshold = splitmix64(cur·16 + step) mod Σw, pick the first
+    neighbor (ascending-b adjacency rank) whose cumulative weight
+    exceeds it — a pure function of the graph, bit-identically
+    replayed by the unrolled SQL oracle.  Walkers start with
+    prev = cur = seed, which makes step 1 uniform through the SAME
+    kernel (every candidate is a neighbor of prev ⇒ all weights
+    N2V_W_COMMON).
+
+    Output: (seed, step, vertex) for step 0..``steps``, one walk per
+    vertex.  Scale shape: the ranked adjacency and the marked edge
+    table are materialized once (edge-bounded); each step is one
+    adjacency join (Σdeg candidate rows — the documented random_walks
+    trade), one left-outer mark join, and ONE seed-keyed repartition
+    whose block-local segmented cumsum+pick is fully vectorized."""
+    from .joins import join_auto
+    from .sketch import splitmix64
+
+    P2 = 16
+
+    def und_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        g = pa.table(
+            {"a": pa.array(np.r_[s, d]), "b": pa.array(np.r_[d, s])}
+        ).group_by(["a", "b"]).aggregate([])
+        yield g.rename_columns(["a", "b"])
+
+    und = sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow")
+    mid = und.repartition(P2, keys=["a"])
+
+    def rank_adj(t: pa.Table):
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        uniq = np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+        a_s, b_s = a_s[uniq], b_s[uniq]
+        starts = np.flatnonzero(np.r_[True, a_s[1:] != a_s[:-1]])
+        d = np.diff(np.r_[starts, len(a_s)])
+        yield pa.table(
+            {
+                "a": pa.array(a_s),
+                "rn": pa.array(_seg_arange(d)),
+                "b": pa.array(b_s),
+            }
+        )
+
+    adj = mid.map_batches(
+        rank_adj, batch_size=None, batch_format="pyarrow"
+    ).materialize()
+
+    def to_mark(t: pa.Table):
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "x": t.column("a"),
+                "y": t.column("b"),
+                "m": pa.array(np.ones(len(t), np.int64)),
+            }
+        )
+
+    undm = adj.map_batches(to_mark, batch_format="pyarrow").materialize()
+
+    def seed0(t: pa.Table):
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return
+        g = t.select(["a"]).group_by(["a"]).aggregate([])
+        g = g.rename_columns(["a"])
+        yield pa.table(
+            {"seed": g.column("a"), "prev": g.column("a"), "cur": g.column("a")}
+        )
+
+    walkers = adj.map_batches(seed0, batch_size=None, batch_format="pyarrow")
+
+    def snapshot(s: int):
+        def fn(t: pa.Table):
+            if t.num_rows == 0 or "seed" not in t.schema.names:
+                return
+            yield pa.table(
+                {
+                    "seed": t.column("seed"),
+                    "step": pa.array(np.full(len(t), s, np.int64)),
+                    "vertex": t.column("cur"),
+                }
+            )
+        return fn
+
+    out = walkers.map_batches(snapshot(0), batch_format="pyarrow")
+    for s in range(1, steps + 1):
+        cand = join_auto(walkers, adj, on=("cur",), right_on=("a",),
+                         num_partitions=P2)
+        marked = join_auto(
+            cand, undm, on=("b", "prev"), right_on=("x", "y"),
+            how="left_outer", num_partitions=P2,
+        ).repartition(P2, keys=["seed"])
+
+        def advance(t: pa.Table, _s=s):
+            if t.num_rows == 0 or "rn" not in t.schema.names:
+                return
+            seed = t.column("seed").to_numpy(zero_copy_only=False)
+            prev = t.column("prev").to_numpy(zero_copy_only=False)
+            cur = t.column("cur").to_numpy(zero_copy_only=False)
+            rn = t.column("rn").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            m = pc.fill_null(t.column("m"), 0).to_numpy(zero_copy_only=False)
+            order = np.lexsort((rn, seed))
+            seed, prev, cur, rn, b, m = (
+                seed[order], prev[order], cur[order], rn[order], b[order],
+                m[order],
+            )
+            wt = np.where(
+                b == prev, N2V_W_RET,
+                np.where(m == 1, N2V_W_COMMON, N2V_W_FAR),
+            ).astype(np.int64)
+            starts = np.flatnonzero(np.r_[True, seed[1:] != seed[:-1]])
+            lens = np.diff(np.r_[starts, len(seed)])
+            cw = np.cumsum(wt)
+            seg_base = np.repeat(np.r_[0, cw[starts[1:] - 1]], lens)
+            cw = cw - seg_base
+            tot = cw[np.r_[starts[1:] - 1, len(cw) - 1]]  # last of each seg
+            with np.errstate(over="ignore"):
+                z = splitmix64(
+                    cur[starts].astype(np.uint64) * np.uint64(16)
+                    + np.uint64(_s)
+                )
+            thr = (z % tot.astype(np.uint64)).astype(np.int64)
+            mask = cw > np.repeat(thr, lens)
+            pos = np.arange(len(cw))
+            first = np.minimum.reduceat(np.where(mask, pos, len(cw)), starts)
+            yield pa.table(
+                {
+                    "seed": pa.array(seed[starts]),
+                    "prev": pa.array(cur[starts]),
+                    "cur": pa.array(b[first]),
+                }
+            )
+
+        walkers = marked.map_batches(
+            advance, batch_size=None, batch_format="pyarrow"
+        ).materialize()
+        out = out.union(
+            walkers.map_batches(snapshot(s), batch_format="pyarrow")
+        )
+    return out
+
+
+def lp_modularity(sf_dir: str) -> pa.Table:
+    """(communities, m_edges, modularity) — Newman modularity of the
+    10-round label-propagation partition on the undirected lineitem
+    graph: the quality score that tells a pipeline owner whether the
+    LP communities are real before acting on them.  Q = (2m·Σintra_c −
+    Σd_c²) / 4m² restated over integers (d_c² exceeds int64 ⇒
+    Python-int fold over the |C|-bounded reduced table; ONE double
+    conversion), so the distributed result is deterministic.  Label
+    lookup per endpoint is two vid-keyed joins against the bounded
+    label table; per-community partials ride one keyed re-agg.
+    Rows-only driver check (LP labels live in vid space); pytest pins
+    the value against networkx.community.modularity on the SAME
+    partition."""
+    from .graph import GraphMeta, load_edges
+    from .joins import join_auto
+    from .labelprop import label_propagation
+    from .shuffle import keyed_reagg
+
+    gdir = _graph(sf_dir, "undirected")
+    return _modularity_of(gdir, label_propagation(gdir, max_iterations=10))
+
+
+def _modularity_of(gdir: str, lp) -> pa.Table:
+    from .graph import GraphMeta, load_edges
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    meta = GraphMeta.load(os.path.join(gdir, "meta.json"))
+    m = meta.nnz // 2  # und dir stores each pair in both directions
+
+    lab = lp.labels_dataset(gdir).select_columns(["vid", "label"])
+
+    def slim(t: pa.Table):
+        if t.num_rows == 0 or "src" not in t.schema.names:
+            return
+        yield t.select(["src", "dst"])
+
+    e = load_edges(gdir).map_batches(slim, batch_format="pyarrow")
+    j1 = join_auto(e, lab, on=("src",), right_on=("vid",), num_partitions=P)
+
+    def r1(t: pa.Table):
+        if t.num_rows == 0 or "label" not in t.schema.names:
+            return
+        yield pa.table({"ls": t.column("label"), "dst": t.column("dst")})
+
+    j2 = join_auto(
+        j1.map_batches(r1, batch_format="pyarrow"), lab,
+        on=("dst",), right_on=("vid",), num_partitions=P,
+    )
+
+    def partial(t: pa.Table):
+        if t.num_rows == 0 or "ls" not in t.schema.names:
+            return
+        ls = t.column("ls").to_numpy(zero_copy_only=False)
+        ld = t.column("label").to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "label": pa.array(ls),
+                    "d": pa.array(np.ones(len(ls), np.int64)),
+                    "intra": pa.array((ls == ld).astype(np.int64)),
+                }
+            )
+            .group_by(["label"])
+            .aggregate([("d", "sum"), ("intra", "sum")])
+        )
+        yield g.rename_columns(["label", "d", "intra"])
+
+    per_c = keyed_reagg(
+        j2.map_batches(partial, batch_format="pyarrow"),
+        ["label"], [("d", "sum"), ("intra", "sum")], P,
+    )
+
+    def fold(t: pa.Table):
+        if t.num_rows == 0 or "d" not in t.schema.names:
+            return
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        i = t.column("intra").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "c": pa.array([len(d)], pa.int64()),
+                # intra rows are directed (both copies) -> Σintra_c = 2·Σe_c
+                "a2": pa.array([sum(int(x) for x in i)], pa.int64()),
+                "b": pa.array([str(sum(int(x) * int(x) for x in d))], pa.string()),
+            }
+        )
+
+    C = A2 = 0
+    B = 0
+    for r in per_c.map_batches(
+        fold, batch_size=None, batch_format="pyarrow"
+    ).take_all():
+        C += r["c"]
+        A2 += r["a2"]
+        B += int(r["b"])  # d_c² sums exceed int64 -> string transport
+    # Q = Σ e_c/m − Σ (d_c/2m)² with Σe_c = A2/2:
+    #   = (2m·A2/2 − B) / 4m² = (m·A2 − B) / 4m²
+    q = float(m * A2 - B) / float(4 * m * m)
+    return pa.table(
+        {
+            "communities": pa.array([C], pa.int64()),
+            "m_edges": pa.array([m], pa.int64()),
+            "modularity": pa.array([q], pa.float64()),
+        }
+    )
+
+
+def hyperanf_nf(sf_dir: str) -> pa.Table:
+    """HyperANF neighborhood function on the undirected lineitem graph
+    (see rayrank.hyperanf) — (t, n_pairs_est, frac_of_final) up to the
+    register fixpoint.  Rows-only driver check (probabilistic
+    estimate); pytest pins the registers AND the estimate fold
+    bit-exactly against a numpy mirror, plus a loose accuracy band vs
+    exact BFS ball sizes."""
+    from .hyperanf import hyperanf
+
+    return hyperanf(_graph(sf_dir, "undirected"))

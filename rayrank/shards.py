@@ -634,6 +634,103 @@ class CsrShard:
         return changed
 
     # ------------------------------------------------------------------
+    # HyperANF (per-vertex HyperLogLog registers, Boldi-Vigna style)
+    # ------------------------------------------------------------------
+    # 16 registers × 4 bits packed into the resident int64 label, so
+    # the whole label machinery (checkpoints, zip_names, part_refs)
+    # reuses unchanged.  Rank caps at 15 — honest for per-register
+    # cardinalities up to ~10^6·16 balls; widen the packing (2 words
+    # per vertex) beyond that.  Merge = register-wise max, which the
+    # gather/reduce pair computes nibble-wise on uint8 views.
+
+    @staticmethod
+    def _hll_nibbles(packed: np.ndarray):
+        b = packed.view(np.uint8).reshape(-1, 8)
+        return b >> 4, b & np.uint8(0xF)
+
+    @staticmethod
+    def _hll_pack(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+        return (
+            ((hi << 4) | lo).astype(np.uint8).copy().view(np.int64).ravel()
+        )
+
+    def init_hll(self) -> None:
+        """Register init from splitmix64(vid): low 4 bits pick the
+        register, rank = trailing-zero count of the remaining bits + 1
+        (capped 15)."""
+        from .sketch import splitmix64
+
+        vid = (
+            np.arange(self.s_p, dtype=np.int64) * self.Q + self.p
+        ).astype(np.uint64)
+        z = splitmix64(vid)
+        j = (z & np.uint64(15)).astype(np.int64)
+        rest = z >> np.uint64(4)
+        with np.errstate(over="ignore"):
+            lowbit = rest & (np.uint64(0) - rest)
+        with np.errstate(divide="ignore"):
+            tz = np.where(
+                rest == 0, 60.0, np.log2(lowbit.astype(np.float64))
+            )
+        rho = np.minimum(tz.astype(np.int64) + 1, 15).astype(np.uint8)
+        regs = np.zeros((self.s_p, 16), np.uint8)
+        regs[np.arange(self.s_p), j] = rho
+        hi, lo = regs[:, 1::2], regs[:, 0::2]  # byte k = regs 2k|2k+1
+        self.labels = self._hll_pack(
+            hi.astype(np.uint8), lo.astype(np.uint8)
+        )
+
+    def gather_bytemax(self):
+        """Per-destination register-wise max of source HLL states."""
+        if len(self.w) == 0:
+            return self._unwrap1(
+                tuple(
+                    (self.out_local[q], np.empty(0, np.int64))
+                    for q in range(self.Q)
+                )
+            )
+        hi, lo = self._hll_nibbles(self.labels[self.src_l])
+        n_seg = len(self.seg)
+        mhi = np.empty((n_seg, 8), np.uint8)
+        mlo = np.empty((n_seg, 8), np.uint8)
+        for c in range(8):
+            mhi[:, c] = np.maximum.reduceat(hi[:, c], self.seg)
+            mlo[:, c] = np.maximum.reduceat(lo[:, c], self.seg)
+        maxs = self._hll_pack(mhi, mlo)
+        return self._unwrap1(
+            tuple((self.out_local[q], maxs[self.route[q]]) for q in range(self.Q))
+        )
+
+    def reduce_bytemax(self, *parts) -> int:
+        new = self.labels.copy()
+        hi, lo = self._hll_nibbles(new)
+        for idx, vals in parts:
+            if len(idx):
+                vhi, vlo = self._hll_nibbles(np.asarray(vals, np.int64))
+                ii = np.asarray(idx, np.int64)
+                np.maximum.at(hi, ii, vhi)
+                np.maximum.at(lo, ii, vlo)
+        new = self._hll_pack(hi, lo)
+        changed = int(np.count_nonzero(new != self.labels))
+        self.labels = new
+        return changed
+
+    def hll_ball_sum(self) -> float:
+        """Σ over resident vertices of the HLL ball-size estimate
+        (α₁₆·m²/Σ2^(−r), small-range correction m·ln(m/V) when
+        E ≤ 2.5m and zero registers exist) — one float per partition,
+        folded in fixed q order on the driver."""
+        hi, lo = self._hll_nibbles(self.labels)
+        regs = np.empty((self.s_p, 16), np.uint8)
+        regs[:, 1::2], regs[:, 0::2] = hi, lo
+        denom = np.ldexp(1.0, -regs.astype(np.int64)).sum(axis=1)
+        est = 0.673 * 256.0 / denom
+        v0 = (regs == 0).sum(axis=1)
+        small = (est <= 40.0) & (v0 > 0)
+        est[small] = 16.0 * np.log(16.0 / v0[small])
+        return float(est.sum())
+
+    # ------------------------------------------------------------------
     # strongly connected components (trim + forward-label coloring peel)
     # ------------------------------------------------------------------
 

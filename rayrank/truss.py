@@ -1073,3 +1073,110 @@ SELECT CAST(SUM(m) AS BIGINT) AS wedges,
        CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS butterflies
 FROM w
 """
+
+
+# --------------------------------------------------------------------------
+# densest subgraph (Charikar peel, parallel 2(1+eps)-approximation)
+# --------------------------------------------------------------------------
+
+DSG_NUM, DSG_DEN = 5, 4  # (1 + eps) = 5/4  ->  eps = 1/4
+
+
+def densest_subgraph_edges(edges: ray.data.Dataset) -> pa.Table:
+    """(rounds, best_round, n_vertices, n_edges, density) — the
+    parallel Charikar peel on a distinct undirected edge Dataset:
+    each round removes EVERY vertex whose degree ≤ (1+ε)·avg-degree,
+    the classic 2(1+ε)-approximation of the densest subgraph (max
+    average degree) in O(log n / ε) rounds — the dense-community
+    extractor that, unlike a sequential min-degree peel, parallelizes.
+
+    The threshold test is exact integer cross-multiplication
+    (DSG_DEN·d·V > DSG_NUM·2E), so the peel is deterministic; density
+    comparisons across rounds cross-multiply too (no float until the
+    one reported double).  Each round is a degree re-agg + a two-sided
+    semi-join against the shrinking keep set, materialized per round
+    (the k_truss peel precedent — round count is log-bounded)."""
+    best = (0, 1, 0, 0)  # (2E, V, round, E) with 2E/V compared exactly
+    cur = edges.materialize()
+    rounds = 0
+    while True:
+        n_e = cur.count()
+        if n_e == 0:
+            break
+
+        def both(t: pa.Table):
+            if t.num_rows == 0 or "u" not in t.schema.names:
+                return
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            g = (
+                pa.table(
+                    {
+                        "x": pa.array(np.r_[u, v]),
+                        "d": pa.array(np.ones(2 * len(u), np.int64)),
+                    }
+                )
+                .group_by(["x"])
+                .aggregate([("d", "sum")])
+            )
+            yield g.rename_columns(["x", "d"])
+
+        deg = keyed_reagg(
+            cur.map_batches(both, batch_format="pyarrow"),
+            ["x"], [("d", "sum")], P,
+        ).materialize()
+        n_v = deg.count()
+        rounds += 1
+        # exact density compare: 2E/V vs best  <=>  2E·V_b > 2E_b·V
+        if 2 * n_e * best[1] > best[0] * n_v:
+            best = (2 * n_e, n_v, rounds, n_e)
+
+        # keep iff DEN·d·V > NUM·2E  <=>  d > (NUM·2E)//(DEN·V): the
+        # floor-div restatement keeps the wide product in Python ints
+        # (the Q11 overflow rule — d·V would exceed int64 at web scale)
+        thr = (DSG_NUM * 2 * n_e) // (DSG_DEN * n_v)
+
+        def keepers(t: pa.Table):
+            if t.num_rows == 0 or "d" not in t.schema.names:
+                # typed zero-row table: an all-filtered round must not
+                # lose the schema (breaks the downstream semi-join)
+                yield pa.table({"x": pa.array([], pa.int64())})
+                return
+            d = t.column("d").to_numpy(zero_copy_only=False)
+            m = d > thr
+            yield pa.table({"x": t.column("x").filter(pa.array(m))})
+
+        keep = deg.map_batches(keepers, batch_size=None, batch_format="pyarrow")
+        j1 = join_auto(cur, keep, on=("u",), right_on=("x",), how="semi",
+                       num_partitions=P)
+        cur = join_auto(j1, keep, on=("v",), right_on=("x",), how="semi",
+                        num_partitions=P).materialize()
+
+    if best[2] == 0:
+        return pa.table(
+            {
+                "rounds": pa.array([rounds], pa.int64()),
+                "best_round": pa.array([0], pa.int64()),
+                "n_vertices": pa.array([0], pa.int64()),
+                "n_edges": pa.array([0], pa.int64()),
+                "density": pa.array([0.0], pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "rounds": pa.array([rounds], pa.int64()),
+            "best_round": pa.array([best[2]], pa.int64()),
+            "n_vertices": pa.array([best[1]], pa.int64()),
+            "n_edges": pa.array([best[3]], pa.int64()),
+            "density": pa.array([float(best[0]) / float(best[1])], pa.float64()),
+        }
+    )
+
+
+def densest_subgraph(sf_dir: str) -> pa.Table:
+    """Charikar peel over the triangle-bearing graph — see
+    :func:`densest_subgraph_edges`.  Rows-only driver check (an
+    adaptive-threshold fixpoint loop is not single-query SQL); pytest
+    pins the exact peel trace vs a numpy mirror AND the 2(1+ε)
+    guarantee vs brute-force enumeration on small graphs."""
+    return densest_subgraph_edges(_canonical_edges(sf_dir))

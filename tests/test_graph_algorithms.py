@@ -242,3 +242,44 @@ def test_partitioned_encode_equivalent(tmp_path, monkeypatch):
 
     assert edge_set(d_b) == edge_set(d_p)
     assert len(edge_set(d_b)) > 0
+
+
+def test_lp_modularity_matches_networkx(tmp_path):
+    """Modularity of the engine's own LP partition must equal
+    networkx.community.modularity on the same partition (exact
+    integer restatement, allclose only for the final double)."""
+    import networkx as nx
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from oracle import random_edge_list
+    from rayrank.graph import build_graph, derive_undirected
+    from rayrank.labelprop import label_propagation
+    from rayrank.pipelines import _modularity_of
+
+    edges = random_edge_list(14, 50, 140)
+    ddir, udir = str(tmp_path / "d"), str(tmp_path / "u")
+    t = pa.table(
+        {
+            "src_name": pa.array([s for s, _ in edges], pa.string()),
+            "dst_name": pa.array([d for _, d in edges], pa.string()),
+        }
+    )
+    build_graph(ray.data.from_arrow(t), ddir, num_partitions=4)
+    derive_undirected(ddir, udir)
+
+    lp = label_propagation(udir, max_iterations=10)
+    got = _modularity_of(udir, lp).to_pylist()[0]
+
+    G = nx.Graph()
+    for s, d in edges:
+        if s != d:
+            G.add_edge(s, d)
+    by_label: dict[int, set] = {}
+    for nm, lb in lp.labels_by_name(udir).items():
+        by_label.setdefault(lb, set()).add(nm)
+    want = nx.community.modularity(G, list(by_label.values()))
+    assert got["communities"] == len(by_label)
+    assert got["m_edges"] == G.number_of_edges()
+    assert got["modularity"] == pytest.approx(want, abs=1e-12)

@@ -99,3 +99,92 @@ def test_maximal_matching_equals_sequential_greedy():
     matched = set(used)
     for a, b in edges:  # maximal: no free edge remains
         assert a in matched or b in matched
+
+
+def _peel_mirror(edges: set[tuple[int, int]]):
+    """Sequential mirror of the parallel Charikar peel (same integer
+    threshold rule) — returns (rounds, best_round, V, E, 2E, V)."""
+    from rayrank.truss import DSG_DEN, DSG_NUM
+
+    cur = set(edges)
+    best = (0, 1, 0, 0)
+    rounds = 0
+    while cur:
+        deg = {}
+        for u, v in cur:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        n_e, n_v = len(cur), len(deg)
+        rounds += 1
+        if 2 * n_e * best[1] > best[0] * n_v:
+            best = (2 * n_e, n_v, rounds, n_e)
+        thr = (DSG_NUM * 2 * n_e) // (DSG_DEN * n_v)
+        keep = {x for x, d in deg.items() if d > thr}
+        cur = {(u, v) for u, v in cur if u in keep and v in keep}
+    return rounds, best
+
+
+def _edges_ds(edges):
+    import pyarrow as pa
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([u for u, _ in edges], pa.int64()),
+                "v": pa.array([v for _, v in edges], pa.int64()),
+            }
+        )
+    )
+
+
+@pytest.mark.parametrize("seed,n,m", [(5, 30, 80), (9, 50, 200)])
+def test_densest_subgraph_matches_mirror(seed, n, m):
+    import numpy as np
+
+    from rayrank.truss import densest_subgraph_edges
+
+    rng = np.random.RandomState(seed)
+    edges = set()
+    while len(edges) < m:
+        a, b = rng.randint(0, n, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    got = densest_subgraph_edges(_edges_ds(sorted(edges))).to_pylist()[0]
+    rounds, best = _peel_mirror(edges)
+    assert got["rounds"] == rounds
+    assert got["best_round"] == best[2]
+    assert got["n_vertices"] == best[1]
+    assert got["n_edges"] == best[3]
+    assert got["density"] == best[0] / best[1]
+
+
+def test_densest_subgraph_approx_guarantee():
+    """2(1+eps) guarantee vs brute-force max average degree on small
+    random graphs: 2E/V >= rho* / (2 * 5/4), compared exactly."""
+    import itertools
+
+    import numpy as np
+
+    from rayrank.truss import DSG_DEN, DSG_NUM, densest_subgraph_edges
+
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        n = 9
+        edges = set()
+        while len(edges) < 16:
+            a, b = rng.randint(0, n, 2)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        got = densest_subgraph_edges(_edges_ds(sorted(edges))).to_pylist()[0]
+        # brute force rho* as an exact fraction (2E_S, |S|)
+        best_num, best_den = 0, 1
+        for k in range(1, n + 1):
+            for sub in itertools.combinations(range(n), k):
+                ss = set(sub)
+                es = sum(1 for u, v in edges if u in ss and v in ss)
+                if 2 * es * best_den > best_num * len(ss):
+                    best_num, best_den = 2 * es, len(ss)
+        # density >= rho*/(2(1+eps)):  got2E/V * 2*NUM/DEN >= num/den
+        g2e, gv = got["n_edges"] * 2, got["n_vertices"]
+        assert g2e * 2 * DSG_NUM * best_den >= best_num * gv * DSG_DEN
