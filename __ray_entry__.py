@@ -124,6 +124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node2vec_walks": pl.node2vec_walks,
         "lp_modularity": pl.lp_modularity,            # rows-only (LP vid space)
         "hyperanf_nf": pl.hyperanf_nf,                # rows-only (probabilistic)
+        "bfs_tree_parents": pl.bfs_tree_parents,
+        "concurrent_orders": _an().concurrent_orders,
+        "entity_clusters": _tx().entity_clusters,
         "ego_network_edges": pl.ego_network_edges,
         "nation_year_rollup": _an().nation_year_rollup,
         "nation_year_cube": _an().nation_year_cube,
@@ -495,6 +498,66 @@ FROM (
 # it = dist(v); MIN(d) over all iterations is therefore the exact BFS
 # depth once it-bound ≥ diameter (6 at SF=0.1; bound 32).  Mirrors
 # rayrank.bfs min-plus relaxation on the CsrShard actors.
+# BFS tree extraction: depths from the min-name seed (the _BFS_SQL
+# recursion), parent = MIN name among neighbors one hop closer —
+# a total order, so the tree is unique (pipelines.bfs_tree_parents).
+# Entity resolution: edit-distance-1 match graph -> min-label CC ->
+# canonical entity ids; unmatched names stay themselves via the n
+# self-loops (text.entity_clusters).
+_ENTITY_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+n AS (SELECT DISTINCT p_name AS nm FROM part),
+pr AS (
+  SELECT a.nm AS x, b.nm AS y FROM n a, n b
+  WHERE a.nm < b.nm AND levenshtein(a.nm, b.nm) <= 1
+),
+und AS (
+  SELECT x AS a, y AS b FROM pr
+  UNION ALL SELECT y, x FROM pr
+  UNION ALL SELECT nm, nm FROM n
+),
+lab(it, v, l) AS (
+  SELECT 0, nm, nm FROM n
+  UNION ALL
+  SELECT lab.it + 1, e.b, MIN(lab.l)
+  FROM lab JOIN und e ON lab.v = e.a
+  WHERE lab.it < {_CC_ITERS}
+  GROUP BY lab.it + 1, e.b
+)
+SELECT v AS name, l AS entity FROM lab WHERE it = {_CC_ITERS}
+"""
+
+_BFS_TREE_SQL = f"""
+WITH RECURSIVE
+raw AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+  )
+),
+seed AS (SELECT MIN(v) AS v FROM verts),
+bfs(it, v, d) AS (
+  SELECT 0, v, CAST(0 AS BIGINT) FROM seed
+  UNION ALL
+  SELECT bfs.it + 1, e.b, MIN(bfs.d) + 1
+  FROM bfs JOIN und e ON bfs.v = e.a
+  WHERE bfs.it < {_CC_ITERS}
+  GROUP BY bfs.it + 1, e.b
+),
+dist AS (SELECT v AS name, MIN(d) AS depth FROM bfs GROUP BY v)
+SELECT e.b AS name, dv.depth, MIN(e.a) AS parent
+FROM und e
+JOIN dist du ON du.name = e.a
+JOIN dist dv ON dv.name = e.b
+WHERE du.depth = dv.depth - 1
+GROUP BY e.b, dv.depth
+"""
+
 _BFS_SQL = f"""
 WITH RECURSIVE
 raw AS (
@@ -1836,6 +1899,9 @@ def oracle_sql() -> dict[str, str]:
         "global_transitivity": _pl().GLOBAL_TRANSITIVITY_SQL,
         "ego_network_edges": _ego_network_sql(),
         "node2vec_walks": _node2vec_sql(),
+        "bfs_tree_parents": _BFS_TREE_SQL,
+        "concurrent_orders": _an().CONCURRENT_ORDERS_SQL,
+        "entity_clusters": _ENTITY_CLUSTERS_SQL,
         "nation_year_rollup": _an().NATION_YEAR_ROLLUP_SQL,
         "nation_year_cube": _an().NATION_YEAR_CUBE_SQL,
         "event_value_stats": _an().EVENT_VALUE_STATS_SQL,

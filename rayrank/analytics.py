@@ -3361,3 +3361,88 @@ SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
   CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
 FROM z GROUP BY bucket
 """
+
+
+# --------------------------------------------------------------------------
+# interval-overlap self-join (concurrent orders per customer)
+# --------------------------------------------------------------------------
+
+CONC_WINDOW_DAYS = 30
+
+
+def concurrent_orders(sf_dir: str) -> ray.data.Dataset:
+    """(c_custkey, n_pairs) — pairs of a customer's orders whose
+    ``CONC_WINDOW_DAYS``-day service windows overlap (|day₁ − day₂| ≤
+    W): the interval-overlap self-join every ops/billing pipeline
+    needs, done as a per-key sweep instead of the quadratic blow-up a
+    naive self-join produces.  One repartition co-locates each
+    customer; the block kernel sorts each group's day vector once and
+    counts window-mates with a vectorized searchsorted (O(n log n) per
+    group vs O(n²)); per-customer counts are exact ints."""
+    od = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "o_custkey" not in t.schema.names:
+            return
+        us = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        yield pa.table(
+            {
+                "c": t.column("o_custkey"),
+                "day": pa.array(us // 86_400_000_000),
+            }
+        )
+
+    co = od.map_batches(pre, batch_format="pyarrow").repartition(
+        P, keys=["c"]
+    )
+
+    def sweep(t: pa.Table):
+        if t.num_rows == 0 or "c" not in t.schema.names:
+            return
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, c))
+        c, day = c[order], day[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        lens = np.diff(np.r_[starts, len(c)])
+        # for each position i: mates = i − first index ≥ day[i] − W
+        lo = np.empty(len(day), np.int64)
+        for s, ln in zip(starts, lens):
+            seg = day[s:s + ln]
+            lo[s:s + ln] = np.searchsorted(
+                seg, seg - CONC_WINDOW_DAYS, side="left"
+            )
+        idx_in_seg = np.arange(len(day)) - np.repeat(starts, lens)
+        mates = idx_in_seg - lo
+        g = (
+            pa.table(
+                {
+                    "c_custkey": pa.array(c),
+                    "n_pairs": pa.array(mates.astype(np.int64)),
+                }
+            )
+            .group_by(["c_custkey"])
+            .aggregate([("n_pairs", "sum")])
+        )
+        out = g.rename_columns(["c_custkey", "n_pairs"])
+        out = out.filter(pc.greater(out.column("n_pairs"), 0))
+        if out.num_rows:
+            yield out
+
+    return co.map_batches(sweep, batch_size=None, batch_format="pyarrow")
+
+
+CONCURRENT_ORDERS_SQL = f"""
+WITH o AS (
+  SELECT o_custkey AS c, o_orderkey AS k,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+)
+SELECT a.c AS c_custkey, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM o a JOIN o b
+  ON a.c = b.c AND a.k < b.k
+  AND abs(a.day - b.day) <= {CONC_WINDOW_DAYS}
+GROUP BY a.c
+"""

@@ -2929,3 +2929,90 @@ def hyperanf_nf(sf_dir: str) -> pa.Table:
     from .hyperanf import hyperanf
 
     return hyperanf(_graph(sf_dir, "undirected"))
+
+
+def bfs_tree_parents(sf_dir: str) -> ray.data.Dataset:
+    """(name, depth, parent) — the canonical BFS tree from the
+    lexicographically-minimum vertex on the undirected lineitem graph:
+    parent = the min-NAME neighbor one hop closer to the root (a total
+    order, so the tree is deterministic and SQL-reproducible).  The
+    path/tree-extraction step that turns plain hop distances into
+    routable provenance (who discovered whom) — roots of spanning-tree
+    maintenance at scale.  Root row excluded (no parent).
+
+    Scale shape: depths ride the existing multi-source BFS shard
+    kernel; the parent pick is one edge⋈depth join per endpoint and a
+    (child)-keyed min re-agg — the same relabel shape as the quotient
+    operator, min over VARCHAR matching SQL's MIN."""
+    from .bfs import bfs, min_vertex_name, reachable_depths
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    gdir = _graph(sf_dir, "undirected")
+    seed = min_vertex_name(gdir)
+    depths = reachable_depths(bfs(gdir, [seed]), gdir)  # (name, depth)
+
+    def und_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        sn = pc.cast(pa.array(s), pa.string())
+        dn = pc.cast(pa.array(d), pa.string())
+        g = (
+            pa.table({"a": pa.concat_arrays([sn, dn]),
+                      "b": pa.concat_arrays([dn, sn])})
+            .group_by(["a", "b"])
+            .aggregate([])
+        )
+        yield g.rename_columns(["a", "b"])
+
+    und = keyed_reagg(
+        sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
+        ["a", "b"], [], P,
+    )
+    j1 = join_auto(und, depths, on=("a",), right_on=("name",),
+                   num_partitions=P)
+
+    def r1(t: pa.Table):
+        if t.num_rows == 0 or "depth" not in t.schema.names:
+            return
+        yield pa.table(
+            {"a": t.column("a"), "b": t.column("b"), "da": t.column("depth")}
+        )
+
+    j2 = join_auto(
+        j1.map_batches(r1, batch_format="pyarrow"), depths,
+        on=("b",), right_on=("name",), num_partitions=P,
+    )
+
+    def cand(t: pa.Table):
+        if t.num_rows == 0 or "da" not in t.schema.names:
+            return
+        da = t.column("da").to_numpy(zero_copy_only=False)
+        db = t.column("depth").to_numpy(zero_copy_only=False)
+        keep = pa.array(da == db - 1)
+        t2 = t.filter(keep)
+        if t2.num_rows == 0:
+            return
+        g = (
+            pa.table(
+                {
+                    "name": t2.column("b"),
+                    "depth": t2.column("depth"),
+                    "parent": t2.column("a"),
+                }
+            )
+            .group_by(["name", "depth"])
+            .aggregate([("parent", "min")])
+        )
+        yield g.rename_columns(["name", "depth", "parent"])
+
+    return keyed_reagg(
+        j2.map_batches(cand, batch_format="pyarrow"),
+        ["name", "depth"], [("parent", "min")], P,
+    )

@@ -167,3 +167,62 @@ def read_partitioned(out_dir: str, columns=None) -> ray.data.Dataset:
     if not paths:
         raise FileNotFoundError(f"no complete partitions under {out_dir}")
     return ray.data.read_parquet(paths, columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# compaction: many small part files -> size-targeted files
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_BYTES = 128 << 20  # the classic small-files remedy target
+
+
+def compact(
+    in_dir: str,
+    out_dir: str,
+    target_bytes: int = COMPACT_TARGET_BYTES,
+    columns=None,
+) -> dict:
+    """Rewrite a parquet directory (e.g. the accumulated output of many
+    incremental `resumable_write` runs) into ~``target_bytes`` files —
+    the table-maintenance pass every long-lived 100-TB dataset needs:
+    thousands of tiny part files destroy read parallelism planning and
+    metadata caches; compaction restores scan efficiency without
+    changing a row.
+
+    Streaming end to end: sizes come from file metadata (no data read
+    on the driver), the rewrite is ``read_parquet → repartition(k) →
+    write_parquet`` with k = ceil(bytes / target); the output commits
+    with the sink's marker discipline (tmp dir + _SUCCESS last) so a
+    crashed compaction never shadows the input.  Returns an audit dict
+    (files/bytes in, files out)."""
+    import glob as _glob
+
+    files = [
+        f
+        for f in _glob.glob(os.path.join(in_dir, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    if not files:
+        raise ValueError(f"no parquet files under {in_dir}")
+    total = sum(os.path.getsize(f) for f in files)
+    k = max(1, -(-total // target_bytes))
+
+    tmp = out_dir.rstrip("/") + ".inprogress"
+    if os.path.isdir(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    ds = ray.data.read_parquet(files, columns=columns)
+    ds.repartition(k).write_parquet(tmp)
+    os.replace(tmp, out_dir)
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write("")
+    n_out = len(
+        [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    )
+    return {
+        "files_in": len(files),
+        "bytes_in": int(total),
+        "files_out": n_out,
+        "target_bytes": int(target_bytes),
+    }

@@ -1114,3 +1114,73 @@ def lsh_candidate_jaccard(sf_dir: str) -> ray.data.Dataset:
         )
 
     return j2.map_batches(fin, batch_format="pyarrow")
+
+
+def entity_clusters(sf_dir: str) -> ray.data.Dataset:
+    """(name, entity) — entity resolution end to end: the fuzzy
+    (edit-distance-1) candidate pairs become an undirected match
+    graph, distributed connected components merge transitive matches
+    (a~b, b~c ⇒ one entity even when a,c differ by 2 edits), and each
+    name resolves to its component's min member NAME as the canonical
+    entity id.  Names with no fuzzy match stay their own entity
+    (anti-join + identity union — isolated vertices never enter the
+    graph).  This is the cluster step every dedup/ER pipeline runs on
+    top of pairwise matching; min-label canonicalization makes the SQL
+    oracle's recursive min-label CTE produce identical ids."""
+    import tempfile as _tf
+
+    from .components import canonical_components, connected_components
+    from .graph import build_graph
+    from .joins import join_auto
+    from .relational import _read
+    from .shuffle import keyed_reagg
+
+    pairs = fuzzy_name_pairs(sf_dir)
+
+    def as_edges(t: pa.Table):
+        if t.num_rows == 0 or "name_a" not in t.schema.names:
+            return
+        yield pa.table(
+            {"src_name": t.column("name_a"), "dst_name": t.column("name_b")}
+        )
+
+    gdir = _tf.mkdtemp(prefix="rayrank_entity_")
+    build_graph(
+        pairs.map_batches(as_edges, batch_format="pyarrow"),
+        gdir, num_partitions=NUM_PARTITIONS_DEFAULT, undirected=True,
+    )
+    labels = canonical_components(connected_components(gdir), gdir)
+
+    def rn(t: pa.Table):
+        if t.num_rows == 0 or "component" not in t.schema.names:
+            return
+        yield pa.table(
+            {"name": t.column("name"), "entity": t.column("component")}
+        )
+
+    matched = labels.map_batches(rn, batch_format="pyarrow")
+
+    def block_distinct(t: pa.Table):
+        if len(t) == 0:
+            return
+        g = t.select(["p_name"]).group_by(["p_name"]).aggregate([])
+        yield g.rename_columns(["name"])
+
+    names = keyed_reagg(
+        _read(sf_dir, "part", ["p_name"]).map_batches(
+            block_distinct, batch_format="pyarrow"
+        ),
+        ["name"], [], NUM_PARTITIONS_DEFAULT,
+    )
+    single = join_auto(
+        names, matched.select_columns(["name"]), on=("name",),
+        right_on=("name",), how="anti",
+        num_partitions=NUM_PARTITIONS_DEFAULT,
+    )
+
+    def ident(t: pa.Table):
+        if t.num_rows == 0 or "name" not in t.schema.names:
+            return
+        yield pa.table({"name": t.column("name"), "entity": t.column("name")})
+
+    return matched.union(single.map_batches(ident, batch_format="pyarrow"))

@@ -70,3 +70,40 @@ def test_with_part_deterministic_strings(tmp_path):
     }
     assert p1 == p2  # per-key routing is run-stable (block order isn't)
     assert all(0 <= x < 16 for x in p1.values())
+
+
+def test_compact_roundtrip(tmp_path):
+    """Compaction must reduce file count to the size target without
+    changing a row, and commit atomically (_SUCCESS last)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayrank.sinks import compact
+
+    src = tmp_path / "small"
+    src.mkdir()
+    rows = []
+    for i in range(40):  # 40 tiny files
+        t = pa.table(
+            {
+                "k": pa.array(np.arange(i * 50, (i + 1) * 50, dtype=np.int64)),
+                "v": pa.array(np.arange(50, dtype=np.int64) * i),
+            }
+        )
+        pq.write_table(t, str(src / f"f{i:03d}.parquet"))
+        rows += t.to_pylist()
+
+    out = tmp_path / "compacted"
+    audit = compact(str(src), str(out), target_bytes=1 << 30)
+    assert audit["files_in"] == 40
+    assert audit["files_out"] <= 2  # everything fits one target file
+    assert os.path.exists(out / "_SUCCESS")
+
+    got = sorted(
+        pq.read_table(str(out)).to_pylist(), key=lambda r: (r["k"], r["v"])
+    )
+    want = sorted(rows, key=lambda r: (r["k"], r["v"]))
+    assert got == want
