@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_entropy": rel.user_event_entropy,
         "media_decode_features": _mm().media_decode_features,
         "media_frame_sizes": _mm().media_frame_sizes,
+        "media_tile_fingerprints": _mm().media_tile_fingerprints,
         "table_profile": rel.table_profile,
         "benford_order_totals": rel.benford_order_totals,
         "hopping_distinct_users": pl.hopping_distinct_users,
@@ -1871,6 +1872,7 @@ def oracle_sql() -> dict[str, str]:
         "user_event_entropy": rel.USER_EVENT_ENTROPY_SQL,
         "media_decode_features": _mm().MEDIA_DECODE_FEATURES_SQL,
         "media_frame_sizes": _mm().MEDIA_FRAME_SIZES_SQL,
+        "media_tile_fingerprints": _mm().MEDIA_TILE_FINGERPRINTS_SQL,
         "table_profile": rel.TABLE_PROFILE_SQL,
         "benford_order_totals": rel.BENFORD_ORDER_TOTALS_SQL,
         "hopping_distinct_users": _pl().HOPPING_DISTINCT_USERS_SQL,

@@ -290,3 +290,82 @@ SELECT media_id, CAST(f AS BIGINT) AS frame,
     AS chunk_bytes
 FROM q
 """
+
+
+TILE_COUNT = 4
+
+
+class TileFingerprinter:
+    """Actor-pool tiling stage: split each document-backed payload into
+    ``tiles`` balanced codepoint ranges (start_i = ⌊i·L/n⌋ — identical
+    to SQL substring arithmetic) and fingerprint each tile with
+    sha256 — the patch-hash step of an image near-dup pipeline (a real
+    codec would tile pixel blocks; the boundaries/plumbing/output
+    layout here are the production shape).  One hasher per actor."""
+
+    def __init__(self, tiles: int = TILE_COUNT):
+        self.tiles = tiles
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, tile, chars, fp = [], [], [], []
+        for mid, text in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            L = len(text)
+            if L == 0:
+                continue
+            n = min(self.tiles, L)
+            for i in range(n):
+                a, b = i * L // n, (i + 1) * L // n
+                ids.append(mid)
+                tile.append(i)
+                chars.append(b - a)
+                fp.append(hashlib.sha256(text[a:b].encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "tile": pa.array(tile, pa.int64()),
+                "tile_chars": pa.array(chars, pa.int64()),
+                "fp": pa.array(fp, pa.string()),
+            }
+        )
+
+
+def media_tile_fingerprints(sf_dir: str) -> ray.data.Dataset:
+    """(media_id, tile, tile_chars, fp) over the document-backed media
+    corpus — see :class:`TileFingerprinter`.  Block-local, no shuffle;
+    the fingerprint table feeds tile-level dedup downstream."""
+    import os as _os
+
+    import ray.data as _rd
+
+    ds = _rd.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def rn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"media_id": t.column("doc_id"), "text": t.column("text")}
+        )
+
+    media = ds.map_batches(rn, batch_format="pyarrow")
+    return media.map_batches(
+        TileFingerprinter, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4), num_cpus=1,
+    )
+
+
+MEDIA_TILE_FINGERPRINTS_SQL = f"""
+WITH b AS (
+  SELECT doc_id AS media_id, text, LENGTH(text) AS L
+  FROM documents WHERE LENGTH(text) > 0
+),
+t AS (SELECT media_id, text, L, LEAST({TILE_COUNT}, L) AS n FROM b),
+u AS (SELECT media_id, text, L, n, unnest(range(n)) AS i FROM t)
+SELECT media_id, CAST(i AS BIGINT) AS tile,
+  CAST((i + 1) * L // n - i * L // n AS BIGINT) AS tile_chars,
+  sha256(substring(text, CAST(i * L // n + 1 AS BIGINT),
+                   CAST((i + 1) * L // n - i * L // n AS BIGINT))) AS fp
+FROM u
+"""
