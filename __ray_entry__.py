@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_tree_parents": pl.bfs_tree_parents,
         "concurrent_orders": _an().concurrent_orders,
         "entity_clusters": _tx().entity_clusters,
+        "mst_edges": pl.mst_edges,                    # rows-only (fixpoint)
         "ego_network_edges": pl.ego_network_edges,
         "nation_year_rollup": _an().nation_year_rollup,
         "nation_year_cube": _an().nation_year_cube,

@@ -3016,3 +3016,43 @@ def bfs_tree_parents(sf_dir: str) -> ray.data.Dataset:
         j2.map_batches(cand, batch_format="pyarrow"),
         ["name", "depth"], [("parent", "min")], P,
     )
+
+
+def mst_edges(sf_dir: str) -> ray.data.Dataset:
+    """(u, v, w) — minimum spanning forest of the undirected lineitem
+    graph under the strict edge order (w = pair multiplicity, u, v),
+    via distributed Borůvka rounds (rayrank.mst).  Rows-only driver
+    check (iterative contraction fixpoint); pytest compares the edge
+    SET exactly against networkx under the same composite weights
+    (unique by construction ⇒ the forest is unique)."""
+    from .mst import boruvka_forest
+    from .shuffle import keyed_reagg
+
+    def und_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        g = (
+            pa.table(
+                {
+                    "u": pa.array(np.minimum(s, d)),
+                    "v": pa.array(np.maximum(s, d)),
+                    "w": pa.array(np.ones(len(s), np.int64)),
+                }
+            )
+            .group_by(["u", "v"])
+            .aggregate([("w", "sum")])
+        )
+        yield g.rename_columns(["u", "v", "w"])
+
+    und = keyed_reagg(
+        sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
+        ["u", "v"], [("w", "sum")], P,
+    )
+    forest, _rounds = boruvka_forest(und)
+    return forest
