@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "concurrent_orders": _an().concurrent_orders,
         "entity_clusters": _tx().entity_clusters,
         "mst_edges": pl.mst_edges,                    # rows-only (fixpoint)
+        "edge_churn": _truss().edge_churn,
+        "transitivity_estimate": _truss().transitivity_estimate,
         "ego_network_edges": pl.ego_network_edges,
         "nation_year_rollup": _an().nation_year_rollup,
         "nation_year_cube": _an().nation_year_cube,
@@ -1096,6 +1098,43 @@ w{st} AS (
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel)
 
 
+def _transitivity_estimate_sql() -> str:
+    """Deterministic 1/MOD wedge sample: packed (center, n1, n2) key
+    through the splitmix chain, closure via the canonical edge join
+    (rayrank.truss.transitivity_estimate)."""
+    from rayrank.truss import WEDGE_SAMPLE_MOD
+
+    src = (
+        "(SELECT c * 4398046511104 + n1 * 2097152 + n2 AS x, n1, n2 "
+        "FROM w)"
+    )
+    return f"""
+WITH raw AS (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem),
+und AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM raw WHERE a <> b
+),
+adjq AS (SELECT u AS c, v AS n FROM und UNION ALL SELECT v, u FROM und),
+w AS (
+  SELECT a1.c, a1.n AS n1, a2.n AS n2
+  FROM adjq a1 JOIN adjq a2 ON a1.c = a2.c AND a1.n < a2.n
+),{_sm64_carry_cte(src, ["n1", "n2"], "wg")},
+s AS (
+  SELECT n1, n2 FROM hhwg WHERE z % {WEDGE_SAMPLE_MOD} = 0
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS sampled,
+    CAST(SUM(CASE WHEN e.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS closed
+  FROM s LEFT JOIN und e ON e.u = s.n1 AND e.v = s.n2
+)
+SELECT sampled, closed,
+  CASE WHEN sampled = 0 THEN 0.0
+       ELSE CAST(closed AS DOUBLE) / CAST(sampled AS DOUBLE) END AS est
+FROM agg
+"""
+
+
 def _ego_network_sql() -> str:
     """Radius-EGO_RADIUS induced subgraph of the EGO_SEEDS_K smallest
     vertex names: bounded multi-seed min-plus BFS CTE, then the
@@ -1904,6 +1943,8 @@ def oracle_sql() -> dict[str, str]:
         "node2vec_walks": _node2vec_sql(),
         "bfs_tree_parents": _BFS_TREE_SQL,
         "concurrent_orders": _an().CONCURRENT_ORDERS_SQL,
+        "edge_churn": _truss().EDGE_CHURN_SQL,
+        "transitivity_estimate": _transitivity_estimate_sql(),
         "entity_clusters": _ENTITY_CLUSTERS_SQL,
         "nation_year_rollup": _an().NATION_YEAR_ROLLUP_SQL,
         "nation_year_cube": _an().NATION_YEAR_CUBE_SQL,

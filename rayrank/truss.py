@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -1180,3 +1181,191 @@ def densest_subgraph(sf_dir: str) -> pa.Table:
     pins the exact peel trace vs a numpy mirror AND the 2(1+ε)
     guarantee vs brute-force enumeration on small graphs."""
     return densest_subgraph_edges(_canonical_edges(sf_dir))
+
+
+# --------------------------------------------------------------------------
+# edge churn between two graph snapshots (CDC on the edge set)
+# --------------------------------------------------------------------------
+
+CHURN_Y_OLD, CHURN_Y_NEW = 1996, 1997
+
+
+def edge_churn(sf_dir: str) -> ray.data.Dataset:
+    """(status, n_edges) — added / removed / kept distinct
+    supplier→part edges between the ``CHURN_Y_OLD`` and
+    ``CHURN_Y_NEW`` ship-year snapshots of the lineitem graph: the
+    graph-CDC audit a daily crawl pipeline runs before deciding
+    whether a delta refresh (pagerank.warm_start_parts) or a full
+    rebuild is warranted.  ZERO joins (the part_qty_snapshot_diff
+    pattern): one scan with year masks, per-block (s, p) partials
+    carrying max(in_old), max(in_new), ONE keyed re-agg, then a
+    3-row status fold."""
+    from .relational import _read
+
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey", "l_shipdate"])
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "l_suppkey" not in t.schema.names:
+            return
+        y = pc.year(t.column("l_shipdate")).to_numpy(zero_copy_only=False)
+        old = y == CHURN_Y_OLD
+        new = y == CHURN_Y_NEW
+        keep = old | new
+        if not keep.any():
+            return
+        g = (
+            pa.table(
+                {
+                    "s": t.column("l_suppkey").filter(pa.array(keep)),
+                    "p": t.column("l_partkey").filter(pa.array(keep)),
+                    "in_old": pa.array(old[keep].astype(np.int64)),
+                    "in_new": pa.array(new[keep].astype(np.int64)),
+                }
+            )
+            .group_by(["s", "p"])
+            .aggregate([("in_old", "max"), ("in_new", "max")])
+        )
+        yield g.rename_columns(["s", "p", "in_old", "in_new"])
+
+    pairs = keyed_reagg(
+        li.map_batches(pre, batch_format="pyarrow"),
+        ["s", "p"], [("in_old", "max"), ("in_new", "max")], P,
+    )
+
+    def fold(t: pa.Table):
+        if t.num_rows == 0 or "in_old" not in t.schema.names:
+            return
+        o = t.column("in_old").to_numpy(zero_copy_only=False) > 0
+        n = t.column("in_new").to_numpy(zero_copy_only=False) > 0
+        yield pa.table(
+            {
+                "status": pa.array(["kept", "removed", "added"], pa.string()),
+                "n_edges": pa.array(
+                    [int((o & n).sum()), int((o & ~n).sum()),
+                     int((~o & n).sum())], pa.int64(),
+                ),
+            }
+        )
+
+    out = pairs.map_batches(fold, batch_size=None, batch_format="pyarrow")
+    return keyed_reagg(out, ["status"], [("n_edges", "sum")], 1)
+
+
+EDGE_CHURN_SQL = f"""
+WITH e AS (
+  SELECT l_suppkey AS s, l_partkey AS p,
+    MAX(CASE WHEN year(l_shipdate) = {CHURN_Y_OLD} THEN 1 ELSE 0 END) AS in_old,
+    MAX(CASE WHEN year(l_shipdate) = {CHURN_Y_NEW} THEN 1 ELSE 0 END) AS in_new
+  FROM lineitem
+  WHERE year(l_shipdate) IN ({CHURN_Y_OLD}, {CHURN_Y_NEW})
+  GROUP BY 1, 2
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_edges FROM (
+  SELECT CASE WHEN in_old = 1 AND in_new = 1 THEN 'kept'
+              WHEN in_old = 1 THEN 'removed' ELSE 'added' END AS status
+  FROM e
+) GROUP BY status
+"""
+
+
+# --------------------------------------------------------------------------
+# wedge-sampling transitivity estimate (deterministic hash sample)
+# --------------------------------------------------------------------------
+
+WEDGE_SAMPLE_MOD = 16  # keep wedges with splitmix64(key) % MOD == 0
+
+
+def transitivity_estimate(sf_dir: str) -> pa.Table:
+    """(sampled, closed, est) — global transitivity estimated from a
+    deterministic 1/``WEDGE_SAMPLE_MOD`` hash sample of wedges instead
+    of the full Σ C(d,2) enumeration: the estimator a 100-TB graph
+    uses when exact wedge counting is the bottleneck (closed-wedge
+    fraction == 3T/W exactly in expectation).  The sample rule is a
+    pure function of the wedge (splitmix64 of the packed
+    (center, n1, n2) key, 21-bit fields with a loud guard), so the
+    run replays bit-identically at any cluster size AND in the SQL
+    oracle — sampling here is deterministic engineering, not RNG.
+    Only sampled wedges leave the block (the shuffle saving IS the
+    point); closure = one semi-join against the canonical edge set;
+    the estimate is ONE double division."""
+    from .sketch import splitmix64
+
+    edges = _canonical_edges(sf_dir).materialize()
+    mid = edges.map_batches(
+        lambda t: pa.table({"m": t.column("u"), "w2": t.column("v")})
+        if t.num_rows and "u" in t.schema.names
+        else pa.table({"m": pa.array([], pa.int64()), "w2": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+    def both_dirs(t: pa.Table):
+        if t.num_rows == 0 or "u" not in t.schema.names:
+            return
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {"c": pa.array(np.r_[u, v]), "n": pa.array(np.r_[v, u])}
+        )
+
+    adj = edges.map_batches(both_dirs, batch_format="pyarrow").repartition(
+        P, keys=["c"]
+    )
+
+    def wedges(t: pa.Table):
+        if t.num_rows == 0 or "c" not in t.schema.names:
+            return
+        from .pipelines import _seg_arange
+
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, c))
+        c, n = c[order], n[order]
+        uniq = np.r_[True, (c[1:] != c[:-1]) | (n[1:] != n[:-1])]
+        c, n = c[uniq], n[uniq]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        deg = np.diff(np.r_[starts, len(c)])
+        ok = deg >= 2
+        if not ok.any():
+            return
+        starts, deg = starts[ok], deg[ok]
+        vals = n[np.repeat(starts, deg) + _seg_arange(deg)]
+        cents = np.repeat(c[starts], deg)
+        seg_starts = np.r_[0, np.cumsum(deg)[:-1]]
+        tail = np.repeat(seg_starts + deg, deg) - np.arange(len(vals)) - 1
+        first = np.repeat(np.arange(len(vals)), tail)
+        if len(first) == 0:
+            return
+        second = first + _seg_arange(tail) + 1
+        cc = np.repeat(cents, tail)  # center per pair row
+        n1, n2 = vals[first], vals[second]
+        if max(int(cc.max()), int(n1.max()), int(n2.max())) >= (1 << 21):
+            raise ValueError(
+                "wedge sample key needs ids < 2^21; widen the packing"
+            )
+        key = (cc.astype(np.uint64) << np.uint64(42)) | (
+            n1.astype(np.uint64) << np.uint64(21)
+        ) | n2.astype(np.uint64)
+        pick = splitmix64(key) % np.uint64(WEDGE_SAMPLE_MOD) == 0
+        if not pick.any():
+            return
+        yield pa.table(
+            {"a": pa.array(n1[pick]), "b": pa.array(n2[pick])}
+        )
+
+    sampled_w = adj.map_batches(
+        wedges, batch_size=None, batch_format="pyarrow"
+    ).materialize()
+    n_sampled = sampled_w.count()
+    closed = join_auto(
+        sampled_w, mid, on=("a", "b"), right_on=("m", "w2"),
+        how="semi", num_partitions=P,
+    )
+    n_closed = closed.count()
+    est = float(n_closed) / float(n_sampled) if n_sampled else 0.0
+    return pa.table(
+        {
+            "sampled": pa.array([n_sampled], pa.int64()),
+            "closed": pa.array([n_closed], pa.int64()),
+            "est": pa.array([est], pa.float64()),
+        }
+    )
