@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mst_edges": pl.mst_edges,                    # rows-only (fixpoint)
         "edge_churn": _truss().edge_churn,
         "transitivity_estimate": _truss().transitivity_estimate,
+        "percolation_sweep": pl.percolation_sweep,
         "ego_network_edges": pl.ego_network_edges,
         "nation_year_rollup": _an().nation_year_rollup,
         "nation_year_cube": _an().nation_year_cube,
@@ -1098,6 +1099,48 @@ w{st} AS (
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sel)
 
 
+def _percolation_sweep_sql() -> str:
+    """Bond-percolation sweep: ONE splitmix chain over the packed
+    canonical pair, a filter + min-label CC CTE per rate, giant = max
+    component size (rayrank.pipelines.percolation_sweep)."""
+    from rayrank.pipelines import PERC_RATES
+
+    head = f"""
+WITH RECURSIVE
+rawi AS (SELECT l_orderkey AS s, l_partkey AS t FROM lineitem),
+und AS (
+  SELECT DISTINCT LEAST(s, t) AS u, GREATEST(s, t) AS v
+  FROM rawi WHERE s <> t
+),{_sm64_carry_cte('(SELECT u, v, u * 2147483648 + v AS x FROM und)', ['u', 'v'], 'pc')}"""
+    parts, sels = [], []
+    for r in PERC_RATES:
+        parts.append(f"""e{r} AS (
+  SELECT CAST(u AS VARCHAR) AS a, CAST(v AS VARCHAR) AS b
+  FROM hhpc WHERE z % 100 < {r}
+),
+v{r} AS (SELECT DISTINCT x FROM (SELECT a AS x FROM e{r} UNION ALL SELECT b FROM e{r})),
+u{r} AS (
+  SELECT a, b FROM e{r} UNION ALL SELECT b, a FROM e{r}
+  UNION ALL SELECT x, x FROM v{r}
+),
+lab{r}(it, v, l) AS (
+  SELECT 0, x, x FROM v{r}
+  UNION ALL
+  SELECT lab{r}.it + 1, e.b, MIN(lab{r}.l)
+  FROM lab{r} JOIN u{r} e ON lab{r}.v = e.a
+  WHERE lab{r}.it < {_CC_ITERS}
+  GROUP BY lab{r}.it + 1, e.b
+)""")
+        sels.append(
+            f"SELECT CAST({r} AS BIGINT) AS rate_pct, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM e{r}) AS n_edges, "
+            f"(SELECT CAST(MAX(c) AS BIGINT) FROM ("
+            f"SELECT COUNT(*) AS c FROM lab{r} WHERE it = {_CC_ITERS} "
+            f"GROUP BY l)) AS giant_size"
+        )
+    return head + ",\n" + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
+
+
 def _transitivity_estimate_sql() -> str:
     """Deterministic 1/MOD wedge sample: packed (center, n1, n2) key
     through the splitmix chain, closure via the canonical edge join
@@ -1945,6 +1988,7 @@ def oracle_sql() -> dict[str, str]:
         "concurrent_orders": _an().CONCURRENT_ORDERS_SQL,
         "edge_churn": _truss().EDGE_CHURN_SQL,
         "transitivity_estimate": _transitivity_estimate_sql(),
+        "percolation_sweep": _percolation_sweep_sql(),
         "entity_clusters": _ENTITY_CLUSTERS_SQL,
         "nation_year_rollup": _an().NATION_YEAR_ROLLUP_SQL,
         "nation_year_cube": _an().NATION_YEAR_CUBE_SQL,

@@ -3056,3 +3056,118 @@ def mst_edges(sf_dir: str) -> ray.data.Dataset:
     )
     forest, _rounds = boruvka_forest(und)
     return forest
+
+
+PERC_RATES = (20, 40, 60, 80)  # percent of edges kept
+
+
+def percolation_sweep(sf_dir: str) -> ray.data.Dataset:
+    """(rate_pct, n_edges, giant_size) — bond-percolation sweep of the
+    undirected lineitem graph: at each rate the distinct edge set is
+    thinned by the deterministic splitmix64 rule (hash of the packed
+    canonical pair % 100 < rate) and the giant connected component is
+    measured — the robustness/threshold curve a link-graph owner reads
+    before trusting connectivity-dependent algorithms on partial
+    crawls.  Sampling is a pure function of the edge (replays at any
+    cluster size and in SQL); each rate reuses the engine's CC kernel;
+    the giant pick is the distributed top-1 fold (never a driver-side
+    label vector).  Vertex set per rate = endpoints of surviving edges
+    (isolated vertices are not 'components of size 1' here — mirrored
+    in the oracle)."""
+    from .components import connected_components
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+    from .sketch import splitmix64
+
+    def und_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        if max(int(u.max()), int(v.max())) >= (1 << 31):
+            raise ValueError("percolation pair key needs ids < 2^31")
+        g = (
+            pa.table({"u": pa.array(u), "v": pa.array(v)})
+            .group_by(["u", "v"])
+            .aggregate([])
+        )
+        yield g.rename_columns(["u", "v"])
+
+    und = keyed_reagg(
+        sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
+        ["u", "v"], [], P,
+    ).materialize()
+
+    rows = []
+    for rate in PERC_RATES:
+        def sample(t: pa.Table, _r=rate):
+            if t.num_rows == 0 or "u" not in t.schema.names:
+                return
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            key = (u.astype(np.uint64) << np.uint64(31)) | v.astype(np.uint64)
+            pick = splitmix64(key) % np.uint64(100) < _r
+            if not pick.any():
+                return
+            yield pa.table(
+                {
+                    "src_name": pc.cast(pa.array(u[pick]), pa.string()),
+                    "dst_name": pc.cast(pa.array(v[pick]), pa.string()),
+                }
+            )
+
+        kept = und.map_batches(sample, batch_format="pyarrow").materialize()
+        n_kept = kept.count()
+        gdir = tempfile.mkdtemp(prefix=f"rayrank_perc_{rate}_")
+        build_graph(kept, gdir, num_partitions=P, undirected=True)
+        cc = connected_components(gdir)
+
+        # giant size: per-partition label counts -> keyed re-agg -> top-1
+        from .shards import unique_labels_part  # noqa: F401  (pattern ref)
+
+        @ray.remote
+        def label_counts(ref) -> pa.Table:
+            vals = np.asarray(ref, np.int64)
+            labs, counts = np.unique(vals, return_counts=True)
+            return pa.table(
+                {"label": labs, "n": counts.astype(np.int64)}
+            )
+
+        sizes = keyed_reagg(
+            ray.data.from_arrow_refs(
+                [label_counts.remote(r) for r in cc.part_refs]
+            ),
+            ["label"], [("n", "sum")], P,
+        )
+
+        def top1(t: pa.Table):
+            if t.num_rows == 0 or "n" not in t.schema.names:
+                return
+            n = t.column("n").to_numpy(zero_copy_only=False)
+            lab = t.column("label").to_numpy(zero_copy_only=False)
+            i = np.lexsort((lab, -n))[:1]
+            yield t.take(pa.array(i))
+
+        g = (
+            sizes.map_batches(top1, batch_size=None, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(top1, batch_size=None, batch_format="pyarrow")
+            .take_all()
+        )
+        giant = int(g[0]["n"]) if g else 0
+        rows.append((rate, n_kept, giant))
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rate_pct": pa.array([r for r, _, _ in rows], pa.int64()),
+                "n_edges": pa.array([n for _, n, _ in rows], pa.int64()),
+                "giant_size": pa.array([g for _, _, g in rows], pa.int64()),
+            }
+        )
+    )
