@@ -1829,3 +1829,176 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS tokens,
     / CAST(COUNT(*) AS DOUBLE) AS oov_rate
 FROM tok LEFT JOIN voc v USING (term) GROUP BY lang
 """
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval: score every document against the corpus'
+# top-DF query terms, return the global top-k
+# --------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QN = 3   # query = the BM25_QN highest-DF terms (df desc, term asc)
+BM25_K = 10   # result size
+
+
+def bm25_topk(sf_dir: str, k: int = BM25_K) -> ray.data.Dataset:
+    """(doc_id, score, rn) — the ``k`` best documents under BM25
+    (Lucene idf form, k1=1.2, b=0.75) for the deterministic query =
+    the corpus' :data:`BM25_QN` highest-DF terms — the ranked-retrieval
+    stage a search engine runs over the inverted index.
+
+    Float contract (how the hash match against DuckDB is exact): the
+    per-term contribution ``idf·(tf·(k1+1))/(tf + k1·((1-b) +
+    b·(dl/avgdl)))`` is written with the SAME literal constants and the
+    SAME association on both sides, the query-term sum is the explicit
+    left-associated ``(c1+c2)+c3`` (never an unordered SUM()), and the
+    ranking key is the ROUNDED score so ulp noise cannot flip the
+    boundary (the tfidf_top_terms rule).
+
+    Scale shape: ONE tokenization pass (TF materialized once, DF and
+    the query pick derive from the reduced table), the per-doc fold is
+    block-local partials + one keyed re-agg on doc_id shuffling only
+    (doc_id, dl, tf1..tfQN) int rows, and the global top-k is the
+    block-local pre-truncate → single-block merge (O(blocks·k) rows
+    cross the wire, never a full sort)."""
+    from .shuffle import keyed_reagg
+
+    tf = term_frequencies(sf_dir).materialize()
+    dfq = _doc_freq(tf)
+    qrows = (
+        dfq.sort(["df", "term"], descending=[True, False])
+        .limit(BM25_QN)
+        .take_all()
+    )
+    qterms = [r["term"] for r in qrows]
+    qdfs = [int(r["df"]) for r in qrows]
+    n_docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).count()
+    total_tokens = int(tf.sum("tf"))
+    avgdl = total_tokens / float(n_docs)
+    idfs = [
+        float(np.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))) for d in qdfs
+    ]
+
+    def fold(t: pa.Table):
+        if t.num_rows == 0 or "tf" not in t.schema.names:
+            return
+        tfv = t.column("tf")
+        cols = {"doc_id": t.column("doc_id"), "dl": tfv}
+        for i, q in enumerate(qterms):
+            m = pc.cast(pc.equal(t.column("term"), q), pa.int64())
+            cols[f"tf{i + 1}"] = pc.multiply(tfv, m)
+        blk = pa.table(cols)
+        g = blk.group_by(["doc_id"]).aggregate(
+            [("dl", "sum")] + [(f"tf{i + 1}", "sum") for i in range(len(qterms))]
+        )
+        yield g.rename_columns(
+            ["doc_id", "dl"] + [f"tf{i + 1}" for i in range(len(qterms))]
+        )
+
+    per_doc = keyed_reagg(
+        tf.map_batches(fold, batch_format="pyarrow"),
+        ["doc_id"],
+        [("dl", "sum")] + [(f"tf{i + 1}", "sum") for i in range(len(qterms))],
+        P,
+    )
+
+    def score(t: pa.Table):
+        if t.num_rows == 0 or "dl" not in t.schema.names:
+            return
+        tfs = [
+            t.column(f"tf{i + 1}").to_numpy(zero_copy_only=False)
+            for i in range(len(qterms))
+        ]
+        hit = tfs[0] > 0
+        for a in tfs[1:]:
+            hit = hit | (a > 0)
+        if not hit.any():
+            return
+        dl = t.column("dl").to_numpy(zero_copy_only=False)[hit].astype(
+            np.float64
+        )
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avgdl))
+        s = np.zeros(len(dl), np.float64)
+        for i, a in enumerate(tfs):
+            tfi = a[hit].astype(np.float64)
+            s = s + idfs[i] * (tfi * (BM25_K1 + 1.0)) / (tfi + norm)
+        yield pa.table(
+            {
+                "doc_id": pc.array_filter(t.column("doc_id"), pa.array(hit)),
+                "score": pa.array(np.round(s, 6), pa.float64()),
+            }
+        )
+
+    def topk(t: pa.Table):
+        if t.num_rows == 0 or "score" not in t.schema.names:
+            return
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        s = t.column("score").to_numpy(zero_copy_only=False)
+        keep = np.lexsort((d, -s))[:k]
+        yield t.take(pa.array(keep))
+
+    pre = per_doc.map_batches(score, batch_format="pyarrow").map_batches(
+        topk, batch_format="pyarrow"
+    )
+    merged = pre.repartition(1).map_batches(
+        topk, batch_size=None, batch_format="pyarrow"
+    )
+
+    def rank(t: pa.Table):
+        if t.num_rows == 0 or "score" not in t.schema.names:
+            return
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        s = t.column("score").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -s))
+        out = t.take(pa.array(order))
+        yield out.append_column(
+            "rn", pa.array(np.arange(1, len(order) + 1, dtype=np.int64))
+        )
+
+    return merged.map_batches(rank, batch_size=None, batch_format="pyarrow")
+
+
+BM25_TOPK_SQL = (
+    "WITH " + _TOK_CTE + f""",
+qt AS (
+  SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rnk
+  FROM dfq QUALIFY rnk <= {BM25_QN}
+),
+nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+avq AS (
+  SELECT CAST((SELECT SUM(tf) FROM tfq) AS DOUBLE)
+       / CAST((SELECT n FROM nq) AS DOUBLE) AS avgdl
+),
+piv AS (
+  SELECT t.doc_id,
+    CAST(SUM(t.tf) AS BIGINT) AS dl,
+    {", ".join(f"CAST(COALESCE(SUM(CASE WHEN q.rnk = {i + 1} THEN t.tf END), 0) AS BIGINT) AS tf{i + 1}" for i in range(BM25_QN))}
+  FROM tfq t LEFT JOIN qt q USING (term)
+  GROUP BY t.doc_id
+  HAVING {" + ".join(f"tf{i + 1}" for i in range(BM25_QN))} > 0
+),
+idf AS (
+  SELECT rnk,
+    ln(1.0 + (CAST((SELECT n FROM nq) AS DOUBLE) - df + 0.5) / (df + 0.5))
+      AS v
+  FROM qt
+),
+sc AS (
+  SELECT doc_id,
+    ROUND({" + ".join(
+        f"(SELECT v FROM idf WHERE rnk = {i + 1})"
+        f" * (CAST(tf{i + 1} AS DOUBLE) * (1.2 + 1.0))"
+        f" / (CAST(tf{i + 1} AS DOUBLE)"
+        f" + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (SELECT avgdl FROM avq))))"
+        for i in range(BM25_QN)
+    )}, 6) AS score
+  FROM piv
+)
+SELECT doc_id, score,
+  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+FROM sc ORDER BY score DESC, doc_id LIMIT {BM25_K}
+"""
+)
