@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_churn": _truss().edge_churn,
         "transitivity_estimate": _truss().transitivity_estimate,
         "percolation_sweep": pl.percolation_sweep,
+        "temporal_reachability": pl.temporal_reachability,
         "ego_network_edges": pl.ego_network_edges,
         "nation_year_rollup": _an().nation_year_rollup,
         "nation_year_cube": _an().nation_year_cube,
@@ -1940,6 +1941,32 @@ SELECT ROUND(CASE WHEN e <= 2.5 * {m} AND v > 0
 FROM est"""
 
 
+
+_TEMPORAL_REACHABILITY_SQL = r"""
+WITH RECURSIVE
+ed AS (
+  SELECT l_orderkey AS u, l_partkey AS v,
+    CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS t
+  FROM lineitem
+),
+e3 AS (
+  SELECT DISTINCT u, v, t FROM
+    (SELECT u, v, t FROM ed UNION ALL SELECT v, u, t FROM ed)
+),
+seed AS (SELECT MIN(u) AS s FROM e3),
+arr(it, v, a) AS (
+  SELECT 0, (SELECT s FROM seed), CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT arr.it + 1, e.v, MIN(e.t)
+  FROM arr JOIN e3 e ON arr.v = e.u AND e.t >= arr.a
+  WHERE arr.it < 48
+  GROUP BY arr.it + 1, e.v
+)
+SELECT CAST(v AS BIGINT) AS vertex, CAST(MIN(a) AS BIGINT) AS arrival
+FROM arr GROUP BY v
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from rayrank import relational as rel
 
@@ -1991,6 +2018,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_churn": _truss().EDGE_CHURN_SQL,
         "transitivity_estimate": _transitivity_estimate_sql(),
         "percolation_sweep": _percolation_sweep_sql(),
+        "temporal_reachability": _TEMPORAL_REACHABILITY_SQL,
         "entity_clusters": _ENTITY_CLUSTERS_SQL,
         "nation_year_rollup": _an().NATION_YEAR_ROLLUP_SQL,
         "nation_year_cube": _an().NATION_YEAR_CUBE_SQL,

@@ -3171,3 +3171,122 @@ def percolation_sweep(sf_dir: str) -> ray.data.Dataset:
             }
         )
     )
+
+
+TEMPORAL_MAX_ROUNDS = 40  # raise-guard; the SQL oracle unrolls 48 layers
+
+
+def temporal_reachability(sf_dir: str) -> ray.data.Dataset:
+    """(vertex, arrival) — earliest-arrival time-respecting
+    reachability from the minimum vertex over the UNDIRECTED temporal
+    lineitem graph (edge {u,v} active at t = epoch-day of l_shipdate;
+    a path may traverse an edge only at t ≥ the arrival at its tail;
+    arrival(seed) = 0).  The min-arrival fixpoint is monotone, so
+    delta rounds are exact: each round joins only the IMPROVED
+    frontier against the (materialized, distinct) edge table —
+    broadcast while the frontier fits, partitioned hash join above
+    the limit (join_auto) — then ONE keyed re-agg both min-merges the
+    feasible messages (t ≥ arrival) into the arrival table and detects
+    change (the old arrival rides along as a sentinel-padded ``aold``
+    min, so ``a < aold`` IS the next frontier).  Arrival state never
+    passes through the driver (it moves only the change count).
+    Rounds are bounded by the hop length of the longest optimal
+    temporal path (Bellman-Ford argument); the guard RAISES before the
+    SQL oracle's 48-layer recursion bound can be outrun.  At cluster
+    scale the edge table would live in per-partition shard actors
+    (iterate_labels layout) so only frontier rows move; the Dataset
+    join keeps the same hash-partitioning contract."""
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "l_orderkey" not in t.schema.names:
+            return
+        o = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        d = (
+            t.column("l_shipdate")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        blk = pa.table(
+            {
+                "u": pa.array(np.concatenate([o, p]), pa.int64()),
+                "v": pa.array(np.concatenate([p, o]), pa.int64()),
+                "t": pa.array(np.concatenate([d, d]), pa.int64()),
+            }
+        )
+        g = blk.group_by(["u", "v", "t"]).aggregate([])
+        yield g.rename_columns(["u", "v", "t"])
+
+    e = keyed_reagg(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_shipdate"])
+        .map_batches(pre, batch_format="pyarrow"),
+        ["u", "v", "t"], [], P,
+    ).materialize()
+    seed = int(e.min("u"))
+
+    def _tbl(rows_v, rows_a):
+        return pa.table(
+            {"v": pa.array(rows_v, pa.int64()), "a": pa.array(rows_a, pa.int64())}
+        )
+
+    arr = ray.data.from_arrow(_tbl([seed], [0])).materialize()
+    frontier = arr
+    SENT = np.int64(1 << 62)
+
+    for rnd in range(TEMPORAL_MAX_ROUNDS):
+        fr = frontier.map_batches(
+            lambda t: t.select(["v", "a"]).rename_columns(["u", "au"]),
+            batch_format="pyarrow",
+        )
+        joined = join_auto(e, fr, on=("u",), num_partitions=P)
+
+        def feas(t: pa.Table):
+            if t.num_rows == 0 or "au" not in t.schema.names:
+                return
+            f = t.filter(pc.greater_equal(t.column("t"), t.column("au")))
+            if f.num_rows == 0:
+                return
+            g = f.select(["v", "t"]).group_by(["v"]).aggregate([("t", "min")])
+            g = g.rename_columns(["v", "a"])
+            yield g.append_column(
+                "aold", pa.array(np.full(len(g), SENT), pa.int64())
+            )
+
+        def tag(t: pa.Table):
+            if t.num_rows == 0 or "a" not in t.schema.names:
+                return
+            yield t.select(["v", "a"]).append_column("aold", t.column("a"))
+
+        merged = keyed_reagg(
+            joined.map_batches(feas, batch_format="pyarrow").union(
+                arr.map_batches(tag, batch_format="pyarrow")
+            ),
+            ["v"], [("a", "min"), ("aold", "min")], P,
+        ).materialize()
+
+        def improved(t: pa.Table):
+            if t.num_rows == 0 or "aold" not in t.schema.names:
+                return
+            f = t.filter(pc.less(t.column("a"), t.column("aold")))
+            if f.num_rows:
+                yield f.select(["v", "a"])
+
+        frontier = merged.map_batches(improved, batch_format="pyarrow")
+        arr = merged.map_batches(
+            lambda t: t.select(["v", "a"]), batch_format="pyarrow"
+        )
+        if frontier.count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"temporal_reachability exceeded {TEMPORAL_MAX_ROUNDS} rounds "
+            "(SQL oracle recursion bound would be outrun)"
+        )
+
+    return arr.map_batches(
+        lambda t: t.rename_columns(["vertex", "arrival"]),
+        batch_format="pyarrow",
+    )
