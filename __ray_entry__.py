@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitivity_estimate": _truss().transitivity_estimate,
         "percolation_sweep": pl.percolation_sweep,
         "temporal_reachability": pl.temporal_reachability,
+        "dag_longest_path": pl.dag_longest_path,
         "ego_network_edges": pl.ego_network_edges,
         "nation_year_rollup": _an().nation_year_rollup,
         "nation_year_cube": _an().nation_year_cube,
@@ -1942,6 +1943,28 @@ FROM est"""
 
 
 
+
+_DAG_LONGEST_PATH_SQL = r"""
+WITH RECURSIVE
+und AS (
+  SELECT DISTINCT LEAST(l_orderkey, l_partkey) AS u,
+                  GREATEST(l_orderkey, l_partkey) AS v
+  FROM lineitem WHERE l_orderkey <> l_partkey
+),
+vs AS (SELECT DISTINCT x FROM
+       (SELECT u AS x FROM und UNION ALL SELECT v FROM und)),
+lp(it, v, l) AS (
+  SELECT 0, x, CAST(0 AS BIGINT) FROM vs
+  UNION ALL
+  SELECT lp.it + 1, e.v, MAX(lp.l + 1)
+  FROM lp JOIN und e ON lp.v = e.u
+  WHERE lp.it < 64
+  GROUP BY lp.it + 1, e.v
+)
+SELECT CAST(v AS BIGINT) AS vertex, CAST(MAX(l) AS BIGINT) AS chain
+FROM lp GROUP BY v
+"""
+
 _TEMPORAL_REACHABILITY_SQL = r"""
 WITH RECURSIVE
 ed AS (
@@ -2019,6 +2042,7 @@ def oracle_sql() -> dict[str, str]:
         "transitivity_estimate": _transitivity_estimate_sql(),
         "percolation_sweep": _percolation_sweep_sql(),
         "temporal_reachability": _TEMPORAL_REACHABILITY_SQL,
+        "dag_longest_path": _DAG_LONGEST_PATH_SQL,
         "entity_clusters": _ENTITY_CLUSTERS_SQL,
         "nation_year_rollup": _an().NATION_YEAR_ROLLUP_SQL,
         "nation_year_cube": _an().NATION_YEAR_CUBE_SQL,

@@ -521,3 +521,30 @@ def landmark_table(
         )
 
     return ds.map_batches(fin, batch_format="pyarrow")
+
+
+def dag_longest(
+    graph_dir: str,
+    max_iterations: int = 200,
+    shards: list | None = None,
+) -> LabelResult:
+    """Longest-path (critical-path) length ending at each vertex of a
+    DAG layout — max-plus relaxation ``L[v] ← max(L[v], max over
+    in-neighbors (L[u] + 1))`` from all-zero labels, stop at zero
+    changes (≤ longest-chain rounds; diverges by construction on a
+    cycle, so callers must hand an acyclically-oriented graph).
+    Seventh instance of the actor-resident gather/reduce label loop
+    (gather_max / reduce_max_plus1)."""
+
+    def init(sh):
+        ray.get([s.init_zero_labels.remote() for s in sh])
+
+    return iterate_labels(
+        graph_dir,
+        gather_method="gather_max",
+        reduce_method="reduce_max_plus1",
+        max_iterations=max_iterations,
+        shards=shards,
+        algo_name="dag_longest_path",
+        init_fn=init,
+    )

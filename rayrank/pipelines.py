@@ -1191,6 +1191,33 @@ def _graph(sf_dir: str, kind: str) -> str:
         from .graph import derive_reversed
 
         derive_reversed(_graph(sf_dir, "scc"), gdir)
+    elif kind == "dag":
+        # acyclic orientation: every distinct edge points low→high
+        # NUMERIC id (np.minimum on ints — the SQL mirror is LEAST on
+        # BIGINT, so orientation happens BEFORE stringifying names)
+        def orient(t: pa.Table):
+            if len(t) == 0 or "src" not in t.schema.names:
+                return
+            s = t.column("src").to_numpy(zero_copy_only=False)
+            d = t.column("dst").to_numpy(zero_copy_only=False)
+            keep = s != d
+            s, d = s[keep], d[keep]
+            if len(s) == 0:
+                return
+            yield pa.table(
+                {
+                    "src": pa.array(np.minimum(s, d), pa.int64()),
+                    "dst": pa.array(np.maximum(s, d), pa.int64()),
+                }
+            )
+
+        build_graph(
+            _edge_names(
+                sf_edges(sf_dir).map_batches(orient, batch_format="pyarrow")
+            ),
+            gdir,
+            num_partitions=P,
+        )
     else:  # tri
         build_graph(
             _edge_names(tri_edges(sf_dir)), gdir, num_partitions=P, undirected=True
@@ -3288,5 +3315,35 @@ def temporal_reachability(sf_dir: str) -> ray.data.Dataset:
 
     return arr.map_batches(
         lambda t: t.rename_columns(["vertex", "arrival"]),
+        batch_format="pyarrow",
+    )
+
+
+DAG_MAX_ROUNDS = 60  # SQL oracle unrolls 64 recursive layers
+
+
+def dag_longest_path(sf_dir: str) -> ray.data.Dataset:
+    """(vertex, chain) — longest-path length ending at each vertex of
+    the low→high-oriented DAG of the distinct lineitem graph (critical
+    path under the canonical acyclic orientation — the depth a
+    topological scheduler would assign).  Max-plus gather/reduce on
+    the actor-resident label loop (bfs.dag_longest); the guard RAISES
+    if convergence would outrun the SQL oracle's recursion bound."""
+    from .bfs import dag_longest
+
+    gdir = _graph(sf_dir, "dag")
+    res = dag_longest(gdir, max_iterations=DAG_MAX_ROUNDS)
+    if not res.converged:
+        raise RuntimeError(
+            f"dag_longest_path did not converge in {DAG_MAX_ROUNDS} rounds"
+        )
+    ds = res.labels_dataset(gdir)
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "vertex": pc.cast(t.column("name"), pa.int64()),
+                "chain": t.column("label"),
+            }
+        ),
         batch_format="pyarrow",
     )

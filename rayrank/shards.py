@@ -634,6 +634,42 @@ class CsrShard:
         return changed
 
     # ------------------------------------------------------------------
+    # max-plus (DAG longest path / critical path)
+    # ------------------------------------------------------------------
+
+    def init_zero_labels(self) -> None:
+        """Max-plus init: every vertex is a length-0 chain."""
+        self.labels = np.zeros(self.s_p, np.int64)
+
+    def gather_max(self):
+        """Per-destination MAX of source labels — the dual of
+        gather_min; with reduce_max_plus1 this is the max-plus
+        relaxation ``L[v] ← max(L[v], max_in-nbr L + 1)`` whose
+        fixpoint on a DAG layout is the longest-path (critical-path)
+        length ending at each vertex."""
+        if len(self.w) == 0:
+            return self._unwrap1(
+                tuple(
+                    (self.out_local[q], np.empty(0, np.int64))
+                    for q in range(self.Q)
+                )
+            )
+        lab = self.labels[self.src_l]
+        maxs = np.maximum.reduceat(lab, self.seg)
+        return self._unwrap1(
+            tuple((self.out_local[q], maxs[self.route[q]]) for q in range(self.Q))
+        )
+
+    def reduce_max_plus1(self, *parts) -> int:
+        new = self.labels.copy()
+        for idx, maxs in parts:
+            if len(idx):
+                np.maximum.at(new, idx, maxs + 1)
+        changed = int(np.count_nonzero(new != self.labels))
+        self.labels = new
+        return changed
+
+    # ------------------------------------------------------------------
     # HyperANF (per-vertex HyperLogLog registers, Boldi-Vigna style)
     # ------------------------------------------------------------------
     # 16 registers × 4 bits packed into the resident int64 label, so
