@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokenizer_fertility": pl.tokenizer_fertility,
         "vocab_oov_rate": _terms().vocab_oov_rate,
         "bm25_topk": _terms().bm25_topk,
+        "zipf_slope": _terms().zipf_slope,
         "holdout_contamination": _packmod().holdout_contamination,
         "component_quotient_edges": pl.component_quotient_edges,
         "global_transitivity": pl.global_transitivity,
@@ -2031,6 +2032,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_fertility": _pl().TOKENIZER_FERTILITY_SQL,
         "vocab_oov_rate": _terms().VOCAB_OOV_RATE_SQL,
         "bm25_topk": _terms().BM25_TOPK_SQL,
+        "zipf_slope": _terms().ZIPF_SLOPE_SQL,
         "holdout_contamination": _holdout_contamination_sql(),
         "component_quotient_edges": _component_quotient_sql(),
         "global_transitivity": _pl().GLOBAL_TRANSITIVITY_SQL,

@@ -2002,3 +2002,114 @@ SELECT doc_id, score,
 FROM sc ORDER BY score DESC, doc_id LIMIT {BM25_K}
 """
 )
+
+
+# --------------------------------------------------------------------------
+# Zipf rank-frequency slope: the corpus-health diagnostic
+# --------------------------------------------------------------------------
+
+ZIPF_Q = 1_000_000_000.0  # quantization for order-free integer sums
+
+
+def zipf_slope(sf_dir: str) -> ray.data.Dataset:
+    """(vocab_size, slope) — least-squares slope of ln(count) against
+    ln(rank) over the full vocabulary (rank = (count desc, term asc),
+    a total order) — the Zipf-fit diagnostic run before trusting a
+    corpus' token distribution.
+
+    Float contract: each per-term product (x, y, x², xy of the ln
+    values) is quantized ``floor(v·1e9)`` to int64 BEFORE summing, so
+    every Σ is an ORDER-FREE integer sum (DuckDB's unordered SUM and
+    numpy's reduce meet bit-identically); only the final closed-form
+    slope divides back to float, with the same expression tree on both
+    sides.  floor (not round) because numpy rounds half-even while SQL
+    rounds half-away.
+
+    Scale shape: token counts reduce via block partials + one keyed
+    re-agg; the ranking and the quantized fold run on the REDUCED
+    vocabulary table coalesced to one block (vocab-bounded — the
+    bigram_pmi contract, never corpus rows)."""
+    from .shuffle import keyed_reagg
+
+    def partial(t: pa.Table):
+        if len(t) == 0:
+            return
+        _docs, terms = _token_pairs(t)
+        if len(terms) == 0:
+            return
+        blk = pa.table(
+            {"term": terms, "n": pa.array(np.ones(len(terms), np.int64))}
+        )
+        yield blk.group_by(["term"]).aggregate([("n", "sum")]).rename_columns(
+            ["term", "n"]
+        )
+
+    cnt = keyed_reagg(
+        _read_docs(sf_dir).map_batches(partial, batch_format="pyarrow"),
+        ["term"], [("n", "sum")], P,
+    )
+
+    def fit(t: pa.Table):
+        if t.num_rows == 0 or "n" not in t.schema.names:
+            return
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        term = np.asarray(t.column("term").to_pylist(), dtype=object)
+        order = np.lexsort((term, -n))
+        ns = n[order].astype(np.float64)
+        rnk = np.arange(1, len(ns) + 1, dtype=np.float64)
+        x, y = np.log(rnk), np.log(ns)
+        qx = np.floor(x * ZIPF_Q)
+        qy = np.floor(y * ZIPF_Q)
+        qxx = np.floor(x * x * ZIPF_Q)
+        qxy = np.floor(x * y * ZIPF_Q)
+        sx, sy, sxx, sxy = (
+            sum(int(v) for v in q) for q in (qx, qy, qxx, qxy)
+        )
+        v = float(len(ns))
+        slope = (v * (sxy / ZIPF_Q) - (sx / ZIPF_Q) * (sy / ZIPF_Q)) / (
+            v * (sxx / ZIPF_Q) - (sx / ZIPF_Q) * (sx / ZIPF_Q)
+        )
+        yield pa.table(
+            {
+                "vocab_size": pa.array([len(ns)], pa.int64()),
+                "slope": pa.array([slope], pa.float64()),
+            }
+        )
+
+    return cnt.repartition(1).map_batches(
+        fit, batch_size=None, batch_format="pyarrow"
+    )
+
+
+ZIPF_SLOPE_SQL = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY term),
+r AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rnk FROM cnt
+),
+q AS (
+  SELECT
+    CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 1000000000.0) AS BIGINT) AS qx,
+    CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1000000000.0) AS BIGINT) AS qy,
+    CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE))
+               * 1000000000.0) AS BIGINT) AS qxx,
+    CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * ln(CAST(n AS DOUBLE))
+               * 1000000000.0) AS BIGINT) AS qxy
+  FROM r
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+    SUM(qx) AS sx, SUM(qy) AS sy, SUM(qxx) AS sxx, SUM(qxy) AS sxy
+  FROM q
+)
+SELECT v AS vocab_size,
+  (CAST(v AS DOUBLE) * (sxy / 1000000000.0)
+     - (sx / 1000000000.0) * (sy / 1000000000.0))
+  / (CAST(v AS DOUBLE) * (sxx / 1000000000.0)
+     - (sx / 1000000000.0) * (sx / 1000000000.0)) AS slope
+FROM s
+"""
