@@ -292,6 +292,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "landmark_assignment": pl.landmark_assignment_sf,
         "sssp_dists": pl.sssp_dists_sf,
         "seed_closeness": pl.seed_closeness_sf,
+        "harmonic_centrality": pl.harmonic_centrality_sf,
+        "seed_distance_histogram": pl.seed_distance_histogram_sf,
         "graph_diameter": pl.graph_diameter_sf,
         "kcore_vertices": pl.kcore_vertices_sf,
         "core_numbers": pl.core_numbers_sf,
@@ -738,6 +740,63 @@ SELECT s.v AS seed,
   CAST(COUNT(*) - 1 AS DOUBLE) / CAST(SUM(d.d) AS DOUBLE) AS closeness
 FROM dist d JOIN seeds s ON d.si = s.si
 GROUP BY s.v
+"""
+
+# The seed-BFS recursion shared by harmonic centrality and the
+# per-seed distance histogram — identical to _SEED_CLOSENESS_SQL up to
+# the final aggregation.
+_SEED_DIST_CTES = f"""
+WITH RECURSIVE
+raw AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+  )
+),
+seeds AS (
+  SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v) - 1 AS BIGINT) AS si
+  FROM (SELECT v FROM verts ORDER BY v LIMIT 4)
+),
+bfs(it, v, si, d) AS (
+  SELECT 0, v, si, CAST(0 AS BIGINT) FROM seeds
+  UNION ALL
+  SELECT bfs.it + 1, e.b, bfs.si, MIN(bfs.d) + 1
+  FROM bfs JOIN und e ON bfs.v = e.a
+  WHERE bfs.it < {_CC_ITERS}
+  GROUP BY bfs.it + 1, e.b, bfs.si
+),
+dist AS (SELECT v, si, MIN(d) AS d FROM bfs GROUP BY v, si)
+"""
+
+# Harmonic centrality with the repo's fixed-point-sum rule: each
+# reciprocal is the floored integer quantum 2^40 // d (DuckDB `//` ==
+# Python floor-div on positive ints), summed exactly (HUGEINT inside
+# SUM, CAST errors rather than wraps), ONE double division by the
+# power-of-two scale at the end — bit-identical to
+# rayrank.bfs.seed_harmonic by construction.
+_HARMONIC_SQL = f"""{_SEED_DIST_CTES}
+SELECT s.v AS seed,
+  CAST(COUNT(*) AS BIGINT) AS n_reached,
+  CAST(MAX(d.d) AS BIGINT) AS max_dist,
+  CAST(SUM(CASE WHEN d.d > 0 THEN 1099511627776 // d.d ELSE 0 END) AS BIGINT) AS harmonic_q,
+  CAST(SUM(CASE WHEN d.d > 0 THEN 1099511627776 // d.d ELSE 0 END) AS DOUBLE)
+    / 1099511627776.0 AS harmonic
+FROM dist d JOIN seeds s ON d.si = s.si
+GROUP BY s.v
+"""
+
+# Exact per-seed neighborhood function (distance distribution):
+# pure-integer counts per (seed, hop) — the oracle for
+# rayrank.bfs.seed_distance_histogram.
+_SEED_DIST_HIST_SQL = f"""{_SEED_DIST_CTES}
+SELECT s.v AS seed, CAST(d.d AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM dist d JOIN seeds s ON d.si = s.si
+GROUP BY 1, 2
 """
 
 # Double-sweep diameter lower bound: BFS from the min-name vertex,
@@ -2291,6 +2350,8 @@ def oracle_sql() -> dict[str, str]:
         "landmark_assignment": _LANDMARK_SQL,
         "sssp_dists": _SSSP_SQL,
         "seed_closeness": _SEED_CLOSENESS_SQL,
+        "harmonic_centrality": _HARMONIC_SQL,
+        "seed_distance_histogram": _SEED_DIST_HIST_SQL,
         "graph_diameter": _GRAPH_DIAMETER_SQL,
         "kcore_vertices": _KCORE_SQL,
         "core_numbers": _core_numbers_sql(),

@@ -447,6 +447,106 @@ def seed_closeness(
     )
 
 
+# Fixed-point scale for exact harmonic sums: reciprocals are floored
+# integer quanta 2^40 // d, summed in exact integer arithmetic, with a
+# SINGLE float64 division at the end — the repo's standard trick for
+# hash-matching a distributed sum against DuckDB (CLAUDE.md third
+# sitting).  cnt·(2^40//d) ≤ V·2^40 stays well under int64 for any
+# vertex count below ~8M per distance; the SQL side sums in HUGEINT
+# and the final CAST to BIGINT would error (not wrap) beyond that.
+HARMONIC_SCALE = 1 << 40
+
+
+def _seed_distance_hists(
+    graph_dir: str,
+    seed_names: list[str],
+    max_iterations: int = 200,
+    shards: list | None = None,
+) -> dict[str, dict[int, int]]:
+    """One BFS per seed over SHARED resident shard actors; each seed's
+    finite-distance histogram folds from Q diameter-bounded
+    per-partition partials (shards.dist_hist_part) — the driver holds
+    O(seeds · diameter) integers, never a distance vector."""
+    from .graph import GraphMeta
+    from .shards import create_shards, dist_hist_part
+
+    meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
+    if shards is None:
+        shards = create_shards(graph_dir, meta)
+    out: dict[str, dict[int, int]] = {}
+    for s in sorted(set(seed_names)):
+        res = bfs(graph_dir, [s], max_iterations=max_iterations, shards=shards)
+        acc: dict[int, int] = {}
+        for dd, cc in ray.get(
+            [dist_hist_part.remote(ref) for ref in res.part_refs]
+        ):
+            for d, c in zip(dd.tolist(), cc.tolist()):
+                acc[d] = acc.get(d, 0) + c
+        out[s] = acc
+    return out
+
+
+def seed_harmonic(
+    graph_dir: str,
+    seed_names: list[str],
+    max_iterations: int = 200,
+    shards: list | None = None,
+) -> pa.Table:
+    """Harmonic centrality of each seed: Σ_{d(v)≥1} 1/d(v) over the
+    reached vertices.  Reciprocals are quantized to 2^40//d (floor
+    division — identical in numpy/Python and DuckDB `//`), summed as
+    exact integers (`harmonic_q`), and converted to float64 with ONE
+    division by 2^40, so the oracle computes the bit-identical double.
+    Reuses the seed-BFS + histogram-fold machinery; no new shuffle."""
+    hists = _seed_distance_hists(graph_dir, seed_names, max_iterations, shards)
+    seeds = sorted(hists)
+    hq = [
+        sum(c * (HARMONIC_SCALE // d) for d, c in hists[s].items() if d > 0)
+        for s in seeds
+    ]
+    return pa.table(
+        {
+            "seed": pa.array(seeds, pa.string()),
+            "n_reached": pa.array(
+                [sum(hists[s].values()) for s in seeds], pa.int64()
+            ),
+            "max_dist": pa.array(
+                [max(hists[s]) for s in seeds], pa.int64()
+            ),
+            "harmonic_q": pa.array(hq, pa.int64()),
+            "harmonic": pa.array(
+                [float(q) / float(HARMONIC_SCALE) for q in hq], pa.float64()
+            ),
+        }
+    )
+
+
+def seed_distance_histogram(
+    graph_dir: str,
+    seed_names: list[str],
+    max_iterations: int = 200,
+    shards: list | None = None,
+) -> pa.Table:
+    """(seed, d, cnt) finite-distance distribution of each seed's BFS
+    — the per-seed neighborhood-function exact counterpart of
+    hyperanf_nf, and the raw input for effective-diameter estimates.
+    Pure integers; folded from per-partition histogram partials."""
+    hists = _seed_distance_hists(graph_dir, seed_names, max_iterations, shards)
+    seeds, ds, cs = [], [], []
+    for s in sorted(hists):
+        for d in sorted(hists[s]):
+            seeds.append(s)
+            ds.append(d)
+            cs.append(hists[s][d])
+    return pa.table(
+        {
+            "seed": pa.array(seeds, pa.string()),
+            "d": pa.array(ds, pa.int64()),
+            "cnt": pa.array(cs, pa.int64()),
+        }
+    )
+
+
 def _farthest(result: LabelResult, graph_dir: str) -> tuple[str, int]:
     """(name, dist) of the farthest reached vertex — max finite dist,
     lexicographically-min name on ties; Q scalar pairs folded on the

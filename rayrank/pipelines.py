@@ -1309,6 +1309,30 @@ def seed_closeness_sf(sf_dir: str, k: int = 4) -> pa.Table:
     return seed_closeness(gdir, smallest_vertex_names(gdir, k))
 
 
+def harmonic_centrality_sf(sf_dir: str, k: int = 4) -> pa.Table:
+    """(seed, n_reached, max_dist, harmonic_q, harmonic) harmonic
+    centrality of the k lexicographically-smallest vertices on the
+    undirected lineitem graph — quantized-reciprocal integer sums
+    (rayrank.bfs.seed_harmonic), one float division at the end.  SQL
+    oracle: the seed-closeness bounded min-plus recursion with the
+    identical 2^40 // d quantization."""
+    from .bfs import seed_harmonic, smallest_vertex_names
+
+    gdir = _graph(sf_dir, "undirected")
+    return seed_harmonic(gdir, smallest_vertex_names(gdir, k))
+
+
+def seed_distance_histogram_sf(sf_dir: str, k: int = 4) -> pa.Table:
+    """(seed, d, cnt) BFS distance distribution of the k smallest
+    vertices on the undirected lineitem graph — the exact per-seed
+    neighborhood function.  Pure-integer output; per-partition
+    histogram partials, never a distance vector on the driver."""
+    from .bfs import seed_distance_histogram, smallest_vertex_names
+
+    gdir = _graph(sf_dir, "undirected")
+    return seed_distance_histogram(gdir, smallest_vertex_names(gdir, k))
+
+
 def graph_diameter_sf(sf_dir: str) -> pa.Table:
     """(start, far1, ecc_start, far2, diameter_lb) double-sweep
     diameter lower bound of the undirected lineitem graph — two chained

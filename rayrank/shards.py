@@ -1221,6 +1221,21 @@ def reach_stats_part(vals) -> tuple:
 
 
 @ray.remote
+def dist_hist_part(vals) -> tuple:
+    """Finite-distance histogram (unique dists, counts) of ONE
+    distance partition — the per-partition partial for per-seed
+    distance-distribution folds.  Output is diameter-bounded (one row
+    per distinct hop count), so Q partials leave the tasks as tiny
+    int64 arrays, never a distance vector."""
+    v = np.asarray(vals, np.int64)
+    m = v < INF_DIST
+    if not m.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    d, c = np.unique(v[m], return_counts=True)
+    return d.astype(np.int64), c.astype(np.int64)
+
+
+@ray.remote
 def far_vertex_part(vert_dir: str, q: int, vals) -> tuple:
     """(max finite dist, lexicographically-min name at that dist) of
     ONE distance partition — the per-partition partial for the
