@@ -233,6 +233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _terms().tfidf_top_terms,
         "inverted_index": _terms().inverted_index,
         "top_bigrams": _terms().top_bigrams,
+        "windowed_cooccurrence": _terms().windowed_cooccurrence,
+        "keyword_contexts": _terms().keyword_contexts,
         "bigram_pmi": _terms().bigram_pmi,
         "doc_unigram_rarity": _terms().doc_unigram_rarity,
         "duplicate_ngram_fraction": _terms().duplicate_ngram_fraction,
@@ -2244,6 +2246,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": _terms().TFIDF_TOP_TERMS_SQL,
         "inverted_index": _terms().INVERTED_INDEX_SQL,
         "top_bigrams": _terms().TOP_BIGRAMS_SQL,
+        "windowed_cooccurrence": _terms().WINDOWED_COOCCURRENCE_SQL,
+        "keyword_contexts": _terms().KEYWORD_CONTEXTS_SQL,
         "bigram_pmi": _terms().BIGRAM_PMI_SQL,
         "doc_unigram_rarity": _terms().DOC_UNIGRAM_RARITY_SQL,
         "duplicate_ngram_fraction": _terms().DUPLICATE_NGRAM_FRACTION_SQL,

@@ -419,6 +419,118 @@ GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT {TOP_BIGRAMS_K}
 
 
 # --------------------------------------------------------------------------
+# Windowed co-occurrence (skip-gram counts) — the word2vec context stage
+# --------------------------------------------------------------------------
+
+COOCCUR_WINDOW = 3
+COOCCUR_K = 20
+
+
+def windowed_cooccurrence(
+    sf_dir: str, window: int = COOCCUR_WINDOW, k: int = COOCCUR_K
+) -> ray.data.Dataset:
+    """Global top-k ordered token pairs (w1, w2) with w2 at distance
+    1..window after w1 in the same document — the skip-gram
+    co-occurrence counting stage of word2vec/GloVe training data prep.
+    top_bigrams' adjacency rule generalized: for each offset d the
+    pairing is pure slice arithmetic on the filtered token array (doc
+    boundaries enforced by comparing the repeated doc index), so the
+    hot loop is `window` vectorized passes, never per-row Python.
+    Per-block pre-combine, ONE pair-keyed shuffle, boundary-tie-complete
+    local top-k, O(blocks·k) final fold — the same scale shape as
+    top_bigrams."""
+
+    def pairs(t: pa.Table):
+        if len(t) == 0:
+            return
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t.column("text")), pattern=r"\s+"
+        )
+        arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offsets = arr.offsets.to_numpy(zero_copy_only=False)
+        vals = arr.values
+        doc_idx = np.repeat(np.arange(len(arr)), np.diff(offsets))
+        keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+        vals_k = vals.filter(pa.array(keep))
+        doc_k = doc_idx[keep]
+        n = len(vals_k)
+        tabs = []
+        for d in range(1, window + 1):
+            if n <= d:
+                break
+            adj = doc_k[d:] == doc_k[:-d]
+            if not adj.any():
+                continue
+            m = pa.array(adj)
+            p = pc.binary_join_element_wise(
+                vals_k.slice(0, n - d).filter(m), vals_k.slice(d).filter(m), " "
+            )
+            tabs.append(pa.table({"pair": p}))
+        if not tabs:
+            return
+        allp = pa.concat_tables(tabs)
+        g = (
+            allp.append_column(
+                "cnt", pa.array(np.ones(allp.num_rows, np.int64))
+            )
+            .group_by(["pair"])
+            .aggregate([("cnt", "sum")])
+        )
+        yield g.rename_columns(["pair", "cnt"])
+
+    from .shuffle import keyed_reagg
+
+    counts = keyed_reagg(
+        _read_docs(sf_dir).map_batches(pairs, batch_format="pyarrow"),
+        ["pair"], [("cnt", "sum")], P,
+    )
+
+    def local_topk(t: pa.Table):
+        if t.num_rows == 0 or "cnt" not in t.schema.names:
+            return
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        if len(cnt) > k:
+            kth = np.partition(cnt, len(cnt) - k)[len(cnt) - k]
+            t = t.filter(pc.greater_equal(t.column("cnt"), int(kth)))
+        yield t
+
+    g = counts.map_batches(
+        local_topk, batch_size=None, batch_format="pyarrow"
+    ).repartition(1)
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "pair" not in t.schema.names:
+            return
+        p = np.asarray(t.column("pair").to_pylist(), dtype=object)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, -cnt))[:k]
+        yield t.take(pa.array(order))
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+def _cooccur_branch(d: int) -> str:
+    return (
+        f"SELECT u[1] || ' ' || u[2] AS pair\n"
+        f"  FROM tok, UNNEST(list_zip(lst, lst[{d + 1}:])) AS t(u)\n"
+        f"  WHERE u[1] IS NOT NULL AND u[2] IS NOT NULL"
+    )
+
+
+WINDOWED_COOCCURRENCE_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS lst
+  FROM documents
+), big AS (
+  {" UNION ALL ".join(_cooccur_branch(d) for d in range(1, COOCCUR_WINDOW + 1))}
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM big
+GROUP BY 1 ORDER BY cnt DESC, pair LIMIT {COOCCUR_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # Gopher-style repetition signal: per-doc distinct-token ratio
 # --------------------------------------------------------------------------
 
@@ -925,6 +1037,126 @@ p AS (
 )
 SELECT bigram, cnt, pmi FROM p
 QUALIFY ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram) <= {BIGRAM_PMI_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Keyword-in-context (concordance) extraction
+# --------------------------------------------------------------------------
+
+
+def keyword_contexts(sf_dir: str) -> ray.data.Dataset:
+    """Concordance (KWIC) lines for the corpus's single most frequent
+    token (count desc, token asc — a total order): every occurrence as
+    (doc_id, term, pos, left_ctx, right_ctx) with up to two tokens of
+    context either side, joined with single spaces.
+
+    Scale shape: the term pick is the vocab-bounded unigram reduce
+    (driver-folded, term broadcast into the extraction UDF as one
+    string); extraction is BLOCK-LOCAL — positions come from pure
+    offset arithmetic on the filtered token array, context tokens from
+    four clipped vectorized takes, and doc boundaries from the repeated
+    doc index — no shuffle at any scale.  Context strings are built
+    with the same space-join rule the SQL's array_to_string applies."""
+    from .shuffle import keyed_reagg
+
+    def uni(t: pa.Table):
+        if len(t) == 0:
+            return
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t.column("text")), pattern=r"\s+"
+        )
+        arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        vals = arr.values.filter(pc.not_equal(arr.values, ""))
+        if len(vals) == 0:
+            return
+        g = (
+            pa.table({"tok": vals})
+            .append_column("cnt", pa.array(np.ones(len(vals), np.int64)))
+            .group_by(["tok"])
+            .aggregate([("cnt", "sum")])
+        )
+        yield g.rename_columns(["tok", "cnt"])
+
+    ucnt = keyed_reagg(
+        _read_docs(sf_dir).map_batches(uni, batch_format="pyarrow"),
+        ["tok"], [("cnt", "sum")], P,
+    ).take_all()  # vocab-bounded
+    term = min(ucnt, key=lambda r: (-int(r["cnt"]), r["tok"]))["tok"]
+
+    def extract(t: pa.Table):
+        if len(t) == 0:
+            return
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t.column("text")), pattern=r"\s+"
+        )
+        arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offsets = arr.offsets.to_numpy(zero_copy_only=False)
+        vals = arr.values
+        doc_idx = np.repeat(np.arange(len(arr)), np.diff(offsets))
+        keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+        vals_k = vals.filter(pa.array(keep))
+        doc_k = doc_idx[keep]
+        n = len(vals_k)
+        if n == 0:
+            return
+        newdoc = np.r_[True, doc_k[1:] != doc_k[:-1]]
+        startidx = np.flatnonzero(newdoc)
+        runlens = np.diff(np.r_[startidx, n])
+        pos = np.arange(n) - np.repeat(startidx, runlens)
+        doclen = np.repeat(runlens, runlens)
+        j = np.flatnonzero(pc.equal(vals_k, term).to_numpy(zero_copy_only=False))
+        if len(j) == 0:
+            return
+        p, dl = pos[j], doclen[j]
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)[doc_k[j]]
+
+        def tok_at(idx):
+            return vals_k.take(pa.array(np.clip(idx, 0, n - 1)))
+
+        l1, l2 = tok_at(j - 1), tok_at(j - 2)
+        r1, r2 = tok_at(j + 1), tok_at(j + 2)
+        left = pc.if_else(
+            pa.array(p >= 2),
+            pc.binary_join_element_wise(l2, l1, " "),
+            pc.if_else(pa.array(p == 1), l1, pa.scalar("")),
+        )
+        rem = dl - p  # tokens from the match to end of doc, inclusive
+        right = pc.if_else(
+            pa.array(rem >= 3),
+            pc.binary_join_element_wise(r1, r2, " "),
+            pc.if_else(pa.array(rem == 2), r1, pa.scalar("")),
+        )
+        yield pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "term": pa.array([term] * len(j), pa.string()),
+                "pos": pa.array(p, pa.int64()),
+                "left_ctx": left,
+                "right_ctx": right,
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(extract, batch_format="pyarrow")
+
+
+KEYWORD_CONTEXTS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS lst
+  FROM documents
+), term AS (
+  SELECT u AS tok FROM tok, UNNEST(lst) AS t(u)
+  GROUP BY u ORDER BY COUNT(*) DESC, u LIMIT 1
+), m AS (
+  SELECT doc_id, lst, CAST(u[2] AS BIGINT) AS pos
+  FROM tok, UNNEST(list_zip(lst, range(len(lst)))) AS t(u)
+  WHERE u[1] = (SELECT tok FROM term)
+)
+SELECT doc_id, (SELECT tok FROM term) AS term, pos,
+  COALESCE(array_to_string(lst[GREATEST(pos - 1, 1) : pos], ' '), '') AS left_ctx,
+  COALESCE(array_to_string(lst[pos + 2 : pos + 3], ' '), '') AS right_ctx
+FROM m
 """
 
 
