@@ -269,6 +269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": pl.embedding_near_dup_pairs,  # rows-only
         "ann_topk": pl.ann_topk,
         "embedding_quantize": _annmod().embedding_quantize,
+        "centroid_classify": _annmod().centroid_classify,
+        "centroid_confusion": _annmod().centroid_confusion,
         "mutual_knn_pairs": _annmod().mutual_knn_pairs,
         "knn_graph_components": pl.knn_graph_components,
         "lsh_ann_topk": pl.lsh_ann_topk,                # rows-only (approximate)
@@ -2324,6 +2326,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_parts": _hll_sql("l_partkey", "lineitem", 12),
         "cms_part_counts": _cms_sql("l_partkey", "lineitem", 256, 4),
         "embedding_quantize": _annmod().EMBEDDING_QUANTIZE_SQL,
+        "centroid_classify": _annmod().CENTROID_CLASSIFY_SQL,
+        "centroid_confusion": _annmod().CENTROID_CONFUSION_SQL,
         "mutual_knn_pairs": _annmod().MUTUAL_KNN_SQL,
         "knn_graph_components": _knn_cc_sql(),
         "ann_topk": (

@@ -867,3 +867,163 @@ def semantic_dedup(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid (Rocchio) classification over the labeled embeddings
+# ---------------------------------------------------------------------------
+
+# Power-of-two quantization scale: v·4096 only shifts the float64
+# exponent, so floor(v·4096) is bit-identical in numpy and DuckDB; the
+# +8192 shift keeps quantized values non-negative because DuckDB `//`
+# TRUNCATES negatives (Python floors) — distances are shift-invariant,
+# and the per-class mean of shifted values is the shifted mean exactly
+# (n·shift is divisible by n).
+CENT_QUANT = 4096.0
+CENT_SHIFT = 8192
+
+
+def _quantized_block(t: pa.Table) -> np.ndarray:
+    return (
+        np.floor(_emb_matrix64(t, "embedding") * CENT_QUANT).astype(np.int64)
+        + CENT_SHIFT
+    )
+
+
+def centroid_classify(sf_dir: str) -> ray.data.Dataset:
+    """Nearest-centroid (Rocchio) classification of every embedding
+    against per-label centroids learned from the SAME table — the
+    classifier-eval stage of an embedding pipeline, EXACT: components
+    quantize to integers, per-label centroids are floored integer
+    means (order-free integer sums), and the squared-Euclidean argmin
+    (ties → smallest label) is pure int64 arithmetic, so the SQL
+    oracle is bit-identical by construction.
+
+    Scale shape: pass 1 reduces class-bounded (label, count, Σq)
+    partials per block (#classes·dim integers each — driver fold holds
+    L·D ints, never vectors); the tiny centroid matrix broadcasts via
+    ray.put; pass 2 is block-local vectorized distance evaluation.
+    Overflow: |q| ≤ 3·2^12 ⇒ dist² ≤ D·2^28 — int64-safe to D ~ 2^34."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(
+        path, columns=["vec_id", "embedding", "label"]
+    )
+
+    def partials(t: pa.Table):
+        if len(t) == 0:
+            return
+        q = _quantized_block(t)
+        lab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = [
+            (int(L), int((lab == L).sum()), q[lab == L].sum(axis=0, dtype=np.int64))
+            for L in np.unique(lab).tolist()  # class-bounded loop
+        ]
+        yield pa.table(
+            {
+                "label": pa.array([r[0] for r in rows], pa.int64()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "s": pa.array(
+                    [r[2].tolist() for r in rows], pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    agg: dict[int, tuple[int, np.ndarray]] = {}
+    for r in ds.map_batches(
+        partials, batch_format="pyarrow"
+    ).take_all():  # class-bounded: blocks × classes tiny rows
+        v = np.asarray(r["s"], np.int64)
+        n, s = agg.get(r["label"], (0, np.zeros_like(v)))
+        agg[r["label"]] = (n + r["n"], s + v)
+    labels = np.array(sorted(agg), np.int64)
+    cent = np.stack([agg[L][1] // agg[L][0] for L in labels.tolist()])
+    c_ref = ray.put((labels, cent))
+
+    def classify(t: pa.Table):
+        if len(t) == 0:
+            return
+        labs, c = ray.get(c_ref)
+        q = _quantized_block(t)
+        d2 = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        j = np.argmin(d2, axis=1)  # labels ascending ⇒ tie → min label
+        yield pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "true_label": pa.array(
+                    t.column("label")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+                "pred_label": pa.array(labs[j], pa.int64()),
+                "dist2": pa.array(
+                    d2[np.arange(len(j)), j].astype(np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(classify, batch_format="pyarrow")
+
+
+def centroid_confusion(sf_dir: str) -> ray.data.Dataset:
+    """(true_label, pred_label, cnt) confusion matrix of the
+    nearest-centroid classifier — per-block pre-combine then ONE
+    coalesced in-block re-agg (the tiny-partial aggregation rule:
+    ≤ classes² groups, a groupby shuffle would be pure overhead)."""
+
+    def part(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        if "cnt" not in t.schema.names:  # first pass: one per classified row
+            t = t.select(["true_label", "pred_label"]).append_column(
+                "cnt", pa.array(np.ones(t.num_rows, np.int64))
+            )
+        g = (
+            t.select(["true_label", "pred_label", "cnt"])
+            .group_by(["true_label", "pred_label"])
+            .aggregate([("cnt", "sum")])
+        )
+        yield g.rename_columns(["true_label", "pred_label", "cnt"])
+
+    return (
+        centroid_classify(sf_dir)
+        .map_batches(part, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(part, batch_size=None, batch_format="pyarrow")
+    )
+
+
+_CENT_CTES = """
+WITH q AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label, CAST(u[2] AS BIGINT) AS dim,
+         CAST(floor(CAST(u[1] AS DOUBLE) * 4096.0) AS BIGINT) + 8192 AS qv
+  FROM embeddings, UNNEST(list_zip(embedding, range(len(embedding)))) AS t(u)
+),
+cent AS (
+  SELECT label AS clabel, dim, CAST(SUM(qv) // COUNT(*) AS BIGINT) AS c
+  FROM q GROUP BY 1, 2
+),
+dist AS (
+  SELECT q.vec_id, q.label AS true_label, cent.clabel AS pred_cand,
+         CAST(SUM((q.qv - cent.c) * (q.qv - cent.c)) AS BIGINT) AS d2
+  FROM q JOIN cent ON q.dim = cent.dim
+  GROUP BY 1, 2, 3
+),
+pick AS (
+  SELECT vec_id, true_label, pred_cand, d2,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, pred_cand) AS rn
+  FROM dist
+)
+"""
+
+CENTROID_CLASSIFY_SQL = _CENT_CTES + """
+SELECT vec_id, true_label, pred_cand AS pred_label, d2 AS dist2
+FROM pick WHERE rn = 1
+"""
+
+CENTROID_CONFUSION_SQL = _CENT_CTES + """
+SELECT true_label, pred_cand AS pred_label, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pick WHERE rn = 1
+GROUP BY 1, 2
+"""
