@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_doc_freq": _terms().term_doc_freq,
         "tfidf_top_terms": _terms().tfidf_top_terms,
         "inverted_index": _terms().inverted_index,
+        "price_band_pairs": rel.price_band_pairs,
         "top_bigrams": _terms().top_bigrams,
         "windowed_cooccurrence": _terms().windowed_cooccurrence,
         "keyword_contexts": _terms().keyword_contexts,
@@ -2059,6 +2060,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "pricing_summary": rel.PRICING_SUMMARY_SQL,
+        "price_band_pairs": rel.PRICE_BAND_PAIRS_SQL,
         "top_revenue_orders": rel.TOP_REVENUE_ORDERS_SQL,
         "nation_revenue": rel.NATION_REVENUE_SQL,
         "user_sessions": rel.USER_SESSIONS_SQL,

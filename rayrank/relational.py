@@ -1225,3 +1225,97 @@ SELECT user_id, CAST({_ENT_TOT} AS BIGINT) AS n_events,
     - ({_ENT_TERMS}) / CAST({_ENT_TOT} AS DOUBLE) AS entropy
 FROM w
 """
+
+
+# ---------------------------------------------------------------------------
+# Band self-join: order pairs with near-equal total price
+# ---------------------------------------------------------------------------
+
+PRICE_BAND_EPS = 500  # cents
+
+
+def price_band_pairs(sf_dir: str, eps: int = PRICE_BAND_EPS) -> ray.data.Dataset:
+    """All order pairs whose total prices differ by ≤ ``eps`` cents —
+    the bucketed BAND JOIN pattern: each row replicates to its home
+    price bucket ``c // W`` and the next one (W = eps+1, so a valid
+    pair spans at most adjacent buckets), ONE bucket-keyed shuffle
+    co-locates candidates, and in-block pairing is a vectorized
+    sorted-searchsorted range expansion.  A pair is emitted exactly
+    once, in the bucket equal to max(home_a, home_b) — never an
+    all-pairs comparison, and output volume equals the true result
+    size (dense buckets cost what the answer costs, no silent cap).
+    Prices snap to exact integer cents on both sides, so the match is
+    float-free."""
+    W = eps + 1
+
+    def explode(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        c = _i64(t.column("o_totalprice"), 100)
+        home = c // W
+        yield pa.table(
+            {
+                "bkt": pa.array(np.concatenate([home, home + 1])),
+                "k": pa.array(np.concatenate([k, k])),
+                "c": pa.array(np.concatenate([c, c])),
+                "home": pa.array(np.concatenate([home, home])),
+            }
+        )
+
+    ds = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+        .map_batches(explode, batch_format="pyarrow")
+        .repartition(P, keys=["bkt"])
+    )
+
+    def pair_block(t: pa.Table):
+        if t.num_rows == 0 or "bkt" not in t.schema.names:
+            return
+        bkt = t.column("bkt").to_numpy(zero_copy_only=False)
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        home = t.column("home").to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, c, bkt))
+        bkt, k, c, home = bkt[order], k[order], c[order], home[order]
+        n = len(k)
+        # per-row end of its bucket run, and end of its eps-band
+        bkt_end = np.searchsorted(bkt, bkt, side="right")
+        band_end = np.zeros(n, np.int64)
+        starts = np.r_[0, np.flatnonzero(bkt[1:] != bkt[:-1]) + 1]
+        ends = np.r_[starts[1:], n]
+        for s, e in zip(starts.tolist(), ends.tolist()):  # per-bucket, not per-row
+            band_end[s:e] = s + np.searchsorted(c[s:e], c[s:e] + eps, side="right")
+        hi = np.minimum(band_end, bkt_end)
+        lo = np.arange(n) + 1
+        cnt = np.maximum(hi - lo, 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return
+        i = np.repeat(np.arange(n), cnt)
+        j = np.arange(total) - np.repeat(cnt.cumsum() - cnt, cnt) + lo[i]
+        keep = np.maximum(home[i], home[j]) == bkt[i]
+        keep &= k[i] != k[j]
+        i, j = i[keep], j[keep]
+        if len(i) == 0:
+            return
+        a, b = np.minimum(k[i], k[j]), np.maximum(k[i], k[j])
+        yield pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "diff_cents": pa.array(c[j] - c[i]),
+            }
+        )
+
+    return ds.map_batches(pair_block, batch_size=None, batch_format="pyarrow")
+
+
+PRICE_BAND_PAIRS_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+)
+SELECT a.k AS a, b.k AS b, CAST(abs(a.c - b.c) AS BIGINT) AS diff_cents
+FROM o a JOIN o b ON a.k < b.k AND abs(a.c - b.c) <= {PRICE_BAND_EPS}
+"""
