@@ -286,7 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_converged": pl.pagerank_converged,
         "triangle_count": pl.triangle_count_sf,
         "connected_components": pl.connected_components_sf,
-        "strongly_connected_components": pl.strongly_connected_components_sf,
+        "strongly_connected_components": pl.strongly_connected_components_sf,  # SQL-checked (back-head closure)
         "label_propagation": pl.label_propagation_sf,   # rows-only (labels ARE vids)
         "component_count": pl.component_count_sf,
         "component_size_histogram": pl.component_size_histogram,
@@ -745,6 +745,45 @@ SELECT s.v AS seed,
   CAST(COUNT(*) - 1 AS DOUBLE) / CAST(SUM(d.d) AS DOUBLE) AS closeness
 FROM dist d JOIN seeds s ON d.si = s.si
 GROUP BY s.v
+"""
+
+# SCC oracle WITHOUT a quadratic all-pairs closure: in the order↔part
+# scc_edges graph every cycle must traverse a p→o back edge, so every
+# nontrivial SCC contains a back-edge HEAD.  Reachability is therefore
+# computed only FROM the (small) back-head set — forward (r1) and
+# backward (r2) — and SCC(v) = {u mutual with some back-head o}, label
+# = min member; vertices mutual with no back-head are singletons
+# (COALESCE to their own name).  Closure size is |backheads|·reach,
+# not V² (the reason the r11 sitting deemed this inexpressible).
+_SCC_SQL = """
+WITH RECURSIVE
+fwd AS (
+  SELECT 'o'||CAST(l_orderkey AS VARCHAR) AS s, 'p'||CAST(l_partkey AS VARCHAR) AS t FROM lineitem
+  UNION ALL
+  SELECT 'p'||CAST(l_partkey AS VARCHAR), 'o'||CAST(l_orderkey AS VARCHAR) FROM lineitem
+  WHERE l_returnflag='R' AND l_linenumber=1 AND l_quantity >= 40
+),
+edges AS (SELECT DISTINCT s, t FROM fwd),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM edges UNION ALL SELECT t FROM edges)),
+backheads AS (
+  SELECT DISTINCT 'o'||CAST(l_orderkey AS VARCHAR) AS o FROM lineitem
+  WHERE l_returnflag='R' AND l_linenumber=1 AND l_quantity >= 40
+),
+r1(o, v) AS (
+  SELECT o, o FROM backheads
+  UNION
+  SELECT r1.o, e.t FROM r1 JOIN edges e ON r1.v = e.s
+),
+r2(o, v) AS (
+  SELECT o, o FROM backheads
+  UNION
+  SELECT r2.o, e.s FROM r2 JOIN edges e ON r2.v = e.t
+),
+mutual AS (SELECT r1.o, r1.v FROM r1 JOIN r2 ON r1.o = r2.o AND r1.v = r2.v),
+lab AS (SELECT o, MIN(v) AS m FROM mutual GROUP BY o),
+cand AS (SELECT mu.v, MIN(l.m) AS comp FROM mutual mu JOIN lab l ON mu.o = l.o GROUP BY mu.v)
+SELECT vt.v AS name, COALESCE(c.comp, vt.v) AS component
+FROM verts vt LEFT JOIN cand c ON vt.v = c.v
 """
 
 # The seed-BFS recursion shared by harmonic centrality and the
@@ -2359,6 +2398,7 @@ def oracle_sql() -> dict[str, str]:
         "shortest_path_counts": _PATH_COUNTS_SQL,
         "landmark_assignment": _LANDMARK_SQL,
         "sssp_dists": _SSSP_SQL,
+        "strongly_connected_components": _SCC_SQL,
         "seed_closeness": _SEED_CLOSENESS_SQL,
         "harmonic_centrality": _HARMONIC_SQL,
         "seed_distance_histogram": _SEED_DIST_HIST_SQL,

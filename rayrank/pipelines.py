@@ -1641,8 +1641,11 @@ def strongly_connected_components_sf(sf_dir: str) -> ray.data.Dataset:
     """(name, component=min member name) strongly connected components
     of the cyclic order↔part lineitem graph (scc_edges) — trim +
     forward-coloring + backward-mark peel on the shard loop
-    (rayrank/scc.py).  No SQL oracle (reachability closure is quadratic
-    in DuckDB) → rows-only; pytest pins exact equality vs networkx."""
+    (rayrank/scc.py).  SQL oracle (_SCC_SQL): closure from the small
+    back-edge-head set only — every cycle here crosses a p→o edge, so
+    mutual reachability with some back-head identifies the SCC without
+    a quadratic all-pairs closure.  pytest additionally pins exact
+    equality vs networkx."""
     from .components import canonical_components
     from .scc import scc
 
