@@ -250,7 +250,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": pl.doc_quality,
         "lang_confusion": pl.lang_confusion,
         "ngram_jaccard_pairs": pl.ngram_jaccard_pairs,
-        "minhash_clusters": pl.minhash_clusters,        # rows-only
+        "minhash_clusters": pl.minhash_clusters,        # rows-only (polars shingle hash)
+        "minhash_cluster_labels": pl.minhash_cluster_labels,
         "minhash_sigs_exact": _tx().minhash_sigs_exact,
         "lsh_band_keys": _tx().lsh_band_keys,
         "lsh_candidate_jaccard": _tx().lsh_candidate_jaccard,
@@ -1729,6 +1730,37 @@ SELECT v AS name, l AS component FROM lab WHERE it = {_CC_ITERS}
 """
 
 
+def _minhash_cluster_sql() -> str:
+    """The full lsh_candidate_jaccard oracle as a subquery, pairs kept
+    by the integer jaccard-≥-0.8 rule, fed into the bounded min-label
+    CC recursion — mirrors rayrank.pipelines.minhash_cluster_labels."""
+    return f"""
+WITH RECURSIVE
+pairs AS (
+  SELECT DISTINCT CAST(doc_a AS VARCHAR) AS s, CAST(doc_b AS VARCHAR) AS t
+  FROM ({_lsh_candidate_jaccard_sql()})
+  WHERE inter_size * 10 >= union_size * 8
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM pairs UNION ALL SELECT t FROM pairs)),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM pairs WHERE s <> t
+    UNION ALL SELECT t, s FROM pairs WHERE s <> t
+    UNION ALL SELECT v, v FROM verts
+  )
+),
+lab(it, v, l) AS (
+  SELECT 0, v, v FROM verts
+  UNION ALL
+  SELECT lab.it + 1, e.b, MIN(lab.l)
+  FROM lab JOIN und e ON lab.v = e.a
+  WHERE lab.it < {_CC_ITERS}
+  GROUP BY lab.it + 1, e.b
+)
+SELECT v AS name, l AS component FROM lab WHERE it = {_CC_ITERS}
+"""
+
+
 def _random_walks_sql(steps: int) -> str:
     """Unrolled deterministic-walk oracle (rayrank.pipelines
     .random_walks): per step, the splitmix64 chain over
@@ -2371,6 +2403,7 @@ def oracle_sql() -> dict[str, str]:
         "centroid_confusion": _annmod().CENTROID_CONFUSION_SQL,
         "mutual_knn_pairs": _annmod().MUTUAL_KNN_SQL,
         "knn_graph_components": _knn_cc_sql(),
+        "minhash_cluster_labels": _minhash_cluster_sql(),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
             "FROM embeddings WHERE vec_id < 3), "

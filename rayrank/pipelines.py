@@ -1693,6 +1693,48 @@ def knn_graph_components(sf_dir: str) -> ray.data.Dataset:
     return canonical_components(cc, gdir)
 
 
+def minhash_cluster_labels(sf_dir: str) -> ray.data.Dataset:
+    """(name, component=min member name) near-duplicate clusters from
+    the fully ORACLE-CHECKED exact-minhash LSH chain: splitmix-exact
+    signatures → banded bucket candidates → exact shingle Jaccard
+    (text.lsh_candidate_jaccard, every stage SQL-green) → pairs kept
+    by the INTEGER threshold ``10·inter ≥ 8·union`` (jaccard ≥ 0.8
+    with no float comparison) → ONE graph build → shard-loop CC →
+    canonical min-name labels.  This gives the dedup family an
+    end-to-end SQL-checked clustering path; the polars-hash
+    ``minhash_clusters`` twin stays rows-only by design (its shingle
+    hash is not SQL-reproducible).  Labels are lexicographic string
+    mins on BOTH sides (the ego_network_edges lesson: canonicalize
+    after casting)."""
+    from .components import canonical_components, connected_components
+    from .text import lsh_candidate_jaccard
+
+    def names(t: pa.Table):
+        if t.num_rows == 0 or "inter_size" not in t.schema.names:
+            return
+        keep = pc.greater_equal(
+            pc.multiply(t.column("inter_size"), pa.scalar(10, pa.int64())),
+            pc.multiply(t.column("union_size"), pa.scalar(8, pa.int64())),
+        )
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return
+        yield pa.table(
+            {
+                "src_name": pc.cast(t.column("doc_a"), pa.string()),
+                "dst_name": pc.cast(t.column("doc_b"), pa.string()),
+            }
+        )
+
+    edges = lsh_candidate_jaccard(sf_dir).map_batches(
+        names, batch_format="pyarrow"
+    )
+    gdir = tempfile.mkdtemp(prefix="rayrank_mh_cc_")
+    build_graph(edges, gdir, num_partitions=P, undirected=True)
+    cc = connected_components(gdir)
+    return canonical_components(cc, gdir)
+
+
 def label_propagation_sf(sf_dir: str) -> ray.data.Dataset:
     from .labelprop import label_propagation
 
