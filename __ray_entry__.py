@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_hop_neighbors": pl.two_hop_neighbors,
         "common_neighbors": pl.common_neighbors,
         "random_walks": pl.random_walks,
+        "walk_visit_counts": pl.walk_visit_counts,
         "edge_support": _truss().edge_support,
         "edge_jaccard": _truss().edge_jaccard,
         "rich_club": _truss().rich_club,
@@ -2268,6 +2269,10 @@ def oracle_sql() -> dict[str, str]:
         "two_hop_neighbors": _pl().TWO_HOP_NEIGHBORS_SQL,
         "common_neighbors": _pl().COMMON_NEIGHBORS_SQL,
         "random_walks": _random_walks_sql(_pl().RW_STEPS),
+        "walk_visit_counts": (
+            f"SELECT vertex, CAST(COUNT(*) AS BIGINT) AS visits "
+            f"FROM ({_random_walks_sql(_pl().RW_STEPS)}) GROUP BY vertex"
+        ),
         "edge_support": _truss().EDGE_SUPPORT_SQL,
         "edge_jaccard": _truss().EDGE_JACCARD_SQL,
         "rich_club": _truss().RICH_CLUB_SQL,

@@ -2256,6 +2256,32 @@ def random_walks(sf_dir: str, steps: int = RW_STEPS) -> ray.data.Dataset:
     return out
 
 
+def walk_visit_counts(sf_dir: str) -> ray.data.Dataset:
+    """(vertex, visits) — visit frequencies over the deterministic
+    walk corpus (random_walks): the Monte-Carlo stationary-distribution
+    / PPR-style estimator an embedding pipeline derives negative-
+    sampling tables from.  Per-block pre-combine then ONE vertex-keyed
+    reduce over the V·(steps+1) walk rows; deterministic because the
+    walks are (SQL oracle = the unrolled walk CTEs re-aggregated)."""
+    from .shuffle import keyed_reagg
+
+    def pre(t: pa.Table):
+        if t.num_rows == 0 or "vertex" not in t.schema.names:
+            return
+        g = (
+            t.select(["vertex"])
+            .append_column("visits", pa.array(np.ones(t.num_rows, np.int64)))
+            .group_by(["vertex"])
+            .aggregate([("visits", "sum")])
+        )
+        yield g.rename_columns(["vertex", "visits"])
+
+    return keyed_reagg(
+        random_walks(sf_dir).map_batches(pre, batch_format="pyarrow"),
+        ["vertex"], [("visits", "sum")], P,
+    )
+
+
 def graph_coloring_sf(sf_dir: str) -> ray.data.Dataset:
     """(name, color) greedy coloring of the undirected lineitem graph
     by iterated hash-MIS (rayrank.mis.coloring; class c = deterministic
