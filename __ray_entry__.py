@@ -122,7 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holdout_contamination": _packmod().holdout_contamination,
         "component_quotient_edges": pl.component_quotient_edges,
         "global_transitivity": pl.global_transitivity,
-        "bowtie_profile": pl.bowtie_profile,          # rows-only (SCC closure)
+        "bowtie_profile": pl.bowtie_profile,          # SQL-checked (back-head closure)
         "densest_subgraph": _truss().densest_subgraph,  # rows-only (fixpoint)
         "node2vec_walks": pl.node2vec_walks,
         "lp_modularity": pl.lp_modularity,            # rows-only (LP vid space)
@@ -757,8 +757,7 @@ GROUP BY s.v
 # = min member; vertices mutual with no back-head are singletons
 # (COALESCE to their own name).  Closure size is |backheads|·reach,
 # not V² (the reason the r11 sitting deemed this inexpressible).
-_SCC_SQL = """
-WITH RECURSIVE
+_SCC_CTES = """
 fwd AS (
   SELECT 'o'||CAST(l_orderkey AS VARCHAR) AS s, 'p'||CAST(l_partkey AS VARCHAR) AS t FROM lineitem
   UNION ALL
@@ -783,9 +782,52 @@ r2(o, v) AS (
 ),
 mutual AS (SELECT r1.o, r1.v FROM r1 JOIN r2 ON r1.o = r2.o AND r1.v = r2.v),
 lab AS (SELECT o, MIN(v) AS m FROM mutual GROUP BY o),
-cand AS (SELECT mu.v, MIN(l.m) AS comp FROM mutual mu JOIN lab l ON mu.o = l.o GROUP BY mu.v)
-SELECT vt.v AS name, COALESCE(c.comp, vt.v) AS component
-FROM verts vt LEFT JOIN cand c ON vt.v = c.v
+cand AS (SELECT mu.v, MIN(l.m) AS comp FROM mutual mu JOIN lab l ON mu.o = l.o GROUP BY mu.v),
+comp AS (
+  SELECT vt.v AS name, COALESCE(c.comp, vt.v) AS component
+  FROM verts vt LEFT JOIN cand c ON vt.v = c.v
+)"""
+
+_SCC_SQL = f"""
+WITH RECURSIVE
+{_SCC_CTES}
+SELECT name, component FROM comp
+"""
+
+# Bow-tie census from the same closure: the giant SCC is unique at
+# both oracle SFs (30 vs 11 members at sf0.001, 193 vs 19 at sf0.01),
+# so the size-desc pick cannot hit the engine's vid-space tie-break.
+# OUT = forward reach from the giant's members minus the giant,
+# IN = backward reach minus the giant (disjoint: a vertex in both
+# would be in the giant), OTHER = the rest.
+_BOWTIE_SQL = f"""
+WITH RECURSIVE
+{_SCC_CTES},
+giant AS (
+  SELECT component FROM comp GROUP BY component
+  ORDER BY COUNT(*) DESC, component LIMIT 1
+),
+mem AS (SELECT name AS v FROM comp WHERE component = (SELECT component FROM giant)),
+fr(v) AS (
+  SELECT v FROM mem
+  UNION
+  SELECT e.t FROM fr JOIN edges e ON fr.v = e.s
+),
+rr(v) AS (
+  SELECT v FROM mem
+  UNION
+  SELECT e.s FROM rr JOIN edges e ON rr.v = e.t
+),
+nums AS (
+  SELECT (SELECT COUNT(*) FROM mem) AS n_scc,
+         (SELECT COUNT(*) FROM rr WHERE v NOT IN (SELECT v FROM mem)) AS n_in,
+         (SELECT COUNT(*) FROM fr WHERE v NOT IN (SELECT v FROM mem)) AS n_out,
+         (SELECT COUNT(*) FROM verts) AS n_all
+)
+SELECT 'scc' AS region, CAST(n_scc AS BIGINT) AS n FROM nums
+UNION ALL SELECT 'in', CAST(n_in AS BIGINT) FROM nums
+UNION ALL SELECT 'out', CAST(n_out AS BIGINT) FROM nums
+UNION ALL SELECT 'other', CAST(n_all - n_scc - n_in - n_out AS BIGINT) FROM nums
 """
 
 # The seed-BFS recursion shared by harmonic centrality and the
@@ -2437,6 +2479,7 @@ def oracle_sql() -> dict[str, str]:
         "landmark_assignment": _LANDMARK_SQL,
         "sssp_dists": _SSSP_SQL,
         "strongly_connected_components": _SCC_SQL,
+        "bowtie_profile": _BOWTIE_SQL,
         "seed_closeness": _SEED_CLOSENESS_SQL,
         "harmonic_centrality": _HARMONIC_SQL,
         "seed_distance_histogram": _SEED_DIST_HIST_SQL,

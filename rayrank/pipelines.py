@@ -2759,9 +2759,10 @@ def bowtie_regions(fwd_dir: str, rev_dir: str) -> pa.Table:
 
 def bowtie_profile(sf_dir: str) -> pa.Table:
     """Bow-tie census of the cyclic order↔part lineitem graph
-    (scc_edges) — see :func:`bowtie_regions`.  Rows-only driver check
-    (reachability closure is not bounded-SQL-expressible, same as
-    strongly_connected_components); pytest pins exactness vs a
+    (scc_edges) — see :func:`bowtie_regions`.  SQL oracle
+    (_BOWTIE_SQL): the back-head SCC closure picks the (unique at both
+    oracle SFs) giant component, then two bounded recursions from its
+    member set give OUT/IN; pytest additionally pins exactness vs a
     networkx reachability oracle."""
     return bowtie_regions(_graph(sf_dir, "scc"), _graph(sf_dir, "scc_rev"))
 
