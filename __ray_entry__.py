@@ -271,6 +271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_part_counts": pl.cms_part_counts,
         "embedding_near_dups": pl.embedding_near_dup_pairs,  # rows-only
         "ann_topk": pl.ann_topk,
+        "filtered_ann_topk": pl.filtered_ann_topk,
+        "hourly_anomalies": pl.hourly_anomalies,
         "embedding_quantize": _annmod().embedding_quantize,
         "centroid_classify": _annmod().centroid_classify,
         "centroid_confusion": _annmod().centroid_confusion,
@@ -2462,6 +2464,33 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cos DESC, vec_id) AS rn FROM s) "
             "SELECT query_id, vec_id, ROUND(cos, 4) AS cosine FROM r WHERE rn <= 5"
         ),
+        "filtered_ann_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qe "
+            "FROM embeddings WHERE vec_id < 3), "
+            "s AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(CAST(q.qe AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])) AS cos "
+            "FROM q JOIN embeddings e ON e.label = q.ql), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+            "ORDER BY cos DESC, vec_id) AS rn FROM s) "
+            "SELECT query_id, vec_id, ROUND(cos, 4) AS cosine FROM r WHERE rn <= 5"
+        ),
+        "hourly_anomalies": """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cnt) AS BIGINT) AS tot,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+  FROM h
+)
+SELECT h.hour, h.cnt,
+  CAST(CASE WHEN (h.cnt * s.n - s.tot) * (h.cnt * s.n - s.tot)
+            > 4 * (s.n * s.ss - s.tot * s.tot)
+       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM h, s
+""",
         "minhash_sigs_exact": _minhash_sigs_exact_sql(),
         "lsh_band_keys": _lsh_band_keys_sql(),
         "lsh_candidate_jaccard": _lsh_candidate_jaccard_sql(),

@@ -1027,3 +1027,68 @@ SELECT true_label, pred_cand AS pred_label, CAST(COUNT(*) AS BIGINT) AS cnt
 FROM pick WHERE rn = 1
 GROUP BY 1, 2
 """
+
+
+def brute_force_topk_filtered(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    query_labels: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    label_col: str = "label",
+) -> ray.data.Dataset:
+    """Filtered vector search: per-query top-k restricted to corpus
+    rows whose ``label`` equals the query's — the metadata-predicate
+    pushdown every production vector store supports.  Same shape as
+    brute_force_topk (query matrix + labels broadcast once, per-batch
+    vectorized cosine, m·k local partials, tiny merge); the filter is
+    applied INSIDE the batch as a label mask before the top-k cut, so
+    non-matching rows cost one compare, never a distance."""
+    q = np.asarray(queries, np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    q_ref = ray.put((qn, np.asarray(query_labels, np.int64)))
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        qm, qlab = ray.get(q_ref)
+        x = _emb_matrix(t, emb_col)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = qm @ xn.T  # (m, b)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        labs = t.column(label_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        qids, vids, coss = [], [], []
+        for qi in range(qm.shape[0]):
+            ok = np.flatnonzero(labs == qlab[qi])
+            if len(ok) == 0:
+                continue
+            s = sims[qi][ok]
+            kk = min(k, len(ok))
+            cut = np.partition(s, len(s) - kk)[len(s) - kk]
+            cand = np.flatnonzero(s >= cut)
+            order = cand[np.lexsort((ids[ok][cand], -s[cand]))][:kk]
+            qids.append(np.full(kk, qi, np.int64))
+            vids.append(ids[ok][order])
+            coss.append(s[order])
+        if not qids:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qids)),
+                id_col: pa.array(np.concatenate(vids)),
+                "cosine": pa.array(np.concatenate(coss), pa.float64()),
+            }
+        )
+
+    partials = ds.select_columns([id_col, emb_col, label_col]).map_batches(
+        local_topk, batch_format="pyarrow"
+    )
+    return _merge_topk(partials, k, id_col)

@@ -1078,6 +1078,36 @@ def ann_topk(sf_dir: str, k: int = 5, m: int = 3) -> ray.data.Dataset:
     )
 
 
+def filtered_ann_topk(sf_dir: str, k: int = 5, m: int = 3) -> ray.data.Dataset:
+    """Metadata-filtered vector search: brute-force cosine top-k where
+    the corpus is restricted to rows sharing the QUERY's label
+    (ann.brute_force_topk_filtered) — the predicate-pushdown ANN shape.
+    Queries = the first m embeddings; cosine rounded to 4 decimals for
+    comparison (the ann_topk order-agreement precedent)."""
+    import pyarrow.parquet as pq
+
+    from .ann import brute_force_topk_filtered
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(path, filters=[("vec_id", "<", m)])
+    order = np.argsort(t.column("vec_id").to_numpy())
+    q = np.asarray(t.column("embedding").to_pylist(), np.float64)[order]
+    qlab = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    out = brute_force_topk_filtered(
+        ray.data.read_parquet(path), q, qlab, k=k
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "query_id": t.column("query_id"),
+                "vec_id": t.column("vec_id"),
+                "cosine": pc.round(t.column("cosine"), 4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def lsh_ann_topk(sf_dir: str, k: int = 5, m: int = 3) -> ray.data.Dataset:
     """LSH-bucketed ANN (rows-only: approximate by design)."""
     import pyarrow.parquet as pq
@@ -2254,6 +2284,52 @@ def random_walks(sf_dir: str, steps: int = RW_STEPS) -> ray.data.Dataset:
             walkers.map_batches(snapshot(s + 1), batch_format="pyarrow")
         )
     return out
+
+
+def hourly_anomalies(sf_dir: str) -> pa.Table:
+    """(hour, cnt, is_anomaly) — global hourly event counts flagged
+    where |z| > 2, with ZERO float arithmetic: z² > 4 restates as
+    ``(cnt·n − tot)² > 4·(n·ss − tot²)`` over exact integer moments
+    (the exact-variance trick from analytics.py applied as a
+    threshold), so the SQL oracle matches bit-for-bit with no float
+    comparison anywhere.  Per-block (hour, cnt) pre-combine, ONE
+    hours-bounded keyed reduce; the reduced table is hours-bounded, so
+    the scalar moment fold and flagging run driver-side (the
+    vocab-bounded take_all precedent)."""
+    from .shuffle import keyed_reagg
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def pre(t: pa.Table):
+        if t.num_rows == 0:
+            return
+        g = (
+            pa.table({"hour": pc.floor_temporal(t.column("ts"), unit="hour")})
+            .append_column("cnt", pa.array(np.ones(t.num_rows, np.int64)))
+            .group_by(["hour"])
+            .aggregate([("cnt", "sum")])
+        )
+        yield g.rename_columns(["hour", "cnt"])
+
+    red = keyed_reagg(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["hour"], [("cnt", "sum")], P,
+    ).take_all()  # hours-bounded
+    hours = [r["hour"] for r in red]
+    cnts = [int(r["cnt"]) for r in red]
+    n, tot = len(cnts), sum(cnts)
+    ss = sum(c * c for c in cnts)
+    flags = [
+        1 if (c * n - tot) ** 2 > 4 * (n * ss - tot * tot) else 0
+        for c in cnts
+    ]
+    return pa.table(
+        {
+            "hour": pa.array(hours, pa.timestamp("us")),
+            "cnt": pa.array(cnts, pa.int64()),
+            "is_anomaly": pa.array(flags, pa.int64()),
+        }
+    )
 
 
 def walk_visit_counts(sf_dir: str) -> ray.data.Dataset:
