@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": pl.minhash_clusters,        # rows-only (polars shingle hash)
         "minhash_cluster_labels": pl.minhash_cluster_labels,
         "minhash_sigs_exact": _tx().minhash_sigs_exact,
+        "simhash_sigs_exact": _tx().simhash_sigs_exact,
         "lsh_band_keys": _tx().lsh_band_keys,
         "lsh_candidate_jaccard": _tx().lsh_candidate_jaccard,
         "simhash_pairs": pl.simhash_pairs,              # rows-only
@@ -1501,6 +1502,47 @@ mhtri AS (
 {_sm64_carry_cte('(SELECT doc_id, xor(z, t2) AS x FROM hhg2)', ['doc_id'], 'g3')}"""
 
 
+def _simhash_sigs_exact_sql() -> str:
+    """SQL-exact SimHash (rayrank.text.simhash_sigs_exact): per-doc
+    token multiplicities over the alphabetical-rank vocab, one
+    splitmix chain per distinct token, strict-majority bit votes in
+    HUGEINT, signature assembled as Σ bit·2^b and wrapped to int64."""
+    pows = ", ".join(f"CAST('{1 << b}' AS HUGEINT)" for b in range(64))
+    return f"""
+WITH
+mhbase AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS lst
+  FROM documents
+),
+mhtok AS (SELECT doc_id, UNNEST(lst) AS tok FROM mhbase),
+mhvocab AS (
+  SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tid
+  FROM (SELECT DISTINCT tok FROM mhtok)
+),
+cnts AS (
+  SELECT t.doc_id, CAST(v.tid AS HUGEINT) AS tid,
+         CAST(COUNT(*) AS HUGEINT) AS cnt
+  FROM mhtok t JOIN mhvocab v USING (tok)
+  GROUP BY 1, 2
+),
+{_sm64_carry_cte('(SELECT doc_id, cnt, tid AS x FROM cnts)', ['doc_id', 'cnt'], 's1')},
+bitpow AS (SELECT UNNEST([{pows}]) AS p),
+sums AS (
+  SELECT h.doc_id, b.p,
+    SUM(h.cnt * ((h.z // b.p) % 2)) AS s, SUM(h.cnt) AS tot
+  FROM hhs1 h CROSS JOIN bitpow b
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+    SUM(CASE WHEN 2 * s > tot THEN p ELSE CAST(0 AS HUGEINT) END) AS z
+  FROM sums GROUP BY doc_id
+)
+SELECT doc_id, {_I64_WRAP} AS simhash FROM sig
+"""
+
+
 def _minhash_mh_ctes(num_perm: int) -> str:
     """Extends the shingle prefix with the per-permutation salt cross
     join + fourth chain + per-doc minimum: mh(doc_id, perm, z)."""
@@ -2492,6 +2534,7 @@ SELECT h.hour, h.cnt,
 FROM h, s
 """,
         "minhash_sigs_exact": _minhash_sigs_exact_sql(),
+        "simhash_sigs_exact": _simhash_sigs_exact_sql(),
         "lsh_band_keys": _lsh_band_keys_sql(),
         "lsh_candidate_jaccard": _lsh_candidate_jaccard_sql(),
         "pagerank_2iter": _PAGERANK_2ITER_SQL,

@@ -858,6 +858,70 @@ def minhash_sigs_exact(
     return _read_docs(sf_dir).map_batches(sigs, batch_format="pyarrow")
 
 
+def simhash_sigs_exact(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, simhash) — a 64-bit SimHash signature whose every bit
+    is ANSI-SQL reproducible (unlike ``simhash_pairs``, whose token
+    hash is polars xxhash): feature = whitespace token with
+    multiplicity weight, feature hash = splitmix64(alphabetical token
+    rank) — the minhash_sigs_exact vocab chain — and bit b is set iff
+    ``2·Σ_{tok: bit_b(h)=1} cnt > Σ cnt`` (strict integer majority;
+    exact halves → 0 identically on both sides, no float weights).
+
+    Scale shape: the only global step is the vocab-bounded token-rank
+    reduce (broadcast); signatures are block-local (a document is ONE
+    parquet row) — zero shuffle.  Empty/token-less docs emit no row on
+    either side."""
+    from .sketch import splitmix64
+    from .terms import _read_docs
+
+    vocab = _sorted_vocab(sf_dir)
+
+    def sigs(t: pa.Table):
+        if len(t) == 0:
+            return
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t.column("text")), pattern=r"\s+"
+        )
+        arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        offsets = arr.offsets.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(arr)), np.diff(offsets))
+        vals = arr.values
+        keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+        terms = vals.filter(pa.array(keep)).to_numpy(zero_copy_only=False)
+        didx = doc_idx[keep]
+        if len(terms) == 0:
+            return
+        tid = (np.searchsorted(vocab, terms) + 1).astype(np.uint64)
+        # (doc, tid) multiplicities via one lexsort + run-length
+        o = np.lexsort((tid, didx))
+        d_s, t_s = didx[o], tid[o]
+        new = np.r_[True, (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.r_[starts, len(d_s)]).astype(np.int64)
+        gdoc, utid = d_s[starts], t_s[starts]
+        h = splitmix64(utid)
+        dstarts = np.flatnonzero(np.r_[True, gdoc[1:] != gdoc[:-1]])
+        tot = np.add.reduceat(cnt, dstarts)
+        sig = np.zeros(len(dstarts), np.uint64)
+        for b in range(64):
+            sb = np.add.reduceat(
+                cnt * ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64),
+                dstarts,
+            )
+            sig |= (2 * sb > tot).astype(np.uint64) << np.uint64(b)
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)[
+            gdoc[dstarts]
+        ]
+        yield pa.table(
+            {
+                "doc_id": pa.array(doc_ids.astype(np.int64)),
+                "simhash": pa.array(sig.view(np.int64)),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(sigs, batch_format="pyarrow")
+
+
 def lsh_band_keys(
     sf_dir: str,
     num_perm: int = MINHASH_EXACT_PERMS,
