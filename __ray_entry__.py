@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": pl.triangle_count_sf,
         "connected_components": pl.connected_components_sf,
         "strongly_connected_components": pl.strongly_connected_components_sf,  # SQL-checked (back-head closure)
+        "scc_condensation_edges": pl.scc_condensation_edges,
         "label_propagation": pl.label_propagation_sf,   # rows-only (labels ARE vids)
         "component_count": pl.component_count_sf,
         "component_size_histogram": pl.component_size_histogram,
@@ -831,6 +832,23 @@ SELECT 'scc' AS region, CAST(n_scc AS BIGINT) AS n FROM nums
 UNION ALL SELECT 'in', CAST(n_in AS BIGINT) FROM nums
 UNION ALL SELECT 'out', CAST(n_out AS BIGINT) FROM nums
 UNION ALL SELECT 'other', CAST(n_all - n_scc - n_in - n_out AS BIGINT) FROM nums
+"""
+
+# Condensation DAG from the same closure: distinct directed edges
+# relabeled by SCC, intra-SCC edges dropped, counted per supernode
+# pair.
+_SCC_CONDENSATION_SQL = f"""
+WITH RECURSIVE
+{_SCC_CTES},
+rel AS (
+  SELECT cs.component AS comp_s, ct.component AS comp_t
+  FROM edges e
+  JOIN comp cs ON e.s = cs.name
+  JOIN comp ct ON e.t = ct.name
+  WHERE cs.component <> ct.component
+)
+SELECT comp_s, comp_t, CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM rel GROUP BY 1, 2
 """
 
 # The seed-BFS recursion shared by harmonic centrality and the
@@ -2552,6 +2570,7 @@ FROM h, s
         "sssp_dists": _SSSP_SQL,
         "strongly_connected_components": _SCC_SQL,
         "bowtie_profile": _BOWTIE_SQL,
+        "scc_condensation_edges": _SCC_CONDENSATION_SQL,
         "seed_closeness": _SEED_CLOSENESS_SQL,
         "harmonic_centrality": _HARMONIC_SQL,
         "seed_distance_histogram": _SEED_DIST_HIST_SQL,

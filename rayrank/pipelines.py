@@ -1685,6 +1685,87 @@ def strongly_connected_components_sf(sf_dir: str) -> ray.data.Dataset:
     return canonical_components(res, gdir)
 
 
+def scc_condensation_edges(sf_dir: str) -> ray.data.Dataset:
+    """(comp_s, comp_t, n_edges) — the condensation DAG of the cyclic
+    order↔part graph (scc_edges): every DISTINCT directed edge
+    re-expressed between SCC supernodes; intra-SCC edges vanish.  The
+    condensation is acyclic by construction — the summary graph a
+    100-TB reachability index iterates on.  Supernode ids are the
+    canonical min-member names, identical to the _SCC_SQL back-head
+    closure's labels, so the whole contraction is oracle-checked.
+    Scale shape: ONE keyed dedup of the edge set, the engine's SCC
+    shard loop for labels, two hash joins against the label table,
+    one (comp_s, comp_t)-keyed count."""
+    from .components import canonical_components
+    from .joins import join_auto
+    from .scc import scc
+    from .shuffle import keyed_reagg
+
+    gdir = _graph(sf_dir, "scc")
+    rdir = _graph(sf_dir, "scc_rev")
+    labels = canonical_components(scc(gdir, rdir), gdir)
+
+    def pre(t: pa.Table):
+        if t.num_rows == 0 or "src_name" not in t.schema.names:
+            return
+        g = (
+            t.select(["src_name", "dst_name"])
+            .group_by(["src_name", "dst_name"])
+            .aggregate([])
+        )
+        yield g.rename_columns(["src_name", "dst_name"])
+
+    dedup = keyed_reagg(
+        scc_edges(sf_dir).map_batches(pre, batch_format="pyarrow"),
+        ["src_name", "dst_name"], [], P,
+    )
+    j1 = join_auto(
+        dedup, labels, on=("src_name",), right_on=("name",),
+        num_partitions=P,
+    )
+
+    def lab1(t: pa.Table):
+        if t.num_rows == 0 or "component" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "comp_s": t.column("component"),
+                "dst_name": t.column("dst_name"),
+            }
+        )
+
+    j2 = join_auto(
+        j1.map_batches(lab1, batch_format="pyarrow"),
+        labels, on=("dst_name",), right_on=("name",),
+        num_partitions=P,
+    )
+
+    def quot(t: pa.Table):
+        if t.num_rows == 0 or "comp_s" not in t.schema.names:
+            return
+        cs, ct = t.column("comp_s"), t.column("component")
+        keep = pc.invert(pc.equal(cs, ct))
+        g = (
+            pa.table(
+                {
+                    "comp_s": cs.filter(keep),
+                    "comp_t": ct.filter(keep),
+                    "n_edges": pa.array(
+                        np.ones(int(pc.sum(keep).as_py() or 0), np.int64)
+                    ),
+                }
+            )
+            .group_by(["comp_s", "comp_t"])
+            .aggregate([("n_edges", "sum")])
+        )
+        yield g.rename_columns(["comp_s", "comp_t", "n_edges"])
+
+    return keyed_reagg(
+        j2.map_batches(quot, batch_format="pyarrow"),
+        ["comp_s", "comp_t"], [("n_edges", "sum")], P,
+    )
+
+
 KNN_CC_K = 2
 
 
