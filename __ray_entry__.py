@@ -319,7 +319,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": _packmod().dataset_split,
         "corpus_prep_stats": pl.corpus_prep_stats,
         "doc_chunks": _packmod().doc_chunks,
+        "bigram_lm_perplexity": _lmmod().bigram_lm_perplexity,
     }
+
+
+def _lmmod():
+    from rayrank import lm
+
+    return lm
 
 
 def _packmod():
@@ -1747,6 +1754,53 @@ SELECT source,
 FROM j GROUP BY 1, 2"""
 
 
+def _bigram_lm_sql() -> str:
+    """Add-one bigram LM heldout scoring: the train split via the
+    exact splitmix threshold, counts/context/vocab from train, each
+    heldout bigram's logprob quantized with the zipf_slope
+    floor(ln·1e9) rule so per-doc sums are order-free (rayrank/lm.py
+    mirrors the float chain verbatim)."""
+    from rayrank.packing import SPLIT_TRAIN_T
+
+    return rf"""
+WITH {_sm64_id_cte("(SELECT doc_id AS id, doc_id AS x FROM documents)")},
+tok AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS lst
+  FROM documents
+),
+tr AS (SELECT t.doc_id, lst FROM tok t JOIN hh h ON t.doc_id = h.id
+       WHERE h.z < {SPLIT_TRAIN_T}),
+he AS (SELECT t.doc_id, lst FROM tok t JOIN hh h ON t.doc_id = h.id
+       WHERE h.z >= {SPLIT_TRAIN_T}),
+tb AS (
+  SELECT u[1] AS a, u[2] AS b
+  FROM tr, UNNEST(list_zip(lst[1:-1], lst[2:])) AS zz(u)
+  WHERE u[1] IS NOT NULL AND u[2] IS NOT NULL
+),
+bcnt AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM tb GROUP BY a, b),
+cx AS (SELECT a, CAST(SUM(c) AS BIGINT) AS cc FROM bcnt GROUP BY a),
+voc AS (SELECT CAST(COUNT(DISTINCT tkn) AS BIGINT) AS v
+        FROM (SELECT unnest(lst) AS tkn FROM tr)),
+hp AS (
+  SELECT doc_id, u[1] AS a, u[2] AS b
+  FROM he, UNNEST(list_zip(lst[1:-1], lst[2:])) AS zz(u)
+  WHERE u[1] IS NOT NULL AND u[2] IS NOT NULL
+),
+q AS (
+  SELECT hp.doc_id,
+    CAST(FLOOR(LN(CAST(COALESCE(bc.c, 0) + 1 AS DOUBLE)
+                  / CAST(COALESCE(cx.cc, 0) + voc.v AS DOUBLE))
+               * 1000000000.0) AS BIGINT) AS q
+  FROM hp
+  LEFT JOIN bcnt bc ON hp.a = bc.a AND hp.b = bc.b
+  LEFT JOIN cx ON hp.a = cx.a, voc
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(q) AS BIGINT) AS q_sum
+FROM q GROUP BY doc_id"""
+
+
 def _corpus_prep_sql() -> str:
     from rayrank.packing import SPLIT_TRAIN_T, SPLIT_VAL_T
     from rayrank.pipelines import PREP_MIN_TOKENS
@@ -2585,6 +2639,7 @@ FROM h, s
         "dataset_split": _dataset_split_sql(),
         "corpus_prep_stats": _corpus_prep_sql(),
         "doc_chunks": _packmod().DOC_CHUNKS_SQL,
+        "bigram_lm_perplexity": _bigram_lm_sql(),
         "triangle_count": (
             "WITH raw AS (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem), "
             "und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v "

@@ -1,0 +1,164 @@
+"""Bigram language-model heldout scoring — the perplexity-filter stage
+of a pretraining data pipeline (train an n-gram LM on the train split,
+score every heldout document, gate on the score; CCNet/Gopher-style
+quality filtering restated over the reference corpus tables).
+
+Model rule (pinned): the train split is ``splitmix64(doc_id) <
+SPLIT_TRAIN_T`` (the exact-integer 80 % threshold shared with
+``packing.dataset_split``); tokens are the corpus-wide ``\\s+`` split;
+the LM is add-one-smoothed conditional bigrams over the TRAIN
+vocabulary::
+
+    logp(b | a) = ln( (c(a,b) + 1) / (ctx(a) + V) )
+
+with ``c(a,b)`` the train bigram count (0 if unseen), ``ctx(a) =
+Σ_b c(a,b)`` the bigram-start count (0 for OOV context) and ``V`` the
+distinct-token count of the train split.  Every heldout document with
+at least one adjacent token pair scores ``q_sum = Σ floor(1e9 ·
+logp)`` over its bigrams — the zipf_slope quantize-to-int rule, so the
+per-document sum is order-free and the DuckDB oracle matches
+bit-identically (ln on exact dyadic ratios, one multiply, one floor;
+numpy and DuckDB share libm on this host).
+
+Scale shape: the bigram and unigram reduces are VOCAB-bounded
+(``keyed_reagg`` partials, driver-folded and closure-broadcast like
+``terms.bigram_pmi`` — a partitioned lookup above a vocab cap is the
+100-TB path); scoring is one block-local pass over heldout docs (a
+document is one parquet row, so per-doc grouping never crosses
+blocks); nothing corpus-sized is ever materialized.
+
+Reference parity: the reference has no LM stage; this extends its
+corpus pipeline (reference pagerank.py:118-141 document scoring) with
+the standard pretraining-curation operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from .packing import SPLIT_TRAIN_T
+from .shuffle import keyed_reagg
+from .sketch import splitmix64
+from .terms import _read_docs, _token_pairs
+
+P = 8
+_QSCALE = 1_000_000_000.0
+
+
+def _train_mask(doc_ids: np.ndarray) -> np.ndarray:
+    return splitmix64(doc_ids) < np.uint64(SPLIT_TRAIN_T)
+
+
+def _split_block(t: pa.Table, train: bool) -> pa.Table:
+    if len(t) == 0:
+        return t
+    m = _train_mask(t.column("doc_id").to_numpy(zero_copy_only=False))
+    return t.filter(pa.array(m if train else ~m))
+
+
+def _bigrams_of_block(t: pa.Table):
+    """(doc_ids, a, b) adjacent-pair arrays for one block (the
+    bigram_pmi offset-arithmetic extraction, with the doc id kept)."""
+    docs, toks = _token_pairs(t)
+    n = len(docs)
+    if n < 2:
+        return None
+    adj = docs[1:] == docs[:-1]
+    if not adj.any():
+        return None
+    m = pa.array(adj)
+    return (
+        docs[:-1][adj],
+        toks.slice(0, n - 1).filter(m),
+        toks.slice(1).filter(m),
+    )
+
+
+def bigram_lm_perplexity(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_bigrams, q_sum) for every heldout document with ≥1
+    bigram: quantized add-one bigram log-likelihood under the train-
+    split LM (see module docstring for the pinned rule)."""
+
+    def train_bigrams(t: pa.Table):
+        t = _split_block(t, train=True)
+        if len(t) == 0:
+            return
+        got = _bigrams_of_block(t)
+        if got is None:
+            return
+        _, a, b = got
+        g = (
+            pa.table({"a": a, "b": b})
+            .append_column("cnt", pa.array(np.ones(len(a), np.int64)))
+            .group_by(["a", "b"])
+            .aggregate([("cnt", "sum")])
+        )
+        yield g.rename_columns(["a", "b", "cnt"])
+
+    def train_unigrams(t: pa.Table):
+        t = _split_block(t, train=True)
+        if len(t) == 0:
+            return
+        _, toks = _token_pairs(t)
+        if len(toks) == 0:
+            return
+        g = (
+            pa.table({"tok": toks})
+            .append_column("cnt", pa.array(np.ones(len(toks), np.int64)))
+            .group_by(["tok"])
+            .aggregate([("cnt", "sum")])
+        )
+        yield g.rename_columns(["tok", "cnt"])
+
+    docs = _read_docs(sf_dir)
+    brows = keyed_reagg(
+        docs.map_batches(train_bigrams, batch_format="pyarrow"),
+        ["a", "b"], [("cnt", "sum")], P,
+    ).take_all()  # bigram-vocab-bounded
+    urows = keyed_reagg(
+        docs.map_batches(train_unigrams, batch_format="pyarrow"),
+        ["tok"], [("cnt", "sum")], P,
+    ).take_all()  # vocab-bounded
+    bdict = {(r["a"], r["b"]): int(r["cnt"]) for r in brows}
+    ctx: dict[str, int] = {}
+    for (a, _), c in bdict.items():
+        ctx[a] = ctx.get(a, 0) + c
+    vf = float(len(urows))
+
+    def score(t: pa.Table):
+        t = _split_block(t, train=False)
+        if len(t) == 0:
+            return
+        got = _bigrams_of_block(t)
+        if got is None:
+            return
+        dids, a, b = got
+        al = a.to_pylist()
+        bl = b.to_pylist()
+        n = len(al)
+        cab = np.fromiter(
+            (bdict.get(p, 0) for p in zip(al, bl)), np.float64, n
+        )
+        cc = np.fromiter((ctx.get(x, 0) for x in al), np.float64, n)
+        # ONE explicit float chain, mirrored verbatim in the SQL oracle
+        q = np.floor(
+            np.log((cab + 1.0) / (cc + vf)) * _QSCALE
+        ).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "doc_id": pa.array(dids),
+                    "n_bigrams": pa.array(np.ones(n, np.int64)),
+                    "q_sum": pa.array(q),
+                }
+            )
+            .group_by(["doc_id"])
+            .aggregate([("n_bigrams", "sum"), ("q_sum", "sum")])
+        )
+        yield g.rename_columns(["doc_id", "n_bigrams", "q_sum"])
+
+    # a document is ONE parquet row -> per-doc grouping is block-local
+    return docs.map_batches(score, batch_format="pyarrow")
