@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": pl.clustering_coeff,
         "two_hop_neighbors": pl.two_hop_neighbors,
         "common_neighbors": pl.common_neighbors,
+        "adamic_adar": pl.adamic_adar,
         "random_walks": pl.random_walks,
         "walk_visit_counts": pl.walk_visit_counts,
         "edge_support": _truss().edge_support,
@@ -2426,6 +2427,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_reciprocity": _pl().EDGE_RECIPROCITY_SQL,
         "two_hop_neighbors": _pl().TWO_HOP_NEIGHBORS_SQL,
         "common_neighbors": _pl().COMMON_NEIGHBORS_SQL,
+        "adamic_adar": _pl().ADAMIC_ADAR_SQL,
         "random_walks": _random_walks_sql(_pl().RW_STEPS),
         "walk_visit_counts": (
             f"SELECT vertex, CAST(COUNT(*) AS BIGINT) AS visits "

@@ -2087,6 +2087,164 @@ def common_neighbors(sf_dir: str) -> ray.data.Dataset:
     return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
 
 
+def adamic_adar(sf_dir: str) -> ray.data.Dataset:
+    """Weighted link prediction on the undirected lineitem graph: the
+    top-``CN_TOP_K`` non-edges (u, v) scored by BOTH classic
+    common-neighbor weightings, kept in quantized integers so the
+    DuckDB oracle match is exact —
+
+    * Adamic-Adar   ``aa_q = Σ_c floor(1e9 / ln(deg(c)))``
+    * resource allocation ``ra_q = Σ_c 10^12 // deg(c)`` (pure int)
+
+    over shared neighbors ``c`` with ``2 ≤ deg(c) ≤ CN_DEG_CAP`` (the
+    common_neighbors hub rule; the cap is the operator contract).  The
+    ln quantization is the zipf_slope floor(·1e9) rule: ln on an exact
+    int-valued double, one division, one floor — numpy and DuckDB
+    share libm, so per-pair integer sums are order-free and exact.
+    Rank: (aa_q desc, ra_q desc, u, v) — an all-integer total order.
+
+    Scale shape: identical to common_neighbors — ONE repartition by
+    the wedge center makes global degree block-local, vectorized
+    segmented pair emission, per-block pre-combine, one (u, v)-keyed
+    re-agg, keyed anti-join against existing edges, pre-truncate →
+    coalesce → re-rank top-k."""
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    P2 = 16
+
+    def und_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        g = pa.table(
+            {"a": pa.array(np.r_[s, d]), "b": pa.array(np.r_[d, s])}
+        ).group_by(["a", "b"]).aggregate([])
+        yield g.rename_columns(["a", "b"])
+
+    und = sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow")
+    mid = und.repartition(P2, keys=["b"])
+
+    def emit_pairs(t: pa.Table):
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((a, b))
+        a_s, b_s = a[order], b[order]
+        uniq = np.r_[True, (b_s[1:] != b_s[:-1]) | (a_s[1:] != a_s[:-1])]
+        a_s, b_s = a_s[uniq], b_s[uniq]
+        starts = np.flatnonzero(np.r_[True, b_s[1:] != b_s[:-1]])
+        deg = np.diff(np.r_[starts, len(b_s)])
+        ok = (deg >= 2) & (deg <= CN_DEG_CAP)
+        if not ok.any():
+            return
+        starts, deg = starts[ok], deg[ok]
+        # per-center quantized weights (one float chain, SQL-mirrored)
+        aaq = np.floor(
+            1000000000.0 / np.log(deg.astype(np.float64))
+        ).astype(np.int64)
+        raq = 10**12 // deg.astype(np.int64)
+        take = np.repeat(starts, deg) + _seg_arange(deg)
+        vals = a_s[take]
+        seg_starts = np.r_[0, np.cumsum(deg)[:-1]]
+        tail = np.repeat(seg_starts + deg, deg) - np.arange(len(vals)) - 1
+        first = np.repeat(np.arange(len(vals)), tail)
+        second = first + _seg_arange(tail) + 1
+        if len(first) == 0:
+            return
+        w_aa = np.repeat(np.repeat(aaq, deg), tail)
+        w_ra = np.repeat(np.repeat(raq, deg), tail)
+        g = (
+            pa.table(
+                {
+                    "u": pa.array(vals[first]),
+                    "v": pa.array(vals[second]),
+                    "cn": pa.array(np.ones(len(first), np.int64)),
+                    "aa_q": pa.array(w_aa),
+                    "ra_q": pa.array(w_ra),
+                }
+            )
+            .group_by(["u", "v"])
+            .aggregate([("cn", "sum"), ("aa_q", "sum"), ("ra_q", "sum")])
+        )
+        yield g.rename_columns(["u", "v", "cn", "aa_q", "ra_q"])
+
+    pairs = keyed_reagg(
+        mid.map_batches(emit_pairs, batch_size=None, batch_format="pyarrow"),
+        ["u", "v"], [("cn", "sum"), ("aa_q", "sum"), ("ra_q", "sum")], P2,
+    )
+    fresh = join_auto(pairs, und, on=("u", "v"), right_on=("a", "b"),
+                      how="anti", num_partitions=P2)
+
+    def _head(t: pa.Table) -> pa.Table:
+        aa = t.column("aa_q").to_numpy(zero_copy_only=False)
+        ra = t.column("ra_q").to_numpy(zero_copy_only=False)
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u, -ra, -aa))[:CN_TOP_K]
+        return t.take(pa.array(order))
+
+    def local_topk(t: pa.Table):
+        if t.num_rows == 0 or "aa_q" not in t.schema.names:
+            return
+        yield _head(t)
+
+    g = fresh.map_batches(
+        local_topk, batch_size=None, batch_format="pyarrow"
+    ).repartition(1)
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "aa_q" not in t.schema.names:
+            return
+        yield _head(t)
+
+    return g.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+ADAMIC_ADAR_SQL = f"""
+WITH raw AS (
+  SELECT l_orderkey AS s, l_partkey AS t FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+  )
+),
+deg AS (
+  SELECT b AS c, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY b
+),
+elig AS (
+  SELECT c, d,
+    CAST(FLOOR(1000000000.0 / LN(CAST(d AS DOUBLE))) AS BIGINT) AS aaq,
+    CAST(1000000000000 // d AS BIGINT) AS raq
+  FROM deg WHERE d BETWEEN 2 AND {CN_DEG_CAP}
+),
+wedge AS (
+  SELECT e1.a AS u, e2.a AS v, el.aaq, el.raq
+  FROM und e1 JOIN und e2 ON e1.b = e2.b AND e1.a < e2.a
+  JOIN elig el ON el.c = e1.b
+),
+cnt AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+         CAST(SUM(aaq) AS BIGINT) AS aa_q,
+         CAST(SUM(raq) AS BIGINT) AS ra_q
+  FROM wedge GROUP BY u, v
+),
+fresh AS (
+  SELECT cnt.* FROM cnt ANTI JOIN und ON cnt.u = und.a AND cnt.v = und.b
+)
+SELECT u, v, cn, aa_q, ra_q FROM fresh
+QUALIFY ROW_NUMBER() OVER (ORDER BY aa_q DESC, ra_q DESC, u, v) <= {CN_TOP_K}
+"""
+
+
 def _seg_arange(lens: np.ndarray) -> np.ndarray:
     """[0..l0), [0..l1), ... concatenated — vectorized segmented arange."""
     total = int(lens.sum())
