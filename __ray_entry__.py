@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_hop_neighbors": pl.two_hop_neighbors,
         "common_neighbors": pl.common_neighbors,
         "adamic_adar": pl.adamic_adar,
+        "disparity_backbone": pl.disparity_backbone,
         "random_walks": pl.random_walks,
         "walk_visit_counts": pl.walk_visit_counts,
         "edge_support": _truss().edge_support,
@@ -2428,6 +2429,7 @@ def oracle_sql() -> dict[str, str]:
         "two_hop_neighbors": _pl().TWO_HOP_NEIGHBORS_SQL,
         "common_neighbors": _pl().COMMON_NEIGHBORS_SQL,
         "adamic_adar": _pl().ADAMIC_ADAR_SQL,
+        "disparity_backbone": _pl().DISPARITY_BACKBONE_SQL,
         "random_walks": _random_walks_sql(_pl().RW_STEPS),
         "walk_visit_counts": (
             f"SELECT vertex, CAST(COUNT(*) AS BIGINT) AS visits "

@@ -2245,6 +2245,153 @@ QUALIFY ROW_NUMBER() OVER (ORDER BY aa_q DESC, ra_q DESC, u, v) <= {CN_TOP_K}
 """
 
 
+DISPARITY_ALPHA_Q = -1609437913  # floor(1e9 * ln(0.2)) — pinned
+
+
+def disparity_backbone(sf_dir: str) -> ray.data.Dataset:
+    """Multiscale backbone extraction (Serrano/Boguna/Vespignani
+    disparity filter) on the weighted undirected lineitem graph: keep
+    edge (u, v) iff it is statistically significant for at least one
+    endpoint, ``alpha_ij = (1 - w/s_i)^(k_i - 1) < 0.2`` — the
+    graph-sparsification stage that strips noise edges before an
+    expensive downstream algorithm.
+
+    Quantized rule (exact, pinned): per direction ``q = floor(ln(1 -
+    w/s) * (k-1) * 1e9)`` for ``k >= 2`` else 0 (w < s is guaranteed
+    at k >= 2 since every multi-edge weight is >= 1), edge survives iff
+    ``min(q_uv, q_vu) < DISPARITY_ALPHA_Q``.  One left-associated
+    float chain mirrored verbatim in SQL (the zipf_slope libm rule);
+    every aggregate is integer min/max, so the match is bit-exact.
+
+    Scale shape: weight collapse is block-local partials + ONE
+    (a, b)-keyed re-agg; node (degree, strength) is a node-bounded
+    keyed re-agg; the per-side score joins edges to nodes via
+    join_auto (broadcast under the limit, partitioned hash above);
+    canonicalization is one more (u, v)-keyed re-agg.  Nothing is
+    driver-materialized; output is |backbone|-bounded."""
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    P2 = 16
+
+    def wund_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        g = (
+            pa.table({"a": pa.array(np.r_[s, d]), "b": pa.array(np.r_[d, s])})
+            .append_column("w", pa.array(np.ones(2 * len(s), np.int64)))
+            .group_by(["a", "b"])
+            .aggregate([("w", "sum")])
+        )
+        yield g.rename_columns(["a", "b", "w"])
+
+    wund = keyed_reagg(
+        sf_edges(sf_dir).map_batches(wund_pre, batch_format="pyarrow"),
+        ["a", "b"], [("w", "sum")], P2,
+    ).materialize()  # edge-bounded; reused by node stats AND the join
+
+    def node_pre(t: pa.Table):
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return
+        g = (
+            t.select(["a", "w"])
+            .append_column("k", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["a"])
+            .aggregate([("k", "sum"), ("w", "sum")])
+        )
+        yield g.rename_columns(["a", "k", "s"])
+
+    node = keyed_reagg(
+        wund.map_batches(node_pre, batch_format="pyarrow"),
+        ["a"], [("k", "sum"), ("s", "sum")], P2,
+    )
+
+    joined = join_auto(wund, node, on=("a",), num_partitions=P2)
+
+    def score(t: pa.Table):
+        if t.num_rows == 0 or "k" not in t.schema.names:
+            return
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        q = np.zeros(len(w), np.int64)
+        m = k >= 2
+        if m.any():
+            # ONE left-associated float chain, mirrored in the SQL
+            q[m] = np.floor(
+                np.log(1.0 - w[m].astype(np.float64) / s[m].astype(np.float64))
+                * (k[m] - 1).astype(np.float64)
+                * 1000000000.0
+            ).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "u": pa.array(np.minimum(a, b)),
+                    "v": pa.array(np.maximum(a, b)),
+                    "w": pa.array(w),
+                    "q": pa.array(q),
+                }
+            )
+            .group_by(["u", "v"])
+            .aggregate([("w", "max"), ("q", "min")])
+        )
+        yield g.rename_columns(["u", "v", "w", "q"])
+
+    canon = keyed_reagg(
+        joined.map_batches(score, batch_size=None, batch_format="pyarrow"),
+        ["u", "v"], [("w", "max"), ("q", "min")], P2,
+    )
+
+    def keep(t: pa.Table):
+        if t.num_rows == 0 or "q" not in t.schema.names:
+            return
+        t = t.filter(pc.less(t.column("q"), DISPARITY_ALPHA_Q))
+        if t.num_rows == 0:
+            return
+        yield t.rename_columns(["u", "v", "w", "q_min"])
+
+    return canon.map_batches(keep, batch_format="pyarrow")
+
+
+DISPARITY_BACKBONE_SQL = f"""
+WITH raw AS (
+  SELECT l_orderkey AS s, l_partkey AS t FROM lineitem
+  WHERE l_orderkey <> l_partkey
+),
+wund AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w FROM (
+    SELECT s AS a, t AS b FROM raw UNION ALL SELECT t, s FROM raw
+  ) GROUP BY a, b
+),
+node AS (
+  SELECT a, CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(w) AS BIGINT) AS s
+  FROM wund GROUP BY a
+),
+q AS (
+  SELECT w.a, w.b, w.w,
+    CASE WHEN n.k >= 2 THEN
+      CAST(FLOOR(LN(1 - CAST(w.w AS DOUBLE) / CAST(n.s AS DOUBLE))
+                 * CAST(n.k - 1 AS DOUBLE) * 1000000000.0) AS BIGINT)
+    ELSE 0 END AS q
+  FROM wund w JOIN node n ON w.a = n.a
+),
+canon AS (
+  SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v,
+         CAST(MAX(w) AS BIGINT) AS w, CAST(MIN(q) AS BIGINT) AS q_min
+  FROM q GROUP BY 1, 2
+)
+SELECT u, v, w, q_min FROM canon WHERE q_min < {DISPARITY_ALPHA_Q}
+"""
+
+
 def _seg_arange(lens: np.ndarray) -> np.ndarray:
     """[0..l0), [0..l1), ... concatenated — vectorized segmented arange."""
     total = int(lens.sum())
