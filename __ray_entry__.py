@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_neighbors": pl.common_neighbors,
         "adamic_adar": pl.adamic_adar,
         "disparity_backbone": pl.disparity_backbone,
+        "degree_discount_seeds": pl.degree_discount_seeds,
         "random_walks": pl.random_walks,
         "walk_visit_counts": pl.walk_visit_counts,
         "edge_support": _truss().edge_support,
@@ -2430,6 +2431,7 @@ def oracle_sql() -> dict[str, str]:
         "common_neighbors": _pl().COMMON_NEIGHBORS_SQL,
         "adamic_adar": _pl().ADAMIC_ADAR_SQL,
         "disparity_backbone": _pl().DISPARITY_BACKBONE_SQL,
+        "degree_discount_seeds": _pl().DEGREE_DISCOUNT_SQL,
         "random_walks": _random_walks_sql(_pl().RW_STEPS),
         "walk_visit_counts": (
             f"SELECT vertex, CAST(COUNT(*) AS BIGINT) AS visits "

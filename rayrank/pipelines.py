@@ -2392,6 +2392,198 @@ SELECT u, v, w, q_min FROM canon WHERE q_min < {DISPARITY_ALPHA_Q}
 """
 
 
+DD_SEEDS_K = 8
+
+
+def degree_discount_seeds(sf_dir: str) -> ray.data.Dataset:
+    """Influence-maximization seed selection by single-discount greedy
+    (the pure-integer core of Chen et al.'s DegreeDiscount): pick
+    ``DD_SEEDS_K`` seeds one at a time, each round taking the non-seed
+    vertex maximizing ``residual(v) = deg(v) − |N(v) ∩ S|`` (ties: v
+    asc) on the undirected distinct lineitem graph.  Output (rnk,
+    seed, gain) with gain = residual at pick time — all integers, so
+    the unrolled per-round SQL oracle matches exactly.
+
+    Scale shape: the edge set and degree table are built once (block
+    partials + one keyed re-agg each) and reused across rounds; each
+    of the K rounds ships only the ≤K seed ids into a vectorized edge
+    filter, re-aggregates the seed-adjacency counts by vertex, left-
+    joins degrees, and folds a (residual desc, id) top-1 through the
+    pre-truncate → coalesce pattern — per round the driver moves ONE
+    row, never a vertex table.  K is a pinned constant, so the round
+    loop is bounded exactly like the Lloyd/k-truss precedents."""
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    P2 = 16
+
+    def und_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        g = (
+            pa.table({"a": pa.array(np.r_[s, d]), "b": pa.array(np.r_[d, s])})
+            .append_column("one", pa.array(np.ones(2 * len(s), np.int64)))
+            .group_by(["a", "b"])
+            .aggregate([("one", "max")])
+        )
+        yield g.rename_columns(["a", "b", "one"])
+
+    und = keyed_reagg(
+        sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
+        ["a", "b"], [("one", "max")], P2,
+    ).materialize()
+
+    def deg_pre(t: pa.Table):
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return
+        g = (
+            t.select(["a", "one"])
+            .group_by(["a"])
+            .aggregate([("one", "sum")])
+        )
+        yield g.rename_columns(["a", "d"])
+
+    deg = keyed_reagg(
+        und.map_batches(deg_pre, batch_format="pyarrow"),
+        ["a"], [("d", "sum")], P2,
+    ).materialize()
+
+    seeds: list[int] = []
+    gains: list[int] = []
+    for _ in range(DD_SEEDS_K):
+        sarr = np.sort(np.asarray(seeds, dtype=np.int64))
+
+        def top_pre(t: pa.Table, sarr=sarr):
+            if t.num_rows == 0 or "d" not in t.schema.names:
+                return
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            d = t.column("d").to_numpy(zero_copy_only=False)
+            if "c" in t.schema.names:
+                c = pc.fill_null(t.column("c"), 0).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+            else:
+                c = np.zeros(len(a), np.int64)
+            r = d - c
+            keep = ~np.isin(a, sarr)
+            a, r = a[keep], r[keep]
+            if len(a) == 0:
+                return
+            order = np.lexsort((a, -r))[:1]
+            yield pa.table({"a": pa.array(a[order]), "r": pa.array(r[order])})
+
+        if seeds:
+            def cnt_pre(t: pa.Table, sarr=sarr):
+                if t.num_rows == 0 or "b" not in t.schema.names:
+                    return
+                b = t.column("b").to_numpy(zero_copy_only=False)
+                idx = np.clip(np.searchsorted(sarr, b), 0, len(sarr) - 1)
+                hit = sarr[idx] == b
+                if not hit.any():
+                    return
+                g = (
+                    t.filter(pa.array(hit))
+                    .select(["a", "one"])
+                    .group_by(["a"])
+                    .aggregate([("one", "sum")])
+                )
+                yield g.rename_columns(["a", "c"])
+
+            cnt = keyed_reagg(
+                und.map_batches(cnt_pre, batch_format="pyarrow"),
+                ["a"], [("c", "sum")], P2,
+            )
+            resid = join_auto(
+                deg, cnt, on=("a",), how="left_outer", num_partitions=P2
+            )
+        else:
+            resid = deg
+
+        def top_fin(t: pa.Table):
+            if t.num_rows == 0 or "r" not in t.schema.names:
+                return
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            r = t.column("r").to_numpy(zero_copy_only=False)
+            order = np.lexsort((a, -r))[:1]
+            yield t.take(pa.array(order))
+
+        rows = (
+            resid.map_batches(
+                top_pre, batch_size=None, batch_format="pyarrow"
+            )
+            .repartition(1)
+            .map_batches(top_fin, batch_size=None, batch_format="pyarrow")
+            .take(1)
+        )
+        seeds.append(int(rows[0]["a"]))
+        gains.append(int(rows[0]["r"]))
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rnk": pa.array(np.arange(1, DD_SEEDS_K + 1, dtype=np.int64)),
+                "seed": pa.array(np.asarray(seeds, np.int64)),
+                "gain": pa.array(np.asarray(gains, np.int64)),
+            }
+        )
+    )
+
+
+def _degree_discount_sql() -> str:
+    # Every CTE is MATERIALIZED: each round references all prior picks,
+    # so DuckDB's default CTE inlining re-evaluates the whole chain
+    # exponentially (2^K plans — observed as a multi-minute hang at K=8;
+    # materialization makes it 8 linear steps).
+    head = """
+WITH raw AS MATERIALIZED (
+  SELECT l_orderkey AS s, l_partkey AS t FROM lineitem
+  WHERE l_orderkey <> l_partkey
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw UNION ALL SELECT t, s FROM raw
+  )
+),
+deg AS MATERIALIZED (
+  SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY a
+),
+p1 AS MATERIALIZED (
+  SELECT a AS v, d AS g FROM deg ORDER BY d DESC, a LIMIT 1
+)"""
+    parts = [head]
+    for r in range(2, DD_SEEDS_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT v FROM p{i}" for i in range(1, r)
+        )
+        parts.append(f""",
+s{r} AS MATERIALIZED ({prev}),
+c{r} AS MATERIALIZED (
+  SELECT a, CAST(COUNT(*) AS BIGINT) AS c FROM und
+  WHERE b IN (SELECT v FROM s{r}) GROUP BY a
+),
+p{r} AS MATERIALIZED (
+  SELECT deg.a AS v, deg.d - COALESCE(c{r}.c, 0) AS g
+  FROM deg LEFT JOIN c{r} ON deg.a = c{r}.a
+  WHERE deg.a NOT IN (SELECT v FROM s{r})
+  ORDER BY g DESC, deg.a LIMIT 1
+)""")
+    tail = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rnk, v AS seed, "
+        f"CAST(g AS BIGINT) AS gain FROM p{i}"
+        for i in range(1, DD_SEEDS_K + 1)
+    )
+    return "".join(parts) + "\n" + tail
+
+
+DEGREE_DISCOUNT_SQL = _degree_discount_sql()
+
+
 def _seg_arange(lens: np.ndarray) -> np.ndarray:
     """[0..l0), [0..l1), ... concatenated — vectorized segmented arange."""
     total = int(lens.sum())
