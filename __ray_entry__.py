@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar": pl.adamic_adar,
         "disparity_backbone": pl.disparity_backbone,
         "degree_discount_seeds": pl.degree_discount_seeds,
+        "node_features": pl.node_features,
         "random_walks": pl.random_walks,
         "walk_visit_counts": pl.walk_visit_counts,
         "edge_support": _truss().edge_support,
@@ -2432,6 +2433,7 @@ def oracle_sql() -> dict[str, str]:
         "adamic_adar": _pl().ADAMIC_ADAR_SQL,
         "disparity_backbone": _pl().DISPARITY_BACKBONE_SQL,
         "degree_discount_seeds": _pl().DEGREE_DISCOUNT_SQL,
+        "node_features": _pl().NODE_FEATURES_SQL,
         "random_walks": _random_walks_sql(_pl().RW_STEPS),
         "walk_visit_counts": (
             f"SELECT vertex, CAST(COUNT(*) AS BIGINT) AS visits "

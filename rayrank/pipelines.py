@@ -2392,6 +2392,169 @@ SELECT u, v, w, q_min FROM canon WHERE q_min < {DISPARITY_ALPHA_Q}
 """
 
 
+def node_features(sf_dir: str) -> ray.data.Dataset:
+    """Per-vertex feature assembly — the feature-engineering stage
+    that precedes node-classification / ranking-model training: one
+    wide table (name, score, out_deg, in_deg, und_deg) joining the
+    reference-exact 2-iteration PageRank score with raw out/in edge
+    counts (multiplicity kept, the outdeg CTE rule) and the distinct
+    undirected neighbor count; absent degrees coalesce to 0.
+
+    Scale shape: each degree is block partials + ONE keyed re-agg
+    (the und count needs the global (a, b) dedup re-agg first); the
+    assembly is three keyed left-outer joins onto the score table —
+    every stage is vertex- or edge-bounded, nothing driver-side.  The
+    SQL oracle is the pagerank_2iter unroll verbatim plus three degree
+    CTEs (scores ROUND 6 both sides, same as pagerank_2iter)."""
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    P2 = 16
+    pr = pagerank_2iter(sf_dir)
+    edges = sf_edges(sf_dir)
+
+    def od_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        g = (
+            pa.table({"name": pc.cast(t.column("src"), pa.string())})
+            .append_column("out_deg", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["name"])
+            .aggregate([("out_deg", "sum")])
+        )
+        yield g.rename_columns(["name", "out_deg"])
+
+    def id_pre(t: pa.Table):
+        if len(t) == 0 or "dst" not in t.schema.names:
+            return
+        g = (
+            pa.table({"name": pc.cast(t.column("dst"), pa.string())})
+            .append_column("in_deg", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["name"])
+            .aggregate([("in_deg", "sum")])
+        )
+        yield g.rename_columns(["name", "in_deg"])
+
+    od = keyed_reagg(
+        edges.map_batches(od_pre, batch_format="pyarrow"),
+        ["name"], [("out_deg", "sum")], P2,
+    )
+    idg = keyed_reagg(
+        edges.map_batches(id_pre, batch_format="pyarrow"),
+        ["name"], [("in_deg", "sum")], P2,
+    )
+
+    def und_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        sn = pc.cast(pa.array(s), pa.string())
+        dn = pc.cast(pa.array(d), pa.string())
+        g = (
+            pa.table({"a": pa.concat_arrays([sn, dn]),
+                      "b": pa.concat_arrays([dn, sn])})
+            .group_by(["a", "b"])
+            .aggregate([])
+        )
+        yield g.rename_columns(["a", "b"])
+
+    und = keyed_reagg(
+        edges.map_batches(und_pre, batch_format="pyarrow"),
+        ["a", "b"], [], P2,
+    )
+
+    def ud_cnt(t: pa.Table):
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return
+        g = (
+            t.select(["a"])
+            .append_column("und_deg", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["a"])
+            .aggregate([("und_deg", "sum")])
+        )
+        yield g.rename_columns(["name", "und_deg"])
+
+    ud = keyed_reagg(
+        und.map_batches(ud_cnt, batch_format="pyarrow"),
+        ["name"], [("und_deg", "sum")], P2,
+    )
+
+    out = join_auto(pr, od, on=("name",), how="left_outer",
+                    num_partitions=P2)
+    out = join_auto(out, idg, on=("name",), how="left_outer",
+                    num_partitions=P2)
+    out = join_auto(out, ud, on=("name",), how="left_outer",
+                    num_partitions=P2)
+
+    def fin(t: pa.Table):
+        if t.num_rows == 0 or "name" not in t.schema.names:
+            return
+        cols = {"name": t.column("name"), "score": t.column("score")}
+        for c in ("out_deg", "in_deg", "und_deg"):
+            cols[c] = pc.fill_null(t.column(c), 0)
+        yield pa.table(cols)
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+# The pagerank_2iter unroll VERBATIM (same CTE chain as
+# _PAGERANK_2ITER_SQL in __ray_entry__) plus three degree CTEs.
+NODE_FEATURES_SQL = """
+WITH raw AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+outdeg AS (SELECT s, COUNT(*) AS d FROM raw GROUP BY s),
+e AS (SELECT s, t, COUNT(*) AS m FROM raw GROUP BY s, t),
+w AS (SELECT e.s, e.t, CAST(e.m AS DOUBLE)/o.d AS w FROM e JOIN outdeg o ON e.s = o.s),
+x0 AS (SELECT v.v, 1.0/sqrt(nn.n) AS x FROM verts v, nn),
+dang AS (SELECT v.v FROM verts v LEFT JOIN outdeg o ON v.v = o.s WHERE o.s IS NULL),
+am0 AS (SELECT COALESCE(SUM(x.x), 0.0) AS m FROM dang d JOIN x0 x ON d.v = x.v),
+c0 AS (SELECT w.t AS v, SUM(w.w * x.x) AS c FROM w JOIN x0 x ON w.s = x.v GROUP BY w.t),
+r1 AS (
+  SELECT v.v,
+         0.85*COALESCE(c0.c, 0.0)
+         + (0.85*(SELECT m FROM am0) + 0.15) * (1.0/sqrt((SELECT n FROM nn))) AS x
+  FROM verts v LEFT JOIN c0 ON v.v = c0.v
+),
+l1a AS (SELECT SUM(ABS(x)) AS s FROM r1),
+x1 AS (SELECT v, x/(SELECT s FROM l1a) AS x FROM r1),
+am1 AS (SELECT COALESCE(SUM(x.x), 0.0) AS m FROM dang d JOIN x1 x ON d.v = x.v),
+c1 AS (SELECT w.t AS v, SUM(w.w * x.x) AS c FROM w JOIN x1 x ON w.s = x.v GROUP BY w.t),
+r2 AS (
+  SELECT v.v,
+         0.85*COALESCE(c1.c, 0.0)
+         + (0.85*(SELECT m FROM am1) + 0.15) * (1.0/sqrt((SELECT n FROM nn))) AS x
+  FROM verts v LEFT JOIN c1 ON v.v = c1.v
+),
+l1b AS (SELECT SUM(ABS(x)) AS s FROM r2),
+ind AS (SELECT t AS v, CAST(COUNT(*) AS BIGINT) AS in_deg FROM raw GROUP BY t),
+undd AS (
+  SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS und_deg FROM (
+    SELECT DISTINCT a, b FROM (
+      SELECT s AS a, t AS b FROM raw WHERE s <> t
+      UNION ALL SELECT t, s FROM raw WHERE s <> t
+    )
+  ) GROUP BY a
+)
+SELECT r2.v AS name, ROUND(r2.x/(SELECT s FROM l1b), 6) AS score,
+  CAST(COALESCE(outdeg.d, 0) AS BIGINT) AS out_deg,
+  COALESCE(ind.in_deg, 0) AS in_deg,
+  COALESCE(undd.und_deg, 0) AS und_deg
+FROM r2
+LEFT JOIN outdeg ON r2.v = outdeg.s
+LEFT JOIN ind ON r2.v = ind.v
+LEFT JOIN undd ON r2.v = undd.v
+"""
+
+
 DD_SEEDS_K = 8
 
 
