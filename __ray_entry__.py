@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disparity_backbone": pl.disparity_backbone,
         "degree_discount_seeds": pl.degree_discount_seeds,
         "node_features": pl.node_features,
+        "hll_ball_registers": pl.hll_ball_registers,
         "random_walks": pl.random_walks,
         "walk_visit_counts": pl.walk_visit_counts,
         "edge_support": _truss().edge_support,
@@ -2289,6 +2290,14 @@ FROM arr GROUP BY v
 """
 
 
+def _hll_ball_registers_sql() -> str:
+    from rayrank.pipelines import _hll_ball_sql
+
+    return _hll_ball_sql().replace(
+        "{SM}", _sm64_id_cte("(SELECT v AS id, v AS x FROM verts)")
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from rayrank import relational as rel
 
@@ -2434,6 +2443,7 @@ def oracle_sql() -> dict[str, str]:
         "disparity_backbone": _pl().DISPARITY_BACKBONE_SQL,
         "degree_discount_seeds": _pl().DEGREE_DISCOUNT_SQL,
         "node_features": _pl().NODE_FEATURES_SQL,
+        "hll_ball_registers": _hll_ball_registers_sql(),
         "random_walks": _random_walks_sql(_pl().RW_STEPS),
         "walk_visit_counts": (
             f"SELECT vertex, CAST(COUNT(*) AS BIGINT) AS visits "

@@ -2392,6 +2392,165 @@ SELECT u, v, w, q_min FROM canon WHERE q_min < {DISPARITY_ALPHA_Q}
 """
 
 
+HLL_REGS = 16
+HLL_ROUNDS = 2
+
+
+def _hll_rank(y: np.ndarray) -> np.ndarray:
+    """1 + trailing-zero count of y (uint64), capped at 15 — the HLL
+    rank rule, restated as the unrolled modulo conditions the SQL
+    oracle uses (y % 2^k == 2^(k-1) → rank k), zero float anywhere."""
+    r = np.full(len(y), 15, np.int64)
+    done = np.zeros(len(y), bool)
+    for k in range(1, 15):
+        hit = (~done) & ((y % np.uint64(1 << k)) == np.uint64(1 << (k - 1)))
+        r[hit] = k
+        done |= hit
+    return r
+
+
+def hll_ball_registers(sf_dir: str) -> ray.data.Dataset:
+    """Per-vertex HyperLogLog register state after exactly
+    ``HLL_ROUNDS`` neighbor max-merge rounds on the undirected
+    distinct lineitem graph — the SQL-CHECKED mirror of the HyperANF
+    register algebra (rayrank/hyperanf.py runs the same merge to the
+    fixpoint in packed int64 labels on the resident shards; this
+    bounded-round Dataset variant exposes the registers as 16 integer
+    columns so the DuckDB oracle can verify the merge bit-for-bit).
+
+    Init (pinned): ``h = splitmix64(v)``, bucket ``j = h % 16``, rank
+    ``min(15, 1 + tz(h // 16))`` — register j holds the rank, all
+    others 0.  Round: ``R'(v, j) = max(R(v, j), max_{u∈N(v)} R(u, j))``.
+    Output (v, r0..r15) — all integers, order-free maxes, exact.
+
+    Scale shape: one (a, b)-keyed dedup re-agg builds the edge set;
+    each round is ONE edge⋈register join + a vertex-keyed 16-column
+    max re-agg (union with the previous state folds the self term) —
+    the gather/reduce SpMV shape with max for plus."""
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+    from .sketch import splitmix64
+
+    P2 = 16
+    edges = sf_edges(sf_dir)
+    rcols = [f"r{j}" for j in range(HLL_REGS)]
+    raggs = [(c, "max") for c in rcols]
+
+    def vert_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        g = (
+            pa.table({"v": pa.array(np.r_[s, d])})
+            .group_by(["v"])
+            .aggregate([])
+        )
+        yield g.rename_columns(["v"])
+
+    verts = keyed_reagg(
+        edges.map_batches(vert_pre, batch_format="pyarrow"), ["v"], [], P2,
+    )
+
+    def und_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        g = (
+            pa.table({"a": pa.array(np.r_[s, d]), "b": pa.array(np.r_[d, s])})
+            .group_by(["a", "b"])
+            .aggregate([])
+        )
+        yield g.rename_columns(["a", "b"])
+
+    und = keyed_reagg(
+        edges.map_batches(und_pre, batch_format="pyarrow"),
+        ["a", "b"], [], P2,
+    ).materialize()  # reused by every round
+
+    def init(t: pa.Table):
+        if t.num_rows == 0 or "v" not in t.schema.names:
+            return
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        h = splitmix64(v)
+        j = (h % np.uint64(HLL_REGS)).astype(np.int64)
+        rank = _hll_rank(h // np.uint64(HLL_REGS))
+        cols = {"v": pa.array(v)}
+        for jj in range(HLL_REGS):
+            cols[f"r{jj}"] = pa.array(
+                np.where(j == jj, rank, 0).astype(np.int64)
+            )
+        yield pa.table(cols)
+
+    state = verts.map_batches(init, batch_format="pyarrow")
+
+    def relabel(t: pa.Table):
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return
+        yield pa.table(
+            {"v": t.column("a"), **{c: t.column(c) for c in rcols}}
+        )
+
+    for _ in range(HLL_ROUNDS):
+        state = state.materialize()
+        nb = join_auto(und, state, on=("b",), right_on=("v",),
+                       num_partitions=P2)
+        nbr = nb.map_batches(relabel, batch_format="pyarrow")
+        state = keyed_reagg(state.union(nbr), ["v"], raggs, P2)
+
+    return state
+
+
+def _hll_ball_sql() -> str:
+    regs, R = HLL_REGS, HLL_ROUNDS
+    y = f"(z // {regs})"
+    rank_case = "CASE " + " ".join(
+        f"WHEN {y} % {1 << k} = {1 << (k - 1)} THEN {k}"
+        for k in range(1, 15)
+    ) + " ELSE 15 END"
+    rcols = ", ".join(f"r{j}" for j in range(regs))
+    init_cols = ", ".join(
+        f"CAST(CASE WHEN j = {j} THEN rk ELSE 0 END AS BIGINT) AS r{j}"
+        for j in range(regs)
+    )
+    maxes = ", ".join(f"MAX(r{j}) AS r{j}" for j in range(regs))
+    rounds = []
+    prev = "init"
+    for t in range(1, R + 1):
+        rounds.append(f""",
+rd{t} AS MATERIALIZED (
+  SELECT v, {maxes} FROM (
+    SELECT v, {rcols} FROM {prev}
+    UNION ALL
+    SELECT und.a AS v, {rcols} FROM und JOIN {prev} p ON und.b = p.v
+  ) GROUP BY v
+)""")
+        prev = f"rd{t}"
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT l_orderkey AS s, l_partkey AS t FROM lineitem
+),
+verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+  )
+),
+{{SM}},
+hjr AS (SELECT id AS v, z % {regs} AS j, {rank_case} AS rk FROM hh),
+init AS MATERIALIZED (SELECT v, {init_cols} FROM hjr)
+{''.join(rounds)}
+SELECT v, {rcols} FROM {prev}"""
+
+
 def node_features(sf_dir: str) -> ray.data.Dataset:
     """Per-vertex feature assembly — the feature-engineering stage
     that precedes node-classification / ranking-model training: one
