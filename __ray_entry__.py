@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_ann_topk": pl.filtered_ann_topk,
         "hourly_anomalies": pl.hourly_anomalies,
         "embedding_quantize": _annmod().embedding_quantize,
+        "mmr_rerank": _annmod().mmr_rerank,
         "centroid_classify": _annmod().centroid_classify,
         "centroid_confusion": _annmod().centroid_confusion,
         "mutual_knn_pairs": _annmod().mutual_knn_pairs,
@@ -2580,6 +2581,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_parts": _hll_sql("l_partkey", "lineitem", 12),
         "cms_part_counts": _cms_sql("l_partkey", "lineitem", 256, 4),
         "embedding_quantize": _annmod().EMBEDDING_QUANTIZE_SQL,
+        "mmr_rerank": _annmod().MMR_RERANK_SQL,
         "centroid_classify": _annmod().CENTROID_CLASSIFY_SQL,
         "centroid_confusion": _annmod().CENTROID_CONFUSION_SQL,
         "mutual_knn_pairs": _annmod().MUTUAL_KNN_SQL,

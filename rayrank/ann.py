@@ -655,6 +655,230 @@ def embedding_quantize(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+MMR_POOL = 24
+MMR_K = 6
+
+
+def mmr_rerank(sf_dir: str) -> ray.data.Dataset:
+    """Maximal-Marginal-Relevance diversified reranking — the
+    retrieval-diversification stage (dedup of near-identical hits
+    before they reach a context window), made EXACT by running MMR on
+    the integer scalar-quantization codes (the embedding_quantize
+    per-dimension rule), so every similarity is an integer dot product
+    and the DuckDB oracle replays the greedy bit-for-bit.
+
+    Pinned rule: query = the min vec_id row; relevance rel(d) =
+    code(d)·code(q); candidate pool = top-``MMR_POOL`` non-query ids
+    by (rel desc, vec_id); then ``MMR_K`` greedy steps picking argmax
+    of ``2·rel(d) − max_{s∈S} code(d)·code(s)`` (score desc, vec_id —
+    λ = 1/2 scaled to integers).  Output (rnk, vec_id, rel, score).
+
+    Scale shape: per-dimension lo/hi fold is D-scalar partials; the
+    relevance pass broadcasts ONE code vector and pre-truncates each
+    block to the pool size before the coalesce (≤ pool rows cross);
+    only the pool's (ids, codes) — pool×D ints — reach the driver,
+    where the K-step greedy is O(pool²) scalar work (the ivf-centroid
+    precedent: driver folds are fine when bounded by a pinned
+    constant, never by corpus rows)."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def mm(t: pa.Table):
+        if len(t) == 0:
+            return
+        m = _emb_matrix64(t, "embedding")
+        yield pa.table(
+            {
+                "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+                "lo": pa.array(m.min(axis=0)),
+                "hi": pa.array(m.max(axis=0)),
+            }
+        )
+
+    lo: dict[int, float] = {}
+    hi: dict[int, float] = {}
+    for r in ds.map_batches(mm, batch_format="pyarrow").take_all():
+        d = r["dim"]
+        lo[d] = min(lo.get(d, np.inf), r["lo"])
+        hi[d] = max(hi.get(d, -np.inf), r["hi"])
+    dims = sorted(lo)
+    lo_v = np.array([lo[d] for d in dims])
+    hi_v = np.array([hi[d] for d in dims])
+
+    def codes_of(t: pa.Table) -> np.ndarray:
+        m = _emb_matrix64(t, "embedding")
+        return np.minimum(
+            np.floor((m - lo_v) * SQ_LEVELS / (hi_v - lo_v)), SQ_LEVELS
+        ).astype(np.int64)
+
+    def qid_pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield pa.table(
+            {"m": pa.array(
+                [int(t.column("vec_id").to_numpy(
+                    zero_copy_only=False).min())])}
+        )
+
+    qid = min(
+        r["m"] for r in ds.map_batches(qid_pre, batch_format="pyarrow")
+        .take_all()
+    )
+
+    def qcode_pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        hit = ids == qid
+        if not hit.any():
+            return
+        yield pa.table({"code": pa.array(codes_of(t)[hit].tolist())})
+
+    qcode = np.asarray(
+        ds.map_batches(qcode_pre, batch_format="pyarrow")
+        .take_all()[0]["code"],
+        np.int64,
+    )
+
+    def rel_pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        codes = codes_of(t)
+        keep = ids != qid
+        ids, codes = ids[keep], codes[keep]
+        if len(ids) == 0:
+            return
+        rel = codes @ qcode
+        order = np.lexsort((ids, -rel))[:MMR_POOL]
+        yield pa.table(
+            {
+                "vec_id": pa.array(ids[order]),
+                "rel": pa.array(rel[order]),
+                "code": pa.array(codes[order].tolist()),
+            }
+        )
+
+    pool_rows = (
+        ds.map_batches(rel_pre, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda t: [
+                t.take(
+                    pa.array(
+                        np.lexsort(
+                            (
+                                t.column("vec_id").to_numpy(
+                                    zero_copy_only=False),
+                                -t.column("rel").to_numpy(
+                                    zero_copy_only=False),
+                            )
+                        )[:MMR_POOL]
+                    )
+                )
+            ][0],
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    ids = np.array([r["vec_id"] for r in pool_rows], np.int64)
+    rel = np.array([r["rel"] for r in pool_rows], np.int64)
+    C = np.array([r["code"] for r in pool_rows], np.int64)
+    sims = C @ C.T
+
+    picked: list[int] = []
+    out_scores: list[int] = []
+    mask = np.ones(len(ids), bool)
+    maxsim = np.zeros(len(ids), np.int64)
+    for _ in range(min(MMR_K, len(ids))):
+        score = 2 * rel - maxsim
+        order = np.lexsort((ids, -score))
+        pick = next(i for i in order if mask[i])
+        picked.append(pick)
+        out_scores.append(int(score[pick]))
+        mask[pick] = False
+        maxsim = np.maximum(maxsim, sims[:, pick])
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rnk": pa.array(
+                    np.arange(1, len(picked) + 1, dtype=np.int64)),
+                "vec_id": pa.array(ids[picked]),
+                "rel": pa.array(rel[picked]),
+                "score": pa.array(np.asarray(out_scores, np.int64)),
+            }
+        )
+    )
+
+
+def _mmr_sql() -> str:
+    steps = []
+    for r in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM p{i}" for i in range(1, r)
+        )
+        steps.append(f""",
+s{r} AS MATERIALIZED ({prev}),
+p{r} AS MATERIALIZED (
+  SELECT cand.vec_id, cand.rel, 2*cand.rel - COALESCE(mx.m, 0) AS score
+  FROM cand LEFT JOIN (
+    SELECT s.a AS vec_id, MAX(s.sim) AS m
+    FROM sims s JOIN s{r} sd ON s.b = sd.vec_id GROUP BY s.a
+  ) mx ON cand.vec_id = mx.vec_id
+  WHERE cand.vec_id NOT IN (SELECT vec_id FROM s{r})
+  ORDER BY score DESC, cand.vec_id LIMIT 1
+)""")
+    tail = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS rnk, vec_id, rel, "
+        f"CAST(score AS BIGINT) AS score FROM p{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH u AS MATERIALIZED (
+  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS e,
+    UNNEST(range(len(embedding))) AS i
+  FROM embeddings
+),
+mm AS MATERIALIZED (SELECT i, MIN(e) AS lo, MAX(e) AS hi FROM u GROUP BY i),
+c AS MATERIALIZED (
+  SELECT u.vec_id, u.i,
+    CAST(LEAST(FLOOR((u.e - mm.lo) * 255.0 / (mm.hi - mm.lo)), 255.0)
+         AS BIGINT) AS code
+  FROM u JOIN mm ON u.i = mm.i
+),
+q AS MATERIALIZED (SELECT MIN(vec_id) AS qid FROM embeddings),
+qc AS MATERIALIZED (SELECT c.i, c.code FROM c, q WHERE c.vec_id = q.qid),
+rel AS MATERIALIZED (
+  SELECT c.vec_id, CAST(SUM(c.code * qc.code) AS BIGINT) AS rel
+  FROM c JOIN qc ON c.i = qc.i, q WHERE c.vec_id <> q.qid
+  GROUP BY c.vec_id
+),
+cand AS MATERIALIZED (
+  SELECT vec_id, rel FROM rel
+  QUALIFY ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) <= {MMR_POOL}
+),
+sims AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+    CAST(SUM(ca.code * cb.code) AS BIGINT) AS sim
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+  JOIN c ca ON ca.vec_id = a.vec_id
+  JOIN c cb ON cb.vec_id = b.vec_id AND ca.i = cb.i
+  GROUP BY 1, 2
+),
+p1 AS MATERIALIZED (
+  SELECT vec_id, rel, 2*rel AS score FROM cand
+  ORDER BY score DESC, vec_id LIMIT 1
+){''.join(steps)}
+{tail}"""
+
+
+MMR_RERANK_SQL = _mmr_sql()
+
+
 MUTUAL_K = 5
 
 
