@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_oov_rate": _terms().vocab_oov_rate,
         "bm25_topk": _terms().bm25_topk,
         "zipf_slope": _terms().zipf_slope,
+        "vocab_coverage_curve": _terms().vocab_coverage_curve,
         "holdout_contamination": _packmod().holdout_contamination,
         "component_quotient_edges": pl.component_quotient_edges,
         "global_transitivity": pl.global_transitivity,
@@ -163,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_discount_seeds": pl.degree_discount_seeds,
         "node_features": pl.node_features,
         "hll_ball_registers": pl.hll_ball_registers,
+        "subgraph_sample_curve": pl.subgraph_sample_curve,
         "random_walks": pl.random_walks,
         "walk_visit_counts": pl.walk_visit_counts,
         "edge_support": _truss().edge_support,
@@ -2299,6 +2301,14 @@ def _hll_ball_registers_sql() -> str:
     )
 
 
+def _subgraph_sample_sql_wired() -> str:
+    from rayrank.pipelines import _subgraph_sample_sql
+
+    return _subgraph_sample_sql().replace(
+        "{SM}", _sm64_id_cte("(SELECT v AS id, v AS x FROM verts)")
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from rayrank import relational as rel
 
@@ -2342,6 +2352,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_oov_rate": _terms().VOCAB_OOV_RATE_SQL,
         "bm25_topk": _terms().BM25_TOPK_SQL,
         "zipf_slope": _terms().ZIPF_SLOPE_SQL,
+        "vocab_coverage_curve": _terms().VOCAB_COVERAGE_SQL,
         "holdout_contamination": _holdout_contamination_sql(),
         "component_quotient_edges": _component_quotient_sql(),
         "global_transitivity": _pl().GLOBAL_TRANSITIVITY_SQL,
@@ -2445,6 +2456,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_discount_seeds": _pl().DEGREE_DISCOUNT_SQL,
         "node_features": _pl().NODE_FEATURES_SQL,
         "hll_ball_registers": _hll_ball_registers_sql(),
+        "subgraph_sample_curve": _subgraph_sample_sql_wired(),
         "random_walks": _random_walks_sql(_pl().RW_STEPS),
         "walk_visit_counts": (
             f"SELECT vertex, CAST(COUNT(*) AS BIGINT) AS visits "

@@ -2392,6 +2392,143 @@ SELECT u, v, w, q_min FROM canon WHERE q_min < {DISPARITY_ALPHA_Q}
 """
 
 
+SUBGRAPH_DENOMS = (2, 4, 8)
+_M64_FULL = 1 << 64
+
+
+def subgraph_sample_curve(sf_dir: str) -> ray.data.Dataset:
+    """(denom, n_edges, n_vertices) — vertex-induced subgraph sampling
+    audit at pinned rates 1/2, 1/4, 1/8: an edge of the distinct
+    directed lineitem graph survives rate 1/d iff BOTH endpoints pass
+    ``splitmix64(v) < 2^64 // d`` (the dataset_split exact-integer
+    threshold rule, so the sample replays identically at any cluster
+    size); n_vertices counts distinct endpoints of surviving edges.
+    This is the scale-down harness op: run an expensive algorithm on
+    the induced sample before paying for the full graph.
+
+    Scale shape: the edge dedup is one keyed re-agg; per-denom flags
+    are computed inline per block (two vectorized splitmix calls, no
+    vertex table materializes anywhere); edge counts fold as 3-row
+    partials; vertex counts ride one (denom, v)-keyed dedup re-agg —
+    everything after the dedup is O(kept edges)."""
+    from .shuffle import keyed_reagg
+    from .sketch import splitmix64
+
+    P2 = 16
+
+    def e_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        g = (
+            pa.table({"s": t.column("src"), "t": t.column("dst")})
+            .group_by(["s", "t"])
+            .aggregate([])
+        )
+        yield g.rename_columns(["s", "t"])
+
+    edges = keyed_reagg(
+        sf_edges(sf_dir).map_batches(e_pre, batch_format="pyarrow"),
+        ["s", "t"], [], P2,
+    ).materialize()
+
+    def flags(t: pa.Table):
+        if t.num_rows == 0 or "s" not in t.schema.names:
+            return
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        d = t.column("t").to_numpy(zero_copy_only=False)
+        hs, hd = splitmix64(s), splitmix64(d)
+        for den in SUBGRAPH_DENOMS:
+            thr = np.uint64(_M64_FULL // den)
+            keep = (hs < thr) & (hd < thr)
+            if not keep.any():
+                continue
+            yield den, s[keep], d[keep]
+
+    def edge_cnt(t: pa.Table):
+        for den, s, d in flags(t):
+            yield pa.table(
+                {
+                    "denom": pa.array([den], pa.int64()),
+                    "n_edges": pa.array([len(s)], pa.int64()),
+                }
+            )
+
+    ec = keyed_reagg(
+        edges.map_batches(edge_cnt, batch_format="pyarrow"),
+        ["denom"], [("n_edges", "sum")], 2,
+    )
+
+    def vert_pairs(t: pa.Table):
+        for den, s, d in flags(t):
+            g = (
+                pa.table(
+                    {
+                        "denom": pa.array(
+                            np.full(2 * len(s), den, np.int64)),
+                        "v": pa.array(np.r_[s, d]),
+                    }
+                )
+                .group_by(["denom", "v"])
+                .aggregate([])
+            )
+            yield g.rename_columns(["denom", "v"])
+
+    vd = keyed_reagg(
+        edges.map_batches(vert_pairs, batch_format="pyarrow"),
+        ["denom", "v"], [], P2,
+    )
+
+    def v_cnt(t: pa.Table):
+        if t.num_rows == 0 or "denom" not in t.schema.names:
+            return
+        g = (
+            t.select(["denom"])
+            .append_column("n_vertices", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["denom"])
+            .aggregate([("n_vertices", "sum")])
+        )
+        yield g.rename_columns(["denom", "n_vertices"])
+
+    vc = keyed_reagg(
+        vd.map_batches(v_cnt, batch_format="pyarrow"),
+        ["denom"], [("n_vertices", "sum")], 2,
+    )
+
+    from .joins import join_auto
+
+    return join_auto(ec, vc, on=("denom",), num_partitions=2)
+
+
+def _subgraph_sample_sql() -> str:
+    per = []
+    for den in SUBGRAPH_DENOMS:
+        thr = _M64_FULL // den
+        per.append(f"""
+SELECT CAST({den} AS BIGINT) AS denom, r.s, r.t
+FROM raw r JOIN hh hs ON r.s = hs.id JOIN hh ht ON r.t = ht.id
+WHERE hs.z < {thr} AND ht.z < {thr}""")
+    kept = " UNION ALL ".join(per)
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS s, l_partkey AS t FROM lineitem
+),
+verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)
+),
+{{SM}},
+kept AS MATERIALIZED ({kept}),
+ec AS (
+  SELECT denom, CAST(COUNT(*) AS BIGINT) AS n_edges FROM kept GROUP BY denom
+),
+vc AS (
+  SELECT denom, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_vertices FROM (
+    SELECT denom, s AS v FROM kept UNION ALL SELECT denom, t FROM kept
+  ) GROUP BY denom
+)
+SELECT ec.denom, ec.n_edges, vc.n_vertices
+FROM ec JOIN vc ON ec.denom = vc.denom"""
+
+
 HLL_REGS = 16
 HLL_ROUNDS = 2
 

@@ -1958,6 +1958,86 @@ FROM f GROUP BY 1
 OOV_VOCAB_K = 16
 
 
+COVERAGE_KS = (1, 2, 4, 8, 16, 32)
+
+
+def vocab_coverage_curve(sf_dir: str) -> ray.data.Dataset:
+    """(k, covered_tokens, total_tokens, frac) — corpus token-mass
+    coverage of the top-k unigram vocabulary for each pinned k (the
+    vocab-sizing audit that picks a tokenizer vocabulary: how much of
+    the stream the k most frequent types absorb).  Vocab rank is the
+    (count desc, term asc) total order shared with vocab_oov_rate;
+    ``frac`` is ONE double division mirrored in SQL.
+
+    Scale shape: the standard vocab-bounded unigram reduce (block
+    partials + one keyed re-agg), then a single-block rank/cumsum over
+    the ≤|vocab| table — the curve never touches corpus rows after
+    the first pass."""
+    from .shuffle import keyed_reagg
+
+    def uni(t: pa.Table):
+        if len(t) == 0:
+            return
+        _, toks = _token_pairs(t)
+        if len(toks) == 0:
+            return
+        g = (
+            pa.table({"tok": toks})
+            .append_column("cnt", pa.array(np.ones(len(toks), np.int64)))
+            .group_by(["tok"])
+            .aggregate([("cnt", "sum")])
+        )
+        yield g.rename_columns(["tok", "cnt"])
+
+    ucnt = keyed_reagg(
+        _read_docs(sf_dir).map_batches(uni, batch_format="pyarrow"),
+        ["tok"], [("cnt", "sum")], P,
+    ).repartition(1)
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "cnt" not in t.schema.names:
+            return
+        toks = np.asarray(t.column("tok").to_pylist(), dtype=object)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        order = np.lexsort((toks, -cnt))
+        cs = np.cumsum(cnt[order])
+        total = int(cs[-1])
+        ks = np.asarray(COVERAGE_KS, np.int64)
+        cov = cs[np.minimum(ks, len(cs)) - 1].astype(np.int64)
+        yield pa.table(
+            {
+                "k": pa.array(ks),
+                "covered_tokens": pa.array(cov),
+                "total_tokens": pa.array(np.full(len(ks), total, np.int64)),
+                "frac": pa.array(cov.astype(np.float64) / float(total)),
+            }
+        )
+
+    return ucnt.map_batches(finish, batch_size=None, batch_format="pyarrow")
+
+
+VOCAB_COVERAGE_SQL = rf"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+),
+ucnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t),
+rk AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rn FROM ucnt
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM ucnt),
+ks AS (SELECT UNNEST({list(COVERAGE_KS)}) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+  CAST(SUM(rk.c) AS BIGINT) AS covered_tokens,
+  tot.total AS total_tokens,
+  CAST(CAST(SUM(rk.c) AS BIGINT) AS DOUBLE) / CAST(tot.total AS DOUBLE)
+    AS frac
+FROM ks JOIN rk ON rk.rn <= ks.k, tot
+GROUP BY ks.k, tot.total
+"""
+
+
 def vocab_oov_rate(sf_dir: str) -> ray.data.Dataset:
     """(lang, tokens, oov_tokens, oov_rate) — out-of-vocabulary token
     fraction per language against the corpus's own top-``OOV_VOCAB_K``
