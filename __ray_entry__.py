@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node_features": pl.node_features,
         "hll_ball_registers": pl.hll_ball_registers,
         "subgraph_sample_curve": pl.subgraph_sample_curve,
+        "frequent_triples": pl.frequent_triples,
+        "seeded_label_spread": pl.seeded_label_spread,
         "random_walks": pl.random_walks,
         "walk_visit_counts": pl.walk_visit_counts,
         "edge_support": _truss().edge_support,
@@ -2457,6 +2459,8 @@ def oracle_sql() -> dict[str, str]:
         "node_features": _pl().NODE_FEATURES_SQL,
         "hll_ball_registers": _hll_ball_registers_sql(),
         "subgraph_sample_curve": _subgraph_sample_sql_wired(),
+        "frequent_triples": _pl().FREQUENT_TRIPLES_SQL,
+        "seeded_label_spread": _pl().SEEDED_LABEL_SQL,
         "random_walks": _random_walks_sql(_pl().RW_STEPS),
         "walk_visit_counts": (
             f"SELECT vertex, CAST(COUNT(*) AS BIGINT) AS visits "

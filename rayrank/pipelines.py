@@ -2392,6 +2392,295 @@ SELECT u, v, w, q_min FROM canon WHERE q_min < {DISPARITY_ALPHA_Q}
 """
 
 
+SLS_ROUNDS = 2
+
+
+def seeded_label_spread(sf_dir: str) -> ray.data.Dataset:
+    """Semi-supervised label spreading (seeded node classification,
+    the transductive complement of the community label_propagation op
+    — THAT one is rows-only because its labels live in vid space;
+    this one is pinned to SQL-reproducible integers): seeds are
+    vertices ``v % 10 == 0`` carrying label ``v % 5``; each round
+    every still-unlabeled vertex adopts the (vote-count desc, label
+    asc) majority label among its labeled neighbors on the undirected
+    distinct lineitem graph; seeds and earlier rounds are clamped.
+    Exactly ``SLS_ROUNDS`` rounds; output (v, label, rnd).
+
+    Scale shape: per round ONE edge⋈labels join, (v, label)-keyed
+    vote re-agg, a v-keyed repartition for the block-local argmax
+    pick, and a keyed anti-join to clamp — the gather/majority shape
+    of the LP kernel restated over Datasets, rounds bounded by a
+    pinned constant."""
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    P2 = 16
+    edges = sf_edges(sf_dir)
+
+    def vert_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        g = pa.table({"v": pa.array(np.r_[s, d])}).group_by(["v"]).aggregate([])
+        yield g.rename_columns(["v"])
+
+    verts = keyed_reagg(
+        edges.map_batches(vert_pre, batch_format="pyarrow"), ["v"], [], P2,
+    )
+
+    def und_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        g = (
+            pa.table({"a": pa.array(np.r_[s, d]), "b": pa.array(np.r_[d, s])})
+            .group_by(["a", "b"])
+            .aggregate([])
+        )
+        yield g.rename_columns(["a", "b"])
+
+    und = keyed_reagg(
+        edges.map_batches(und_pre, batch_format="pyarrow"),
+        ["a", "b"], [], P2,
+    ).materialize()
+
+    def seed(t: pa.Table):
+        if t.num_rows == 0 or "v" not in t.schema.names:
+            return
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        m = (v % 10) == 0
+        if not m.any():
+            return
+        v = v[m]
+        yield pa.table(
+            {
+                "v": pa.array(v),
+                "label": pa.array((v % 5).astype(np.int64)),
+                "rnd": pa.array(np.zeros(len(v), np.int64)),
+            }
+        )
+
+    labeled = verts.map_batches(seed, batch_format="pyarrow")
+
+    for rnd in range(1, SLS_ROUNDS + 1):
+        labeled = labeled.materialize()
+        nb = join_auto(und, labeled, on=("b",), right_on=("v",),
+                       num_partitions=P2)
+
+        def vote_pre(t: pa.Table):
+            if t.num_rows == 0 or "label" not in t.schema.names:
+                return
+            g = (
+                pa.table({"v": t.column("a"), "label": t.column("label")})
+                .append_column("c", pa.array(np.ones(len(t), np.int64)))
+                .group_by(["v", "label"])
+                .aggregate([("c", "sum")])
+            )
+            yield g.rename_columns(["v", "label", "c"])
+
+        votes = keyed_reagg(
+            nb.map_batches(vote_pre, batch_format="pyarrow"),
+            ["v", "label"], [("c", "sum")], P2,
+        ).repartition(P2, keys=["v"])
+
+        def pick(t: pa.Table, rnd=rnd):
+            if t.num_rows == 0 or "c" not in t.schema.names:
+                return
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            lab = t.column("label").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            order = np.lexsort((lab, -c, v))
+            v, lab = v[order], lab[order]
+            first = np.r_[True, v[1:] != v[:-1]]
+            yield pa.table(
+                {
+                    "v": pa.array(v[first]),
+                    "label": pa.array(lab[first]),
+                    "rnd": pa.array(np.full(int(first.sum()), rnd, np.int64)),
+                }
+            )
+
+        cand = votes.map_batches(
+            pick, batch_size=None, batch_format="pyarrow")
+
+        def keys_only(t: pa.Table):
+            if t.num_rows == 0 or "v" not in t.schema.names:
+                return
+            yield t.select(["v"])
+
+        new = join_auto(
+            cand,
+            labeled.map_batches(keys_only, batch_format="pyarrow"),
+            on=("v",), how="anti", num_partitions=P2,
+        )
+        labeled = labeled.union(new)
+
+    return labeled
+
+
+def _seeded_label_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(1, SLS_ROUNDS + 1):
+        rounds.append(f""",
+v{r} AS MATERIALIZED (
+  SELECT und.a AS v, l.label, CAST(COUNT(*) AS BIGINT) AS c
+  FROM und JOIN {prev} l ON und.b = l.v
+  WHERE und.a NOT IN (SELECT v FROM {prev})
+  GROUP BY 1, 2
+),
+p{r} AS MATERIALIZED (
+  SELECT v, label FROM v{r}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label) = 1
+),
+l{r} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  UNION ALL SELECT v, label, CAST({r} AS BIGINT) FROM p{r}
+)""")
+        prev = f"l{r}"
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT l_orderkey AS s, l_partkey AS t FROM lineitem
+),
+verts AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+  )
+),
+l0 AS MATERIALIZED (
+  SELECT v, CAST(v % 5 AS BIGINT) AS label, CAST(0 AS BIGINT) AS rnd
+  FROM verts WHERE v % 10 = 0
+){''.join(rounds)}
+SELECT v, label, rnd FROM {prev}"""
+
+
+SEEDED_LABEL_SQL = _seeded_label_sql()
+
+
+TRIPLE_MIN_SUP = 2
+TRIPLE_BASKET_CAP = 64
+
+
+def frequent_triples(sf_dir: str) -> ray.data.Dataset:
+    """Frequent 3-itemsets over order baskets (the Apriori depth-3
+    market-basket step): (p1 < p2 < p3, support) for every part
+    triple co-purchased in ≥ TRIPLE_MIN_SUP distinct orders.
+
+    Scale shape: baskets are the (order, part) distinct pairs — one
+    keyed dedup re-agg — then ONE repartition by order makes each
+    basket block-local; triple emission is per-basket combinations
+    (bounded by the basket size: C(n,3) with n ≤ 13 in this data; a
+    basket over TRIPLE_BASKET_CAP items RAISES, the no-silent-caps
+    close_wedges rule, because a pathological 10^5-item basket would
+    be a quadrillion-row blowup to emit silently); support folds via
+    block partials + one (p1, p2, p3)-keyed re-agg."""
+    from itertools import combinations
+
+    from .shuffle import keyed_reagg
+
+    P2 = 16
+
+    def bp_pre(t: pa.Table):
+        if len(t) == 0 or "l_orderkey" not in t.schema.names:
+            return
+        g = (
+            pa.table(
+                {"o": t.column("l_orderkey"), "p": t.column("l_partkey")}
+            )
+            .group_by(["o", "p"])
+            .aggregate([])
+        )
+        yield g.rename_columns(["o", "p"])
+
+    baskets = keyed_reagg(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_partkey"],
+        ).map_batches(bp_pre, batch_format="pyarrow"),
+        ["o", "p"], [], P2,
+    ).repartition(P2, keys=["o"])
+
+    def triples(t: pa.Table):
+        if t.num_rows == 0 or "o" not in t.schema.names:
+            return
+        o = t.column("o").to_numpy(zero_copy_only=False)
+        p = t.column("p").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        starts = np.flatnonzero(np.r_[True, o[1:] != o[:-1]])
+        lens = np.diff(np.r_[starts, len(o)])
+        if (lens > TRIPLE_BASKET_CAP).any():
+            raise ValueError(
+                f"basket over {TRIPLE_BASKET_CAP} items — refusing the "
+                "cubic emission (raise the cap deliberately if intended)"
+            )
+        p1, p2, p3 = [], [], []
+        for s, ln in zip(starts, lens):
+            if ln < 3:
+                continue
+            for a, b, c in combinations(p[s:s + ln], 3):
+                p1.append(a)
+                p2.append(b)
+                p3.append(c)
+        if not p1:
+            return
+        g = (
+            pa.table(
+                {
+                    "p1": pa.array(np.asarray(p1, np.int64)),
+                    "p2": pa.array(np.asarray(p2, np.int64)),
+                    "p3": pa.array(np.asarray(p3, np.int64)),
+                    "support": pa.array(np.ones(len(p1), np.int64)),
+                }
+            )
+            .group_by(["p1", "p2", "p3"])
+            .aggregate([("support", "sum")])
+        )
+        yield g.rename_columns(["p1", "p2", "p3", "support"])
+
+    sup = keyed_reagg(
+        baskets.map_batches(
+            triples, batch_size=None, batch_format="pyarrow"),
+        ["p1", "p2", "p3"], [("support", "sum")], P2,
+    )
+
+    def keep(t: pa.Table):
+        if t.num_rows == 0 or "support" not in t.schema.names:
+            return
+        t = t.filter(
+            pc.greater_equal(t.column("support"), TRIPLE_MIN_SUP))
+        if t.num_rows:
+            yield t
+
+    return sup.map_batches(keep, batch_format="pyarrow")
+
+
+FREQUENT_TRIPLES_SQL = f"""
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+t AS (
+  SELECT b1.p AS p1, b2.p AS p2, b3.p AS p3,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM b b1
+  JOIN b b2 ON b1.o = b2.o AND b1.p < b2.p
+  JOIN b b3 ON b2.o = b3.o AND b2.p < b3.p
+  GROUP BY 1, 2, 3
+)
+SELECT p1, p2, p3, support FROM t WHERE support >= {TRIPLE_MIN_SUP}
+"""
+
+
 SUBGRAPH_DENOMS = (2, 4, 8)
 _M64_FULL = 1 << 64
 
