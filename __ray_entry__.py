@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "subgraph_sample_curve": pl.subgraph_sample_curve,
         "frequent_triples": pl.frequent_triples,
         "seeded_label_spread": pl.seeded_label_spread,
+        "rendezvous_shards": pl.rendezvous_shards,
         "random_walks": pl.random_walks,
         "walk_visit_counts": pl.walk_visit_counts,
         "edge_support": _truss().edge_support,
@@ -2311,6 +2312,14 @@ def _subgraph_sample_sql_wired() -> str:
     )
 
 
+def _rendezvous_sql_wired() -> str:
+    from rayrank.pipelines import _rendezvous_sql
+
+    return _rendezvous_sql().replace(
+        "{SM}", _sm64_id_cte("(SELECT key AS id, key AS x FROM vj)")
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from rayrank import relational as rel
 
@@ -2461,6 +2470,7 @@ def oracle_sql() -> dict[str, str]:
         "subgraph_sample_curve": _subgraph_sample_sql_wired(),
         "frequent_triples": _pl().FREQUENT_TRIPLES_SQL,
         "seeded_label_spread": _pl().SEEDED_LABEL_SQL,
+        "rendezvous_shards": _rendezvous_sql_wired(),
         "random_walks": _random_walks_sql(_pl().RW_STEPS),
         "walk_visit_counts": (
             f"SELECT vertex, CAST(COUNT(*) AS BIGINT) AS visits "

@@ -2392,6 +2392,95 @@ SELECT u, v, w, q_min FROM canon WHERE q_min < {DISPARITY_ALPHA_Q}
 """
 
 
+RDV_SHARDS = 8
+
+
+def rendezvous_shards(sf_dir: str) -> ray.data.Dataset:
+    """Rendezvous (highest-random-weight) shard assignment audit: each
+    vertex of the lineitem graph goes to ``argmax_j splitmix64(v·S +
+    j)`` over shards j = 0..``RDV_SHARDS``−1 (the id-combining hash
+    chain used throughout; ties j asc, unreachable in practice), and
+    the audit reports (shard, n_vertices, min_v, max_v) — the
+    placement-balance check run before pinning stateful actors to a
+    keyspace.  HRW's property (removing one shard only moves that
+    shard's keys) is what makes it the resharding-safe assignment.
+
+    Scale shape: assignment is pure per-row integer hashing (S
+    vectorized splitmix calls per block, no lookup state); the audit
+    folds via |S|-bounded partials + one tiny keyed re-agg."""
+    from .shuffle import keyed_reagg
+    from .sketch import splitmix64
+
+    def vert_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        g = pa.table({"v": pa.array(np.r_[s, d])}).group_by(["v"]).aggregate([])
+        yield g.rename_columns(["v"])
+
+    verts = keyed_reagg(
+        sf_edges(sf_dir).map_batches(vert_pre, batch_format="pyarrow"),
+        ["v"], [], 16,
+    )
+
+    def assign(t: pa.Table):
+        if t.num_rows == 0 or "v" not in t.schema.names:
+            return
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        S = RDV_SHARDS
+        w = np.stack(
+            [splitmix64(v * np.int64(S) + np.int64(j)) for j in range(S)]
+        )  # (S, n) uint64
+        shard = np.argmax(w, axis=0).astype(np.int64)  # first max = min j
+        g = (
+            pa.table(
+                {
+                    "shard": pa.array(shard),
+                    "n_vertices": pa.array(np.ones(len(v), np.int64)),
+                    "min_v": pa.array(v),
+                    "max_v": pa.array(v),
+                }
+            )
+            .group_by(["shard"])
+            .aggregate(
+                [("n_vertices", "sum"), ("min_v", "min"), ("max_v", "max")]
+            )
+        )
+        yield g.rename_columns(["shard", "n_vertices", "min_v", "max_v"])
+
+    return keyed_reagg(
+        verts.map_batches(assign, batch_format="pyarrow"),
+        ["shard"],
+        [("n_vertices", "sum"), ("min_v", "min"), ("max_v", "max")],
+        2,
+    )
+
+
+def _rendezvous_sql() -> str:
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT l_orderkey AS s, l_partkey AS t FROM lineitem
+),
+verts0 AS MATERIALIZED (
+  SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)
+),
+vj AS MATERIALIZED (
+  SELECT v, j, v * {RDV_SHARDS} + j AS key
+  FROM verts0, UNNEST(range({RDV_SHARDS})) AS r(j)
+),
+{{SM}},
+pick AS (
+  SELECT vj.v, vj.j AS shard
+  FROM vj JOIN hh ON vj.key = hh.id
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vj.v ORDER BY hh.z DESC, vj.j) = 1
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+  CAST(COUNT(*) AS BIGINT) AS n_vertices,
+  MIN(v) AS min_v, MAX(v) AS max_v
+FROM pick GROUP BY shard"""
+
+
 SLS_ROUNDS = 2
 
 
