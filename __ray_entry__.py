@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_price_decile": _an().revenue_by_price_decile,
         "customers_all_expedited": _an().customers_all_expedited,
         "nation_monthly_mom": _an().nation_monthly_mom,
+        "trending_parts": _an().trending_parts,
         "gini_order_revenue": _an().gini_order_revenue,
         "pareto_revenue_point": _an().pareto_revenue_point,
         "open_orders_over_time": _an().open_orders_over_time,
@@ -168,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_triples": pl.frequent_triples,
         "seeded_label_spread": pl.seeded_label_spread,
         "rendezvous_shards": pl.rendezvous_shards,
+        "attack_robustness": pl.attack_robustness,
         "random_walks": pl.random_walks,
         "walk_visit_counts": pl.walk_visit_counts,
         "edge_support": _truss().edge_support,
@@ -1331,6 +1333,56 @@ lab{r}(it, v, l) AS (
     return head + ",\n" + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
 
 
+def _attack_robustness_sql() -> str:
+    """Targeted-attack robustness: hub top-k by (deg desc, id), edge
+    filter per k, the percolation min-label CC CTE per k, giant = max
+    component size (rayrank.pipelines.attack_robustness)."""
+    from rayrank.pipelines import ATTACK_KS
+
+    head = """
+WITH RECURSIVE
+rawi AS (SELECT l_orderkey AS s, l_partkey AS t FROM lineitem),
+und AS (
+  SELECT DISTINCT LEAST(s, t) AS u, GREATEST(s, t) AS v
+  FROM rawi WHERE s <> t
+),
+degq AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS x FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY x
+),
+rkq AS (SELECT x, ROW_NUMBER() OVER (ORDER BY d DESC, x) AS rn FROM degq)"""
+    parts, sels = [], []
+    for k in ATTACK_KS:
+        parts.append(f"""h{k} AS (SELECT x FROM rkq WHERE rn <= {k}),
+e{k} AS (
+  SELECT CAST(u AS VARCHAR) AS a, CAST(v AS VARCHAR) AS b FROM und
+  WHERE u NOT IN (SELECT x FROM h{k})
+    AND v NOT IN (SELECT x FROM h{k})
+),
+v{k} AS (SELECT DISTINCT x FROM (SELECT a AS x FROM e{k} UNION ALL SELECT b FROM e{k})),
+u{k} AS (
+  SELECT a, b FROM e{k} UNION ALL SELECT b, a FROM e{k}
+  UNION ALL SELECT x, x FROM v{k}
+),
+lab{k}(it, v, l) AS (
+  SELECT 0, x, x FROM v{k}
+  UNION ALL
+  SELECT lab{k}.it + 1, e.b, MIN(lab{k}.l)
+  FROM lab{k} JOIN u{k} e ON lab{k}.v = e.a
+  WHERE lab{k}.it < {_CC_ITERS}
+  GROUP BY lab{k}.it + 1, e.b
+)""")
+        sels.append(
+            f"SELECT CAST({k} AS BIGINT) AS k_removed, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM e{k}) AS n_edges, "
+            f"(SELECT CAST(MAX(c) AS BIGINT) FROM ("
+            f"SELECT COUNT(*) AS c FROM lab{k} WHERE it = {_CC_ITERS} "
+            f"GROUP BY l)) AS giant_size"
+        )
+    return head + ",\n" + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
+
+
 def _transitivity_estimate_sql() -> str:
     """Deterministic 1/MOD wedge sample: packed (center, n1, n2) key
     through the splitmix chain, closure via the canonical edge join
@@ -2386,6 +2438,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_price_decile": _an().REVENUE_BY_PRICE_DECILE_SQL,
         "customers_all_expedited": _an().CUSTOMERS_ALL_EXPEDITED_SQL,
         "nation_monthly_mom": _an().NATION_MONTHLY_MOM_SQL,
+        "trending_parts": _an().TRENDING_PARTS_SQL,
         "gini_order_revenue": _an().GINI_ORDER_REVENUE_SQL,
         "pareto_revenue_point": _an().PARETO_REVENUE_POINT_SQL,
         "open_orders_over_time": _an().OPEN_ORDERS_SQL,
@@ -2471,6 +2524,7 @@ def oracle_sql() -> dict[str, str]:
         "frequent_triples": _pl().FREQUENT_TRIPLES_SQL,
         "seeded_label_spread": _pl().SEEDED_LABEL_SQL,
         "rendezvous_shards": _rendezvous_sql_wired(),
+        "attack_robustness": _attack_robustness_sql(),
         "random_walks": _random_walks_sql(_pl().RW_STEPS),
         "walk_visit_counts": (
             f"SELECT vertex, CAST(COUNT(*) AS BIGINT) AS visits "

@@ -2827,6 +2827,119 @@ def nation_monthly_mom(sf_dir: str) -> ray.data.Dataset:
     return series.map_batches(window, batch_size=None, batch_format="pyarrow")
 
 
+TRENDING_K = 5
+
+
+def trending_parts(sf_dir: str) -> ray.data.Dataset:
+    """(month, part, qty, rnk, prev_rnk) — monthly top-``TRENDING_K``
+    parts by shipped quantity with each part's rank in the PREVIOUS
+    month's top list (0 if it wasn't there): the trending/leaderboard-
+    delta shape (rank now ⋈ rank then) that powers "new this month"
+    reporting.  Rank is (qty desc, part asc) — all-integer total
+    order; quantities are integral doubles snapped to int64 (the
+    fixed-point rule).
+
+    Scale shape: raw rows reduce via block partials + ONE
+    (month, part)-keyed re-agg; a month-keyed repartition makes each
+    month's reduced slice block-local for the rank/truncate (≤ K rows
+    per month survive); the prev-month join then runs over the
+    months×K leaderboard — bounded by the calendar, never by data —
+    in one coalesced block."""
+    from .shuffle import keyed_reagg
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_shipdate"])
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        us = pc.cast(t.column("l_shipdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        day = us // 86_400_000_000
+        month = (day.astype("datetime64[D]")).astype(
+            "datetime64[M]").astype(np.int64) + 1970 * 12
+        qty = t.column("l_quantity").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "month": pa.array(month),
+                    "part": t.column("l_partkey"),
+                    "qty": pa.array(qty),
+                }
+            )
+            .group_by(["month", "part"])
+            .aggregate([("qty", "sum")])
+        )
+        yield g.rename_columns(["month", "part", "qty"])
+
+    per = keyed_reagg(
+        li.map_batches(pre, batch_format="pyarrow"),
+        ["month", "part"], [("qty", "sum")], 8,
+    ).repartition(8, keys=["month"])
+
+    def rank_trunc(t: pa.Table):
+        if t.num_rows == 0 or "qty" not in t.schema.names:
+            return
+        m = t.column("month").to_numpy(zero_copy_only=False)
+        p = t.column("part").to_numpy(zero_copy_only=False)
+        q = t.column("qty").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, -q, m))
+        m, p, q = m[order], p[order], q[order]
+        starts = np.flatnonzero(np.r_[True, m[1:] != m[:-1]])
+        rnk = np.arange(len(m)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(m)])) + 1
+        keep = rnk <= TRENDING_K
+        yield pa.table(
+            {
+                "month": pa.array(m[keep]),
+                "part": pa.array(p[keep]),
+                "qty": pa.array(q[keep]),
+                "rnk": pa.array(rnk[keep].astype(np.int64)),
+            }
+        )
+
+    board = per.map_batches(
+        rank_trunc, batch_size=None, batch_format="pyarrow"
+    ).repartition(1)
+
+    def join_prev(t: pa.Table):
+        if t.num_rows == 0 or "rnk" not in t.schema.names:
+            return
+        m = t.column("month").to_numpy(zero_copy_only=False)
+        p = t.column("part").to_numpy(zero_copy_only=False)
+        r = t.column("rnk").to_numpy(zero_copy_only=False)
+        prev = {(mm, pp): rr for mm, pp, rr in zip(m, p, r)}
+        pr = np.fromiter(
+            (prev.get((mm - 1, pp), 0) for mm, pp in zip(m, p)),
+            np.int64, len(m),
+        )
+        yield t.append_column("prev_rnk", pa.array(pr))
+
+    return board.map_batches(
+        join_prev, batch_size=None, batch_format="pyarrow")
+
+
+TRENDING_PARTS_SQL = f"""
+WITH per AS (
+  SELECT (year(l_shipdate) * 12 + month(l_shipdate) - 1) AS month,
+    l_partkey AS part,
+    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY 1, 2
+),
+rk AS (
+  SELECT CAST(month AS BIGINT) AS month, part, qty,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY month ORDER BY qty DESC, part) AS BIGINT) AS rnk
+  FROM per
+  QUALIFY rnk <= {TRENDING_K}
+)
+SELECT r.month, r.part, r.qty, r.rnk, COALESCE(p.rnk, 0) AS prev_rnk
+FROM rk r LEFT JOIN rk p ON p.month = r.month - 1 AND p.part = r.part
+"""
+
+
 NATION_MONTHLY_MOM_SQL = """
 WITH j AS (
   SELECT n.n_name,

@@ -2392,6 +2392,156 @@ SELECT u, v, w, q_min FROM canon WHERE q_min < {DISPARITY_ALPHA_Q}
 """
 
 
+ATTACK_KS = (0, 8, 32)
+
+
+def attack_robustness(sf_dir: str) -> ray.data.Dataset:
+    """(k_removed, n_edges, giant_size) — targeted-attack robustness
+    curve: remove the top-k degree hubs (degree desc, id asc — a total
+    order) from the undirected distinct lineitem graph and measure the
+    surviving edge count and giant connected component, for each
+    pinned k.  The resilience audit a link-graph owner runs before
+    relying on connectivity (percolation_sweep's sibling: that one
+    thins edges at random, this one deletes the most-wired vertices).
+
+    Scale shape: ONE canonical edge dedup re-agg reused across ks;
+    the hub set is a distributed (deg desc, id) top-k fold (≤ max(k)
+    ids ever reach the driver, then broadcast into a vectorized
+    filter); each k reuses the engine's CC shard kernel on the
+    filtered edges and the giant pick is the distributed top-1 label
+    fold (never a driver label vector) — the percolation_sweep
+    machinery with a different thinning rule."""
+    from .components import connected_components
+    from .graph import build_graph
+    from .shuffle import keyed_reagg
+
+    def und_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        g = (
+            pa.table({"u": pa.array(u), "v": pa.array(v)})
+            .group_by(["u", "v"])
+            .aggregate([])
+        )
+        yield g.rename_columns(["u", "v"])
+
+    und = keyed_reagg(
+        sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
+        ["u", "v"], [], P,
+    ).materialize()
+
+    def deg_pre(t: pa.Table):
+        if t.num_rows == 0 or "u" not in t.schema.names:
+            return
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        g = (
+            pa.table({"x": pa.array(np.r_[u, v])})
+            .append_column("d", pa.array(np.ones(2 * len(u), np.int64)))
+            .group_by(["x"])
+            .aggregate([("d", "sum")])
+        )
+        yield g.rename_columns(["x", "d"])
+
+    deg = keyed_reagg(
+        und.map_batches(deg_pre, batch_format="pyarrow"),
+        ["x"], [("d", "sum")], P,
+    )
+    kmax = max(ATTACK_KS)
+
+    def local_top(t: pa.Table):
+        if t.num_rows == 0 or "d" not in t.schema.names:
+            return
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((x, -d))[:kmax]
+        yield t.take(pa.array(order))
+
+    hub_rows = (
+        deg.map_batches(local_top, batch_size=None, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(local_top, batch_size=None, batch_format="pyarrow")
+        .take_all()
+    )
+    hubs_all = np.array([r["x"] for r in hub_rows], np.int64)  # ranked
+
+    out = []
+    for k in ATTACK_KS:
+        hubs = np.sort(hubs_all[:k])
+
+        def keep_fn(t: pa.Table, hubs=hubs):
+            if t.num_rows == 0 or "u" not in t.schema.names:
+                return
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            if len(hubs):
+                bad = np.isin(u, hubs) | np.isin(v, hubs)
+            else:
+                bad = np.zeros(len(u), bool)
+            if bad.all():
+                return
+            yield pa.table(
+                {
+                    "src_name": pc.cast(pa.array(u[~bad]), pa.string()),
+                    "dst_name": pc.cast(pa.array(v[~bad]), pa.string()),
+                }
+            )
+
+        kept = und.map_batches(keep_fn, batch_format="pyarrow").materialize()
+        n_kept = kept.count()
+        gdir = tempfile.mkdtemp(prefix=f"rayrank_attack_{k}_")
+        build_graph(kept, gdir, num_partitions=P, undirected=True)
+        cc = connected_components(gdir)
+
+        @ray.remote
+        def label_counts(ref) -> pa.Table:
+            vals = np.asarray(ref, np.int64)
+            labs, counts = np.unique(vals, return_counts=True)
+            return pa.table({"label": labs, "n": counts.astype(np.int64)})
+
+        sizes = keyed_reagg(
+            ray.data.from_arrow_refs(
+                [label_counts.remote(r) for r in cc.part_refs]
+            ),
+            ["label"], [("n", "sum")], P,
+        )
+
+        def top1(t: pa.Table):
+            if t.num_rows == 0 or "n" not in t.schema.names:
+                return
+            n = t.column("n").to_numpy(zero_copy_only=False)
+            lab = t.column("label").to_numpy(zero_copy_only=False)
+            i = np.lexsort((lab, -n))[:1]
+            yield t.take(pa.array(i))
+
+        giant = (
+            sizes.map_batches(top1, batch_size=None, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(top1, batch_size=None, batch_format="pyarrow")
+            .take_all()
+        )
+        out.append(
+            (k, n_kept, int(giant[0]["n"]) if giant else 0)
+        )
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k_removed": pa.array([r[0] for r in out], pa.int64()),
+                "n_edges": pa.array([r[1] for r in out], pa.int64()),
+                "giant_size": pa.array([r[2] for r in out], pa.int64()),
+            }
+        )
+    )
+
+
 RDV_SHARDS = 8
 
 
