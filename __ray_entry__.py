@@ -178,7 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_degree_curve": _truss().knn_degree_curve,
         "degree_centralization": _truss().degree_centralization,
         "k_truss_edges": _truss().k_truss,
-        "maximal_matching": _truss().maximal_matching,  # rows-only (fixpoint)
+        "maximal_matching": _truss().maximal_matching,
         "event_value_quantiles": _an().event_value_quantiles,
         "event_value_mad": _an().event_value_mad,
         "user_last_event": _an().user_last_event,
@@ -321,7 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_diameter": pl.graph_diameter_sf,
         "kcore_vertices": pl.kcore_vertices_sf,
         "core_numbers": pl.core_numbers_sf,
-        "mis_vertices": pl.mis_vertices_sf,          # rows-only (vid-space priorities)
+        "mis_vertices": pl.mis_vertices_sf,
         "graph_coloring": pl.graph_coloring_sf,      # rows-only (vid-space priorities)
         # sequence packing (concat-and-chunk; distributed prefix sum)
         "pack_sequences": _packmod().pack_sequences,
@@ -1330,6 +1330,94 @@ lab{r}(it, v, l) AS (
             f"SELECT COUNT(*) AS c FROM lab{r} WHERE it = {_CC_ITERS} "
             f"GROUP BY l)) AS giant_size"
         )
+    return head + ",\n" + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
+
+
+def _mis_sql() -> str:
+    """Maximal independent set, splitmix64(int(name)) priorities,
+    Luby rounds UNROLLED as materialized CTEs (a recursive CTE cannot
+    reference the recursive table twice per round; the round count is
+    bounded — 3 at both test SFs — so unrolling is exact; trailing
+    rounds are no-ops on an empty alive set).  Mirrors
+    rayrank.mis.mis(named_priority=True) on the undirected lineitem
+    graph: select = alive vertex whose priority is a STRICT minimum
+    over its alive neighbourhood (priorities unique: splitmix64 is a
+    bijection over distinct ids), exclude = alive neighbours of
+    selected.  Isolated vertices (self-loop-only endpoints survive in
+    the vertex set) have no alive neighbour and enter in round 0."""
+    from rayrank.pipelines import MIS_SQL_ROUNDS
+
+    head = f"""
+WITH raw AS (SELECT l_orderkey AS a, l_partkey AS b FROM lineitem),
+{_sm64_id_cte('(SELECT x AS id, x FROM (SELECT DISTINCT a AS x FROM raw UNION SELECT b FROM raw))')},
+und AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM raw WHERE a <> b
+),
+adj AS (SELECT u AS s, v AS t FROM und UNION ALL SELECT v, u FROM und),
+alive0 AS (SELECT id AS v, z AS h FROM hh)"""
+    parts, sels = [], []
+    for r in range(MIS_SQL_ROUNDS):
+        parts.append(f"""mn{r} AS MATERIALIZED (
+  SELECT adj.s AS v, MIN(nb.h) AS mh
+  FROM adj
+  JOIN alive{r} nb ON nb.v = adj.t
+  JOIN alive{r} me ON me.v = adj.s
+  GROUP BY adj.s
+),
+sel{r} AS MATERIALIZED (
+  SELECT al.v FROM alive{r} al LEFT JOIN mn{r} m ON m.v = al.v
+  WHERE m.v IS NULL OR al.h < m.mh
+),
+alive{r + 1} AS MATERIALIZED (
+  SELECT al.v, al.h FROM alive{r} al
+  WHERE al.v NOT IN (SELECT v FROM sel{r})
+    AND al.v NOT IN (SELECT adj.s FROM adj JOIN sel{r} s ON s.v = adj.t)
+)""")
+        sels.append(f"SELECT CAST(v AS VARCHAR) AS name FROM sel{r}")
+    return head + ",\n" + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
+
+
+def _maximal_matching_sql() -> str:
+    """Greedy maximal matching by edge-Luby, rounds UNROLLED (same
+    bounded-iteration argument as _mis_sql; 6 rounds at sf0.01).
+    Mirrors rayrank.truss.maximal_matching: edge priority =
+    splitmix64(u·2³² + v) over the canonical (u < v) distinct edge set
+    of the triangle-bearing graph; a round selects every alive edge
+    whose priority is the minimum at BOTH endpoints (unique priorities
+    — injective key — so equality-with-min IS the strict rule), then
+    drops all edges touching a matched vertex.  The engine's
+    order-preserving uint64→int64 view is order-isomorphic to the
+    HUGEINT z here, so MIN agrees."""
+    from rayrank.truss import MM_SQL_ROUNDS
+
+    head = f"""
+WITH rawt AS (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem),
+und AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM rawt WHERE a <> b
+),{_sm64_carry_cte('(SELECT u, v, u * 4294967296 + v AS x FROM und)', ['u', 'v'], 'mm')},
+a0 AS (SELECT u, v, z AS h FROM hhmm)"""
+    parts, sels = [], []
+    for r in range(MM_SQL_ROUNDS):
+        parts.append(f"""mh{r} AS MATERIALIZED (
+  SELECT x, MIN(h) AS mh FROM (
+    SELECT u AS x, h FROM a{r} UNION ALL SELECT v, h FROM a{r}
+  ) GROUP BY x
+),
+s{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM a{r} e
+  JOIN mh{r} mu ON mu.x = e.u
+  JOIN mh{r} mv ON mv.x = e.v
+  WHERE e.h = mu.mh AND e.h = mv.mh
+),
+mv{r} AS (SELECT u AS x FROM s{r} UNION ALL SELECT v FROM s{r}),
+a{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v, e.h FROM a{r} e
+  WHERE e.u NOT IN (SELECT x FROM mv{r})
+    AND e.v NOT IN (SELECT x FROM mv{r})
+)""")
+        sels.append(f"SELECT u, v FROM s{r}")
     return head + ",\n" + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
 
 
@@ -2525,6 +2613,8 @@ def oracle_sql() -> dict[str, str]:
         "seeded_label_spread": _pl().SEEDED_LABEL_SQL,
         "rendezvous_shards": _rendezvous_sql_wired(),
         "attack_robustness": _attack_robustness_sql(),
+        "mis_vertices": _mis_sql(),
+        "maximal_matching": _maximal_matching_sql(),
         "random_walks": _random_walks_sql(_pl().RW_STEPS),
         "walk_visit_counts": (
             f"SELECT vertex, CAST(COUNT(*) AS BIGINT) AS visits "

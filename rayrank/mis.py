@@ -14,10 +14,15 @@ size, and a plain-Python greedy is an exact oracle (tests).  Expected
 round count is O(log n) (Luby 1986; Blelloch-Fineman-Shun 2012 for the
 greedy-equivalence argument).
 
-No SQL oracle: priorities live in the polars-xxhash vid space (same
-reason label_propagation is rows-only), and the two-phase sync round
-needs two references to the recursive table, which SQL's single-ref
-recursion cannot express.
+Two priority spaces: the default ``splitmix64(vid)`` (vid-space, used
+by coloring) and ``named_priority=True`` → ``splitmix64(int(name))``
+(name-space, requires an integral vertex namespace).  The name-space
+rule is what mis_vertices ships: it is independent of the polars-xxhash
+vid assignment AND SQL-expressible — a recursive CTE cannot run the
+two-phase round (two references to the recursive table), but the round
+count is O(log n), so the driver oracle UNROLLS the rounds as plain
+materialized CTEs over the HUGEINT splitmix chain (same trick as
+hits_2iter/random_walks: bounded iteration ⇒ unrolled SQL).
 
 Two gathers+reduces per round, Q×Q int64 message exchange, labels
 resident — identical scale shape to CC (rayrank/components.py).
@@ -44,14 +49,20 @@ def mis(
     graph_dir: str,
     max_iterations: int = 200,
     shards: list | None = None,
+    named_priority: bool = False,
 ) -> LabelResult:
     """Run to fixpoint (no undecided vertices).  Labels: 1 = in the
-    set, 2 = excluded."""
+    set, 2 = excluded.  ``named_priority`` switches to the SQL-checkable
+    ``splitmix64(int(name))`` rule (raises on non-numeric names)."""
     meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
     Q = meta.Q
     if shards is None:
         shards = create_shards(graph_dir, meta)
-    ray.get([s.init_mis.remote() for s in shards])
+    if named_priority:
+        vdir = os.path.join(graph_dir, "vertices")
+        ray.get([s.init_mis_named.remote(vdir) for s in shards])
+    else:
+        ray.get([s.init_mis.remote() for s in shards])
 
     history: list[dict] = []
     converged = False
@@ -124,6 +135,29 @@ def greedy_mis_oracle(
     names = sorted(name_to_vid)
     vids = np.fromiter((name_to_vid[n] for n in names), np.int64, len(names))
     pri = splitmix64(vids)
+    adj: dict[str, set] = {n: set() for n in names}
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    chosen: set[str] = set()
+    blocked: set[str] = set()
+    for i in np.argsort(pri):
+        n = names[i]
+        if n in blocked:
+            continue
+        chosen.add(n)
+        blocked |= adj[n]
+    return chosen
+
+
+def greedy_mis_named_oracle(edges: list[tuple[str, str]]) -> set[str]:
+    """Exact single-process oracle for ``named_priority=True``:
+    sequential greedy in increasing splitmix64(int(name)) order."""
+    from .sketch import splitmix64
+
+    names = sorted({x for e in edges for x in e})
+    pri = splitmix64(np.array([int(n) for n in names], np.int64))
     adj: dict[str, set] = {n: set() for n in names}
     for a, b in edges:
         if a != b:

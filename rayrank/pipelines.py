@@ -1375,16 +1375,26 @@ def graph_diameter_sf(sf_dir: str) -> pa.Table:
     return diameter_sweep(_graph(sf_dir, "undirected"))
 
 
+MIS_SQL_ROUNDS = 8  # fixpoint is 3 rounds at sf0.001 AND sf0.01; 2.6× headroom
+
+
 def mis_vertices_sf(sf_dir: str) -> ray.data.Dataset:
     """(name) maximal-independent-set members of the undirected
     lineitem graph — deterministic Luby-by-hash on the shard loop
-    (rayrank.mis; equals sequential greedy in splitmix64(vid) order).
-    Rows-only for the driver: priorities live in vid space (same
-    reason as label_propagation); exact greedy oracle in pytest."""
+    (rayrank.mis, named_priority: equals sequential greedy in
+    splitmix64(int(name)) order, so the fixpoint is independent of the
+    vid assignment).  SQL oracle: the rounds unrolled as materialized
+    CTEs (select = strict priority minimum over the alive
+    neighbourhood, exclude = alive neighbours of selected) over the
+    HUGEINT splitmix chain — ``MIS_SQL_ROUNDS`` ≥ the measured
+    fixpoint round count at both test SFs; extra rounds are no-ops on
+    an empty alive set."""
     from .mis import mis, mis_members
 
     gdir = _graph(sf_dir, "undirected")
-    res = mis(gdir)
+    res = mis(gdir, named_priority=True)
+    if not res.converged:
+        raise RuntimeError("mis_vertices: no fixpoint within bound")
     return mis_members(res, gdir)
 
 

@@ -328,6 +328,38 @@ class CsrShard:
         self._mis_pri = splitmix64(vids)
         self.labels = np.zeros(self.s_p, np.int64)
 
+    def init_mis_named(self, vert_dir: str) -> None:
+        """MIS init with NAME-space priorities: ``splitmix64(int(name))``
+        instead of ``splitmix64(vid)``.  Names are read from this
+        shard's own vertex partition (``q={p}`` holds exactly the names
+        of vids ≡ p mod Q — the zip_names layout), so the init is fully
+        distributed: no driver vector, no cross-shard traffic.  Unlike
+        the vid rule, the priority is independent of the polars-xxhash
+        vid assignment, so the fixpoint is expressible in SQL (the
+        driver's mis_vertices oracle unrolls the rounds in HUGEINT
+        splitmix CTEs).  Raises on non-numeric names — the caller must
+        know its vertex namespace is integral."""
+        from .sketch import splitmix64
+
+        self.labels = np.zeros(self.s_p, np.int64)
+        if self.s_p == 0:
+            self._mis_pri = np.empty(0, np.uint64)
+            return
+        d = os.path.join(vert_dir, f"q={self.p}")
+        vt = pq.read_table(d, columns=["vid", "name"])
+        if vt.num_rows != self.s_p:
+            raise ValueError(
+                f"init_mis_named: vertex partition {self.p} has "
+                f"{vt.num_rows} rows, expected {self.s_p}"
+            )
+        order = np.argsort(vt.column("vid").to_numpy())
+        ints = (
+            pc.cast(vt.column("name"), pa.int64())  # raises on non-numeric
+            .take(pa.array(order))
+            .to_numpy(zero_copy_only=False)
+        )
+        self._mis_pri = splitmix64(ints)
+
     _MIS_NONE = np.uint64(0xFFFFFFFFFFFFFFFF)
 
     def gather_min_undecided_pri(self):

@@ -556,6 +556,9 @@ GROUP BY dv.d
 # --------------------------------------------------------------------------
 
 
+MM_SQL_ROUNDS = 16  # fixpoint: 1 round at sf0.001, 6 at sf0.01; 2.6× headroom
+
+
 def maximal_matching(sf_dir: str, max_rounds: int = 64) -> ray.data.Dataset:
     """(u, v) — edges of the lexicographically-first maximal matching
     by splitmix64 edge priority (the edge sibling of rayrank.mis:
@@ -567,8 +570,11 @@ def maximal_matching(sf_dir: str, max_rounds: int = 64) -> ray.data.Dataset:
     matched vertex.  The fixpoint equals the sequential greedy
     matching scanning edges in ascending priority — independent of
     partitioning and scheduling — which the pytest oracle replays
-    exactly (no SQL oracle: the fixpoint needs two references to the
-    recursive table per round).
+    exactly.  SQL oracle: a recursive CTE cannot reference the
+    recursive table twice per round, but the round count is O(log E)
+    and bounded at the test SFs, so the driver oracle UNROLLS
+    ``MM_SQL_ROUNDS`` rounds as materialized CTEs over the HUGEINT
+    splitmix chain (__ray_entry__._maximal_matching_sql).
 
     Scale shape per round: one endpoint-keyed min re-agg (2 rows per
     alive edge), two broadcast/hash joins against the per-vertex min

@@ -83,3 +83,37 @@ def test_partition_count_invariance(tmp_path, Q):
     gdir = str(tmp_path / f"g{Q}")
     build_undirected(edges, gdir, Q=Q)
     assert engine_mis(gdir) == greedy_mis_oracle(edges, name_to_vid(gdir))
+
+
+def engine_mis_named(gdir):
+    res = mis(gdir, named_priority=True)
+    assert res.converged
+    out = set()
+    for b in mis_members(res, gdir).iter_batches(batch_format="pyarrow"):
+        out |= set(b.column("name").to_pylist())
+    return out
+
+
+@pytest.mark.parametrize("seed,n,m,Q", [(41, 40, 70, 3), (42, 60, 140, 4)])
+def test_named_priority_random_graphs(tmp_path, seed, n, m, Q):
+    # name-space priorities (the SQL-checked mis_vertices rule): the
+    # fixpoint equals sequential greedy in splitmix64(int(name)) order
+    from rayrank.mis import greedy_mis_named_oracle
+
+    rng = np.random.default_rng(seed)
+    edges = [
+        (str(a), str(b))
+        for a, b in zip(rng.integers(0, n, m), rng.integers(0, n, m))
+    ]
+    gdir = str(tmp_path / "g")
+    build_undirected(edges, gdir, Q=Q)
+    got = engine_mis_named(gdir)
+    assert got == greedy_mis_named_oracle(edges)
+    check_invariants(edges, got)
+
+
+def test_named_priority_rejects_non_numeric(tmp_path):
+    gdir = str(tmp_path / "g")
+    build_undirected([("a", "b"), ("b", "c")], gdir)
+    with pytest.raises(Exception):
+        engine_mis_named(gdir)
