@@ -69,6 +69,12 @@ def _truss():
     return truss
 
 
+def _salsa():
+    from rayrank import hits
+
+    return hits
+
+
 def _mm():
     from rayrank import multimodal
 
@@ -300,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_2iter": pl.pagerank_2iter,
         "pagerank_personalized_2iter": pl.pagerank_personalized_2iter,
         "hits_2iter": pl.hits_2iter,
+        "salsa_authority": _salsa().salsa_authority,
         "katz_centrality": pl.katz_centrality_sf,
         "pagerank_converged": pl.pagerank_converged,
         "triangle_count": pl.triangle_count_sf,
@@ -2802,6 +2809,7 @@ FROM h, s
         "pagerank_2iter": _PAGERANK_2ITER_SQL,
         "pagerank_personalized_2iter": _PAGERANK_PPR_2ITER_SQL,
         "hits_2iter": _HITS_2ITER_SQL,
+        "salsa_authority": _salsa().SALSA_AUTH_SQL,
         "katz_centrality": _KATZ_SQL,
         "pagerank_converged": _PAGERANK_CONV_SQL,
         "connected_components": _CC_SQL,

@@ -128,3 +128,196 @@ def hits(
         iterations=iterations,
         history=history,
     )
+
+
+# --------------------------------------------------------------------------
+# SALSA authority scores (exact stationary distribution, no iteration)
+# --------------------------------------------------------------------------
+
+SALSA_CC_ITERS = 64  # ≥ bipartite support-graph diameter at oracle scale
+
+
+def salsa_authority(sf_dir: str) -> ray.data.Dataset:
+    """(authority, indeg, comp_size, comp_indeg, salsa) — SALSA
+    authority scores of the lineitem link graph, by the Lempel–Moran
+    closed form: within a connected component C of the bipartite
+    hub–authority SUPPORT graph, the authority Markov chain's
+    stationary weight of node i is indeg(i)/indeg(C), and components
+    combine weighted by authority count, so
+
+        salsa(i) = (|C ∩ A| / |A|) · indeg(i) / indeg(C).
+
+    Pinned rule: support = DISTINCT directed edges (multiplicity
+    ignored — the classic unweighted SALSA); hub side encodes as
+    2·src, authority side as 2·dst+1 (disjoint namespaces even when
+    one id plays both roles); indeg counts distinct hubs.
+
+    Scale shape: NO power iteration — the exact stationary vector
+    costs one distinct-edge reduce, one CC run on the resident shard
+    loop over the bipartite layout, one component-keyed reduce
+    (components ≤ authority rows), and a label join-back.  The float
+    chain is two divides and one multiply, restated identically in
+    the SQL oracle (SALSA_AUTH_SQL), so the match is bit-exact."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .components import canonical_components, connected_components
+    from .graph import build_graph, derive_undirected
+    from .joins import join_auto
+    from .pipelines import P, sf_edges
+    from .shuffle import keyed_reagg
+
+    def ded_pre(t: pa.Table):
+        if t.num_rows == 0 or "src" not in t.schema.names:
+            return
+        g = (
+            pa.table({"s": t.column("src"), "t": t.column("dst")})
+            .group_by(["s", "t"])
+            .aggregate([])
+        )
+        yield g.rename_columns(["s", "t"])
+
+    ded = keyed_reagg(
+        sf_edges(sf_dir).map_batches(ded_pre, batch_format="pyarrow"),
+        ["s", "t"], [], P,
+    ).materialize()
+
+    def bip_names(t: pa.Table):
+        if t.num_rows == 0 or "s" not in t.schema.names:
+            return
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        d = t.column("t").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "src_name": pc.cast(pa.array(2 * s), pa.string()),
+                "dst_name": pc.cast(pa.array(2 * d + 1), pa.string()),
+            }
+        )
+
+    gdir = tempfile.mkdtemp(prefix="rayrank_salsa_")
+    build_graph(
+        ded.map_batches(bip_names, batch_format="pyarrow"),
+        gdir, num_partitions=P,
+    )
+    udir = tempfile.mkdtemp(prefix="rayrank_salsa_und_")
+    derive_undirected(gdir, udir)
+    cc = connected_components(udir, max_iterations=SALSA_CC_ITERS)
+    labels = canonical_components(cc, udir)
+
+    def auth_rows(t: pa.Table):
+        if t.num_rows == 0 or "name" not in t.schema.names:
+            return
+        enc = pc.cast(t.column("name"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        odd = enc % 2 == 1
+        if not odd.any():
+            return
+        yield pa.table(
+            {
+                "authority": pa.array((enc[odd] - 1) // 2),
+                "component": t.column("component").filter(pa.array(odd)),
+            }
+        )
+
+    auths = labels.map_batches(auth_rows, batch_format="pyarrow")
+
+    def ind_pre(t: pa.Table):
+        if t.num_rows == 0 or "t" not in t.schema.names:
+            return
+        g = (
+            t.select(["t"])
+            .append_column("c", pa.array(np.ones(t.num_rows, np.int64)))
+            .group_by(["t"])
+            .aggregate([("c", "sum")])
+        )
+        yield g.rename_columns(["authority", "indeg"])
+
+    ind = keyed_reagg(
+        ded.map_batches(ind_pre, batch_format="pyarrow"),
+        ["authority"], [("indeg", "sum")], P,
+    )
+    aj = join_auto(auths, ind, on=("authority",), num_partitions=P)
+
+    def comp_pre(t: pa.Table):
+        if t.num_rows == 0 or "component" not in t.schema.names:
+            return
+        g = (
+            t.select(["component", "indeg"])
+            .append_column("n", pa.array(np.ones(t.num_rows, np.int64)))
+            .group_by(["component"])
+            .aggregate([("n", "sum"), ("indeg", "sum")])
+        )
+        yield g.rename_columns(["component", "comp_size", "comp_indeg"])
+
+    comp = keyed_reagg(
+        aj.map_batches(comp_pre, batch_format="pyarrow"),
+        ["component"], [("comp_size", "sum"), ("comp_indeg", "sum")], P,
+    ).materialize()
+    n_auth = int(comp.sum("comp_size"))
+
+    out = join_auto(aj, comp, on=("component",), num_partitions=P)
+
+    def score(t: pa.Table):
+        if t.num_rows == 0 or "comp_indeg" not in t.schema.names:
+            return
+        cs = t.column("comp_size").to_numpy(zero_copy_only=False)
+        ci = t.column("comp_indeg").to_numpy(zero_copy_only=False)
+        d = t.column("indeg").to_numpy(zero_copy_only=False)
+        salsa = (cs.astype(np.float64) / np.float64(n_auth)) * (
+            d.astype(np.float64) / ci.astype(np.float64)
+        )
+        yield pa.table(
+            {
+                "authority": t.column("authority"),
+                "indeg": t.column("indeg"),
+                "comp_size": t.column("comp_size"),
+                "comp_indeg": t.column("comp_indeg"),
+                "salsa": pa.array(salsa),
+            }
+        )
+
+    return out.map_batches(score, batch_format="pyarrow")
+
+
+SALSA_AUTH_SQL = f"""
+WITH RECURSIVE
+rawd AS (
+  SELECT DISTINCT l_orderkey * 2 AS s, l_partkey * 2 + 1 AS t FROM lineitem
+),
+sverts AS (SELECT DISTINCT v FROM (
+  SELECT CAST(s AS VARCHAR) AS v FROM rawd
+  UNION ALL SELECT CAST(t AS VARCHAR) FROM rawd
+)),
+sund AS (SELECT DISTINCT a, b FROM (
+  SELECT CAST(s AS VARCHAR) AS a, CAST(t AS VARCHAR) AS b FROM rawd
+  UNION ALL SELECT CAST(t AS VARCHAR), CAST(s AS VARCHAR) FROM rawd
+  UNION ALL SELECT v, v FROM sverts
+)),
+slab(it, v, l) AS (
+  SELECT 0, v, v FROM sverts
+  UNION ALL
+  SELECT slab.it + 1, e.b, MIN(slab.l)
+  FROM slab JOIN sund e ON slab.v = e.a
+  WHERE slab.it < {SALSA_CC_ITERS}
+  GROUP BY slab.it + 1, e.b
+),
+comp AS (SELECT v, l FROM slab WHERE it = {SALSA_CC_ITERS}),
+ind AS (SELECT t AS enc, CAST(COUNT(*) AS BIGINT) AS indeg FROM rawd GROUP BY t),
+aj AS (
+  SELECT CAST(c.v AS BIGINT) AS enc, c.l, i.indeg
+  FROM comp c JOIN ind i ON CAST(c.v AS BIGINT) = i.enc
+),
+g AS (
+  SELECT l, CAST(COUNT(*) AS BIGINT) AS comp_size,
+    CAST(SUM(indeg) AS BIGINT) AS comp_indeg
+  FROM aj GROUP BY l
+),
+na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM aj)
+SELECT (aj.enc - 1) // 2 AS authority, aj.indeg, g.comp_size, g.comp_indeg,
+  (CAST(g.comp_size AS DOUBLE) / CAST((SELECT n FROM na) AS DOUBLE))
+  * (CAST(aj.indeg AS DOUBLE) / CAST(g.comp_indeg AS DOUBLE)) AS salsa
+FROM aj JOIN g ON g.l = aj.l
+"""
