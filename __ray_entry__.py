@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_centralization": _truss().degree_centralization,
         "k_truss_edges": _truss().k_truss,
         "maximal_matching": _truss().maximal_matching,
+        "copurchase_truss": _truss().copurchase_truss,
         "event_value_quantiles": _an().event_value_quantiles,
         "event_value_mad": _an().event_value_mad,
         "user_last_event": _an().user_last_event,
@@ -2622,6 +2623,7 @@ def oracle_sql() -> dict[str, str]:
         "attack_robustness": _attack_robustness_sql(),
         "mis_vertices": _mis_sql(),
         "maximal_matching": _maximal_matching_sql(),
+        "copurchase_truss": _truss().copurchase_truss_sql(),
         "random_walks": _random_walks_sql(_pl().RW_STEPS),
         "walk_visit_counts": (
             f"SELECT vertex, CAST(COUNT(*) AS BIGINT) AS visits "

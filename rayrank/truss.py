@@ -280,8 +280,13 @@ def k_truss(sf_dir: str, k: int = 4) -> ray.data.Dataset:
     canonical edge count and strictly shrinking); per-round cost is
     the support kernel.  Exactness: networkx.k_truss parity in
     tests/test_truss.py."""
-    thresh = k - 2
-    edges = _canonical_edges(sf_dir).materialize()
+    return _truss_peel(_canonical_edges(sf_dir).materialize(), k - 2)
+
+
+def _truss_peel(edges: ray.data.Dataset, thresh: int) -> ray.data.Dataset:
+    """Shared synchronous peel core over a materialized canonical
+    (u < v) edge Dataset: drop every edge with < thresh triangles
+    among surviving edges, recount, repeat to fixpoint."""
     n = edges.count()
     for _ in range(MAX_PEEL_ROUNDS):
         if n == 0:
@@ -554,6 +559,109 @@ GROUP BY dv.d
 # --------------------------------------------------------------------------
 # deterministic greedy maximal matching (edge-Luby by hash priority)
 # --------------------------------------------------------------------------
+
+
+COPURCHASE_TRUSS_K = 5
+TRUSS_SQL_ROUNDS = 6  # peel fixpoint: 1 round at sf0.001, 4 at sf0.01
+
+
+def copurchase_edges(sf_dir: str) -> ray.data.Dataset:
+    """Distinct canonical (u < v) edges of the part CO-PURCHASE graph
+    (two parts linked iff some order contains both) — a sparser,
+    support-varied triangle fixture than the near-complete tri graph
+    (where every k-truss is all-or-nothing).  One orderkey
+    repartition co-locates each basket; pair emission is the
+    part_pairs_topk index-arithmetic kernel (per-order fan-out bounded
+    by basket², never corpus-quadratic); global dedup is one keyed
+    re-agg of already-distinct block partials."""
+    from .pipelines import _read
+
+    def dedup_pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    co = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(dedup_pre, batch_format="pyarrow")
+        .repartition(P, keys=["l_orderkey"])
+    )
+
+    def pairs(t: pa.Table):
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return
+        t = t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        starts = np.flatnonzero(np.r_[True, ok[1:] != ok[:-1]])
+        sizes = np.diff(np.r_[starts, len(ok)])
+        local = np.arange(len(ok)) - np.repeat(starts, sizes)
+        cnt = np.repeat(sizes, sizes) - 1 - local
+        first = np.repeat(np.arange(len(ok)), cnt)
+        cum = np.cumsum(cnt)
+        off = np.arange(int(cnt.sum())) - np.repeat(cum - cnt, cnt)
+        second = first + 1 + off
+        if len(first) == 0:
+            return
+        # per-order pk is sorted ascending, so u < v is canonical
+        g = (
+            pa.table({"u": pa.array(pk[first]), "v": pa.array(pk[second])})
+            .group_by(["u", "v"])
+            .aggregate([])
+        )
+        yield g.rename_columns(["u", "v"])
+
+    return keyed_reagg(
+        co.map_batches(pairs, batch_size=None, batch_format="pyarrow"),
+        ["u", "v"], [], P,
+    )
+
+
+def copurchase_truss(sf_dir: str) -> ray.data.Dataset:
+    """(u, v) — the ``COPURCHASE_TRUSS_K``-truss of the co-purchase
+    graph.  Same peel core as :func:`k_truss`, but on a fixture whose
+    support actually varies, so the peel is non-degenerate at sf0.01
+    (4 rounds, 382 edges drop).  SQL oracle: the rounds unrolled as
+    materialized CTEs — each round re-lists triangles with the
+    oriented double-join over the surviving edge set and keeps
+    support ≥ k−2 (``TRUSS_SQL_ROUNDS`` ≥ the measured fixpoint;
+    extra rounds are no-ops)."""
+    return _truss_peel(
+        copurchase_edges(sf_dir).materialize(), COPURCHASE_TRUSS_K - 2
+    )
+
+
+def copurchase_truss_sql() -> str:
+    head = """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+    parts = []
+    for r in range(TRUSS_SQL_ROUNDS):
+        parts.append(f"""tri{r} AS MATERIALIZED (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e{r} e1 JOIN e{r} e2 ON e2.u = e1.v
+  JOIN e{r} e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+cnt{r} AS MATERIALIZED (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS s FROM (
+    SELECT x AS u, y AS v FROM tri{r}
+    UNION ALL SELECT x, z FROM tri{r}
+    UNION ALL SELECT y, z FROM tri{r}
+  ) GROUP BY u, v
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r} e LEFT JOIN cnt{r} c ON c.u = e.u AND c.v = e.v
+  WHERE COALESCE(c.s, 0) >= {COPURCHASE_TRUSS_K - 2}
+)""")
+    return (
+        head + ",\n" + ",\n".join(parts)
+        + f"\nSELECT u, v FROM e{TRUSS_SQL_ROUNDS}"
+    )
 
 
 MM_SQL_ROUNDS = 16  # fixpoint: 1 round at sf0.001, 6 at sf0.01; 2.6× headroom
