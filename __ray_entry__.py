@@ -130,7 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_quotient_edges": pl.component_quotient_edges,
         "global_transitivity": pl.global_transitivity,
         "bowtie_profile": pl.bowtie_profile,          # SQL-checked (back-head closure)
-        "densest_subgraph": _truss().densest_subgraph,  # rows-only (fixpoint)
+        "densest_subgraph": _truss().densest_subgraph,
         "node2vec_walks": pl.node2vec_walks,
         "lp_modularity": pl.lp_modularity,            # rows-only (LP vid space)
         "hyperanf_nf": pl.hyperanf_nf,                # rows-only (probabilistic)
@@ -2624,6 +2624,7 @@ def oracle_sql() -> dict[str, str]:
         "mis_vertices": _mis_sql(),
         "maximal_matching": _maximal_matching_sql(),
         "copurchase_truss": _truss().copurchase_truss_sql(),
+        "densest_subgraph": _truss().densest_subgraph_sql(),
         "random_walks": _random_walks_sql(_pl().RW_STEPS),
         "walk_visit_counts": (
             f"SELECT vertex, CAST(COUNT(*) AS BIGINT) AS visits "

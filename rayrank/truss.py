@@ -1290,11 +1290,66 @@ def densest_subgraph_edges(edges: ray.data.Dataset) -> pa.Table:
 
 def densest_subgraph(sf_dir: str) -> pa.Table:
     """Charikar peel over the triangle-bearing graph — see
-    :func:`densest_subgraph_edges`.  Rows-only driver check (an
-    adaptive-threshold fixpoint loop is not single-query SQL); pytest
-    pins the exact peel trace vs a numpy mirror AND the 2(1+ε)
-    guarantee vs brute-force enumeration on small graphs."""
+    :func:`densest_subgraph_edges`.  SQL oracle: the peel unrolls
+    (``DSG_SQL_ROUNDS`` ≥ the measured 2-round fixpoint; extra rounds
+    peel an empty set), the integer floor-div threshold restates
+    per-round, and the best-round pick orders by the exact-fraction
+    key ⌊2E·2⁷⁰/V⌋ (strict rational inequalities differ by ≥ 1/V²
+    > 2⁻⁷⁰, equal rationals floor equal, so the order — and the
+    round-asc tie-break — matches the engine's exact
+    cross-multiplication).  pytest additionally pins the peel trace
+    vs a numpy mirror AND the 2(1+ε) guarantee vs brute force."""
     return densest_subgraph_edges(_canonical_edges(sf_dir))
+
+
+DSG_SQL_ROUNDS = 4  # peel empties in 2 rounds at sf0.001, 1 at sf0.01
+
+
+def densest_subgraph_sql() -> str:
+    head = """
+WITH e1 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem)
+  WHERE a <> b
+)"""
+    parts, rows = [], []
+    for r in range(1, DSG_SQL_ROUNDS + 1):
+        parts.append(f"""deg{r} AS MATERIALIZED (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS x FROM e{r} UNION ALL SELECT v FROM e{r}
+  ) GROUP BY x
+),
+st{r} AS MATERIALIZED (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r}) AS e,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM deg{r}) AS v
+),
+keep{r} AS MATERIALIZED (
+  SELECT x FROM deg{r}, st{r}
+  WHERE CAST(d AS HUGEINT) > (CAST({DSG_NUM} AS HUGEINT) * 2 * e)
+                             // (CAST({DSG_DEN} AS HUGEINT) * v)
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT u, v FROM e{r}
+  WHERE u IN (SELECT x FROM keep{r}) AND v IN (SELECT x FROM keep{r})
+)""")
+        rows.append(
+            f"SELECT {r} AS round, e, v FROM st{r} WHERE e > 0"
+        )
+    return (
+        head + ",\n" + ",\n".join(parts) + f""",
+allr AS ({' UNION ALL '.join(rows)}),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS rounds FROM allr),
+best AS (
+  SELECT round, e, v FROM allr
+  ORDER BY (CAST(2 * e AS HUGEINT) * 1180591620717411303424) // v DESC,
+           round ASC
+  LIMIT 1
+)
+SELECT tot.rounds, CAST(best.round AS BIGINT) AS best_round,
+  CAST(best.v AS BIGINT) AS n_vertices, CAST(best.e AS BIGINT) AS n_edges,
+  CAST(2 * best.e AS DOUBLE) / CAST(best.v AS DOUBLE) AS density
+FROM tot, best"""
+    )
 
 
 # --------------------------------------------------------------------------
