@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_truss_edges": _truss().k_truss,
         "maximal_matching": _truss().maximal_matching,
         "copurchase_truss": _truss().copurchase_truss,
+        "truss_numbers": _truss().truss_numbers,
         "event_value_quantiles": _an().event_value_quantiles,
         "event_value_mad": _an().event_value_mad,
         "user_last_event": _an().user_last_event,
@@ -2625,6 +2626,7 @@ def oracle_sql() -> dict[str, str]:
         "maximal_matching": _maximal_matching_sql(),
         "copurchase_truss": _truss().copurchase_truss_sql(),
         "densest_subgraph": _truss().densest_subgraph_sql(),
+        "truss_numbers": _truss().truss_numbers_sql(),
         "random_walks": _random_walks_sql(_pl().RW_STEPS),
         "walk_visit_counts": (
             f"SELECT vertex, CAST(COUNT(*) AS BIGINT) AS visits "

@@ -223,10 +223,17 @@ def boruvka_forest(edges: ray.data.Dataset, max_rounds: int = 64):
                 }
             )
 
-        comp = j.map_batches(upd, batch_format="pyarrow").materialize()
-        cur = cross.map_batches(
-            lambda t: t.select(["u", "v", "w"]), batch_format="pyarrow"
-        ).materialize()
+        # materialize_cut: comp and cur self-chain across rounds and are
+        # each referenced twice per round (both-endpoint joins) — uncut
+        # lineage doubles the plan per round (shuffle.materialize_cut)
+        from .shuffle import materialize_cut
+
+        comp = materialize_cut(j.map_batches(upd, batch_format="pyarrow"))
+        cur = materialize_cut(
+            cross.map_batches(
+                lambda t: t.select(["u", "v", "w"]), batch_format="pyarrow"
+            )
+        )
 
     if forest is None:
         forest = ray.data.from_arrow(

@@ -2717,8 +2717,12 @@ def seeded_label_spread(sf_dir: str) -> ray.data.Dataset:
 
     labeled = verts.map_batches(seed, batch_format="pyarrow")
 
+    from .shuffle import materialize_cut
+
     for rnd in range(1, SLS_ROUNDS + 1):
-        labeled = labeled.materialize()
+        # lineage cut: labeled self-chains and is referenced twice per
+        # round (join + union) — uncut plans double per round
+        labeled = materialize_cut(labeled)
         nb = join_auto(und, labeled, on=("b",), right_on=("v",),
                        num_partitions=P2)
 
@@ -3171,8 +3175,11 @@ def hll_ball_registers(sf_dir: str) -> ray.data.Dataset:
             {"v": t.column("a"), **{c: t.column(c) for c in rcols}}
         )
 
+    from .shuffle import materialize_cut
+
     for _ in range(HLL_ROUNDS):
-        state = state.materialize()
+        # lineage cut: state self-chains, two refs per round (join+union)
+        state = materialize_cut(state)
         nb = join_auto(und, state, on=("b",), right_on=("v",),
                        num_partitions=P2)
         nbr = nb.map_batches(relabel, batch_format="pyarrow")
@@ -4577,9 +4584,13 @@ def node2vec_walks(sf_dir: str, steps: int = N2V_STEPS) -> ray.data.Dataset:
                 }
             )
 
-        walkers = marked.map_batches(
-            advance, batch_size=None, batch_format="pyarrow"
-        ).materialize()
+        from .shuffle import materialize_cut
+
+        # lineage cut: walkers self-chain, two refs per step (join +
+        # snapshot union) — uncut plans double per step
+        walkers = materialize_cut(
+            marked.map_batches(advance, batch_size=None, batch_format="pyarrow")
+        )
         out = out.union(
             walkers.map_batches(snapshot(s), batch_format="pyarrow")
         )

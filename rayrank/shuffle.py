@@ -30,6 +30,28 @@ import ray.data
 from . import NUM_PARTITIONS_DEFAULT
 
 
+def materialize_cut(ds):
+    """``ds.materialize()`` + LINEAGE CUT: rebuild the Dataset from the
+    materialized block refs so the logical plan has depth 1.
+
+    Why (Ray 2.49 pathology, measured): a MaterializedDataset still
+    carries its full upstream logical plan, and a round loop whose body
+    references the previous round's output TWICE (any self-join —
+    triangle support, edge-Luby endpoint mins, degree semi-joins)
+    builds a plan that is a binary tree of depth = rounds → 2^rounds
+    plan nodes.  Execution stays constant but PLANNING doubles per
+    round: the 14-generation support chain measured 2.2 s/round flat
+    with this cut vs 2.2→157 s/round without.  The cut trades away
+    lineage reconstruction for those blocks (the driver pins the refs)
+    — the same contract as every other from_arrow_refs use here.  Use
+    in ANY loop whose next round consumes the previous round's
+    materialized output."""
+    import ray.data as _rd
+
+    m = ds.materialize()
+    return _rd.from_arrow_refs(m.to_arrow_refs())
+
+
 def keyed_reagg(
     ds: ray.data.Dataset,
     keys: list[str],

@@ -286,7 +286,12 @@ def k_truss(sf_dir: str, k: int = 4) -> ray.data.Dataset:
 def _truss_peel(edges: ray.data.Dataset, thresh: int) -> ray.data.Dataset:
     """Shared synchronous peel core over a materialized canonical
     (u < v) edge Dataset: drop every edge with < thresh triangles
-    among surviving edges, recount, repeat to fixpoint."""
+    among surviving edges, recount, repeat to fixpoint.  Rounds use
+    ``materialize_cut`` — the support kernel self-joins the working
+    set, so uncut lineage doubles the plan per round (see
+    rayrank.shuffle.materialize_cut)."""
+    from .shuffle import materialize_cut
+
     n = edges.count()
     for _ in range(MAX_PEEL_ROUNDS):
         if n == 0:
@@ -302,7 +307,7 @@ def _truss_peel(edges: ray.data.Dataset, thresh: int) -> ray.data.Dataset:
             if len(t):
                 yield t.select(["u", "v"])
 
-        edges = sup.map_batches(keep, batch_format="pyarrow").materialize()
+        edges = materialize_cut(sup.map_batches(keep, batch_format="pyarrow"))
         n2 = edges.count()
         if n2 == n:
             break
@@ -664,6 +669,90 @@ e{r + 1} AS MATERIALIZED (
     )
 
 
+TRUSS_NUM_KMAX = 6
+# chained peel fixpoints at sf0.01: k=3→2, 4→3, 5→4, 6→6 rounds (all 1
+# at sf0.001); +2 rounds headroom each — extra rounds are no-ops
+TRUSS_NUM_SQL_ROUNDS = {3: 4, 4: 5, 5: 6, 6: 8}
+
+
+def truss_numbers(sf_dir: str) -> ray.data.Dataset:
+    """(u, v, trussness) — per-edge truss decomposition of the
+    co-purchase graph, trussness capped at ``TRUSS_NUM_KMAX`` (the edge
+    sibling of core_numbers' bounded coreness): trussness(e) = max k
+    with e in the k-truss; every edge is trivially in the 2-truss.
+
+    k-trusses NEST, so each peel starts from the previous k's
+    survivors (never re-peels the full graph) and
+    trussness = 2 + Σ_{k=3..K} [e survives the k-peel] — the
+    core_numbers alive-flag-sum trick on edges.  The flag sum is one
+    union of the K−2 survivor sets (+ the base at weight 2) and one
+    keyed re-agg.  SQL oracle: the chained peels unrolled
+    (``TRUSS_NUM_SQL_ROUNDS``) with the same union-sum fold."""
+    base = copurchase_edges(sf_dir).materialize()
+    parts = [(base, 2)]
+    cur = base
+    for k in range(3, TRUSS_NUM_KMAX + 1):
+        cur = _truss_peel(cur, k - 2)
+        parts.append((cur, 1))
+
+    def flag(c: int):
+        def fn(t: pa.Table):
+            if t.num_rows == 0 or "u" not in t.schema.names:
+                return
+            yield t.select(["u", "v"]).append_column(
+                "trussness", pa.array(np.full(t.num_rows, c, np.int64))
+            )
+
+        return fn
+
+    flagged = parts[0][0].map_batches(flag(2), batch_format="pyarrow")
+    for ds, c in parts[1:]:
+        flagged = flagged.union(ds.map_batches(flag(c), batch_format="pyarrow"))
+    return keyed_reagg(flagged, ["u", "v"], [("trussness", "sum")], P)
+
+
+def truss_numbers_sql() -> str:
+    head = """
+WITH b0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+    parts = []
+    prev = "b0"
+    fixpoints = []
+    for k in range(3, TRUSS_NUM_KMAX + 1):
+        for r in range(TRUSS_NUM_SQL_ROUNDS[k]):
+            cur = f"k{k}r{r + 1}"
+            parts.append(f"""t_{cur} AS MATERIALIZED (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM {prev} e1 JOIN {prev} e2 ON e2.u = e1.v
+  JOIN {prev} e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+c_{cur} AS MATERIALIZED (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS s FROM (
+    SELECT x AS u, y AS v FROM t_{cur}
+    UNION ALL SELECT x, z FROM t_{cur}
+    UNION ALL SELECT y, z FROM t_{cur}
+  ) GROUP BY u, v
+),
+{cur} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e LEFT JOIN c_{cur} c ON c.u = e.u AND c.v = e.v
+  WHERE COALESCE(c.s, 0) >= {k - 2}
+)""")
+            prev = cur
+        fixpoints.append(prev)
+    unions = ["SELECT u, v, 2 AS c FROM b0"] + [
+        f"SELECT u, v, 1 FROM {f}" for f in fixpoints
+    ]
+    return (
+        head + ",\n" + ",\n".join(parts)
+        + f"""
+SELECT u, v, CAST(SUM(c) AS BIGINT) AS trussness
+FROM ({' UNION ALL '.join(unions)}) GROUP BY u, v"""
+    )
+
+
 MM_SQL_ROUNDS = 16  # fixpoint: 1 round at sf0.001, 6 at sf0.01; 2.6× headroom
 
 
@@ -801,10 +890,14 @@ def maximal_matching(sf_dir: str, max_rounds: int = 64) -> ray.data.Dataset:
             alive, mverts, on=("u",), right_on=("x",), how="anti",
             num_partitions=P,
         )
-        alive = join_auto(
-            a1, mverts, on=("v",), right_on=("x",), how="anti",
-            num_partitions=P,
-        ).materialize()
+        from .shuffle import materialize_cut
+
+        alive = materialize_cut(
+            join_auto(
+                a1, mverts, on=("v",), right_on=("x",), how="anti",
+                num_partitions=P,
+            )
+        )
         n = alive.count()
     if not matched_parts:
         return ray.data.from_arrow(
@@ -1264,8 +1357,12 @@ def densest_subgraph_edges(edges: ray.data.Dataset) -> pa.Table:
         keep = deg.map_batches(keepers, batch_size=None, batch_format="pyarrow")
         j1 = join_auto(cur, keep, on=("u",), right_on=("x",), how="semi",
                        num_partitions=P)
-        cur = join_auto(j1, keep, on=("v",), right_on=("x",), how="semi",
-                        num_partitions=P).materialize()
+        from .shuffle import materialize_cut
+
+        cur = materialize_cut(
+            join_auto(j1, keep, on=("v",), right_on=("x",), how="semi",
+                      num_partitions=P)
+        )
 
     if best[2] == 0:
         return pa.table(
