@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_returned_customers": _dec().top_returned_customers,
         "props_k_stats": _dec().props_k_stats,
         "part_pairs_topk": _dec().part_pairs_topk,
+        "decayed_part_popularity": _dec().decayed_part_popularity,
         "value_hour_corr": _dec().value_hour_corr,
         "event_value_regression": _dec().event_value_regression,
         "user_value_moving_avg": _dec().user_value_moving_avg,
@@ -284,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_window_counts": pl.event_window_counts,
         "events_prior_hour_counts": pl.events_prior_hour_counts,
         "hopping_event_counts": pl.hopping_event_counts,
+        "watermark_late_events": pl.watermark_late_events,
         "price_quantiles": pl.price_quantiles,
         "frequent_event_types": pl.frequent_event_types,
         "kmv_distinct_parts": pl.kmv_distinct_parts,
@@ -307,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph algorithms (north_rule §2.11)
         "pagerank_2iter": pl.pagerank_2iter,
         "pagerank_personalized_2iter": pl.pagerank_personalized_2iter,
+        "spam_mass": pl.spam_mass,
         "hits_2iter": pl.hits_2iter,
         "salsa_authority": _salsa().salsa_authority,
         "katz_centrality": pl.katz_centrality_sf,
@@ -1340,6 +1343,57 @@ lab{r}(it, v, l) AS (
             f"GROUP BY l)) AS giant_size"
         )
     return head + ",\n" + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
+
+
+def _watermark_late_sql() -> str:
+    """Late-data accounting under bounded planted disorder: arrival
+    key = event_time_us + splitmix64(event_id) mod the jitter bound;
+    watermark = window MAX of event time over strictly-earlier
+    arrivals (rayrank.pipelines.watermark_late_events — the engine's
+    two-level bucket scan computes the identical exclusive running
+    max).  All integers."""
+    from rayrank.pipelines import WM_JITTER_US, WM_LATE_US
+
+    return f"""
+WITH {_sm64_id_cte('(SELECT event_id AS id, event_id AS x FROM events)')},
+arr AS (
+  SELECT e.event_type, CAST(epoch_us(e.ts) AS BIGINT) AS tus,
+    CAST(epoch_us(e.ts) AS BIGINT) + CAST(h.z % {WM_JITTER_US} AS BIGINT)
+      AS ak,
+    e.event_id
+  FROM events e JOIN hh h ON h.id = e.event_id
+),
+wm AS (
+  SELECT event_type, tus,
+    MAX(tus) OVER (ORDER BY ak, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS w
+  FROM arr
+),
+fl AS (
+  SELECT event_type,
+    CASE WHEN w IS NOT NULL AND tus < w - {WM_LATE_US} THEN 1 ELSE 0 END
+      AS late,
+    CASE WHEN w IS NOT NULL AND tus < w - {WM_LATE_US}
+         THEN (w - {WM_LATE_US}) - tus ELSE 0 END AS lat
+  FROM wm
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(late) AS BIGINT) AS n_late,
+  CAST(MAX(lat) AS BIGINT) AS max_lateness_us
+FROM fl GROUP BY event_type
+"""
+
+
+def _spam_mass_sql() -> str:
+    """Compose the two unrolled 2-iter PageRank bodies as derived
+    tables and apply the identical (pr − tr)/pr chain on the
+    6dp-rounded scores (rayrank.pipelines.spam_mass)."""
+    return f"""
+SELECT a.name, a.score AS pr, b.score AS tr,
+  (a.score - b.score) / a.score AS spam_mass
+FROM ({_PAGERANK_2ITER_SQL}) a JOIN ({_PAGERANK_PPR_2ITER_SQL}) b
+  ON a.name = b.name
+"""
 
 
 def _mis_sql() -> str:
@@ -2565,6 +2619,7 @@ def oracle_sql() -> dict[str, str]:
         "product_type_profit": _dec().PRODUCT_TYPE_PROFIT_SQL,
         "linestatus_priority_counts": _dec().LINESTATUS_PRIORITY_COUNTS_SQL,
         "part_pairs_topk": _dec().PART_PAIRS_TOPK_SQL,
+        "decayed_part_popularity": _dec().DECAYED_PART_POPULARITY_SQL,
         "value_hour_corr": _dec().VALUE_HOUR_CORR_SQL,
         "event_value_regression": _dec().EVENT_VALUE_REGRESSION_SQL,
         "user_value_moving_avg": _dec().USER_VALUE_MOVING_AVG_SQL,
@@ -2747,6 +2802,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2"
         ),
         "hopping_event_counts": _pl().HOPPING_EVENT_COUNTS_SQL,
+        "watermark_late_events": _watermark_late_sql(),
         "frequent_event_types": (
             "SELECT event_type AS value, COUNT(*) AS cnt FROM events "
             "GROUP BY 1 HAVING COUNT(*) >= CEIL(0.125 * "
@@ -2813,6 +2869,7 @@ FROM h, s
         "lsh_candidate_jaccard": _lsh_candidate_jaccard_sql(),
         "pagerank_2iter": _PAGERANK_2ITER_SQL,
         "pagerank_personalized_2iter": _PAGERANK_PPR_2ITER_SQL,
+        "spam_mass": _spam_mass_sql(),
         "hits_2iter": _HITS_2ITER_SQL,
         "salsa_authority": _salsa().SALSA_AUTH_SQL,
         "katz_centrality": _KATZ_SQL,

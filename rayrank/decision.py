@@ -1955,3 +1955,87 @@ FROM p
 JOIN ic ca ON ca.l_partkey = p.pa_key
 JOIN ic cb ON cb.l_partkey = p.pb_key, nn
 """
+
+
+# --------------------------------------------------------------------------
+# exponentially-decayed popularity (recency-weighted leaderboard)
+# --------------------------------------------------------------------------
+
+DECAY_HALF_DAYS = 180.0  # decay scale: exp(-age_days / 180)
+DECAY_TOP_K = 20
+
+
+def decayed_part_popularity(sf_dir: str, k: int = DECAY_TOP_K) -> ray.data.Dataset:
+    """(part, score) — top-k parts by EXPONENTIALLY-DECAYED shipment
+    count: each lineitem row contributes floor(1e9·exp(−age/180))
+    where age = whole days between its ship time and the corpus max —
+    the recency-weighted popularity every freshness-aware ranker uses
+    instead of raw counts.
+
+    Exactness: the per-row weight is ONE libm exp call on an integer
+    day age (the floor(1e9·f(x)) rule — ages are calendar-bounded,
+    and numpy/DuckDB libm agree bit-for-bit on them, verified for all
+    2 499 distinct ages at sf0.01); sums are then pure int64, so the
+    distributed fold is order-free and the top-k (score desc, part
+    asc) is a total order.  Age uses µs integer arithmetic
+    ((max_us − ship_us) // 86 400 000 000), restated identically in
+    SQL — no reliance on calendar day-boundary semantics.
+
+    Scale shape: one scalar max fold, one scan with per-block
+    (part, Σw) partials, ONE keyed re-agg, then the local-topk →
+    coalesce → topk cutoff merge (O(P·k) rows, never the part
+    table)."""
+    base = _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate"]).materialize()
+    max_us = int(
+        pa.scalar(base.max("l_shipdate")).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
+    )
+
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        us = pc.cast(t.column("l_shipdate"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        age = (max_us - us) // 86_400_000_000
+        w = np.floor(
+            1e9 * np.exp(-(age.astype(np.float64) / DECAY_HALF_DAYS))
+        ).astype(np.int64)
+        g = (
+            pa.table({"part": t.column("l_partkey"), "score": pa.array(w)})
+            .group_by(["part"])
+            .aggregate([("score", "sum")])
+        )
+        yield g.rename_columns(["part", "score"])
+
+    scored = keyed_reagg(
+        base.map_batches(pre, batch_format="pyarrow"),
+        ["part"], [("score", "sum")], P,
+    )
+
+    def local_topk(t: pa.Table):
+        if t.num_rows == 0 or "part" not in t.schema.names:
+            return
+        s = t.column("score").to_numpy(zero_copy_only=False)
+        p = t.column("part").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, -s))[:k]
+        yield t.take(pa.array(order))
+
+    return (
+        scored.map_batches(local_topk, batch_size=None, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(local_topk, batch_size=None, batch_format="pyarrow")
+    )
+
+
+DECAYED_PART_POPULARITY_SQL = f"""
+WITH mx AS (SELECT CAST(epoch_us(MAX(l_shipdate)) AS BIGINT) AS m FROM lineitem),
+w AS (
+  SELECT l_partkey AS part,
+    CAST(FLOOR(1e9 * EXP(-(CAST(
+      ((SELECT m FROM mx) - CAST(epoch_us(l_shipdate) AS BIGINT))
+      // 86400000000 AS DOUBLE) / {DECAY_HALF_DAYS}))) AS BIGINT) AS wt
+  FROM lineitem
+),
+s AS (SELECT part, CAST(SUM(wt) AS BIGINT) AS score FROM w GROUP BY part)
+SELECT part, score FROM s ORDER BY score DESC, part LIMIT {DECAY_TOP_K}
+"""

@@ -63,9 +63,11 @@ def hyperanf(
                 ]
             )
         )
-        sums.append(sum(ray.get([s.hll_ball_sum.remote() for s in shards])))
         if changed == 0:
+            # register fixpoint: this round's sum equals the previous
+            # one — don't emit a duplicate confirming row
             break
+        sums.append(sum(ray.get([s.hll_ball_sum.remote() for s in shards])))
     if own:
         for s in shards:
             ray.kill(s)

@@ -932,8 +932,144 @@ def event_window_counts(sf_dir: str) -> ray.data.Dataset:
     return g.map_batches(finish, batch_format="pyarrow")
 
 
-HOP_US = 3_600_000_000  # 1h hop
-HOP_WINDOW_HOPS = 2  # 2h windows ⇒ each event lands in 2 windows
+WM_LATE_US = 3_600_000_000        # watermark lateness bound: 1h
+WM_JITTER_US = 4 * 3_600_000_000  # planted arrival jitter: < 4h
+WM_SPAN_US = 86_400_000_000       # arrival-key bucket: 1 day
+
+
+def watermark_late_events(sf_dir: str) -> ray.data.Dataset:
+    """(event_type, n_events, n_late, max_lateness_us) — late-data
+    accounting under a watermark, the streaming bookkeeping every
+    event-time window needs before it can close.  The raw testdata is
+    PERFECTLY ordered by event_id (any watermark over it is
+    degenerate), so disorder is PLANTED deterministically: arrival key
+    ak = event_time_us + splitmix64(event_id) mod ``WM_JITTER_US`` —
+    the standard bounded-out-of-orderness model, bit-replayable.
+    Processing events in (ak, event_id) order, an event is LATE iff
+    its event time < (max event time among strictly-earlier arrivals)
+    − ``WM_LATE_US``; lateness = that watermark minus the event time.
+    27% of events are late at sf0.001, 59% at sf0.01 — non-degenerate
+    both ways.
+
+    Scale shape: a running MAX over a value-ordered stream =
+    the pack_sequences two-level scan with max for plus: bucket =
+    ak // ``WM_SPAN_US`` (bucket order IS arrival order; calendar-
+    bounded count), per-bucket max partials reduce via ONE keyed
+    re-agg, the driver folds only the bucket maxes into an exclusive
+    prefix max, and one bucket-keyed repartition makes each bucket's
+    rows block-local for the seeded exclusive cummax.  All integers;
+    the SQL oracle is the identical window MAX unrolled over the same
+    HUGEINT splitmix chain."""
+    from .shuffle import keyed_reagg
+    from .sketch import splitmix64
+
+    SEED = -(1 << 62)  # "no earlier arrival" sentinel; SEED−W cannot wrap
+
+    def hb(t: pa.Table):
+        if len(t) == 0:
+            return
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        tus = pc.cast(t.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        jit = (splitmix64(eid) % np.uint64(WM_JITTER_US)).astype(np.int64)
+        ak = tus + jit
+        yield pa.table(
+            {
+                "event_id": pa.array(eid),
+                "event_type": t.column("event_type"),
+                "tus": pa.array(tus),
+                "ak": pa.array(ak),
+                "bucket": pa.array(ak // WM_SPAN_US),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"]).map_batches(
+        hb, batch_format="pyarrow"
+    ).materialize()
+
+    def bpre(t: pa.Table):
+        if t.num_rows == 0 or "bucket" not in t.schema.names:
+            return
+        g = (
+            t.select(["bucket", "tus"])
+            .group_by(["bucket"])
+            .aggregate([("tus", "max")])
+        )
+        yield g.rename_columns(["bucket", "mx"])
+
+    brows = keyed_reagg(
+        ds.map_batches(bpre, batch_format="pyarrow"),
+        ["bucket"], [("mx", "max")], P,
+    ).take_all()  # calendar-bounded: one row per active day
+    brows.sort(key=lambda r: r["bucket"])
+    bids = np.array([r["bucket"] for r in brows], np.int64)
+    bmax = np.array([r["mx"] for r in brows], np.int64)
+    # exclusive prefix max in bucket (= arrival) order
+    excl = np.r_[SEED, np.maximum.accumulate(bmax)[:-1]]
+    seed_ref = ray.put((bids, excl))
+
+    co = ds.repartition(P, keys=["bucket"])
+
+    def late(t: pa.Table):
+        if t.num_rows == 0 or "ak" not in t.schema.names:
+            return
+        ids, seeds = ray.get(seed_ref)
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        ak = t.column("ak").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        tus = t.column("tus").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ak, b))
+        b, ak, eid, tus = b[order], ak[order], eid[order], tus[order]
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        sizes = np.diff(np.r_[starts, len(b)])
+        # seeded EXCLUSIVE running max of tus within each bucket segment
+        seg_seed = seeds[np.searchsorted(ids, b[starts])]
+        prev = np.r_[SEED, tus[:-1]]
+        prev[starts] = seg_seed
+        wm = _segmented_cummax(prev, starts, sizes)
+        is_late = tus < wm - WM_LATE_US
+        lat = np.where(is_late, (wm - WM_LATE_US) - tus, 0)
+        g = (
+            pa.table(
+                {
+                    "event_type": t.column("event_type").take(pa.array(order)),
+                    "n": pa.array(np.ones(len(b), np.int64)),
+                    "nl": pa.array(is_late.astype(np.int64)),
+                    "mx": pa.array(lat.astype(np.int64)),
+                }
+            )
+            .group_by(["event_type"])
+            .aggregate([("n", "sum"), ("nl", "sum"), ("mx", "max")])
+        )
+        yield g.rename_columns(["event_type", "n", "nl", "mx"])
+
+    out = keyed_reagg(
+        co.map_batches(late, batch_size=None, batch_format="pyarrow"),
+        ["event_type"], [("n", "sum"), ("nl", "sum"), ("mx", "max")], P,
+    )
+
+    def fin(t: pa.Table):
+        if t.num_rows == 0 or "n" not in t.schema.names:
+            return
+        yield t.rename_columns(
+            ["event_type", "n_events", "n_late", "max_lateness_us"]
+        )
+
+    return out.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+def _segmented_cummax(prev: np.ndarray, starts: np.ndarray,
+                      sizes: np.ndarray) -> np.ndarray:
+    """Running max per segment of ``prev`` (which holds each element's
+    predecessor, seed at segment starts, so the result is the seeded
+    EXCLUSIVE running max).  Per-segment accumulate loop — the segment
+    count per block is calendar-bounded (one per active day), never
+    row-bounded."""
+    out = np.empty_like(prev)
+    for s, z in zip(starts, sizes):
+        out[s:s + z] = np.maximum.accumulate(prev[s:s + z])
+    return out
 
 
 def hopping_event_counts(sf_dir: str) -> ray.data.Dataset:
@@ -1533,6 +1669,45 @@ def pagerank_personalized_2iter(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def spam_mass(sf_dir: str) -> ray.data.Dataset:
+    """(name, pr, tr, spam_mass) — the classic link-spam signal
+    (Gyöngyi et al.): global PageRank vs TrustRank (PageRank
+    personalized on a trusted seed set — here the '1'-prefix set the
+    personalized query already pins); spam_mass = (pr − tr) / pr, the
+    fraction of a page's rank NOT explainable from trusted sources.
+    Both inputs are the SQL-checked 2-iteration runs (6dp-rounded on
+    both sides, so the one subtract-and-divide float chain operates on
+    bit-identical inputs and the oracle composes the two unrolled CTE
+    bodies as derived tables).  Scale shape: two shard solves over the
+    SAME resident layout + one name-keyed join — no new wide op."""
+    from .joins import join_auto
+
+    pr = pagerank_2iter(sf_dir).map_batches(
+        lambda t: t.rename_columns(["name", "pr"]), batch_format="pyarrow"
+    )
+    tr = pagerank_personalized_2iter(sf_dir).map_batches(
+        lambda t: t.rename_columns(["tname", "tr"]), batch_format="pyarrow"
+    )
+    j = join_auto(pr, tr, on=("name",), right_on=("tname",),
+                  num_partitions=P)
+
+    def score(t: pa.Table):
+        if t.num_rows == 0 or "tr" not in t.schema.names:
+            return
+        p = t.column("pr").to_numpy(zero_copy_only=False)
+        r = t.column("tr").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "name": t.column("name"),
+                "pr": t.column("pr"),
+                "tr": t.column("tr"),
+                "spam_mass": pa.array((p - r) / p),
+            }
+        )
+
+    return j.map_batches(score, batch_format="pyarrow")
 
 
 def hits_2iter(sf_dir: str) -> ray.data.Dataset:
@@ -4692,9 +4867,11 @@ def _modularity_of(gdir: str, lp) -> pa.Table:
         C += r["c"]
         A2 += r["a2"]
         B += int(r["b"])  # d_c² sums exceed int64 -> string transport
-    # Q = Σ e_c/m − Σ (d_c/2m)² with Σe_c = A2/2:
-    #   = (2m·A2/2 − B) / 4m² = (m·A2 − B) / 4m²
-    q = float(m * A2 - B) / float(4 * m * m)
+    # Q = Σ e_c/m − Σ (d_c/2m)² with Σe_c = A2/2 (A2 counts both
+    # directions): e_c/m = A2/(2m) = 2m·A2 / 4m², so
+    #   Q = (2m·A2 − B) / 4m²
+    # (sanity: one community ⇒ A2 = 2m, B = 4m² ⇒ Q = 0)
+    q = float(2 * m * A2 - B) / float(4 * m * m)
     return pa.table(
         {
             "communities": pa.array([C], pa.int64()),
