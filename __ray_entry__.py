@@ -75,6 +75,12 @@ def _salsa():
     return hits
 
 
+def _mst_sql_wired() -> str:
+    from rayrank.mst import boruvka_sql
+
+    return boruvka_sql()
+
+
 def _mm():
     from rayrank import multimodal
 
@@ -137,7 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_tree_parents": pl.bfs_tree_parents,
         "concurrent_orders": _an().concurrent_orders,
         "entity_clusters": _tx().entity_clusters,
-        "mst_edges": pl.mst_edges,                    # rows-only (fixpoint)
+        "mst_edges": pl.mst_edges,
         "edge_churn": _truss().edge_churn,
         "transitivity_estimate": _truss().transitivity_estimate,
         "percolation_sweep": pl.percolation_sweep,
@@ -2682,6 +2688,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_truss": _truss().copurchase_truss_sql(),
         "densest_subgraph": _truss().densest_subgraph_sql(),
         "truss_numbers": _truss().truss_numbers_sql(),
+        "mst_edges": _mst_sql_wired(),
         "random_walks": _random_walks_sql(_pl().RW_STEPS),
         "walk_visit_counts": (
             f"SELECT vertex, CAST(COUNT(*) AS BIGINT) AS visits "

@@ -246,3 +246,79 @@ def boruvka_forest(edges: ray.data.Dataset, max_rounds: int = 64):
             )
         )
     return forest, rounds
+
+
+# --------------------------------------------------------------------------
+# unrolled SQL oracle (driver check for pipelines.mst_edges)
+# --------------------------------------------------------------------------
+
+MST_SQL_ROUNDS = 5   # Borůvka fixpoint: 2 rounds at sf0.001, 3 at sf0.01
+MST_CC_ITERS = 32    # contraction min-label depth: ≤ 10 measured per round
+
+
+def boruvka_sql() -> str:
+    """Borůvka rounds UNROLLED (the truss/Luby bounded-round trick):
+    per round, cross-component edges relabel through the previous
+    vertex→component map, each component picks its minimum (w, u, v)
+    candidate via ROW_NUMBER, and contraction is a per-round recursive
+    min-label CC CTE over the picked component pairs (multiple
+    recursive CTEs coexist in one WITH RECURSIVE — the
+    attack_robustness precedent).  Component labels here are numeric
+    mins while the engine uses min-NAME string reps, but the PARTITION
+    is representative-independent, so the per-component pick — and
+    therefore the forest — is identical.  Extra rounds past the
+    fixpoint see no cross edges and are no-ops."""
+    head = """
+WITH RECURSIVE
+eds AS MATERIALIZED (
+  SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v,
+    CAST(COUNT(*) AS BIGINT) AS w
+  FROM (SELECT l_orderkey AS a, l_partkey AS b FROM lineitem)
+  WHERE a <> b GROUP BY 1, 2
+),
+vt AS (SELECT DISTINCT x AS v FROM (SELECT u AS x FROM eds UNION ALL SELECT v FROM eds)),
+c0 AS MATERIALIZED (SELECT v, v AS c FROM vt)"""
+    parts, picks = [], []
+    for r in range(1, MST_SQL_ROUNDS + 1):
+        p = r - 1
+        parts.append(f"""x{r} AS MATERIALIZED (
+  SELECT e.u, e.v, e.w, a.c AS cu, b.c AS cv
+  FROM eds e JOIN c{p} a ON a.v = e.u JOIN c{p} b ON b.v = e.v
+  WHERE a.c <> b.c
+),
+cand{r} AS (
+  SELECT cu AS comp, w, u, v, cu, cv FROM x{r}
+  UNION ALL SELECT cv, w, u, v, cu, cv FROM x{r}
+),
+pick{r} AS MATERIALIZED (
+  SELECT DISTINCT u, v, w, cu, cv FROM (
+    SELECT u, v, w, cu, cv,
+      ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, u, v) AS rn
+    FROM cand{r}
+  ) WHERE rn = 1
+),
+pv{r} AS (SELECT DISTINCT x FROM (SELECT cu AS x FROM pick{r} UNION ALL SELECT cv FROM pick{r})),
+padj{r} AS (
+  SELECT cu AS a, cv AS b FROM pick{r}
+  UNION ALL SELECT cv, cu FROM pick{r}
+  UNION ALL SELECT x, x FROM pv{r}
+),
+lab{r}(it, n, l) AS (
+  SELECT 0, x, x FROM pv{r}
+  UNION ALL
+  SELECT lab{r}.it + 1, e.b, MIN(lab{r}.l)
+  FROM lab{r} JOIN padj{r} e ON lab{r}.n = e.a
+  WHERE lab{r}.it < {MST_CC_ITERS}
+  GROUP BY lab{r}.it + 1, e.b
+),
+sup{r} AS MATERIALIZED (SELECT n, l FROM lab{r} WHERE it = {MST_CC_ITERS}),
+c{r} AS MATERIALIZED (
+  SELECT cp.v, COALESCE(s.l, cp.c) AS c
+  FROM c{p} cp LEFT JOIN sup{r} s ON s.n = cp.c
+)""")
+        picks.append(f"SELECT u, v, w FROM pick{r}")
+    return (
+        head + ",\n" + ",\n".join(parts)
+        + "\nSELECT DISTINCT u, v, w FROM ("
+        + " UNION ALL ".join(picks) + ")"
+    )
