@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_cluster_labels": pl.minhash_cluster_labels,
         "minhash_sigs_exact": _tx().minhash_sigs_exact,
         "simhash_sigs_exact": _tx().simhash_sigs_exact,
+        "simhash_exact_pairs": _tx().simhash_exact_pairs,
         "lsh_band_keys": _tx().lsh_band_keys,
         "lsh_candidate_jaccard": _tx().lsh_candidate_jaccard,
         "simhash_pairs": pl.simhash_pairs,              # rows-only
@@ -1788,6 +1789,42 @@ SELECT doc_id, {_I64_WRAP} AS simhash FROM sig
 """
 
 
+def _simhash_exact_pairs_sql() -> str:
+    """Banded near-dup pairs over the SQL-exact SimHash signatures
+    (rayrank.text.simhash_exact_pairs): 4×16-bit chunk buckets,
+    in-bucket a < b pairs, Hamming via per-chunk bit_count on the
+    XOR, deduped per pair with the shared-band count."""
+    sig = _simhash_sigs_exact_sql()
+    from rayrank.text import SIMHASH_EXACT_MAX_HAMMING
+
+    chunk_pows = [1, 65536, 4294967296, 281474976710656]
+    ham = " + ".join(
+        f"bit_count(xor(CAST((x.z // CAST({p} AS HUGEINT)) % 65536 AS BIGINT),"
+        f" CAST((y.z // CAST({p} AS HUGEINT)) % 65536 AS BIGINT)))"
+        for p in chunk_pows
+    )
+    return f"""
+WITH sigs AS ({sig}),
+uz AS (
+  SELECT doc_id, (CAST(simhash AS HUGEINT) + {_M64}) % {_M64} AS z FROM sigs
+),
+bnd AS (
+  SELECT doc_id, z, t.b AS band,
+    CAST((z // CAST(POWER(2, 16 * t.b) AS HUGEINT)) % 65536 AS BIGINT) AS key
+  FROM uz CROSS JOIN (SELECT UNNEST(range(4)) AS b) t
+),
+pr AS (
+  SELECT x.band, x.doc_id AS a, y.doc_id AS b, {ham} AS hamming
+  FROM bnd x JOIN bnd y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT a, b, CAST(MIN(hamming) AS BIGINT) AS hamming,
+  CAST(COUNT(*) AS BIGINT) AS n_bands
+FROM pr WHERE hamming <= {SIMHASH_EXACT_MAX_HAMMING}
+GROUP BY a, b
+"""
+
+
 def _minhash_mh_ctes(num_perm: int) -> str:
     """Extends the shingle prefix with the per-permutation salt cross
     join + fourth chain + per-doc minimum: mh(doc_id, perm, z)."""
@@ -2872,6 +2909,7 @@ FROM h, s
 """,
         "minhash_sigs_exact": _minhash_sigs_exact_sql(),
         "simhash_sigs_exact": _simhash_sigs_exact_sql(),
+        "simhash_exact_pairs": _simhash_exact_pairs_sql(),
         "lsh_band_keys": _lsh_band_keys_sql(),
         "lsh_candidate_jaccard": _lsh_candidate_jaccard_sql(),
         "pagerank_2iter": _PAGERANK_2ITER_SQL,

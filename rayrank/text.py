@@ -1248,3 +1248,108 @@ def entity_clusters(sf_dir: str) -> ray.data.Dataset:
         yield pa.table({"name": t.column("name"), "entity": t.column("name")})
 
     return matched.union(single.map_batches(ident, batch_format="pyarrow"))
+
+
+SIMHASH_EXACT_MAX_HAMMING = 3
+SIMHASH_EXACT_BUCKET_GUARD = 4096  # raises, never truncates (no-silent-caps)
+
+
+def simhash_exact_pairs(sf_dir: str) -> ray.data.Dataset:
+    """(a, b, hamming, n_bands) — near-duplicate pairs over the
+    SQL-exact SimHash signatures (:func:`simhash_sigs_exact`): band
+    the 64-bit signature into 4×16-bit chunks (pigeonhole: hamming ≤ 3
+    ⇒ at least one identical chunk), bucket by (band, chunk), pair
+    within buckets, verify the exact Hamming distance, and dedup the
+    pair across bands keeping the shared-band count.  Completes the
+    exact chain simhash_sigs_exact started — unlike
+    :func:`simhash_candidates`, every integer here is ANSI-SQL
+    reproducible, so the pair list itself is oracle-checked.
+
+    Scale shape: one (band, key)-keyed repartition (buckets are
+    block-complete after it), vectorized in-bucket triu pairing
+    (index arithmetic, bounded by bucket²), popcount-table Hamming,
+    one (a, b)-keyed dedup re-agg.  A bucket above
+    ``SIMHASH_EXACT_BUCKET_GUARD`` RAISES (boilerplate-heavy corpora
+    need a cap decision, not silent truncation)."""
+    from .shuffle import keyed_reagg
+
+    sigs = simhash_sigs_exact(sf_dir)
+
+    def explode(t: pa.Table):
+        if t.num_rows == 0 or "simhash" not in t.schema.names:
+            return
+        h = t.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        bands, keys, docs_, hs = [], [], [], []
+        for b in range(4):
+            bands.append(np.full(len(h), b, np.int64))
+            keys.append(
+                ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            )
+            docs_.append(doc)
+            hs.append(h.view(np.int64))
+        yield pa.table(
+            {
+                "band": pa.array(np.concatenate(bands)),
+                "key": pa.array(np.concatenate(keys)),
+                "doc_id": pa.array(np.concatenate(docs_)),
+                "sh": pa.array(np.concatenate(hs)),
+            }
+        )
+
+    rows = sigs.map_batches(explode, batch_format="pyarrow").repartition(
+        NUM_PARTITIONS_DEFAULT, keys=["band", "key"]
+    )
+
+    def pairs(t: pa.Table):
+        if t.num_rows == 0 or "band" not in t.schema.names:
+            return
+        band = t.column("band").to_numpy(zero_copy_only=False)
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = t.column("sh").to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((doc, key, band))
+        band, key, doc, sh = band[order], key[order], doc[order], sh[order]
+        starts = np.flatnonzero(
+            np.r_[True, (band[1:] != band[:-1]) | (key[1:] != key[:-1])]
+        )
+        sizes = np.diff(np.r_[starts, len(band)])
+        if sizes.max(initial=0) > SIMHASH_EXACT_BUCKET_GUARD:
+            raise ValueError(
+                "simhash_exact_pairs: bucket exceeds "
+                f"{SIMHASH_EXACT_BUCKET_GUARD}; decide a cap policy"
+            )
+        local = np.arange(len(band)) - np.repeat(starts, sizes)
+        cnt = np.repeat(sizes, sizes) - 1 - local
+        first = np.repeat(np.arange(len(band)), cnt)
+        cum = np.cumsum(cnt)
+        off = np.arange(int(cnt.sum())) - np.repeat(cum - cnt, cnt)
+        second = first + 1 + off
+        if len(first) == 0:
+            return
+        x = sh[first] ^ sh[second]
+        ham = np.zeros(len(x), np.int64)
+        for shift in range(0, 64, 8):
+            ham += _POPCNT8[(x >> np.uint64(shift)) & np.uint64(0xFF)]
+        keep = ham <= SIMHASH_EXACT_MAX_HAMMING
+        if not keep.any():
+            return
+        g = (
+            pa.table(
+                {
+                    "a": pa.array(doc[first][keep]),
+                    "b": pa.array(doc[second][keep]),
+                    "hamming": pa.array(ham[keep]),
+                    "n_bands": pa.array(np.ones(int(keep.sum()), np.int64)),
+                }
+            )
+            .group_by(["a", "b"])
+            .aggregate([("hamming", "min"), ("n_bands", "sum")])
+        )
+        yield g.rename_columns(["a", "b", "hamming", "n_bands"])
+
+    return keyed_reagg(
+        rows.map_batches(pairs, batch_size=None, batch_format="pyarrow"),
+        ["a", "b"], [("hamming", "min"), ("n_bands", "sum")],
+        NUM_PARTITIONS_DEFAULT,
+    )
