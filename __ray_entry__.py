@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_converged": pl.pagerank_converged,
         "triangle_count": pl.triangle_count_sf,
         "connected_components": pl.connected_components_sf,
+        "cc_delta_refresh": pl.cc_delta_refresh,
         "strongly_connected_components": pl.strongly_connected_components_sf,  # SQL-checked (back-head closure)
         "scc_condensation_edges": pl.scc_condensation_edges,
         "label_propagation": pl.label_propagation_sf,   # rows-only (labels ARE vids)
@@ -1350,6 +1351,39 @@ lab{r}(it, v, l) AS (
             f"GROUP BY l)) AS giant_size"
         )
     return head + ",\n" + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
+
+
+def _cc_delta_sql() -> str:
+    """Full-recompute oracle for the INCREMENTAL CC refresh
+    (rayrank.pipelines.cc_delta_refresh): min-label CTE over the
+    union (ship-year ≤ CCD_Y_NEW) edge set — proving the quotient-
+    merge path equals a full rebuild."""
+    from rayrank.pipelines import CCD_Y_NEW
+
+    return f"""
+WITH RECURSIVE
+raw AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem WHERE year(l_shipdate) <= {CCD_Y_NEW}
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+    UNION ALL SELECT v, v FROM verts
+  )
+),
+lab(it, v, l) AS (
+  SELECT 0, v, v FROM verts
+  UNION ALL
+  SELECT lab.it + 1, e.b, MIN(lab.l)
+  FROM lab JOIN und e ON lab.v = e.a
+  WHERE lab.it < {_CC_ITERS}
+  GROUP BY lab.it + 1, e.b
+)
+SELECT v AS name, l AS component FROM lab WHERE it = {_CC_ITERS}
+"""
 
 
 def _watermark_late_sql() -> str:
@@ -2920,6 +2954,7 @@ FROM h, s
         "katz_centrality": _KATZ_SQL,
         "pagerank_converged": _PAGERANK_CONV_SQL,
         "connected_components": _CC_SQL,
+        "cc_delta_refresh": _cc_delta_sql(),
         "component_count": _COMPONENT_COUNT_SQL,
         "component_size_histogram": _COMPONENT_SIZE_HIST_SQL,
         "bfs_depths": _BFS_SQL,

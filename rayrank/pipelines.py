@@ -1839,6 +1839,169 @@ def connected_components_sf(sf_dir: str) -> ray.data.Dataset:
     return canonical_components(cc, gdir)
 
 
+CCD_Y_OLD, CCD_Y_NEW = 1995, 1996
+
+
+def cc_delta_refresh(sf_dir: str) -> ray.data.Dataset:
+    """(name, component) — INCREMENTAL connected-components
+    maintenance: labels for the ship-year ≤ ``CCD_Y_OLD`` snapshot are
+    computed once, then the ``CCD_Y_NEW`` delta edges merge into them
+    WITHOUT re-running CC on the union — the daily-crawl refresh path
+    (edge_churn tells you whether to take it; this op takes it).
+    303 old components merge to 8 at sf0.01 — non-degenerate.
+
+    Incremental rule: each delta edge maps its endpoints through the
+    old labels (new vertices are their own label), the distinct
+    cross-label pairs form a QUOTIENT graph (bounded by the delta,
+    never the base), CC runs on the quotient only, and one relabel
+    join updates the base.  Canonical labels survive: every old label
+    is the min member name of its component, so the min over merged
+    reps IS the min name of the union component — the output equals a
+    full recompute bit-for-bit, which is exactly what the SQL oracle
+    does (min-label CTE over the union edge set): the oracle proves
+    the incremental path equivalent to the full rebuild.
+
+    Scale shape: base CC on resident shards (once), delta = one year
+    of edges, quotient ≤ delta rows, two label joins — no wide op
+    touches the base edge set again."""
+    from .components import canonical_components, connected_components
+    from .graph import build_graph, derive_undirected
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    def year_edges(lo_ok, hi):
+        def fn(t: pa.Table):
+            if len(t) == 0:
+                return
+            y = pc.year(t.column("l_shipdate")).to_numpy(zero_copy_only=False)
+            keep = (y <= hi) if lo_ok else (y == hi)
+            if not keep.any():
+                return
+            s = t.column("l_orderkey").to_numpy(zero_copy_only=False)[keep]
+            d = t.column("l_partkey").to_numpy(zero_copy_only=False)[keep]
+            yield pa.table(
+                {
+                    "src_name": pc.cast(pa.array(s), pa.string()),
+                    "dst_name": pc.cast(pa.array(d), pa.string()),
+                }
+            )
+
+        return _read(
+            sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_shipdate"]
+        ).map_batches(fn, batch_format="pyarrow")
+
+    # base snapshot: CC once
+    gdir = tempfile.mkdtemp(prefix="rayrank_ccd_old_")
+    build_graph(year_edges(True, CCD_Y_OLD), gdir, num_partitions=P)
+    udir = tempfile.mkdtemp(prefix="rayrank_ccd_und_")
+    derive_undirected(gdir, udir)
+    base = canonical_components(
+        connected_components(udir), udir
+    ).materialize()  # (name, component); reused three times
+
+    delta = year_edges(False, CCD_Y_NEW).materialize()
+
+    # delta endpoints through old labels (own name when unseen)
+    j1 = join_auto(delta, base, on=("src_name",), right_on=("name",),
+                   how="left_outer", num_partitions=P)
+
+    def r1(t: pa.Table):
+        if t.num_rows == 0 or "component" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "ca": pc.coalesce(t.column("component"), t.column("src_name")),
+                "dst_name": t.column("dst_name"),
+            }
+        )
+
+    j2 = join_auto(
+        j1.map_batches(r1, batch_format="pyarrow"), base,
+        on=("dst_name",), right_on=("name",), how="left_outer",
+        num_partitions=P,
+    )
+
+    def quo(t: pa.Table):
+        if t.num_rows == 0 or "ca" not in t.schema.names:
+            return
+        cb = pc.coalesce(t.column("component"), t.column("dst_name"))
+        g = (
+            pa.table({"src_name": t.column("ca"), "dst_name": cb})
+            .group_by(["src_name", "dst_name"])
+            .aggregate([])
+        )
+        yield g.rename_columns(["src_name", "dst_name"])
+
+    quotient = j2.map_batches(quo, batch_format="pyarrow")
+    qdir = tempfile.mkdtemp(prefix="rayrank_ccd_q_")
+    build_graph(quotient, qdir, num_partitions=P)
+    qudir = tempfile.mkdtemp(prefix="rayrank_ccd_qu_")
+    derive_undirected(qdir, qudir)
+    qmap = canonical_components(connected_components(qudir), qudir)
+
+    def as_map(t: pa.Table):
+        if t.num_rows == 0 or "component" not in t.schema.names:
+            return
+        yield pa.table(
+            {"rep": t.column("name"), "super": t.column("component")}
+        )
+
+    qmap = qmap.map_batches(as_map, batch_format="pyarrow").materialize()
+
+    # old vertices: label -> coalesce(super, label)
+    upd = join_auto(base, qmap, on=("component",), right_on=("rep",),
+                    how="left_outer", num_partitions=P)
+
+    def fin_old(t: pa.Table):
+        if t.num_rows == 0 or "name" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "name": t.column("name"),
+                "component": pc.coalesce(
+                    t.column("super"), t.column("component")
+                ),
+            }
+        )
+
+    old_labels = upd.map_batches(fin_old, batch_format="pyarrow")
+
+    # brand-new vertices: rep = own name; anti-join against the base
+    def dverts(t: pa.Table):
+        if t.num_rows == 0 or "src_name" not in t.schema.names:
+            return
+        both = pa.concat_arrays(
+            [
+                t.column("src_name").combine_chunks(),
+                t.column("dst_name").combine_chunks(),
+            ]
+        )
+        g = pa.table({"name": both}).group_by(["name"]).aggregate([])
+        yield g.rename_columns(["name"])
+
+    nv = keyed_reagg(
+        delta.map_batches(dverts, batch_format="pyarrow"), ["name"], [], P,
+    )
+    nv = join_auto(
+        nv, base.select_columns(["name"]), on=("name",), how="anti",
+        num_partitions=P,
+    )
+    nupd = join_auto(nv, qmap, on=("name",), right_on=("rep",),
+                     how="left_outer", num_partitions=P)
+
+    def fin_new(t: pa.Table):
+        if t.num_rows == 0 or "name" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "name": t.column("name"),
+                "component": pc.coalesce(t.column("super"), t.column("name")),
+            }
+        )
+
+    return old_labels.union(nupd.map_batches(fin_new, batch_format="pyarrow"))
+
+
 def katz_centrality_sf(sf_dir: str) -> ray.data.Dataset:
     """(name, katz) — exactly 3 Katz iterations (α=1/16, β=1,
     multiplicity adjacency) on the directed lineitem graph.  The
