@@ -353,7 +353,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep_stats": pl.corpus_prep_stats,
         "doc_chunks": _packmod().doc_chunks,
         "bigram_lm_perplexity": _lmmod().bigram_lm_perplexity,
+        "dsir_weights": _lmmod().dsir_weights,
+        "wl_refinement": _wlmod().wl_refinement,
     }
+
+
+def _wlmod():
+    from rayrank import wl
+
+    return wl
 
 
 def _lmmod():
@@ -1383,6 +1391,124 @@ lab(it, v, l) AS (
   GROUP BY lab.it + 1, e.b
 )
 SELECT v AS name, l AS component FROM lab WHERE it = {_CC_ITERS}
+"""
+
+
+def _wl_sql() -> str:
+    """Unrolled Weisfeiler–Leman refinement (rayrank.wl.wl_refinement):
+    per round, one splitmix chain over the colors (g = z mod 2^40), a
+    keyed HUGEINT sum of neighbor hashes, and a second chain folding
+    own color + message.  lab{r} is AS MATERIALIZED — each round
+    references its hash chain twice (message join + own-color fold),
+    the exponential-inlining trap from the degree_discount lesson."""
+    from rayrank.wl import WL_ROUNDS
+
+    mod = 1 << 40
+    head = """
+raw AS MATERIALIZED (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+und AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+  )
+),
+lab0 AS MATERIALIZED (SELECT v, CAST(1 AS HUGEINT) AS l FROM verts)"""
+    parts = []
+    for r in range(1, WL_ROUNDS + 1):
+        parts.append(
+            _sm64_carry_cte(f"(SELECT v, l AS x FROM lab{r - 1})", ["v"], f"wg{r}")
+        )
+        parts.append(f"""
+gh{r} AS MATERIALIZED (SELECT v, z % {mod} AS g FROM hhwg{r}),
+msg{r} AS (
+  SELECT e.b AS v, SUM(g.g) AS m
+  FROM gh{r} g JOIN und e ON g.v = e.a
+  GROUP BY e.b
+)""")
+        parts.append(
+            _sm64_carry_cte(
+                f"(SELECT g.v, g.g + COALESCE(m.m, 0) AS x"
+                f" FROM gh{r} g LEFT JOIN msg{r} m ON g.v = m.v)",
+                ["v"],
+                f"wc{r}",
+            )
+        )
+        parts.append(
+            f"lab{r} AS MATERIALIZED (SELECT v, z % {mod} AS l FROM hhwc{r})"
+        )
+    return (
+        "WITH "
+        + head
+        + ",\n"
+        + ",\n".join(parts)
+        + f"\nSELECT v AS name, CAST(l AS BIGINT) AS wl_color FROM lab{WL_ROUNDS}"
+    )
+
+
+def _dsir_sql() -> str:
+    """DSIR hashed-ngram importance weights (rayrank.lm.dsir_weights):
+    unigram + chained-bigram splitmix buckets mod DSIR_B, per-bucket
+    target/raw totals over the full range(B) domain, the floor(ln·1e9)
+    quantized log-ratio, then an order-free integer sum per raw doc."""
+    from rayrank.lm import DSIR_B, DSIR_TARGET_LANG
+
+    return f"""
+WITH
+dsbase AS (
+  SELECT doc_id, lang,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS lst
+  FROM documents
+),
+dstok AS (
+  SELECT doc_id, lang, UNNEST(lst) AS tok, UNNEST(range(len(lst))) AS pos
+  FROM dsbase
+),
+dsvocab AS (
+  SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tid
+  FROM (SELECT DISTINCT tok FROM dstok)
+),
+dstid AS MATERIALIZED (
+  SELECT t.doc_id, t.lang, t.pos, CAST(v.tid AS HUGEINT) AS tid
+  FROM dstok t JOIN dsvocab v USING (tok)
+),
+{_sm64_carry_cte("(SELECT doc_id, lang, tid AS x FROM dstid)", ["doc_id", "lang"], "du")},
+dsbg AS (
+  SELECT a.doc_id, a.lang, a.tid AS t0, b.tid AS t1
+  FROM dstid a JOIN dstid b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+{_sm64_carry_cte("(SELECT doc_id, lang, t1, t0 AS x FROM dsbg)", ["doc_id", "lang", "t1"], "db1")},
+{_sm64_carry_cte("(SELECT doc_id, lang, xor(z, t1) AS x FROM hhdb1)", ["doc_id", "lang"], "db2")},
+dsfeat AS MATERIALIZED (
+  SELECT doc_id, (lang = '{DSIR_TARGET_LANG}') AS tgt, z % {DSIR_B} AS bkt FROM hhdu
+  UNION ALL
+  SELECT doc_id, (lang = '{DSIR_TARGET_LANG}') AS tgt, z % {DSIR_B} AS bkt FROM hhdb2
+),
+dsbc AS (
+  SELECT bkt,
+    SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+    SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+  FROM dsfeat GROUP BY bkt
+),
+dsdom AS (SELECT UNNEST(range({DSIR_B})) AS bkt),
+dsbca AS (
+  SELECT dsdom.bkt, COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+  FROM dsdom LEFT JOIN dsbc ON dsdom.bkt = dsbc.bkt
+),
+dstot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM dsbca),
+dswq AS (
+  SELECT bkt,
+    CAST(FLOOR(ln((ct + 1) / (tt + {DSIR_B})) * 1000000000.0) AS BIGINT)
+    - CAST(FLOOR(ln((cr + 1) / (tr + {DSIR_B})) * 1000000000.0) AS BIGINT) AS w
+  FROM dsbca, dstot
+)
+SELECT f.doc_id, CAST(SUM(w.w) AS BIGINT) AS dsir_w
+FROM dsfeat f JOIN dswq w ON f.bkt = w.bkt
+WHERE NOT f.tgt
+GROUP BY f.doc_id
 """
 
 
@@ -2955,6 +3081,8 @@ FROM h, s
         "pagerank_converged": _PAGERANK_CONV_SQL,
         "connected_components": _CC_SQL,
         "cc_delta_refresh": _cc_delta_sql(),
+        "wl_refinement": _wl_sql(),
+        "dsir_weights": _dsir_sql(),
         "component_count": _COMPONENT_COUNT_SQL,
         "component_size_histogram": _COMPONENT_SIZE_HIST_SQL,
         "bfs_depths": _BFS_SQL,

@@ -162,3 +162,131 @@ def bigram_lm_perplexity(sf_dir: str) -> ray.data.Dataset:
 
     # a document is ONE parquet row -> per-doc grouping is block-local
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+DSIR_B = 32  # hashed-ngram feature buckets
+DSIR_TARGET_LANG = "en"
+
+
+def _feat_block(t: pa.Table, vocab: np.ndarray):
+    """Hashed-ngram feature instances for one block: returns
+    (row_idx, bucket) arrays — one entry per unigram and per adjacent
+    bigram, bucket = splitmix64(feature) mod ``DSIR_B``.  Unigram
+    feature = 1-based alphabetic token rank; bigram feature chains two
+    splitmix stages (the minhash shingle rule, arity 2)."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(t.column("text")), pattern=r"\s+"
+    )
+    arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    ridx = np.repeat(np.arange(len(arr)), np.diff(offsets))
+    vals = arr.values
+    keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+    terms = vals.filter(pa.array(keep)).to_numpy(zero_copy_only=False)
+    ridx = ridx[keep]
+    if len(terms) == 0:
+        return np.array([], np.int64), np.array([], np.int64)
+    tid = (np.searchsorted(vocab, terms) + 1).astype(np.uint64)
+    bmod = np.uint64(DSIR_B)
+    hu = splitmix64(tid) % bmod
+    adj = ridx[:-1] == ridx[1:]
+    hb = splitmix64(splitmix64(tid[:-1][adj]) ^ tid[1:][adj]) % bmod
+    rows = np.concatenate([ridx, ridx[:-1][adj]])
+    bkts = np.concatenate([hu, hb]).astype(np.int64)
+    return rows, bkts
+
+
+def dsir_weights(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, dsir_w) — DSIR importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling")
+    for every non-target document with ≥1 feature.
+
+    Rule (pinned): features are hashed unigrams + bigrams over the
+    ``DSIR_B``-bucket space; the target domain is ``lang =
+    DSIR_TARGET_LANG`` documents, the raw pool is everything else.
+    Per-bucket quantized log-ratio with add-one smoothing::
+
+        w_b = floor(ln((ct_b+1)/(T+B)) * 1e9)
+            - floor(ln((cr_b+1)/(R+B)) * 1e9)
+
+    (ct/cr = target/raw bucket totals, T/R their sums) and the
+    per-document weight is the ORDER-FREE integer sum of ``w_b`` over
+    the document's feature instances — the zipf_slope floor-ln rule,
+    so the DuckDB oracle matches bit-identically.
+
+    Scale shape: the bucket reduce is B-bounded (keyed_reagg partials,
+    2·B rows cross the driver); the weight vector is B ints broadcast
+    in the closure; scoring is one block-local pass (a document is one
+    parquet row) — nothing corpus-sized materializes.
+    """
+    import math
+    import os
+
+    from .text import _sorted_vocab
+
+    vocab = _sorted_vocab(sf_dir)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+
+    def pcounts(t: pa.Table):
+        if len(t) == 0:
+            return
+        rows, bkts = _feat_block(t, vocab)
+        if len(rows) == 0:
+            return
+        tgt = pc.equal(
+            t.column("lang"), DSIR_TARGET_LANG
+        ).to_numpy(zero_copy_only=False)[rows]
+        g = (
+            pa.table(
+                {
+                    "tgt": pa.array(tgt),
+                    "bkt": pa.array(bkts),
+                    "cnt": pa.array(np.ones(len(rows), np.int64)),
+                }
+            )
+            .group_by(["tgt", "bkt"])
+            .aggregate([("cnt", "sum")])
+        )
+        yield g.rename_columns(["tgt", "bkt", "cnt"])
+
+    crows = keyed_reagg(
+        docs.map_batches(pcounts, batch_format="pyarrow"),
+        ["tgt", "bkt"], [("cnt", "sum")], P,
+    ).take_all()  # <= 2*DSIR_B rows
+    ct = [0] * DSIR_B
+    cr = [0] * DSIR_B
+    for r in crows:
+        (ct if r["tgt"] else cr)[int(r["bkt"])] += int(r["cnt"])
+    tt, tr = sum(ct), sum(cr)
+    wq = np.array(
+        [
+            math.floor(math.log((ct[b] + 1) / (tt + DSIR_B)) * _QSCALE)
+            - math.floor(math.log((cr[b] + 1) / (tr + DSIR_B)) * _QSCALE)
+            for b in range(DSIR_B)
+        ],
+        np.int64,
+    )
+
+    def score(t: pa.Table):
+        if len(t) == 0:
+            return
+        raw = t.filter(
+            pc.invert(pc.equal(t.column("lang"), DSIR_TARGET_LANG))
+        )
+        if raw.num_rows == 0:
+            return
+        rows, bkts = _feat_block(raw, vocab)
+        if len(rows) == 0:
+            return
+        dids = raw.column("doc_id").to_numpy(zero_copy_only=False)[rows]
+        g = (
+            pa.table({"doc_id": pa.array(dids), "dsir_w": pa.array(wq[bkts])})
+            .group_by(["doc_id"])
+            .aggregate([("dsir_w", "sum")])
+        )
+        yield g.rename_columns(["doc_id", "dsir_w"])
+
+    return docs.map_batches(score, batch_format="pyarrow")
