@@ -355,6 +355,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm_perplexity": _lmmod().bigram_lm_perplexity,
         "dsir_weights": _lmmod().dsir_weights,
         "wl_refinement": _wlmod().wl_refinement,
+        "shared_ngram_lengths": _terms().shared_ngram_lengths,
+        "table_fingerprint": pl.table_fingerprint,
     }
 
 
@@ -1392,6 +1394,95 @@ lab(it, v, l) AS (
 )
 SELECT v AS name, l AS component FROM lab WHERE it = {_CC_ITERS}
 """
+
+
+def _sm64_inline(e: str) -> str:
+    """splitmix64 as ONE nested scalar expression (for use inside a
+    recursive CTE, where a chain of staging CTEs is unavailable).  The
+    input expression is textually duplicated 32× — only use with a
+    short column reference."""
+    a = f"((({e}) + 11400714819323198485) % {_M64})"
+    b = f"({_sm64_mul(f'xor({a}, {a} // 1073741824)', 0xBF58476D1CE4E5B9)})"
+    c = f"({_sm64_mul(f'xor({b}, {b} // 134217728)', 0x94D049BB133111EB)})"
+    return f"xor({c}, {c} // 2147483648)"
+
+
+def _shared_ngram_sql() -> str:
+    """Duplicated n-gram length profile (terms.shared_ngram_lengths):
+    ONE recursive CTE over gram LENGTH extends every start position's
+    chain hash by the next token (splitmix64 inlined — staging CTEs
+    can't live inside the recursion); min(doc)<max(doc) per (n, hash)
+    marks cross-document grams."""
+    from rayrank.terms import SHARED_NGRAM_NMAX as NM
+
+    return f"""
+WITH RECURSIVE
+nsbase AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS lst
+  FROM documents
+),
+nstok AS (
+  SELECT doc_id, UNNEST(lst) AS tok, UNNEST(range(len(lst))) AS pos FROM nsbase
+),
+nsvocab AS (
+  SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tid
+  FROM (SELECT DISTINCT tok FROM nstok)
+),
+nstid AS MATERIALIZED (
+  SELECT t.doc_id, t.pos, CAST(v.tid AS HUGEINT) AS tid
+  FROM nstok t JOIN nsvocab v USING (tok)
+),
+gr(n, doc_id, pos, z) AS (
+  SELECT 1, doc_id, pos, tid FROM nstid
+  UNION ALL
+  SELECT g.n + 1, g.doc_id, g.pos, xor({_sm64_inline("g.z")}, t.tid)
+  FROM gr g JOIN nstid t ON t.doc_id = g.doc_id AND t.pos = g.pos + g.n
+  WHERE g.n < {NM}
+),
+fin AS (SELECT n, doc_id, {_sm64_inline("z")} AS h FROM gr),
+agg AS (SELECT n, h, MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM fin GROUP BY n, h),
+cnt AS (SELECT n, COUNT(*) AS c FROM agg WHERE mn < mx GROUP BY n),
+dom AS (SELECT UNNEST(range(1, {NM} + 1)) AS n)
+SELECT CAST(dom.n AS BIGINT) AS n, COALESCE(c, 0) AS dup_grams
+FROM dom LEFT JOIN cnt ON dom.n = cnt.n
+"""
+
+
+def _table_fpr_sql() -> str:
+    """Order-free per-table checksums (pipelines.table_fingerprint):
+    the identical chained splitmix per row, HUGEINT Σ mod 2^64."""
+    from rayrank.pipelines import _FPR_CENTS, _FPR_SPECS
+
+    chains, sels = [], []
+    for i, tbl in enumerate(sorted(_FPR_SPECS)):
+        cols = _FPR_SPECS[tbl]
+
+        def cexp(c):
+            if c in _FPR_CENTS:
+                return f"CAST(ROUND({c} * 100) AS HUGEINT)"
+            return f"CAST({c} AS HUGEINT)"
+
+        carries = [f"c{k}" for k in range(1, len(cols))]
+        first = ", ".join(
+            [f"{cexp(c)} AS c{k}" for k, c in enumerate(cols) if k > 0]
+            + [f"{cexp(cols[0])} AS x"]
+        )
+        chains.append(
+            _sm64_carry_cte(f"(SELECT {first} FROM {tbl})", carries, f"fp{i}a")
+        )
+        prev = f"hhfp{i}a"
+        for k in range(1, len(cols)):
+            rest = [f"c{j}" for j in range(k + 1, len(cols))]
+            sel = ", ".join(rest + [f"xor(z, c{k}) AS x"])
+            sfx = f"fp{i}{'abcdef'[k]}"
+            chains.append(_sm64_carry_cte(f"(SELECT {sel} FROM {prev})", rest, sfx))
+            prev = f"hh{sfx}"
+        sels.append(
+            f"SELECT '{tbl}' AS tbl, COUNT(*) AS n_rows,"
+            f" CAST(SUM(z) % {_M64} AS VARCHAR) AS checksum FROM {prev}"
+        )
+    return "WITH " + ",\n".join(chains) + "\n" + "\nUNION ALL ".join(sels)
 
 
 def _wl_sql() -> str:
@@ -3083,6 +3174,8 @@ FROM h, s
         "cc_delta_refresh": _cc_delta_sql(),
         "wl_refinement": _wl_sql(),
         "dsir_weights": _dsir_sql(),
+        "shared_ngram_lengths": _shared_ngram_sql(),
+        "table_fingerprint": _table_fpr_sql(),
         "component_count": _COMPONENT_COUNT_SQL,
         "component_size_histogram": _COMPONENT_SIZE_HIST_SQL,
         "bfs_depths": _BFS_SQL,

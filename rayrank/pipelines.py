@@ -5445,3 +5445,77 @@ def dag_longest_path(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+# (table, key chain columns) — the canonical per-row hash recipe shared
+# bit-for-bit with the SQL oracle (money snaps to cents per the
+# relational.py fixed-point rule).
+_FPR_SPECS: dict[str, list[str]] = {
+    "lineitem": ["l_orderkey", "l_linenumber", "l_extendedprice"],
+    "orders": ["o_orderkey", "o_custkey", "o_totalprice"],
+    "events": ["event_id", "user_id", "value"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "part": ["p_partkey", "p_size"],
+}
+_FPR_CENTS = {"l_extendedprice", "o_totalprice", "value"}
+
+
+def table_fingerprint(sf_dir: str) -> pa.Table:
+    """(tbl, n_rows, checksum) — order-free dataset fingerprints: per
+    row, a chained splitmix64 over the table's key + payload columns
+    (z₁ = sm64(c₀), z_k = sm64(z_{k-1} ⊕ c_{k-1})); the table checksum
+    is Σ z mod 2^64 (emitted as VARCHAR — the value is a uint64).
+
+    This is the integrity-audit primitive of a 100-TB pipeline:
+    recompute after a copy / compaction / re-partition and compare —
+    row order, file layout and block boundaries cannot change the sum
+    (abelian fold), while any lost, duplicated or bit-flipped row
+    does.  The SQL oracle re-derives every checksum independently, so
+    the op itself is value-verified, not just row-counted.
+
+    Scale shape: one pruned-column pass per table; per-block partials
+    are (count, wrapped sum) pairs — block-count rows reach the
+    driver, nothing else."""
+    from .sketch import splitmix64
+
+    out_t, out_n, out_c = [], [], []
+    for tbl in sorted(_FPR_SPECS):
+        cols = _FPR_SPECS[tbl]
+
+        def partial(t: pa.Table, cols=cols):
+            if len(t) == 0:
+                return
+            z = None
+            for c in cols:
+                arr = t.column(c).to_numpy(zero_copy_only=False)
+                if c in _FPR_CENTS:
+                    v = np.rint(arr * 100).astype(np.int64).view(np.uint64)
+                else:
+                    v = arr.astype(np.int64).view(np.uint64)
+                z = splitmix64(v) if z is None else splitmix64(z ^ v)
+            with np.errstate(over="ignore"):
+                s = np.sum(z, dtype=np.uint64)
+            yield pa.table(
+                {
+                    "n": pa.array([len(t)], pa.int64()),
+                    "s": pa.array([np.int64(s.view(np.int64))], pa.int64()),
+                }
+            )
+
+        rows = (
+            _read(sf_dir, tbl, cols)
+            .map_batches(partial, batch_format="pyarrow")
+            .take_all()
+        )  # block-count rows
+        n = sum(int(r["n"]) for r in rows)
+        total = sum(int(r["s"]) & 0xFFFFFFFFFFFFFFFF for r in rows) % (1 << 64)
+        out_t.append(tbl)
+        out_n.append(n)
+        out_c.append(str(total))
+    return pa.table(
+        {
+            "tbl": pa.array(out_t),
+            "n_rows": pa.array(out_n, pa.int64()),
+            "checksum": pa.array(out_c),
+        }
+    )

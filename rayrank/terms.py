@@ -2425,3 +2425,109 @@ SELECT v AS vocab_size,
      - (sx / 1000000000.0) * (sx / 1000000000.0)) AS slope
 FROM s
 """
+
+
+SHARED_NGRAM_NMAX = 12  # longest gram length probed (pinned)
+
+
+def shared_ngram_lengths(sf_dir: str) -> pa.Table:
+    """(n, dup_grams) for n = 1..``SHARED_NGRAM_NMAX``: how many
+    DISTINCT word n-grams occur in ≥ 2 distinct documents — the
+    cross-document duplicated-substring length profile (the max n with
+    dup_grams > 0 is the longest shared token span, the quantity a
+    suffix-array substring-dedup pass would chase; Lee et al. 2022
+    deduplicate at 50 tokens — this measures where THIS corpus sits).
+
+    Gram identity is the chained splitmix hash over 1-based alphabetic
+    token ranks (the exact-minhash shingle rule generalized to length
+    n): z₁ = tid₀, z_k = sm64(z_{k-1}) ⊕ tid_{k-1}, h = sm64(z_n) —
+    both sides compare the SAME hashes, so the SQL recursive-CTE
+    oracle (one recursion over gram LENGTH, not document position)
+    matches exactly.
+
+    "≥ 2 distinct docs" folds as min(doc) < max(doc) per (n, gram) —
+    an abelian pair of aggregates, no distinct-count needed (a doc is
+    one parquet row, so per-doc gram dedup is block-local).
+
+    Scale shape: ONE corpus pass emits Σ_n per-position hashes
+    (NMAX × tokens rows) through ONE keyed reduce; the per-n counts
+    are NMAX-bounded.  At open-ended NMAX a doubling search over n
+    (O(log L) passes) replaces the pinned profile."""
+    from .shuffle import keyed_reagg
+    from .sketch import splitmix64
+    from .text import _sorted_vocab
+
+    vocab = _sorted_vocab(sf_dir)
+    nmax = SHARED_NGRAM_NMAX
+
+    def grams(t: pa.Table):
+        docs, terms = _token_pairs(t)
+        if len(docs) == 0:
+            return
+        tid = (
+            np.searchsorted(vocab, terms.to_numpy(zero_copy_only=False)) + 1
+        ).astype(np.uint64)
+        L = len(tid)
+        parts = []
+        cur = tid  # pre-final chain value, start positions 0..L-1
+        valid = np.ones(L, bool)
+        for n in range(1, nmax + 1):
+            if n > 1:
+                if len(cur) <= 1:
+                    break
+                s = len(cur) - 1
+                cur = splitmix64(cur[:-1]) ^ tid[n - 1 :]
+                valid = valid[:-1] & (docs[n - 1 :] == docs[:s])
+            if not valid.any():
+                break
+            h = splitmix64(cur[valid]).view(np.int64)
+            dd = docs[: len(cur)][valid]
+            g = (
+                pa.table(
+                    {
+                        "n": pa.array(np.full(len(h), n, np.int64)),
+                        "g": pa.array(h),
+                        "mn": pa.array(dd),
+                        "mx": pa.array(dd),
+                    }
+                )
+                .group_by(["n", "g"])
+                .aggregate([("mn", "min"), ("mx", "max")])
+            )
+            parts.append(g.rename_columns(["n", "g", "mn", "mx"]))
+        if parts:
+            yield pa.concat_tables(parts)
+
+    red = keyed_reagg(
+        _read_docs(sf_dir).map_batches(grams, batch_format="pyarrow"),
+        ["n", "g"],
+        [("mn", "min"), ("mx", "max")],
+        8,
+    )
+
+    def pcnt(t: pa.Table):
+        if t.num_rows == 0 or "mn" not in t.schema.names:
+            return
+        keep = t.filter(pc.less(t.column("mn"), t.column("mx")))
+        if keep.num_rows == 0:
+            return
+        g = (
+            keep.select(["n"])
+            .append_column("c", pa.array(np.ones(keep.num_rows, np.int64)))
+            .group_by(["n"])
+            .aggregate([("c", "sum")])
+        )
+        yield g.rename_columns(["n", "c"])
+
+    rows = keyed_reagg(
+        red.map_batches(pcnt, batch_format="pyarrow"), ["n"], [("c", "sum")], 8
+    ).take_all()  # <= NMAX rows
+    counts = {int(r["n"]): int(r["c"]) for r in rows}
+    return pa.table(
+        {
+            "n": pa.array(np.arange(1, nmax + 1, dtype=np.int64)),
+            "dup_grams": pa.array(
+                np.array([counts.get(n, 0) for n in range(1, nmax + 1)], np.int64)
+            ),
+        }
+    )
