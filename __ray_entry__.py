@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_truss_edges": _truss().k_truss,
         "maximal_matching": _truss().maximal_matching,
         "copurchase_truss": _truss().copurchase_truss,
+        "clique_census": _truss().clique_census,
         "truss_numbers": _truss().truss_numbers,
         "event_value_quantiles": _an().event_value_quantiles,
         "event_value_mad": _an().event_value_mad,
@@ -342,7 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_vertices": pl.kcore_vertices_sf,
         "core_numbers": pl.core_numbers_sf,
         "mis_vertices": pl.mis_vertices_sf,
-        "graph_coloring": pl.graph_coloring_sf,      # rows-only (vid-space priorities)
+        "graph_coloring": pl.graph_coloring_sf,  # SQL-checked (named priorities)
         # sequence packing (concat-and-chunk; distributed prefix sum)
         "pack_sequences": _packmod().pack_sequences,
         "length_curriculum": _packmod().length_curriculum,
@@ -357,6 +358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wl_refinement": _wlmod().wl_refinement,
         "shared_ngram_lengths": _terms().shared_ngram_lengths,
         "table_fingerprint": pl.table_fingerprint,
+        "partition_profile": pl.partition_profile,
+        "value_ecdf": _an().value_ecdf,
     }
 
 
@@ -1485,6 +1488,43 @@ def _table_fpr_sql() -> str:
     return "WITH " + ",\n".join(chains) + "\n" + "\nUNION ALL ".join(sels)
 
 
+_VALUE_ECDF_SQL = """
+WITH ec AS (SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS vc FROM events),
+h AS (SELECT vc, COUNT(*) AS c FROM ec GROUP BY vc),
+cum AS (SELECT vc, SUM(c) OVER (ORDER BY vc) AS cl FROM h)
+SELECT e.event_id AS event_id, e.vc AS value_cents, CAST(c2.cl AS BIGINT) AS n_le
+FROM ec e JOIN cum c2 ON e.vc = c2.vc
+"""
+
+
+def _partition_profile_sql() -> str:
+    """Hash-partition quality profile (pipelines.partition_profile):
+    part = splitmix64(id) mod PARTQ for both endpoints, per-part vertex
+    and source-edge loads + cut edges over the distinct edge set."""
+    from rayrank.pipelines import PARTQ
+
+    return f"""
+WITH
+pedges AS (SELECT DISTINCT l_orderkey AS s, l_partkey AS d FROM lineitem),
+pverts AS (
+  SELECT DISTINCT v FROM (SELECT s AS v FROM pedges UNION ALL SELECT d FROM pedges)
+),
+{_sm64_carry_cte("(SELECT v, CAST(v AS HUGEINT) AS x FROM pverts)", ["v"], "pv")},
+vp AS MATERIALIZED (SELECT v, CAST(z % {PARTQ} AS BIGINT) AS part FROM hhpv),
+vmet AS (SELECT part, COUNT(*) AS n_vertices FROM vp GROUP BY part),
+emet AS (
+  SELECT a.part AS part, COUNT(*) AS n_src_edges,
+         SUM(CASE WHEN a.part <> b.part THEN 1 ELSE 0 END) AS n_cut_edges
+  FROM pedges e JOIN vp a ON e.s = a.v JOIN vp b ON e.d = b.v
+  GROUP BY a.part
+)
+SELECT v.part AS part, v.n_vertices AS n_vertices,
+       CAST(COALESCE(e.n_src_edges, 0) AS BIGINT) AS n_src_edges,
+       CAST(COALESCE(e.n_cut_edges, 0) AS BIGINT) AS n_cut_edges
+FROM vmet v LEFT JOIN emet e ON v.part = e.part
+"""
+
+
 def _wl_sql() -> str:
     """Unrolled Weisfeiler–Leman refinement (rayrank.wl.wl_refinement):
     per round, one splitmix chain over the colors (g = z mod 2^40), a
@@ -1696,6 +1736,60 @@ alive{r + 1} AS MATERIALIZED (
     AND al.v NOT IN (SELECT adj.s FROM adj JOIN sel{r} s ON s.v = adj.t)
 )""")
         sels.append(f"SELECT CAST(v AS VARCHAR) AS name FROM sel{r}")
+    return head + ",\n" + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
+
+
+def _coloring_sql() -> str:
+    """Iterated-MIS greedy coloring (pipelines.graph_coloring_sf with
+    named priorities): ``COLORING_SQL_CLASSES`` classes, each an
+    unrolled ``COLORING_SQL_ROUNDS``-round Luby MIS over the residual
+    alive set (the _mis_sql block, indexed per class); the next
+    class's alive set is the previous class's MINUS its color class
+    (excluded vertices return — residual-graph rule).  Extra classes
+    and rounds are no-ops, so the unroll sizes only need to be ≥ the
+    measured fixpoint."""
+    from rayrank.pipelines import COLORING_SQL_CLASSES, COLORING_SQL_ROUNDS
+
+    head = f"""
+WITH raw AS (SELECT l_orderkey AS a, l_partkey AS b FROM lineitem),
+{_sm64_id_cte('(SELECT x AS id, x FROM (SELECT DISTINCT a AS x FROM raw UNION SELECT b FROM raw))')},
+und AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM raw WHERE a <> b
+),
+adj AS MATERIALIZED (SELECT u AS s, v AS t FROM und UNION ALL SELECT v, u FROM und),
+av0x0 AS MATERIALIZED (SELECT id AS v, z AS h FROM hh)"""
+    parts, sels = [], []
+    for c in range(COLORING_SQL_CLASSES):
+        for r in range(COLORING_SQL_ROUNDS):
+            parts.append(f"""mn{c}x{r} AS MATERIALIZED (
+  SELECT adj.s AS v, MIN(nb.h) AS mh
+  FROM adj
+  JOIN av{c}x{r} nb ON nb.v = adj.t
+  JOIN av{c}x{r} me ON me.v = adj.s
+  GROUP BY adj.s
+),
+sel{c}x{r} AS MATERIALIZED (
+  SELECT al.v FROM av{c}x{r} al LEFT JOIN mn{c}x{r} m ON m.v = al.v
+  WHERE m.v IS NULL OR al.h < m.mh
+),
+av{c}x{r + 1} AS MATERIALIZED (
+  SELECT al.v, al.h FROM av{c}x{r} al
+  WHERE al.v NOT IN (SELECT v FROM sel{c}x{r})
+    AND al.v NOT IN (SELECT adj.s FROM adj JOIN sel{c}x{r} s ON s.v = adj.t)
+)""")
+        un = " UNION ALL ".join(
+            f"SELECT v FROM sel{c}x{r}" for r in range(COLORING_SQL_ROUNDS)
+        )
+        parts.append(f"col{c} AS MATERIALIZED ({un})")
+        parts.append(f"""av{c + 1}x0 AS MATERIALIZED (
+  SELECT al.v, al.h FROM av{c}x0 al
+  WHERE al.v NOT IN (SELECT v FROM col{c})
+)""")
+        sels.append(
+            f"SELECT CAST(v AS VARCHAR) AS name,"
+            f" CAST({c} AS BIGINT) AS color FROM col{c}"
+        )
     return head + ",\n" + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
 
 
@@ -2972,8 +3066,11 @@ def oracle_sql() -> dict[str, str]:
         "rendezvous_shards": _rendezvous_sql_wired(),
         "attack_robustness": _attack_robustness_sql(),
         "mis_vertices": _mis_sql(),
+        "graph_coloring": _coloring_sql(),
         "maximal_matching": _maximal_matching_sql(),
         "copurchase_truss": _truss().copurchase_truss_sql(),
+        "k_truss_edges": _truss().k_truss_sql(),
+        "clique_census": _truss().CLIQUE_CENSUS_SQL,
         "densest_subgraph": _truss().densest_subgraph_sql(),
         "truss_numbers": _truss().truss_numbers_sql(),
         "mst_edges": _mst_sql_wired(),
@@ -3176,6 +3273,8 @@ FROM h, s
         "dsir_weights": _dsir_sql(),
         "shared_ngram_lengths": _shared_ngram_sql(),
         "table_fingerprint": _table_fpr_sql(),
+        "partition_profile": _partition_profile_sql(),
+        "value_ecdf": _VALUE_ECDF_SQL,
         "component_count": _COMPONENT_COUNT_SQL,
         "component_size_histogram": _COMPONENT_SIZE_HIST_SQL,
         "bfs_depths": _BFS_SQL,

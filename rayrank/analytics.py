@@ -3559,3 +3559,54 @@ FROM o a JOIN o b
   AND abs(a.day - b.day) <= {CONC_WINDOW_DAYS}
 GROUP BY a.c
 """
+
+
+def value_ecdf(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, value_cents, n_le) — the exact empirical CDF rank of
+    every event's value: n_le = #events with value_cents ≤ mine — the
+    quantile-normalization / probability-integral-transform feature
+    map (divide by the total for the ecdf; the rank itself stays
+    integer so the hash match is exact).
+
+    Scale shape: pass 1 reduces a (cents → count) histogram
+    (value-DOMAIN-bounded: cents of a bounded price range saturate, so
+    the broadcast stays small as rows grow; an open domain would swap
+    in the pack_sequences bucket-prefix machinery); the sorted
+    cumulative counts broadcast in the closure; pass 2 is block-local
+    searchsorted — zero row shuffle."""
+
+    def hist(t: pa.Table):
+        if len(t) == 0:
+            return
+        vc = _i64(t.column("value"), 100)
+        g = (
+            pa.table(
+                {"vc": pa.array(vc), "c": pa.array(np.ones(len(vc), np.int64))}
+            )
+            .group_by(["vc"])
+            .aggregate([("c", "sum")])
+        )
+        yield g.rename_columns(["vc", "c"])
+
+    src = _read(sf_dir, "events", ["event_id", "value"])
+    rows = keyed_reagg(
+        src.map_batches(hist, batch_format="pyarrow"), ["vc"], [("c", "sum")], P
+    ).take_all()  # distinct-cents-bounded
+    vals = np.array(sorted(int(r["vc"]) for r in rows), np.int64)
+    cnts = {int(r["vc"]): int(r["c"]) for r in rows}
+    cum = np.cumsum(np.array([cnts[v] for v in vals], np.int64))
+
+    def score(t: pa.Table):
+        if len(t) == 0:
+            return
+        vc = _i64(t.column("value"), 100)
+        idx = np.searchsorted(vals, vc, side="right") - 1
+        yield pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "value_cents": pa.array(vc),
+                "n_le": pa.array(cum[idx]),
+            }
+        )
+
+    return src.map_batches(score, batch_format="pyarrow")

@@ -178,16 +178,20 @@ def coloring(
     graph_dir: str,
     max_colors: int = 256,
     shards: list | None = None,
+    named_priority: bool = False,
 ) -> LabelResult:
     """Greedy graph coloring by iterated hash-MIS (batched
     Jones–Plassmann): color class ``c`` is the deterministic greedy
     MIS of the residual graph after classes ``0..c-1`` are removed.
 
-    Rule (pinned): the same splitmix64(vid) priority as :func:`mis`,
-    so each class — and therefore the whole coloring — equals the
+    Rule (pinned): the same splitmix64(vid) priority as :func:`mis`
+    (or splitmix64(int(name)) with ``named_priority=True`` — the
+    SQL-expressible rule, priorities persisting across classes), so
+    each class — and therefore the whole coloring — equals the
     sequential algorithm "repeat greedy MIS in priority order on the
     residual graph", independent of Q, scheduling, and cluster size.
-    Exact sequential oracle in tests (greedy_coloring_oracle).
+    Exact sequential oracles in tests (greedy_coloring_oracle /
+    greedy_coloring_named_oracle).
 
     Scale shape: identical to :func:`mis` per inner round (two
     gathers, Q×Q int64 scalars, resident state); the outer loop runs
@@ -197,7 +201,11 @@ def coloring(
     Q = meta.Q
     if shards is None:
         shards = create_shards(graph_dir, meta)
-    ray.get([s.init_coloring.remote() for s in shards])
+    if named_priority:
+        vdir = os.path.join(graph_dir, "vertices")
+        ray.get([s.init_coloring_named.remote(vdir) for s in shards])
+    else:
+        ray.get([s.init_coloring.remote() for s in shards])
 
     history: list[dict] = []
     converged = False
@@ -263,6 +271,35 @@ def greedy_coloring_oracle(
     names = sorted(name_to_vid)
     vids = np.fromiter((name_to_vid[n] for n in names), np.int64, len(names))
     pri = splitmix64(vids)
+    order = [names[i] for i in np.argsort(pri)]
+    adj: dict[str, set] = {n: set() for n in names}
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    colors: dict[str, int] = {}
+    c = 0
+    while len(colors) < len(names):
+        blocked: set[str] = set()
+        for n in order:
+            if n in colors or n in blocked:
+                continue
+            colors[n] = c
+            blocked |= adj[n]
+        c += 1
+    return colors
+
+
+def greedy_coloring_named_oracle(
+    edges: list[tuple[str, str]],
+) -> dict[str, int]:
+    """Exact single-process oracle for ``coloring(named_priority=True)``:
+    repeat sequential greedy MIS in increasing splitmix64(int(name))
+    order on the residual graph."""
+    from .sketch import splitmix64
+
+    names = sorted({x for e in edges for x in e})
+    pri = splitmix64(np.array([int(n) for n in names], np.int64))
     order = [names[i] for i in np.argsort(pri)]
     adj: dict[str, set] = {n: set() for n in names}
     for a, b in edges:

@@ -1512,6 +1512,9 @@ def graph_diameter_sf(sf_dir: str) -> pa.Table:
 
 
 MIS_SQL_ROUNDS = 8  # fixpoint is 3 rounds at sf0.001 AND sf0.01; 2.6× headroom
+# coloring unroll sizes (measured at both SFs + headroom; extras are no-ops)
+COLORING_SQL_CLASSES = 14
+COLORING_SQL_ROUNDS = 8
 
 
 def mis_vertices_sf(sf_dir: str) -> ray.data.Dataset:
@@ -4281,13 +4284,16 @@ def walk_visit_counts(sf_dir: str) -> ray.data.Dataset:
 def graph_coloring_sf(sf_dir: str) -> ray.data.Dataset:
     """(name, color) greedy coloring of the undirected lineitem graph
     by iterated hash-MIS (rayrank.mis.coloring; class c = deterministic
-    greedy MIS of the residual graph).  Rows-only for the driver:
-    priorities live in vid space (same reason as mis_vertices); exact
-    sequential oracle in pytest."""
+    greedy MIS of the residual graph).  Name-space priorities
+    (splitmix64(int(name)) — the mis_vertices flip), so the full
+    Jones–Plassmann chain is SQL-checked: the oracle unrolls
+    ``COLORING_SQL_CLASSES`` classes × ``COLORING_SQL_ROUNDS`` Luby
+    rounds as materialized CTEs (extra classes/rounds are no-ops);
+    exact sequential oracle additionally in pytest."""
     from .mis import coloring
 
     gdir = _graph(sf_dir, "undirected")
-    res = coloring(gdir)
+    res = coloring(gdir, named_priority=True)
     ds = res.labels_dataset(gdir)
 
     def fin(t: pa.Table) -> pa.Table:
@@ -5519,3 +5525,128 @@ def table_fingerprint(sf_dir: str) -> pa.Table:
             "checksum": pa.array(out_c),
         }
     )
+
+
+PARTQ = 8  # partition count profiled (pinned, mirrors P)
+
+
+def partition_profile(sf_dir: str) -> ray.data.Dataset:
+    """(part, n_vertices, n_src_edges, n_cut_edges) — the quality of a
+    splitmix64(id) mod ``PARTQ`` vertex partitioning of the directed
+    lineitem graph: per-partition vertex load, source-edge load, and
+    cut edges (src part ≠ dst part) — the numbers a 100-TB placement
+    planner reads before committing a partitioning key (balanced loads
+    + low cut = less all-to-all traffic per gather).
+
+    Scale shape: edge metrics are BLOCK-LOCAL (both endpoint parts are
+    pure hashes of values already in the row — no lookup join, no
+    shuffle); only the distinct-vertex count moves data, and it ships
+    (part, v) pairs pre-deduped per block.  Output is Q rows."""
+    from .shuffle import keyed_reagg
+    from .sketch import splitmix64
+
+    q = np.uint64(PARTQ)
+
+    def emetrics(t: pa.Table):
+        if len(t) == 0:
+            return
+        s = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        d = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        # distinct directed edges, block-local pre-dedup
+        g = (
+            pa.table({"s": pa.array(s), "d": pa.array(d)})
+            .group_by(["s", "d"])
+            .aggregate([])
+        )
+        yield g.rename_columns(["s", "d"])
+
+    edges = keyed_reagg(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
+            emetrics, batch_format="pyarrow"
+        ),
+        ["s", "d"], [], P,
+    )
+
+    def efold(t: pa.Table):
+        if t.num_rows == 0 or "s" not in t.schema.names:
+            return
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        ps = (splitmix64(s) % q).astype(np.int64)
+        pd_ = (splitmix64(d) % q).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "part": pa.array(ps),
+                    "n_src_edges": pa.array(np.ones(len(s), np.int64)),
+                    "n_cut_edges": pa.array((ps != pd_).astype(np.int64)),
+                }
+            )
+            .group_by(["part"])
+            .aggregate([("n_src_edges", "sum"), ("n_cut_edges", "sum")])
+        )
+        yield g.rename_columns(["part", "n_src_edges", "n_cut_edges"])
+
+    emet = keyed_reagg(
+        edges.map_batches(efold, batch_format="pyarrow"),
+        ["part"], [("n_src_edges", "sum"), ("n_cut_edges", "sum")], P,
+    )
+
+    def vpairs(t: pa.Table):
+        if t.num_rows == 0 or "s" not in t.schema.names:
+            return
+        both = np.concatenate(
+            [
+                t.column("s").to_numpy(zero_copy_only=False),
+                t.column("d").to_numpy(zero_copy_only=False),
+            ]
+        )
+        g = pa.table({"v": pa.array(both)}).group_by(["v"]).aggregate([])
+        yield g.rename_columns(["v"])
+
+    verts = keyed_reagg(
+        edges.map_batches(vpairs, batch_format="pyarrow"), ["v"], [], P
+    )
+
+    def vfold(t: pa.Table):
+        if t.num_rows == 0 or "v" not in t.schema.names:
+            return
+        pv = (
+            splitmix64(t.column("v").to_numpy(zero_copy_only=False)) % q
+        ).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "part": pa.array(pv),
+                    "n_vertices": pa.array(np.ones(len(pv), np.int64)),
+                }
+            )
+            .group_by(["part"])
+            .aggregate([("n_vertices", "sum")])
+        )
+        yield g.rename_columns(["part", "n_vertices"])
+
+    vmet = keyed_reagg(
+        verts.map_batches(vfold, batch_format="pyarrow"),
+        ["part"], [("n_vertices", "sum")], P,
+    )
+
+    from .joins import join_auto
+
+    out = join_auto(vmet, emet, on=("part",), how="left_outer",
+                    num_partitions=P)
+
+    def fin(t: pa.Table):
+        if t.num_rows == 0 or "part" not in t.schema.names:
+            return
+        zero = pa.scalar(0, pa.int64())
+        cols = {"part": t.column("part"), "n_vertices": t.column("n_vertices")}
+        for c in ("n_src_edges", "n_cut_edges"):
+            cols[c] = (
+                pc.coalesce(t.column(c), zero)
+                if c in t.schema.names
+                else pa.array(np.zeros(t.num_rows, np.int64))
+            )
+        yield pa.table(cols)
+
+    return out.map_batches(fin, batch_format="pyarrow")

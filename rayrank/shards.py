@@ -437,6 +437,13 @@ class CsrShard:
         self.init_mis()
         self._colors = np.full(self.s_p, -1, np.int64)
 
+    def init_coloring_named(self, vert_dir: str) -> None:
+        """init_coloring with NAME-space priorities (init_mis_named) —
+        the SQL-expressible rule; priorities persist across color
+        classes (color_commit resets only the labels)."""
+        self.init_mis_named(vert_dir)
+        self._colors = np.full(self.s_p, -1, np.int64)
+
     def color_commit(self, c: int) -> int:
         """After a MIS fixpoint: set members take color ``c``; reset
         labels for the next round (colored → 2, rest back to 0).

@@ -1635,3 +1635,132 @@ def transitivity_estimate(sf_dir: str) -> pa.Table:
             "est": pa.array([est], pa.float64()),
         }
     )
+
+
+def clique_census(sf_dir: str) -> pa.Table:
+    """(n_edges, n_triangles, n_k4) — the clique census of the
+    co-purchase graph: distinct canonical edges, triangles, and
+    4-cliques.  Completes the motif family (wedges, triangles, triads,
+    butterflies, trusses) with the first k>3 clique count.
+
+    Counting rule: every motif is enumerated ONCE from its sorted
+    vertex tuple (a<b<c<d) — triangles by the oriented double join,
+    K4s by extending each triangle with a common out-neighbor d > c of
+    all three vertices (two keyed semi-joins check (a,d), (b,d); the
+    extension join supplies (c,d)).  Candidate fan-out is bounded by
+    the max-id vertex's degree; a degeneracy orientation replaces the
+    id orientation at hub-skewed scale (documented trade, same as
+    edge_support).
+
+    SQL oracle: the same census as three scalar subqueries over the
+    identical 6-join K4 enumeration — fully value-checked."""
+    edges = copurchase_edges(sf_dir).materialize()
+    n_edges = edges.count()
+
+    def as_bc(t: pa.Table):
+        if t.num_rows == 0 or "u" not in t.schema.names:
+            return
+        yield pa.table({"b2": t.column("u"), "c": t.column("v")})
+
+    ebc = edges.map_batches(as_bc, batch_format="pyarrow")
+    j1 = join_auto(edges, ebc, on=("v",), right_on=("b2",), num_partitions=P)
+
+    def as_abc(t: pa.Table):
+        if t.num_rows == 0 or "u" not in t.schema.names:
+            return
+        yield pa.table(
+            {"a": t.column("u"), "b": t.column("v"), "c": t.column("c")}
+        )
+
+    tri = join_auto(
+        j1.map_batches(as_abc, batch_format="pyarrow"),
+        edges, on=("a", "c"), right_on=("u", "v"), how="semi",
+        num_partitions=P,
+    ).materialize()
+    n_tri = tri.count()
+
+    def as_cd(t: pa.Table):
+        if t.num_rows == 0 or "u" not in t.schema.names:
+            return
+        yield pa.table({"c2": t.column("u"), "d": t.column("v")})
+
+    ecd = edges.map_batches(as_cd, batch_format="pyarrow")
+    cand = join_auto(tri, ecd, on=("c",), right_on=("c2",), num_partitions=P)
+    k4 = join_auto(
+        cand, edges, on=("a", "d"), right_on=("u", "v"), how="semi",
+        num_partitions=P,
+    )
+    k4 = join_auto(
+        k4, edges, on=("b", "d"), right_on=("u", "v"), how="semi",
+        num_partitions=P,
+    )
+    n_k4 = k4.count()
+    return pa.table(
+        {
+            "n_edges": pa.array([n_edges], pa.int64()),
+            "n_triangles": pa.array([n_tri], pa.int64()),
+            "n_k4": pa.array([n_k4], pa.int64()),
+        }
+    )
+
+
+CLIQUE_CENSUS_SQL = """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v
+  JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+k4 AS (
+  SELECT COUNT(*) AS n FROM tri t
+  JOIN e0 cd ON cd.u = t.c
+  JOIN e0 ad ON ad.u = t.a AND ad.v = cd.v
+  JOIN e0 bd ON bd.u = t.b AND bd.v = cd.v
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM tri) AS n_triangles,
+       (SELECT CAST(n AS BIGINT) FROM k4) AS n_k4
+"""
+
+
+K_TRUSS_SQL_ROUNDS = 3  # tri-graph peel converges in 1 round at both SFs
+
+
+def k_truss_sql(k: int = 4) -> str:
+    """Unrolled peel oracle for :func:`k_truss` on the tri graph —
+    the copurchase_truss_sql round pattern over the
+    (l_suppkey, l_partkey % 100) canonical edge set (LEAST/GREATEST on
+    INTs == np.minimum/maximum; the VARCHAR canonicalization trap does
+    not apply)."""
+    head = """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(l_suppkey, l_partkey % 100) AS u,
+                  GREATEST(l_suppkey, l_partkey % 100) AS v
+  FROM lineitem WHERE l_suppkey <> l_partkey % 100
+)"""
+    parts = []
+    for r in range(K_TRUSS_SQL_ROUNDS):
+        parts.append(f"""tri{r} AS MATERIALIZED (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e{r} e1 JOIN e{r} e2 ON e2.u = e1.v
+  JOIN e{r} e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+cnt{r} AS MATERIALIZED (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS s FROM (
+    SELECT x AS u, y AS v FROM tri{r}
+    UNION ALL SELECT x, z FROM tri{r}
+    UNION ALL SELECT y, z FROM tri{r}
+  ) GROUP BY u, v
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r} e LEFT JOIN cnt{r} c ON c.u = e.u AND c.v = e.v
+  WHERE COALESCE(c.s, 0) >= {k - 2}
+)""")
+    return (
+        head + ",\n" + ",\n".join(parts)
+        + f"\nSELECT u, v FROM e{K_TRUSS_SQL_ROUNDS}"
+    )

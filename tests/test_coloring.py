@@ -74,3 +74,23 @@ def test_partition_count_invariance(tmp_path, Q):
     assert engine_coloring(gdir) == greedy_coloring_oracle(
         edges, name_to_vid(gdir)
     )
+
+
+@pytest.mark.parametrize("seed,n,m,Q", [(51, 40, 90, 3), (52, 60, 200, 4)])
+def test_named_priority_random_graphs(tmp_path, seed, n, m, Q):
+    from rayrank.mis import greedy_coloring_named_oracle
+
+    rng = np.random.default_rng(seed)
+    edges = [
+        (str(a), str(b))
+        for a, b in zip(rng.integers(0, n, m), rng.integers(0, n, m))
+    ]
+    gdir = str(tmp_path / "g")
+    build_undirected(edges, gdir, Q=Q)
+    res = coloring(gdir, named_priority=True)
+    assert res.converged
+    got = {}
+    for b in res.labels_dataset(gdir).iter_batches(batch_format="pyarrow"):
+        got.update(zip(b.column("name").to_pylist(), b.column("label").to_pylist()))
+    assert got == greedy_coloring_named_oracle(edges)
+    check_proper(edges, got)

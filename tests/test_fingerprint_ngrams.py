@@ -42,3 +42,38 @@ def test_shared_ngram_lengths_properties():
         if rows[n] > 0:
             assert rows[n - 1] > 0
     assert rows[1] > 0  # 31-token vocab, 500 docs: unigrams certainly shared
+
+
+def test_partition_profile_totals():
+    from rayrank.pipelines import PARTQ, partition_profile
+
+    rows = partition_profile(SF).take_all()
+    assert len(rows) == PARTQ
+    con = duckdb.connect()
+    nv, ne = con.sql(
+        f"""
+        WITH e AS (SELECT DISTINCT l_orderkey s, l_partkey d
+                   FROM read_parquet('{SF}/lineitem.parquet'))
+        SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT v FROM
+                 (SELECT s AS v FROM e UNION ALL SELECT d FROM e))),
+               (SELECT COUNT(*) FROM e)
+        """
+    ).fetchone()
+    assert sum(r["n_vertices"] for r in rows) == nv
+    assert sum(r["n_src_edges"] for r in rows) == ne
+    for r in rows:
+        assert 0 <= r["n_cut_edges"] <= r["n_src_edges"]
+
+
+def test_value_ecdf_monotone():
+    from rayrank.analytics import value_ecdf
+
+    rows = value_ecdf(SF).take_all()
+    n = len(rows)
+    by_v = sorted(rows, key=lambda r: (r["value_cents"], r["n_le"]))
+    last = 0
+    for r in by_v:
+        assert r["n_le"] >= last
+        last = r["n_le"]
+    assert max(r["n_le"] for r in rows) == n
+    assert min(r["n_le"] for r in rows) >= 1
