@@ -172,6 +172,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": pl.clustering_coeff,
         "two_hop_neighbors": pl.two_hop_neighbors,
         "common_neighbors": pl.common_neighbors,
+        "square_count": pl.square_count,
+        "bipartite_conflict": pl.bipartite_conflict,
+        "hierarchy_rollup": _an().hierarchy_rollup,
+        "zonemap_prune_stats": _an().zonemap_prune_stats,
         "adamic_adar": pl.adamic_adar,
         "disparity_backbone": pl.disparity_backbone,
         "degree_discount_seeds": pl.degree_discount_seeds,
@@ -306,6 +310,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_anomalies": pl.hourly_anomalies,
         "embedding_quantize": _annmod().embedding_quantize,
         "mmr_rerank": _annmod().mmr_rerank,
+        "kcenter_coreset": _annmod().kcenter_coreset,
+        "bitq_hamming_topk": _annmod().bitq_hamming_topk,
+        "hybrid_rrf_topk": _annmod().hybrid_rrf_topk,
         "centroid_classify": _annmod().centroid_classify,
         "centroid_confusion": _annmod().centroid_confusion,
         "mutual_knn_pairs": _annmod().mutual_knn_pairs,
@@ -555,6 +562,42 @@ _CC_SQL = (
     _CC_LABELS_CTE
     + f"SELECT v AS name, l AS component FROM lab WHERE it = {_CC_ITERS}"
 )
+
+# Bipartiteness census: the CC labels seed a multi-seed min-plus BFS
+# (one recursive CTE may reference another — the b2<-f1<-b1 precedent);
+# an edge conflicts when endpoint parities match.  Self-loop rows in
+# `und` never relax (d+1 > d) and are excluded by a < b.  Mirrors
+# rayrank.pipelines.bipartite_conflict.
+_BIPARTITE_CONFLICT_SQL = (
+    _CC_LABELS_CTE.rstrip()[:-1].rstrip()  # keep the WITH list open
+    + f"""),
+seeds AS (SELECT DISTINCT l AS v FROM lab WHERE it = {_CC_ITERS}),
+bfs(it, v, d) AS (
+  SELECT 0, v, CAST(0 AS BIGINT) FROM seeds
+  UNION ALL
+  SELECT bfs.it + 1, e.b, MIN(bfs.d) + 1
+  FROM bfs JOIN und e ON bfs.v = e.a
+  WHERE bfs.it < {_CC_ITERS}
+  GROUP BY bfs.it + 1, e.b
+),
+dist AS (SELECT v, MIN(d) AS d FROM bfs GROUP BY v),
+comp AS (SELECT v, MIN(l) AS l FROM lab WHERE it = {_CC_ITERS} GROUP BY v),
+conf AS (
+  SELECT e.a, e.b, c.l,
+    CASE WHEN (da.d + db.d) % 2 = 0 THEN 1 ELSE 0 END AS bad
+  FROM und e
+  JOIN dist da ON da.v = e.a
+  JOIN dist db ON db.v = e.b
+  JOIN comp c ON c.v = e.a
+  WHERE e.a < e.b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS edges,
+       CAST(SUM(bad) AS BIGINT) AS conflict_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM seeds) AS components,
+       CAST(COUNT(DISTINCT CASE WHEN bad = 1 THEN l END) AS BIGINT)
+         AS odd_components
+FROM conf
+""")
 
 _COMPONENT_SIZE_HIST_SQL = (
     _CC_LABELS_CTE
@@ -3055,6 +3098,10 @@ def oracle_sql() -> dict[str, str]:
         "edge_reciprocity": _pl().EDGE_RECIPROCITY_SQL,
         "two_hop_neighbors": _pl().TWO_HOP_NEIGHBORS_SQL,
         "common_neighbors": _pl().COMMON_NEIGHBORS_SQL,
+        "square_count": _pl().SQUARE_COUNT_SQL,
+        "bipartite_conflict": _BIPARTITE_CONFLICT_SQL,
+        "hierarchy_rollup": _an().HIERARCHY_ROLLUP_SQL,
+        "zonemap_prune_stats": _an().ZONEMAP_PRUNE_SQL,
         "adamic_adar": _pl().ADAMIC_ADAR_SQL,
         "disparity_backbone": _pl().DISPARITY_BACKBONE_SQL,
         "degree_discount_seeds": _pl().DEGREE_DISCOUNT_SQL,
@@ -3212,6 +3259,9 @@ def oracle_sql() -> dict[str, str]:
         "cms_part_counts": _cms_sql("l_partkey", "lineitem", 256, 4),
         "embedding_quantize": _annmod().EMBEDDING_QUANTIZE_SQL,
         "mmr_rerank": _annmod().MMR_RERANK_SQL,
+        "kcenter_coreset": _annmod().KCENTER_CORESET_SQL,
+        "bitq_hamming_topk": _annmod().BITQ_HAMMING_SQL,
+        "hybrid_rrf_topk": _annmod()._hybrid_rrf_sql(),
         "centroid_classify": _annmod().CENTROID_CLASSIFY_SQL,
         "centroid_confusion": _annmod().CENTROID_CONFUSION_SQL,
         "mutual_knn_pairs": _annmod().MUTUAL_KNN_SQL,

@@ -3610,3 +3610,288 @@ def value_ecdf(sf_dir: str) -> ray.data.Dataset:
         )
 
     return src.map_batches(score, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Hierarchy rollup — recursive subtree aggregation without recursion
+# --------------------------------------------------------------------------
+
+HR_MAX_DEPTH = 40  # SQL unnests k = 0..39; covers part keys < 2^39
+
+
+def hierarchy_rollup(sf_dir: str) -> ray.data.Dataset:
+    """(node, subtree_cents, n_desc) — BOM-style subtree totals over
+    the implicit binary part hierarchy ``parent(h) = h >> 1`` with
+    ``h = p_partkey + 1`` (the +1 keeps 0 out of the id space, whose
+    ancestor chain would never terminate): every part contributes its
+    retail price (snapped to cents, the relational.py fixed-point
+    rule) to itself and every ancestor up to the root 1.
+
+    The point of the op: a recursive-CTE rollup shape (explode each
+    leaf's ancestor PATH, then one keyed sum) executed with ZERO joins
+    and ZERO rounds — ancestors of an arithmetic hierarchy are
+    computable per row (``h >> k``), so the whole rollup is a
+    vectorized ≤ log₂(max_key)-way block-local expansion + per-block
+    pre-combine + ONE keyed re-agg.  The same routing serves any
+    hierarchy whose ancestor chain ships WITH the row (materialized
+    path / dotted-category ids), the common case in catalog data.
+
+    Scale shape: expansion factor is exactly depth ≈ log₂ |parts|
+    (never quadratic); the shuffle carries (node, cents, 1) int64
+    triples; output is ≤ 2·|parts| rows."""
+    src = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+
+    def expand(t: pa.Table):
+        if len(t) == 0:
+            return
+        h = t.column("p_partkey").to_numpy(zero_copy_only=False) + 1
+        cents = np.rint(
+            t.column("p_retailprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        nodes, vals = [], []
+        v = h.astype(np.int64)
+        for _ in range(HR_MAX_DEPTH):
+            m = v >= 1
+            if not m.any():
+                break
+            nodes.append(v[m])
+            vals.append(cents[m])
+            v = v >> 1
+        node = np.concatenate(nodes)
+        val = np.concatenate(vals)
+        g = (
+            pa.table(
+                {
+                    "node": pa.array(node),
+                    "subtree_cents": pa.array(val),
+                    "n_desc": pa.array(np.ones(len(node), np.int64)),
+                }
+            )
+            .group_by(["node"])
+            .aggregate([("subtree_cents", "sum"), ("n_desc", "sum")])
+        )
+        yield g.rename_columns(["node", "subtree_cents", "n_desc"])
+
+    return keyed_reagg(
+        src.map_batches(expand, batch_format="pyarrow"),
+        ["node"], [("subtree_cents", "sum"), ("n_desc", "sum")], P,
+    )
+
+
+HIERARCHY_ROLLUP_SQL = f"""
+WITH anc AS (
+  SELECT (p_partkey + 1) >> CAST(k AS BIGINT) AS node,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part, UNNEST(range({HR_MAX_DEPTH})) t(k)
+  WHERE ((p_partkey + 1) >> CAST(k AS BIGINT)) >= 1
+)
+SELECT node, CAST(SUM(cents) AS BIGINT) AS subtree_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_desc
+FROM anc GROUP BY node
+"""
+
+
+# --------------------------------------------------------------------------
+# Zone-map prune stats — data-layout effectiveness diagnostics
+# --------------------------------------------------------------------------
+
+ZM_TILE = 1024           # rows per zone-map tile (row-group analogue)
+ZM_LO = "1995-06-01"     # pinned ship-date window [lo, hi)
+ZM_HI = "1995-09-01"
+ZM_NAT_SPAN = 64         # orderkey span per rank bucket (natural layout)
+ZM_DAY_SPAN = 32         # days per rank bucket (shipdate layout)
+_US_PER_DAY = 86_400_000_000
+
+
+def zonemap_prune_stats(sf_dir: str) -> ray.data.Dataset:
+    """(layout, tiles_total, tiles_pruned, rows_pruned) — how many
+    fixed-size zone-map tiles (``ZM_TILE`` rows, the row-group
+    analogue) a ship-date window scan could SKIP under two physical
+    layouts of lineitem: ``natural`` (sorted by the (l_orderkey,
+    l_linenumber) key — insert order) and ``shipdate`` (re-clustered
+    by (l_shipdate, l_orderkey, l_linenumber)).  A tile is pruned when
+    its [min, max] ship-date zone map misses the pinned window — the
+    measurement that justifies a re-clustering / Z-order pass before a
+    100-TB scan workload (compare zorder_layout, which produces the
+    layout; this op scores one).
+
+    Scale shape (per layout): global rank is the pack_sequences
+    two-level scan — a monotone bucket key derived from the sort-key
+    prefix (orderkey // span, resp. day // span), per-bucket totals
+    folded once on the driver (bucket-count rows, never data rows),
+    ONE bucket-keyed repartition, then vectorized within-bucket rank +
+    tile assignment; per-tile (min, max, count) partials ride one
+    tile-keyed re-agg, and the final classification folds tile-count
+    rows.  No global sort ever runs."""
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"]
+    )
+    lo_us = int(np.datetime64(ZM_LO, "us").astype(np.int64))
+    hi_us = int(np.datetime64(ZM_HI, "us").astype(np.int64))
+
+    out_rows = []
+    for layout in ("natural", "shipdate"):
+
+        def keyed(t: pa.Table, layout=layout):
+            if len(t) == 0:
+                return
+            ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+            ln = t.column("l_linenumber").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            d = (
+                t.column("l_shipdate")
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            b = (
+                ok // ZM_NAT_SPAN
+                if layout == "natural"
+                else d // (_US_PER_DAY * ZM_DAY_SPAN)
+            )
+            yield pa.table(
+                {"b": pa.array(b), "ok": pa.array(ok),
+                 "ln": pa.array(ln), "d": pa.array(d)}
+            )
+
+        keyed_ds = li.map_batches(keyed, batch_format="pyarrow")
+
+        def pre(t: pa.Table):
+            if len(t) == 0 or "b" not in t.schema.names:
+                return
+            g = (
+                t.select(["b"])
+                .append_column("n", _ones(len(t)))
+                .group_by(["b"])
+                .aggregate([("n", "sum")])
+            )
+            yield g.rename_columns(["b", "n"])
+
+        sums = keyed_reagg(
+            keyed_ds.map_batches(pre, batch_format="pyarrow"),
+            ["b"], [("n", "sum")], P,
+        ).take_all()  # ≤ bucket-count rows
+        sums.sort(key=lambda r: r["b"])
+        offsets: dict[int, int] = {}
+        run = 0
+        for r in sums:
+            offsets[r["b"]] = run
+            run += int(r["n"])
+
+        co = keyed_ds.repartition(P, keys=["b"])
+
+        def assign(t: pa.Table, layout=layout, offsets=offsets):
+            if t.num_rows == 0 or "b" not in t.schema.names:
+                return
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            ok = t.column("ok").to_numpy(zero_copy_only=False)
+            ln = t.column("ln").to_numpy(zero_copy_only=False)
+            d = t.column("d").to_numpy(zero_copy_only=False)
+            order = (
+                np.lexsort((ln, ok, b))
+                if layout == "natural"
+                else np.lexsort((ln, ok, d, b))
+            )
+            b, d = b[order], d[order]
+            starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+            local = np.arange(len(b), dtype=np.int64) - np.repeat(
+                starts, np.diff(np.r_[starts, len(b)])
+            )
+            off = np.fromiter((offsets[x] for x in b), np.int64, len(b))
+            tile = (off + local) // ZM_TILE
+            g = (
+                pa.table(
+                    {
+                        "tile": pa.array(tile),
+                        "lo": pa.array(d),
+                        "hi": pa.array(d),
+                        "n": _ones(len(d)),
+                    }
+                )
+                .group_by(["tile"])
+                .aggregate([("lo", "min"), ("hi", "max"), ("n", "sum")])
+            )
+            yield g.rename_columns(["tile", "lo", "hi", "n"])
+
+        tiles = keyed_reagg(
+            co.map_batches(assign, batch_size=None, batch_format="pyarrow"),
+            ["tile"], [("lo", "min"), ("hi", "max"), ("n", "sum")], P,
+        )
+
+        def cls(t: pa.Table):
+            if t.num_rows == 0 or "lo" not in t.schema.names:
+                return
+            lo = t.column("lo").to_numpy(zero_copy_only=False)
+            hi = t.column("hi").to_numpy(zero_copy_only=False)
+            n = t.column("n").to_numpy(zero_copy_only=False)
+            pruned = (hi < lo_us) | (lo >= hi_us)
+            yield pa.table(
+                {
+                    "tiles_total": pa.array([len(lo)], pa.int64()),
+                    "tiles_pruned": pa.array(
+                        [int(pruned.sum())], pa.int64()),
+                    "rows_pruned": pa.array(
+                        [int(n[pruned].sum())], pa.int64()),
+                }
+            )
+
+        tot = [0, 0, 0]
+        for r in tiles.map_batches(cls, batch_format="pyarrow").take_all():
+            tot[0] += r["tiles_total"]
+            tot[1] += r["tiles_pruned"]
+            tot[2] += r["rows_pruned"]
+        out_rows.append((layout, tot[0], tot[1], tot[2]))
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "layout": pa.array([r[0] for r in out_rows]),
+                "tiles_total": pa.array(
+                    [r[1] for r in out_rows], pa.int64()),
+                "tiles_pruned": pa.array(
+                    [r[2] for r in out_rows], pa.int64()),
+                "rows_pruned": pa.array(
+                    [r[3] for r in out_rows], pa.int64()),
+            }
+        )
+    )
+
+
+ZONEMAP_PRUNE_SQL = f"""
+WITH nat AS (
+  SELECT l_shipdate AS d,
+    (ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1)
+      // {ZM_TILE} AS tile
+  FROM lineitem
+),
+shp AS (
+  SELECT l_shipdate AS d,
+    (ROW_NUMBER() OVER (ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1)
+      // {ZM_TILE} AS tile
+  FROM lineitem
+),
+tn AS (SELECT tile, MIN(d) AS lo, MAX(d) AS hi, COUNT(*) AS n
+       FROM nat GROUP BY tile),
+ts AS (SELECT tile, MIN(d) AS lo, MAX(d) AS hi, COUNT(*) AS n
+       FROM shp GROUP BY tile),
+cls AS (
+  SELECT 'natural' AS layout, CAST(COUNT(*) AS BIGINT) AS tiles_total,
+    CAST(SUM(CASE WHEN hi < TIMESTAMP '{ZM_LO}'
+                    OR lo >= TIMESTAMP '{ZM_HI}'
+             THEN 1 ELSE 0 END) AS BIGINT) AS tiles_pruned,
+    CAST(SUM(CASE WHEN hi < TIMESTAMP '{ZM_LO}'
+                    OR lo >= TIMESTAMP '{ZM_HI}'
+             THEN n ELSE 0 END) AS BIGINT) AS rows_pruned
+  FROM tn
+  UNION ALL
+  SELECT 'shipdate', CAST(COUNT(*) AS BIGINT),
+    CAST(SUM(CASE WHEN hi < TIMESTAMP '{ZM_LO}'
+                    OR lo >= TIMESTAMP '{ZM_HI}'
+             THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(SUM(CASE WHEN hi < TIMESTAMP '{ZM_LO}'
+                    OR lo >= TIMESTAMP '{ZM_HI}'
+             THEN n ELSE 0 END) AS BIGINT)
+  FROM ts
+)
+SELECT layout, tiles_total, tiles_pruned, rows_pruned FROM cls
+"""

@@ -1316,3 +1316,458 @@ def brute_force_topk_filtered(
         local_topk, batch_format="pyarrow"
     )
     return _merge_topk(partials, k, id_col)
+
+
+# --------------------------------------------------------------------------
+# k-center coreset, binary-quantized Hamming search, hybrid RRF fusion
+# --------------------------------------------------------------------------
+
+
+def _sq_bounds(ds: ray.data.Dataset, col: str = "embedding"):
+    """Per-dimension (lo, hi) corpus min/max — D-scalar block partials
+    folded on the driver (the scalar_quantize pass-1, shared)."""
+
+    def mm(t: pa.Table):
+        if len(t) == 0:
+            return
+        m = _emb_matrix64(t, col)
+        yield pa.table(
+            {
+                "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+                "lo": pa.array(m.min(axis=0)),
+                "hi": pa.array(m.max(axis=0)),
+            }
+        )
+
+    lo: dict[int, float] = {}
+    hi: dict[int, float] = {}
+    for r in ds.map_batches(mm, batch_format="pyarrow").take_all():
+        d = r["dim"]
+        lo[d] = min(lo.get(d, np.inf), r["lo"])
+        hi[d] = max(hi.get(d, -np.inf), r["hi"])
+    dims = sorted(lo)
+    return (
+        np.array([lo[d] for d in dims]),
+        np.array([hi[d] for d in dims]),
+    )
+
+
+def _min_vec_id(ds: ray.data.Dataset) -> int:
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield pa.table(
+            {"m": pa.array(
+                [int(t.column("vec_id").to_numpy(
+                    zero_copy_only=False).min())])}
+        )
+
+    return min(
+        r["m"] for r in ds.map_batches(pre, batch_format="pyarrow").take_all()
+    )
+
+
+def _code_of(ds: ray.data.Dataset, vid: int, lo_v, hi_v) -> np.ndarray:
+    def pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        hit = ids == vid
+        if not hit.any():
+            return
+        m = _emb_matrix64(t, "embedding")
+        codes = np.minimum(
+            np.floor((m - lo_v) * SQ_LEVELS / (hi_v - lo_v)), SQ_LEVELS
+        ).astype(np.int64)
+        yield pa.table({"code": pa.array(codes[hit].tolist())})
+
+    return np.asarray(
+        ds.map_batches(pre, batch_format="pyarrow").take_all()[0]["code"],
+        np.int64,
+    )
+
+
+KC_K = 8
+
+
+def kcenter_coreset(sf_dir: str) -> ray.data.Dataset:
+    """(rnk, vec_id, dist) — greedy farthest-first (Gonzalez k-center)
+    selection of ``KC_K`` points over the embeddings table: the
+    diversity-coreset pick a training-data pipeline runs to choose
+    maximally-spread exemplars (2-approximation of the k-center
+    optimum).  EXACT and oracle-checkable because it runs on the
+    integer scalar-quantization codes (the embedding_quantize
+    per-element rule): every distance is an integer squared-L2, so the
+    DuckDB oracle replays the greedy bit-for-bit.
+
+    Pinned rule: seed = min vec_id (dist 0); round r picks the
+    unselected point maximizing min-squared-distance to the selected
+    set (ties: vec_id asc); ``dist`` is that max-min value when
+    picked.
+
+    Scale shape: per-dimension lo/hi is a D-scalar fold; each of the
+    K−1 rounds is ONE streaming pass with the selected code matrix
+    (≤ K×D ints) broadcast in the closure, per-block top-1
+    pre-truncation (one (id, dist, code) row per block crosses), and a
+    block-count-bounded driver argmax — the degree_discount precedent:
+    driver greedy loops are fine when bounded by a pinned constant,
+    never corpus rows."""
+    import os
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    lo_v, hi_v = _sq_bounds(ds)
+    seed = _min_vec_id(ds)
+    seed_code = _code_of(ds, seed, lo_v, hi_v)
+
+    sel_ids = [seed]
+    sel_codes = [seed_code]
+    out = [(1, seed, 0)]
+    for rnk in range(2, KC_K + 1):
+        sel_id_arr = np.asarray(sel_ids, np.int64)
+        sel_mat = np.asarray(sel_codes, np.int64)  # (r-1, D)
+
+        def cand(t: pa.Table, sel_id_arr=sel_id_arr, sel_mat=sel_mat):
+            if len(t) == 0:
+                return
+            ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            m = _emb_matrix64(t, "embedding")
+            codes = np.minimum(
+                np.floor((m - lo_v) * SQ_LEVELS / (hi_v - lo_v)), SQ_LEVELS
+            ).astype(np.int64)
+            keep = ~np.isin(ids, sel_id_arr)
+            ids, codes = ids[keep], codes[keep]
+            if len(ids) == 0:
+                return
+            d = np.full(len(ids), np.iinfo(np.int64).max, np.int64)
+            for s in sel_mat:
+                diff = codes - s
+                d = np.minimum(d, (diff * diff).sum(axis=1))
+            top = np.lexsort((ids, -d))[0]
+            yield pa.table(
+                {
+                    "vec_id": pa.array([ids[top]]),
+                    "d": pa.array([int(d[top])], pa.int64()),
+                    "code": pa.array([codes[top].tolist()]),
+                }
+            )
+
+        rows = ds.map_batches(cand, batch_format="pyarrow").take_all()
+        if not rows:
+            break
+        best = min(rows, key=lambda r: (-r["d"], r["vec_id"]))
+        sel_ids.append(int(best["vec_id"]))
+        sel_codes.append(np.asarray(best["code"], np.int64))
+        out.append((rnk, int(best["vec_id"]), int(best["d"])))
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rnk": pa.array([o[0] for o in out], pa.int64()),
+                "vec_id": pa.array([o[1] for o in out], pa.int64()),
+                "dist": pa.array([o[2] for o in out], pa.int64()),
+            }
+        )
+    )
+
+
+_SQ_CODE_CTE = """u AS (
+  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS e,
+    UNNEST(range(len(embedding))) AS i
+  FROM embeddings
+),
+mm AS (SELECT i, MIN(e) AS lo, MAX(e) AS hi FROM u GROUP BY i),
+c AS MATERIALIZED (
+  SELECT u.vec_id, u.i,
+    CAST(LEAST(FLOOR((u.e - mm.lo) * 255.0 / (mm.hi - mm.lo)), 255.0)
+         AS BIGINT) AS code
+  FROM u JOIN mm ON u.i = mm.i
+)"""
+
+
+def _kcenter_sql() -> str:
+    """AS MATERIALIZED greedy chain (the degree_discount/MMR rule —
+    default CTE inlining re-evaluates greedy chains exponentially).
+    The 1-row pick CTEs join in via cross join, never a scalar
+    subquery inside a join condition (which forces a nested loop)."""
+    parts = [
+        _SQ_CODE_CTE,
+        "p1 AS MATERIALIZED ("
+        "SELECT MIN(vec_id) AS id, CAST(0 AS BIGINT) AS d FROM c)",
+        """md1 AS MATERIALIZED (
+  SELECT v.vec_id, CAST(SUM((v.code - q.code) * (v.code - q.code))
+                        AS BIGINT) AS d
+  FROM c v JOIN p1 pk ON true JOIN c q ON v.i = q.i AND q.vec_id = pk.id
+  GROUP BY v.vec_id)""",
+    ]
+    for r in range(2, KC_K + 1):
+        picked = " UNION ALL ".join(
+            f"SELECT id FROM p{j}" for j in range(1, r)
+        )
+        parts.append(f"""p{r} AS MATERIALIZED (
+  SELECT vec_id AS id, d FROM md{r - 1}
+  WHERE vec_id NOT IN ({picked})
+  ORDER BY d DESC, vec_id LIMIT 1)""")
+        if r < KC_K:
+            parts.append(f"""md{r} AS MATERIALIZED (
+  SELECT v.vec_id,
+    LEAST(m.d, CAST(SUM((v.code - q.code) * (v.code - q.code))
+                    AS BIGINT)) AS d
+  FROM c v JOIN p{r} pk ON true JOIN c q ON v.i = q.i AND q.vec_id = pk.id
+  JOIN md{r - 1} m ON m.vec_id = v.vec_id
+  GROUP BY v.vec_id, m.d)""")
+    tail = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rnk, id AS vec_id, d AS dist "
+        f"FROM p{r}"
+        for r in range(1, KC_K + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT * FROM (" + tail + ") ORDER BY rnk"
+    )
+
+
+KCENTER_CORESET_SQL = _kcenter_sql()
+
+
+BITQ_K = 10
+
+
+def bitq_hamming_topk(sf_dir: str) -> ray.data.Dataset:
+    """(rn, vec_id, hamming) — binary-quantized nearest neighbors:
+    each embedding collapses to a 64-bit sign code (bit_d = SQ code_d
+    ≥ 128, i.e. above the per-dimension midpoint), and the top
+    ``BITQ_K`` neighbors of the query (= min vec_id, excluded from
+    results) are ranked by Hamming distance (ties: vec_id asc) — the
+    32×-compressed first-stage retrieval filter in front of exact
+    rescoring.  Exact/oracle-checkable: bits derive from the integer
+    SQ codes (embedding_quantize rule), codes pack into two int64
+    words, and distance is popcount(xor) on both sides.
+
+    Scale shape: lo/hi is a D-scalar fold; ONE streaming pass packs
+    bits (vectorized dot with the power basis) and XOR-popcounts
+    against the broadcast 2-word query (np.unpackbits on the byte
+    view); per-block top-k pre-truncates so ≤ k rows per block reach
+    the single-block merge."""
+    import os
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    lo_v, hi_v = _sq_bounds(ds)
+    if len(lo_v) > 64:
+        raise ValueError(
+            f"bitq packs at most 64 dims into 2 words; got {len(lo_v)}"
+        )
+    qid = _min_vec_id(ds)
+    qcode = _code_of(ds, qid, lo_v, hi_v)
+
+    p0 = (np.int64(1) << np.arange(min(32, len(lo_v)), dtype=np.int64))
+    p1 = (np.int64(1) << np.arange(max(0, len(lo_v) - 32), dtype=np.int64))
+
+    def words(codes: np.ndarray):
+        bits = (codes >= 128).astype(np.int64)
+        w0 = bits[:, : len(p0)] @ p0
+        w1 = (
+            bits[:, 32 : 32 + len(p1)] @ p1
+            if len(p1)
+            else np.zeros(len(bits), np.int64)
+        )
+        return w0, w1
+
+    q0, q1 = words(qcode[None, :])
+    q0, q1 = int(q0[0]), int(q1[0])
+
+    def popcnt(x: np.ndarray) -> np.ndarray:
+        return np.unpackbits(
+            x.astype(np.int64).view(np.uint8).reshape(len(x), 8), axis=1
+        ).sum(axis=1).astype(np.int64)
+
+    def local(t: pa.Table):
+        if len(t) == 0:
+            return
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _emb_matrix64(t, "embedding")
+        codes = np.minimum(
+            np.floor((m - lo_v) * SQ_LEVELS / (hi_v - lo_v)), SQ_LEVELS
+        ).astype(np.int64)
+        keep = ids != qid
+        ids, codes = ids[keep], codes[keep]
+        if len(ids) == 0:
+            return
+        w0, w1 = words(codes)
+        ham = popcnt(w0 ^ q0) + popcnt(w1 ^ q1)
+        order = np.lexsort((ids, ham))[:BITQ_K]
+        yield pa.table(
+            {
+                "vec_id": pa.array(ids[order]),
+                "hamming": pa.array(ham[order], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table):
+        if len(t) == 0 or "hamming" not in t.schema.names:
+            return
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        ham = t.column("hamming").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ham))[:BITQ_K]
+        yield pa.table(
+            {
+                "rn": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64)),
+                "vec_id": pa.array(ids[order]),
+                "hamming": pa.array(ham[order], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_size=None, batch_format="pyarrow")
+    )
+
+
+BITQ_HAMMING_SQL = (
+    "WITH " + _SQ_CODE_CTE + f""",
+w AS MATERIALIZED (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN i < 32 AND code >= 128
+                  THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS w0,
+    CAST(SUM(CASE WHEN i >= 32 AND code >= 128
+                  THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) AS w1
+  FROM c GROUP BY vec_id),
+q AS (SELECT * FROM w WHERE vec_id = (SELECT MIN(vec_id) FROM w)),
+h AS (
+  SELECT w.vec_id,
+    CAST(bit_count(xor(w.w0, q.w0))
+       + bit_count(xor(w.w1, q.w1)) AS BIGINT) AS hamming
+  FROM w, q WHERE w.vec_id <> q.vec_id)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY hamming, vec_id) AS BIGINT) AS rn,
+  vec_id, hamming
+FROM h ORDER BY hamming, vec_id LIMIT {BITQ_K}
+"""
+)
+
+
+RRF_C = 60
+RRF_SCALE = 10 ** 12
+HYB_K = 10
+
+
+def hybrid_rrf_topk(sf_dir: str) -> ray.data.Dataset:
+    """(rn, id, rrf) — hybrid retrieval by Reciprocal Rank Fusion of
+    the two ranking modalities this repo already verifies end-to-end:
+    the lexical list A = bm25_topk (top-{HYB_K} doc_ids by BM25) and
+    the dense list B = top-{HYB_K} vec_ids by integer SQ-code dot
+    product against the query vector (= min vec_id; the mmr_rerank
+    relevance, query row included), joined on the shared id space
+    (vec_id ≡ doc_id in the testdata).  RRF kept EXACT in integers:
+    ``rrf(id) = Σ_lists 10^12 // (60 + rank)`` (floor division on both
+    sides — the Q11 rule: never a float reciprocal), final ranking
+    (rrf desc, id asc), top {HYB_K}.
+
+    Scale shape: both input lists are already k-bounded (bm25's
+    pre-truncate→merge and the dense pass's per-block top-k → 1-block
+    merge); the fusion itself touches 2k rows on the driver — the
+    pinned-constant rule."""
+    import os
+
+    from .terms import bm25_topk
+
+    a_rows = bm25_topk(sf_dir).take_all()  # ≤ HYB_K rows by contract
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    lo_v, hi_v = _sq_bounds(ds)
+    qid = _min_vec_id(ds)
+    qcode = _code_of(ds, qid, lo_v, hi_v)
+
+    def rel_pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _emb_matrix64(t, "embedding")
+        codes = np.minimum(
+            np.floor((m - lo_v) * SQ_LEVELS / (hi_v - lo_v)), SQ_LEVELS
+        ).astype(np.int64)
+        rel = codes @ qcode
+        order = np.lexsort((ids, -rel))[:HYB_K]
+        yield pa.table(
+            {"vec_id": pa.array(ids[order]), "rel": pa.array(rel[order])}
+        )
+
+    b_rows = (
+        ds.map_batches(rel_pre, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "vec_id": t.column("vec_id").take(
+                        pa.array(
+                            np.lexsort(
+                                (
+                                    t.column("vec_id").to_numpy(
+                                        zero_copy_only=False),
+                                    -t.column("rel").to_numpy(
+                                        zero_copy_only=False),
+                                )
+                            )[:HYB_K]
+                        )
+                    )
+                }
+            ),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+
+    score: dict[int, int] = {}
+    for rn, r in enumerate(a_rows, 1):
+        i = int(r["doc_id"])
+        score[i] = score.get(i, 0) + RRF_SCALE // (RRF_C + rn)
+    for rn, r in enumerate(b_rows, 1):
+        i = int(r["vec_id"])
+        score[i] = score.get(i, 0) + RRF_SCALE // (RRF_C + rn)
+    ranked = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:HYB_K]
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rn": pa.array(
+                    np.arange(1, len(ranked) + 1, dtype=np.int64)),
+                "id": pa.array([k for k, _ in ranked], pa.int64()),
+                "rrf": pa.array([v for _, v in ranked], pa.int64()),
+            }
+        )
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    from .terms import BM25_TOPK_SQL
+
+    return f"""
+WITH a AS MATERIALIZED (SELECT doc_id AS id, rn FROM ({BM25_TOPK_SQL})),
+{_SQ_CODE_CTE},
+qv AS (SELECT MIN(vec_id) AS m FROM c),
+rel AS (
+  SELECT v.vec_id, CAST(SUM(v.code * q.code) AS BIGINT) AS rel
+  FROM c v JOIN qv ON true JOIN c q ON q.i = v.i AND q.vec_id = qv.m
+  GROUP BY v.vec_id),
+b AS MATERIALIZED (
+  SELECT vec_id AS id,
+    CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) AS BIGINT) AS rn
+  FROM rel QUALIFY rn <= {HYB_K}),
+fused AS (SELECT id, rn FROM a UNION ALL SELECT id, rn FROM b),
+rrf AS (
+  SELECT id, CAST(SUM({RRF_SCALE} // ({RRF_C} + rn)) AS BIGINT) AS rrf
+  FROM fused GROUP BY id)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS rn,
+  id, rrf
+FROM rrf ORDER BY rrf DESC, id LIMIT {HYB_K}
+"""

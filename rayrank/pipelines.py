@@ -932,6 +932,9 @@ def event_window_counts(sf_dir: str) -> ray.data.Dataset:
     return g.map_batches(finish, batch_format="pyarrow")
 
 
+HOP_US = 3_600_000_000  # 1h hop
+HOP_WINDOW_HOPS = 2  # 2h windows ⇒ each event lands in 2 windows
+
 WM_LATE_US = 3_600_000_000        # watermark lateness bound: 1h
 WM_JITTER_US = 4 * 3_600_000_000  # planted arrival jitter: < 4h
 WM_SPAN_US = 86_400_000_000       # arrival-key bucket: 1 day
@@ -5650,3 +5653,290 @@ def partition_profile(sf_dir: str) -> ray.data.Dataset:
         yield pa.table(cols)
 
     return out.map_batches(fin, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Square (4-cycle) census — the rectangle analogue of triangle_count
+# --------------------------------------------------------------------------
+
+SQ_DEG_CAP = 24  # wedge centers obey the common_neighbors hub rule
+
+
+def square_count(sf_dir: str) -> ray.data.Dataset:
+    """One row (pairs, wedges, squares) — the 4-cycle census of the
+    undirected lineitem graph: for every unordered vertex pair (u, v),
+    ``codeg(u, v)`` = shared neighbors c with ``2 ≤ deg(c) ≤
+    SQ_DEG_CAP`` (the common_neighbors hub rule — the cap is the
+    operator contract, mirrored in SQL); then
+
+    * ``pairs``   = #{(u, v) : codeg ≥ 1}
+    * ``wedges``  = Σ codeg            (capped wedge count)
+    * ``squares`` = Σ C(codeg, 2)      (each 4-cycle counted once per
+      opposite-corner pair whose two connecting centers are capped)
+
+    The rectangle census is the bipartite-ish cousin of
+    triangle_count: on the order–part graph it measures co-purchase
+    redundancy (two orders sharing ≥2 parts), the signal behind
+    butterfly_count generalized to one vertex space.
+
+    Scale shape: identical routing to common_neighbors — block-local
+    both-direction dedup, ONE repartition by wedge center so each
+    center's global neighbor set is block-local, vectorized segmented
+    pair emission bounded by cap·|E|, per-block pre-combine, one
+    (u, v)-keyed re-agg, then a 3-scalar per-block fold (block-count
+    rows reach the coalesced finish, never pair rows)."""
+    from .shuffle import keyed_reagg
+
+    P2 = 16
+
+    def und_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        g = pa.table(
+            {"a": pa.array(np.r_[s, d]), "b": pa.array(np.r_[d, s])}
+        ).group_by(["a", "b"]).aggregate([])
+        yield g.rename_columns(["a", "b"])
+
+    und = sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow")
+    mid = und.repartition(P2, keys=["b"])
+
+    def emit_pairs(t: pa.Table):
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((a, b))
+        a_s, b_s = a[order], b[order]
+        uniq = np.r_[True, (b_s[1:] != b_s[:-1]) | (a_s[1:] != a_s[:-1])]
+        a_s, b_s = a_s[uniq], b_s[uniq]  # global dedup: all copies land here
+        starts = np.flatnonzero(np.r_[True, b_s[1:] != b_s[:-1]])
+        deg = np.diff(np.r_[starts, len(b_s)])
+        ok = (deg >= 2) & (deg <= SQ_DEG_CAP)
+        if not ok.any():
+            return
+        starts, deg = starts[ok], deg[ok]
+        take = np.repeat(starts, deg) + _seg_arange(deg)
+        vals = a_s[take]
+        seg_starts = np.r_[0, np.cumsum(deg)[:-1]]
+        tail = np.repeat(seg_starts + deg, deg) - np.arange(len(vals)) - 1
+        first = np.repeat(np.arange(len(vals)), tail)
+        second = first + _seg_arange(tail) + 1
+        if len(first) == 0:
+            return
+        g = (
+            pa.table(
+                {
+                    "u": pa.array(vals[first]),
+                    "v": pa.array(vals[second]),
+                    "cn": pa.array(np.ones(len(first), np.int64)),
+                }
+            )
+            .group_by(["u", "v"])
+            .aggregate([("cn", "sum")])
+        )
+        yield g.rename_columns(["u", "v", "cn"])
+
+    pairs = keyed_reagg(
+        mid.map_batches(emit_pairs, batch_size=None, batch_format="pyarrow"),
+        ["u", "v"], [("cn", "sum")], P2,
+    )
+
+    def fold(t: pa.Table):
+        if t.num_rows == 0 or "cn" not in t.schema.names:
+            return
+        c = t.column("cn").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "pairs": pa.array([len(c)], pa.int64()),
+                "wedges": pa.array([int(c.sum())], pa.int64()),
+                "squares": pa.array([int((c * (c - 1) // 2).sum())],
+                                    pa.int64()),
+            }
+        )
+
+    def finish(t: pa.Table):
+        if t.num_rows == 0 or "pairs" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                c: pa.array(
+                    [int(t.column(c).to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                )
+                for c in ("pairs", "wedges", "squares")
+            }
+        )
+
+    return (
+        pairs.map_batches(fold, batch_size=None, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_size=None, batch_format="pyarrow")
+    )
+
+
+SQUARE_COUNT_SQL = f"""
+WITH raw AS (
+  SELECT l_orderkey AS s, l_partkey AS t FROM lineitem
+),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+  )
+),
+deg AS (
+  SELECT b AS c, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY b
+),
+elig AS (SELECT c FROM deg WHERE d BETWEEN 2 AND {SQ_DEG_CAP}),
+wedge AS (
+  SELECT e1.a AS u, e2.a AS v
+  FROM und e1 JOIN und e2 ON e1.b = e2.b AND e1.a < e2.a
+  JOIN elig el ON el.c = e1.b
+),
+cnt AS (
+  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS c FROM wedge GROUP BY u, v
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS pairs,
+       CAST(SUM(c) AS BIGINT) AS wedges,
+       CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS squares
+FROM cnt
+"""
+
+
+def bipartite_conflict(sf_dir: str) -> ray.data.Dataset:
+    """One row (edges, conflict_edges, components, odd_components) —
+    the bipartiteness / odd-cycle census of the undirected lineitem
+    graph: 2-color every component by BFS parity from its canonical
+    representative (= min member name, string order — the
+    canonical_components label), then count edges whose endpoints got
+    the SAME color.  A component is bipartite iff it has no conflict
+    edge; conflict edges certify odd cycles (each lies on one).  This
+    is the screening pass before any algorithm that assumes
+    two-sidedness (butterfly counting, bipartite matching, two-tower
+    sampling).
+
+    Composition of verified parts: CC (min-label loop) supplies one
+    seed per component, ONE multi-seed BFS (gather_min shard loop)
+    supplies parities, and the parity check is a two-way name join
+    over the deduped edge list — no new kernels.  The seed list
+    crosses the driver (component-count bounded, the landmark
+    precedent); everything row-scale stays distributed.  SQL: the CC
+    CTE chains into a multi-seed min-plus BFS recursion (b2←f1←b1
+    precedent), then one parity join."""
+    from .bfs import bfs, reachable_depths
+    from .components import canonical_components, connected_components
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    gdir = _graph(sf_dir, "undirected")
+    cc = connected_components(gdir)
+    labels = canonical_components(cc, gdir)
+
+    def comp_pre(t: pa.Table):
+        if t.num_rows == 0 or "component" not in t.schema.names:
+            return
+        yield t.select(["component"]).group_by(["component"]).aggregate([])
+
+    comps = keyed_reagg(
+        labels.map_batches(comp_pre, batch_format="pyarrow"),
+        ["component"], [], P,
+    )
+    seeds = sorted(r["component"] for r in comps.take_all())
+
+    depths = reachable_depths(bfs(gdir, seeds), gdir)  # (name, depth)
+
+    def und_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        # canonicalize AFTER casting to string (string order — the
+        # ego_network_edges lesson; SQL compares VARCHAR names)
+        sa = pa.array(s.astype("U"), pa.string())
+        sb = pa.array(d.astype("U"), pa.string())
+        lo = pc.if_else(pc.less(sa, sb), sa, sb)
+        hi = pc.if_else(pc.less(sa, sb), sb, sa)
+        g = pa.table({"a": lo, "b": hi}).group_by(["a", "b"]).aggregate([])
+        yield g.rename_columns(["a", "b"])
+
+    epairs = keyed_reagg(
+        sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
+        ["a", "b"], [], P,
+    )
+
+    j1 = join_auto(
+        epairs, depths, on=("a",), right_on=("name",), num_partitions=P
+    )
+
+    def tag_da(t: pa.Table):
+        if t.num_rows == 0 or "depth" not in t.schema.names:
+            return
+        yield t.rename_columns(
+            ["da" if c == "depth" else c for c in t.schema.names]
+        )
+
+    j2 = join_auto(
+        j1.map_batches(tag_da, batch_format="pyarrow"), depths,
+        on=("b",), right_on=("name",), num_partitions=P,
+    )
+
+    def conflict_rows(t: pa.Table):
+        if t.num_rows == 0 or "da" not in t.schema.names:
+            return
+        da = t.column("da").to_numpy(zero_copy_only=False)
+        db = t.column("depth").to_numpy(zero_copy_only=False)
+        bad = ((da + db) % 2 == 0).astype(np.int64)
+        yield pa.table(
+            {
+                "a": t.column("a"),
+                "conflict": pa.array(bad),
+                "one": pa.array(np.ones(len(bad), np.int64)),
+            }
+        )
+
+    flagged = j2.map_batches(conflict_rows, batch_format="pyarrow")
+
+    # ONE pass: per-component (edges, conflicts) partials — the driver
+    # folds component-count rows, never edge rows
+    jc = join_auto(
+        flagged, labels, on=("a",), right_on=("name",), num_partitions=P
+    )
+
+    def comp_counts(t: pa.Table):
+        if t.num_rows == 0 or "component" not in t.schema.names:
+            return
+        g = (
+            t.select(["component", "one", "conflict"])
+            .group_by(["component"])
+            .aggregate([("one", "sum"), ("conflict", "sum")])
+        )
+        yield g.rename_columns(["component", "edges", "conflicts"])
+
+    per_comp = keyed_reagg(
+        jc.map_batches(comp_counts, batch_format="pyarrow"),
+        ["component"], [("edges", "sum"), ("conflicts", "sum")], P,
+    ).take_all()
+    n_edges = sum(int(r["edges"]) for r in per_comp)
+    n_conf = sum(int(r["conflicts"]) for r in per_comp)
+    odd = sum(1 for r in per_comp if r["conflicts"] > 0)
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "edges": pa.array([n_edges], pa.int64()),
+                "conflict_edges": pa.array([n_conf], pa.int64()),
+                "components": pa.array([len(seeds)], pa.int64()),
+                "odd_components": pa.array([odd], pa.int64()),
+            }
+        )
+    )

@@ -1,0 +1,87 @@
+"""Numpy mirrors for the twenty-first-sitting embedding ops: greedy
+k-center selection and binary-quantization Hamming search.  The SQL
+oracle mirror (test_entry_queries) checks both against DuckDB at
+sf0.001; these tests additionally pin the *algorithms* against
+brute-force numpy replays on the same data, so a future refactor
+can't drift inside a round-trip that happens to match SQL."""
+
+import os
+import sys
+
+import numpy as np
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
+from rayrank import ann
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _codes():
+    t = pq.read_table(
+        os.path.join(SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = t.column("vec_id").to_numpy()
+    m = ann._emb_matrix64(t, "embedding")
+    lo, hi = m.min(axis=0), m.max(axis=0)
+    codes = np.minimum(
+        np.floor((m - lo) * ann.SQ_LEVELS / (hi - lo)), ann.SQ_LEVELS
+    ).astype(np.int64)
+    return ids, codes
+
+
+def test_kcenter_matches_bruteforce_greedy():
+    ids, codes = _codes()
+    order = np.argsort(ids)
+    ids, codes = ids[order], codes[order]
+
+    sel = [0]  # min vec_id is 0 in the testdata
+    dists = [(1, int(ids[0]), 0)]
+    mind = ((codes - codes[sel[0]]) ** 2).sum(axis=1)
+    for rnk in range(2, ann.KC_K + 1):
+        mask = ~np.isin(np.arange(len(ids)), sel)
+        cand = np.flatnonzero(mask)
+        best = cand[np.lexsort((ids[cand], -mind[cand]))[0]]
+        dists.append((rnk, int(ids[best]), int(mind[best])))
+        sel.append(best)
+        mind = np.minimum(mind, ((codes - codes[best]) ** 2).sum(axis=1))
+
+    got = [
+        (r["rnk"], r["vec_id"], r["dist"])
+        for r in ann.kcenter_coreset(SF_DIR).take_all()
+    ]
+    assert got == dists
+
+
+def test_bitq_hamming_matches_bruteforce():
+    ids, codes = _codes()
+    qi = int(np.argmin(ids))
+    bits = (codes >= 128).astype(np.int64)
+    ham = (bits != bits[qi]).sum(axis=1)
+    keep = ids != ids[qi]
+    kid, kham = ids[keep], ham[keep]
+    order = np.lexsort((kid, kham))[: ann.BITQ_K]
+    want = [
+        (i + 1, int(kid[o]), int(kham[o])) for i, o in enumerate(order)
+    ]
+    got = [
+        (r["rn"], r["vec_id"], r["hamming"])
+        for r in ann.bitq_hamming_topk(SF_DIR).take_all()
+    ]
+    assert got == want
+
+
+def test_popcount_helper_values():
+    # popcount via unpackbits must agree with Python's int.bit_count,
+    # including negative int64 words (two's-complement bytes).
+    xs = np.array(
+        [0, 1, -1, 2**62, -(2**62), 123456789, -987654321], np.int64
+    )
+    want = [int(x) & 0xFFFFFFFFFFFFFFFF for x in xs]
+    want = [bin(w).count("1") for w in want]
+    got = np.unpackbits(
+        xs.view(np.uint8).reshape(len(xs), 8), axis=1
+    ).sum(axis=1)
+    assert got.tolist() == want
