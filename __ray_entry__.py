@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_neighbors": pl.common_neighbors,
         "square_count": pl.square_count,
         "bipartite_conflict": pl.bipartite_conflict,
+        "ppr_push": _push().ppr_push,
         "hierarchy_rollup": _an().hierarchy_rollup,
         "zonemap_prune_stats": _an().zonemap_prune_stats,
         "adamic_adar": pl.adamic_adar,
@@ -386,6 +387,12 @@ def _packmod():
     from rayrank import packing
 
     return packing
+
+
+def _push():
+    from rayrank import push
+
+    return push
 
 
 def _annmod():
@@ -3100,6 +3107,7 @@ def oracle_sql() -> dict[str, str]:
         "common_neighbors": _pl().COMMON_NEIGHBORS_SQL,
         "square_count": _pl().SQUARE_COUNT_SQL,
         "bipartite_conflict": _BIPARTITE_CONFLICT_SQL,
+        "ppr_push": _push().PPR_PUSH_SQL,
         "hierarchy_rollup": _an().HIERARCHY_ROLLUP_SQL,
         "zonemap_prune_stats": _an().ZONEMAP_PRUNE_SQL,
         "adamic_adar": _pl().ADAMIC_ADAR_SQL,

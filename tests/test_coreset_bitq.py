@@ -85,3 +85,14 @@ def test_popcount_helper_values():
         xs.view(np.uint8).reshape(len(xs), 8), axis=1
     ).sum(axis=1)
     assert got.tolist() == want
+
+
+def test_ppr_push_conserves_mass_exactly():
+    from rayrank import push
+
+    rows = push.ppr_push(SF_DIR).take_all()
+    total = sum(int(r["p_mass"]) + int(r["r_mass"]) for r in rows)
+    assert total == push.PUSH_SCALE  # exact integer conservation
+    seed = min(r["name"] for r in rows)
+    top = max(rows, key=lambda r: r["p_mass"])
+    assert top["name"] == seed  # most mass settles at the seed
