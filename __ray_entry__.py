@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "square_count": pl.square_count,
         "bipartite_conflict": pl.bipartite_conflict,
         "ppr_push": _push().ppr_push,
+        "simrank2_topk": _simrank().simrank2_topk,
         "hierarchy_rollup": _an().hierarchy_rollup,
         "zonemap_prune_stats": _an().zonemap_prune_stats,
         "adamic_adar": pl.adamic_adar,
@@ -393,6 +394,12 @@ def _push():
     from rayrank import push
 
     return push
+
+
+def _simrank():
+    from rayrank import simrank
+
+    return simrank
 
 
 def _annmod():
@@ -3108,6 +3115,7 @@ def oracle_sql() -> dict[str, str]:
         "square_count": _pl().SQUARE_COUNT_SQL,
         "bipartite_conflict": _BIPARTITE_CONFLICT_SQL,
         "ppr_push": _push().PPR_PUSH_SQL,
+        "simrank2_topk": _simrank().SIMRANK2_TOPK_SQL,
         "hierarchy_rollup": _an().HIERARCHY_ROLLUP_SQL,
         "zonemap_prune_stats": _an().ZONEMAP_PRUNE_SQL,
         "adamic_adar": _pl().ADAMIC_ADAR_SQL,
