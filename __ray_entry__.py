@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "butterfly_count": _truss().butterfly_count,
         "ivm_event_revenue": _an().ivm_event_revenue,
         "revenue_autocorr": _an().revenue_autocorr,
+        "revenue_theil_sen": _an().revenue_theil_sen,
         "zorder_layout": _an().zorder_layout,
         "tokenizer_fertility": pl.tokenizer_fertility,
         "vocab_oov_rate": _terms().vocab_oov_rate,
@@ -280,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _terms().doc_repetition,
         "contamination_ngram": _terms().contamination_ngram,
         "cross_source_ngram_overlap": _terms().cross_source_ngram_overlap,
+        "doc_char_entropy": _terms().doc_char_entropy,
         "token_counts": pl.token_counts,
         "doc_stats": pl.doc_stats,                      # rows-only (fingerprint)
         "doc_quality": pl.doc_quality,
@@ -306,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_kmv_jaccard": pl.parts_kmv_jaccard,
         "hll_distinct_parts": pl.hll_distinct_parts,
         "cms_part_counts": pl.cms_part_counts,
+        "ams_f2_parts": pl.ams_f2_parts,
         "embedding_near_dups": pl.embedding_near_dup_pairs,  # rows-only
         "ann_topk": pl.ann_topk,
         "filtered_ann_topk": pl.filtered_ann_topk,
@@ -314,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_rerank": _annmod().mmr_rerank,
         "kcenter_coreset": _annmod().kcenter_coreset,
         "bitq_hamming_topk": _annmod().bitq_hamming_topk,
+        "pq_adc_topk": _annmod().pq_adc_topk,
         "hybrid_rrf_topk": _annmod().hybrid_rrf_topk,
         "centroid_classify": _annmod().centroid_classify,
         "centroid_confusion": _annmod().centroid_confusion,
@@ -363,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep_stats": pl.corpus_prep_stats,
         "doc_chunks": _packmod().doc_chunks,
         "bigram_lm_perplexity": _lmmod().bigram_lm_perplexity,
+        "kn_bigram_score": _lmmod().kn_bigram_score,
         "dsir_weights": _lmmod().dsir_weights,
         "wl_refinement": _wlmod().wl_refinement,
         "shared_ngram_lengths": _terms().shared_ngram_lengths,
@@ -2413,6 +2418,59 @@ SELECT source,
 FROM j GROUP BY 1, 2"""
 
 
+def _kn_bigram_sql() -> str:
+    """Interpolated Kneser–Ney bigram heldout scoring (rayrank/lm.py
+    kn_bigram_score): counts/contexts/continuation-counts from the
+    train split, the pinned skip rule (ctx seen AND N1+(·b) > 0), and
+    the float chain written with the SAME left association as the
+    numpy side so floor(1e9·ln p) matches bit-identically."""
+    from rayrank.lm import KN_D
+    from rayrank.packing import SPLIT_TRAIN_T
+
+    return rf"""
+WITH {_sm64_id_cte("(SELECT doc_id AS id, doc_id AS x FROM documents)")},
+tok AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS lst
+  FROM documents
+),
+tr AS (SELECT t.doc_id, lst FROM tok t JOIN hh h ON t.doc_id = h.id
+       WHERE h.z < {SPLIT_TRAIN_T}),
+he AS (SELECT t.doc_id, lst FROM tok t JOIN hh h ON t.doc_id = h.id
+       WHERE h.z >= {SPLIT_TRAIN_T}),
+tb AS (
+  SELECT u[1] AS a, u[2] AS b
+  FROM tr, UNNEST(list_zip(lst[1:-1], lst[2:])) AS zz(u)
+  WHERE u[1] IS NOT NULL AND u[2] IS NOT NULL
+),
+bcnt AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c FROM tb GROUP BY a, b),
+cx AS (SELECT a, CAST(SUM(c) AS BIGINT) AS cc,
+              CAST(COUNT(*) AS BIGINT) AS nf
+       FROM bcnt GROUP BY a),
+nbk AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nb FROM bcnt GROUP BY b),
+nbt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbig FROM bcnt),
+hp AS (
+  SELECT doc_id, u[1] AS a, u[2] AS b
+  FROM he, UNNEST(list_zip(lst[1:-1], lst[2:])) AS zz(u)
+  WHERE u[1] IS NOT NULL AND u[2] IS NOT NULL
+),
+q AS (
+  SELECT hp.doc_id,
+    CAST(FLOOR(LN(
+      (GREATEST(CAST(COALESCE(bc.c, 0) AS DOUBLE) - {KN_D}, 0.0)
+       + ({KN_D} * CAST(cx.nf AS DOUBLE))
+         * (CAST(nbk.nb AS DOUBLE) / CAST(nbt.nbig AS DOUBLE)))
+      / CAST(cx.cc AS DOUBLE)) * 1000000000.0) AS BIGINT) AS q
+  FROM hp
+  LEFT JOIN bcnt bc ON hp.a = bc.a AND hp.b = bc.b
+  JOIN cx ON hp.a = cx.a
+  JOIN nbk ON hp.b = nbk.b, nbt
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+  CAST(SUM(q) AS BIGINT) AS kn_q
+FROM q GROUP BY doc_id"""
+
+
 def _bigram_lm_sql() -> str:
     """Add-one bigram LM heldout scoring: the train split via the
     exact splitmix threshold, counts/context/vocab from train, each
@@ -2864,6 +2922,38 @@ est AS (
 SELECT k AS {col}, CAST(e AS BIGINT) AS est_count FROM est"""
 
 
+def _ams_f2_sql(col: str, table: str, r: int = 16) -> str:
+    """AMS tug-of-war F2 sketch rebuilt in SQL: sign_j(key) = ±1 from
+    the low bit of splitmix64(key·r + j) (the cms hash-chain rule),
+    Z_j exact integer sums, pure-integer median-of-means over r//4
+    groups of 4 (floor divisions on non-negatives — DuckDB ``//`` ==
+    Python ``//``), next to the exact Σf².  Matches
+    rayrank.sketch.ams_f2 bit-for-bit."""
+    ng = r // 4
+    src = (
+        f"(SELECT j, CAST({col}*{r} + j AS HUGEINT) AS x "
+        f"FROM {table} CROSS JOIN (SELECT UNNEST(range({r})) AS j) jj)"
+    )
+    return f"""
+WITH {_sm64_carry_cte(src, ["j"], "")},
+zz AS (
+  SELECT j, SUM(CASE WHEN z % 2 = 1 THEN 1 ELSE -1 END) AS zj
+  FROM hh GROUP BY j
+),
+xs AS (SELECT j // 4 AS g, CAST(zj AS HUGEINT) * zj AS x FROM zz),
+ms AS (SELECT g, SUM(x) // 4 AS m FROM xs GROUP BY g),
+rk AS (SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM ms),
+med AS (SELECT SUM(m) // 2 AS est FROM rk WHERE rn IN ({ng // 2}, {ng // 2 + 1})),
+ex AS (
+  SELECT SUM(CAST(c AS HUGEINT) * c) AS f2
+  FROM (SELECT COUNT(*) AS c FROM {table} GROUP BY {col})
+)
+SELECT CAST({r} AS BIGINT) AS r_estimators,
+  CAST(med.est AS BIGINT) AS est_f2,
+  CAST(ex.f2 AS BIGINT) AS exact_f2
+FROM med, ex"""
+
+
 def _hll_sql(col: str, table: str, p: int) -> str:
     m = 1 << p
     wmask = (1 << (64 - p)) - 1
@@ -3006,6 +3096,7 @@ def oracle_sql() -> dict[str, str]:
         "butterfly_count": _truss().BUTTERFLY_COUNT_SQL,
         "ivm_event_revenue": _ivm_event_revenue_sql(),
         "revenue_autocorr": _an().REVENUE_AUTOCORR_SQL,
+        "revenue_theil_sen": _an().REVENUE_THEIL_SEN_SQL,
         "zorder_layout": _an().ZORDER_LAYOUT_SQL,
         "tokenizer_fertility": _pl().TOKENIZER_FERTILITY_SQL,
         "vocab_oov_rate": _terms().VOCAB_OOV_RATE_SQL,
@@ -3204,6 +3295,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty": _terms().NGRAM_NOVELTY_SQL,
         "bpe_merges": _terms().BPE_MERGES_SQL,
         "doc_repetition": _terms().DOC_REPETITION_SQL,
+        "doc_char_entropy": _terms().DOC_CHAR_ENTROPY_SQL,
         "contamination_ngram": _terms().CONTAMINATION_NGRAM_SQL,
         "cross_source_ngram_overlap": _terms().CROSS_SOURCE_NGRAM_OVERLAP_SQL,
         "doc_quality": _doc_quality_sql(),
@@ -3273,10 +3365,12 @@ def oracle_sql() -> dict[str, str]:
         "parts_kmv_jaccard": _kmv_jaccard_sql(),
         "hll_distinct_parts": _hll_sql("l_partkey", "lineitem", 12),
         "cms_part_counts": _cms_sql("l_partkey", "lineitem", 256, 4),
+        "ams_f2_parts": _ams_f2_sql("l_partkey", "lineitem", 16),
         "embedding_quantize": _annmod().EMBEDDING_QUANTIZE_SQL,
         "mmr_rerank": _annmod().MMR_RERANK_SQL,
         "kcenter_coreset": _annmod().KCENTER_CORESET_SQL,
         "bitq_hamming_topk": _annmod().BITQ_HAMMING_SQL,
+        "pq_adc_topk": _annmod().PQ_ADC_SQL,
         "hybrid_rrf_topk": _annmod()._hybrid_rrf_sql(),
         "centroid_classify": _annmod().CENTROID_CLASSIFY_SQL,
         "centroid_confusion": _annmod().CENTROID_CONFUSION_SQL,
@@ -3366,6 +3460,7 @@ FROM h, s
         "corpus_prep_stats": _corpus_prep_sql(),
         "doc_chunks": _packmod().DOC_CHUNKS_SQL,
         "bigram_lm_perplexity": _bigram_lm_sql(),
+        "kn_bigram_score": _kn_bigram_sql(),
         "triangle_count": (
             "WITH raw AS (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem), "
             "und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v "

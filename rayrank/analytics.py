@@ -3895,3 +3895,113 @@ cls AS (
 )
 SELECT layout, tiles_total, tiles_pruned, rows_pruned FROM cls
 """
+
+
+# --------------------------------------------------------------------------
+# Theil–Sen robust trend + Mann–Kendall S over the daily revenue series
+# --------------------------------------------------------------------------
+
+TS_SCALE = 10**6          # slope quantized to micro-cents/day
+TS_OFF = 1 << 31          # |Δvalue| guard: keeps every // numerator ≥ 0
+
+
+def revenue_theil_sen(sf_dir: str) -> ray.data.Dataset:
+    """One row (n_days, n_pairs, theil_sen_q, mk_s) — the Theil–Sen
+    median slope (Theil 1950 / Sen 1968) and Mann–Kendall trend
+    statistic S = Σ sign(Δv) of the DAILY order-revenue series
+    (o_orderdate, Σ o_totalprice in cents): the outlier-robust trend
+    check next to the OLS in event_value_regression.
+
+    Exactness: pair slope quantized as ``⌊1e6·Δv/Δd⌋`` computed with
+    the offset identity ``((Δv + OFF·Δd)·1e6) // Δd − OFF·1e6`` so
+    every floor-division numerator is NON-NEGATIVE — DuckDB's ``//``
+    truncates toward zero while numpy floors, so negative numerators
+    are banned outright (raises if |Δv| ≥ OFF); the median of the
+    sorted slope multiset is ``(s_((n−1)//2) + s_(n//2))·… same offset
+    trick … // 2`` — pure integers end to end, bit-identical in SQL.
+
+    Scale shape: the only reduce is day-keyed (the open_orders knot
+    rule: days are a BOUNDED dimension — a decade is 3.7k rows no
+    matter the corpus size); the O(days²) pair fold runs vectorized on
+    the driver over that bounded table, never over corpus rows."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "o_orderdate" not in t.schema.names:
+            return
+        g = pa.table(
+            {
+                "day": pc.divide(
+                    pc.cast(t.column("o_orderdate"), pa.int64()), _DAY_US
+                ),
+                "vc": pa.array(_i64(t.column("o_totalprice"), 100)),
+            }
+        ).group_by(["day"]).aggregate([("vc", "sum")])
+        yield g.rename_columns(["day", "vc"])
+
+    rows = keyed_reagg(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]).map_batches(
+            pre, batch_format="pyarrow"
+        ),
+        ["day"], [("vc", "sum")], P,
+    ).take_all()  # bounded by the calendar, never by corpus rows
+    d = np.array(sorted(r["day"] for r in rows), np.int64)
+    by = {r["day"]: r["vc"] for r in rows}
+    v = np.array([by[x] for x in d], np.int64)
+    n = len(d)
+    iu, ju = np.triu_indices(n, k=1)
+    dv = v[ju] - v[iu]
+    dd = d[ju] - d[iu]  # > 0 by sort
+    if len(dv) and int(np.abs(dv).max()) >= TS_OFF:
+        raise OverflowError("revenue_theil_sen: |Δv| exceeds the offset guard")
+    sq = (dv + TS_OFF * dd) * TS_SCALE // dd - TS_OFF * TS_SCALE
+    sq.sort()
+    npairs = len(sq)
+    med = (
+        int(sq[(npairs - 1) // 2])
+        + int(sq[npairs // 2])
+        + 2 * TS_OFF * TS_SCALE
+    ) // 2 - TS_OFF * TS_SCALE
+    mk_s = int(np.sign(dv).sum())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_days": pa.array([n], pa.int64()),
+                "n_pairs": pa.array([npairs], pa.int64()),
+                "theil_sen_q": pa.array([med], pa.int64()),
+                "mk_s": pa.array([mk_s], pa.int64()),
+            }
+        )
+    )
+
+
+REVENUE_THEIL_SEN_SQL = f"""
+WITH daily AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS vc
+  FROM orders GROUP BY 1
+),
+pr AS (
+  SELECT b.vc - a.vc AS dv, b.day - a.day AS dd
+  FROM daily a JOIN daily b ON b.day > a.day
+),
+sl AS (
+  SELECT ((dv + {TS_OFF} * dd) * {TS_SCALE}) // dd
+           - CAST({TS_OFF} AS BIGINT) * {TS_SCALE} AS sq,
+    CAST(SIGN(dv) AS BIGINT) AS sg
+  FROM pr
+),
+rk AS (SELECT sq, ROW_NUMBER() OVER (ORDER BY sq) AS rn FROM sl),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM sl),
+r1 AS (SELECT sq FROM rk, tot WHERE rn = (np - 1) // 2 + 1),
+r2 AS (SELECT sq FROM rk, tot WHERE rn = np // 2 + 1),
+med AS (
+  SELECT (r1.sq + r2.sq + 2 * CAST({TS_OFF} AS BIGINT) * {TS_SCALE}) // 2
+           - CAST({TS_OFF} AS BIGINT) * {TS_SCALE} AS m
+  FROM r1, r2
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+  (SELECT np FROM tot) AS n_pairs,
+  CAST(med.m AS BIGINT) AS theil_sen_q,
+  (SELECT CAST(SUM(sg) AS BIGINT) FROM sl) AS mk_s
+FROM med
+"""

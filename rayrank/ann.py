@@ -1771,3 +1771,230 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS BIGINT) AS rn,
   id, rrf
 FROM rrf ORDER BY rrf DESC, id LIMIT {HYB_K}
 """
+
+
+# --------------------------------------------------------------------------
+# product quantization: per-subspace Gonzalez codebooks + ADC top-k
+# (Jégou, Douze & Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011 — public algorithm)
+# --------------------------------------------------------------------------
+
+PQ_M = 4       # subspaces (64-dim embeddings -> 16 dims each)
+PQ_K = 8       # codewords per subspace
+PQ_TOPK = 10
+
+
+def pq_adc_topk(sf_dir: str) -> ray.data.Dataset:
+    """(rn, vec_id, adc) — product-quantization retrieval: embeddings
+    collapse to ``PQ_M`` byte codes (one codeword index per subspace)
+    and the top ``PQ_TOPK`` neighbors of the query (= min vec_id,
+    excluded) are ranked by the Asymmetric Distance Computation
+    estimate (ties: vec_id asc) — the memory-bounded first-stage
+    retriever (M·log2(K) bits per vector) in front of exact rescoring.
+
+    EXACT and oracle-checkable end to end because every stage runs on
+    the integer SQ codes (embedding_quantize rule): the per-subspace
+    codebook is greedy farthest-first (the kcenter_coreset rule: seed =
+    min vec_id's subvector; round r picks the point maximizing
+    min-squared-distance to that subspace's selected set, ties vec_id
+    asc, already-picked ids excluded); assignment is integer argmin
+    with ties to the lowest codeword rank; ADC sums the query-to-
+    codeword integer squared distances through a (M×K) lookup table.
+
+    Scale shape: lo/hi is a D-scalar fold; each of the K−1 codebook
+    rounds is ONE streaming pass with ≤ M·K×(D/M) ints broadcast in
+    the closure and per-block top-1-per-subspace pre-truncation (the
+    pinned-constant driver-greedy rule); the final pass encodes +
+    scores each block against the broadcast LUT and pre-truncates to
+    PQ_TOPK rows per block before the single-block merge."""
+    import os
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    lo_v, hi_v = _sq_bounds(ds)
+    d = len(lo_v)
+    if d % PQ_M != 0:
+        raise ValueError(f"pq_adc_topk: dim {d} not divisible by {PQ_M}")
+    sub = d // PQ_M
+    qid = _min_vec_id(ds)
+    qcode = _code_of(ds, qid, lo_v, hi_v)  # (d,) int64
+
+    # greedy farthest-first per subspace, all subspaces in one pass/round
+    sel_ids = [[qid] for _ in range(PQ_M)]
+    sel_codes = [[qcode[s * sub:(s + 1) * sub]] for s in range(PQ_M)]
+    for _r in range(2, PQ_K + 1):
+        mats = [np.asarray(c, np.int64) for c in sel_codes]  # (r-1, sub)
+        idsets = [np.asarray(i, np.int64) for i in sel_ids]
+
+        def cand(t: pa.Table, mats=mats, idsets=idsets):
+            if len(t) == 0:
+                return
+            ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+            m = _emb_matrix64(t, "embedding")
+            codes = np.minimum(
+                np.floor((m - lo_v) * SQ_LEVELS / (hi_v - lo_v)), SQ_LEVELS
+            ).astype(np.int64)
+            out_s, out_id, out_d, out_c = [], [], [], []
+            for s in range(PQ_M):
+                keep = ~np.isin(ids, idsets[s])
+                sids = ids[keep]
+                if len(sids) == 0:
+                    continue
+                sc = codes[keep][:, s * sub:(s + 1) * sub]
+                dist = np.full(len(sids), np.iinfo(np.int64).max, np.int64)
+                for w in mats[s]:
+                    diff = sc - w
+                    dist = np.minimum(dist, (diff * diff).sum(axis=1))
+                top = np.lexsort((sids, -dist))[0]
+                out_s.append(s)
+                out_id.append(int(sids[top]))
+                out_d.append(int(dist[top]))
+                out_c.append(sc[top].tolist())
+            if out_s:
+                yield pa.table(
+                    {
+                        "s": pa.array(out_s, pa.int64()),
+                        "vec_id": pa.array(out_id, pa.int64()),
+                        "d": pa.array(out_d, pa.int64()),
+                        "code": pa.array(out_c),
+                    }
+                )
+
+        rows = ds.map_batches(cand, batch_format="pyarrow").take_all()
+        by_s: dict[int, list] = {}
+        for r in rows:
+            by_s.setdefault(int(r["s"]), []).append(r)
+        for s in range(PQ_M):
+            cands = by_s.get(s)
+            if not cands:
+                continue
+            best = min(cands, key=lambda r: (-r["d"], r["vec_id"]))
+            sel_ids[s].append(int(best["vec_id"]))
+            sel_codes[s].append(np.asarray(best["code"], np.int64))
+
+    cw = [np.asarray(c, np.int64) for c in sel_codes]  # per s: (K, sub)
+    qsub = [qcode[s * sub:(s + 1) * sub] for s in range(PQ_M)]
+    # ADC lookup table: dist from the query's subvector to each codeword
+    lut = [((cw[s] - qsub[s]) ** 2).sum(axis=1) for s in range(PQ_M)]
+
+    def score(t: pa.Table):
+        if len(t) == 0:
+            return
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _emb_matrix64(t, "embedding")
+        codes = np.minimum(
+            np.floor((m - lo_v) * SQ_LEVELS / (hi_v - lo_v)), SQ_LEVELS
+        ).astype(np.int64)
+        keep = ids != qid
+        ids, codes = ids[keep], codes[keep]
+        if len(ids) == 0:
+            return
+        adc = np.zeros(len(ids), np.int64)
+        for s in range(PQ_M):
+            sc = codes[:, s * sub:(s + 1) * sub]
+            diff = sc[:, None, :] - cw[s][None, :, :]  # (b, K, sub)
+            dj = (diff * diff).sum(axis=2)  # (b, K)
+            code_s = np.argmin(dj, axis=1)  # first min == lowest rank
+            adc += lut[s][code_s]
+        order = np.lexsort((ids, adc))[:PQ_TOPK]
+        yield pa.table(
+            {
+                "vec_id": pa.array(ids[order]),
+                "adc": pa.array(adc[order], pa.int64()),
+            }
+        )
+
+    def merge(t: pa.Table):
+        if len(t) == 0 or "adc" not in t.schema.names:
+            return
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        adc = t.column("adc").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, adc))[:PQ_TOPK]
+        yield pa.table(
+            {
+                "rn": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "vec_id": pa.array(ids[order]),
+                "adc": pa.array(adc[order], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_size=None, batch_format="pyarrow")
+    )
+
+
+def _pq_sql() -> str:
+    """AS MATERIALIZED greedy chain per subspace (kcenter rule), then
+    integer assignment + ADC.  One chain serves all subspaces at once:
+    each pick CTE takes the per-subspace argmax via QUALIFY."""
+    sub = 64 // PQ_M
+    sq = "(v.code - q.code) * (v.code - q.code)"
+    parts = [
+        _SQ_CODE_CTE.replace("c AS MATERIALIZED (", "c0 AS MATERIALIZED (", 1)
+        + f""",
+cs AS MATERIALIZED (SELECT vec_id, i // {sub} AS s, i, code FROM c0),
+seed AS (SELECT MIN(vec_id) AS id FROM cs),
+p1 AS MATERIALIZED (SELECT DISTINCT s, seed.id AS id FROM cs, seed)""",
+        f"""md1 AS MATERIALIZED (
+  SELECT v.s, v.vec_id, CAST(SUM({sq}) AS BIGINT) AS d
+  FROM cs v JOIN p1 pk ON pk.s = v.s
+  JOIN cs q ON q.s = v.s AND q.i = v.i AND q.vec_id = pk.id
+  GROUP BY v.s, v.vec_id)""",
+    ]
+    for r in range(2, PQ_K + 1):
+        picked = " UNION ALL ".join(
+            f"SELECT s, id FROM p{j}" for j in range(1, r)
+        )
+        parts.append(f"""p{r} AS MATERIALIZED (
+  SELECT s, vec_id AS id FROM md{r - 1} m
+  WHERE NOT EXISTS (SELECT 1 FROM ({picked}) pp
+                    WHERE pp.s = m.s AND pp.id = m.vec_id)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY s ORDER BY d DESC, vec_id) = 1)""")
+        if r < PQ_K:
+            parts.append(f"""md{r} AS MATERIALIZED (
+  SELECT v.s, v.vec_id, LEAST(m.d, CAST(SUM({sq}) AS BIGINT)) AS d
+  FROM cs v JOIN p{r} pk ON pk.s = v.s
+  JOIN cs q ON q.s = v.s AND q.i = v.i AND q.vec_id = pk.id
+  JOIN md{r - 1} m ON m.s = v.s AND m.vec_id = v.vec_id
+  GROUP BY v.s, v.vec_id, m.d)""")
+    cb = " UNION ALL ".join(
+        f"SELECT CAST({j} AS BIGINT) AS j, s, id FROM p{j}"
+        for j in range(1, PQ_K + 1)
+    )
+    parts.append(f"cb AS MATERIALIZED ({cb})")
+    parts.append("""cbc AS MATERIALIZED (
+  SELECT cb.s, cb.j, cs.i, cs.code
+  FROM cb JOIN cs ON cs.vec_id = cb.id AND cs.s = cb.s)""")
+    parts.append(f"""asg0 AS MATERIALIZED (
+  SELECT v.vec_id, v.s, w.j,
+    CAST(SUM((v.code - w.code) * (v.code - w.code)) AS BIGINT) AS dj
+  FROM cs v JOIN cbc w ON w.s = v.s AND w.i = v.i
+  GROUP BY v.vec_id, v.s, w.j)""")
+    parts.append("""asg AS MATERIALIZED (
+  SELECT vec_id, s, j FROM asg0
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dj, j) = 1)""")
+    parts.append("""lut AS MATERIALIZED (
+  SELECT w.s, w.j,
+    CAST(SUM((q.code - w.code) * (q.code - w.code)) AS BIGINT) AS dq
+  FROM cbc w JOIN cs q ON q.s = w.s AND q.i = w.i
+  JOIN seed ON q.vec_id = seed.id
+  GROUP BY w.s, w.j)""")
+    parts.append("""adc AS (
+  SELECT a.vec_id, CAST(SUM(l.dq) AS BIGINT) AS adc
+  FROM asg a JOIN lut l ON l.s = a.s AND l.j = a.j, seed
+  WHERE a.vec_id <> seed.id
+  GROUP BY a.vec_id)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY adc, vec_id) AS BIGINT) AS rn,
+  vec_id, adc
+FROM adc ORDER BY adc, vec_id LIMIT {PQ_TOPK}"""
+    )
+
+
+PQ_ADC_SQL = _pq_sql()

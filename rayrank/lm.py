@@ -290,3 +290,104 @@ def dsir_weights(sf_dir: str) -> ray.data.Dataset:
         yield g.rename_columns(["doc_id", "dsir_w"])
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+KN_D = 0.75  # absolute discount — exactly representable in binary
+
+
+def kn_bigram_score(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_scored, kn_q) — interpolated Kneser–Ney bigram
+    scoring of heldout documents (Kneser & Ney 1995; Chen & Goodman
+    1998 interpolated form), the standard upgrade over the add-one LM
+    in :func:`bigram_lm_perplexity`::
+
+        p(b|a) = (max(c(a,b) − D, 0) + D·N1+(a·)·(N1+(·b)/N1+(··)))
+                 / ctx(a)
+
+    with c the train bigram counts, ctx(a) = Σ_b c(a,b), N1+(a·) the
+    distinct continuations of a, N1+(·b) the distinct left contexts of
+    b, N1+(··) the distinct-bigram total.  Pinned skip rule: a heldout
+    bigram scores iff ctx(a) > 0 AND N1+(·b) > 0 (c(a,b) > 0 implies
+    the latter, so only heldout-novel continuations drop); ``kn_q =
+    Σ floor(1e9·ln p)`` is order-free by the zipf_slope rule and the
+    float chain is mirrored verbatim by the SQL oracle (same
+    left-associated ops on the same exact ints).
+
+    Scale shape: identical to bigram_lm_perplexity — the ONLY reduce
+    is the vocab²-bounded bigram count table (everything else derives
+    from it on the driver and broadcasts in the closure); scoring is
+    one block-local pass over heldout docs."""
+
+    def train_bigrams(t: pa.Table):
+        t = _split_block(t, train=True)
+        if len(t) == 0:
+            return
+        got = _bigrams_of_block(t)
+        if got is None:
+            return
+        _, a, b = got
+        g = (
+            pa.table({"a": a, "b": b})
+            .append_column("cnt", pa.array(np.ones(len(a), np.int64)))
+            .group_by(["a", "b"])
+            .aggregate([("cnt", "sum")])
+        )
+        yield g.rename_columns(["a", "b", "cnt"])
+
+    docs = _read_docs(sf_dir)
+    brows = keyed_reagg(
+        docs.map_batches(train_bigrams, batch_format="pyarrow"),
+        ["a", "b"], [("cnt", "sum")], P,
+    ).take_all()  # bigram-vocab-bounded
+    bdict = {(r["a"], r["b"]): int(r["cnt"]) for r in brows}
+    ctx: dict[str, int] = {}
+    nfw: dict[str, int] = {}
+    nbw: dict[str, int] = {}
+    for (a, b), c in bdict.items():
+        ctx[a] = ctx.get(a, 0) + c
+        nfw[a] = nfw.get(a, 0) + 1
+        nbw[b] = nbw.get(b, 0) + 1
+    nbig = float(len(bdict))
+
+    def score(t: pa.Table):
+        t = _split_block(t, train=False)
+        if len(t) == 0:
+            return
+        got = _bigrams_of_block(t)
+        if got is None:
+            return
+        dids, a, b = got
+        al = a.to_pylist()
+        bl = b.to_pylist()
+        n = len(al)
+        cab = np.fromiter(
+            (bdict.get(p, 0) for p in zip(al, bl)), np.float64, n
+        )
+        cc = np.fromiter((ctx.get(x, 0) for x in al), np.float64, n)
+        nf = np.fromiter((nfw.get(x, 0) for x in al), np.float64, n)
+        nb = np.fromiter((nbw.get(x, 0) for x in bl), np.float64, n)
+        keep = (cc > 0) & (nb > 0)
+        if not keep.any():
+            return
+        dids, cab, cc, nf, nb = (
+            dids[keep], cab[keep], cc[keep], nf[keep], nb[keep]
+        )
+        # ONE explicit float chain, mirrored verbatim in the SQL oracle
+        p = (
+            np.maximum(cab - KN_D, 0.0) + KN_D * nf * (nb / nbig)
+        ) / cc
+        q = np.floor(np.log(p) * _QSCALE).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "doc_id": pa.array(dids),
+                    "n_scored": pa.array(np.ones(len(q), np.int64)),
+                    "kn_q": pa.array(q),
+                }
+            )
+            .group_by(["doc_id"])
+            .aggregate([("n_scored", "sum"), ("kn_q", "sum")])
+        )
+        yield g.rename_columns(["doc_id", "n_scored", "kn_q"])
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -800,6 +800,17 @@ def cms_part_counts(sf_dir: str) -> ray.data.Dataset:
     return cms_estimates(keys, "l_partkey", grid)
 
 
+def ams_f2_parts(sf_dir: str) -> ray.data.Dataset:
+    """One-row AMS tug-of-war F2 sketch of lineitem.l_partkey next to
+    the exact Σf² (self-join-size estimation before planning a keyed
+    join) — pure-integer median-of-means, so even the approximate
+    estimate replays bit-identically in the SQL oracle
+    (rayrank.sketch.ams_f2)."""
+    from .sketch import ams_f2
+
+    return ams_f2(_read(sf_dir, "lineitem", ["l_partkey"]), "l_partkey")
+
+
 def price_quantiles(sf_dir: str) -> ray.data.Dataset:
     """Exact quantile_disc of lineitem.l_extendedprice at binary-exact
     q (so ceil(q·N) is float64-identical in engine and oracle) —

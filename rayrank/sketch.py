@@ -383,6 +383,117 @@ def cms_sketch(
     return grid
 
 
+# --------------------------------------------------------------------------
+# AMS "tug-of-war" second-frequency-moment sketch (Alon, Matias &
+# Szegedy 1996, public algorithm)
+# --------------------------------------------------------------------------
+
+AMS_R = 16  # estimators: 4 groups of 4 -> median-of-means
+
+
+def ams_f2(ds: ray.data.Dataset, column: str, r: int = AMS_R) -> ray.data.Dataset:
+    """One-row AMS estimate of F2 = Σ_key f_key² (the self-join size /
+    skew statistic) over an int64 ``column``, next to the exact value.
+
+    Sketch: estimator j keeps Z_j = Σ_rows s_j(key), the tug-of-war sum
+    with sign s_j(key) = ±1 from the low bit of splitmix64(key·r + j)
+    (the cms_sketch hash-chain rule; key·r + r − 1 must stay < 2^63 —
+    raises otherwise).  E[Z_j²] = F2.  Estimate pinned to PURE INTEGER
+    median-of-means: group means ⌊ΣZ²/4⌋ over 4 groups of 4, median =
+    ⌊(m_(2)+m_(3))/2⌋ — floor division on non-negatives matches DuckDB
+    ``//`` exactly, so the *approximate* estimate is SQL-checkable.
+
+    Scale shape: each block folds to r signed counters inside
+    ``map_batches`` (Z is a sum, so partials merge order-free); the
+    exact side pre-counts per key per block, reduces through ONE keyed
+    re-agg, and folds Σc² block-locally — the key table never
+    materializes anywhere.  Returns ``{r_estimators, est_f2, exact_f2}``.
+    """
+    if r % 8 != 0:
+        # groups of 4, and an even group count so the pinned median is
+        # the mean of the two middle group means on both sides
+        raise ValueError(f"ams_f2 needs r divisible by 8, got {r}")
+    from .shuffle import keyed_reagg
+
+    def zpart(t: pa.Table):
+        if t.num_rows == 0 or column not in t.schema.names:
+            return
+        v = t.column(column).to_numpy(zero_copy_only=False)
+        if len(v) and (int(v.max()) * r + r - 1) >= 1 << 63:
+            raise OverflowError("ams_f2: key·r exceeds int63")
+        vu = v.astype(np.uint64)
+        z = np.empty(r, np.int64)
+        for j in range(r):
+            with np.errstate(over="ignore"):
+                h = splitmix64(vu * np.uint64(r) + np.uint64(j))
+            ones = int((h & np.uint64(1)).sum())
+            z[j] = 2 * ones - len(v)  # Σ(+1/-1) signs
+        yield pa.table(
+            {"j": pa.array(np.arange(r, dtype=np.int64)), "z": pa.array(z)}
+        )
+
+    def zmerge(t: pa.Table):
+        zs = np.zeros(r, np.int64)
+        if t.num_rows and "j" in t.schema.names:
+            np.add.at(
+                zs,
+                t.column("j").to_numpy(zero_copy_only=False),
+                t.column("z").to_numpy(zero_copy_only=False),
+            )
+        x = [int(v) * int(v) for v in zs]  # python ints: no overflow
+        means = sorted(sum(x[g * 4:(g + 1) * 4]) // 4 for g in range(r // 4))
+        mid = len(means) // 2
+        est = (means[mid - 1] + means[mid]) // 2
+        yield pa.table({"est_f2": pa.array([est], pa.int64())})
+
+    est_ds = (
+        ds.map_batches(zpart, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(zmerge, batch_size=None, batch_format="pyarrow")
+    )
+
+    def cpart(t: pa.Table):
+        if t.num_rows == 0 or column not in t.schema.names:
+            return
+        g = (
+            pa.table(
+                {
+                    "key": t.column(column),
+                    "c": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            ).group_by(["key"]).aggregate([("c", "sum")])
+        )
+        yield g.rename_columns(["key", "c"])
+
+    def sq(t: pa.Table):
+        if t.num_rows == 0 or "c" not in t.schema.names:
+            return
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        yield pa.table({"f2": pa.array([int((c * c).sum())], pa.int64())})
+
+    exact_ds = (
+        keyed_reagg(
+            ds.map_batches(cpart, batch_format="pyarrow"),
+            ["key"], [("c", "sum")], num_partitions=4,
+        )
+        .map_batches(sq, batch_format="pyarrow")
+        .repartition(1)
+    )
+
+    def final(est: int, exact: int) -> pa.Table:
+        return pa.table(
+            {
+                "r_estimators": pa.array([r], pa.int64()),
+                "est_f2": pa.array([est], pa.int64()),
+                "exact_f2": pa.array([exact], pa.int64()),
+            }
+        )
+
+    est = est_ds.take_all()[0]["est_f2"]
+    exact = sum(row["f2"] for row in exact_ds.take_all())
+    return ray.data.from_arrow(final(int(est), int(exact)))
+
+
 def cms_estimates(
     keys: ray.data.Dataset,
     column: str,

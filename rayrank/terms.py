@@ -2531,3 +2531,95 @@ def shared_ngram_lengths(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+# --------------------------------------------------------------------------
+# per-document character entropy (quality heuristic)
+# --------------------------------------------------------------------------
+
+# RE2's \s (the DuckDB regexp class mirrored by the oracle's '\S'):
+_RE2_WS = np.array([9, 10, 12, 13, 32], np.uint8)
+_ENT_SCALE = 10**9
+
+
+def doc_char_entropy(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_chars, ent_q) — per-document character-unigram
+    entropy, the cheap gibberish/boilerplate detector run before
+    training (low entropy = repeated characters, high = random bytes).
+
+    Exactness: with counts c_i over non-whitespace chars and n = Σc_i,
+    H·n = n·ln n − Σ c_i·ln c_i; both ln terms are quantized through
+    the libm rule (floor(1e9·ln x) is bit-equal in numpy and DuckDB),
+    so ``ent_q = n·⌊1e9·ln n⌋ − Σ c_i·⌊1e9·ln c_i⌋`` is an exact
+    integer (≈ 1e9·n·H) and the sums are order-free.
+
+    Scale shape: entirely block-local (a document is ONE parquet row),
+    zero shuffle; chars are counted VECTORIZED from the arrow string
+    value buffer (one bincount over doc_idx·128 + byte — no per-row
+    Python).  ASCII is asserted (raises on high bytes) because the
+    byte==char identity is what makes the numpy count equal the SQL
+    side's regexp_extract_all(text, '\\S') unnest."""
+
+    def fn(t: pa.Table):
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return
+        col = t.column("text")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        # StringArray layout: buffers()[1] = int32 offsets (absolute into
+        # the value buffer, arr.offset entries ahead), buffers()[2] = bytes
+        otype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+        offbuf = np.frombuffer(arr.buffers()[1], otype)
+        off = offbuf[arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+        buf = arr.buffers()[2]
+        data = (
+            np.frombuffer(buf, np.uint8)
+            if buf is not None
+            else np.empty(0, np.uint8)
+        )
+        flat = data[off[0]: off[-1]]
+        if flat.size and int(flat.max()) >= 128:
+            raise ValueError("doc_char_entropy: non-ASCII text")
+        lens = np.diff(off)
+        doc_idx = np.repeat(np.arange(len(arr)), lens)
+        keep = ~np.isin(flat, _RE2_WS)
+        key = doc_idx[keep] * 128 + flat[keep].astype(np.int64)
+        cnt = np.bincount(key, minlength=len(arr) * 128).reshape(len(arr), 128)
+        n = cnt.sum(axis=1)
+        lnq = np.zeros_like(cnt)
+        nz = cnt > 0
+        lnq[nz] = np.floor(_ENT_SCALE * np.log(cnt[nz].astype(np.float64))).astype(
+            np.int64
+        )
+        s = (cnt * lnq).sum(axis=1)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = n > 0
+        n_ln_n = (
+            n[m]
+            * np.floor(_ENT_SCALE * np.log(n[m].astype(np.float64))).astype(np.int64)
+        )
+        yield pa.table(
+            {
+                "doc_id": pa.array(ids[m]),
+                "n_chars": pa.array(n[m].astype(np.int64)),
+                "ent_q": pa.array((n_ln_n - s[m]).astype(np.int64)),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+DOC_CHAR_ENTROPY_SQL = rf"""
+WITH ch AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(text, '\S')) AS c FROM documents
+),
+cc AS (SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, SUM(cnt) AS n,
+    SUM(cnt * CAST(FLOOR({_ENT_SCALE} * ln(CAST(cnt AS DOUBLE))) AS BIGINT)) AS s
+  FROM cc GROUP BY 1
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+  CAST(n * CAST(FLOOR({_ENT_SCALE} * ln(CAST(n AS DOUBLE))) AS BIGINT) - s
+       AS BIGINT) AS ent_q
+FROM agg WHERE n > 0
+"""

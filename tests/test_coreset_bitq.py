@@ -96,3 +96,39 @@ def test_ppr_push_conserves_mass_exactly():
     seed = min(r["name"] for r in rows)
     top = max(rows, key=lambda r: r["p_mass"])
     assert top["name"] == seed  # most mass settles at the seed
+
+def test_pq_adc_matches_bruteforce():
+    ids, codes = _codes()
+    order = np.argsort(ids)
+    ids, codes = ids[order], codes[order]
+    sub = codes.shape[1] // ann.PQ_M
+
+    cw = []
+    for s in range(ann.PQ_M):
+        sc = codes[:, s * sub:(s + 1) * sub]
+        sel = [0]  # min vec_id seed
+        mind = ((sc - sc[0]) ** 2).sum(axis=1)
+        for _ in range(2, ann.PQ_K + 1):
+            cand = np.flatnonzero(~np.isin(np.arange(len(ids)), sel))
+            best = cand[np.lexsort((ids[cand], -mind[cand]))[0]]
+            sel.append(best)
+            mind = np.minimum(mind, ((sc - sc[best]) ** 2).sum(axis=1))
+        cw.append(sc[np.asarray(sel)])
+
+    adc = np.zeros(len(ids), np.int64)
+    for s in range(ann.PQ_M):
+        sc = codes[:, s * sub:(s + 1) * sub]
+        dj = ((sc[:, None, :] - cw[s][None, :, :]) ** 2).sum(axis=2)
+        code_s = np.argmin(dj, axis=1)  # ties -> lowest codeword rank
+        lut = ((cw[s] - sc[0]) ** 2).sum(axis=1)
+        adc += lut[code_s]
+
+    keep = ids != ids[0]
+    kid, kadc = ids[keep], adc[keep]
+    o = np.lexsort((kid, kadc))[: ann.PQ_TOPK]
+    want = [(i + 1, int(kid[x]), int(kadc[x])) for i, x in enumerate(o)]
+    got = [
+        (r["rn"], r["vec_id"], r["adc"])
+        for r in ann.pq_adc_topk(SF_DIR).take_all()
+    ]
+    assert got == want

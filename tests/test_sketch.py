@@ -166,3 +166,37 @@ def test_cms_grid_matches_single_machine_rebuild():
             for d in range(D)
         ]
         assert e == min(int(grid[d, hs[d]]) for d in range(D))
+
+
+def test_ams_f2_exact_and_pinned_estimate():
+    import pyarrow as pa
+
+    from rayrank.sketch import ams_f2
+
+    freqs = np.arange(1, 21, dtype=np.int64)  # key k appears k+1 times
+    vals = np.repeat(np.arange(20, dtype=np.int64), freqs)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals)})).repartition(4)
+    row = _one_row(ams_f2(ds, "x", r=16))
+    assert row["exact_f2"] == int((freqs.astype(object) ** 2).sum())
+
+    # pinned integer median-of-means mirror
+    r = 16
+    h = splitmix64(
+        vals.astype(np.uint64)[:, None] * np.uint64(r)
+        + np.arange(r, dtype=np.uint64)[None, :]
+    )
+    z = (2 * (h & np.uint64(1)).astype(np.int64) - 1).sum(axis=0)
+    x = [int(v) ** 2 for v in z]
+    means = sorted(sum(x[g * 4:(g + 1) * 4]) // 4 for g in range(4))
+    assert row["est_f2"] == (means[1] + means[2]) // 2
+    assert row["r_estimators"] == 16
+
+
+def test_ams_f2_rejects_bad_r():
+    import pyarrow as pa
+
+    from rayrank.sketch import ams_f2
+
+    ds = ray.data.from_arrow(pa.table({"x": pa.array([1, 2, 3])}))
+    with pytest.raises(ValueError):
+        ams_f2(ds, "x", r=12)
