@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivm_event_revenue": _an().ivm_event_revenue,
         "revenue_autocorr": _an().revenue_autocorr,
         "revenue_theil_sen": _an().revenue_theil_sen,
+        "holt_daily_revenue": _an().holt_daily_revenue,
+        "k_anonymity_audit": _an().k_anonymity_audit,
         "zorder_layout": _an().zorder_layout,
         "tokenizer_fertility": pl.tokenizer_fertility,
         "vocab_oov_rate": _terms().vocab_oov_rate,
@@ -192,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": pl.random_walks,
         "walk_visit_counts": pl.walk_visit_counts,
         "edge_support": _truss().edge_support,
+        "temporal_wedges": _truss().temporal_wedges,
         "edge_jaccard": _truss().edge_jaccard,
         "rich_club": _truss().rich_club,
         "knn_degree_curve": _truss().knn_degree_curve,
@@ -3097,6 +3100,8 @@ def oracle_sql() -> dict[str, str]:
         "ivm_event_revenue": _ivm_event_revenue_sql(),
         "revenue_autocorr": _an().REVENUE_AUTOCORR_SQL,
         "revenue_theil_sen": _an().REVENUE_THEIL_SEN_SQL,
+        "holt_daily_revenue": _an().HOLT_DAILY_REVENUE_SQL,
+        "k_anonymity_audit": _an().K_ANONYMITY_AUDIT_SQL,
         "zorder_layout": _an().ZORDER_LAYOUT_SQL,
         "tokenizer_fertility": _pl().TOKENIZER_FERTILITY_SQL,
         "vocab_oov_rate": _terms().VOCAB_OOV_RATE_SQL,
@@ -3234,6 +3239,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({_random_walks_sql(_pl().RW_STEPS)}) GROUP BY vertex"
         ),
         "edge_support": _truss().EDGE_SUPPORT_SQL,
+        "temporal_wedges": _truss().TEMPORAL_WEDGES_SQL,
         "edge_jaccard": _truss().EDGE_JACCARD_SQL,
         "rich_club": _truss().RICH_CLUB_SQL,
         "knn_degree_curve": _truss().KNN_DEGREE_CURVE_SQL,

@@ -4005,3 +4005,200 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
   (SELECT CAST(SUM(sg) AS BIGINT) FROM sl) AS mk_s
 FROM med
 """
+
+
+# --------------------------------------------------------------------------
+# Holt double-exponential smoothing over the daily revenue series
+# --------------------------------------------------------------------------
+
+HOLT_OFF = 1 << 40  # offset (divisible by 4) for floor-division parity
+
+
+def holt_daily_revenue(sf_dir: str) -> ray.data.Dataset:
+    """(rnk, day, vc, level_q, trend_q, forecast_q) — Holt's linear
+    double-exponential smoothing (Holt 1957) of the daily order-revenue
+    series, the streaming trend-following smoother next to the robust
+    Theil–Sen estimate.  α = β = 1/4 restated as PURE-INTEGER floor
+    recurrences over the day-ordered observations::
+
+        level_t = ⌊(vc_t + 3·(level_{t−1} + trend_{t−1})) / 4⌋
+        trend_t = ⌊((level_t − level_{t−1}) + 3·trend_{t−1}) / 4⌋
+
+    (level_1 = vc_1, trend_1 = 0; forecast_q = level + trend).  Both
+    floors go through the offset identity ``(x + OFF)//4 − OFF//4``
+    because trends go negative and DuckDB's ``//`` truncates toward
+    zero while Python floors (the revenue_theil_sen rule); the oracle
+    replays the chain as a rank-recursive CTE.
+
+    Scale shape: ONE day-keyed reduce (the bounded-calendar knot rule);
+    the recurrence is inherently sequential but runs over that bounded
+    knot table on the driver — never over corpus rows."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "o_orderdate" not in t.schema.names:
+            return
+        g = pa.table(
+            {
+                "day": pc.divide(
+                    pc.cast(t.column("o_orderdate"), pa.int64()), _DAY_US
+                ),
+                "vc": pa.array(_i64(t.column("o_totalprice"), 100)),
+            }
+        ).group_by(["day"]).aggregate([("vc", "sum")])
+        yield g.rename_columns(["day", "vc"])
+
+    rows = keyed_reagg(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]).map_batches(
+            pre, batch_format="pyarrow"
+        ),
+        ["day"], [("vc", "sum")], P,
+    ).take_all()  # bounded by the calendar, never by corpus rows
+    rows.sort(key=lambda r: r["day"])
+
+    def ediv4(x: int) -> int:
+        if abs(x) >= HOLT_OFF:
+            raise OverflowError("holt_daily_revenue: offset guard exceeded")
+        return (x + HOLT_OFF) // 4 - HOLT_OFF // 4
+
+    days, vcs, lvl, trd, fct = [], [], [], [], []
+    level = trend = 0
+    for i, r in enumerate(rows):
+        vc = int(r["vc"])
+        if i == 0:
+            level, trend = vc, 0
+        else:
+            prev = level
+            level = ediv4(vc + 3 * (level + trend))
+            trend = ediv4((level - prev) + 3 * trend)
+        days.append(int(r["day"]))
+        vcs.append(vc)
+        lvl.append(level)
+        trd.append(trend)
+        fct.append(level + trend)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rnk": pa.array(
+                    np.arange(1, len(days) + 1, dtype=np.int64)
+                ),
+                "day": pa.array(days, pa.int64()),
+                "vc": pa.array(vcs, pa.int64()),
+                "level_q": pa.array(lvl, pa.int64()),
+                "trend_q": pa.array(trd, pa.int64()),
+                "forecast_q": pa.array(fct, pa.int64()),
+            }
+        )
+    )
+
+
+HOLT_DAILY_REVENUE_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS vc
+  FROM orders GROUP BY 1
+),
+rk AS (
+  SELECT day, vc,
+    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rnk
+  FROM daily
+),
+holt AS (
+  SELECT rnk, day, vc, vc AS level_q, CAST(0 AS BIGINT) AS trend_q
+  FROM rk WHERE rnk = 1
+  UNION ALL
+  SELECT r.rnk, r.day, r.vc,
+    (r.vc + 3 * (h.level_q + h.trend_q) + {HOLT_OFF}) // 4
+      - {HOLT_OFF // 4},
+    (((r.vc + 3 * (h.level_q + h.trend_q) + {HOLT_OFF}) // 4
+        - {HOLT_OFF // 4}) - h.level_q + 3 * h.trend_q + {HOLT_OFF}) // 4
+      - {HOLT_OFF // 4}
+  FROM holt h JOIN rk r ON r.rnk = h.rnk + 1
+)
+SELECT rnk, day, vc, level_q, trend_q,
+  CAST(level_q + trend_q AS BIGINT) AS forecast_q
+FROM holt
+"""
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit over a quasi-identifier combination
+# --------------------------------------------------------------------------
+
+KANON_K = 8  # sf0.01's smallest QI group is 5 — k=5 would be degenerate
+
+
+def k_anonymity_audit(sf_dir: str) -> ray.data.Dataset:
+    """One row (k, n_groups, n_rows, violating_groups, violating_rows,
+    suppression_ppm) — the k-anonymity audit (Sweeney 2002) of the
+    customer table under the quasi-identifier (c_nationkey,
+    c_mktsegment): how many equivalence classes are smaller than
+    ``KANON_K`` and what fraction of rows would need suppression
+    before a release.  suppression_ppm = violating_rows·10⁶ //
+    n_rows — non-negative floor division, identical in DuckDB.
+
+    Scale shape: block-local QI group_by partials, ONE QI-keyed
+    re-agg (groups bounded by the QI domain, never corpus rows), then
+    a single-block scalar fold."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "c_nationkey" not in t.schema.names:
+            return
+        g = (
+            pa.table(
+                {
+                    "nk": pc.cast(t.column("c_nationkey"), pa.int64()),
+                    "seg": t.column("c_mktsegment"),
+                    "n": _ones(len(t)),
+                }
+            ).group_by(["nk", "seg"]).aggregate([("n", "sum")])
+        )
+        yield g.rename_columns(["nk", "seg", "n"])
+
+    grp = keyed_reagg(
+        _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"]).map_batches(
+            pre, batch_format="pyarrow"
+        ),
+        ["nk", "seg"], [("n", "sum")], P,
+    )
+
+    def fold(t: pa.Table):
+        if t.num_rows == 0 or "n" not in t.schema.names:
+            return
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        viol = n < KANON_K
+        n_rows = int(n.sum())
+        vr = int(n[viol].sum())
+        yield pa.table(
+            {
+                "k": pa.array([KANON_K], pa.int64()),
+                "n_groups": pa.array([len(n)], pa.int64()),
+                "n_rows": pa.array([n_rows], pa.int64()),
+                "violating_groups": pa.array([int(viol.sum())], pa.int64()),
+                "violating_rows": pa.array([vr], pa.int64()),
+                "suppression_ppm": pa.array(
+                    [vr * 10**6 // n_rows], pa.int64()
+                ),
+            }
+        )
+
+    return grp.repartition(1).map_batches(
+        fold, batch_size=None, batch_format="pyarrow"
+    )
+
+
+K_ANONYMITY_AUDIT_SQL = f"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST({KANON_K} AS BIGINT) AS k,
+  CAST(COUNT(*) AS BIGINT) AS n_groups,
+  CAST(SUM(n) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN n < {KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+    AS violating_groups,
+  CAST(SUM(CASE WHEN n < {KANON_K} THEN n ELSE 0 END) AS BIGINT)
+    AS violating_rows,
+  CAST(SUM(CASE WHEN n < {KANON_K} THEN n ELSE 0 END) * 1000000
+         // SUM(n) AS BIGINT) AS suppression_ppm
+FROM g
+"""

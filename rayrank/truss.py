@@ -1764,3 +1764,135 @@ e{r + 1} AS MATERIALIZED (
         head + ",\n" + ",\n".join(parts)
         + f"\nSELECT u, v FROM e{K_TRUSS_SQL_ROUNDS}"
     )
+
+
+# --------------------------------------------------------------------------
+# δ-temporal wedge census (temporal motifs, Paranjape-Benson-Leskovec
+# WSDM 2017 — public algorithm)
+# --------------------------------------------------------------------------
+
+TW_DELTA = 7          # days: wedge closes iff t1 < t2 <= t1 + δ
+TW_TBIG = 1 << 21     # > max day value: group-offset encoding never crosses
+TW_XBIG = 1 << 19     # > max endpoint id at test scale (guarded)
+_TW_DAY_US = 86_400_000_000
+
+
+def temporal_wedges(sf_dir: str) -> ray.data.Dataset:
+    """(mid, wedges, proper_wedges) — δ-temporal wedge census of the
+    timestamped supplier→part edge stream (u = l_suppkey,
+    v = l_partkey % 100, t = ship day): how many ordered edge-instance
+    pairs (u→mid, t1), (mid→w, t2) satisfy t1 < t2 ≤ t1 + {δ} per
+    middle vertex, and how many with u ≠ w (proper) — the temporal
+    2-path count at the root of temporal-motif analysis.
+
+    Scale shape: pairs are COUNTED, never materialized — each edge
+    instance ships twice (as in-role keyed by its head, out-role keyed
+    by its tail), ONE mid-keyed repartition co-locates a middle
+    vertex's instances, and the block kernel counts window pairs with
+    two np.searchsorted calls over group-offset-encoded keys
+    (mid·2²¹ + t — a window of δ < 2²¹ can never cross a group
+    boundary), so a mid with n instances costs O(n log n), not the
+    O(n²) join fan-out.  The degenerate (u = w) correction uses the
+    same encoding one level deeper ((mid·2¹⁹ + x)·2²¹ + t).  Encoding
+    ranges are GUARDED (raises, never wraps — the close_wedges rule).
+    The SQL oracle is the plain windowed self-join, feasible at oracle
+    scale only."""
+    from .pipelines import _read
+
+    def roles(t: pa.Table):
+        if len(t) == 0 or "l_suppkey" not in t.schema.names:
+            return
+        u = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = (
+            t.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+            % 100
+        )
+        tt = (
+            t.column("l_shipdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // _TW_DAY_US
+        )
+        if len(tt) and (
+            int(tt.max()) + TW_DELTA >= TW_TBIG
+            or int(max(u.max(), v.max())) >= TW_XBIG
+        ):
+            raise OverflowError(
+                "temporal_wedges: day or id exceeds the encoding guard"
+            )
+        # in-role: edge arrives at mid=v, partner x=u
+        # out-role: edge leaves mid=u, partner x=v
+        yield pa.table(
+            {
+                "mid": pa.array(np.r_[v, u]),
+                "role": pa.array(
+                    np.r_[np.zeros(len(u), np.int64), np.ones(len(u), np.int64)]
+                ),
+                "x": pa.array(np.r_[u, v]),
+                "t": pa.array(np.r_[tt, tt]),
+            }
+        )
+
+    co = (
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey", "l_shipdate"])
+        .map_batches(roles, batch_format="pyarrow")
+        .repartition(P, keys=["mid"])
+    )
+
+    def count(t: pa.Table):
+        if t.num_rows == 0 or "mid" not in t.schema.names:
+            return
+        mid = t.column("mid").to_numpy(zero_copy_only=False)
+        role = t.column("role").to_numpy(zero_copy_only=False)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        tt = t.column("t").to_numpy(zero_copy_only=False)
+        i, o = role == 0, role == 1
+        # total window pairs per mid: group-offset keys (one searchsorted
+        # pair per in-instance; the δ window cannot cross mid groups)
+        k_out = np.sort(mid[o] * TW_TBIG + tt[o])
+        k_in = mid[i] * TW_TBIG + tt[i]
+        tot = np.searchsorted(k_out, k_in + TW_DELTA, "right") - np.searchsorted(
+            k_out, k_in, "right"
+        )
+        # degenerate (u == w) pairs: same kernel keyed one level deeper
+        kx_out = np.sort((mid[o] * TW_XBIG + x[o]) * TW_TBIG + tt[o])
+        kx_in = (mid[i] * TW_XBIG + x[i]) * TW_TBIG + tt[i]
+        deg = np.searchsorted(
+            kx_out, kx_in + TW_DELTA, "right"
+        ) - np.searchsorted(kx_out, kx_in, "right")
+        mids = mid[i]
+        order = np.argsort(mids, kind="stable")
+        ms, ts, ds = mids[order], tot[order], deg[order]
+        starts = np.flatnonzero(np.r_[True, ms[1:] != ms[:-1]])
+        wsum = np.add.reduceat(ts, starts) if len(ms) else np.array([], np.int64)
+        dsum = np.add.reduceat(ds, starts) if len(ms) else np.array([], np.int64)
+        keep = wsum > 0
+        if not keep.any():
+            return
+        yield pa.table(
+            {
+                "mid": pa.array(ms[starts][keep]),
+                "wedges": pa.array(wsum[keep].astype(np.int64)),
+                "proper_wedges": pa.array(
+                    (wsum[keep] - dsum[keep]).astype(np.int64)
+                ),
+            }
+        )
+
+    return co.map_batches(count, batch_size=None, batch_format="pyarrow")
+
+
+TEMPORAL_WEDGES_SQL = f"""
+WITH e AS (
+  SELECT l_suppkey AS u, l_partkey % 100 AS v,
+    CAST(epoch_us(l_shipdate) // {_TW_DAY_US} AS BIGINT) AS t
+  FROM lineitem
+),
+w AS (
+  SELECT a.v AS mid, CAST(COUNT(*) AS BIGINT) AS wedges,
+    CAST(SUM(CASE WHEN a.u = b.v THEN 1 ELSE 0 END) AS BIGINT) AS degen
+  FROM e a JOIN e b
+    ON a.v = b.u AND b.t > a.t AND b.t <= a.t + {TW_DELTA}
+  GROUP BY a.v
+)
+SELECT mid, wedges, CAST(wedges - degen AS BIGINT) AS proper_wedges
+FROM w WHERE wedges > 0
+"""
