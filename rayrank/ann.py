@@ -1998,3 +1998,221 @@ FROM adc ORDER BY adc, vec_id LIMIT {PQ_TOPK}"""
 
 
 PQ_ADC_SQL = _pq_sql()
+
+
+# --------------------------------------------------------------------------
+# Local Outlier Factor (Breunig, Kriegel, Ng & Sander, SIGMOD 2000 —
+# public algorithm) on integer SQ codes
+# --------------------------------------------------------------------------
+
+LOF_K = 3
+
+
+def lof_scores(sf_dir: str) -> ray.data.Dataset:
+    """(vec_id, lof_q) — Local Outlier Factor of every embedding row,
+    the density-based anomaly score a curation pipeline uses to flag
+    out-of-distribution vectors (LOF ≈ 1 inlier, ≫ 1 outlier).
+
+    EXACT/oracle-checkable by construction: distances are integer
+    squared-L2 on the SQ codes; the pinned neighbor rule is EXACTLY
+    ``LOF_K`` neighbors by (dist, vec_id) — no distance-tie expansion
+    (diverges from the classic all-ties definition, documented);
+    k-distance and reach-distances are integers, so the per-point
+    reachability sum S is an order-free integer; the only float math
+    is ONE pinned chain ``lof = ((k/S_o1 + k/S_o2 + k/S_o3)·S_p)/k²``
+    quantized to ``floor(1e9·lof)`` and mirrored verbatim in SQL.
+    Raises if any S = 0 (three identical codes) — never divides by 0
+    silently.
+
+    Scale shape: the (ordered) code matrix broadcasts once and each
+    block computes its rows' top-k in one vectorized pass (the
+    brute_force_topk n² baseline; LSH/IVF bucketing is the scale
+    path); everything after is k·n-row keyed joins and re-aggs —
+    reach-distances join kdist BY NEIGHBOR, S re-aggs by point, the
+    final pivot rides one point-keyed repartition."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    P = 8  # keyed-join/re-agg partition count for the k·n-row tables
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    lo_v, hi_v = _sq_bounds(ds)
+
+    t0 = pq.read_table(path, columns=["vec_id", "embedding"])
+    order = np.argsort(t0.column("vec_id").to_numpy(zero_copy_only=False))
+    all_ids = t0.column("vec_id").to_numpy(zero_copy_only=False)[order]
+    m0 = _emb_matrix64(t0, "embedding")[order]
+    all_codes = np.minimum(
+        np.floor((m0 - lo_v) * SQ_LEVELS / (hi_v - lo_v)), SQ_LEVELS
+    ).astype(np.int64)
+    n = len(all_ids)
+    codes_ref = ray.put(all_codes)
+
+    def knn(t: pa.Table):
+        if len(t) == 0:
+            return
+        ac = ray.get(codes_ref) if not isinstance(codes_ref, np.ndarray) else codes_ref
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _emb_matrix64(t, "embedding")
+        codes = np.minimum(
+            np.floor((m - lo_v) * SQ_LEVELS / (hi_v - lo_v)), SQ_LEVELS
+        ).astype(np.int64)
+        # d(p, ·) integer squared-L2 via the dot expansion
+        xx = (codes * codes).sum(axis=1)
+        yy = (ac * ac).sum(axis=1)
+        d = xx[:, None] + yy[None, :] - 2 * (codes @ ac.T)
+        # exclude self by id; composite key d·n + id-rank gives the
+        # (dist, vec_id) total order in ONE integer (d < 64·255², so
+        # the product is far below 2^63)
+        idrank = np.searchsorted(all_ids, ids)
+        key = d * n + np.arange(n)[None, :]
+        key[np.arange(len(ids)), idrank] = np.iinfo(np.int64).max
+        part = np.argpartition(key, LOF_K - 1, axis=1)[:, :LOF_K]
+        pk = np.take_along_axis(key, part, axis=1)
+        srt = np.argsort(pk, axis=1)
+        cols = np.take_along_axis(part, srt, axis=1)  # (b, k) neighbor idx
+        dd = np.take_along_axis(d, cols, axis=1)
+        yield pa.table(
+            {
+                "p": pa.array(np.repeat(ids, LOF_K)),
+                "rnk": pa.array(
+                    np.tile(np.arange(1, LOF_K + 1, dtype=np.int64), len(ids))
+                ),
+                "o": pa.array(all_ids[cols].ravel()),
+                "d": pa.array(dd.ravel().astype(np.int64)),
+            }
+        )
+
+    nb = ds.map_batches(knn, batch_format="pyarrow").materialize()
+
+    def kd_pre(t: pa.Table):
+        if t.num_rows == 0 or "d" not in t.schema.names:
+            return
+        g = t.select(["p", "d"]).group_by(["p"]).aggregate([("d", "max")])
+        yield g.rename_columns(["o_key", "kdist"])
+
+    kd = keyed_reagg(
+        nb.map_batches(kd_pre, batch_format="pyarrow"),
+        ["o_key"], [("kdist", "max")], P,
+    )
+    rch = join_auto(nb, kd, on=("o",), right_on=("o_key",), num_partitions=P)
+
+    def rd_fix(t: pa.Table):
+        if t.num_rows == 0 or "kdist" not in t.schema.names:
+            return
+        rd = np.maximum(
+            t.column("kdist").to_numpy(zero_copy_only=False),
+            t.column("d").to_numpy(zero_copy_only=False),
+        )
+        yield pa.table(
+            {
+                "p": t.column("p"),
+                "rnk": t.column("rnk"),
+                "o": t.column("o"),
+                "rd": pa.array(rd.astype(np.int64)),
+            }
+        )
+
+    rch = rch.map_batches(rd_fix, batch_format="pyarrow").materialize()
+
+    def s_pre(t: pa.Table):
+        if t.num_rows == 0 or "rd" not in t.schema.names:
+            return
+        g = t.select(["p", "rd"]).group_by(["p"]).aggregate([("rd", "sum")])
+        yield g.rename_columns(["s_key", "s"])
+
+    sp = keyed_reagg(
+        rch.map_batches(s_pre, batch_format="pyarrow"),
+        ["s_key"], [("s", "sum")], P,
+    )
+    wso = join_auto(rch, sp, on=("o",), right_on=("s_key",), num_partitions=P)
+
+    def pivot(t: pa.Table):
+        if t.num_rows == 0 or "s" not in t.schema.names:
+            return
+        p = t.column("p").to_numpy(zero_copy_only=False)
+        rnk = t.column("rnk").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        if (s == 0).any():
+            raise ZeroDivisionError(
+                "lof_scores: a neighbor reachability sum is 0 "
+                "(three identical codes) — widen LOF_K or dedup first"
+            )
+        order = np.lexsort((rnk, p))
+        p, rnk, s = p[order], rnk[order], s[order]
+        starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        if not (np.diff(np.r_[starts, len(p)]) == LOF_K).all():
+            raise ValueError("lof_scores: point missing a neighbor rank")
+        sm = s.reshape(-1, LOF_K).astype(np.float64)
+        yield pa.table(
+            {
+                "p": pa.array(p[starts]),
+                "s1": pa.array(sm[:, 0]),
+                "s2": pa.array(sm[:, 1]),
+                "s3": pa.array(sm[:, 2]),
+            }
+        )
+
+    pv = (
+        wso.repartition(P, keys=["p"])
+        .map_batches(pivot, batch_size=None, batch_format="pyarrow")
+    )
+    fin = join_auto(pv, sp, on=("p",), right_on=("s_key",), num_partitions=P)
+
+    def score(t: pa.Table):
+        if t.num_rows == 0 or "s" not in t.schema.names:
+            return
+        s1 = t.column("s1").to_numpy(zero_copy_only=False)
+        s2 = t.column("s2").to_numpy(zero_copy_only=False)
+        s3 = t.column("s3").to_numpy(zero_copy_only=False)
+        spv = t.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+        k = float(LOF_K)
+        # ONE explicit float chain, mirrored verbatim in the SQL oracle
+        lof = ((k / s1 + k / s2 + k / s3) * spv) / (k * k)
+        yield pa.table(
+            {
+                "vec_id": t.column("p"),
+                "lof_q": pa.array(
+                    np.floor(lof * 1e9).astype(np.int64)
+                ),
+            }
+        )
+
+    return fin.map_batches(score, batch_format="pyarrow")
+
+
+LOF_SCORES_SQL = (
+    "WITH " + _SQ_CODE_CTE + f""",
+dm AS MATERIALIZED (
+  SELECT v.vec_id AS p, q.vec_id AS o,
+    CAST(SUM((v.code - q.code) * (v.code - q.code)) AS BIGINT) AS d
+  FROM c v JOIN c q ON v.i = q.i AND v.vec_id <> q.vec_id
+  GROUP BY v.vec_id, q.vec_id),
+nb AS MATERIALIZED (
+  SELECT p, o, d,
+    CAST(ROW_NUMBER() OVER (PARTITION BY p ORDER BY d, o) AS BIGINT) AS rnk
+  FROM dm QUALIFY rnk <= {LOF_K}),
+kd AS (SELECT p, MAX(d) AS kdist FROM nb GROUP BY p),
+rch AS MATERIALIZED (
+  SELECT nb.p, nb.rnk, nb.o, GREATEST(k2.kdist, nb.d) AS rd
+  FROM nb JOIN kd k2 ON k2.p = nb.o),
+sp AS (SELECT p, CAST(SUM(rd) AS BIGINT) AS s FROM rch GROUP BY p),
+pv AS (
+  SELECT r.p,
+    MAX(CASE WHEN r.rnk = 1 THEN so.s END) AS s1,
+    MAX(CASE WHEN r.rnk = 2 THEN so.s END) AS s2,
+    MAX(CASE WHEN r.rnk = 3 THEN so.s END) AS s3
+  FROM rch r JOIN sp so ON so.p = r.o GROUP BY r.p)
+SELECT pv.p AS vec_id,
+  CAST(FLOOR(((({LOF_K}.0 / CAST(s1 AS DOUBLE)
+                + {LOF_K}.0 / CAST(s2 AS DOUBLE)
+                + {LOF_K}.0 / CAST(s3 AS DOUBLE)) * CAST(sp.s AS DOUBLE))
+              / {LOF_K * LOF_K}.0) * 1000000000.0) AS BIGINT) AS lof_q
+FROM pv JOIN sp ON sp.p = pv.p
+"""
+)
