@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_theil_sen": _an().revenue_theil_sen,
         "holt_daily_revenue": _an().holt_daily_revenue,
         "k_anonymity_audit": _an().k_anonymity_audit,
+        "cusum_daily_revenue": _an().cusum_daily_revenue,
         "zorder_layout": _an().zorder_layout,
         "tokenizer_fertility": pl.tokenizer_fertility,
         "vocab_oov_rate": _terms().vocab_oov_rate,
@@ -285,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_ngram": _terms().contamination_ngram,
         "cross_source_ngram_overlap": _terms().cross_source_ngram_overlap,
         "doc_char_entropy": _terms().doc_char_entropy,
+        "source_unigram_kl": _terms().source_unigram_kl,
         "token_counts": pl.token_counts,
         "doc_stats": pl.doc_stats,                      # rows-only (fingerprint)
         "doc_quality": pl.doc_quality,
@@ -3103,6 +3105,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_theil_sen": _an().REVENUE_THEIL_SEN_SQL,
         "holt_daily_revenue": _an().HOLT_DAILY_REVENUE_SQL,
         "k_anonymity_audit": _an().K_ANONYMITY_AUDIT_SQL,
+        "cusum_daily_revenue": _an().CUSUM_DAILY_REVENUE_SQL,
         "zorder_layout": _an().ZORDER_LAYOUT_SQL,
         "tokenizer_fertility": _pl().TOKENIZER_FERTILITY_SQL,
         "vocab_oov_rate": _terms().VOCAB_OOV_RATE_SQL,
@@ -3303,6 +3306,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _terms().BPE_MERGES_SQL,
         "doc_repetition": _terms().DOC_REPETITION_SQL,
         "doc_char_entropy": _terms().DOC_CHAR_ENTROPY_SQL,
+        "source_unigram_kl": _terms().SOURCE_UNIGRAM_KL_SQL,
         "contamination_ngram": _terms().CONTAMINATION_NGRAM_SQL,
         "cross_source_ngram_overlap": _terms().CROSS_SOURCE_NGRAM_OVERLAP_SQL,
         "doc_quality": _doc_quality_sql(),

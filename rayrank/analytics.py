@@ -4202,3 +4202,91 @@ SELECT CAST({KANON_K} AS BIGINT) AS k,
          // SUM(n) AS BIGINT) AS suppression_ppm
 FROM g
 """
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point trace over the daily revenue series
+# --------------------------------------------------------------------------
+
+
+def cusum_daily_revenue(sf_dir: str) -> ray.data.Dataset:
+    """(rnk, day, vc, cusum_q) — one-sided CUSUM change-point trace
+    (Page 1954) of the daily order-revenue series with allowance
+    k = μ/2: the upward-shift detector a pipeline runs over ingest
+    volumes.  PURE INTEGER by scaling deviations by 2n::
+
+        dev_t   = 2n·vc_t − 3·Σvc          (= 2n·(vc_t − 1.5·μ))
+        cusum_t = max(0, cusum_{t−1} + dev_t)
+
+    — no float and no floor division anywhere, so the rank-recursive
+    CTE oracle is trivially bit-exact.  Scale shape: ONE day-keyed
+    reduce (bounded calendar), sequential recurrence over the knot
+    table on the driver."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "o_orderdate" not in t.schema.names:
+            return
+        g = pa.table(
+            {
+                "day": pc.divide(
+                    pc.cast(t.column("o_orderdate"), pa.int64()), _DAY_US
+                ),
+                "vc": pa.array(_i64(t.column("o_totalprice"), 100)),
+            }
+        ).group_by(["day"]).aggregate([("vc", "sum")])
+        yield g.rename_columns(["day", "vc"])
+
+    rows = keyed_reagg(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]).map_batches(
+            pre, batch_format="pyarrow"
+        ),
+        ["day"], [("vc", "sum")], P,
+    ).take_all()
+    rows.sort(key=lambda r: r["day"])
+    n = len(rows)
+    total = sum(int(r["vc"]) for r in rows)
+    days, vcs, cus = [], [], []
+    c = 0
+    for r in rows:
+        vc = int(r["vc"])
+        c = max(0, c + 2 * n * vc - 3 * total)
+        days.append(int(r["day"]))
+        vcs.append(vc)
+        cus.append(c)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rnk": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                "day": pa.array(days, pa.int64()),
+                "vc": pa.array(vcs, pa.int64()),
+                "cusum_q": pa.array(cus, pa.int64()),
+            }
+        )
+    )
+
+
+CUSUM_DAILY_REVENUE_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS vc
+  FROM orders GROUP BY 1
+),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(vc) AS BIGINT) AS total FROM daily),
+rk AS (
+  SELECT day, vc,
+    CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rnk
+  FROM daily
+),
+cus AS (
+  SELECT r.rnk, r.day, r.vc,
+    GREATEST(CAST(0 AS BIGINT), 2 * st.n * r.vc - 3 * st.total) AS cusum_q
+  FROM rk r, st WHERE r.rnk = 1
+  UNION ALL
+  SELECT r.rnk, r.day, r.vc,
+    GREATEST(CAST(0 AS BIGINT),
+             c.cusum_q + 2 * st.n * r.vc - 3 * st.total)
+  FROM cus c JOIN rk r ON r.rnk = c.rnk + 1, st
+)
+SELECT rnk, day, vc, cusum_q FROM cus
+"""

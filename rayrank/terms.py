@@ -2623,3 +2623,137 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
        AS BIGINT) AS ent_q
 FROM agg WHERE n > 0
 """
+
+
+# --------------------------------------------------------------------------
+# per-source-pair unigram KL divergence (corpus drift audit)
+# --------------------------------------------------------------------------
+
+
+def source_unigram_kl(sf_dir: str) -> ray.data.Dataset:
+    """(source_a, source_b, n_a, kl_q) for every ordered source pair —
+    the corpus-mixture drift audit: KL(P_a ‖ P_b) between add-one-
+    smoothed unigram distributions, the check run before mixing
+    scraped corpora (large KL = the sources disagree).
+
+    Quantized integer restatement (order-free sums, the lm.py rule)::
+
+        kl_q = Σ_{w ∈ vocab} (c_a(w)+1) ·
+               (⌊1e9·ln((c_a+1)/(n_a+V))⌋ − ⌊1e9·ln((c_b+1)/(n_b+V))⌋)
+
+    over the FULL global vocab (absent words contribute through the
+    smoothing floor), so kl_q ≈ 1e9·(n_a+V)·KL and both lns ride the
+    libm rule — the SQL oracle matches bit-identically.
+
+    Scale shape: ONE (source, token)-keyed vocab-bounded reduce (the
+    bigram_pmi precedent — sources·vocab rows, never corpus rows);
+    the S²·V pair grid folds on the driver in one vectorized numpy
+    pass."""
+    from .shuffle import keyed_reagg
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def cnts(t: pa.Table):
+        if len(t) == 0:
+            return
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t.column("text")), pattern=r"\s+"
+        )
+        arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        off = arr.offsets.to_numpy(zero_copy_only=False)
+        ridx = np.repeat(np.arange(len(arr)), np.diff(off))
+        vals = arr.values
+        keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return
+        src = np.asarray(t.column("source").to_pylist(), dtype=object)[
+            ridx[keep]
+        ]
+        g = (
+            pa.table(
+                {
+                    "source": pa.array(src.tolist(), pa.string()),
+                    "tok": vals.filter(pa.array(keep)),
+                    "c": pa.array(np.ones(int(keep.sum()), np.int64)),
+                }
+            ).group_by(["source", "tok"]).aggregate([("c", "sum")])
+        )
+        yield g.rename_columns(["source", "tok", "c"])
+
+    rows = keyed_reagg(
+        docs.map_batches(cnts, batch_format="pyarrow"),
+        ["source", "tok"], [("c", "sum")], P,
+    ).take_all()  # sources·vocab-bounded
+    srcs = sorted({r["source"] for r in rows})
+    vocab = sorted({r["tok"] for r in rows})
+    si = {s: i for i, s in enumerate(srcs)}
+    wi = {w: i for i, w in enumerate(vocab)}
+    S, V = len(srcs), len(vocab)
+    cm = np.zeros((S, V), np.int64)
+    for r in rows:
+        cm[si[r["source"]], wi[r["tok"]]] = r["c"]
+    n = cm.sum(axis=1)
+    # ⌊1e9·ln((c+1)/(n_s+V))⌋ per (source, word) — ONE float chain
+    lq = np.floor(
+        1e9 * np.log((cm + 1.0) / (n + float(V))[:, None])
+    ).astype(np.int64)
+    sa, sb, na_out, kl = [], [], [], []
+    for a in range(S):
+        diff = lq[a][None, :] - lq  # (S, V)
+        t = ((cm[a] + 1)[None, :] * diff).sum(axis=1)
+        for b in range(S):
+            if a == b:
+                continue
+            sa.append(srcs[a])
+            sb.append(srcs[b])
+            na_out.append(int(n[a]))
+            kl.append(int(t[b]))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "source_a": pa.array(sa, pa.string()),
+                "source_b": pa.array(sb, pa.string()),
+                "n_a": pa.array(na_out, pa.int64()),
+                "kl_q": pa.array(kl, pa.int64()),
+            }
+        )
+    )
+
+
+SOURCE_UNIGRAM_KL_SQL = r"""
+WITH tok AS (
+  SELECT source, UNNEST(
+    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')
+  ) AS tok
+  FROM documents
+),
+cnt AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY 1, 2),
+ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+voc AS (SELECT DISTINCT tok FROM tok),
+vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM voc),
+grid AS (
+  SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb, w.tok
+  FROM ns a JOIN ns b ON a.source <> b.source CROSS JOIN voc w
+),
+terms AS (
+  SELECT g.sa, g.sb, g.na,
+    (COALESCE(ca.c, 0) + 1) * (
+      CAST(FLOOR(1000000000.0 * ln(
+        CAST(COALESCE(ca.c, 0) + 1 AS DOUBLE) / CAST(g.na + vv.v AS DOUBLE)
+      )) AS BIGINT)
+      - CAST(FLOOR(1000000000.0 * ln(
+        CAST(COALESCE(cb.c, 0) + 1 AS DOUBLE) / CAST(g.nb + vv.v AS DOUBLE)
+      )) AS BIGINT)
+    ) AS term
+  FROM grid g
+  LEFT JOIN cnt ca ON ca.source = g.sa AND ca.tok = g.tok
+  LEFT JOIN cnt cb ON cb.source = g.sb AND cb.tok = g.tok
+  CROSS JOIN vv
+)
+SELECT sa AS source_a, sb AS source_b, CAST(na AS BIGINT) AS n_a,
+  CAST(SUM(term) AS BIGINT) AS kl_q
+FROM terms GROUP BY 1, 2, 3
+"""
