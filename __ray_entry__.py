@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "walk_visit_counts": pl.walk_visit_counts,
         "edge_support": _truss().edge_support,
         "temporal_wedges": _truss().temporal_wedges,
+        "graph_coarsen": _truss().graph_coarsen,
         "edge_jaccard": _truss().edge_jaccard,
         "rich_club": _truss().rich_club,
         "knn_degree_curve": _truss().knn_degree_curve,
@@ -1904,6 +1905,31 @@ a{r + 1} AS MATERIALIZED (
     return head + ",\n" + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
 
 
+def _graph_coarsen_sql() -> str:
+    """Matching-contraction coarsening: the unrolled matching chain as
+    a parenthesized subquery (inner WITH scopes cleanly — the
+    hybrid_rrf rule), then min-endpoint relabel joins + coarse-edge
+    weight counts (rayrank.truss.graph_coarsen)."""
+    return f"""
+WITH m AS ({_maximal_matching_sql()}),
+rep AS (SELECT u AS x, u AS r FROM m UNION ALL SELECT v, u FROM m),
+crawt AS (SELECT l_suppkey AS a, l_partkey % 100 AS b FROM lineitem),
+cund AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM crawt WHERE a <> b
+),
+ce AS (
+  SELECT LEAST(COALESCE(ru.r, e.u), COALESCE(rv.r, e.v)) AS cu,
+         GREATEST(COALESCE(ru.r, e.u), COALESCE(rv.r, e.v)) AS cv
+  FROM cund e
+  LEFT JOIN rep ru ON ru.x = e.u
+  LEFT JOIN rep rv ON rv.x = e.v
+)
+SELECT cu, cv, CAST(COUNT(*) AS BIGINT) AS w
+FROM ce WHERE cu <> cv GROUP BY 1, 2
+"""
+
+
 def _attack_robustness_sql() -> str:
     """Targeted-attack robustness: hub top-k by (deg desc, id), edge
     filter per k, the percolation min-label CC CTE per k, giant = max
@@ -3244,6 +3270,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "edge_support": _truss().EDGE_SUPPORT_SQL,
         "temporal_wedges": _truss().TEMPORAL_WEDGES_SQL,
+        "graph_coarsen": _graph_coarsen_sql(),
         "edge_jaccard": _truss().EDGE_JACCARD_SQL,
         "rich_club": _truss().RICH_CLUB_SQL,
         "knn_degree_curve": _truss().KNN_DEGREE_CURVE_SQL,

@@ -1896,3 +1896,102 @@ w AS (
 SELECT mid, wedges, CAST(wedges - degen AS BIGINT) AS proper_wedges
 FROM w WHERE wedges > 0
 """
+
+
+# --------------------------------------------------------------------------
+# one-level graph coarsening by matching contraction (the multilevel-
+# partitioning / METIS-style coarsen phase, Karypis & Kumar 1998 —
+# public algorithm; built on this repo's deterministic matching)
+# --------------------------------------------------------------------------
+
+
+def graph_coarsen(sf_dir: str) -> ray.data.Dataset:
+    """(cu, cv, w) — the triangle-bearing graph contracted along the
+    deterministic maximal matching: every matched pair collapses to
+    its min endpoint, unmatched vertices map to themselves, parallel
+    coarse edges merge with weight = number of distinct fine edges
+    folded in, self-loops (the matched edges themselves) drop.  One
+    coarsening level of the multilevel partitioning stack; w preserves
+    the fine cut weights exactly.
+
+    Scale shape: the matching is the already-verified synchronous
+    edge-Luby fixpoint; contraction is TWO endpoint-keyed left joins
+    of the edge set against the 2·|M|-row representative table and ONE
+    coarse-key re-agg — no driver-side graph state.  SQL oracle:
+    the unrolled matching CTE chain composes as a parenthesized
+    subquery (the hybrid_rrf rule) feeding the same relabel joins."""
+    from .joins import join_auto
+
+    def rep_rows(t: pa.Table):
+        if t.num_rows == 0 or "u" not in t.schema.names:
+            return
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {"x": pa.array(np.r_[u, v]), "r": pa.array(np.r_[u, u])}
+        )
+
+    rep = maximal_matching(sf_dir).map_batches(
+        rep_rows, batch_format="pyarrow"
+    ).materialize()
+
+    e = _canonical_edges(sf_dir)
+    j1 = join_auto(
+        e, rep, on=("u",), right_on=("x",), how="left_outer",
+        num_partitions=P,
+    )
+
+    def fix1(t: pa.Table):
+        if t.num_rows == 0 or "u" not in t.schema.names:
+            return
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "ru": pa.array(
+                    np.where(
+                        t.column("r").is_null().to_numpy(
+                            zero_copy_only=False
+                        ),
+                        u,
+                        t.column("r").to_numpy(zero_copy_only=False),
+                    ).astype(np.int64)
+                ),
+                "v": t.column("v"),
+            }
+        )
+
+    def fix2(t: pa.Table):
+        if t.num_rows == 0 or "v" not in t.schema.names:
+            return
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        rv = np.where(
+            t.column("r").is_null().to_numpy(zero_copy_only=False),
+            v,
+            t.column("r").to_numpy(zero_copy_only=False),
+        ).astype(np.int64)
+        ru = t.column("ru").to_numpy(zero_copy_only=False)
+        keep = ru != rv
+        if not keep.any():
+            return
+        cu = np.minimum(ru[keep], rv[keep])
+        cv = np.maximum(ru[keep], rv[keep])
+        g = (
+            pa.table(
+                {
+                    "cu": pa.array(cu),
+                    "cv": pa.array(cv),
+                    "w": pa.array(np.ones(len(cu), np.int64)),
+                }
+            ).group_by(["cu", "cv"]).aggregate([("w", "sum")])
+        )
+        yield g.rename_columns(["cu", "cv", "w"])
+
+    mid = j1.map_batches(fix1, batch_format="pyarrow")
+    j2 = join_auto(
+        mid, rep, on=("v",), right_on=("x",), how="left_outer",
+        num_partitions=P,
+    )
+    return keyed_reagg(
+        j2.map_batches(fix2, batch_format="pyarrow"),
+        ["cu", "cv"], [("w", "sum")], P,
+    )
