@@ -188,3 +188,72 @@ def test_densest_subgraph_approx_guarantee():
         # density >= rho*/(2(1+eps)):  got2E/V * 2*NUM/DEN >= num/den
         g2e, gv = got["n_edges"] * 2, got["n_vertices"]
         assert g2e * 2 * DSG_NUM * best_den >= best_num * gv * DSG_DEN
+
+
+def test_temporal_wedges_matches_bruteforce():
+    """The searchsorted window-counting kernel vs the O(n^2) pair
+    enumeration on the raw sf0.001 edge stream."""
+    import pyarrow.parquet as pq
+    from collections import defaultdict
+
+    from rayrank import truss
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        columns=["l_suppkey", "l_partkey", "l_shipdate"],
+    )
+    u = t.column("l_suppkey").to_numpy()
+    v = t.column("l_partkey").to_numpy() % 100
+    tt = t.column("l_shipdate").cast("int64").to_numpy() // 86_400_000_000
+    import numpy as np
+
+    # dense O(n^2) enumeration, vectorized: row i = in-edge, col j = out
+    M = (
+        (v[:, None] == u[None, :])
+        & (tt[None, :] > tt[:, None])
+        & (tt[None, :] <= tt[:, None] + truss.TW_DELTA)
+    )
+    D = M & (u[:, None] == v[None, :])
+    want = defaultdict(lambda: [0, 0])
+    wi = M.sum(axis=1)
+    di = D.sum(axis=1)
+    for mid, w, d in zip(v.tolist(), wi.tolist(), di.tolist()):
+        want[mid][0] += w
+        want[mid][1] += d
+    got = {
+        r["mid"]: (r["wedges"], r["proper_wedges"])
+        for r in truss.temporal_wedges("/root/testdata/sf0.001").take_all()
+    }
+    assert got == {
+        m: (w, w - d) for m, (w, d) in want.items() if w > 0
+    }
+
+
+def test_graph_coarsen_invariants():
+    """Coarse weights preserve the fine edge count minus contracted
+    matching edges; every coarse endpoint is a matching min-endpoint
+    or an unmatched vertex."""
+    from rayrank import truss
+
+    sf = "/root/testdata/sf0.001"
+    fine = {
+        (r["u"], r["v"])
+        for r in truss._canonical_edges(sf).take_all()
+    }
+    m = {(r["u"], r["v"]) for r in truss.maximal_matching(sf).take_all()}
+    rep = {}
+    for a, b in m:
+        rep[a] = a
+        rep[b] = a
+    coarse = truss.graph_coarsen(sf).take_all()
+    # exact expected contraction
+    want = {}
+    for a, b in fine:
+        ca, cb = rep.get(a, a), rep.get(b, b)
+        if ca == cb:
+            continue
+        k = (min(ca, cb), max(ca, cb))
+        want[k] = want.get(k, 0) + 1
+    got = {(r["cu"], r["cv"]): r["w"] for r in coarse}
+    assert got == want
+    assert sum(got.values()) <= len(fine) - len(m)
