@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bitq_hamming_topk": _annmod().bitq_hamming_topk,
         "pq_adc_topk": _annmod().pq_adc_topk,
         "lof_scores": _annmod().lof_scores,
+        "pq_recall": _annmod().pq_recall,
         "hybrid_rrf_topk": _annmod().hybrid_rrf_topk,
         "centroid_classify": _annmod().centroid_classify,
         "centroid_confusion": _annmod().centroid_confusion,
@@ -3410,6 +3411,7 @@ def oracle_sql() -> dict[str, str]:
         "bitq_hamming_topk": _annmod().BITQ_HAMMING_SQL,
         "pq_adc_topk": _annmod().PQ_ADC_SQL,
         "lof_scores": _annmod().LOF_SCORES_SQL,
+        "pq_recall": _annmod().PQ_RECALL_SQL,
         "hybrid_rrf_topk": _annmod()._hybrid_rrf_sql(),
         "centroid_classify": _annmod().CENTROID_CLASSIFY_SQL,
         "centroid_confusion": _annmod().CENTROID_CONFUSION_SQL,

@@ -1779,7 +1779,7 @@ FROM rrf ORDER BY rrf DESC, id LIMIT {HYB_K}
 # Search", TPAMI 2011 — public algorithm)
 # --------------------------------------------------------------------------
 
-PQ_M = 4       # subspaces (64-dim embeddings -> 16 dims each)
+PQ_M = 8       # subspaces (64-dim embeddings -> 8 dims each)
 PQ_K = 8       # codewords per subspace
 PQ_TOPK = 10
 
@@ -2216,3 +2216,95 @@ SELECT pv.p AS vec_id,
 FROM pv JOIN sp ON sp.p = pv.p
 """
 )
+
+
+def pq_recall(sf_dir: str) -> ray.data.Dataset:
+    """One row (k, n_hits, recall_ppm) — the retrieval-quality audit
+    every ANN deployment runs: how many of the PQ-ADC top-``PQ_TOPK``
+    ids (ann.pq_adc_topk) appear in the EXACT integer squared-L2
+    top-``PQ_TOPK`` of the same query (= min vec_id, self excluded,
+    ties vec_id asc).  Both rankings are deterministic pure functions
+    of the SQ codes, so even the recall number is oracle-checkable —
+    recall_ppm = n_hits·10⁶ // k (non-negative floor division).
+
+    Scale shape: the PQ side is the already-streaming pq_adc_topk; the
+    exact side is one streaming pass against the broadcast query code
+    with per-block top-k pre-truncation (bitq pattern); the intersect
+    touches 2k ids on the driver (pinned-constant rule)."""
+    import os
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    lo_v, hi_v = _sq_bounds(ds)
+    qid = _min_vec_id(ds)
+    qcode = _code_of(ds, qid, lo_v, hi_v)
+
+    def local(t: pa.Table):
+        if len(t) == 0:
+            return
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _emb_matrix64(t, "embedding")
+        codes = np.minimum(
+            np.floor((m - lo_v) * SQ_LEVELS / (hi_v - lo_v)), SQ_LEVELS
+        ).astype(np.int64)
+        keep = ids != qid
+        ids, codes = ids[keep], codes[keep]
+        if len(ids) == 0:
+            return
+        diff = codes - qcode
+        d = (diff * diff).sum(axis=1)
+        order = np.lexsort((ids, d))[:PQ_TOPK]
+        yield pa.table(
+            {"vec_id": pa.array(ids[order]), "d": pa.array(d[order])}
+        )
+
+    def merge(t: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (
+                t.column("vec_id").to_numpy(zero_copy_only=False),
+                t.column("d").to_numpy(zero_copy_only=False),
+            )
+        )[:PQ_TOPK]
+        return t.take(pa.array(order))
+
+    ex_rows = (
+        ds.map_batches(local, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_size=None, batch_format="pyarrow")
+        .take_all()
+    )
+    exact_ids = {r["vec_id"] for r in ex_rows}
+    pq_ids = {r["vec_id"] for r in pq_adc_topk(sf_dir).take_all()}
+    k = PQ_TOPK
+    hits = len(exact_ids & pq_ids)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([k], pa.int64()),
+                "n_hits": pa.array([hits], pa.int64()),
+                "recall_ppm": pa.array([hits * 10**6 // k], pa.int64()),
+            }
+        )
+    )
+
+
+PQ_RECALL_SQL = f"""
+WITH pqt AS ({PQ_ADC_SQL}),
+{_SQ_CODE_CTE.replace("c AS MATERIALIZED", "cr AS MATERIALIZED")},
+qseed AS (SELECT MIN(vec_id) AS id FROM cr),
+ex AS (
+  SELECT v.vec_id,
+    CAST(SUM((v.code - q.code) * (v.code - q.code)) AS BIGINT) AS d
+  FROM cr v JOIN qseed ON v.vec_id <> qseed.id
+  JOIN cr q ON q.i = v.i AND q.vec_id = qseed.id
+  GROUP BY v.vec_id
+  ORDER BY d, v.vec_id LIMIT {PQ_TOPK}
+),
+hits AS (SELECT CAST(COUNT(*) AS BIGINT) AS h
+         FROM ex JOIN pqt ON pqt.vec_id = ex.vec_id)
+SELECT CAST({PQ_TOPK} AS BIGINT) AS k, h AS n_hits,
+  CAST(h * 1000000 // {PQ_TOPK} AS BIGINT) AS recall_ppm
+FROM hits
+"""
