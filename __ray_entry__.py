@@ -63,6 +63,12 @@ def _tx():
     return text
 
 
+def _sk():
+    from rayrank import sketch
+
+    return sketch
+
+
 def _truss():
     from rayrank import truss
 
@@ -130,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt_daily_revenue": _an().holt_daily_revenue,
         "k_anonymity_audit": _an().k_anonymity_audit,
         "cusum_daily_revenue": _an().cusum_daily_revenue,
+        "weekday_seasonality": _an().weekday_seasonality,
         "zorder_layout": _an().zorder_layout,
         "tokenizer_fertility": pl.tokenizer_fertility,
         "vocab_oov_rate": _terms().vocab_oov_rate,
@@ -311,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantiles": pl.price_quantiles,
         "frequent_event_types": pl.frequent_event_types,
         "kmv_distinct_parts": pl.kmv_distinct_parts,
+        "bloom_prune_stats": _sk().bloom_prune_stats,
         "parts_kmv_jaccard": pl.parts_kmv_jaccard,
         "hll_distinct_parts": pl.hll_distinct_parts,
         "cms_part_counts": pl.cms_part_counts,
@@ -326,6 +334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_adc_topk": _annmod().pq_adc_topk,
         "lof_scores": _annmod().lof_scores,
         "pq_recall": _annmod().pq_recall,
+        "epsilon_neighbors": _annmod().epsilon_neighbors,
         "hybrid_rrf_topk": _annmod().hybrid_rrf_topk,
         "centroid_classify": _annmod().centroid_classify,
         "centroid_confusion": _annmod().centroid_confusion,
@@ -1305,6 +1314,45 @@ sk1 AS (SELECT id, (x + 11400714819323198485) % {_M64} AS z FROM sk0),
 sk2 AS (SELECT id, {_sm64_mul('xor(z, z // 1073741824)', 0xBF58476D1CE4E5B9)} AS z FROM sk1),
 sk3 AS (SELECT id, {_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FROM sk2),
 hh AS (SELECT id, xor(z, z // 2147483648) AS z FROM sk3)"""
+
+
+def _bloom_prune_sql() -> str:
+    """Bloom semi-join pruning audit (sketch.bloom_prune_stats): both
+    bit positions derive from ONE splitmix64 per key (low 13 bits and
+    bits 20..32), so filter contents and false-positive counts are
+    deterministic.  Wide counts stay in HUGEINT until the final cast."""
+    from rayrank.sketch import BLOOM_M, BLOOM_SHIFT
+
+    shift = 1 << BLOOM_SHIFT
+    return f"""
+WITH
+bk AS (SELECT o_orderkey AS k, o_orderkey AS x FROM orders
+       WHERE o_orderpriority = '1-URGENT'),
+{_sm64_carry_cte('bk', ['k'], '_b')},
+bits AS (SELECT DISTINCT b FROM (
+  SELECT z % {BLOOM_M} AS b FROM hh_b
+  UNION ALL SELECT (z // {shift}) % {BLOOM_M} AS b FROM hh_b)),
+pk AS (SELECT l_orderkey AS k, l_orderkey AS x FROM lineitem),
+{_sm64_carry_cte('pk', ['k'], '_p')},
+flags AS (
+  SELECT k,
+    CASE WHEN (z % {BLOOM_M}) IN (SELECT b FROM bits)
+          AND ((z // {shift}) % {BLOOM_M}) IN (SELECT b FROM bits)
+         THEN 1 ELSE 0 END AS pass,
+    CASE WHEN k IN (SELECT k FROM bk) THEN 1 ELSE 0 END AS istrue
+  FROM hh_p),
+agg AS (SELECT COUNT(*) AS n_probe, SUM(pass) AS n_pass,
+               SUM(istrue) AS n_true FROM flags),
+nb AS (SELECT COUNT(*) AS n_build FROM bk)
+SELECT CAST(nb.n_build AS BIGINT) AS n_build,
+  CAST(n_probe AS BIGINT) AS n_probe, CAST(n_pass AS BIGINT) AS n_pass,
+  CAST(n_true AS BIGINT) AS n_true,
+  CAST(n_pass - n_true AS BIGINT) AS n_false_pos,
+  CAST(CASE WHEN n_probe > n_true
+       THEN (n_pass - n_true) * 1000000 // (n_probe - n_true)
+       ELSE 0 END AS BIGINT) AS fp_ppm
+FROM agg, nb
+"""
 
 
 def _sm64_suffixed_cte(src: str, sfx: str) -> str:
@@ -3133,6 +3181,7 @@ def oracle_sql() -> dict[str, str]:
         "holt_daily_revenue": _an().HOLT_DAILY_REVENUE_SQL,
         "k_anonymity_audit": _an().K_ANONYMITY_AUDIT_SQL,
         "cusum_daily_revenue": _an().CUSUM_DAILY_REVENUE_SQL,
+        "weekday_seasonality": _an().WEEKDAY_SEASONALITY_SQL,
         "zorder_layout": _an().ZORDER_LAYOUT_SQL,
         "tokenizer_fertility": _pl().TOKENIZER_FERTILITY_SQL,
         "vocab_oov_rate": _terms().VOCAB_OOV_RATE_SQL,
@@ -3401,6 +3450,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(unnest(v) AS DOUBLE) AS value FROM a"
         ),
         "kmv_distinct_parts": _kmv_sql("l_partkey", "lineitem", 64),
+        "bloom_prune_stats": _bloom_prune_sql(),
         "parts_kmv_jaccard": _kmv_jaccard_sql(),
         "hll_distinct_parts": _hll_sql("l_partkey", "lineitem", 12),
         "cms_part_counts": _cms_sql("l_partkey", "lineitem", 256, 4),
@@ -3412,6 +3462,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc_topk": _annmod().PQ_ADC_SQL,
         "lof_scores": _annmod().LOF_SCORES_SQL,
         "pq_recall": _annmod().PQ_RECALL_SQL,
+        "epsilon_neighbors": _annmod().EPSN_SQL,
         "hybrid_rrf_topk": _annmod()._hybrid_rrf_sql(),
         "centroid_classify": _annmod().CENTROID_CLASSIFY_SQL,
         "centroid_confusion": _annmod().CENTROID_CONFUSION_SQL,

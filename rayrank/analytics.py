@@ -4290,3 +4290,83 @@ cus AS (
 )
 SELECT rnk, day, vc, cusum_q FROM cus
 """
+
+
+def weekday_seasonality(sf_dir: str) -> ray.data.Dataset:
+    """(dow, n_days, revenue_cents, idx_ppm) — day-of-week seasonal
+    index of the daily order-revenue series: mean daily revenue of
+    each weekday relative to the overall daily mean, the additive
+    seasonal-profile step of an STL-style decomposition restated
+    PURE-INTEGER::
+
+        idx_ppm = (rv_dow · n_days_total · 10⁶) // (nd_dow · rv_total)
+
+    with the wide product held in Python ints / HUGEINT only (the
+    Q11 overflow rule).  dow = (epoch_day + 4) % 7 (0 = Sunday).
+    Scale shape: ONE day-keyed reduce (bounded by the calendar), then
+    a 7-row fold on the driver."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "o_orderdate" not in t.schema.names:
+            return
+        g = pa.table(
+            {
+                "day": pc.divide(
+                    pc.cast(t.column("o_orderdate"), pa.int64()), _DAY_US
+                ),
+                "vc": pa.array(_i64(t.column("o_totalprice"), 100)),
+            }
+        ).group_by(["day"]).aggregate([("vc", "sum")])
+        yield g.rename_columns(["day", "vc"])
+
+    rows = keyed_reagg(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]).map_batches(
+            pre, batch_format="pyarrow"
+        ),
+        ["day"], [("vc", "sum")], P,
+    ).take_all()
+    n_total = len(rows)
+    rv_total = sum(int(r["vc"]) for r in rows)
+    nd = [0] * 7
+    rv = [0] * 7
+    for r in rows:
+        w = (int(r["day"]) + 4) % 7
+        nd[w] += 1
+        rv[w] += int(r["vc"])
+    dows = [w for w in range(7) if nd[w] > 0]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "dow": pa.array(dows, pa.int64()),
+                "n_days": pa.array([nd[w] for w in dows], pa.int64()),
+                "revenue_cents": pa.array([rv[w] for w in dows], pa.int64()),
+                "idx_ppm": pa.array(
+                    [
+                        rv[w] * n_total * 10**6 // (nd[w] * rv_total)
+                        for w in dows
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+    )
+
+
+WEEKDAY_SEASONALITY_SQL = """
+WITH daily AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS vc
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(vc) AS BIGINT) AS total FROM daily),
+byw AS (
+  SELECT (day + 4) % 7 AS dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+    CAST(SUM(vc) AS BIGINT) AS revenue_cents
+  FROM daily GROUP BY 1
+)
+SELECT dow, n_days, revenue_cents,
+  CAST(CAST(revenue_cents AS HUGEINT) * tot.n * 1000000
+       // (CAST(n_days AS HUGEINT) * tot.total) AS BIGINT) AS idx_ppm
+FROM byw, tot ORDER BY dow
+"""

@@ -2308,3 +2308,99 @@ SELECT CAST({PQ_TOPK} AS BIGINT) AS k, h AS n_hits,
   CAST(h * 1000000 // {PQ_TOPK} AS BIGINT) AS recall_ppm
 FROM hits
 """
+
+
+# --------------------------------------------------------------------------
+# Range search (epsilon-ball neighbor counts) on integer SQ codes
+# --------------------------------------------------------------------------
+
+EPS_Q = 8           # query points = the EPS_Q smallest vec_ids
+EPS_R = 200_000     # integer squared-L2 radius over 64x uint8 codes
+
+
+def epsilon_neighbors(sf_dir: str) -> ray.data.Dataset:
+    """(vec_id, n_within) — range search: for each of the ``EPS_Q``
+    smallest vec_ids, how many corpus vectors (self included) lie
+    within integer squared-L2 distance ``EPS_R`` of it on the SQ
+    codes.  The radius-query baseline every ANN index is measured
+    against; fully integer (quantize-first rule), so the counts are
+    oracle-exact.  R=200k was picked by scanning the distance
+    distribution (~1st percentile; 30-90 hits/query at both SFs —
+    50k..150k were degenerate all-1s).
+
+    Scale shape: query codes are a Q x D broadcast (closure capture,
+    pinned constant Q); ONE streaming pass emits Q-row count partials
+    per block; the driver folds Q x nblocks ints (order-free integer
+    sum)."""
+    import os
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    lo_v, hi_v = _sq_bounds(ds)
+
+    def qpre(t: pa.Table):
+        if len(t) == 0:
+            return
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = np.argsort(ids)[:EPS_Q]
+        m = _emb_matrix64(t, "embedding")[keep]
+        codes = np.minimum(
+            np.floor((m - lo_v) * SQ_LEVELS / (hi_v - lo_v)), SQ_LEVELS
+        ).astype(np.int64)
+        yield pa.table(
+            {
+                "vec_id": pa.array(ids[keep]),
+                "code": pa.array(codes.tolist()),
+            }
+        )
+
+    qrows = sorted(
+        ds.map_batches(qpre, batch_format="pyarrow").take_all(),
+        key=lambda r: r["vec_id"],
+    )[:EPS_Q]
+    qids = np.array([r["vec_id"] for r in qrows], np.int64)
+    qcodes = np.array([r["code"] for r in qrows], np.int64)
+
+    def cnt(t: pa.Table):
+        if len(t) == 0:
+            return
+        m = _emb_matrix64(t, "embedding")
+        codes = np.minimum(
+            np.floor((m - lo_v) * SQ_LEVELS / (hi_v - lo_v)), SQ_LEVELS
+        ).astype(np.int64)
+        ns = np.empty(len(qids), np.int64)
+        for qi in range(len(qids)):
+            diff = codes - qcodes[qi]
+            ns[qi] = int(((diff * diff).sum(axis=1) <= EPS_R).sum())
+        yield pa.table({"vec_id": pa.array(qids), "n": pa.array(ns)})
+
+    tot: dict[int, int] = {int(q): 0 for q in qids}
+    for r in ds.map_batches(cnt, batch_format="pyarrow").take_all():
+        tot[r["vec_id"]] += r["n"]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(sorted(tot), pa.int64()),
+                "n_within": pa.array(
+                    [tot[k] for k in sorted(tot)], pa.int64()
+                ),
+            }
+        )
+    )
+
+
+EPSN_SQL = f"""
+WITH {_SQ_CODE_CTE},
+q AS (SELECT vec_id FROM c GROUP BY vec_id ORDER BY vec_id LIMIT {EPS_Q}),
+d AS (
+  SELECT qc.vec_id AS qid, v.vec_id AS vid,
+    SUM((v.code - qc.code) * (v.code - qc.code)) AS d
+  FROM c v JOIN c qc ON v.i = qc.i JOIN q ON qc.vec_id = q.vec_id
+  GROUP BY qc.vec_id, v.vec_id
+)
+SELECT qid AS vec_id,
+  CAST(SUM(CASE WHEN d <= {EPS_R} THEN 1 ELSE 0 END) AS BIGINT) AS n_within
+FROM d GROUP BY qid ORDER BY qid
+"""

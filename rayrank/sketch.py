@@ -522,3 +522,109 @@ def cms_estimates(
         return pa.table({column: t.column(column), out_col: pa.array(e)})
 
     return keys.map_batches(est, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter join pruning audit
+# --------------------------------------------------------------------------
+
+BLOOM_M = 8192        # filter bits (2^13)
+BLOOM_SHIFT = 20      # second hash = bits 20..32 of the same splitmix64
+
+
+def bloom_prune_stats(sf_dir: str) -> ray.data.Dataset:
+    """One row (n_build, n_probe, n_pass, n_true, n_false_pos, fp_ppm)
+    — the broadcast-Bloom semi-join pruning audit: build a
+    ``BLOOM_M``-bit, 2-hash Bloom filter over the URGENT orders'
+    o_orderkey set, stream lineitem through it, and report how many
+    probe rows the filter passes vs. true membership.  Both hash bit
+    positions come from ONE splitmix64 (low 13 bits and bits 20..32),
+    so the filter contents — and therefore even the false-positive
+    count — are deterministic and oracle-exact.
+
+    This is the scale pattern itself under test: at 100 TB the 1 KiB
+    bitmap broadcasts to every probe task and prunes the shuffle that
+    a plain semi-join would need; the audit tells you the pass rate
+    before you rely on it.  Scale shape: build side reduced to ≤ 2
+    bit-positions/key partials (bitmap unioned on the driver, ≤ 1 KiB);
+    ONE streaming probe pass emitting scalar count partials."""
+    import os
+
+    import pyarrow.compute as pc
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+
+    def build_keys(t: pa.Table):
+        t = t.filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))
+        if len(t) == 0:
+            return
+        yield t.select(["o_orderkey"])
+
+    tk = np.sort(
+        np.concatenate(
+            [
+                r.column("o_orderkey").to_numpy(zero_copy_only=False)
+                for r in orders.map_batches(
+                    build_keys, batch_format="pyarrow"
+                ).iter_batches(batch_format="pyarrow", batch_size=None)
+            ]
+            or [np.empty(0, np.int64)]
+        ).astype(np.int64)
+    )
+    n_build = int(len(tk))
+    h = splitmix64(tk)
+    bitmap = np.zeros(BLOOM_M, bool)
+    bitmap[(h & np.uint64(BLOOM_M - 1)).astype(np.int64)] = True
+    bitmap[
+        ((h >> np.uint64(BLOOM_SHIFT)) & np.uint64(BLOOM_M - 1)).astype(
+            np.int64
+        )
+    ] = True
+
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"]
+    )
+
+    def probe(t: pa.Table):
+        if len(t) == 0:
+            return
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        h = splitmix64(k)
+        p1 = (h & np.uint64(BLOOM_M - 1)).astype(np.int64)
+        p2 = ((h >> np.uint64(BLOOM_SHIFT)) & np.uint64(BLOOM_M - 1)).astype(
+            np.int64
+        )
+        passed = bitmap[p1] & bitmap[p2]
+        true = tk[np.searchsorted(tk, k).clip(0, len(tk) - 1)] == k if len(tk) else np.zeros(len(k), bool)
+        yield pa.table(
+            {
+                "n_probe": pa.array([len(k)], pa.int64()),
+                "n_pass": pa.array([int(passed.sum())], pa.int64()),
+                "n_true": pa.array([int(true.sum())], pa.int64()),
+            }
+        )
+
+    n_probe = n_pass = n_true = 0
+    for r in li.map_batches(probe, batch_format="pyarrow").take_all():
+        n_probe += r["n_probe"]
+        n_pass += r["n_pass"]
+        n_true += r["n_true"]
+    n_fp = n_pass - n_true
+    denom = n_probe - n_true
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_build": pa.array([n_build], pa.int64()),
+                "n_probe": pa.array([n_probe], pa.int64()),
+                "n_pass": pa.array([n_pass], pa.int64()),
+                "n_true": pa.array([n_true], pa.int64()),
+                "n_false_pos": pa.array([n_fp], pa.int64()),
+                "fp_ppm": pa.array(
+                    [n_fp * 10**6 // denom if denom else 0], pa.int64()
+                ),
+            }
+        )
+    )
