@@ -307,6 +307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_exact_pairs": _tx().simhash_exact_pairs,
         "lsh_band_keys": _tx().lsh_band_keys,
         "lsh_candidate_jaccard": _tx().lsh_candidate_jaccard,
+        "jaccard_join_pairs": _tx().jaccard_join_pairs,
+        "lsh_recall": _tx().lsh_recall,
         "simhash_pairs": pl.simhash_pairs,              # rows-only
         "event_transitions": pl.event_transitions,
         "purchase_signup_asof": pl.purchase_signup_asof,
@@ -2402,6 +2404,65 @@ JOIN shsz zb ON zb.doc_id = c.db
 LEFT JOIN shint i ON i.da = c.da AND i.db = c.db"""
 
 
+def _jaccard_join_sql() -> str:
+    """Exact J >= 4/5 self-join (text.jaccard_join_pairs): full
+    shingle-hash self-join in SQL — the prefix filter is engine-side
+    optimization only, provably complete, so outputs coincide.  Shares
+    the hhg3 shingle chain with the LSH oracle (bit-identical hash
+    space, no string/collision caveat)."""
+    return f"""
+WITH {_lsh_band_ctes()},
+shs AS (SELECT DISTINCT doc_id, z FROM hhg3),
+shsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shs
+         GROUP BY doc_id),
+shint AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS i
+  FROM shs a JOIN shs b ON b.z = a.z AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b, i AS inter_size,
+  za.n + zb.n - i AS union_size,
+  CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) AS jaccard
+FROM shint JOIN shsz za ON za.doc_id = da JOIN shsz zb ON zb.doc_id = db
+WHERE 5 * i >= 4 * (za.n + zb.n - i)
+"""
+
+
+def _lsh_recall_sql() -> str:
+    """LSH quality audit (text.lsh_recall): composes the banded-LSH
+    candidate chain and the exact-join truth chain over one shared
+    shingle-hash CTE list."""
+    return f"""
+WITH {_lsh_band_ctes()},
+bk AS (SELECT doc_id, band, z FROM hhb4),
+cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bk a JOIN bk b ON a.band = b.band AND a.z = b.z
+    AND a.doc_id < b.doc_id),
+shs AS (SELECT DISTINCT doc_id, z FROM hhg3),
+shsz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shs
+         GROUP BY doc_id),
+shint AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, CAST(COUNT(*) AS BIGINT) AS i
+  FROM shs a JOIN shs b ON b.z = a.z AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT da, db FROM shint
+  JOIN shsz za ON za.doc_id = da JOIN shsz zb ON zb.doc_id = db
+  WHERE 5 * i >= 4 * (za.n + zb.n - i)),
+hits AS (SELECT COUNT(*) AS h FROM cand c
+         JOIN truth t ON t.da = c.da AND t.db = c.db),
+nt AS (SELECT COUNT(*) AS n FROM truth),
+nc AS (SELECT COUNT(*) AS n FROM cand)
+SELECT CAST(nt.n AS BIGINT) AS n_true, CAST(nc.n AS BIGINT) AS n_cand,
+  CAST(h AS BIGINT) AS n_hit,
+  CAST(CASE WHEN nt.n > 0 THEN h * 1000000 // nt.n ELSE 0 END
+       AS BIGINT) AS recall_ppm,
+  CAST(CASE WHEN nc.n > 0 THEN h * 1000000 // nc.n ELSE 0 END
+       AS BIGINT) AS precision_ppm
+FROM hits, nt, nc
+"""
+
+
 def _kmv_jaccard_sql(k: int = 64) -> str:
     from rayrank.analytics import SETOP_YEAR_A, SETOP_YEAR_B
 
@@ -3512,6 +3573,8 @@ FROM h, s
         "simhash_exact_pairs": _simhash_exact_pairs_sql(),
         "lsh_band_keys": _lsh_band_keys_sql(),
         "lsh_candidate_jaccard": _lsh_candidate_jaccard_sql(),
+        "jaccard_join_pairs": _jaccard_join_sql(),
+        "lsh_recall": _lsh_recall_sql(),
         "pagerank_2iter": _PAGERANK_2ITER_SQL,
         "pagerank_personalized_2iter": _PAGERANK_PPR_2ITER_SQL,
         "spam_mass": _spam_mass_sql(),

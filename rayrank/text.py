@@ -1353,3 +1353,247 @@ def simhash_exact_pairs(sf_dir: str) -> ray.data.Dataset:
         ["a", "b"], [("hamming", "min"), ("n_bands", "sum")],
         NUM_PARTITIONS_DEFAULT,
     )
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity self-join (PPJoin-style; Bayardo
+# et al. WWW'07 / Chaudhuri et al. ICDE'06 — public algorithms)
+# --------------------------------------------------------------------------
+
+JJ_TAU_NUM = 4   # tau = 4/5 = 0.8
+JJ_TAU_DEN = 5
+JJ_POSTING_GUARD = 4096
+
+
+def jaccard_join_pairs(sf_dir: str) -> ray.data.Dataset:
+    """(doc_a, doc_b, inter_size, union_size, jaccard) — ALL document
+    pairs with exact 3-word-shingle Jaccard >= 4/5, found WITHOUT the
+    all-pairs join: prefix filtering.  Each doc keeps only its
+    p = n - ceil(tau*n) + 1 smallest shingle hashes (any global total
+    order is sound; the hash order needs no df pass); a pair with
+    J >= tau and passing the length filter (5*na >= 4*nb and
+    5*nb >= 4*na) must co-occur in some prefix posting, so the prefix
+    inverted index generates a complete candidate set that exact
+    verification then filters.  The jaccard threshold is the integer
+    test 5*i >= 4*u; the only float is one double division restated
+    identically in SQL.
+
+    Scale shape: prefix selection is block-local (a doc is ONE parquet
+    row); ONE shingle-keyed repartition forms prefix postings (guard
+    raises at JJ_POSTING_GUARD per the no-silent-caps rule); the
+    verify joins ship only candidate docs' shingle rows — this is the
+    path that avoids LSH's probabilistic misses AND the quadratic
+    full-posting blowup."""
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+    from .terms import _read_docs
+
+    P = NUM_PARTITIONS_DEFAULT
+    vocab = _sorted_vocab(sf_dir)
+
+    def prefix(t: pa.Table):
+        doc_ids, sh = _block_shingle_rows(t, vocab)
+        if len(doc_ids) == 0:
+            return
+        starts = np.flatnonzero(np.r_[True, doc_ids[1:] != doc_ids[:-1]])
+        cnts = np.diff(np.r_[starts, len(doc_ids)])
+        rank = np.arange(len(doc_ids)) - np.repeat(starts, cnts)
+        p = cnts - (JJ_TAU_NUM * cnts + JJ_TAU_NUM) // JJ_TAU_DEN + 1
+        keep = rank < np.repeat(p, cnts)
+        yield pa.table(
+            {
+                "doc_id": pa.array(doc_ids[keep]),
+                "shingle": pa.array(sh[keep].view(np.int64)),
+                "n": pa.array(np.repeat(cnts, cnts)[keep]),
+            }
+        )
+
+    pre = _read_docs(sf_dir).map_batches(prefix, batch_format="pyarrow")
+    co = pre.repartition(P, keys=["shingle"])
+
+    def pairs(t: pa.Table):
+        if t.num_rows == 0 or "shingle" not in t.schema.names:
+            return
+        s = t.column("shingle").to_numpy(zero_copy_only=False)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        o = np.lexsort((d, s))
+        s, d, n = s[o], d[o], n[o]
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        ends = np.r_[starts[1:], len(s)]
+        das, dbs = [], []
+        for st, en in zip(starts, ends):
+            m = en - st
+            if m < 2:
+                continue
+            if m > JJ_POSTING_GUARD:
+                raise ValueError(
+                    f"prefix posting of size {m} exceeds guard "
+                    f"{JJ_POSTING_GUARD}; raise the guard or shorten "
+                    "prefixes (higher tau)"
+                )
+            ii, jj = np.triu_indices(m, 1)
+            na, nb = n[st:en][ii], n[st:en][jj]
+            ok = (JJ_TAU_DEN * na >= JJ_TAU_NUM * nb) & (
+                JJ_TAU_DEN * nb >= JJ_TAU_NUM * na
+            )
+            das.append(d[st:en][ii][ok])
+            dbs.append(d[st:en][jj][ok])
+        if not das:
+            return
+        da = np.concatenate(das)
+        db = np.concatenate(dbs)
+        lo, hi = np.minimum(da, db), np.maximum(da, db)
+        g = (
+            pa.table({"da": pa.array(lo), "db": pa.array(hi)})
+            .group_by(["da", "db"])
+            .aggregate([])
+        )
+        yield g.rename_columns(["da", "db"])
+
+    cand = keyed_reagg(
+        co.map_batches(pairs, batch_size=None, batch_format="pyarrow"),
+        ["da", "db"], [], P,
+    ).materialize()
+
+    sh = shingle_rows(sf_dir)
+
+    def sz_pre(t: pa.Table):
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return
+        g = (
+            t.append_column("n", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["doc_id"])
+            .aggregate([("n", "sum")])
+        )
+        yield g.rename_columns(["doc_id", "n"])
+
+    sz = sh.map_batches(sz_pre, batch_format="pyarrow")
+
+    ja = join_auto(cand, sh, on=("da",), right_on=("doc_id",), num_partitions=P)
+    inter_rows = join_auto(
+        ja, sh, on=("db", "shingle"), right_on=("doc_id", "shingle"),
+        how="semi", num_partitions=P,
+    )
+
+    def ones(t: pa.Table):
+        if t.num_rows == 0 or "da" not in t.schema.names:
+            return
+        g = (
+            t.select(["da", "db"])
+            .append_column("i", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["da", "db"])
+            .aggregate([("i", "sum")])
+        )
+        yield g.rename_columns(["da", "db", "i"])
+
+    inter = keyed_reagg(
+        inter_rows.map_batches(ones, batch_format="pyarrow"),
+        ["da", "db"], [("i", "sum")], P,
+    )
+
+    j1 = join_auto(inter, sz, on=("da",), right_on=("doc_id",), num_partitions=P)
+
+    def tag_na(t: pa.Table):
+        if t.num_rows == 0 or "n" not in t.schema.names:
+            return
+        yield t.rename_columns(
+            ["na" if c == "n" else c for c in t.schema.names]
+        )
+
+    j2 = join_auto(
+        j1.map_batches(tag_na, batch_format="pyarrow"), sz,
+        on=("db",), right_on=("doc_id",), num_partitions=P,
+    )
+
+    def fin(t: pa.Table):
+        if t.num_rows == 0 or "na" not in t.schema.names:
+            return
+        i = t.column("i").to_numpy(zero_copy_only=False)
+        na = t.column("na").to_numpy(zero_copy_only=False)
+        nb = t.column("n").to_numpy(zero_copy_only=False)
+        un = na + nb - i
+        keep = JJ_TAU_DEN * i >= JJ_TAU_NUM * un
+        if not keep.any():
+            return
+        yield pa.table(
+            {
+                "doc_a": pa.array(
+                    t.column("da").to_numpy(zero_copy_only=False)[keep]
+                ),
+                "doc_b": pa.array(
+                    t.column("db").to_numpy(zero_copy_only=False)[keep]
+                ),
+                "inter_size": pa.array(i[keep]),
+                "union_size": pa.array(un[keep]),
+                "jaccard": pa.array(
+                    i[keep].astype(np.float64) / un[keep].astype(np.float64)
+                ),
+            }
+        )
+
+    return j2.map_batches(fin, batch_format="pyarrow")
+
+
+def lsh_recall(sf_dir: str) -> ray.data.Dataset:
+    """One row (n_true, n_cand, n_hit, recall_ppm, precision_ppm) —
+    the LSH quality audit: of the TRUE J >= 4/5 pairs (exact
+    prefix-filtered join, jaccard_join_pairs), how many does the
+    banded-minhash candidate set (lsh_candidate_jaccard) reach, and
+    how many candidates are true.  A candidate IS a hit iff its exact
+    jaccard passes the same integer 5i >= 4u test, so every count is
+    deterministic and the audit composes the two SQL-green chains.
+
+    Scale shape: both inputs stream; only scalar count partials reach
+    the driver (order-free integer sums)."""
+
+    def cnt_true(t: pa.Table):
+        if len(t) == 0 or "doc_a" not in t.schema.names:
+            return
+        yield pa.table({"n": pa.array([len(t)], pa.int64())})
+
+    n_true = sum(
+        r["n"]
+        for r in jaccard_join_pairs(sf_dir)
+        .map_batches(cnt_true, batch_format="pyarrow")
+        .take_all()
+    )
+
+    def cnt_cand(t: pa.Table):
+        if len(t) == 0 or "inter_size" not in t.schema.names:
+            return
+        i = t.column("inter_size").to_numpy(zero_copy_only=False)
+        u = t.column("union_size").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "n": pa.array([len(t)], pa.int64()),
+                "h": pa.array(
+                    [int((JJ_TAU_DEN * i >= JJ_TAU_NUM * u).sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    n_cand = n_hit = 0
+    for r in (
+        lsh_candidate_jaccard(sf_dir)
+        .map_batches(cnt_cand, batch_format="pyarrow")
+        .take_all()
+    ):
+        n_cand += r["n"]
+        n_hit += r["h"]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_true": pa.array([n_true], pa.int64()),
+                "n_cand": pa.array([n_cand], pa.int64()),
+                "n_hit": pa.array([n_hit], pa.int64()),
+                "recall_ppm": pa.array(
+                    [n_hit * 10**6 // n_true if n_true else 0], pa.int64()
+                ),
+                "precision_ppm": pa.array(
+                    [n_hit * 10**6 // n_cand if n_cand else 0], pa.int64()
+                ),
+            }
+        )
+    )
