@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": pl.clustering_coeff,
         "two_hop_neighbors": pl.two_hop_neighbors,
         "common_neighbors": pl.common_neighbors,
+        "neighbor_sample_2hop": pl.neighbor_sample_2hop,
         "square_count": pl.square_count,
         "bipartite_conflict": pl.bipartite_conflict,
         "ppr_push": _push().ppr_push,
@@ -2779,6 +2780,41 @@ SELECT v AS name, l AS component FROM lab WHERE it = {_CC_ITERS}
 """
 
 
+def _neighbor_sample_sql() -> str:
+    """GraphSAGE fixed-fanout sampling oracle (pipelines
+    .neighbor_sample_2hop): the per-node neighbor cache is
+    ROW_NUMBER() over (splitmix64(a*2^32 + b), b) per vertex — the
+    same chain as the numpy kernel (HUGEINT holds a*2^32+b exactly;
+    the sm64 chain reduces mod 2^64 itself)."""
+    from rayrank.pipelines import NS_F1, NS_F2, NS_SEEDS
+
+    return f"""
+WITH raw AS (SELECT l_orderkey AS s, l_partkey AS t FROM lineitem),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT s AS a, t AS b FROM raw WHERE s <> t
+    UNION ALL SELECT t, s FROM raw WHERE s <> t
+  )
+),
+pr AS (SELECT a, b, CAST(a AS HUGEINT) * 4294967296 + b AS x FROM und),
+{_sm64_carry_cte('pr', ['a', 'b'], '_ns')},
+rk AS (
+  SELECT a, b,
+    CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY z, b) - 1
+         AS BIGINT) AS hrn
+  FROM hh_ns
+),
+seeds AS (SELECT DISTINCT a FROM und ORDER BY a LIMIT {NS_SEEDS}),
+h1 AS (SELECT rk.a AS seed, rk.a AS src, rk.b AS dst
+       FROM rk JOIN seeds ON seeds.a = rk.a WHERE hrn < {NS_F1}),
+h2 AS (SELECT h1.seed, h1.dst AS src, rk.b AS dst
+       FROM h1 JOIN rk ON rk.a = h1.dst WHERE rk.hrn < {NS_F2})
+SELECT seed, CAST(1 AS BIGINT) AS hop, src, dst FROM h1
+UNION ALL
+SELECT seed, CAST(2 AS BIGINT) AS hop, src, dst FROM h2
+"""
+
+
 def _random_walks_sql(steps: int) -> str:
     """Unrolled deterministic-walk oracle (rayrank.pipelines
     .random_walks): per step, the splitmix64 chain over
@@ -3349,6 +3385,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_reciprocity": _pl().EDGE_RECIPROCITY_SQL,
         "two_hop_neighbors": _pl().TWO_HOP_NEIGHBORS_SQL,
         "common_neighbors": _pl().COMMON_NEIGHBORS_SQL,
+        "neighbor_sample_2hop": _neighbor_sample_sql(),
         "square_count": _pl().SQUARE_COUNT_SQL,
         "bipartite_conflict": _BIPARTITE_CONFLICT_SQL,
         "ppr_push": _push().PPR_PUSH_SQL,

@@ -5951,3 +5951,158 @@ def bipartite_conflict(sf_dir: str) -> ray.data.Dataset:
             }
         )
     )
+
+
+NS_SEEDS = 16
+NS_F1 = 3
+NS_F2 = 2
+
+
+def neighbor_sample_2hop(sf_dir: str) -> ray.data.Dataset:
+    """(seed, hop, src, dst) — GraphSAGE-style fixed-fanout neighbor
+    sampling (Hamilton et al., NeurIPS 2017 — public algorithm) on the
+    undirected lineitem graph: for each of the ``NS_SEEDS`` smallest
+    vertices, the minibatch computation tree with fanout ``NS_F1`` at
+    hop 1 and ``NS_F2`` at hop 2.  Sampling is a deterministic
+    PER-NODE neighbor cache — each vertex's neighbors ranked by
+    (splitmix64(a·2³² + b), b) and truncated — the fixed sampled
+    adjacency scaled GNN systems precompute and reuse across
+    minibatches, so the whole tree is a pure function of the graph.
+
+    Scale shape: ONE vertex-keyed repartition ranks adjacency
+    block-locally and truncates to ≤ ``NS_F1`` rows/vertex (the cache
+    is vertex-bounded, NOT edge-bounded); hop expansions are joins
+    against that cache; seeds broadcast as a pinned-constant set."""
+    from .joins import join_auto
+    from .sketch import splitmix64
+
+    P2 = 16
+
+    def und_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        g = pa.table(
+            {"a": pa.array(np.r_[s, d]), "b": pa.array(np.r_[d, s])}
+        ).group_by(["a", "b"]).aggregate([])
+        yield g.rename_columns(["a", "b"])
+
+    und = sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow")
+    mid = und.repartition(P2, keys=["a"])
+
+    def rank_hash(t: pa.Table):
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        uniq = np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+        a_s, b_s = a_s[uniq], b_s[uniq]  # global dedup: keyed by a
+        with np.errstate(over="ignore"):
+            x = (a_s.astype(np.uint64) << np.uint64(32)) + b_s.astype(
+                np.uint64
+            )
+        z = splitmix64(x)
+        o2 = np.lexsort((b_s, z, a_s))
+        a_s, b_s = a_s[o2], b_s[o2]
+        starts = np.flatnonzero(np.r_[True, a_s[1:] != a_s[:-1]])
+        d = np.diff(np.r_[starts, len(a_s)])
+        hrn = _seg_arange(d)
+        keep = hrn < NS_F1
+        yield pa.table(
+            {
+                "a": pa.array(a_s[keep]),
+                "hrn": pa.array(hrn[keep]),
+                "b": pa.array(b_s[keep]),
+            }
+        )
+
+    top = mid.map_batches(
+        rank_hash, batch_size=None, batch_format="pyarrow"
+    ).materialize()  # vertex-bounded: <= NS_F1 rows per vertex
+
+    def mins(t: pa.Table):
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return
+        u = np.unique(t.column("a").to_numpy(zero_copy_only=False))
+        yield pa.table({"m": pa.array(u[:NS_SEEDS])})
+
+    seed_set = np.sort(
+        np.unique(
+            np.concatenate(
+                [
+                    np.asarray([r["m"]], np.int64)
+                    for r in top.map_batches(
+                        mins, batch_format="pyarrow"
+                    ).take_all()
+                ]
+                or [np.empty(0, np.int64)]
+            )
+        )
+    )[:NS_SEEDS]
+
+    def h1(t: pa.Table):
+        if t.num_rows == 0 or "a" not in t.schema.names:
+            return
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        keep = np.isin(a, seed_set)
+        if not keep.any():
+            return
+        yield pa.table(
+            {
+                "seed": pa.array(a[keep]),
+                "src": pa.array(a[keep]),
+                "dst": pa.array(
+                    t.column("b").to_numpy(zero_copy_only=False)[keep]
+                ),
+            }
+        )
+
+    hop1 = top.map_batches(h1, batch_format="pyarrow").materialize()
+
+    def f2(t: pa.Table):
+        if t.num_rows == 0 or "hrn" not in t.schema.names:
+            return
+        m = pc.less(t.column("hrn"), NS_F2)
+        t = t.filter(m)
+        if len(t) == 0:
+            return
+        yield t.select(["a", "b"])
+
+    top2 = top.map_batches(f2, batch_format="pyarrow")
+    j = join_auto(hop1, top2, on=("dst",), right_on=("a",),
+                  num_partitions=P2)
+
+    def h2(t: pa.Table):
+        if t.num_rows == 0 or "b" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "seed": t.column("seed"),
+                "hop": pa.array(np.full(len(t), 2, np.int64)),
+                "src": t.column("dst"),
+                "dst": t.column("b"),
+            }
+        )
+
+    def tag1(t: pa.Table):
+        if t.num_rows == 0 or "seed" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "seed": t.column("seed"),
+                "hop": pa.array(np.ones(len(t), np.int64)),
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+            }
+        )
+
+    return hop1.map_batches(tag1, batch_format="pyarrow").union(
+        j.map_batches(h2, batch_format="pyarrow")
+    )
