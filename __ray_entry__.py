@@ -69,6 +69,12 @@ def _sk():
     return sketch
 
 
+def _qt():
+    from rayrank import quantiles
+
+    return quantiles
+
+
 def _truss():
     from rayrank import truss
 
@@ -137,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity_audit": _an().k_anonymity_audit,
         "cusum_daily_revenue": _an().cusum_daily_revenue,
         "weekday_seasonality": _an().weekday_seasonality,
+        "ivm_join_revenue": _an().ivm_join_revenue,
+        "scd2_user_state": _an().scd2_user_state,
         "zorder_layout": _an().zorder_layout,
         "tokenizer_fertility": pl.tokenizer_fertility,
         "vocab_oov_rate": _terms().vocab_oov_rate,
@@ -322,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_event_types": pl.frequent_event_types,
         "kmv_distinct_parts": pl.kmv_distinct_parts,
         "bloom_prune_stats": _sk().bloom_prune_stats,
+        "sample_quantile_error": _qt().sample_quantile_error,
         "parts_kmv_jaccard": pl.parts_kmv_jaccard,
         "hll_distinct_parts": pl.hll_distinct_parts,
         "cms_part_counts": pl.cms_part_counts,
@@ -333,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": _annmod().embedding_quantize,
         "mmr_rerank": _annmod().mmr_rerank,
         "kcenter_coreset": _annmod().kcenter_coreset,
+        "kcenter_assign_inertia": _annmod().kcenter_assign_inertia,
         "bitq_hamming_topk": _annmod().bitq_hamming_topk,
         "pq_adc_topk": _annmod().pq_adc_topk,
         "lof_scores": _annmod().lof_scores,
@@ -352,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_personalized_2iter": pl.pagerank_personalized_2iter,
         "spam_mass": pl.spam_mass,
         "hits_2iter": pl.hits_2iter,
+        "eigenvector_2iter": pl.eigenvector_2iter,
         "salsa_authority": _salsa().salsa_authority,
         "katz_centrality": pl.katz_centrality_sf,
         "pagerank_converged": pl.pagerank_converged,
@@ -1317,6 +1328,75 @@ sk1 AS (SELECT id, (x + 11400714819323198485) % {_M64} AS z FROM sk0),
 sk2 AS (SELECT id, {_sm64_mul('xor(z, z // 1073741824)', 0xBF58476D1CE4E5B9)} AS z FROM sk1),
 sk3 AS (SELECT id, {_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FROM sk2),
 hh AS (SELECT id, xor(z, z // 2147483648) AS z FROM sk3)"""
+
+
+def _ivm_join_sql() -> str:
+    """Full-recompute oracle for the IVM-maintained join view
+    (analytics.ivm_join_revenue): surviving orders are those whose
+    splitmix64(o_orderkey) % 10 != 1 (delete stream); lineitem deltas
+    are inserts, so every lineitem row counts."""
+    return f"""
+WITH ok AS (SELECT o_orderkey AS id, o_orderpriority AS prio,
+            o_orderkey AS x FROM orders),
+{_sm64_carry_cte('ok', ['id', 'prio'], '_o')},
+liv AS (SELECT id, prio FROM hh_o WHERE z % 10 <> 1),
+lrev AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS rev
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT prio AS o_orderpriority, CAST(SUM(n) AS BIGINT) AS n,
+  CAST(SUM(rev) AS BIGINT) AS sum_revi
+FROM liv JOIN lrev ON lrev.l_orderkey = liv.id
+GROUP BY prio
+"""
+
+
+def _scd2_sql() -> str:
+    """SCD2 interval oracle (analytics.scd2_user_state): change rows
+    via LAG over (ts, event_id); valid_to via LEAD over the change
+    rows with the same tiebreak; open rows get the 2^62 sentinel."""
+    from rayrank.analytics import SCD2_OPEN_US
+
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           event_type AS state FROM events),
+lg AS (SELECT user_id, ts_us, event_id, state,
+       LAG(state) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         AS prev FROM e),
+chg AS (SELECT user_id, ts_us, event_id, state FROM lg
+        WHERE prev IS NULL OR prev <> state)
+SELECT user_id, state, CAST(ts_us AS BIGINT) AS valid_from_us,
+  CAST(COALESCE(LEAD(ts_us) OVER (PARTITION BY user_id
+       ORDER BY ts_us, event_id), {SCD2_OPEN_US}) AS BIGINT)
+    AS valid_to_us
+FROM chg
+"""
+
+
+def _sample_qerr_sql() -> str:
+    """Sampling-accuracy audit oracle (quantiles.sample_quantile_error):
+    quantile_disc over the hash sample (dyadic q — rank rule matches
+    exact_quantiles bit-for-bit), rank error counted on the full
+    table."""
+    return f"""
+WITH ev AS (SELECT event_id, CAST(ROUND(value*100) AS BIGINT) AS vc
+            FROM events),
+evx AS (SELECT vc, event_id AS x FROM ev),
+{_sm64_carry_cte('evx', ['vc'], '_s')},
+smp AS (SELECT vc FROM hh_s WHERE z < 4611686018427387904),
+est AS (SELECT unnest([125, 250, 500, 750, 875]) AS qpm,
+        unnest(quantile_disc(vc, [0.125, 0.25, 0.5, 0.75, 0.875]))
+          AS est_cents
+        FROM smp),
+nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ev),
+cnts AS (SELECT e.qpm, e.est_cents, CAST(COUNT(*) AS BIGINT) AS n_le
+         FROM est e JOIN ev ON ev.vc <= e.est_cents GROUP BY 1, 2)
+SELECT CAST(qpm AS BIGINT) AS qpm, CAST(est_cents AS BIGINT) AS est_cents,
+  n_le, CAST(ABS(n_le * 1000000 // nf.n - qpm * 1000) AS BIGINT) AS err_ppm
+FROM cnts, nf ORDER BY qpm
+"""
 
 
 def _bloom_prune_sql() -> str:
@@ -2923,6 +3003,27 @@ FROM a2 JOIN h2 ON a2.v = h2.v
 """
 
 
+_EIGENVECTOR_2ITER_SQL = f"""
+WITH raw AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS s, CAST(l_partkey AS VARCHAR) AS t
+  FROM lineitem
+),
+verts AS (SELECT DISTINCT v FROM (SELECT s AS v FROM raw UNION ALL SELECT t FROM raw)),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+und AS (
+  SELECT s, t FROM raw WHERE s <> t
+  UNION ALL SELECT t, s FROM raw WHERE s <> t
+),
+e AS (SELECT s, t, CAST(COUNT(*) AS DOUBLE) AS m FROM und GROUP BY s, t),
+h0 AS (SELECT v.v, 1.0/sqrt(nn.n) AS x FROM verts v, nn),
+{_hits_half('h0', 'a1', 's', 't')},
+{_hits_half('a1', 'h1', 's', 't')},
+{_hits_half('h1', 'a2', 's', 't')},
+{_hits_half('a2', 'h2', 's', 't')}
+SELECT h2.v AS name, ROUND(h2.x, 6) AS score FROM h2
+"""
+
+
 # Local clustering coefficient on the triangle-bearing undirected graph
 # (same edge definition as the triangle_count oracle): coeff =
 # 2T/(d·(d−1)) — one double division, identical expression to
@@ -3279,6 +3380,8 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity_audit": _an().K_ANONYMITY_AUDIT_SQL,
         "cusum_daily_revenue": _an().CUSUM_DAILY_REVENUE_SQL,
         "weekday_seasonality": _an().WEEKDAY_SEASONALITY_SQL,
+        "ivm_join_revenue": _ivm_join_sql(),
+        "scd2_user_state": _scd2_sql(),
         "zorder_layout": _an().ZORDER_LAYOUT_SQL,
         "tokenizer_fertility": _pl().TOKENIZER_FERTILITY_SQL,
         "vocab_oov_rate": _terms().VOCAB_OOV_RATE_SQL,
@@ -3549,6 +3652,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kmv_distinct_parts": _kmv_sql("l_partkey", "lineitem", 64),
         "bloom_prune_stats": _bloom_prune_sql(),
+        "sample_quantile_error": _sample_qerr_sql(),
         "parts_kmv_jaccard": _kmv_jaccard_sql(),
         "hll_distinct_parts": _hll_sql("l_partkey", "lineitem", 12),
         "cms_part_counts": _cms_sql("l_partkey", "lineitem", 256, 4),
@@ -3556,6 +3660,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": _annmod().EMBEDDING_QUANTIZE_SQL,
         "mmr_rerank": _annmod().MMR_RERANK_SQL,
         "kcenter_coreset": _annmod().KCENTER_CORESET_SQL,
+        "kcenter_assign_inertia": _annmod().KCENTER_ASSIGN_SQL,
         "bitq_hamming_topk": _annmod().BITQ_HAMMING_SQL,
         "pq_adc_topk": _annmod().PQ_ADC_SQL,
         "lof_scores": _annmod().LOF_SCORES_SQL,
@@ -3616,6 +3721,7 @@ FROM h, s
         "pagerank_personalized_2iter": _PAGERANK_PPR_2ITER_SQL,
         "spam_mass": _spam_mass_sql(),
         "hits_2iter": _HITS_2ITER_SQL,
+        "eigenvector_2iter": _EIGENVECTOR_2ITER_SQL,
         "salsa_authority": _salsa().SALSA_AUTH_SQL,
         "katz_centrality": _KATZ_SQL,
         "pagerank_converged": _PAGERANK_CONV_SQL,

@@ -4370,3 +4370,215 @@ SELECT dow, n_days, revenue_cents,
        // (CAST(n_days AS HUGEINT) * tot.total) AS BIGINT) AS idx_ppm
 FROM byw, tot ORDER BY dow
 """
+
+
+# --------------------------------------------------------------------------
+# Incremental view maintenance of a JOIN view (bilinear delta rule)
+# --------------------------------------------------------------------------
+
+IVM_J_INS = 0    # orders with splitmix64(o_orderkey) % 10 == 0: CDC inserts
+IVM_J_DEL = 1    # orders with splitmix64(o_orderkey) % 10 == 1: CDC deletes
+IVM_J_LMOD = 8   # lineitems with splitmix64(8k+ln) % 8 == 0: CDC inserts
+
+
+def ivm_join_revenue(sf_dir: str) -> ray.data.Dataset:
+    """(o_orderpriority, n, sum_revi) — a JOIN view (revenue per order
+    priority over orders ⋈ lineitem) MAINTAINED under CDC deltas on
+    BOTH join sides via the bilinear delta rule
+
+        Δ(A ⋈ B) = ΔA ⋈ B ∪ A ⋈ ΔB ∪ ΔA ⋈ ΔB
+
+    — the incremental refresh that, at 100 TB, joins only the small
+    delta batches against the other side instead of recomputing.
+    Orders are split by splitmix64(o_orderkey) % 10 into delta inserts
+    (0), delta deletes (1, sign −1) and base; lineitems by
+    splitmix64(8·l_orderkey + l_linenumber) % 8 into delta inserts (0)
+    and base.  Each order carries (b, s) presence/delta signs; each
+    per-orderkey lineitem partial carries (b, s); the maintained
+    coefficient of a pair is (b_o+s_o)(b_l+s_l), expanded into the
+    four signed IVM terms engine-side.  Counts and integer-cent
+    revenue form an abelian group, so the merged state equals the SQL
+    oracle's full recompute over surviving rows; groups whose count
+    hits zero are retracted.
+
+    Scale shape: lineitem reduces to per-(orderkey, side) partials
+    BEFORE the join; one orderkey-keyed join; one |priorities|-bounded
+    re-agg."""
+    from .sketch import splitmix64
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def o_pre(t: pa.Table):
+        if len(t) == 0 or "o_orderkey" not in t.schema.names:
+            return
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        z = splitmix64(k.astype(np.uint64)) % np.uint64(10)
+        bo = (z != IVM_J_INS).astype(np.int64)
+        so = np.where(
+            z == IVM_J_INS, 1, np.where(z == IVM_J_DEL, -1, 0)
+        ).astype(np.int64)
+        yield pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "prio": t.column("o_orderpriority"),
+                "bo": pa.array(bo),
+                "so": pa.array(so),
+            }
+        )
+
+    o = orders.map_batches(o_pre, batch_format="pyarrow")
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+
+    def l_pre(t: pa.Table):
+        if len(t) == 0 or "l_orderkey" not in t.schema.names:
+            return
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = t.column("l_linenumber").to_numpy(zero_copy_only=False)
+        price_c = _i64(t.column("l_extendedprice"), 100)
+        disc_b = _i64(t.column("l_discount"), 100)
+        with np.errstate(over="ignore"):
+            z = splitmix64(
+                k.astype(np.uint64) * np.uint64(IVM_J_LMOD)
+                + ln.astype(np.uint64)
+            ) % np.uint64(IVM_J_LMOD)
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "w": pa.array((z == 0).astype(np.int64)),
+                    "n": pa.array(np.ones(len(t), np.int64)),
+                    "rev": pa.array(price_c * (100 - disc_b)),
+                }
+            )
+            .group_by(["l_orderkey", "w"])
+            .aggregate([("n", "sum"), ("rev", "sum")])
+        )
+        yield g.rename_columns(["l_orderkey", "w", "n", "rev"])
+
+    lp = keyed_reagg(
+        li.map_batches(l_pre, batch_format="pyarrow"),
+        ["l_orderkey", "w"], [("n", "sum"), ("rev", "sum")], P,
+    )
+
+    j = join_auto(lp, o, on=("l_orderkey",), right_on=("o_orderkey",),
+                  num_partitions=P)
+
+    def terms(t: pa.Table):
+        if t.num_rows == 0 or "bo" not in t.schema.names:
+            return
+        bo = t.column("bo").to_numpy(zero_copy_only=False)
+        so = t.column("so").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        bl = (w == 0).astype(np.int64)
+        sl = (w == 1).astype(np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        rev = t.column("rev").to_numpy(zero_copy_only=False)
+        prio = t.column("prio")
+        outs = []
+        # the four IVM terms, each a signed partial
+        for c in (bo * bl, bo * sl, so * bl, so * sl):
+            keep = c != 0
+            if not keep.any():
+                continue
+            outs.append(
+                pa.table(
+                    {
+                        "prio": prio.filter(pa.array(keep)),
+                        "n": pa.array(c[keep] * n[keep]),
+                        "rev": pa.array(c[keep] * rev[keep]),
+                    }
+                )
+            )
+        if not outs:
+            return
+        g = (
+            pa.concat_tables(outs)
+            .group_by(["prio"])
+            .aggregate([("n", "sum"), ("rev", "sum")])
+        )
+        yield g.rename_columns(["prio", "n", "rev"])
+
+    merged = keyed_reagg(
+        j.map_batches(terms, batch_format="pyarrow"),
+        ["prio"], [("n", "sum"), ("rev", "sum")], 4,
+    )
+
+    def fin(t: pa.Table):
+        if t.num_rows == 0 or "n" not in t.schema.names:
+            return
+        t = t.filter(pc.greater(t.column("n"), 0))  # group retraction
+        if t.num_rows:
+            yield t.rename_columns(["o_orderpriority", "n", "sum_revi"])
+
+    return merged.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# SCD2 (slowly-changing-dimension type 2) interval build
+# --------------------------------------------------------------------------
+
+SCD2_OPEN_US = 1 << 62   # sentinel valid_to for the current (open) row
+
+
+def scd2_user_state(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, state, valid_from_us, valid_to_us) — the SCD2
+    dimension build: each user's event_type stream compressed into
+    validity intervals (a new interval at every state CHANGE, ordered
+    by (ts, event_id); the open current interval gets the
+    ``SCD2_OPEN_US`` sentinel).  The warehouse op that turns an event
+    log into a point-in-time joinable dimension.
+
+    Scale shape: ONE user-keyed repartition; runs/intervals are
+    block-local window arithmetic (a user's events land in one block);
+    output is change-bounded, not event-bounded."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "event_id" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "event_id": t.column("event_id"),
+                "state": t.column("event_type"),
+            }
+        )
+
+    co = ev.map_batches(pre, batch_format="pyarrow").repartition(
+        P, keys=["user_id"]
+    )
+
+    def intervals(t: pa.Table):
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        o = np.lexsort((eid, ts, u))
+        u, ts = u[o], ts[o]
+        st = t.column("state").take(pa.array(o))
+        sa = st.to_numpy(zero_copy_only=False)
+        newu = np.r_[True, u[1:] != u[:-1]]
+        chg = newu | np.r_[False, sa[1:] != sa[:-1]]
+        cu, cts, cst = u[chg], ts[chg], st.filter(pa.array(chg))
+        # valid_to = next change's ts within the same user, else OPEN
+        nxt = np.r_[cts[1:], np.int64(0)]
+        same = np.r_[cu[1:] == cu[:-1], False]
+        vto = np.where(same, nxt, np.int64(SCD2_OPEN_US))
+        yield pa.table(
+            {
+                "user_id": pa.array(cu),
+                "state": cst,
+                "valid_from_us": pa.array(cts),
+                "valid_to_us": pa.array(vto),
+            }
+        )
+
+    return co.map_batches(
+        intervals, batch_size=None, batch_format="pyarrow"
+    )

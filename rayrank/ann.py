@@ -1419,6 +1419,23 @@ def kcenter_coreset(sf_dir: str) -> ray.data.Dataset:
         columns=["vec_id", "embedding"],
     )
     lo_v, hi_v = _sq_bounds(ds)
+    out, _sel_ids, _sel_codes = _kcenter_greedy(ds, lo_v, hi_v)
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rnk": pa.array([o[0] for o in out], pa.int64()),
+                "vec_id": pa.array([o[1] for o in out], pa.int64()),
+                "dist": pa.array([o[2] for o in out], pa.int64()),
+            }
+        )
+    )
+
+
+def _kcenter_greedy(ds: ray.data.Dataset, lo_v, hi_v):
+    """The Gonzalez farthest-first loop shared by kcenter_coreset and
+    kcenter_assign_inertia: returns ((rnk, vec_id, dist) rows, selected
+    ids, selected code rows)."""
     seed = _min_vec_id(ds)
     seed_code = _code_of(ds, seed, lo_v, hi_v)
 
@@ -1462,15 +1479,7 @@ def kcenter_coreset(sf_dir: str) -> ray.data.Dataset:
         sel_codes.append(np.asarray(best["code"], np.int64))
         out.append((rnk, int(best["vec_id"]), int(best["d"])))
 
-    return ray.data.from_arrow(
-        pa.table(
-            {
-                "rnk": pa.array([o[0] for o in out], pa.int64()),
-                "vec_id": pa.array([o[1] for o in out], pa.int64()),
-                "dist": pa.array([o[2] for o in out], pa.int64()),
-            }
-        )
-    )
+    return out, sel_ids, sel_codes
 
 
 _SQ_CODE_CTE = """u AS (
@@ -1487,11 +1496,12 @@ c AS MATERIALIZED (
 )"""
 
 
-def _kcenter_sql() -> str:
-    """AS MATERIALIZED greedy chain (the degree_discount/MMR rule —
-    default CTE inlining re-evaluates greedy chains exponentially).
-    The 1-row pick CTEs join in via cross join, never a scalar
-    subquery inside a join condition (which forces a nested loop)."""
+def _kcenter_parts() -> list:
+    """The shared AS MATERIALIZED greedy-chain CTE list (the
+    degree_discount/MMR rule — default CTE inlining re-evaluates
+    greedy chains exponentially).  The 1-row pick CTEs join in via
+    cross join, never a scalar subquery inside a join condition
+    (which forces a nested loop)."""
     parts = [
         _SQ_CODE_CTE,
         "p1 AS MATERIALIZED ("
@@ -1518,6 +1528,11 @@ def _kcenter_sql() -> str:
   FROM c v JOIN p{r} pk ON true JOIN c q ON v.i = q.i AND q.vec_id = pk.id
   JOIN md{r - 1} m ON m.vec_id = v.vec_id
   GROUP BY v.vec_id, m.d)""")
+    return parts
+
+
+def _kcenter_sql() -> str:
+    parts = _kcenter_parts()
     tail = " UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS rnk, id AS vec_id, d AS dist "
         f"FROM p{r}"
@@ -1527,6 +1542,43 @@ def _kcenter_sql() -> str:
         "WITH " + ",\n".join(parts)
         + "\nSELECT * FROM (" + tail + ") ORDER BY rnk"
     )
+
+
+def _kcenter_assign_sql() -> str:
+    """Assignment audit over the same greedy chain: nearest center per
+    vector (ties: rank asc), per-center count + integer inertia."""
+    parts = _kcenter_parts()
+    ctr = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rnk, id FROM p{r}"
+        for r in range(1, KC_K + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+ctr AS ({ctr}),
+ccode AS (SELECT ctr.rnk, ctr.id, c.i, c.code FROM ctr
+          JOIN c ON c.vec_id = ctr.id),
+ad AS (
+  SELECT v.vec_id, cc.rnk,
+    CAST(SUM((v.code - cc.code) * (v.code - cc.code)) AS BIGINT) AS d
+  FROM c v JOIN ccode cc ON cc.i = v.i
+  GROUP BY v.vec_id, cc.rnk),
+pick AS (
+  SELECT vec_id, rnk, d,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, rnk) AS rn
+  FROM ad)
+SELECT ctr.rnk, ctr.id AS center_id,
+  CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_assigned,
+  CAST(COALESCE(cnt.iner, 0) AS BIGINT) AS inertia
+FROM ctr LEFT JOIN (
+  SELECT rnk, COUNT(*) AS n, SUM(d) AS iner FROM pick WHERE rn = 1
+  GROUP BY rnk
+) cnt ON cnt.rnk = ctr.rnk
+ORDER BY ctr.rnk
+"""
+    )
+
+
+KCENTER_ASSIGN_SQL = _kcenter_assign_sql()
 
 
 KCENTER_CORESET_SQL = _kcenter_sql()
@@ -2404,3 +2456,70 @@ SELECT qid AS vec_id,
   CAST(SUM(CASE WHEN d <= {EPS_R} THEN 1 ELSE 0 END) AS BIGINT) AS n_within
 FROM d GROUP BY qid ORDER BY qid
 """
+
+
+def kcenter_assign_inertia(sf_dir: str) -> ray.data.Dataset:
+    """(rnk, center_id, n_assigned, inertia) — the clustering-quality
+    audit on top of the k-center coreset: every corpus vector assigned
+    to its nearest selected center (integer squared-L2 on the SQ
+    codes; ties broken by center rank asc), reporting per-center
+    membership count and inertia (Σ of the integer distances).  The
+    number a pipeline owner reads before trusting the coreset as a
+    cluster skeleton — and, per the quantize-first rule, every value
+    is oracle-exact.
+
+    Scale shape: the K selected codes broadcast in the closure
+    (pinned-constant K×D ints); ONE streaming assignment pass emits
+    K-row partials; the driver folds K×nblocks ints."""
+    import os
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    lo_v, hi_v = _sq_bounds(ds)
+    out, sel_ids, sel_codes = _kcenter_greedy(ds, lo_v, hi_v)
+    centers = np.asarray(sel_codes, np.int64)        # (K, D)
+    cid = np.asarray(sel_ids, np.int64)
+    K = len(cid)
+
+    def assign(t: pa.Table):
+        if len(t) == 0:
+            return
+        m = _emb_matrix64(t, "embedding")
+        codes = np.minimum(
+            np.floor((m - lo_v) * SQ_LEVELS / (hi_v - lo_v)), SQ_LEVELS
+        ).astype(np.int64)
+        d = np.empty((len(codes), K), np.int64)
+        for k in range(K):
+            diff = codes - centers[k]
+            d[:, k] = (diff * diff).sum(axis=1)
+        best = d.argmin(axis=1)  # first minimum = lowest rank (tie rule)
+        bd = d[np.arange(len(codes)), best]
+        n = np.bincount(best, minlength=K).astype(np.int64)
+        iner = np.zeros(K, np.int64)
+        np.add.at(iner, best, bd)  # pure-integer fold, never float
+        yield pa.table(
+            {
+                "k": pa.array(np.arange(K, dtype=np.int64)),
+                "n": pa.array(n),
+                "iner": pa.array(iner),
+            }
+        )
+
+    n_tot = np.zeros(K, np.int64)
+    i_tot = np.zeros(K, dtype=object)
+    i_tot[:] = 0
+    for r in ds.map_batches(assign, batch_format="pyarrow").take_all():
+        n_tot[r["k"]] += r["n"]
+        i_tot[r["k"]] += int(r["iner"])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rnk": pa.array(np.arange(1, K + 1, dtype=np.int64)),
+                "center_id": pa.array(cid),
+                "n_assigned": pa.array(n_tot),
+                "inertia": pa.array([int(v) for v in i_tot], pa.int64()),
+            }
+        )
+    )

@@ -6106,3 +6106,30 @@ def neighbor_sample_2hop(sf_dir: str) -> ray.data.Dataset:
     return hop1.map_batches(tag1, batch_format="pyarrow").union(
         j.map_batches(h2, batch_format="pyarrow")
     )
+
+
+def eigenvector_2iter(sf_dir: str) -> ray.data.Dataset:
+    """(name, score) — two iterations of eigenvector centrality on the
+    undirected lineitem multigraph.  On a symmetric adjacency HITS
+    degenerates to plain power iteration (auth == hub == eigenvector
+    iterate), so this reuses the resident-shard HITS kernels verbatim
+    with fwd == rev == the undirected layout (derive_undirected:
+    directed ∪ reversed, self-loops dropped, multiplicities summed);
+    score is the final normalized half-step (x₄).  Completes the
+    classical centrality set (degree/PageRank/Katz/HITS/SALSA/
+    closeness/betweenness/harmonic + this).  SQL oracle: the unrolled
+    L2-normalized half-steps over the symmetric weighted edge CTE."""
+    from .hits import hits
+
+    udir = _graph(sf_dir, "undirected")
+    res = hits(udir, udir, iterations=2)
+    ds = res.scores_dataset(udir)
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "name": t.column("name"),
+                "score": pc.round(t.column("hub"), 6),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -213,3 +213,90 @@ def interp_quantiles(
     return pa.table(
         {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.float64())}
     )
+
+
+SQE_QS = ((125, 0.125), (250, 0.25), (500, 0.5), (750, 0.75), (875, 0.875))
+SQE_FRACTION = 0.25   # threshold 2^62 exactly
+
+
+def sample_quantile_error(sf_dir: str) -> ray.data.Dataset:
+    """(qpm, est_cents, n_le, err_ppm) — the sampling-accuracy audit:
+    estimate five quantiles (per-mille 125/250/500/750/875 — DYADIC so
+    ceil(q·N) is float-exact on both sides) of the event-value
+    distribution from a deterministic 25% hash sample
+    (splitmix64(event_id) < 2^62), then measure each estimate's TRUE
+    rank error against the full data:
+
+        err_ppm = | n_le·10⁶ // N  −  qpm·10³ |
+
+    where n_le counts full-data values <= the sample estimate.  This
+    is the measurement that justifies (or rejects) sample-based
+    profiling before committing to it at 100 TB — and because the
+    sample is hash-deterministic, even the error itself is
+    oracle-exact.
+
+    Scale shape: the sample estimate reuses the distributed exact-
+    quantile path (value-counts groupby + block summaries); the audit
+    is ONE streaming pass over the full data with 5 broadcast cutoffs
+    and scalar count partials."""
+    import os
+
+    from .relational import _i64
+    from .sketch import hash_sample
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+
+    def to_cents(t: pa.Table):
+        if len(t) == 0:
+            return
+        yield pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "vc": pa.array(_i64(t.column("value"), 100)),
+            }
+        )
+
+    evc = ev.map_batches(to_cents, batch_format="pyarrow")
+    smp = hash_sample(evc, "event_id", SQE_FRACTION)
+    ests = {
+        round(r["q"] * 1000): int(r["value"])
+        for r in exact_quantiles(
+            smp, "vc", qs=[qd for _, qd in SQE_QS]
+        ).take_all()
+    }
+    cut = np.array([ests[qp] for qp, _ in SQE_QS], np.int64)
+
+    def audit(t: pa.Table):
+        if len(t) == 0 or "vc" not in t.schema.names:
+            return
+        v = t.column("vc").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "n": pa.array(np.full(len(cut), len(v), np.int64)),
+                "le": pa.array(
+                    [int((v <= c).sum()) for c in cut], pa.int64()
+                ),
+                "qi": pa.array(np.arange(len(cut)), pa.int64()),
+            }
+        )
+
+    n_full = 0
+    le = np.zeros(len(cut), np.int64)
+    for r in evc.map_batches(audit, batch_format="pyarrow").take_all():
+        le[r["qi"]] += r["le"]
+        if r["qi"] == 0:
+            n_full += r["n"]
+    qps = np.array([qp for qp, _ in SQE_QS], np.int64)
+    err = np.abs(le * 10**6 // n_full - qps * 10**3)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "qpm": pa.array(qps),
+                "est_cents": pa.array(cut),
+                "n_le": pa.array(le),
+                "err_ppm": pa.array(err),
+            }
+        )
+    )

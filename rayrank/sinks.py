@@ -81,18 +81,40 @@ def _done_parts(out_dir: str) -> set[int]:
     return done
 
 
+def _ser_parquet(sub: pa.Table, tmp: str) -> None:
+    pq.write_table(sub, tmp)
+
+
+def _ser_jsonl_gz(sub: pa.Table, tmp: str) -> None:
+    import gzip
+
+    df = sub.to_pandas()
+    with gzip.open(tmp, "wt", encoding="utf-8") as f:
+        df.to_json(f, orient="records", lines=True, date_format="iso")
+
+
+_FORMATS = {
+    "parquet": ("data.parquet", _ser_parquet),
+    "jsonl.gz": ("data.jsonl.gz", _ser_jsonl_gz),
+}
+
+
 def resumable_write(
     ds: ray.data.Dataset,
     out_dir: str,
     part_col: str = "part",
     num_parts: int = DEFAULT_NUM_PARTS,
+    fmt: str = "parquet",
 ) -> dict:
     """Write ``ds`` as ``out_dir/part=NNNN/data.parquet`` directories,
     skipping partitions whose ``_SUCCESS`` marker already exists.
     Returns ``{"written": [...], "skipped": [...], "rows_written": n}``.
     ``part_col`` must be a deterministic function of the row (use
     :func:`with_part`) — that is what makes a re-run route every row to
-    the same partition it failed out of."""
+    the same partition it failed out of.  ``fmt="jsonl.gz"`` emits
+    gzip JSON-Lines shards instead (the interchange format
+    read_corpus_jsonl ingests) with the same marker discipline."""
+    fname, ser = _FORMATS[fmt]
     os.makedirs(out_dir, exist_ok=True)
     done = _done_parts(out_dir)
 
@@ -131,9 +153,9 @@ def resumable_write(
                 continue
             os.makedirs(pdir, exist_ok=True)
             sub = t.take(pa.array(order[s:e]))
-            tmp = os.path.join(pdir, ".data.parquet.tmp")
-            pq.write_table(sub, tmp)
-            os.replace(tmp, os.path.join(pdir, "data.parquet"))
+            tmp = os.path.join(pdir, "." + fname + ".tmp")
+            ser(sub, tmp)
+            os.replace(tmp, os.path.join(pdir, fname))
             with open(marker, "w") as f:
                 f.write("ok")
             out_rows.append((pid, len(sub), False))

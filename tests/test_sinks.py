@@ -107,3 +107,35 @@ def test_compact_roundtrip(tmp_path):
     )
     want = sorted(rows, key=lambda r: (r["k"], r["v"]))
     assert got == want
+
+
+def test_jsonl_gz_sink_roundtrip(tmp_path):
+    """fmt="jsonl.gz" writes resumable gzip JSON-Lines shards that the
+    jsonl ingest reader round-trips exactly (same marker discipline)."""
+    from rayrank.ingest import read_corpus_jsonl
+    from rayrank.sinks import resumable_write, with_part
+
+    out = str(tmp_path / "outj")
+    ds = with_part(_docs(tmp_path), "doc_id", num_parts=4)
+    m1 = resumable_write(ds, out, num_parts=4, fmt="jsonl.gz")
+    assert m1["rows_written"] == 1000
+    assert len(m1["written"]) == 4
+    for p in m1["written"]:
+        d = os.path.join(out, f"part={p:04d}")
+        assert os.path.exists(os.path.join(d, "data.jsonl.gz"))
+        assert os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    # resume after losing one shard
+    shutil.rmtree(os.path.join(out, "part=0002"))
+    ds2 = with_part(_docs(tmp_path), "doc_id", num_parts=4)
+    m2 = resumable_write(ds2, out, num_parts=4, fmt="jsonl.gz")
+    assert m2["written"] == [2]
+
+    paths = [
+        os.path.join(out, d, "data.jsonl.gz")
+        for d in sorted(os.listdir(out))
+        if d.startswith("part=")
+    ]
+    back = read_corpus_jsonl(paths).take_all()
+    got = sorted((r["doc_id"], r["val"]) for r in back)
+    assert got == [(i, i * 3) for i in range(1000)]
