@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": pl.ngram_jaccard_pairs,
         "minhash_clusters": pl.minhash_clusters,        # rows-only (polars shingle hash)
         "minhash_cluster_labels": pl.minhash_cluster_labels,
+        "dedup_keeper_quality": pl.dedup_keeper_quality,
         "minhash_sigs_exact": _tx().minhash_sigs_exact,
         "simhash_sigs_exact": _tx().simhash_sigs_exact,
         "simhash_exact_pairs": _tx().simhash_exact_pairs,
@@ -343,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_rerank": _annmod().mmr_rerank,
         "kcenter_coreset": _annmod().kcenter_coreset,
         "kcenter_assign_inertia": _annmod().kcenter_assign_inertia,
+        "hard_negative_mining": _annmod().hard_negative_mining,
         "bitq_hamming_topk": _annmod().bitq_hamming_topk,
         "pq_adc_topk": _annmod().pq_adc_topk,
         "lof_scores": _annmod().lof_scores,
@@ -2860,6 +2862,30 @@ SELECT v AS name, l AS component FROM lab WHERE it = {_CC_ITERS}
 """
 
 
+def _dedup_keeper_sql() -> str:
+    """Quality-aware keeper per near-dup cluster: composes the cluster
+    oracle and the quality oracle as parenthesized subqueries (inner
+    WITH RECURSIVE scopes cleanly)."""
+    return f"""
+WITH mc AS (SELECT * FROM ({_minhash_cluster_sql()})),
+qual AS (SELECT doc_id, quality FROM ({_doc_quality_sql()})),
+j AS (
+  SELECT CAST(mc.name AS BIGINT) AS doc_id,
+    CAST(mc.component AS BIGINT) AS component, q.quality
+  FROM mc JOIN qual q ON q.doc_id = CAST(mc.name AS BIGINT)
+),
+rk AS (
+  SELECT component, doc_id, quality,
+    ROW_NUMBER() OVER (PARTITION BY component
+                       ORDER BY quality DESC, doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY component) AS nm
+  FROM j)
+SELECT component, doc_id AS keeper_doc_id, CAST(nm AS BIGINT) AS n_members,
+  quality
+FROM rk WHERE rn = 1
+"""
+
+
 def _neighbor_sample_sql() -> str:
     """GraphSAGE fixed-fanout sampling oracle (pipelines
     .neighbor_sample_2hop): the per-node neighbor cache is
@@ -3661,6 +3687,7 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank": _annmod().MMR_RERANK_SQL,
         "kcenter_coreset": _annmod().KCENTER_CORESET_SQL,
         "kcenter_assign_inertia": _annmod().KCENTER_ASSIGN_SQL,
+        "hard_negative_mining": _annmod().HARD_NEG_SQL,
         "bitq_hamming_topk": _annmod().BITQ_HAMMING_SQL,
         "pq_adc_topk": _annmod().PQ_ADC_SQL,
         "lof_scores": _annmod().LOF_SCORES_SQL,
@@ -3672,6 +3699,7 @@ def oracle_sql() -> dict[str, str]:
         "mutual_knn_pairs": _annmod().MUTUAL_KNN_SQL,
         "knn_graph_components": _knn_cc_sql(),
         "minhash_cluster_labels": _minhash_cluster_sql(),
+        "dedup_keeper_quality": _dedup_keeper_sql(),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
             "FROM embeddings WHERE vec_id < 3), "

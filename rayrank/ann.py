@@ -2523,3 +2523,155 @@ def kcenter_assign_inertia(sf_dir: str) -> ray.data.Dataset:
             }
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-example mining on the labeled embeddings (triplet-loss prep)
+# --------------------------------------------------------------------------
+
+HN_Q = 8   # anchors = the HN_Q smallest vec_ids
+
+
+def hard_negative_mining(sf_dir: str) -> ray.data.Dataset:
+    """(vec_id, label, neg_id, neg_d, pos_id, pos_d) — the triplet
+    mining step of metric-learning data prep: for each of the ``HN_Q``
+    smallest vec_ids (anchors), the HARDEST NEGATIVE (nearest vector
+    with a different label; ties vec_id asc) and HARDEST POSITIVE
+    (farthest vector with the same label, self excluded; ties vec_id
+    asc) by integer squared-L2 on the SQ codes — so every pick and
+    distance is oracle-exact.
+
+    Scale shape: anchor codes+labels broadcast (pinned constant);
+    ONE streaming pass emits per-block best-candidate partials
+    (≤ 2 rows per anchor per block); the driver folds with the same
+    (d, id) tie rule."""
+    import os
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    lo_v, hi_v = _sq_bounds(ds)
+
+    def qpre(t: pa.Table):
+        if len(t) == 0:
+            return
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = np.argsort(ids)[:HN_Q]
+        m = _emb_matrix64(t, "embedding")[keep]
+        codes = np.minimum(
+            np.floor((m - lo_v) * SQ_LEVELS / (hi_v - lo_v)), SQ_LEVELS
+        ).astype(np.int64)
+        yield pa.table(
+            {
+                "vec_id": pa.array(ids[keep]),
+                "label": pc.cast(
+                    t.column("label").take(pa.array(keep)), pa.int64()
+                ),
+                "code": pa.array(codes.tolist()),
+            }
+        )
+
+    qrows = sorted(
+        ds.map_batches(qpre, batch_format="pyarrow").take_all(),
+        key=lambda r: r["vec_id"],
+    )[:HN_Q]
+    qids = np.array([r["vec_id"] for r in qrows], np.int64)
+    qlabs = np.array([r["label"] for r in qrows], np.int64)
+    qcodes = np.array([r["code"] for r in qrows], np.int64)
+
+    def cand(t: pa.Table):
+        if len(t) == 0:
+            return
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        labs = pc.cast(t.column("label"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        m = _emb_matrix64(t, "embedding")
+        codes = np.minimum(
+            np.floor((m - lo_v) * SQ_LEVELS / (hi_v - lo_v)), SQ_LEVELS
+        ).astype(np.int64)
+        qs, kinds, vids, dd = [], [], [], []
+        for qi in range(len(qids)):
+            diff = codes - qcodes[qi]
+            d = (diff * diff).sum(axis=1)
+            nm = labs != qlabs[qi]
+            if nm.any():
+                j = np.lexsort((ids[nm], d[nm]))[0]
+                qs.append(qi)
+                kinds.append(0)
+                vids.append(ids[nm][j])
+                dd.append(d[nm][j])
+            pm = (labs == qlabs[qi]) & (ids != qids[qi])
+            if pm.any():
+                j = np.lexsort((ids[pm], -d[pm]))[0]
+                qs.append(qi)
+                kinds.append(1)
+                vids.append(ids[pm][j])
+                dd.append(d[pm][j])
+        if not qs:
+            return
+        yield pa.table(
+            {
+                "qi": pa.array(qs, pa.int64()),
+                "kind": pa.array(kinds, pa.int64()),
+                "vid": pa.array(np.array(vids, np.int64)),
+                "d": pa.array(np.array(dd, np.int64)),
+            }
+        )
+
+    best: dict[tuple[int, int], tuple[int, int]] = {}
+    for r in ds.map_batches(cand, batch_format="pyarrow").take_all():
+        key = (r["qi"], r["kind"])
+        cur = best.get(key)
+        # neg: min (d, id); pos: max d then min id
+        cand_t = (
+            (r["d"], r["vid"]) if r["kind"] == 0 else (-r["d"], r["vid"])
+        )
+        if cur is None or cand_t < cur:
+            best[key] = cand_t
+    neg = {qi: best[(qi, 0)] for qi in range(len(qids)) if (qi, 0) in best}
+    pos = {qi: best[(qi, 1)] for qi in range(len(qids)) if (qi, 1) in best}
+    rows = [qi for qi in range(len(qids)) if qi in neg and qi in pos]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([int(qids[q]) for q in rows], pa.int64()),
+                "label": pa.array([int(qlabs[q]) for q in rows], pa.int64()),
+                "neg_id": pa.array([neg[q][1] for q in rows], pa.int64()),
+                "neg_d": pa.array([neg[q][0] for q in rows], pa.int64()),
+                "pos_id": pa.array([pos[q][1] for q in rows], pa.int64()),
+                "pos_d": pa.array([-pos[q][0] for q in rows], pa.int64()),
+            }
+        )
+    )
+
+
+HARD_NEG_SQL = f"""
+WITH {_SQ_CODE_CTE},
+lab AS (SELECT vec_id, label FROM embeddings),
+q AS (SELECT vec_id FROM c GROUP BY vec_id ORDER BY vec_id LIMIT {HN_Q}),
+d AS (
+  SELECT qc.vec_id AS qid, v.vec_id AS vid,
+    CAST(SUM((v.code - qc.code) * (v.code - qc.code)) AS BIGINT) AS d
+  FROM c v JOIN c qc ON v.i = qc.i JOIN q ON qc.vec_id = q.vec_id
+  GROUP BY qc.vec_id, v.vec_id
+),
+dl AS (
+  SELECT d.qid, d.vid, d.d, ql.label AS qlab, vl.label AS vlab
+  FROM d JOIN lab ql ON ql.vec_id = d.qid
+  JOIN lab vl ON vl.vec_id = d.vid
+),
+neg AS (SELECT qid, vid, d,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, vid) AS rn
+        FROM dl WHERE vlab <> qlab),
+pos AS (SELECT qid, vid, d,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d DESC, vid) AS rn
+        FROM dl WHERE vlab = qlab AND vid <> qid)
+SELECT n.qid AS vec_id, CAST(ql.label AS BIGINT) AS label,
+  n.vid AS neg_id, n.d AS neg_d, p.vid AS pos_id, p.d AS pos_d
+FROM neg n
+JOIN pos p ON p.qid = n.qid AND p.rn = 1
+JOIN lab ql ON ql.vec_id = n.qid
+WHERE n.rn = 1
+"""

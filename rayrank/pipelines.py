@@ -6133,3 +6133,60 @@ def eigenvector_2iter(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def dedup_keeper_quality(sf_dir: str) -> ray.data.Dataset:
+    """(component, keeper_doc_id, n_members, quality) — the dedup
+    family's END STATE: each near-duplicate cluster (the fully
+    SQL-checked exact-minhash LSH → jaccard ≥ 0.8 → CC chain of
+    minhash_cluster_labels) keeps its highest-quality member (quality
+    DESC, doc_id ASC — the quality doubles are bit-identical to the
+    oracle, the property doc_quality's hash match proves).  This is
+    the quality-aware keeper policy production dedup runs instead of
+    min-id.
+
+    Scale shape: cluster labels are pair-graph-bounded (docs with ≥ 1
+    near-dup edge, not the corpus); ONE doc-keyed join against the
+    quality scores; ONE component-keyed repartition; block-local
+    argmax."""
+    from .joins import join_auto
+    from .shuffle import keyed_reagg  # noqa: F401 (repartition only)
+
+    labels = minhash_cluster_labels(sf_dir)
+
+    def to_int(t: pa.Table):
+        if t.num_rows == 0 or "component" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "doc_id": pc.cast(t.column("name"), pa.int64()),
+                "component": pc.cast(t.column("component"), pa.int64()),
+            }
+        )
+
+    lab = labels.map_batches(to_int, batch_format="pyarrow")
+    q = doc_quality(sf_dir).select_columns(["doc_id", "quality"])
+    j = join_auto(lab, q, on=("doc_id",), right_on=("doc_id",),
+                  num_partitions=4)
+    co = j.repartition(4, keys=["component"])
+
+    def pick(t: pa.Table):
+        if t.num_rows == 0 or "component" not in t.schema.names:
+            return
+        comp = t.column("component").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        qual = t.column("quality").to_numpy(zero_copy_only=False)
+        o = np.lexsort((did, -qual, comp))
+        comp, did, qual = comp[o], did[o], qual[o]
+        first = np.r_[True, comp[1:] != comp[:-1]]
+        cnt = np.diff(np.r_[np.flatnonzero(first), len(comp)])
+        yield pa.table(
+            {
+                "component": pa.array(comp[first]),
+                "keeper_doc_id": pa.array(did[first]),
+                "n_members": pa.array(cnt),
+                "quality": pa.array(qual[first]),
+            }
+        )
+
+    return co.map_batches(pick, batch_size=None, batch_format="pyarrow")
