@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_daily_revenue": _an().cusum_daily_revenue,
         "weekday_seasonality": _an().weekday_seasonality,
         "ivm_join_revenue": _an().ivm_join_revenue,
+        "revenue_max_drawdown": _an().revenue_max_drawdown,
         "scd2_user_state": _an().scd2_user_state,
         "zorder_layout": _an().zorder_layout,
         "tokenizer_fertility": pl.tokenizer_fertility,
@@ -3407,6 +3408,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_daily_revenue": _an().CUSUM_DAILY_REVENUE_SQL,
         "weekday_seasonality": _an().WEEKDAY_SEASONALITY_SQL,
         "ivm_join_revenue": _ivm_join_sql(),
+        "revenue_max_drawdown": _an().REVENUE_MAX_DRAWDOWN_SQL,
         "scd2_user_state": _scd2_sql(),
         "zorder_layout": _an().ZORDER_LAYOUT_SQL,
         "tokenizer_fertility": _pl().TOKENIZER_FERTILITY_SQL,

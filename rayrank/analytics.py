@@ -4582,3 +4582,89 @@ def scd2_user_state(sf_dir: str) -> ray.data.Dataset:
     return co.map_batches(
         intervals, batch_size=None, batch_format="pyarrow"
     )
+
+
+def revenue_max_drawdown(sf_dir: str) -> ray.data.Dataset:
+    """One row (peak_day, trough_day, peak_cents, trough_cents,
+    drawdown_cents) — maximum drawdown of the daily order-revenue
+    series: the largest drop from a running peak to a later day, the
+    standard stability probe on any monitored series.  PURE INTEGER
+    (running max + differences); ties pinned: earliest trough with
+    the max drawdown, then earliest day attaining that trough's
+    running peak.
+
+    Scale shape: ONE day-keyed reduce (calendar-bounded knot table),
+    sequential scan on the driver (the cusum precedent)."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "o_orderdate" not in t.schema.names:
+            return
+        g = pa.table(
+            {
+                "day": pc.divide(
+                    pc.cast(t.column("o_orderdate"), pa.int64()), _DAY_US
+                ),
+                "vc": pa.array(_i64(t.column("o_totalprice"), 100)),
+            }
+        ).group_by(["day"]).aggregate([("vc", "sum")])
+        yield g.rename_columns(["day", "vc"])
+
+    rows = keyed_reagg(
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]).map_batches(
+            pre, batch_format="pyarrow"
+        ),
+        ["day"], [("vc", "sum")], P,
+    ).take_all()
+    rows.sort(key=lambda r: r["day"])
+    best = None  # (dd, trough_day, peak_cents, trough_cents)
+    peak = None
+    for r in rows:
+        d, v = int(r["day"]), int(r["vc"])
+        if peak is None or v > peak:
+            peak = v
+        dd = peak - v
+        if best is None or dd > best[0]:
+            best = (dd, d, peak, v)
+    dd, tday, pk, tv = best
+    pday = next(
+        int(r["day"]) for r in rows
+        if int(r["day"]) <= tday and int(r["vc"]) == pk
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "peak_day": pa.array([pday], pa.int64()),
+                "trough_day": pa.array([tday], pa.int64()),
+                "peak_cents": pa.array([pk], pa.int64()),
+                "trough_cents": pa.array([tv], pa.int64()),
+                "drawdown_cents": pa.array([dd], pa.int64()),
+            }
+        )
+    )
+
+
+REVENUE_MAX_DRAWDOWN_SQL = """
+WITH daily AS (
+  SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS vc
+  FROM orders GROUP BY 1
+),
+run AS (
+  SELECT day, vc,
+    MAX(vc) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS peak
+  FROM daily
+),
+tr AS (
+  SELECT day AS trough_day, vc AS trough_cents, peak AS peak_cents,
+    peak - vc AS drawdown_cents,
+    ROW_NUMBER() OVER (ORDER BY peak - vc DESC, day) AS rn
+  FROM run
+)
+SELECT
+  (SELECT MIN(day) FROM daily d
+   WHERE d.day <= tr.trough_day AND d.vc = tr.peak_cents) AS peak_day,
+  trough_day, peak_cents, trough_cents, drawdown_cents
+FROM tr WHERE rn = 1
+"""
