@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_components": pl.knn_graph_components,
         "lsh_ann_topk": pl.lsh_ann_topk,                # rows-only (approximate)
         "ivf_ann_topk": pl.ivf_ann_topk,                # rows-only (approximate)
+        "ivf_recall": pl.ivf_recall,                    # rows-only (audit of the above)
         "semantic_dedup": pl.semantic_dedup,            # rows-only (k-means)
         "embedding_pca": _annmod().pca_top_component,   # rows-only (float fold order)
         # graph algorithms (north_rule §2.11)

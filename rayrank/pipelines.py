@@ -6190,3 +6190,51 @@ def dedup_keeper_quality(sf_dir: str) -> ray.data.Dataset:
         )
 
     return co.map_batches(pick, batch_size=None, batch_format="pyarrow")
+
+
+def ivf_recall(
+    sf_dir: str, k: int = 5, m: int = 3, n_centroids: int = 16,
+    nprobe: int = 6,
+) -> ray.data.Dataset:
+    """(query_id, k, n_hit, recall_ppm) — the IVF quality audit
+    completing the retrieval-audit family (pq_recall / lsh_recall /
+    sample_quantile_error): per query, how many of the IVF top-k
+    (nprobe of n_centroids lists probed) appear in the exact
+    brute-force cosine top-k.  Rows-only: the k-means coarse quantizer
+    is float-iterative, not SQL-expressible — but ``nprobe ==
+    n_centroids`` provably degrades to brute force (recall ≡ 10⁶),
+    which the pytest exploits as an exact oracle.
+
+    Scale shape: both sides are the existing streaming top-k paths;
+    only 2·m·k (query_id, vec_id) rows reach the driver."""
+    import pyarrow.parquet as pq
+
+    from .ann import brute_force_topk, ivf_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(path, filters=[("vec_id", "<", m)])
+    order = np.argsort(t.column("vec_id").to_numpy())
+    q = np.asarray(t.column("embedding").to_pylist(), np.float64)[order]
+    ds = ray.data.read_parquet(path)
+    exact: dict[int, set] = {}
+    for r in brute_force_topk(ds, q, k=k).take_all():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits: dict[int, int] = {qi: 0 for qi in exact}
+    for r in ivf_topk(
+        ds, q, k=k, n_centroids=n_centroids, nprobe=nprobe, iters=3
+    ).take_all():
+        if r["vec_id"] in exact.get(r["query_id"], ()):
+            hits[r["query_id"]] += 1
+    qs = sorted(exact)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(qs, pa.int64()),
+                "k": pa.array([k] * len(qs), pa.int64()),
+                "n_hit": pa.array([hits[qi] for qi in qs], pa.int64()),
+                "recall_ppm": pa.array(
+                    [hits[qi] * 10**6 // k for qi in qs], pa.int64()
+                ),
+            }
+        )
+    )

@@ -232,3 +232,16 @@ def test_semantic_dedup_mirror_and_flags(tmp_path):
         if i == kid:
             assert got[3] == 0
     assert n_dup >= 1  # planted copies must be caught
+
+
+def test_ivf_recall_full_probe_is_exact():
+    """nprobe == n_centroids degrades IVF to brute force, so the recall
+    audit must report exactly 10^6 per query; partial probing must
+    never exceed it."""
+    from rayrank.pipelines import ivf_recall
+
+    sf_dir = "/root/testdata/sf0.001"
+    full = ivf_recall(sf_dir, nprobe=16, n_centroids=16).take_all()
+    assert full and all(r["recall_ppm"] == 10**6 for r in full)
+    part = ivf_recall(sf_dir, nprobe=2, n_centroids=16).take_all()
+    assert all(r["recall_ppm"] <= 10**6 for r in part)
