@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seeded_label_spread": pl.seeded_label_spread,
         "rendezvous_shards": pl.rendezvous_shards,
         "attack_robustness": pl.attack_robustness,
+        "random_failure_robustness": pl.random_failure_robustness,
         "random_walks": pl.random_walks,
         "walk_visit_counts": pl.walk_visit_counts,
         "edge_support": _truss().edge_support,
@@ -2116,6 +2117,57 @@ lab{k}(it, v, l) AS (
     return head + ",\n" + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
 
 
+def _random_failure_sql() -> str:
+    """Random-failure robustness (pipelines.random_failure_robustness):
+    vertex alive iff splitmix64(x) >= f*2^64 (exact dyadic
+    thresholds); per-level edge filter + the min-label CC CTE."""
+    from rayrank.pipelines import FAIL_PMLS
+
+    head = f"""
+WITH RECURSIVE
+rawi AS (SELECT l_orderkey AS s, l_partkey AS t FROM lineitem),
+und AS (
+  SELECT DISTINCT LEAST(s, t) AS u, GREATEST(s, t) AS v
+  FROM rawi WHERE s <> t
+),
+vtx AS (SELECT DISTINCT x FROM (SELECT u AS x FROM und UNION ALL SELECT v FROM und)),
+vxx AS (SELECT x, x AS xx FROM vtx),
+sk0 AS (SELECT x, CAST(xx AS HUGEINT) AS z FROM vxx),
+sk1 AS (SELECT x, (z + 11400714819323198485) % {_M64} AS z FROM sk0),
+sk2 AS (SELECT x, {_sm64_mul('xor(z, z // 1073741824)', 0xBF58476D1CE4E5B9)} AS z FROM sk1),
+sk3 AS (SELECT x, {_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FROM sk2),
+vz AS (SELECT x, xor(z, z // 2147483648) AS z FROM sk3)"""
+    parts, sels = [], []
+    for pml in FAIL_PMLS:
+        thr = ((1 << 64) * pml) // 1000
+        parts.append(f"""e{pml} AS (
+  SELECT CAST(u AS VARCHAR) AS a, CAST(v AS VARCHAR) AS b FROM und
+  JOIN vz za ON za.x = und.u JOIN vz zb ON zb.x = und.v
+  WHERE za.z >= {thr} AND zb.z >= {thr}
+),
+v{pml} AS (SELECT DISTINCT x FROM (SELECT a AS x FROM e{pml} UNION ALL SELECT b FROM e{pml})),
+u{pml} AS (
+  SELECT a, b FROM e{pml} UNION ALL SELECT b, a FROM e{pml}
+  UNION ALL SELECT x, x FROM v{pml}
+),
+lab{pml}(it, v, l) AS (
+  SELECT 0, x, x FROM v{pml}
+  UNION ALL
+  SELECT lab{pml}.it + 1, e.b, MIN(lab{pml}.l)
+  FROM lab{pml} JOIN u{pml} e ON lab{pml}.v = e.a
+  WHERE lab{pml}.it < {_CC_ITERS}
+  GROUP BY lab{pml}.it + 1, e.b
+)""")
+        sels.append(
+            f"SELECT CAST({pml} AS BIGINT) AS fail_pml, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM e{pml}) AS n_edges, "
+            f"(SELECT CAST(MAX(c) AS BIGINT) FROM ("
+            f"SELECT COUNT(*) AS c FROM lab{pml} WHERE it = {_CC_ITERS} "
+            f"GROUP BY l)) AS giant_size"
+        )
+    return head + ",\n" + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
+
+
 def _transitivity_estimate_sql() -> str:
     """Deterministic 1/MOD wedge sample: packed (center, n1, n2) key
     through the splitmix chain, closure via the canonical edge join
@@ -3534,6 +3586,7 @@ def oracle_sql() -> dict[str, str]:
         "seeded_label_spread": _pl().SEEDED_LABEL_SQL,
         "rendezvous_shards": _rendezvous_sql_wired(),
         "attack_robustness": _attack_robustness_sql(),
+        "random_failure_robustness": _random_failure_sql(),
         "mis_vertices": _mis_sql(),
         "graph_coloring": _coloring_sql(),
         "maximal_matching": _maximal_matching_sql(),

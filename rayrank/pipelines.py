@@ -6238,3 +6238,113 @@ def ivf_recall(
             }
         )
     )
+
+
+FAIL_PMLS = (125, 250, 500)   # failure fractions (per-mille, dyadic)
+
+
+def random_failure_robustness(sf_dir: str) -> ray.data.Dataset:
+    """(fail_pml, n_edges, giant_size) — RANDOM-failure robustness
+    curve completing the resilience family (percolation_sweep thins
+    edges, attack_robustness deletes hubs, this one fails vertices
+    uniformly): a vertex x fails at level f iff splitmix64(x) <
+    f·2^64 (the dataset_split threshold rule — dyadic f so the
+    threshold is exact), surviving edges need both endpoints alive,
+    and the giant component is measured per level.
+
+    Scale shape: the failure rule is computable IN PLACE per edge
+    endpoint (no hub set, no broadcast at all — strictly better than
+    the attack variant); CC reuses the shard kernel; the giant pick is
+    the distributed top-1 label fold."""
+    from .components import connected_components
+    from .graph import build_graph
+    from .shuffle import keyed_reagg
+    from .sketch import splitmix64
+
+    def und_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        g = (
+            pa.table({"u": pa.array(u), "v": pa.array(v)})
+            .group_by(["u", "v"])
+            .aggregate([])
+        )
+        yield g.rename_columns(["u", "v"])
+
+    und = keyed_reagg(
+        sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
+        ["u", "v"], [], P,
+    ).materialize()
+
+    out = []
+    for pml in FAIL_PMLS:
+        thr = np.uint64(((1 << 64) * pml) // 1000)  # exact for dyadic f
+
+        def keep_fn(t: pa.Table, thr=thr):
+            if t.num_rows == 0 or "u" not in t.schema.names:
+                return
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            alive = (splitmix64(u.astype(np.uint64)) >= thr) & (
+                splitmix64(v.astype(np.uint64)) >= thr
+            )
+            if not alive.any():
+                return
+            yield pa.table(
+                {
+                    "src_name": pc.cast(pa.array(u[alive]), pa.string()),
+                    "dst_name": pc.cast(pa.array(v[alive]), pa.string()),
+                }
+            )
+
+        kept = und.map_batches(keep_fn, batch_format="pyarrow").materialize()
+        n_kept = kept.count()
+        gdir = tempfile.mkdtemp(prefix=f"rayrank_fail_{pml}_")
+        build_graph(kept, gdir, num_partitions=P, undirected=True)
+        cc = connected_components(gdir)
+
+        @ray.remote
+        def label_counts(ref) -> pa.Table:
+            vals = np.asarray(ref, np.int64)
+            labs, counts = np.unique(vals, return_counts=True)
+            return pa.table({"label": labs, "n": counts.astype(np.int64)})
+
+        sizes = keyed_reagg(
+            ray.data.from_arrow_refs(
+                [label_counts.remote(r) for r in cc.part_refs]
+            ),
+            ["label"], [("n", "sum")], P,
+        )
+
+        def top1(t: pa.Table):
+            if t.num_rows == 0 or "n" not in t.schema.names:
+                return
+            n = t.column("n").to_numpy(zero_copy_only=False)
+            lab = t.column("label").to_numpy(zero_copy_only=False)
+            i = np.lexsort((lab, -n))[:1]
+            yield t.take(pa.array(i))
+
+        giant = (
+            sizes.map_batches(top1, batch_size=None, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(top1, batch_size=None, batch_format="pyarrow")
+            .take_all()
+        )
+        out.append((pml, n_kept, int(giant[0]["n"]) if giant else 0))
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "fail_pml": pa.array([r[0] for r in out], pa.int64()),
+                "n_edges": pa.array([r[1] for r in out], pa.int64()),
+                "giant_size": pa.array([r[2] for r in out], pa.int64()),
+            }
+        )
+    )
