@@ -714,6 +714,100 @@ def run_spandedup_scaling(repeats: int = 2) -> dict:
     }
 
 
+_JACC_REP = int(os.environ.get("JACC_REP", "16"))
+_JACC_CORPUS = f"/tmp/rayrank_jacc_corpus_{_JACC_REP}"
+
+
+def _jacc_corpus_dir() -> str:
+    """Tiled corpus for the similarity-join scaling run: the sf0.1
+    documents table (5000 docs) replicated ``_JACC_REP`` times with
+    doc_id offsets and per-replica token namespaces (the invindex
+    trick) — near-dup structure repeats per replica while shingle
+    postings stay namespace-local, so the prefix-filter join's work
+    scales linearly with replicas.  Laid out as
+    ``{dir}/documents.parquet/part-*.parquet`` so text ops taking an
+    sf_dir read it unchanged."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    done = os.path.join(_JACC_CORPUS, "_DONE")
+    if os.path.exists(done):
+        return _JACC_CORPUS
+    ddir = os.path.join(_JACC_CORPUS, "documents.parquet")
+    os.makedirs(ddir, exist_ok=True)
+    base = pq.read_table(
+        "/root/testdata/sf0.1/documents.parquet", columns=["doc_id", "text"]
+    )
+    n = base.num_rows
+    for r in range(_JACC_REP):
+        txt = pc.replace_substring_regex(
+            base.column("text"), pattern=r"(\S+)", replacement=f"\\1_r{r:03d}"
+        )
+        t = pa.table(
+            {"doc_id": pc.add(base.column("doc_id"), r * n), "text": txt}
+        )
+        pq.write_table(t, os.path.join(ddir, f"part-{r:03d}.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return _JACC_CORPUS
+
+
+def jaccard_once() -> dict:
+    """Prefix-filtered exact similarity self-join
+    (text.jaccard_join_pairs) over the tiled corpus — block-local
+    prefix selection, ONE shingle-keyed repartition, candidate dedup,
+    verify joins."""
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from rayrank import configure_data_context
+    from rayrank.text import jaccard_join_pairs
+
+    configure_data_context()
+    cdir = _jacc_corpus_dir()
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_table(
+        os.path.join(cdir, "documents.parquet"), columns=["doc_id"]
+    ).num_rows  # warm page cache + count
+    t0 = time.perf_counter()
+    n_pairs = jaccard_join_pairs(cdir).count()
+    dt = time.perf_counter() - t0
+    ray.shutdown()
+    return {"num_cpus": ncpu, "docs": n_docs, "pairs": n_pairs,
+            "jaccard_sec": round(dt, 3),
+            "docs_per_sec": round(n_docs / dt, 1)}
+
+
+def run_jaccard_scaling(repeats: int = 2) -> dict:
+    def sub(ncpu):
+        best = None
+        for _ in range(repeats):  # noisy host: best-of-N
+            _quiesce()
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--jaccard-once"],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["jaccard_sec"] < best["jaccard_sec"]:
+                best = r
+        return best
+
+    lo = sub(8)
+    hi = sub(32)
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / 4
+    return {
+        "mode": "jaccard_scaling",
+        "jaccard_lo": lo,
+        "jaccard_hi": hi,
+        "scaling_efficiency_jaccard": round(eff, 3),
+    }
+
+
 def invindex_once() -> dict:
     """Inverted-index build over the tiled corpus — tokenize (regex
     split) + block dedup + ONE keyed shuffle + block-local build; the
@@ -940,6 +1034,12 @@ if __name__ == "__main__":
         sys.exit(0)
     if "--spandedup-scaling" in sys.argv:
         print(json.dumps(run_spandedup_scaling()))
+        sys.exit(0)
+    if "--jaccard-once" in sys.argv:
+        print(json.dumps(jaccard_once()))
+        sys.exit(0)
+    if "--jaccard-scaling" in sys.argv:
+        print(json.dumps(run_jaccard_scaling()))
         sys.exit(0)
     if "--invindex-once" in sys.argv:
         print(json.dumps(invindex_once()))
