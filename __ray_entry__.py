@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivm_join_revenue": _an().ivm_join_revenue,
         "revenue_max_drawdown": _an().revenue_max_drawdown,
         "scd2_user_state": _an().scd2_user_state,
+        "user_event_sequence": _an().user_event_sequence,
         "zorder_layout": _an().zorder_layout,
         "tokenizer_fertility": pl.tokenizer_fertility,
         "vocab_oov_rate": _terms().vocab_oov_rate,
@@ -3463,6 +3464,7 @@ def oracle_sql() -> dict[str, str]:
         "ivm_join_revenue": _ivm_join_sql(),
         "revenue_max_drawdown": _an().REVENUE_MAX_DRAWDOWN_SQL,
         "scd2_user_state": _scd2_sql(),
+        "user_event_sequence": _an().USER_EVENT_SEQUENCE_SQL,
         "zorder_layout": _an().ZORDER_LAYOUT_SQL,
         "tokenizer_fertility": _pl().TOKENIZER_FERTILITY_SQL,
         "vocab_oov_rate": _terms().VOCAB_OOV_RATE_SQL,

@@ -4668,3 +4668,67 @@ SELECT
   trough_day, peak_cents, trough_cents, drawdown_cents
 FROM tr WHERE rn = 1
 """
+
+
+def user_event_sequence(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, n_events, seq) — each user's full ordered event-type
+    string (events ordered by (ts, event_id), joined with '>'): the
+    sequence-extraction step that turns an event log into
+    behavioral-sequence training rows.  Deterministic: the order key
+    is total.
+
+    Scale shape: ONE user-keyed repartition; per-user concatenation is
+    block-local vectorized arrow (binary_join over list slices);
+    output is user-bounded."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "event_id" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "event_id": t.column("event_id"),
+                "et": t.column("event_type"),
+            }
+        )
+
+    co = ev.map_batches(pre, batch_format="pyarrow").repartition(
+        P, keys=["user_id"]
+    )
+
+    def seq(t: pa.Table):
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        o = np.lexsort((eid, ts, u))
+        u = u[o]
+        et = t.column("et").take(pa.array(o)).combine_chunks()
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        cnt = np.diff(np.r_[starts, len(u)]).astype(np.int32)
+        offsets = np.r_[np.int32(0), np.cumsum(cnt, dtype=np.int32)]
+        lists = pa.ListArray.from_arrays(pa.array(offsets), et)
+        joined = pc.binary_join(lists, ">")
+        yield pa.table(
+            {
+                "user_id": pa.array(u[starts]),
+                "n_events": pa.array(cnt.astype(np.int64)),
+                "seq": joined,
+            }
+        )
+
+    return co.map_batches(seq, batch_size=None, batch_format="pyarrow")
+
+
+USER_EVENT_SEQUENCE_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+  FROM events
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+  string_agg(event_type, '>' ORDER BY ts_us, event_id) AS seq
+FROM e GROUP BY user_id
+"""
