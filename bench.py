@@ -1013,6 +1013,32 @@ def delta_refresh() -> dict:
     }
 
 
+def stage_stats(name: str) -> None:
+    """Profiling loop the tuning workflow uses: run ONE queries() entry
+    at $GRAFT_SF_DIR and print Ray Data's per-operator execution stats
+    (ds.stats(): wall time, blocks, rows, memory per stage) — the
+    evidence for where a pipeline's time actually goes before touching
+    batch sizes or partition counts."""
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entry
+
+    t0 = time.perf_counter()
+    res = entry.queries()[name](sf_dir)
+    if isinstance(res, ray.data.Dataset):
+        res = res.materialize()
+        print(res.stats())
+    else:
+        print(f"(non-Dataset result: {type(res).__name__} — no stats)")
+    print(f"total wall: {time.perf_counter() - t0:.3f} s")
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--delta-refresh" in sys.argv:
         print(json.dumps(delta_refresh()))
@@ -1034,6 +1060,9 @@ if __name__ == "__main__":
         sys.exit(0)
     if "--spandedup-scaling" in sys.argv:
         print(json.dumps(run_spandedup_scaling()))
+        sys.exit(0)
+    if "--stats" in sys.argv:
+        stage_stats(sys.argv[sys.argv.index("--stats") + 1])
         sys.exit(0)
     if "--jaccard-once" in sys.argv:
         print(json.dumps(jaccard_once()))
