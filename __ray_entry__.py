@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_max_drawdown": _an().revenue_max_drawdown,
         "scd2_user_state": _an().scd2_user_state,
         "user_event_sequence": _an().user_event_sequence,
+        "missing_order_days": _an().missing_order_days,
         "zorder_layout": _an().zorder_layout,
         "tokenizer_fertility": pl.tokenizer_fertility,
         "vocab_oov_rate": _terms().vocab_oov_rate,
@@ -211,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rendezvous_shards": pl.rendezvous_shards,
         "attack_robustness": pl.attack_robustness,
         "random_failure_robustness": pl.random_failure_robustness,
+        "joint_degree_matrix": pl.joint_degree_matrix,
         "random_walks": pl.random_walks,
         "walk_visit_counts": pl.walk_visit_counts,
         "edge_support": _truss().edge_support,
@@ -2118,6 +2120,24 @@ lab{k}(it, v, l) AS (
     return head + ",\n" + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
 
 
+_JOINT_DEGREE_SQL = """
+WITH rawi AS (SELECT l_orderkey AS s, l_partkey AS t FROM lineitem),
+und AS (
+  SELECT DISTINCT LEAST(s, t) AS u, GREATEST(s, t) AS v
+  FROM rawi WHERE s <> t
+),
+degq AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS x FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY x
+)
+SELECT LEAST(da.d, db.d) AS du, GREATEST(da.d, db.d) AS dv,
+  CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM und JOIN degq da ON da.x = und.u JOIN degq db ON db.x = und.v
+GROUP BY 1, 2
+"""
+
+
 def _random_failure_sql() -> str:
     """Random-failure robustness (pipelines.random_failure_robustness):
     vertex alive iff splitmix64(x) >= f*2^64 (exact dyadic
@@ -3465,6 +3485,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_max_drawdown": _an().REVENUE_MAX_DRAWDOWN_SQL,
         "scd2_user_state": _scd2_sql(),
         "user_event_sequence": _an().USER_EVENT_SEQUENCE_SQL,
+        "missing_order_days": _an().MISSING_ORDER_DAYS_SQL,
         "zorder_layout": _an().ZORDER_LAYOUT_SQL,
         "tokenizer_fertility": _pl().TOKENIZER_FERTILITY_SQL,
         "vocab_oov_rate": _terms().VOCAB_OOV_RATE_SQL,
@@ -3589,6 +3610,7 @@ def oracle_sql() -> dict[str, str]:
         "rendezvous_shards": _rendezvous_sql_wired(),
         "attack_robustness": _attack_robustness_sql(),
         "random_failure_robustness": _random_failure_sql(),
+        "joint_degree_matrix": _JOINT_DEGREE_SQL,
         "mis_vertices": _mis_sql(),
         "graph_coloring": _coloring_sql(),
         "maximal_matching": _maximal_matching_sql(),

@@ -4732,3 +4732,50 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
   string_agg(event_type, '>' ORDER BY ts_us, event_id) AS seq
 FROM e GROUP BY user_id
 """
+
+
+def missing_order_days(sf_dir: str) -> ray.data.Dataset:
+    """(day) — calendar gap detection: epoch-days within the observed
+    [min, max] order-date span that have NO orders (1311 gaps at
+    sf0.001, 6 at sf0.01 — the data-completeness audit an ingest
+    pipeline alarms on).
+
+    Scale shape: ONE day-keyed reduce; the gap scan is driver-side
+    over the calendar-bounded day set (bounded by the date span, never
+    by row count)."""
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "o_orderdate" not in t.schema.names:
+            return
+        g = pa.table(
+            {
+                "day": pc.divide(
+                    pc.cast(t.column("o_orderdate"), pa.int64()), _DAY_US
+                )
+            }
+        ).group_by(["day"]).aggregate([])
+        yield g.rename_columns(["day"])
+
+    rows = keyed_reagg(
+        _read(sf_dir, "orders", ["o_orderdate"]).map_batches(
+            pre, batch_format="pyarrow"
+        ),
+        ["day"], [], P,
+    ).take_all()
+    have = np.sort(np.array([r["day"] for r in rows], np.int64))
+    full = np.arange(have[0], have[-1] + 1, dtype=np.int64)
+    missing = np.setdiff1d(full, have, assume_unique=True)
+    return ray.data.from_arrow(pa.table({"day": pa.array(missing)}))
+
+
+MISSING_ORDER_DAYS_SQL = """
+WITH d AS (
+  SELECT DISTINCT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+    AS day
+  FROM orders
+),
+mm AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+cal AS (SELECT UNNEST(range(lo, hi + 1)) AS day FROM mm)
+SELECT CAST(cal.day AS BIGINT) AS day FROM cal
+ANTI JOIN d ON d.day = cal.day
+"""

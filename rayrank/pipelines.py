@@ -6348,3 +6348,95 @@ def random_failure_robustness(sf_dir: str) -> ray.data.Dataset:
             }
         )
     )
+
+
+def joint_degree_matrix(sf_dir: str) -> ray.data.Dataset:
+    """(du, dv, n_edges) — the joint degree matrix of the undirected
+    distinct lineitem graph: for every edge, the (lower, higher)
+    endpoint-degree pair, counted.  The full degree-correlation
+    structure that degree_assortativity summarizes to one number —
+    what a graph owner inspects when the summary looks off.
+
+    Scale shape: canonical edge dedup re-agg, vertex-degree reduce,
+    TWO endpoint-keyed joins against the degree table, one
+    (du, dv)-bounded re-agg (output is degree-distinct-bounded, not
+    edge-bounded)."""
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    def und_pre(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        g = (
+            pa.table({"u": pa.array(u), "v": pa.array(v)})
+            .group_by(["u", "v"])
+            .aggregate([])
+        )
+        yield g.rename_columns(["u", "v"])
+
+    und = keyed_reagg(
+        sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
+        ["u", "v"], [], P,
+    ).materialize()
+
+    def deg_pre(t: pa.Table):
+        if t.num_rows == 0 or "u" not in t.schema.names:
+            return
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        g = (
+            pa.table({"x": pa.array(np.r_[u, v])})
+            .append_column("d", pa.array(np.ones(2 * len(u), np.int64)))
+            .group_by(["x"])
+            .aggregate([("d", "sum")])
+        )
+        yield g.rename_columns(["x", "d"])
+
+    deg = keyed_reagg(
+        und.map_batches(deg_pre, batch_format="pyarrow"),
+        ["x"], [("d", "sum")], P,
+    )
+
+    j1 = join_auto(und, deg, on=("u",), right_on=("x",), num_partitions=P)
+
+    def tag_du(t: pa.Table):
+        if t.num_rows == 0 or "d" not in t.schema.names:
+            return
+        yield t.rename_columns(
+            ["du_raw" if c == "d" else c for c in t.schema.names]
+        )
+
+    j2 = join_auto(
+        j1.map_batches(tag_du, batch_format="pyarrow"), deg,
+        on=("v",), right_on=("x",), num_partitions=P,
+    )
+
+    def fold(t: pa.Table):
+        if t.num_rows == 0 or "du_raw" not in t.schema.names:
+            return
+        a = t.column("du_raw").to_numpy(zero_copy_only=False)
+        b = t.column("d").to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "du": pa.array(np.minimum(a, b)),
+                    "dv": pa.array(np.maximum(a, b)),
+                }
+            )
+            .append_column("n_edges", pa.array(np.ones(len(a), np.int64)))
+            .group_by(["du", "dv"])
+            .aggregate([("n_edges", "sum")])
+        )
+        yield g.rename_columns(["du", "dv", "n_edges"])
+
+    return keyed_reagg(
+        j2.map_batches(fold, batch_format="pyarrow"),
+        ["du", "dv"], [("n_edges", "sum")], 4,
+    )
