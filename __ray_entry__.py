@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_user_state": _an().scd2_user_state,
         "user_event_sequence": _an().user_event_sequence,
         "missing_order_days": _an().missing_order_days,
+        "user_state_at_day": _an().user_state_at_day,
         "zorder_layout": _an().zorder_layout,
         "tokenizer_fertility": pl.tokenizer_fertility,
         "vocab_oov_rate": _terms().vocab_oov_rate,
@@ -3486,6 +3487,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_user_state": _scd2_sql(),
         "user_event_sequence": _an().USER_EVENT_SEQUENCE_SQL,
         "missing_order_days": _an().MISSING_ORDER_DAYS_SQL,
+        "user_state_at_day": _an().USER_STATE_AT_DAY_SQL,
         "zorder_layout": _an().ZORDER_LAYOUT_SQL,
         "tokenizer_fertility": _pl().TOKENIZER_FERTILITY_SQL,
         "vocab_oov_rate": _terms().VOCAB_OOV_RATE_SQL,

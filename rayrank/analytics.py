@@ -4779,3 +4779,115 @@ cal AS (SELECT UNNEST(range(lo, hi + 1)) AS day FROM mm)
 SELECT CAST(cal.day AS BIGINT) AS day FROM cal
 ANTI JOIN d ON d.day = cal.day
 """
+
+
+def user_state_at_day(sf_dir: str) -> ray.data.Dataset:
+    """(user_id, day_us, state) — the point-in-time temporal join the
+    SCD2 build exists to feed: for every observed day start, each
+    user's state whose validity interval contains that instant
+    (valid_from <= p < valid_to; users not yet seen at p are absent).
+    asof_join's sibling for dimensioned lookups.  (Probes are DAY
+    starts: the events table spans a single month, so month probes
+    are degenerate — the check-selectivity-at-both-SFs rule.)
+
+    Scale shape: probe instants are the DISTINCT day starts
+    (calendar-bounded, broadcast); intervals are the block-local SCD2
+    windows after ONE user-keyed repartition; the containment lookup
+    is a per-user searchsorted."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def days_pre(t: pa.Table):
+        if len(t) == 0 or "ts" not in t.schema.names:
+            return
+        m = pc.unique(pc.floor_temporal(t.column("ts"), unit="day"))
+        yield pa.table({"m": pc.cast(m, pa.int64())})
+
+    months = np.sort(
+        np.unique(
+            np.concatenate(
+                [
+                    np.asarray([r["m"]], np.int64)
+                    for r in ev.map_batches(
+                        days_pre, batch_format="pyarrow"
+                    ).take_all()
+                ]
+            )
+        )
+    )
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "event_id" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "event_id": t.column("event_id"),
+                "state": t.column("event_type"),
+            }
+        )
+
+    co = ev.map_batches(pre, batch_format="pyarrow").repartition(
+        P, keys=["user_id"]
+    )
+
+    def lookup(t: pa.Table):
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        o = np.lexsort((eid, ts, u))
+        u, ts = u[o], ts[o]
+        st = t.column("state").take(pa.array(o))
+        sa = st.to_numpy(zero_copy_only=False)
+        newu = np.r_[True, u[1:] != u[:-1]]
+        chg = newu | np.r_[False, sa[1:] != sa[:-1]]
+        cu, cts, cst = u[chg], ts[chg], st.filter(pa.array(chg))
+        nxt = np.r_[cts[1:], np.int64(0)]
+        same = np.r_[cu[1:] == cu[:-1], False]
+        vto = np.where(same, nxt, np.int64(SCD2_OPEN_US))
+        # per-user containment lookup for every probe month
+        starts = np.flatnonzero(np.r_[True, cu[1:] != cu[:-1]])
+        ends = np.r_[starts[1:], len(cu)]
+        out_u, out_m, out_i = [], [], []
+        for s, e in zip(starts, ends):
+            idx = np.searchsorted(cts[s:e], months, side="right") - 1
+            ok = (idx >= 0) & (months < vto[s:e][idx.clip(0)])
+            if not ok.any():
+                continue
+            out_u.append(np.full(ok.sum(), cu[s], np.int64))
+            out_m.append(months[ok])
+            out_i.append(s + idx[ok])
+        if not out_u:
+            return
+        take = np.concatenate(out_i)
+        yield pa.table(
+            {
+                "user_id": pa.array(np.concatenate(out_u)),
+                "day_us": pa.array(np.concatenate(out_m)),
+                "state": cst.take(pa.array(take)),
+            }
+        )
+
+    return co.map_batches(lookup, batch_size=None, batch_format="pyarrow")
+
+
+USER_STATE_AT_DAY_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+           event_type AS state FROM events),
+lg AS (SELECT user_id, ts_us, event_id, state,
+       LAG(state) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         AS prev FROM e),
+chg AS (SELECT user_id, ts_us, event_id, state FROM lg
+        WHERE prev IS NULL OR prev <> state),
+iv AS (SELECT user_id, state, ts_us AS valid_from_us,
+       COALESCE(LEAD(ts_us) OVER (PARTITION BY user_id
+                ORDER BY ts_us, event_id), {1 << 62}) AS valid_to_us
+       FROM chg),
+months AS (SELECT DISTINCT epoch_us(date_trunc('day', ts)) AS m
+           FROM events)
+SELECT iv.user_id, CAST(months.m AS BIGINT) AS day_us, iv.state
+FROM iv JOIN months
+  ON months.m >= iv.valid_from_us AND months.m < iv.valid_to_us
+"""
