@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_sequence": _an().user_event_sequence,
         "missing_order_days": _an().missing_order_days,
         "user_state_at_day": _an().user_state_at_day,
+        "mixture_temperature_budgets": _an().mixture_temperature_budgets,
         "zorder_layout": _an().zorder_layout,
         "tokenizer_fertility": pl.tokenizer_fertility,
         "vocab_oov_rate": _terms().vocab_oov_rate,
@@ -3488,6 +3489,7 @@ def oracle_sql() -> dict[str, str]:
         "user_event_sequence": _an().USER_EVENT_SEQUENCE_SQL,
         "missing_order_days": _an().MISSING_ORDER_DAYS_SQL,
         "user_state_at_day": _an().USER_STATE_AT_DAY_SQL,
+        "mixture_temperature_budgets": _an().MIXTURE_TEMPERATURE_SQL,
         "zorder_layout": _an().ZORDER_LAYOUT_SQL,
         "tokenizer_fertility": _pl().TOKENIZER_FERTILITY_SQL,
         "vocab_oov_rate": _terms().VOCAB_OOV_RATE_SQL,

@@ -4891,3 +4891,90 @@ SELECT iv.user_id, CAST(months.m AS BIGINT) AS day_us, iv.state
 FROM iv JOIN months
   ON months.m >= iv.valid_from_us AND months.m < iv.valid_to_us
 """
+
+
+MIX_T_BUDGET = 10**6   # total token budget to allocate
+
+
+def mixture_temperature_budgets(sf_dir: str) -> ray.data.Dataset:
+    """(source, n_tokens, weight_q, budget_tokens) — temperature-based
+    data-mixing weights (α = 1/2, the GPT-3-style sub-linear source
+    reweighting): each source's share of a 10⁶-token budget is
+    proportional to sqrt(its token count), flattening the head.
+    weight_q = floor(10⁶·sqrt(n)) — ONE correctly-rounded IEEE sqrt
+    mirrored verbatim in SQL (the floor(1e9·ln) rule's sqrt sibling)
+    — then budgets are pure-integer floor division with the wide
+    product in HUGEINT/Python int only.
+
+    Scale shape: block-local per-source token partials, one
+    |sources|-bounded re-agg, driver fold over the source table."""
+    import math
+
+    def tok_pre(t: pa.Table):
+        if len(t) == 0 or "text" not in t.schema.names:
+            return
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t.column("text")), pattern=r"\s+"
+        )
+        arr = (
+            toks.combine_chunks()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks
+        )
+        offsets = arr.offsets.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(arr)), np.diff(offsets))
+        keep = pc.not_equal(arr.values, "").to_numpy(zero_copy_only=False)
+        cnt = np.bincount(doc_idx[keep], minlength=len(arr)).astype(np.int64)
+        g = (
+            pa.table({"source": t.column("source"), "n": pa.array(cnt)})
+            .group_by(["source"])
+            .aggregate([("n", "sum")])
+        )
+        yield g.rename_columns(["source", "n"])
+
+    import os
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+    rows = keyed_reagg(
+        docs.map_batches(tok_pre, batch_format="pyarrow"),
+        ["source"], [("n", "sum")], 4,
+    ).take_all()
+    rows.sort(key=lambda r: r["source"])
+    wq = [int(math.floor(10**6 * math.sqrt(float(r["n"])))) for r in rows]
+    tot = sum(wq)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array([r["source"] for r in rows]),
+                "n_tokens": pa.array(
+                    [int(r["n"]) for r in rows], pa.int64()
+                ),
+                "weight_q": pa.array(wq, pa.int64()),
+                "budget_tokens": pa.array(
+                    [MIX_T_BUDGET * w // tot for w in wq], pa.int64()
+                ),
+            }
+        )
+    )
+
+
+MIXTURE_TEMPERATURE_SQL = rf"""
+WITH tk AS (
+  SELECT source,
+    CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
+        x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (SELECT source, n_tokens,
+      CAST(FLOOR(1000000.0 * SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+        AS weight_q
+      FROM tk),
+s AS (SELECT CAST(SUM(weight_q) AS BIGINT) AS tot FROM w)
+SELECT source, n_tokens, weight_q,
+  CAST(CAST({MIX_T_BUDGET} AS HUGEINT) * weight_q // s.tot AS BIGINT)
+    AS budget_tokens
+FROM w, s
+"""
