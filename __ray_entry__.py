@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_kmv_jaccard": pl.parts_kmv_jaccard,
         "hll_distinct_parts": pl.hll_distinct_parts,
         "cms_part_counts": pl.cms_part_counts,
+        "cms_error_audit": pl.cms_error_audit,
         "ams_f2_parts": pl.ams_f2_parts,
         "embedding_near_dups": pl.embedding_near_dup_pairs,  # rows-only
         "ann_topk": pl.ann_topk,
@@ -3304,6 +3305,25 @@ est AS (
 SELECT k AS {col}, CAST(e AS BIGINT) AS est_count FROM est"""
 
 
+def _cms_audit_sql() -> str:
+    """CMS accuracy audit (pipelines.cms_error_audit): composes the
+    exact-grid CMS oracle with true counts for the top-20 keys."""
+    from rayrank.pipelines import CMS_AUDIT_K
+
+    return f"""
+WITH cms AS (SELECT * FROM ({_cms_sql("l_partkey", "lineitem", 256, 4)})),
+ex AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact_count
+       FROM lineitem GROUP BY 1),
+top AS (SELECT * FROM ex QUALIFY ROW_NUMBER() OVER
+        (ORDER BY exact_count DESC, l_partkey) <= {CMS_AUDIT_K})
+SELECT t.l_partkey, t.exact_count, c.est_count,
+  c.est_count - t.exact_count AS overcount,
+  CAST((c.est_count - t.exact_count) * 1000000 // t.exact_count
+       AS BIGINT) AS err_ppm
+FROM top t JOIN cms c ON c.l_partkey = t.l_partkey
+"""
+
+
 def _ams_f2_sql(col: str, table: str, r: int = 16) -> str:
     """AMS tug-of-war F2 sketch rebuilt in SQL: sign_j(key) = ±1 from
     the low bit of splitmix64(key·r + j) (the cms hash-chain rule),
@@ -3766,6 +3786,7 @@ def oracle_sql() -> dict[str, str]:
         "parts_kmv_jaccard": _kmv_jaccard_sql(),
         "hll_distinct_parts": _hll_sql("l_partkey", "lineitem", 12),
         "cms_part_counts": _cms_sql("l_partkey", "lineitem", 256, 4),
+        "cms_error_audit": _cms_audit_sql(),
         "ams_f2_parts": _ams_f2_sql("l_partkey", "lineitem", 16),
         "embedding_quantize": _annmod().EMBEDDING_QUANTIZE_SQL,
         "mmr_rerank": _annmod().MMR_RERANK_SQL,

@@ -6440,3 +6440,80 @@ def joint_degree_matrix(sf_dir: str) -> ray.data.Dataset:
         j2.map_batches(fold, batch_format="pyarrow"),
         ["du", "dv"], [("n_edges", "sum")], 4,
     )
+
+
+CMS_AUDIT_K = 20
+
+
+def cms_error_audit(sf_dir: str) -> ray.data.Dataset:
+    """(l_partkey, exact_count, est_count, overcount, err_ppm) — the
+    sketch-accuracy audit closing the CMS loop: for the top
+    ``CMS_AUDIT_K`` partkeys by EXACT frequency (ties key asc), the
+    count-min estimate vs truth (CMS never undercounts, so overcount
+    >= 0 — the deliberately-narrow 256x4 grid makes the collisions
+    measurable).  Both sides are deterministic integers, so even the
+    error is oracle-exact — the audit-family rule.
+
+    Scale shape: exact counts are ONE keyed reduce; top-k is a
+    pinned-constant fold; estimates run over the k-row key table with
+    the sketch grid broadcast."""
+    from .shuffle import keyed_reagg
+    from .sketch import cms_estimates, cms_sketch
+
+    li = _read(sf_dir, "lineitem", ["l_partkey"])
+    grid = cms_sketch(li, "l_partkey")
+
+    def cnt_pre(t: pa.Table):
+        if len(t) == 0:
+            return
+        g = (
+            t.append_column("n", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["l_partkey"])
+            .aggregate([("n", "sum")])
+        )
+        yield g.rename_columns(["l_partkey", "n"])
+
+    exact = keyed_reagg(
+        li.map_batches(cnt_pre, batch_format="pyarrow"),
+        ["l_partkey"], [("n", "sum")], P,
+    )
+
+    def local_top(t: pa.Table):
+        if t.num_rows == 0 or "n" not in t.schema.names:
+            return
+        k = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, -n))[:CMS_AUDIT_K]
+        yield t.take(pa.array(order))
+
+    top_rows = sorted(
+        (
+            (-r["n"], r["l_partkey"])
+            for r in exact.map_batches(
+                local_top, batch_size=None, batch_format="pyarrow"
+            ).take_all()
+        )
+    )[:CMS_AUDIT_K]
+    keys = [k for _, k in top_rows]
+    counts = {k: -negn for negn, k in top_rows}
+    key_ds = ray.data.from_arrow(
+        pa.table({"l_partkey": pa.array(keys, pa.int64())})
+    )
+    ests = {
+        r["l_partkey"]: r["est_count"]
+        for r in cms_estimates(key_ds, "l_partkey", grid).take_all()
+    }
+    ex = np.array([counts[k] for k in keys], np.int64)
+    es = np.array([ests[k] for k in keys], np.int64)
+    over = es - ex
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "l_partkey": pa.array(keys, pa.int64()),
+                "exact_count": pa.array(ex),
+                "est_count": pa.array(es),
+                "overcount": pa.array(over),
+                "err_ppm": pa.array(over * 10**6 // ex),
+            }
+        )
+    )
