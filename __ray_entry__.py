@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_parts": pl.hll_distinct_parts,
         "cms_part_counts": pl.cms_part_counts,
         "cms_error_audit": pl.cms_error_audit,
+        "distinct_sketch_audit": pl.distinct_sketch_audit,
         "ams_f2_parts": pl.ams_f2_parts,
         "embedding_near_dups": pl.embedding_near_dup_pairs,  # rows-only
         "ann_topk": pl.ann_topk,
@@ -3305,6 +3306,29 @@ est AS (
 SELECT k AS {col}, CAST(e AS BIGINT) AS est_count FROM est"""
 
 
+def _distinct_sketch_audit_sql() -> str:
+    """KMV + HLL distinct-estimate audit vs exact (pipelines
+    .distinct_sketch_audit); ABS before the floor division so the
+    negative-floor-div divergence (the Theil-Sen lesson) can't
+    arise."""
+    return f"""
+WITH kmvq AS (SELECT est_distinct FROM ({_kmv_sql("l_partkey", "lineitem", 64)})),
+hllq AS (SELECT est_distinct FROM ({_hll_sql("l_partkey", "lineitem", 12)})),
+ex AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n FROM lineitem)
+SELECT 'hll' AS sketch,
+  CAST(FLOOR(1000.0 * hllq.est_distinct) AS BIGINT) AS est_milli,
+  ex.n AS exact_distinct,
+  CAST(ABS(CAST(FLOOR(1000.0 * hllq.est_distinct) AS BIGINT) - 1000*ex.n)
+       * 1000 // ex.n AS BIGINT) AS abs_err_ppm
+FROM hllq, ex
+UNION ALL
+SELECT 'kmv', CAST(1000 * kmvq.est_distinct AS BIGINT), ex.n,
+  CAST(ABS(1000 * kmvq.est_distinct - 1000 * ex.n) * 1000 // ex.n
+       AS BIGINT)
+FROM kmvq, ex
+"""
+
+
 def _cms_audit_sql() -> str:
     """CMS accuracy audit (pipelines.cms_error_audit): composes the
     exact-grid CMS oracle with true counts for the top-20 keys."""
@@ -3787,6 +3811,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_parts": _hll_sql("l_partkey", "lineitem", 12),
         "cms_part_counts": _cms_sql("l_partkey", "lineitem", 256, 4),
         "cms_error_audit": _cms_audit_sql(),
+        "distinct_sketch_audit": _distinct_sketch_audit_sql(),
         "ams_f2_parts": _ams_f2_sql("l_partkey", "lineitem", 16),
         "embedding_quantize": _annmod().EMBEDDING_QUANTIZE_SQL,
         "mmr_rerank": _annmod().MMR_RERANK_SQL,

@@ -6517,3 +6517,53 @@ def cms_error_audit(sf_dir: str) -> ray.data.Dataset:
             }
         )
     )
+
+
+def distinct_sketch_audit(sf_dir: str) -> ray.data.Dataset:
+    """(sketch, est_milli, exact_distinct, abs_err_ppm) — the
+    distinct-count sketch audit: KMV (k=64) and HLL (p=12) estimates
+    of |distinct l_partkey| against the exact count, errors in ppm.
+    Both sketches are splitmix-deterministic and the HLL float chain
+    is already bit-identical to its SQL oracle, so flooring 1000x the
+    estimate keeps even the error integer-exact (the audit-family
+    rule: measure the approximation, exactly).
+
+    Scale shape: composes three existing streaming reductions; three
+    scalar rows reach the driver."""
+    import math
+
+    from .shuffle import keyed_reagg
+
+    kmv = kmv_distinct_parts(sf_dir).take_all()[0]["est_distinct"]
+    hll = hll_distinct_parts(sf_dir).take_all()[0]["est_distinct"]
+
+    def uniq(t: pa.Table):
+        if len(t) == 0:
+            return
+        u = pc.unique(t.column("l_partkey"))
+        yield pa.table(
+            {"l_partkey": u, "one": pa.array(np.ones(len(u), np.int64))}
+        )
+
+    exact = keyed_reagg(
+        _read(sf_dir, "lineitem", ["l_partkey"]).map_batches(
+            uniq, batch_format="pyarrow"
+        ),
+        ["l_partkey"], [("one", "sum")], P,
+    ).count()
+
+    est_m = [int(math.floor(1000.0 * float(hll))), 1000 * int(kmv)]
+    names = ["hll", "kmv"]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "sketch": pa.array(names),
+                "est_milli": pa.array(est_m, pa.int64()),
+                "exact_distinct": pa.array([exact, exact], pa.int64()),
+                "abs_err_ppm": pa.array(
+                    [abs(e - 1000 * exact) * 1000 // exact for e in est_m],
+                    pa.int64(),
+                ),
+            }
+        )
+    )
