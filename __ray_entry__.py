@@ -344,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_part_counts": pl.cms_part_counts,
         "cms_error_audit": pl.cms_error_audit,
         "distinct_sketch_audit": pl.distinct_sketch_audit,
+        "ship_lag_histogram": rel.ship_lag_histogram,
         "ams_f2_parts": pl.ams_f2_parts,
         "embedding_near_dups": pl.embedding_near_dup_pairs,  # rows-only
         "ann_topk": pl.ann_topk,
@@ -3812,6 +3813,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_part_counts": _cms_sql("l_partkey", "lineitem", 256, 4),
         "cms_error_audit": _cms_audit_sql(),
         "distinct_sketch_audit": _distinct_sketch_audit_sql(),
+        "ship_lag_histogram": rel.SHIP_LAG_HISTOGRAM_SQL,
         "ams_f2_parts": _ams_f2_sql("l_partkey", "lineitem", 16),
         "embedding_quantize": _annmod().EMBEDDING_QUANTIZE_SQL,
         "mmr_rerank": _annmod().MMR_RERANK_SQL,

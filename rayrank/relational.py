@@ -1319,3 +1319,92 @@ WITH o AS (
 SELECT a.k AS a, b.k AS b, CAST(abs(a.c - b.c) AS BIGINT) AS diff_cents
 FROM o a JOIN o b ON a.k < b.k AND abs(a.c - b.c) <= {PRICE_BAND_EPS}
 """
+
+
+LAG_BIN_DAYS = 30
+
+
+def ship_lag_histogram(sf_dir: str) -> ray.data.Dataset:
+    """(bin, n) — histogram of order→ship lag (l_shipdate −
+    o_orderdate in whole days, binned by ``LAG_BIN_DAYS``): the
+    fulfillment-latency profile, computed with PURE-INTEGER day
+    arithmetic (epoch_us // day, difference, floor-div binning — the
+    event_value_histogram rule; lags are non-negative so ``//`` is
+    safe).
+
+    Scale shape: orders reduce to (orderkey, day) before ONE
+    orderkey-keyed join; the histogram is a |bins|-bounded re-agg."""
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    DAY = 86_400_000_000
+
+    def o_pre(t: pa.Table):
+        if len(t) == 0 or "o_orderkey" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "od": pc.divide(
+                    pc.cast(t.column("o_orderdate"), pa.int64()), DAY
+                ),
+            }
+        )
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        o_pre, batch_format="pyarrow"
+    )
+
+    def l_pre(t: pa.Table):
+        if len(t) == 0 or "l_orderkey" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "sd": pc.divide(
+                    pc.cast(t.column("l_shipdate"), pa.int64()), DAY
+                ),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        l_pre, batch_format="pyarrow"
+    )
+    j = join_auto(li, o, on=("l_orderkey",), right_on=("o_orderkey",),
+                  num_partitions=P)
+
+    def binned(t: pa.Table):
+        if t.num_rows == 0 or "sd" not in t.schema.names:
+            return
+        lag = (
+            t.column("sd").to_numpy(zero_copy_only=False)
+            - t.column("od").to_numpy(zero_copy_only=False)
+        )
+        g = (
+            pa.table(
+                {"bin": pa.array((lag + 30000) // LAG_BIN_DAYS - 1000)}
+            )
+            .append_column("n", pa.array(np.ones(len(lag), np.int64)))
+            .group_by(["bin"])
+            .aggregate([("n", "sum")])
+        )
+        yield g.rename_columns(["bin", "n"])
+
+    return keyed_reagg(
+        j.map_batches(binned, batch_format="pyarrow"),
+        ["bin"], [("n", "sum")], 4,
+    )
+
+
+SHIP_LAG_HISTOGRAM_SQL = """
+WITH o AS (SELECT o_orderkey,
+           CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS od
+           FROM orders),
+l AS (SELECT l_orderkey,
+      CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS sd
+      FROM lineitem)
+SELECT (l.sd - o.od + 30000) // 30 - 1000 AS bin,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM l JOIN o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""

@@ -93,9 +93,18 @@ def _ser_jsonl_gz(sub: pa.Table, tmp: str) -> None:
         df.to_json(f, orient="records", lines=True, date_format="iso")
 
 
+def _ser_csv_gz(sub: pa.Table, tmp: str) -> None:
+    import gzip
+
+    df = sub.to_pandas()
+    with gzip.open(tmp, "wt", encoding="utf-8", newline="") as f:
+        df.to_csv(f, index=False)
+
+
 _FORMATS = {
     "parquet": ("data.parquet", _ser_parquet),
     "jsonl.gz": ("data.jsonl.gz", _ser_jsonl_gz),
+    "csv.gz": ("data.csv.gz", _ser_csv_gz),
 }
 
 
@@ -113,7 +122,8 @@ def resumable_write(
     :func:`with_part`) — that is what makes a re-run route every row to
     the same partition it failed out of.  ``fmt="jsonl.gz"`` emits
     gzip JSON-Lines shards instead (the interchange format
-    read_corpus_jsonl ingests) with the same marker discipline."""
+    read_corpus_jsonl ingests) and ``fmt="csv.gz"`` gzip CSV shards,
+    both with the same marker discipline."""
     fname, ser = _FORMATS[fmt]
     os.makedirs(out_dir, exist_ok=True)
     done = _done_parts(out_dir)

@@ -139,3 +139,25 @@ def test_jsonl_gz_sink_roundtrip(tmp_path):
     back = read_corpus_jsonl(paths).take_all()
     got = sorted((r["doc_id"], r["val"]) for r in back)
     assert got == [(i, i * 3) for i in range(1000)]
+
+
+def test_csv_gz_sink_roundtrip(tmp_path):
+    """fmt="csv.gz" shards round-trip through pandas read_csv."""
+    import glob
+    import gzip
+
+    import pandas as pd
+
+    from rayrank.sinks import resumable_write, with_part
+
+    out = str(tmp_path / "outc")
+    ds = with_part(_docs(tmp_path), "doc_id", num_parts=4)
+    m = resumable_write(ds, out, num_parts=4, fmt="csv.gz")
+    assert m["rows_written"] == 1000
+    rows = []
+    for p in sorted(glob.glob(os.path.join(out, "part=*", "data.csv.gz"))):
+        with gzip.open(p, "rt") as f:
+            rows.append(pd.read_csv(f))
+    back = pd.concat(rows)
+    got = sorted(zip(back["doc_id"], back["val"]))
+    assert got == [(i, i * 3) for i in range(1000)]
