@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attack_robustness": pl.attack_robustness,
         "random_failure_robustness": pl.random_failure_robustness,
         "joint_degree_matrix": pl.joint_degree_matrix,
+        "widest_path_from_seed": pl.widest_path_from_seed,
         "random_walks": pl.random_walks,
         "walk_visit_counts": pl.walk_visit_counts,
         "edge_support": _truss().edge_support,
@@ -2125,6 +2126,39 @@ lab{k}(it, v, l) AS (
     return head + ",\n" + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
 
 
+def _widest_path_sql(rounds: int = 16) -> str:
+    """Unrolled max-min relaxation (pipelines.widest_path_from_seed):
+    W[v] <- max(W[v], max over und edges of LEAST(W[u], m)).  Each
+    round references the previous label table twice, so every round
+    CTE is AS MATERIALIZED (the degree_discount inlining rule).
+    Monotone: rounds beyond convergence are no-ops, so a fixed unroll
+    >= the engine's measured round count matches the fixpoint."""
+    parts = ["""rawi AS (SELECT CAST(l_orderkey AS VARCHAR) AS s,
+  CAST(l_partkey AS VARCHAR) AS t,
+  l_orderkey AS si, l_partkey AS ti FROM lineitem)""",
+"""verts AS (SELECT DISTINCT v FROM
+  (SELECT s AS v FROM rawi UNION ALL SELECT t FROM rawi))""",
+"""seed AS (SELECT CAST(MIN(LEAST(si, ti)) AS VARCHAR) AS v FROM rawi)""",
+"""e AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS m FROM (
+  SELECT s AS a, t AS b FROM rawi WHERE s <> t
+  UNION ALL SELECT t, s FROM rawi WHERE s <> t) GROUP BY a, b)""",
+f"""w0 AS MATERIALIZED (SELECT v.v,
+  CASE WHEN v.v = seed.v THEN CAST({1 << 62} AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS x
+  FROM verts v, seed)"""]
+    for r in range(rounds):
+        parts.append(f"""w{r + 1} AS MATERIALIZED (
+  SELECT p.v, GREATEST(p.x, COALESCE(mx.c, 0)) AS x
+  FROM w{r} p LEFT JOIN (
+    SELECT e.b AS v, MAX(LEAST(q.x, e.m)) AS c
+    FROM e JOIN w{r} q ON q.v = e.a GROUP BY e.b
+  ) mx ON mx.v = p.v)""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT v AS name, x AS width FROM w{rounds}"
+    )
+
+
 _JOINT_DEGREE_SQL = """
 WITH rawi AS (SELECT l_orderkey AS s, l_partkey AS t FROM lineitem),
 und AS (
@@ -3660,6 +3694,7 @@ def oracle_sql() -> dict[str, str]:
         "attack_robustness": _attack_robustness_sql(),
         "random_failure_robustness": _random_failure_sql(),
         "joint_degree_matrix": _JOINT_DEGREE_SQL,
+        "widest_path_from_seed": _widest_path_sql(),
         "mis_vertices": _mis_sql(),
         "graph_coloring": _coloring_sql(),
         "maximal_matching": _maximal_matching_sql(),

@@ -648,3 +648,44 @@ def dag_longest(
         algo_name="dag_longest_path",
         init_fn=init,
     )
+
+
+def widest_paths(
+    graph_dir: str,
+    seed_names: list[str],
+    max_iterations: int = 64,
+    shards: list | None = None,
+) -> LabelResult:
+    """Widest (maximum-bottleneck) path capacities from the seed set:
+    synchronous max-min relaxation ``W[v] ← max(W[v], max_in-nbr
+    min(W[u], w(u,v)))`` with integer weights = collapsed edge
+    multiplicities — the max-min semiring on the same actor-resident
+    label loop as BFS/SSSP (seventh gather/reduce instance).
+    Monotone and bounded, so it converges; seeds hold WIDEST_SEED,
+    unreached vertices 0."""
+    from .graph import GraphMeta
+    from .shards import create_shards
+
+    meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
+    if shards is None:
+        shards = create_shards(graph_dir, meta)
+    locs = seed_locals(graph_dir, seed_names, meta.Q)
+
+    def init(sh):
+        empty = np.empty(0, np.int64)
+        ray.get(
+            [
+                s.init_widest.remote(locs.get(q, empty))
+                for q, s in enumerate(sh)
+            ]
+        )
+
+    return iterate_labels(
+        graph_dir,
+        gather_method="gather_maxmin_w",
+        reduce_method="reduce_max",
+        max_iterations=max_iterations,
+        shards=shards,
+        algo_name="widest",
+        init_fn=init,
+    )

@@ -6567,3 +6567,41 @@ def distinct_sketch_audit(sf_dir: str) -> ray.data.Dataset:
             }
         )
     )
+
+
+def widest_path_from_seed(sf_dir: str) -> ray.data.Dataset:
+    """(name, width) — widest (maximum-bottleneck) path capacity from
+    the minimum-id vertex to every vertex of the undirected weighted
+    lineitem multigraph (weights = collapsed multiplicities): the
+    max-min semiring on the resident-shard label loop (bfs
+    .widest_paths), completing the semiring set (min-plus SSSP,
+    max-plus critical path, min-label CC, this).  Seed holds 2^62;
+    unreached vertices 0.  SQL oracle: unrolled AS MATERIALIZED
+    max-min rounds (monotone — extra rounds are no-ops)."""
+    from .bfs import widest_paths
+    from .shuffle import keyed_reagg  # noqa: F401
+
+    def mn(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {"m": pa.array([int(min(s.min(), d.min()))], pa.int64())}
+        )
+
+    seed = min(
+        r["m"]
+        for r in sf_edges(sf_dir).map_batches(
+            mn, batch_format="pyarrow"
+        ).take_all()
+    )
+    gdir = _graph(sf_dir, "undirected")
+    res = widest_paths(gdir, [str(seed)])
+    ds = res.labels_dataset(gdir)
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"name": t.column("name"), "width": t.column("label")}
+        ),
+        batch_format="pyarrow",
+    )

@@ -46,6 +46,7 @@ import ray
 # Unreached-vertex BFS distance sentinel: large enough to dominate any
 # real hop count, small enough that INF_DIST + 1 cannot wrap int64.
 INF_DIST = 1 << 62
+WIDEST_SEED = 1 << 62  # widest-path seed capacity (above any edge weight)
 
 
 @ray.remote
@@ -668,6 +669,48 @@ class CsrShard:
         for idx, mins in parts:
             if len(idx):
                 np.minimum.at(new, idx, mins)
+        changed = int(np.count_nonzero(new != self.labels))
+        self.labels = new
+        return changed
+
+    # ------------------------------------------------------------------
+    # max-min (widest / bottleneck path)
+    # ------------------------------------------------------------------
+
+    def init_widest(self, source_locals: np.ndarray) -> None:
+        """Widest-path init: seed capacity = WIDEST_SEED (2^62, above
+        any edge weight), 0 elsewhere."""
+        self.labels = np.zeros(self.s_p, np.int64)
+        if len(source_locals):
+            self.labels[np.asarray(source_locals, np.int64)] = WIDEST_SEED
+
+    def gather_maxmin_w(self):
+        """Widest-path gather: per-destination MAX over in-edges of
+        min(source width, integer edge weight = collapsed
+        multiplicity).  Pair with ``reduce_max`` — the max-min
+        bottleneck semiring (seventh gather/reduce instance).
+        Zero-width sources yield min(0, w) = 0, which never raises a
+        label, so unreached neighbors cause no change."""
+        if len(self.w) == 0:
+            return self._unwrap1(
+                tuple(
+                    (self.out_local[q], np.empty(0, np.int64))
+                    for q in range(self.Q)
+                )
+            )
+        if not hasattr(self, "_wdist"):
+            self._wdist = np.rint(self.mult).astype(np.int64)
+        cand = np.minimum(self.labels[self.src_l], self._wdist)
+        maxs = np.maximum.reduceat(cand, self.seg)
+        return self._unwrap1(
+            tuple((self.out_local[q], maxs[self.route[q]]) for q in range(self.Q))
+        )
+
+    def reduce_max(self, *parts) -> int:
+        new = self.labels.copy()
+        for idx, maxs in parts:
+            if len(idx):
+                np.maximum.at(new, idx, maxs)
         changed = int(np.count_nonzero(new != self.labels))
         self.labels = new
         return changed
