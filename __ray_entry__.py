@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "missing_order_days": _an().missing_order_days,
         "user_state_at_day": _an().user_state_at_day,
         "mixture_temperature_budgets": _an().mixture_temperature_budgets,
+        "weighted_join_sample": _an().weighted_join_sample,
         "zorder_layout": _an().zorder_layout,
         "tokenizer_fertility": pl.tokenizer_fertility,
         "vocab_oov_rate": _terms().vocab_oov_rate,
@@ -1342,6 +1343,29 @@ sk1 AS (SELECT id, (x + 11400714819323198485) % {_M64} AS z FROM sk0),
 sk2 AS (SELECT id, {_sm64_mul('xor(z, z // 1073741824)', 0xBF58476D1CE4E5B9)} AS z FROM sk1),
 sk3 AS (SELECT id, {_sm64_mul('xor(z, z // 134217728)', 0x94D049BB133111EB)} AS z FROM sk2),
 hh AS (SELECT id, xor(z, z // 2147483648) AS z FROM sk3)"""
+
+
+def _weighted_join_sample_sql() -> str:
+    """Pre-join weighted Bernoulli sample (analytics
+    .weighted_join_sample): identical pure-integer threshold chain,
+    then the orders join over the sample only."""
+    from rayrank.analytics import WJS_T
+
+    return f"""
+WITH lk AS (
+  SELECT l_orderkey AS k,
+    CAST(ROUND(l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS rev,
+    l_orderkey * 8 + l_linenumber AS x
+  FROM lineitem),
+{_sm64_carry_cte('lk', ['k', 'rev'], '_w')},
+smp AS (SELECT k, rev FROM hh_w
+        WHERE z < CAST(rev AS HUGEINT) * {WJS_T})
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+  CAST(SUM(rev) AS BIGINT) AS sum_rev_i
+FROM smp JOIN orders o ON o.o_orderkey = smp.k
+GROUP BY 1
+"""
 
 
 def _ivm_join_sql() -> str:
@@ -3569,6 +3593,7 @@ def oracle_sql() -> dict[str, str]:
         "missing_order_days": _an().MISSING_ORDER_DAYS_SQL,
         "user_state_at_day": _an().USER_STATE_AT_DAY_SQL,
         "mixture_temperature_budgets": _an().MIXTURE_TEMPERATURE_SQL,
+        "weighted_join_sample": _weighted_join_sample_sql(),
         "zorder_layout": _an().ZORDER_LAYOUT_SQL,
         "tokenizer_fertility": _pl().TOKENIZER_FERTILITY_SQL,
         "vocab_oov_rate": _terms().VOCAB_OOV_RATE_SQL,

@@ -4978,3 +4978,71 @@ SELECT source, n_tokens, weight_q,
     AS budget_tokens
 FROM w, s
 """
+
+
+WJS_RMAX = 1 << 31   # revenue-cap for the weighted keep probability
+WJS_T = (1 << 64) // WJS_RMAX
+
+
+def weighted_join_sample(sf_dir: str) -> ray.data.Dataset:
+    """(o_orderpriority, n_sampled, sum_rev_i) — revenue-weighted
+    sampling over a JOIN with the weight test pushed BELOW the join
+    (the shape of "Streaming Weighted Sampling over Join Queries",
+    EDBT 2023 — public algorithm): each lineitem survives with
+    probability rev_i/2³¹ via the pure-integer threshold
+    splitmix64(8k+ln) < rev_i·⌊2⁶⁴/2³¹⌋ (the weighted_event_sample
+    rule), and because the weight depends only on the FACT side, the
+    filter runs BEFORE the orders join — only sampled rows ever
+    shuffle.  Output is the per-priority sample aggregate.
+
+    Scale shape: stateless vectorized pre-join filter; the join and
+    the |priorities|-bounded re-agg see only the sample."""
+    from .sketch import splitmix64
+
+    tq = np.uint64(WJS_T)
+
+    def l_pre(t: pa.Table):
+        if len(t) == 0 or "l_orderkey" not in t.schema.names:
+            return
+        k = t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = t.column("l_linenumber").to_numpy(zero_copy_only=False)
+        price_c = _i64(t.column("l_extendedprice"), 100)
+        disc_b = _i64(t.column("l_discount"), 100)
+        rev = price_c * (100 - disc_b)
+        with np.errstate(over="ignore"):
+            h = splitmix64(
+                k.astype(np.uint64) * np.uint64(8) + ln.astype(np.uint64)
+            )
+            keep = h < rev.astype(np.uint64) * tq
+        if not keep.any():
+            return
+        yield pa.table(
+            {
+                "l_orderkey": pa.array(k[keep]),
+                "rev": pa.array(rev[keep]),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    ).map_batches(l_pre, batch_format="pyarrow")
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = join_auto(li, o, on=("l_orderkey",), right_on=("o_orderkey",),
+                  num_partitions=P)
+
+    def agg(t: pa.Table):
+        if t.num_rows == 0 or "o_orderpriority" not in t.schema.names:
+            return
+        g = (
+            t.select(["o_orderpriority", "rev"])
+            .append_column("n", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["o_orderpriority"])
+            .aggregate([("n", "sum"), ("rev", "sum")])
+        )
+        yield g.rename_columns(["o_orderpriority", "n_sampled", "sum_rev_i"])
+
+    return keyed_reagg(
+        j.map_batches(agg, batch_format="pyarrow"),
+        ["o_orderpriority"], [("n_sampled", "sum"), ("sum_rev_i", "sum")], 4,
+    )
