@@ -321,6 +321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": pl.minhash_clusters,        # rows-only (polars shingle hash)
         "minhash_cluster_labels": pl.minhash_cluster_labels,
         "dedup_keeper_quality": pl.dedup_keeper_quality,
+        "source_quality_profile": pl.source_quality_profile,
         "minhash_sigs_exact": _tx().minhash_sigs_exact,
         "simhash_sigs_exact": _tx().simhash_sigs_exact,
         "simhash_exact_pairs": _tx().simhash_exact_pairs,
@@ -3000,6 +3001,23 @@ SELECT v AS name, l AS component FROM lab WHERE it = {_CC_ITERS}
 """
 
 
+def _source_quality_sql() -> str:
+    """Per-source quality profile (pipelines.source_quality_profile):
+    per-doc floor(1e9*quality) BEFORE the sum so the aggregate is
+    order-free integer."""
+    return f"""
+WITH q AS (SELECT * FROM ({_doc_quality_sql()})),
+d AS (SELECT doc_id, source FROM documents)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CAST(FLOOR(1000000000.0 * q.quality) AS BIGINT)) AS BIGINT)
+    AS sum_quality_q,
+  CAST(SUM(CASE WHEN q.lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_en_pred
+FROM q JOIN d ON d.doc_id = q.doc_id
+GROUP BY d.source
+"""
+
+
 def _dedup_keeper_sql() -> str:
     """Quality-aware keeper per near-dup cluster: composes the cluster
     oracle and the quality oracle as parenthesized subqueries (inner
@@ -3892,6 +3910,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph_components": _knn_cc_sql(),
         "minhash_cluster_labels": _minhash_cluster_sql(),
         "dedup_keeper_quality": _dedup_keeper_sql(),
+        "source_quality_profile": _source_quality_sql(),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
             "FROM embeddings WHERE vec_id < 3), "

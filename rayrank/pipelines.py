@@ -6605,3 +6605,59 @@ def widest_path_from_seed(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def source_quality_profile(sf_dir: str) -> ray.data.Dataset:
+    """(source, n_docs, sum_quality_q, n_en_pred) — the per-source
+    quality dashboard a corpus owner reads before setting mixture
+    weights: document count, summed quality score quantized as
+    floor(10⁹·quality) per doc BEFORE the sum (per-doc quality doubles
+    are bit-identical to the oracle — doc_quality's proven property —
+    and integer sums are order-free, so the aggregate is exact where a
+    float SUM would be fold-order-dependent), and how many docs the
+    language heuristic calls English.
+
+    Scale shape: scorer actor pool → block-local group partials → one
+    |sources|-bounded re-agg."""
+    from .shuffle import keyed_reagg
+    from .text import LangId, QualityScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    ds = ds.map_batches(QualityScorer, batch_format="pyarrow",
+                        concurrency=(1, 4))
+    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "quality" not in t.schema.names:
+            return
+        q = t.column("quality").to_numpy(zero_copy_only=False)
+        en = pc.equal(t.column("lang_pred"), "en").to_numpy(
+            zero_copy_only=False
+        )
+        g = (
+            pa.table(
+                {
+                    "source": t.column("source"),
+                    "n_docs": pa.array(np.ones(len(t), np.int64)),
+                    "sum_quality_q": pa.array(
+                        np.floor(1e9 * q).astype(np.int64)
+                    ),
+                    "n_en_pred": pa.array(en.astype(np.int64)),
+                }
+            )
+            .group_by(["source"])
+            .aggregate(
+                [("n_docs", "sum"), ("sum_quality_q", "sum"),
+                 ("n_en_pred", "sum")]
+            )
+        )
+        yield g.rename_columns(
+            ["source", "n_docs", "sum_quality_q", "n_en_pred"]
+        )
+
+    return keyed_reagg(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["source"],
+        [("n_docs", "sum"), ("sum_quality_q", "sum"), ("n_en_pred", "sum")],
+        4,
+    )
