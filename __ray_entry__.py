@@ -348,6 +348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_error_audit": pl.cms_error_audit,
         "distinct_sketch_audit": pl.distinct_sketch_audit,
         "ship_lag_histogram": rel.ship_lag_histogram,
+        "nation_trade_matrix": rel.nation_trade_matrix,
+        "order_lines_histogram": rel.order_lines_histogram,
         "ams_f2_parts": pl.ams_f2_parts,
         "embedding_near_dups": pl.embedding_near_dup_pairs,  # rows-only
         "ann_topk": pl.ann_topk,
@@ -3892,6 +3894,8 @@ def oracle_sql() -> dict[str, str]:
         "cms_error_audit": _cms_audit_sql(),
         "distinct_sketch_audit": _distinct_sketch_audit_sql(),
         "ship_lag_histogram": rel.SHIP_LAG_HISTOGRAM_SQL,
+        "nation_trade_matrix": rel.NATION_TRADE_MATRIX_SQL,
+        "order_lines_histogram": rel.ORDER_LINES_HISTOGRAM_SQL,
         "ams_f2_parts": _ams_f2_sql("l_partkey", "lineitem", 16),
         "embedding_quantize": _annmod().EMBEDDING_QUANTIZE_SQL,
         "mmr_rerank": _annmod().MMR_RERANK_SQL,

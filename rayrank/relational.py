@@ -1408,3 +1408,177 @@ SELECT (l.sd - o.od + 30000) // 30 - 1000 AS bin,
 FROM l JOIN o ON o.o_orderkey = l.l_orderkey
 GROUP BY 1
 """
+
+
+def nation_trade_matrix(sf_dir: str) -> ray.data.Dataset:
+    """(supp_nation, cust_nation, n_items, revenue_i) — the FULL
+    supplier-nation × customer-nation trade matrix (the Q7 shape
+    generalized from one nation pair to all pairs): lineitem revenue
+    routed through supplier → nation and order → customer → nation.
+    Fixed-point exact (integer rev_i = price_cents·(100−disc_bp)).
+
+    Scale shape: both dimension paths reduce to key→nation lookup
+    tables (nation-bounded after their joins) BEFORE touching
+    lineitem; the fact table joins once per side and the final re-agg
+    is |nations|²-bounded."""
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    sn = join_auto(supp, nation, on=("s_nationkey",),
+                   right_on=("n_nationkey",), num_partitions=P)
+
+    def s_fin(t: pa.Table):
+        if t.num_rows == 0 or "s_suppkey" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "s_suppkey": t.column("s_suppkey"),
+                "supp_nation": t.column("n_name"),
+            }
+        )
+
+    sn = sn.map_batches(s_fin, batch_format="pyarrow")
+
+    cn = join_auto(cust, nation, on=("c_nationkey",),
+                   right_on=("n_nationkey",), num_partitions=P)
+
+    def c_fin(t: pa.Table):
+        if t.num_rows == 0 or "c_custkey" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "cust_nation": t.column("n_name"),
+            }
+        )
+
+    on = join_auto(orders, cn.map_batches(c_fin, batch_format="pyarrow"),
+                   on=("o_custkey",), right_on=("c_custkey",),
+                   num_partitions=P)
+
+    def o_fin(t: pa.Table):
+        if t.num_rows == 0 or "o_orderkey" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "cust_nation": t.column("cust_nation"),
+            }
+        )
+
+    on = on.map_batches(o_fin, batch_format="pyarrow")
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def l_pre(t: pa.Table):
+        if len(t) == 0 or "l_orderkey" not in t.schema.names:
+            return
+        price_c = _i64(t.column("l_extendedprice"), 100)
+        disc_b = _i64(t.column("l_discount"), 100)
+        yield pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "rev": pa.array(price_c * (100 - disc_b)),
+            }
+        )
+
+    j1 = join_auto(li.map_batches(l_pre, batch_format="pyarrow"), sn,
+                   on=("l_suppkey",), right_on=("s_suppkey",),
+                   num_partitions=P)
+    j2 = join_auto(j1, on, on=("l_orderkey",), right_on=("o_orderkey",),
+                   num_partitions=P)
+
+    def agg(t: pa.Table):
+        if t.num_rows == 0 or "supp_nation" not in t.schema.names:
+            return
+        g = (
+            t.select(["supp_nation", "cust_nation", "rev"])
+            .append_column("n", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["supp_nation", "cust_nation"])
+            .aggregate([("n", "sum"), ("rev", "sum")])
+        )
+        yield g.rename_columns(
+            ["supp_nation", "cust_nation", "n_items", "revenue_i"]
+        )
+
+    return keyed_reagg(
+        j2.map_batches(agg, batch_format="pyarrow"),
+        ["supp_nation", "cust_nation"],
+        [("n_items", "sum"), ("revenue_i", "sum")], 4,
+    )
+
+
+NATION_TRADE_MATRIX_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+      * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) AS BIGINT)
+    AS revenue_i
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+GROUP BY 1, 2
+"""
+
+
+def order_lines_histogram(sf_dir: str) -> ray.data.Dataset:
+    """(n_lines, n_orders) — distribution of lineitems per order (the
+    fact-table fan-out profile behind join-size estimates).  Two
+    bounded reductions: per-order counts, then the count-of-counts."""
+    from .shuffle import keyed_reagg
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "l_orderkey" not in t.schema.names:
+            return
+        g = (
+            t.select(["l_orderkey"])
+            .append_column("n", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["l_orderkey"])
+            .aggregate([("n", "sum")])
+        )
+        yield g.rename_columns(["l_orderkey", "n"])
+
+    per_order = keyed_reagg(
+        _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+            pre, batch_format="pyarrow"
+        ),
+        ["l_orderkey"], [("n", "sum")], P,
+    )
+
+    def hist(t: pa.Table):
+        if t.num_rows == 0 or "n" not in t.schema.names:
+            return
+        g = (
+            t.select(["n"])
+            .append_column("c", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["n"])
+            .aggregate([("c", "sum")])
+        )
+        yield g.rename_columns(["n_lines", "n_orders"])
+
+    return keyed_reagg(
+        per_order.map_batches(hist, batch_format="pyarrow"),
+        ["n_lines"], [("n_orders", "sum")], 4,
+    )
+
+
+ORDER_LINES_HISTOGRAM_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT n AS n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM per_order GROUP BY 1
+"""
