@@ -350,6 +350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_lag_histogram": rel.ship_lag_histogram,
         "nation_trade_matrix": rel.nation_trade_matrix,
         "order_lines_histogram": rel.order_lines_histogram,
+        "part_reorder_gaps": rel.part_reorder_gaps,
         "ams_f2_parts": pl.ams_f2_parts,
         "embedding_near_dups": pl.embedding_near_dup_pairs,  # rows-only
         "ann_topk": pl.ann_topk,
@@ -3896,6 +3897,7 @@ def oracle_sql() -> dict[str, str]:
         "ship_lag_histogram": rel.SHIP_LAG_HISTOGRAM_SQL,
         "nation_trade_matrix": rel.NATION_TRADE_MATRIX_SQL,
         "order_lines_histogram": rel.ORDER_LINES_HISTOGRAM_SQL,
+        "part_reorder_gaps": rel.PART_REORDER_GAPS_SQL,
         "ams_f2_parts": _ams_f2_sql("l_partkey", "lineitem", 16),
         "embedding_quantize": _annmod().EMBEDDING_QUANTIZE_SQL,
         "mmr_rerank": _annmod().MMR_RERANK_SQL,

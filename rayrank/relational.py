@@ -1582,3 +1582,97 @@ WITH per_order AS (
 SELECT n AS n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM per_order GROUP BY 1
 """
+
+
+def part_reorder_gaps(sf_dir: str) -> ray.data.Dataset:
+    """(l_partkey, n_gaps, median_gap_days) — per-part reorder cadence:
+    gaps between consecutive DISTINCT order days of each part, with
+    the integer lower-median (quantile_disc rank = ceil(n/2), the
+    exact_quantiles rule — 0.5 is dyadic so the rank is float-exact).
+    The demand-cadence profile behind reorder-point planning.
+
+    Scale shape: lineitem dedups to (part, orderkey) block-locally
+    BEFORE the orders join; ONE part-keyed repartition; gaps + median
+    are block-local vectorized."""
+    from .joins import join_auto
+    from .shuffle import keyed_reagg
+
+    DAY = 86_400_000_000
+
+    def l_pre(t: pa.Table):
+        if len(t) == 0 or "l_orderkey" not in t.schema.names:
+            return
+        yield t.select(["l_partkey", "l_orderkey"]).group_by(
+            ["l_partkey", "l_orderkey"]
+        ).aggregate([]).rename_columns(["l_partkey", "l_orderkey"])
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_orderkey"]).map_batches(
+        l_pre, batch_format="pyarrow"
+    )
+
+    def o_pre(t: pa.Table):
+        if len(t) == 0 or "o_orderkey" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "day": pc.divide(
+                    pc.cast(t.column("o_orderdate"), pa.int64()), DAY
+                ),
+            }
+        )
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        o_pre, batch_format="pyarrow"
+    )
+    j = join_auto(li, o, on=("l_orderkey",), right_on=("o_orderkey",),
+                  num_partitions=P)
+    co = j.repartition(P, keys=["l_partkey"])
+
+    def gaps(t: pa.Table):
+        if t.num_rows == 0 or "l_partkey" not in t.schema.names:
+            return
+        p = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        d = t.column("day").to_numpy(zero_copy_only=False)
+        o_ = np.lexsort((d, p))
+        p, d = p[o_], d[o_]
+        uniq = np.r_[True, (p[1:] != p[:-1]) | (d[1:] != d[:-1])]
+        p, d = p[uniq], d[uniq]
+        same = np.r_[False, p[1:] == p[:-1]]
+        prev = np.r_[np.int64(0), d[:-1]]
+        gap = (d - prev)[same]
+        gp = p[same]
+        if len(gp) == 0:
+            return
+        starts = np.flatnonzero(np.r_[True, gp[1:] != gp[:-1]])
+        ends = np.r_[starts[1:], len(gp)]
+        keys, ns, meds = [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            keys.append(gp[s])
+            ns.append(n)
+            meds.append(np.sort(gap[s:e])[(n + 1) // 2 - 1])
+        yield pa.table(
+            {
+                "l_partkey": pa.array(np.array(keys, np.int64)),
+                "n_gaps": pa.array(np.array(ns, np.int64)),
+                "median_gap_days": pa.array(np.array(meds, np.int64)),
+            }
+        )
+
+    return co.map_batches(gaps, batch_size=None, batch_format="pyarrow")
+
+
+PART_REORDER_GAPS_SQL = """
+WITH pd AS (
+  SELECT DISTINCT l.l_partkey,
+    CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS day
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+g AS (SELECT l_partkey,
+      day - LAG(day) OVER (PARTITION BY l_partkey ORDER BY day) AS gap
+      FROM pd)
+SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+  CAST(quantile_disc(gap, 0.5) AS BIGINT) AS median_gap_days
+FROM g WHERE gap IS NOT NULL GROUP BY 1
+"""
