@@ -6150,7 +6150,6 @@ def dedup_keeper_quality(sf_dir: str) -> ray.data.Dataset:
     quality scores; ONE component-keyed repartition; block-local
     argmax."""
     from .joins import join_auto
-    from .shuffle import keyed_reagg  # noqa: F401 (repartition only)
 
     labels = minhash_cluster_labels(sf_dir)
 
@@ -6579,7 +6578,6 @@ def widest_path_from_seed(sf_dir: str) -> ray.data.Dataset:
     unreached vertices 0.  SQL oracle: unrolled AS MATERIALIZED
     max-min rounds (monotone — extra rounds are no-ops)."""
     from .bfs import widest_paths
-    from .shuffle import keyed_reagg  # noqa: F401
 
     def mn(t: pa.Table):
         if len(t) == 0 or "src" not in t.schema.names:
