@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_failure_robustness": pl.random_failure_robustness,
         "joint_degree_matrix": pl.joint_degree_matrix,
         "widest_path_from_seed": pl.widest_path_from_seed,
+        "host_quotient_edges": pl.host_quotient_edges,
         "random_walks": pl.random_walks,
         "walk_visit_counts": pl.walk_visit_counts,
         "edge_support": _truss().edge_support,
@@ -2187,6 +2188,19 @@ f"""w0 AS MATERIALIZED (SELECT v.v,
     )
 
 
+_HOST_QUOTIENT_SQL = """
+WITH rawi AS (SELECT l_orderkey AS s, l_partkey AS t FROM lineitem),
+und AS (
+  SELECT DISTINCT LEAST(s, t) AS u, GREATEST(s, t) AS v
+  FROM rawi WHERE s <> t
+)
+SELECT LEAST(u // 100, v // 100) AS host_a,
+  GREATEST(u // 100, v // 100) AS host_b,
+  CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM und GROUP BY 1, 2
+"""
+
+
 _JOINT_DEGREE_SQL = """
 WITH rawi AS (SELECT l_orderkey AS s, l_partkey AS t FROM lineitem),
 und AS (
@@ -3741,6 +3755,7 @@ def oracle_sql() -> dict[str, str]:
         "random_failure_robustness": _random_failure_sql(),
         "joint_degree_matrix": _JOINT_DEGREE_SQL,
         "widest_path_from_seed": _widest_path_sql(),
+        "host_quotient_edges": _HOST_QUOTIENT_SQL,
         "mis_vertices": _mis_sql(),
         "graph_coloring": _coloring_sql(),
         "maximal_matching": _maximal_matching_sql(),

@@ -6659,3 +6659,67 @@ def source_quality_profile(sf_dir: str) -> ray.data.Dataset:
         [("n_docs", "sum"), ("sum_quality_q", "sum"), ("n_en_pred", "sum")],
         4,
     )
+
+
+HOST_DIV = 100
+
+
+def host_quotient_edges(sf_dir: str) -> ray.data.Dataset:
+    """(host_a, host_b, n_edges) — the host-level quotient of the
+    undirected distinct lineitem graph with the ARITHMETIC grouping
+    host = id // 100 (the hierarchy_rollup trick: the contraction key
+    is computable per row, so unlike component_quotient_edges there is
+    no label join at all).  The host-graph aggregation webgraph
+    pipelines run before spam/TrustRank analysis at site granularity;
+    canonical (low, high) host pairs, self-pairs kept (intra-host
+    edge counts).
+
+    Scale shape: block-local contraction + pre-combine, ONE
+    host-pair-bounded re-agg — zero joins, zero label state."""
+    from .shuffle import keyed_reagg
+
+    def canon(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return
+        g = (
+            pa.table(
+                {
+                    "u": pa.array(np.minimum(s, d)),
+                    "v": pa.array(np.maximum(s, d)),
+                }
+            )
+            .group_by(["u", "v"])
+            .aggregate([])
+        )
+        yield g.rename_columns(["u", "v"])
+
+    und = keyed_reagg(
+        sf_edges(sf_dir).map_batches(canon, batch_format="pyarrow"),
+        ["u", "v"], [], P,
+    )
+
+    def contract(t: pa.Table):
+        if t.num_rows == 0 or "u" not in t.schema.names:
+            return
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        ha, hb = u // HOST_DIV, v // HOST_DIV
+        lo, hi = np.minimum(ha, hb), np.maximum(ha, hb)
+        g = (
+            pa.table({"host_a": pa.array(lo), "host_b": pa.array(hi)})
+            .append_column("n_edges", pa.array(np.ones(len(lo), np.int64)))
+            .group_by(["host_a", "host_b"])
+            .aggregate([("n_edges", "sum")])
+        )
+        yield g.rename_columns(["host_a", "host_b", "n_edges"])
+
+    return keyed_reagg(
+        und.map_batches(contract, batch_format="pyarrow"),
+        ["host_a", "host_b"], [("n_edges", "sum")], 4,
+    )
