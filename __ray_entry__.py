@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_cluster_labels": pl.minhash_cluster_labels,
         "dedup_keeper_quality": pl.dedup_keeper_quality,
         "source_quality_profile": pl.source_quality_profile,
+        "source_dup_rates": pl.source_dup_rates,
         "minhash_sigs_exact": _tx().minhash_sigs_exact,
         "simhash_sigs_exact": _tx().simhash_sigs_exact,
         "simhash_exact_pairs": _tx().simhash_exact_pairs,
@@ -3018,6 +3019,21 @@ SELECT v AS name, l AS component FROM lab WHERE it = {_CC_ITERS}
 """
 
 
+_SOURCE_DUP_RATES_SQL = """
+WITH s AS (
+  SELECT source, sha256(text) AS sha FROM documents
+),
+a AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COUNT(DISTINCT sha) AS BIGINT) AS n_distinct
+  FROM s GROUP BY source
+)
+SELECT source, n_docs, n_distinct,
+  CAST((n_docs - n_distinct) * 1000000 // n_docs AS BIGINT) AS dup_ppm
+FROM a
+"""
+
+
 def _source_quality_sql() -> str:
     """Per-source quality profile (pipelines.source_quality_profile):
     per-doc floor(1e9*quality) BEFORE the sum so the aggregate is
@@ -3932,6 +3948,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_cluster_labels": _minhash_cluster_sql(),
         "dedup_keeper_quality": _dedup_keeper_sql(),
         "source_quality_profile": _source_quality_sql(),
+        "source_dup_rates": _SOURCE_DUP_RATES_SQL,
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
             "FROM embeddings WHERE vec_id < 3), "

@@ -6723,3 +6723,73 @@ def host_quotient_edges(sf_dir: str) -> ray.data.Dataset:
         und.map_batches(contract, batch_format="pyarrow"),
         ["host_a", "host_b"], [("n_edges", "sum")], 4,
     )
+
+
+def source_dup_rates(sf_dir: str) -> ray.data.Dataset:
+    """(source, n_docs, n_distinct, dup_ppm) — per-source exact-dup
+    rate: documents vs distinct sha256(text) per source, dup_ppm =
+    (n − distinct)·10⁶ // n.  The per-source contamination number
+    that decides which feeds need dedup before mixing.
+
+    Scale shape: sha + block-local (source, sha) dedup pre-combine,
+    ONE keyed re-agg on (source, sha), then a |sources|-bounded
+    count fold."""
+    import hashlib
+
+    from .shuffle import keyed_reagg
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def pre(t: pa.Table):
+        if len(t) == 0 or "text" not in t.schema.names:
+            return
+        shas = [
+            hashlib.sha256(x.encode("utf-8")).hexdigest()
+            for x in t.column("text").to_pylist()
+        ]
+        g = (
+            pa.table({"source": t.column("source"), "sha": pa.array(shas)})
+            .append_column("n", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["source", "sha"])
+            .aggregate([("n", "sum")])
+        )
+        yield g.rename_columns(["source", "sha", "n"])
+
+    per_sha = keyed_reagg(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["source", "sha"], [("n", "sum")], P,
+    )
+
+    def fold(t: pa.Table):
+        if t.num_rows == 0 or "sha" not in t.schema.names:
+            return
+        g = (
+            pa.table(
+                {
+                    "source": t.column("source"),
+                    "n_docs": t.column("n"),
+                    "n_distinct": pa.array(
+                        np.ones(t.num_rows, np.int64)
+                    ),
+                }
+            )
+            .group_by(["source"])
+            .aggregate([("n_docs", "sum"), ("n_distinct", "sum")])
+        )
+        yield g.rename_columns(["source", "n_docs", "n_distinct"])
+
+    agg = keyed_reagg(
+        per_sha.map_batches(fold, batch_format="pyarrow"),
+        ["source"], [("n_docs", "sum"), ("n_distinct", "sum")], 4,
+    )
+
+    def fin(t: pa.Table):
+        if t.num_rows == 0 or "n_docs" not in t.schema.names:
+            return
+        n = t.column("n_docs").to_numpy(zero_copy_only=False)
+        d = t.column("n_distinct").to_numpy(zero_copy_only=False)
+        yield t.append_column(
+            "dup_ppm", pa.array((n - d) * 10**6 // n)
+        )
+
+    return agg.map_batches(fin, batch_size=None, batch_format="pyarrow")
