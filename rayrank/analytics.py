@@ -4524,6 +4524,29 @@ def ivm_join_revenue(sf_dir: str) -> ray.data.Dataset:
 SCD2_OPEN_US = 1 << 62   # sentinel valid_to for the current (open) row
 
 
+def _scd2_interval_arrays(t: pa.Table):
+    """Shared SCD2 interval build (scd2_user_state AND
+    user_state_at_day — ONE definition of the tiebreak/sentinel):
+    events (user_id, ts_us, event_id, state) → change-point arrays
+    (cu, cts, cst, vto) sorted by (user, ts, event_id), with vto =
+    next change's ts within the user, else the SCD2_OPEN_US
+    sentinel."""
+    u = t.column("user_id").to_numpy(zero_copy_only=False)
+    ts = t.column("ts_us").to_numpy(zero_copy_only=False)
+    eid = t.column("event_id").to_numpy(zero_copy_only=False)
+    o = np.lexsort((eid, ts, u))
+    u, ts = u[o], ts[o]
+    st = t.column("state").take(pa.array(o))
+    sa = st.to_numpy(zero_copy_only=False)
+    newu = np.r_[True, u[1:] != u[:-1]]
+    chg = newu | np.r_[False, sa[1:] != sa[:-1]]
+    cu, cts, cst = u[chg], ts[chg], st.filter(pa.array(chg))
+    nxt = np.r_[cts[1:], np.int64(0)]
+    same = np.r_[cu[1:] == cu[:-1], False]
+    vto = np.where(same, nxt, np.int64(SCD2_OPEN_US))
+    return cu, cts, cst, vto
+
+
 def scd2_user_state(sf_dir: str) -> ray.data.Dataset:
     """(user_id, state, valid_from_us, valid_to_us) — the SCD2
     dimension build: each user's event_type stream compressed into
@@ -4556,20 +4579,7 @@ def scd2_user_state(sf_dir: str) -> ray.data.Dataset:
     def intervals(t: pa.Table):
         if t.num_rows == 0 or "user_id" not in t.schema.names:
             return
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
-        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
-        eid = t.column("event_id").to_numpy(zero_copy_only=False)
-        o = np.lexsort((eid, ts, u))
-        u, ts = u[o], ts[o]
-        st = t.column("state").take(pa.array(o))
-        sa = st.to_numpy(zero_copy_only=False)
-        newu = np.r_[True, u[1:] != u[:-1]]
-        chg = newu | np.r_[False, sa[1:] != sa[:-1]]
-        cu, cts, cst = u[chg], ts[chg], st.filter(pa.array(chg))
-        # valid_to = next change's ts within the same user, else OPEN
-        nxt = np.r_[cts[1:], np.int64(0)]
-        same = np.r_[cu[1:] == cu[:-1], False]
-        vto = np.where(same, nxt, np.int64(SCD2_OPEN_US))
+        cu, cts, cst, vto = _scd2_interval_arrays(t)
         yield pa.table(
             {
                 "user_id": pa.array(cu),
@@ -4834,20 +4844,8 @@ def user_state_at_day(sf_dir: str) -> ray.data.Dataset:
     def lookup(t: pa.Table):
         if t.num_rows == 0 or "user_id" not in t.schema.names:
             return
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
-        ts = t.column("ts_us").to_numpy(zero_copy_only=False)
-        eid = t.column("event_id").to_numpy(zero_copy_only=False)
-        o = np.lexsort((eid, ts, u))
-        u, ts = u[o], ts[o]
-        st = t.column("state").take(pa.array(o))
-        sa = st.to_numpy(zero_copy_only=False)
-        newu = np.r_[True, u[1:] != u[:-1]]
-        chg = newu | np.r_[False, sa[1:] != sa[:-1]]
-        cu, cts, cst = u[chg], ts[chg], st.filter(pa.array(chg))
-        nxt = np.r_[cts[1:], np.int64(0)]
-        same = np.r_[cu[1:] == cu[:-1], False]
-        vto = np.where(same, nxt, np.int64(SCD2_OPEN_US))
-        # per-user containment lookup for every probe month
+        cu, cts, cst, vto = _scd2_interval_arrays(t)
+        # per-user containment lookup for every probe day
         starts = np.flatnonzero(np.r_[True, cu[1:] != cu[:-1]])
         ends = np.r_[starts[1:], len(cu)]
         out_u, out_m, out_i = [], [], []
@@ -5009,6 +5007,12 @@ def weighted_join_sample(sf_dir: str) -> ray.data.Dataset:
         price_c = _i64(t.column("l_extendedprice"), 100)
         disc_b = _i64(t.column("l_discount"), 100)
         rev = price_c * (100 - disc_b)
+        if (rev >= WJS_RMAX).any():
+            raise ValueError(
+                f"rev_i >= WJS_RMAX ({WJS_RMAX}): the uint64 threshold "
+                "product would wrap and diverge from the HUGEINT oracle; "
+                "raise WJS_RMAX (no-silent-caps rule)"
+            )
         with np.errstate(over="ignore"):
             h = splitmix64(
                 k.astype(np.uint64) * np.uint64(8) + ln.astype(np.uint64)

@@ -1328,9 +1328,11 @@ def ship_lag_histogram(sf_dir: str) -> ray.data.Dataset:
     """(bin, n) — histogram of order→ship lag (l_shipdate −
     o_orderdate in whole days, binned by ``LAG_BIN_DAYS``): the
     fulfillment-latency profile, computed with PURE-INTEGER day
-    arithmetic (epoch_us // day, difference, floor-div binning — the
-    event_value_histogram rule; lags are non-negative so ``//`` is
-    safe).
+    arithmetic (epoch_us // day, difference, floor-div binning).
+    Lags GO NEGATIVE in this data (ship/order dates are independent),
+    so binning uses the offset floor-div identity
+    (lag + 30000)//30 − 1000 — non-negative operand, where numpy
+    floor and DuckDB truncating ``//`` agree.
 
     Scale shape: orders reduce to (orderkey, day) before ONE
     orderkey-keyed join; the histogram is a |bins|-bounded re-agg."""

@@ -1398,7 +1398,9 @@ def jaccard_join_pairs(sf_dir: str) -> ray.data.Dataset:
         starts = np.flatnonzero(np.r_[True, doc_ids[1:] != doc_ids[:-1]])
         cnts = np.diff(np.r_[starts, len(doc_ids)])
         rank = np.arange(len(doc_ids)) - np.repeat(starts, cnts)
-        p = cnts - (JJ_TAU_NUM * cnts + JJ_TAU_NUM) // JJ_TAU_DEN + 1
+        # ceil(tau*n) = (NUM*n + DEN - 1) // DEN — DEN-1, not NUM-1:
+        # correct for any tau, not only tau = (DEN-1)/DEN
+        p = cnts - (JJ_TAU_NUM * cnts + JJ_TAU_DEN - 1) // JJ_TAU_DEN + 1
         keep = rank < np.repeat(p, cnts)
         yield pa.table(
             {
