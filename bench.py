@@ -621,20 +621,11 @@ _INVINDEX_CORPUS = f"/tmp/rayrank_invindex_corpus_v2_{_INVINDEX_REP}"
 
 def _invindex_corpus_dir() -> str:
     """Deterministic synthetic text corpus for the text-pipeline
-    scaling run: the sf0.1 documents table tiled with doc_id offsets,
-    every token suffixed with its replica tag (one vectorized RE2
-    rewrite per replica).  The testdata corpus has only 31 distinct
-    tokens, which caps the term-keyed reduce at 31-way parallelism
-    and made the first scaling run key-limited (0.575); the per-
-    replica namespace gives 31×REP terms with the same per-doc token
-    counts.  Written once, reused by every parallelism level so the
-    job is identical."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    done = os.path.join(_INVINDEX_CORPUS, "_DONE")
-    if os.path.exists(done):
-        return _INVINDEX_CORPUS
+    scaling runs: the testdata corpus has only 31 distinct tokens,
+    which caps term-keyed reduces at 31-way parallelism; the
+    per-replica namespace gives 31×REP terms with the same per-doc
+    token counts (see _write_tiled_corpus)."""
+    return _write_tiled_corpus(_INVINDEX_CORPUS, _INVINDEX_REP, None)
     os.makedirs(_INVINDEX_CORPUS, exist_ok=True)
     base = pq.read_table(
         "/root/testdata/sf0.1/documents.parquet", columns=["doc_id", "text"]
@@ -718,29 +709,28 @@ _JACC_REP = int(os.environ.get("JACC_REP", "16"))
 _JACC_CORPUS = f"/tmp/rayrank_jacc_corpus_{_JACC_REP}"
 
 
-def _jacc_corpus_dir() -> str:
-    """Tiled corpus for the similarity-join scaling run: the sf0.1
-    documents table (5000 docs) replicated ``_JACC_REP`` times with
-    doc_id offsets and per-replica token namespaces (the invindex
-    trick) — near-dup structure repeats per replica while shingle
-    postings stay namespace-local, so the prefix-filter join's work
-    scales linearly with replicas.  Laid out as
-    ``{dir}/documents.parquet/part-*.parquet`` so text ops taking an
-    sf_dir read it unchanged."""
+def _write_tiled_corpus(out_root: str, rep: int, part_dir: str | None) -> str:
+    """Shared tiled-corpus generator (invindex + jaccard scaling runs):
+    the sf0.1 documents table replicated ``rep`` times with doc_id
+    offsets and per-replica token namespaces (one vectorized RE2
+    rewrite per replica — replicas share structure but not keys).
+    ``part_dir`` = None writes flat part files (invindex layout);
+    a name writes ``{root}/{part_dir}/part-*.parquet`` so ops taking
+    an sf_dir read it unchanged (jaccard layout)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    done = os.path.join(_JACC_CORPUS, "_DONE")
+    done = os.path.join(out_root, "_DONE")
     if os.path.exists(done):
-        return _JACC_CORPUS
-    ddir = os.path.join(_JACC_CORPUS, "documents.parquet")
+        return out_root
+    ddir = os.path.join(out_root, part_dir) if part_dir else out_root
     os.makedirs(ddir, exist_ok=True)
     base = pq.read_table(
         "/root/testdata/sf0.1/documents.parquet", columns=["doc_id", "text"]
     )
     n = base.num_rows
-    for r in range(_JACC_REP):
+    for r in range(rep):
         txt = pc.replace_substring_regex(
             base.column("text"), pattern=r"(\S+)", replacement=f"\\1_r{r:03d}"
         )
@@ -750,7 +740,15 @@ def _jacc_corpus_dir() -> str:
         pq.write_table(t, os.path.join(ddir, f"part-{r:03d}.parquet"))
     with open(done, "w") as f:
         f.write("ok")
-    return _JACC_CORPUS
+    return out_root
+
+
+def _jacc_corpus_dir() -> str:
+    """Tiled corpus for the similarity-join scaling run — near-dup
+    structure repeats per replica while shingle postings stay
+    namespace-local, so the prefix-filter join's work scales linearly
+    with replicas."""
+    return _write_tiled_corpus(_JACC_CORPUS, _JACC_REP, "documents.parquet")
 
 
 def jaccard_once() -> dict:
