@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "joint_degree_matrix": pl.joint_degree_matrix,
         "widest_path_from_seed": pl.widest_path_from_seed,
         "host_quotient_edges": pl.host_quotient_edges,
+        "host_pagerank_2iter": pl.host_pagerank_2iter,
         "random_walks": pl.random_walks,
         "walk_visit_counts": pl.walk_visit_counts,
         "edge_support": _truss().edge_support,
@@ -503,6 +504,17 @@ r2 AS (
 l1b AS (SELECT SUM(ABS(x)) AS s FROM r2)
 SELECT v AS name, ROUND(x/(SELECT s FROM l1b), 6) AS score FROM r2
 """
+
+# Host-level PageRank: the identical unroll on the host-contracted
+# directed multigraph (host = id // 100; contraction BEFORE the
+# VARCHAR cast so COUNT(*) sums per-row multiplicity exactly as
+# build_graph's collapse does).
+_HOST_PAGERANK_2ITER_SQL = _PAGERANK_2ITER_SQL.replace(
+    "SELECT CAST(l_orderkey AS VARCHAR) AS s, "
+    "CAST(l_partkey AS VARCHAR) AS t",
+    "SELECT CAST(l_orderkey // 100 AS VARCHAR) AS s, "
+    "CAST(l_partkey // 100 AS VARCHAR) AS t",
+)
 
 
 # Personalized 2-iter PageRank: identical unroll to _PAGERANK_2ITER_SQL
@@ -3772,6 +3784,7 @@ def oracle_sql() -> dict[str, str]:
         "joint_degree_matrix": _JOINT_DEGREE_SQL,
         "widest_path_from_seed": _widest_path_sql(),
         "host_quotient_edges": _HOST_QUOTIENT_SQL,
+        "host_pagerank_2iter": _HOST_PAGERANK_2ITER_SQL,
         "mis_vertices": _mis_sql(),
         "graph_coloring": _coloring_sql(),
         "maximal_matching": _maximal_matching_sql(),

@@ -6793,3 +6793,50 @@ def source_dup_rates(sf_dir: str) -> ray.data.Dataset:
         )
 
     return agg.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+def host_pagerank_2iter(sf_dir: str) -> ray.data.Dataset:
+    """(name, score) — two reference-exact power iterations on the
+    HOST-contracted directed graph (host = id // 100, the arithmetic
+    contraction of host_quotient_edges, direction and per-row
+    multiplicity kept): site-level rank, the aggregation-then-rank
+    step webgraph pipelines run for spam/TrustRank analysis at host
+    granularity.  Contraction is per-row arithmetic (zero joins);
+    build_graph's collapse turns repeated host pairs into
+    multiplicities exactly as the SQL oracle's COUNT(*) does.
+    Scores rounded to 6 decimals both sides (the pagerank_2iter
+    pattern)."""
+    from .pagerank import power_method
+
+    def contract(t: pa.Table):
+        if len(t) == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "src_name": pc.cast(
+                    pa.array(s // HOST_DIV, pa.int64()), pa.string()
+                ),
+                "dst_name": pc.cast(
+                    pa.array(d // HOST_DIV, pa.int64()), pa.string()
+                ),
+            }
+        )
+
+    key = (os.path.abspath(sf_dir), "hostpr")
+    if key not in _GRAPH_CACHE:
+        gdir = tempfile.mkdtemp(prefix="rayrank_hostpr_")
+        build_graph(
+            sf_edges(sf_dir).map_batches(contract, batch_format="pyarrow"),
+            gdir, num_partitions=P,
+        )
+        _GRAPH_CACHE[key] = gdir
+    res = power_method(_GRAPH_CACHE[key], max_iterations=2, epsilon=0.0)
+    ds = res.scores_dataset(_GRAPH_CACHE[key])
+    return ds.map_batches(
+        lambda t: pa.table(
+            {"name": t.column("name"), "score": pc.round(t.column("score"), 6)}
+        ),
+        batch_format="pyarrow",
+    )
