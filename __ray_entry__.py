@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_candidate_jaccard": _tx().lsh_candidate_jaccard,
         "jaccard_join_pairs": _tx().jaccard_join_pairs,
         "lsh_recall": _tx().lsh_recall,
+        "simhash_recall": _tx().simhash_recall,
         "simhash_pairs": pl.simhash_pairs,              # rows-only
         "event_transitions": pl.event_transitions,
         "purchase_signup_asof": pl.purchase_signup_asof,
@@ -2679,6 +2680,27 @@ WHERE 5 * i >= 4 * (za.n + zb.n - i)
 """
 
 
+def _simhash_recall_sql() -> str:
+    """SimHash quality audit (text.simhash_recall): composes the
+    simhash-pair chain and the exact-join truth chain as
+    parenthesized subqueries."""
+    return f"""
+WITH cand AS (SELECT a, b FROM ({_simhash_exact_pairs_sql()})),
+truth AS (SELECT doc_a, doc_b FROM ({_jaccard_join_sql()})),
+hits AS (SELECT COUNT(*) AS h FROM cand c
+         JOIN truth t ON t.doc_a = c.a AND t.doc_b = c.b),
+nt AS (SELECT COUNT(*) AS n FROM truth),
+nc AS (SELECT COUNT(*) AS n FROM cand)
+SELECT CAST(nt.n AS BIGINT) AS n_true, CAST(nc.n AS BIGINT) AS n_cand,
+  CAST(h AS BIGINT) AS n_hit,
+  CAST(CASE WHEN nt.n > 0 THEN h * 1000000 // nt.n ELSE 0 END
+       AS BIGINT) AS recall_ppm,
+  CAST(CASE WHEN nc.n > 0 THEN h * 1000000 // nc.n ELSE 0 END
+       AS BIGINT) AS precision_ppm
+FROM hits, nt, nc
+"""
+
+
 def _lsh_recall_sql() -> str:
     """LSH quality audit (text.lsh_recall): composes the banded-LSH
     candidate chain and the exact-join truth chain over one shared
@@ -4007,6 +4029,7 @@ FROM h, s
         "lsh_candidate_jaccard": _lsh_candidate_jaccard_sql(),
         "jaccard_join_pairs": _jaccard_join_sql(),
         "lsh_recall": _lsh_recall_sql(),
+        "simhash_recall": _simhash_recall_sql(),
         "pagerank_2iter": _PAGERANK_2ITER_SQL,
         "pagerank_personalized_2iter": _PAGERANK_PPR_2ITER_SQL,
         "spam_mass": _spam_mass_sql(),

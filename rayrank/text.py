@@ -1599,3 +1599,78 @@ def lsh_recall(sf_dir: str) -> ray.data.Dataset:
             }
         )
     )
+
+
+def simhash_recall(sf_dir: str) -> ray.data.Dataset:
+    """One row (n_true, n_cand, n_hit, recall_ppm, precision_ppm) —
+    the SimHash quality audit, completing the near-dup candidate-
+    generator audit matrix (lsh_recall audits banded minhash; this
+    audits hamming<=3 SimHash banding) against the same exact
+    prefix-filtered J >= 4/5 truth.  All counts deterministic; the
+    oracle composes the two SQL-green chains as parenthesized
+    subqueries.
+
+    Scale shape: both inputs stream; the hit count is ONE pair-keyed
+    semi-join; only scalar count partials reach the driver."""
+    from .joins import join_auto
+
+    P = NUM_PARTITIONS_DEFAULT
+
+    def cnt(col):
+        def fn(t: pa.Table):
+            if len(t) == 0 or col not in t.schema.names:
+                return
+            yield pa.table({"n": pa.array([len(t)], pa.int64())})
+
+        return fn
+
+    truth = jaccard_join_pairs(sf_dir).materialize()
+    n_true = sum(
+        r["n"]
+        for r in truth.map_batches(
+            cnt("doc_a"), batch_format="pyarrow"
+        ).take_all()
+    )
+    cand = simhash_exact_pairs(sf_dir).materialize()
+    n_cand = sum(
+        r["n"]
+        for r in cand.map_batches(cnt("a"), batch_format="pyarrow").take_all()
+    )
+
+    def keys_only(t: pa.Table):
+        if len(t) == 0 or "a" not in t.schema.names:
+            return
+        yield t.select(["a", "b"])
+
+    def tkeys(t: pa.Table):
+        if len(t) == 0 or "doc_a" not in t.schema.names:
+            return
+        yield t.select(["doc_a", "doc_b"])
+
+    hits_ds = join_auto(
+        cand.map_batches(keys_only, batch_format="pyarrow"),
+        truth.map_batches(tkeys, batch_format="pyarrow"),
+        on=("a", "b"), right_on=("doc_a", "doc_b"), how="semi",
+        num_partitions=P,
+    )
+    n_hit = sum(
+        r["n"]
+        for r in hits_ds.map_batches(
+            cnt("a"), batch_format="pyarrow"
+        ).take_all()
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_true": pa.array([n_true], pa.int64()),
+                "n_cand": pa.array([n_cand], pa.int64()),
+                "n_hit": pa.array([n_hit], pa.int64()),
+                "recall_ppm": pa.array(
+                    [n_hit * 10**6 // n_true if n_true else 0], pa.int64()
+                ),
+                "precision_ppm": pa.array(
+                    [n_hit * 10**6 // n_cand if n_cand else 0], pa.int64()
+                ),
+            }
+        )
+    )
