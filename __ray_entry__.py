@@ -2169,13 +2169,20 @@ lab{k}(it, v, l) AS (
     return head + ",\n" + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
 
 
-def _widest_path_sql(rounds: int = 16) -> str:
+def _widest_path_sql(rounds: int | None = None) -> str:
     """Unrolled max-min relaxation (pipelines.widest_path_from_seed):
     W[v] <- max(W[v], max over und edges of LEAST(W[u], m)).  Each
     round references the previous label table twice, so every round
     CTE is AS MATERIALIZED (the degree_discount inlining rule).
     Monotone: rounds beyond convergence are no-ops, so a fixed unroll
-    >= the engine's measured round count matches the fixpoint."""
+    >= the engine's measured round count matches the fixpoint.  The
+    unroll count is the shared WIDEST_PATH_SQL_ROUNDS constant; the
+    engine asserts its measured round count <= it, so a deeper fixture
+    fails loudly instead of producing a silently-wrong oracle."""
+    if rounds is None:
+        from rayrank.pipelines import WIDEST_PATH_SQL_ROUNDS
+
+        rounds = WIDEST_PATH_SQL_ROUNDS
     parts = ["""rawi AS (SELECT CAST(l_orderkey AS VARCHAR) AS s,
   CAST(l_partkey AS VARCHAR) AS t,
   l_orderkey AS si, l_partkey AS ti FROM lineitem)""",

@@ -626,27 +626,6 @@ def _invindex_corpus_dir() -> str:
     per-replica namespace gives 31×REP terms with the same per-doc
     token counts (see _write_tiled_corpus)."""
     return _write_tiled_corpus(_INVINDEX_CORPUS, _INVINDEX_REP, None)
-    os.makedirs(_INVINDEX_CORPUS, exist_ok=True)
-    base = pq.read_table(
-        "/root/testdata/sf0.1/documents.parquet", columns=["doc_id", "text"]
-    )
-    n = base.num_rows
-    import pyarrow.compute as pc
-
-    for r in range(_INVINDEX_REP):
-        txt = pc.replace_substring_regex(
-            base.column("text"), pattern=r"(\S+)", replacement=f"\\1_r{r:03d}"
-        )
-        t = pa.table(
-            {
-                "doc_id": pc.add(base.column("doc_id"), r * n),
-                "text": txt,
-            }
-        )
-        pq.write_table(t, os.path.join(_INVINDEX_CORPUS, f"part-{r:03d}.parquet"))
-    with open(done, "w") as f:
-        f.write("ok")
-    return _INVINDEX_CORPUS
 
 
 def spandedup_once() -> dict:
@@ -1023,6 +1002,9 @@ def stage_stats(name: str) -> None:
 
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
              logging_level="ERROR")
+    from rayrank import configure_data_context
+
+    configure_data_context()
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entry
 

@@ -2759,6 +2759,11 @@ SELECT u, v, w, q_min FROM canon WHERE q_min < {DISPARITY_ALPHA_Q}
 
 ATTACK_KS = (0, 8, 32)
 
+# Max-min rounds unrolled by the widest-path SQL oracle
+# (__ray_entry__._widest_path_sql uses this same constant); the engine
+# asserts its measured round count fits inside the unroll.
+WIDEST_PATH_SQL_ROUNDS = 16
+
 
 def attack_robustness(sf_dir: str) -> ray.data.Dataset:
     """(k_removed, n_edges, giant_size) — targeted-attack robustness
@@ -6596,6 +6601,16 @@ def widest_path_from_seed(sf_dir: str) -> ray.data.Dataset:
     )
     gdir = _graph(sf_dir, "undirected")
     res = widest_paths(gdir, [str(seed)])
+    # The SQL oracle unrolls exactly WIDEST_PATH_SQL_ROUNDS max-min
+    # rounds.  Bottleneck paths can be longer than the BFS diameter, so
+    # a deeper fixture could need more rounds than the unroll — fail
+    # LOUDLY here rather than letting the oracle silently disagree with
+    # a correctly converged engine result.
+    if res.iterations > WIDEST_PATH_SQL_ROUNDS:
+        raise AssertionError(
+            f"widest_paths converged in {res.iterations} rounds > SQL "
+            f"unroll {WIDEST_PATH_SQL_ROUNDS}; raise WIDEST_PATH_SQL_ROUNDS"
+        )
     ds = res.labels_dataset(gdir)
     return ds.map_batches(
         lambda t: pa.table(

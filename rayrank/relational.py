@@ -1322,6 +1322,10 @@ FROM o a JOIN o b ON a.k < b.k AND abs(a.c - b.c) <= {PRICE_BAND_EPS}
 
 
 LAG_BIN_DAYS = 30
+# Offset for the non-negative floor-div identity used on BOTH the
+# engine and SQL sides: (lag + LAG_OFF·BIN)//BIN − LAG_OFF.  Derived
+# from the constant so changing LAG_BIN_DAYS cannot desynchronize them.
+LAG_OFF = 1000
 
 
 def ship_lag_histogram(sf_dir: str) -> ray.data.Dataset:
@@ -1384,7 +1388,12 @@ def ship_lag_histogram(sf_dir: str) -> ray.data.Dataset:
         )
         g = (
             pa.table(
-                {"bin": pa.array((lag + 30000) // LAG_BIN_DAYS - 1000)}
+                {
+                    "bin": pa.array(
+                        (lag + LAG_OFF * LAG_BIN_DAYS) // LAG_BIN_DAYS
+                        - LAG_OFF
+                    )
+                }
             )
             .append_column("n", pa.array(np.ones(len(lag), np.int64)))
             .group_by(["bin"])
@@ -1398,14 +1407,15 @@ def ship_lag_histogram(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-SHIP_LAG_HISTOGRAM_SQL = """
+SHIP_LAG_HISTOGRAM_SQL = f"""
 WITH o AS (SELECT o_orderkey,
            CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS od
            FROM orders),
 l AS (SELECT l_orderkey,
       CAST(epoch_us(l_shipdate) // 86400000000 AS BIGINT) AS sd
       FROM lineitem)
-SELECT (l.sd - o.od + 30000) // 30 - 1000 AS bin,
+SELECT (l.sd - o.od + {LAG_OFF * LAG_BIN_DAYS}) // {LAG_BIN_DAYS}
+    - {LAG_OFF} AS bin,
   CAST(COUNT(*) AS BIGINT) AS n
 FROM l JOIN o ON o.o_orderkey = l.l_orderkey
 GROUP BY 1
