@@ -628,6 +628,142 @@ def _invindex_corpus_dir() -> str:
     return _write_tiled_corpus(_INVINDEX_CORPUS, _INVINDEX_REP, None)
 
 
+_SF1_DIR = "/tmp/rayrank_sf1"
+
+
+def _sf1_dir() -> str:
+    """SF≈1 relational fixture: sf0.1's customer/orders/lineitem/
+    supplier tiled 10× with disjoint key offsets (join keys offset
+    consistently per replica so every FK still resolves); nation and
+    region are dimensions and stay as-is.  The r2 open item: SF=0.1
+    timings for the wide relational queries are ~50 % fixed overhead —
+    profile at SF≥1 before tuning."""
+    import pyarrow.parquet as _pq
+
+    done = os.path.join(_SF1_DIR, "_DONE")
+    if os.path.exists(done):
+        return _SF1_DIR
+    os.makedirs(_SF1_DIR, exist_ok=True)
+    src = "/root/testdata/sf0.1"
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    REP = 10
+    OK, SK, CK = 10_000_000, 1_000_000, 1_000_000  # key strides
+    offsets = {
+        "l_orderkey": OK, "o_orderkey": OK,
+        "l_suppkey": SK, "s_suppkey": SK,
+        "o_custkey": CK, "c_custkey": CK,
+    }
+    for table in ("customer", "orders", "lineitem", "supplier"):
+        base = _pq.read_table(f"{src}/{table}.parquet")
+        reps = []
+        for r in range(REP):
+            t = base
+            for col, stride in offsets.items():
+                if col in t.schema.names:
+                    t = t.set_column(
+                        t.schema.get_field_index(col), col,
+                        _pc.add(t.column(col), r * stride),
+                    )
+            reps.append(t)
+        _pq.write_table(_pa.concat_tables(reps),
+                        f"{_SF1_DIR}/{table}.parquet")
+    for table in ("nation", "region", "part", "events", "documents",
+                  "embeddings"):
+        srcf = f"{src}/{table}.parquet"
+        if os.path.exists(srcf):
+            _pq.write_table(_pq.read_table(srcf),
+                            f"{_SF1_DIR}/{table}.parquet")
+    with open(done, "w") as f:
+        f.write("ok")
+    return _SF1_DIR
+
+
+def sf1_profile() -> dict:
+    """market_share + big_orders at the tiled SF≈1 (r2 VERDICT #7):
+    wall time per query plus the per-operator ds.stats() breakdown
+    (written to /tmp/rayrank_sf1_stats.txt)."""
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from rayrank import configure_data_context
+    from rayrank.analytics import big_orders
+    from rayrank.reports import market_share
+
+    configure_data_context()
+    d = _sf1_dir()
+    out = {"num_cpus": ncpu, "dir": d}
+    with open("/tmp/rayrank_sf1_stats.txt", "w") as fh:
+        for name, fn in (("market_share", market_share),
+                         ("big_orders", big_orders)):
+            t0 = time.perf_counter()
+            ds = fn(d).materialize()
+            out[f"{name}_sec"] = round(time.perf_counter() - t0, 3)
+            out[f"{name}_rows"] = ds.count()
+            fh.write(f"===== {name} =====\n{ds.stats()}\n")
+    ray.shutdown()
+    return out
+
+
+def minhash_once() -> dict:
+    """MinHash SIGNATURE-stage throughput over the tiled corpus — the
+    r3 vectorized batched kernel vs (MINHASH_PER_ROW=1) a mirror of
+    the r2 per-row path (list comprehension over
+    ``MinHasher.signature``, the retained reference kernel), measured
+    as the same actor-pool map_batches stage.  Evidence for the r2
+    VERDICT #2 done-criterion."""
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    per_row = os.environ.get("MINHASH_PER_ROW", "") == "1"
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from rayrank import configure_data_context
+    from rayrank.text import MinHasher, minhash_signatures
+
+    configure_data_context()
+    cdir = _invindex_corpus_dir()
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_table(cdir, columns=["doc_id"]).num_rows  # warm cache
+    docs = ray.data.read_parquet(cdir)
+
+    class PerRowHasher(MinHasher):
+        """The r2 per-row __call__, kept runnable for the comparison."""
+
+        def __call__(self, batch):
+            texts = batch.column("text").to_pylist()
+            sigs = (
+                _np.stack([self.signature(t) for t in texts])
+                if texts else _np.zeros((0, self.num_perm), _np.uint64)
+            )
+            col = _pa.FixedSizeListArray.from_arrays(
+                _pa.array(sigs.astype(_np.int64).ravel(), _pa.int64()),
+                self.num_perm,
+            )
+            return _pa.table({"doc_id": batch.column("doc_id"), "sig": col})
+
+    t0 = time.perf_counter()
+    if per_row:
+        n = docs.select_columns(["doc_id", "text"]).map_batches(
+            PerRowHasher, batch_format="pyarrow", concurrency=(1, max(2, ncpu // 2))
+        ).count()
+    else:
+        n = minhash_signatures(
+            docs, concurrency=(1, max(2, ncpu // 2))
+        ).count()
+    dt = time.perf_counter() - t0
+    ray.shutdown()
+    return {"num_cpus": ncpu, "docs": n_docs, "sigs": n,
+            "per_row": per_row, "minhash_sec": round(dt, 3),
+            "docs_per_sec": round(n_docs / dt, 1)}
+
+
 def spandedup_once() -> dict:
     """Span-level dedup coverage (terms.span_dedup_stats) over the
     tiled corpus — two corpus scans, a gram-keyed df reduce, a
@@ -805,7 +941,10 @@ def invindex_once() -> dict:
     docs = ray.data.read_parquet(cdir)
     n_docs = docs.count()
     t0 = time.perf_counter()
-    n = inverted_index_ds(docs, num_partitions=32).count()
+    # session-scaled partitions/aggregators (dyn_partitions + the
+    # ncpu aggregator cap) — the round-2 pinned 32 spun 32 aggregator
+    # actors on the 8-CPU leg, the cause of the >1.0 scaling anomaly
+    n = inverted_index_ds(docs).count()
     dt = time.perf_counter() - t0
     ray.shutdown()
     return {"num_cpus": ncpu, "docs": n_docs, "vocab_rows": n,
@@ -1034,6 +1173,12 @@ if __name__ == "__main__":
         sys.exit(0)
     if "--packing-scaling" in sys.argv:
         print(json.dumps(run_packing_scaling()))
+        sys.exit(0)
+    if "--sf1-profile" in sys.argv:
+        print(json.dumps(sf1_profile()))
+        sys.exit(0)
+    if "--minhash-once" in sys.argv:
+        print(json.dumps(minhash_once()))
         sys.exit(0)
     if "--spandedup-once" in sys.argv:
         print(json.dumps(spandedup_once()))

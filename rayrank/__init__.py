@@ -21,6 +21,32 @@ __version__ = "0.1.0"
 
 NUM_PARTITIONS_DEFAULT = 16
 
+
+def dyn_partitions(width: int = 2, lo: int = 8, hi: int = 128) -> int:
+    """Session-scaled hash-partition count for keyed wide steps:
+    ``width × CPUs`` clamped to [lo, hi].
+
+    Why (round-2 scaling postmortem): a partition count pinned at
+    testdata scale (8/16) under-parallelizes the reduce side of a
+    multi-shuffle chain on a big session — at 32 CPUs a 16-partition
+    exchange leaves half the cores idle through every aggregation —
+    while the SAME pinned count over-spawns aggregator actors on a
+    small session.  Resolved at CALL time (never at import) so each
+    ``ray.init`` session gets a count matched to its size; combined
+    with the ``max_hash_shuffle_aggregators = ncpu`` cap set by
+    :func:`configure_data_context`, every exchange runs
+    ``min(partitions, ncpu)`` aggregator actors with a constant
+    partitions-per-aggregator ratio across cluster sizes."""
+    import os as _os
+
+    import ray as _ray
+
+    if _ray.is_initialized():
+        ncpu = int(_ray.cluster_resources().get("CPU", _os.cpu_count() or 8))
+    else:
+        ncpu = _os.cpu_count() or 8
+    return max(lo, min(hi, width * ncpu))
+
 _POLARS_VERIFIED = None  # per-process cache: a verified-healthy polars module
 
 
@@ -119,6 +145,15 @@ def configure_data_context() -> None:
     else:
         ncpu = _os.cpu_count() or 8
     ctx.default_hash_shuffle_parallelism = max(4, min(64, ncpu))
+    # Scale the aggregator ACTOR pool with the session, not the
+    # partition count: Ray spins min(num_partitions, this cap) actors
+    # per exchange.  The round-2 default (64) meant a fixed-size spin-up
+    # per exchange regardless of session CPUs — taxing small sessions
+    # with more actors than cores (the >1.0 invindex scaling anomaly)
+    # while adding nothing on large ones.  With the cap at ncpu, an
+    # exchange whose partition count comes from dyn_partitions() keeps
+    # a constant partitions-per-aggregator ratio at every session size.
+    ctx.max_hash_shuffle_aggregators = max(4, ncpu)
     import logging
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)

@@ -14,7 +14,6 @@ the classic SimHash-for-cosine construction (public knowledge).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -201,9 +200,7 @@ def embedding_near_dups(
     higher recall.  Buckets above ``max_bucket`` are truncated after a
     deterministic sort (no silent caps: truncation count is exposed via
     the ``truncated`` column)."""
-    import pandas as pd
-
-    from .shuffle import grouped_map
+    from .shuffle import segment_starts, triu_pair_indices
 
     # probe dim from one batch
     first = ds.take_batch(1, batch_format="pyarrow")
@@ -229,33 +226,43 @@ def embedding_near_dups(
         sign_rows, batch_format="pyarrow"
     )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).reset_index(drop=True)
-        truncated = 0
-        if len(g) > max_bucket:
-            truncated = len(g) - max_bucket
-            g = g.head(max_bucket)
-        if len(g) < 2:
-            return pd.DataFrame(
-                {"a": [], "b": [], "cosine": [], "truncated": []}
-            ).astype({"a": np.int64, "b": np.int64,
-                      "cosine": np.float64, "truncated": np.int64})
-        x = np.asarray(list(g[emb_col]), np.float64)
+    def verify_block(t: pa.Table):
+        """All buckets of a co-located block in one vectorized pass:
+        sort by (bucket, id), cap each bucket, expand every bucket's
+        upper triangle at once, then ONE batched row-dot for every
+        candidate pair (replaces the r2 per-group pandas kernel)."""
+        if t.num_rows == 0 or "bucket" not in t.schema.names:
+            return
+        bucket = t.column("bucket").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bucket))
+        x = _emb_matrix(t.take(pa.array(order)), emb_col).astype(np.float64)
+        bucket, ids = bucket[order], ids[order]
+        starts, sizes = segment_starts(bucket)
+        dropped = np.maximum(sizes - max_bucket, 0)
+        local = np.arange(len(ids), dtype=np.int64) - np.repeat(starts, sizes)
+        cap = local < max_bucket
+        ids, x = ids[cap], x[cap]
+        a_idx, b_idx, seg = triu_pair_indices(np.minimum(sizes, max_bucket))
+        if len(a_idx) == 0:
+            return
         xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        sims = xn @ xn.T
-        i, j = np.triu_indices(len(g), k=1)
-        keep = sims[i, j] >= threshold
-        ids = g[id_col].to_numpy()
-        return pd.DataFrame(
+        cos = np.einsum("ij,ij->i", xn[a_idx], xn[b_idx])
+        keep = cos >= threshold
+        if not keep.any():
+            return
+        yield pa.table(
             {
-                "a": ids[i[keep]],
-                "b": ids[j[keep]],
-                "cosine": sims[i, j][keep],
-                "truncated": np.full(int(keep.sum()), truncated, np.int64),
+                "a": pa.array(ids[a_idx][keep]),
+                "b": pa.array(ids[b_idx][keep]),
+                "cosine": pa.array(cos[keep], pa.float64()),
+                "truncated": pa.array(dropped[seg][keep]),
             }
         )
 
-    return grouped_map(signed, ["bucket"], verify, num_partitions=8)
+    return signed.repartition(8, keys=["bucket"]).map_batches(
+        verify_block, batch_size=None, batch_format="pyarrow"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -47,48 +47,100 @@ def synthetic_media(n: int, kind: str = "image", seed: int = 0) -> pa.Table:
     )
 
 
-class DecodeStub:
-    """Actor-pool decode stage.  ``__init__`` is where a real codec
-    would load (once per actor); ``__call__`` decodes a batch.
+#: Contract every codec adapter must satisfy: decode_features output
+#: columns, in order.  The fake double and any real codec produce the
+#: SAME schema by construction (DecodeStub builds the table; codecs
+#: only supply the feature vector), so swapping the codec cannot break
+#: downstream consumers or the driver oracles.
+DECODE_FEATURES_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),
+        ("features", pa.list_(pa.float64(), 8)),
+        ("payload_bytes", pa.int64()),
+    ]
+)
 
-    fake=False → NotImplementedError (codec not present in container);
-    fake=True  → deterministic pseudo-decode: 8 float features derived
-    from the payload's sha256 + its length (stable across runs).
-    """
+N_DECODE_FEATURES = 8
 
-    def __init__(self, fake: bool = False):
-        self.fake = fake
 
-    def _features(self, payload: bytes) -> np.ndarray:
+class FakeCodec:
+    """Deterministic test double: 8 float features derived from the
+    payload's sha256 + its length (stable across runs, no external
+    libs) — the permanent stand-in while no image/audio codec ships in
+    the container."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
         h = hashlib.sha256(payload).digest()
         raw = np.frombuffer(h[:32], np.uint8).astype(np.float64).reshape(8, 4)
         f = raw.mean(axis=1) / 255.0
         f[0] = len(payload) / 4096.0
         return f
 
+
+class PillowCodec:
+    """Real image decode behind the same interface: loads PIL ONCE per
+    actor (``__init__`` — the actor-pool state rule) and emits the same
+    8-float feature layout as :class:`FakeCodec` (size, mode stats,
+    intensity moments).  Raises ImportError at construction when PIL is
+    absent — this container has no codecs, so the adapter is exercised
+    by the schema-contract test only; on a host with Pillow the SAME
+    pipeline runs unchanged with ``codec=PillowCodec()``."""
+
+    def __init__(self):
+        import io
+
+        from PIL import Image  # ImportError here ⇒ no codec in container
+
+        self._Image = Image
+        self._io = io
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        img = self._Image.open(self._io.BytesIO(payload)).convert("L")
+        x = np.asarray(img, np.float64) / 255.0
+        f = np.zeros(N_DECODE_FEATURES)
+        f[0] = len(payload) / 4096.0
+        f[1] = img.width / 4096.0
+        f[2] = img.height / 4096.0
+        f[3] = x.mean()
+        f[4] = x.std()
+        f[5] = np.abs(np.diff(x, axis=0)).mean() if x.shape[0] > 1 else 0.0
+        f[6] = np.abs(np.diff(x, axis=1)).mean() if x.shape[1] > 1 else 0.0
+        f[7] = float(np.median(x))
+        return f
+
+
+class DecodeStub:
+    """Actor-pool decode stage.  ``__init__`` holds the codec (loaded
+    once per actor); ``__call__`` decodes a batch and ALWAYS emits
+    ``DECODE_FEATURES_SCHEMA`` regardless of which codec is plugged in.
+
+    fake=False → :class:`PillowCodec` (ImportError in codec-less
+    containers); fake=True → :class:`FakeCodec`, the deterministic
+    double the driver oracles pin."""
+
+    def __init__(self, fake: bool = False):
+        self.codec = FakeCodec() if fake else PillowCodec()
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "media codecs are not installed in this container; "
-                "construct DecodeStub(fake=True) for the deterministic "
-                "test double"
-            )
-        feats = [self._features(p) for p in batch.column("payload").to_pylist()]
-        mat = np.stack(feats) if feats else np.zeros((0, 8))
+        payloads = batch.column("payload").to_pylist()
+        feats = [self.codec.decode(p) for p in payloads]
+        mat = np.stack(feats) if feats else np.zeros((0, N_DECODE_FEATURES))
         col = pa.FixedSizeListArray.from_arrays(
-            pa.array(mat.ravel(), pa.float64()), 8
+            pa.array(mat.ravel(), pa.float64()), N_DECODE_FEATURES
         )
-        return pa.table(
+        out = pa.table(
             {
                 "media_id": batch.column("media_id"),
                 "kind": batch.column("kind"),
                 "features": col,
                 "payload_bytes": pa.array(
-                    [len(p) for p in batch.column("payload").to_pylist()],
-                    pa.int64(),
+                    [len(p) for p in payloads], pa.int64()
                 ),
             }
         )
+        assert out.schema.equals(DECODE_FEATURES_SCHEMA), out.schema
+        return out
 
 
 def decode_features(

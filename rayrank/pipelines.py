@@ -24,6 +24,7 @@ import ray.data
 from . import configure_data_context
 from .graph import build_graph
 from .joins import hash_join
+from .undirected import und_both, und_both_names, und_both_one, und_canon, und_canon_count, und_canon_guard31, und_canon_names, und_canon_weight
 
 configure_data_context()  # driver imports this module after ray.init
 
@@ -2232,27 +2233,24 @@ def two_hop_neighbors(sf_dir: str) -> ray.data.Dataset:
     bytes move, but per-row shuffle overhead is what dominates).  One
     repartition by receiver co-locates everything a vertex can reach
     in ≤ 2 hops; the distinct count is a single vectorized lexsort +
-    dedup per block.  P2=32 — the one deliberately expansion-heavy
-    query."""
-    P2 = 32
+    dedup per block.
 
-    def und_pre(t: pa.Table):
-        if len(t) == 0 or "src" not in t.schema.names:
-            return
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return
-        g = pa.table(
-            {
-                "a": pa.array(np.r_[s, d]),
-                "b": pa.array(np.r_[d, s]),
-            }
-        ).group_by(["a", "b"]).aggregate([])
-        yield g.rename_columns(["a", "b"])
+    Hub safety (r2 VERDICT #2): a mid vertex's shipped list is capped
+    at ``TWO_HOP_HUB_CAP`` ids (deterministic: the ascending-id
+    prefix), so a celebrity vertex of degree D costs D·cap receiver
+    rows instead of D² — no straggler partition at web scale.  EVERY
+    member of a capped mid's neighborhood still receives a row, with
+    ``trunc`` = dropped-id count; the output's ``truncated`` column
+    (Σ dropped over a receiver's mids) is therefore 0 exactly when
+    that vertex's ball2 is exact — the no-silent-caps rule.  At the
+    test SFs no degree approaches the cap, so the oracle pins
+    truncated = 0."""
+    from . import dyn_partitions
 
+    P2 = max(32, dyn_partitions())
+    cap = TWO_HOP_HUB_CAP
+
+    und_pre = und_both
     # block-deduped both-direction rows route STRAIGHT to the mid
     # partition: the global (a, b) dedup happens inside the mid block
     # (every copy of (a, m) lands there), saving a whole keyed re-agg
@@ -2271,9 +2269,16 @@ def two_hop_neighbors(sf_dir: str) -> ray.data.Dataset:
         a_s, b_s = a_s[uniq], b_s[uniq]
         starts = np.flatnonzero(np.r_[True, b_s[1:] != b_s[:-1]])
         d = np.diff(np.r_[starts, len(b_s)])
-        lists = pa.ListArray.from_arrays(
-            pa.array(np.r_[starts, len(a_s)].astype(np.int32)), pa.array(a_s)
-        )
+        # hub cap: the shipped PAYLOAD keeps only each mid's first
+        # ``cap`` ascending ids; every member still gets a row (so
+        # affected receivers are all flagged), carrying the drop count
+        local = np.arange(len(a_s), dtype=np.int64) - np.repeat(starts, d)
+        keep = local < cap
+        a_c = a_s[keep]
+        d_c = np.minimum(d, cap)
+        dropped = (d - d_c).astype(np.int64)
+        off_c = np.r_[0, np.cumsum(d_c)].astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(off_c), pa.array(a_c))
         gidx = np.repeat(np.arange(len(d)), d)
         # 2-hop: every member of N(m) receives N(m); 1-hop: m itself does
         yield pa.table(
@@ -2282,6 +2287,7 @@ def two_hop_neighbors(sf_dir: str) -> ray.data.Dataset:
                 "nbrs": pa.concat_arrays(
                     [lists.take(pa.array(gidx)), lists]
                 ),
+                "trunc": pa.array(np.r_[dropped[gidx], dropped]),
             }
         )
 
@@ -2293,6 +2299,7 @@ def two_hop_neighbors(sf_dir: str) -> ray.data.Dataset:
         if t.num_rows == 0 or "recv" not in t.schema.names:
             return
         recv = t.column("recv").to_numpy(zero_copy_only=False)
+        trunc = t.column("trunc").to_numpy(zero_copy_only=False)
         lst = t.column("nbrs").combine_chunks()
         vals = lst.flatten().to_numpy(zero_copy_only=False)
         lens = np.diff(lst.offsets.to_numpy(zero_copy_only=False))
@@ -2306,10 +2313,24 @@ def two_hop_neighbors(sf_dir: str) -> ray.data.Dataset:
             return
         starts = np.flatnonzero(np.r_[True, o_k[1:] != o_k[:-1]])
         cnt = np.diff(np.r_[starts, len(o_k)])
+        # Σ dropped ids over this receiver's mids: 0 ⟺ ball2 exact
+        tr = (
+            pa.table({"r": pa.array(recv), "tr": pa.array(trunc)})
+            .group_by(["r"]).aggregate([("tr", "sum")])
+        )
+        tr_r = tr.column("r").to_numpy(zero_copy_only=False)
+        tr_v = tr.column("tr_sum").to_numpy(zero_copy_only=False)
+        tro = np.argsort(tr_r, kind="stable")
+        tr_r, tr_v = tr_r[tro], tr_v[tro]
+        names = o_k[starts]
+        # every receiver in names has ≥1 recv row, so the lookup is exact
         yield pa.table(
             {
-                "name": pa.array(o_k[starts]),
+                "name": pa.array(names),
                 "ball2": pa.array(cnt.astype(np.int64)),
+                "truncated": pa.array(
+                    tr_v[np.searchsorted(tr_r, names)].astype(np.int64)
+                ),
             }
         )
 
@@ -2334,7 +2355,8 @@ reach AS (
   UNION ALL
   SELECT a, b FROM und
 )
-SELECT a AS name, CAST(COUNT(DISTINCT b) AS BIGINT) AS ball2
+SELECT a AS name, CAST(COUNT(DISTINCT b) AS BIGINT) AS ball2,
+  CAST(0 AS BIGINT) AS truncated
 FROM reach GROUP BY 1
 """
 
@@ -2370,20 +2392,7 @@ def common_neighbors(sf_dir: str) -> ray.data.Dataset:
 
     P2 = 16
 
-    def und_pre(t: pa.Table):
-        if len(t) == 0 or "src" not in t.schema.names:
-            return
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return
-        g = pa.table(
-            {"a": pa.array(np.r_[s, d]), "b": pa.array(np.r_[d, s])}
-        ).group_by(["a", "b"]).aggregate([])
-        yield g.rename_columns(["a", "b"])
-
+    und_pre = und_both
     und = sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow")
     mid = und.repartition(P2, keys=["b"])
 
@@ -2478,20 +2487,7 @@ def adamic_adar(sf_dir: str) -> ray.data.Dataset:
 
     P2 = 16
 
-    def und_pre(t: pa.Table):
-        if len(t) == 0 or "src" not in t.schema.names:
-            return
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return
-        g = pa.table(
-            {"a": pa.array(np.r_[s, d]), "b": pa.array(np.r_[d, s])}
-        ).group_by(["a", "b"]).aggregate([])
-        yield g.rename_columns(["a", "b"])
-
+    und_pre = und_both
     und = sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow")
     mid = und.repartition(P2, keys=["b"])
 
@@ -2759,6 +2755,12 @@ SELECT u, v, w, q_min FROM canon WHERE q_min < {DISPARITY_ALPHA_Q}
 
 ATTACK_KS = (0, 8, 32)
 
+# two_hop_neighbors ships each mid vertex's neighbor list capped at
+# this many ids (ascending prefix); receivers of a capped list carry
+# the dropped count in the output's `truncated` column.  Far above any
+# test-SF degree, so the oracle pins truncated = 0.
+TWO_HOP_HUB_CAP = 4096
+
 # Max-min rounds unrolled by the widest-path SQL oracle
 # (__ray_entry__._widest_path_sql uses this same constant); the engine
 # asserts its measured round count fits inside the unroll.
@@ -2785,23 +2787,7 @@ def attack_robustness(sf_dir: str) -> ray.data.Dataset:
     from .graph import build_graph
     from .shuffle import keyed_reagg
 
-    def und_pre(t: pa.Table):
-        if len(t) == 0 or "src" not in t.schema.names:
-            return
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return
-        u, v = np.minimum(s, d), np.maximum(s, d)
-        g = (
-            pa.table({"u": pa.array(u), "v": pa.array(v)})
-            .group_by(["u", "v"])
-            .aggregate([])
-        )
-        yield g.rename_columns(["u", "v"])
-
+    und_pre = und_canon
     und = keyed_reagg(
         sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
         ["u", "v"], [], P,
@@ -3038,22 +3024,7 @@ def seeded_label_spread(sf_dir: str) -> ray.data.Dataset:
         edges.map_batches(vert_pre, batch_format="pyarrow"), ["v"], [], P2,
     )
 
-    def und_pre(t: pa.Table):
-        if len(t) == 0 or "src" not in t.schema.names:
-            return
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return
-        g = (
-            pa.table({"a": pa.array(np.r_[s, d]), "b": pa.array(np.r_[d, s])})
-            .group_by(["a", "b"])
-            .aggregate([])
-        )
-        yield g.rename_columns(["a", "b"])
-
+    und_pre = und_both
     und = keyed_reagg(
         edges.map_batches(und_pre, batch_format="pyarrow"),
         ["a", "b"], [], P2,
@@ -3491,22 +3462,7 @@ def hll_ball_registers(sf_dir: str) -> ray.data.Dataset:
         edges.map_batches(vert_pre, batch_format="pyarrow"), ["v"], [], P2,
     )
 
-    def und_pre(t: pa.Table):
-        if len(t) == 0 or "src" not in t.schema.names:
-            return
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return
-        g = (
-            pa.table({"a": pa.array(np.r_[s, d]), "b": pa.array(np.r_[d, s])})
-            .group_by(["a", "b"])
-            .aggregate([])
-        )
-        yield g.rename_columns(["a", "b"])
-
+    und_pre = und_both
     und = keyed_reagg(
         edges.map_batches(und_pre, batch_format="pyarrow"),
         ["a", "b"], [], P2,
@@ -3645,25 +3601,7 @@ def node_features(sf_dir: str) -> ray.data.Dataset:
         ["name"], [("in_deg", "sum")], P2,
     )
 
-    def und_pre(t: pa.Table):
-        if len(t) == 0 or "src" not in t.schema.names:
-            return
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return
-        sn = pc.cast(pa.array(s), pa.string())
-        dn = pc.cast(pa.array(d), pa.string())
-        g = (
-            pa.table({"a": pa.concat_arrays([sn, dn]),
-                      "b": pa.concat_arrays([dn, sn])})
-            .group_by(["a", "b"])
-            .aggregate([])
-        )
-        yield g.rename_columns(["a", "b"])
-
+    und_pre = und_both_names
     und = keyed_reagg(
         edges.map_batches(und_pre, batch_format="pyarrow"),
         ["a", "b"], [], P2,
@@ -3781,23 +3719,7 @@ def degree_discount_seeds(sf_dir: str) -> ray.data.Dataset:
 
     P2 = 16
 
-    def und_pre(t: pa.Table):
-        if len(t) == 0 or "src" not in t.schema.names:
-            return
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return
-        g = (
-            pa.table({"a": pa.array(np.r_[s, d]), "b": pa.array(np.r_[d, s])})
-            .append_column("one", pa.array(np.ones(2 * len(s), np.int64)))
-            .group_by(["a", "b"])
-            .aggregate([("one", "max")])
-        )
-        yield g.rename_columns(["a", "b", "one"])
-
+    und_pre = und_both_one
     und = keyed_reagg(
         sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
         ["a", "b"], [("one", "max")], P2,
@@ -4115,20 +4037,7 @@ def random_walks(sf_dir: str, steps: int = RW_STEPS) -> ray.data.Dataset:
 
     P2 = 16
 
-    def und_pre(t: pa.Table):
-        if len(t) == 0 or "src" not in t.schema.names:
-            return
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return
-        g = pa.table(
-            {"a": pa.array(np.r_[s, d]), "b": pa.array(np.r_[d, s])}
-        ).group_by(["a", "b"]).aggregate([])
-        yield g.rename_columns(["a", "b"])
-
+    und_pre = und_both
     und = sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow")
     mid = und.repartition(P2, keys=["a"])
 
@@ -4407,28 +4316,7 @@ def component_quotient_edges(sf_dir: str) -> ray.data.Dataset:
     from .joins import join_auto
     from .shuffle import keyed_reagg
 
-    def und_pre(t: pa.Table):
-        if len(t) == 0 or "src" not in t.schema.names:
-            return
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return
-        g = (
-            pa.table(
-                {
-                    "u": pa.array(np.minimum(s, d)),
-                    "v": pa.array(np.maximum(s, d)),
-                    "n": pa.array(np.ones(len(s), np.int64)),
-                }
-            )
-            .group_by(["u", "v"])
-            .aggregate([("n", "sum")])
-        )
-        yield g.rename_columns(["u", "v", "n"])
-
+    und_pre = und_canon_count
     und = keyed_reagg(
         sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
         ["u", "v"], [("n", "sum")], P,
@@ -4621,30 +4509,7 @@ def ego_network_edges(sf_dir: str) -> ray.data.Dataset:
 
     ball = depths.map_batches(ball_names, batch_format="pyarrow")
 
-    def und_pre(t: pa.Table):
-        if len(t) == 0 or "src" not in t.schema.names:
-            return
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return
-        # canonical order on NAMES (lexicographic), matching SQL LEAST
-        sn = pc.cast(pa.array(s), pa.string())
-        dn = pc.cast(pa.array(d), pa.string())
-        g = (
-            pa.table(
-                {
-                    "a": pc.min_element_wise(sn, dn),
-                    "b": pc.max_element_wise(sn, dn),
-                }
-            )
-            .group_by(["a", "b"])
-            .aggregate([])
-        )
-        yield g.rename_columns(["a", "b"])
-
+    und_pre = und_canon_names
     und = keyed_reagg(
         sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
         ["a", "b"], [], P,
@@ -4820,20 +4685,7 @@ def node2vec_walks(sf_dir: str, steps: int = N2V_STEPS) -> ray.data.Dataset:
 
     P2 = 16
 
-    def und_pre(t: pa.Table):
-        if len(t) == 0 or "src" not in t.schema.names:
-            return
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return
-        g = pa.table(
-            {"a": pa.array(np.r_[s, d]), "b": pa.array(np.r_[d, s])}
-        ).group_by(["a", "b"]).aggregate([])
-        yield g.rename_columns(["a", "b"])
-
+    und_pre = und_both
     und = sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow")
     mid = und.repartition(P2, keys=["a"])
 
@@ -5102,25 +4954,7 @@ def bfs_tree_parents(sf_dir: str) -> ray.data.Dataset:
     seed = min_vertex_name(gdir)
     depths = reachable_depths(bfs(gdir, [seed]), gdir)  # (name, depth)
 
-    def und_pre(t: pa.Table):
-        if len(t) == 0 or "src" not in t.schema.names:
-            return
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return
-        sn = pc.cast(pa.array(s), pa.string())
-        dn = pc.cast(pa.array(d), pa.string())
-        g = (
-            pa.table({"a": pa.concat_arrays([sn, dn]),
-                      "b": pa.concat_arrays([dn, sn])})
-            .group_by(["a", "b"])
-            .aggregate([])
-        )
-        yield g.rename_columns(["a", "b"])
-
+    und_pre = und_both_names
     und = keyed_reagg(
         sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
         ["a", "b"], [], P,
@@ -5178,28 +5012,7 @@ def mst_edges(sf_dir: str) -> ray.data.Dataset:
     from .mst import boruvka_forest
     from .shuffle import keyed_reagg
 
-    def und_pre(t: pa.Table):
-        if len(t) == 0 or "src" not in t.schema.names:
-            return
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return
-        g = (
-            pa.table(
-                {
-                    "u": pa.array(np.minimum(s, d)),
-                    "v": pa.array(np.maximum(s, d)),
-                    "w": pa.array(np.ones(len(s), np.int64)),
-                }
-            )
-            .group_by(["u", "v"])
-            .aggregate([("w", "sum")])
-        )
-        yield g.rename_columns(["u", "v", "w"])
-
+    und_pre = und_canon_weight
     und = keyed_reagg(
         sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
         ["u", "v"], [("w", "sum")], P,
@@ -5229,25 +5042,7 @@ def percolation_sweep(sf_dir: str) -> ray.data.Dataset:
     from .shuffle import keyed_reagg
     from .sketch import splitmix64
 
-    def und_pre(t: pa.Table):
-        if len(t) == 0 or "src" not in t.schema.names:
-            return
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return
-        u, v = np.minimum(s, d), np.maximum(s, d)
-        if max(int(u.max()), int(v.max())) >= (1 << 31):
-            raise ValueError("percolation pair key needs ids < 2^31")
-        g = (
-            pa.table({"u": pa.array(u), "v": pa.array(v)})
-            .group_by(["u", "v"])
-            .aggregate([])
-        )
-        yield g.rename_columns(["u", "v"])
-
+    und_pre = und_canon_guard31
     und = keyed_reagg(
         sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
         ["u", "v"], [], P,
@@ -5705,20 +5500,7 @@ def square_count(sf_dir: str) -> ray.data.Dataset:
 
     P2 = 16
 
-    def und_pre(t: pa.Table):
-        if len(t) == 0 or "src" not in t.schema.names:
-            return
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return
-        g = pa.table(
-            {"a": pa.array(np.r_[s, d]), "b": pa.array(np.r_[d, s])}
-        ).group_by(["a", "b"]).aggregate([])
-        yield g.rename_columns(["a", "b"])
-
+    und_pre = und_both
     und = sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow")
     mid = und.repartition(P2, keys=["b"])
 
@@ -5867,24 +5649,7 @@ def bipartite_conflict(sf_dir: str) -> ray.data.Dataset:
 
     depths = reachable_depths(bfs(gdir, seeds), gdir)  # (name, depth)
 
-    def und_pre(t: pa.Table):
-        if len(t) == 0 or "src" not in t.schema.names:
-            return
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return
-        # canonicalize AFTER casting to string (string order — the
-        # ego_network_edges lesson; SQL compares VARCHAR names)
-        sa = pa.array(s.astype("U"), pa.string())
-        sb = pa.array(d.astype("U"), pa.string())
-        lo = pc.if_else(pc.less(sa, sb), sa, sb)
-        hi = pc.if_else(pc.less(sa, sb), sb, sa)
-        g = pa.table({"a": lo, "b": hi}).group_by(["a", "b"]).aggregate([])
-        yield g.rename_columns(["a", "b"])
-
+    und_pre = und_canon_names
     epairs = keyed_reagg(
         sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
         ["a", "b"], [], P,
@@ -5983,20 +5748,7 @@ def neighbor_sample_2hop(sf_dir: str) -> ray.data.Dataset:
 
     P2 = 16
 
-    def und_pre(t: pa.Table):
-        if len(t) == 0 or "src" not in t.schema.names:
-            return
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return
-        g = pa.table(
-            {"a": pa.array(np.r_[s, d]), "b": pa.array(np.r_[d, s])}
-        ).group_by(["a", "b"]).aggregate([])
-        yield g.rename_columns(["a", "b"])
-
+    und_pre = und_both
     und = sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow")
     mid = und.repartition(P2, keys=["a"])
 
@@ -6265,23 +6017,7 @@ def random_failure_robustness(sf_dir: str) -> ray.data.Dataset:
     from .shuffle import keyed_reagg
     from .sketch import splitmix64
 
-    def und_pre(t: pa.Table):
-        if len(t) == 0 or "src" not in t.schema.names:
-            return
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return
-        u, v = np.minimum(s, d), np.maximum(s, d)
-        g = (
-            pa.table({"u": pa.array(u), "v": pa.array(v)})
-            .group_by(["u", "v"])
-            .aggregate([])
-        )
-        yield g.rename_columns(["u", "v"])
-
+    und_pre = und_canon
     und = keyed_reagg(
         sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
         ["u", "v"], [], P,
@@ -6368,23 +6104,7 @@ def joint_degree_matrix(sf_dir: str) -> ray.data.Dataset:
     from .joins import join_auto
     from .shuffle import keyed_reagg
 
-    def und_pre(t: pa.Table):
-        if len(t) == 0 or "src" not in t.schema.names:
-            return
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return
-        u, v = np.minimum(s, d), np.maximum(s, d)
-        g = (
-            pa.table({"u": pa.array(u), "v": pa.array(v)})
-            .group_by(["u", "v"])
-            .aggregate([])
-        )
-        yield g.rename_columns(["u", "v"])
-
+    und_pre = und_canon
     und = keyed_reagg(
         sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
         ["u", "v"], [], P,

@@ -36,6 +36,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+from .undirected import und_both_names_mult
 
 PUSH_ROUNDS = 6
 PUSH_SCALE = 10 ** 12
@@ -51,30 +52,7 @@ def ppr_push(sf_dir: str) -> ray.data.Dataset:
     from .shuffle import keyed_reagg, materialize_cut
 
     # collapsed symmetric multigraph (a, b, mult) + weighted degrees
-    def und_pre(t: pa.Table):
-        if len(t) == 0 or "src" not in t.schema.names:
-            return
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return
-        sa = np.r_[s, d].astype("U")
-        sb = np.r_[d, s].astype("U")
-        g = (
-            pa.table(
-                {
-                    "a": pa.array(sa, pa.string()),
-                    "b": pa.array(sb, pa.string()),
-                    "mult": pa.array(np.ones(len(sa), np.int64)),
-                }
-            )
-            .group_by(["a", "b"])
-            .aggregate([("mult", "sum")])
-        )
-        yield g.rename_columns(["a", "b", "mult"])
-
+    und_pre = und_both_names_mult
     edges = materialize_cut(
         keyed_reagg(
             sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),

@@ -12,19 +12,19 @@ that yield nothing still emit one, and filters legitimately drain
 blocks — so this module avoids the sorting finalize entirely:
 
     repartition(P, keys=key_cols, sort=False)   # hash co-location only
-      → map_batches(whole block)                # in-block pandas groupby
+      → map_batches(whole block)                # vectorized block kernel
 
 ``repartition`` guarantees all rows of one key land in one output block
 (possibly sharing it with other keys), which is exactly the contract a
 grouped map needs.  Empty / schema-less blocks are skipped by the
-mapper (a generator that yields nothing).
+mapper (a generator that yields nothing).  Per-group work is expressed
+as lexsort + segment kernels over the whole block
+(:func:`segment_starts`, :func:`triu_pair_indices`) — never a Python
+loop over groups.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
-import pandas as pd
 import ray.data
 
 from . import NUM_PARTITIONS_DEFAULT
@@ -130,31 +130,54 @@ def salted_sum(
     return out.map_batches(rename, batch_format="pyarrow")
 
 
-def grouped_map(
-    ds: ray.data.Dataset,
-    keys: list[str],
-    fn: Callable[[pd.DataFrame], pd.DataFrame],
-    num_partitions: int = NUM_PARTITIONS_DEFAULT,
-) -> ray.data.Dataset:
-    """Apply ``fn`` to every key group (pandas in / pandas out — the
-    ``map_groups`` contract), hash-partitioned, sort-free, safe with
-    empty blocks.  Output blocks are pandas; follow with an arrow
-    normalization map if the consumer unions with arrow data."""
-    keys = list(keys)
-    ds2 = ds.repartition(num_partitions, keys=keys)
+def triu_pair_indices(sizes):
+    """Vectorized ``np.triu_indices(s, k=1)`` across variable-size
+    segments laid end-to-end in one global array: given per-segment
+    element counts, return ``(a, b, seg)`` — GLOBAL positions of every
+    within-segment pair with local ``i < j``, plus each pair's segment
+    id.  This is the block kernel that replaces the per-group pandas
+    ``grouped_map`` calls in the bucket-pairing stages (LSH candidate
+    pairs, SimHash buckets, embedding near-dups, the wedge fallback):
+    one call expands EVERY bucket in a block, no Python per group.
 
-    def apply(block):
-        if block.num_rows == 0 or any(
-            k not in block.schema.names for k in keys
-        ):
-            return
-        df = block.to_pandas()
-        outs = []
-        for _, g in df.groupby(keys, sort=True, dropna=False):
-            out = fn(g)
-            if out is not None and len(out):
-                outs.append(out)
-        if outs:
-            yield pd.concat(outs, ignore_index=True)
+    Derivation: the element at local index l pairs as the RIGHT side
+    with the l elements before it, so pair counts per element are the
+    local indices themselves and both sides come from two segmented
+    aranges."""
+    import numpy as np
 
-    return ds2.map_batches(apply, batch_size=None, batch_format="pyarrow")
+    sizes = np.asarray(sizes, np.int64)
+    n = int(sizes.sum())
+    starts = np.cumsum(sizes) - sizes
+    local = np.arange(n, dtype=np.int64) - np.repeat(starts, sizes)
+    b = np.repeat(np.arange(n, dtype=np.int64), local)
+    elem_start = np.repeat(starts, sizes)
+    off = np.arange(int(local.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(local) - local, local
+    )
+    a = np.repeat(elem_start, local) + off
+    seg = np.repeat(
+        np.repeat(np.arange(len(sizes), dtype=np.int64), sizes), local
+    )
+    return a, b, seg
+
+
+def segment_starts(*key_arrays):
+    """Boundary positions of equal-key runs in parallel sorted arrays:
+    returns (starts, sizes).  Callers must have lexsorted the arrays
+    by these keys already."""
+    import numpy as np
+
+    ks = [np.asarray(k) for k in key_arrays]
+    n = len(ks[0])
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    new = np.zeros(n, bool)
+    new[0] = True
+    for k in ks:
+        new[1:] |= k[1:] != k[:-1]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.r_[starts, n])
+    return starts, sizes
+
+

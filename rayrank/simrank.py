@@ -38,6 +38,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+from .undirected import und_both
 
 SR_DEG_CAP = 24
 SR_Z = 1_000_000_000
@@ -50,20 +51,7 @@ def simrank2_topk(sf_dir: str) -> ray.data.Dataset:
     from .pipelines import P, _seg_arange, sf_edges
     from .shuffle import keyed_reagg, materialize_cut
 
-    def und_pre(t: pa.Table):
-        if len(t) == 0 or "src" not in t.schema.names:
-            return
-        s = t.column("src").to_numpy(zero_copy_only=False)
-        d = t.column("dst").to_numpy(zero_copy_only=False)
-        keep = s != d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return
-        g = pa.table(
-            {"a": pa.array(np.r_[s, d]), "b": pa.array(np.r_[d, s])}
-        ).group_by(["a", "b"]).aggregate([])
-        yield g.rename_columns(["a", "b"])
-
+    und_pre = und_both
     und = keyed_reagg(
         sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow"),
         ["a", "b"], [], P,

@@ -196,7 +196,7 @@ def inverted_index(sf_dir: str, k: int = VOCAB_K) -> ray.data.Dataset:
 
 
 def inverted_index_ds(
-    docs: ray.data.Dataset, k: int = VOCAB_K, num_partitions: int = P
+    docs: ray.data.Dataset, k: int = VOCAB_K, num_partitions: int | None = None
 ) -> ray.data.Dataset:
     """Dataset-input core of :func:`inverted_index` (docstring there);
     also the bench surface for text-pipeline scaling runs over
@@ -210,6 +210,10 @@ def inverted_index_ds(
     renders postings via ``pc.binary_join`` — no Python-object sort or
     per-doc ``str()`` loop anywhere (the v2 object-lexsort build was
     the reduce hot spot in the text-pipeline scaling run)."""
+    if num_partitions is None:
+        from . import dyn_partitions
+
+        num_partitions = dyn_partitions()
 
     def pairs(t: pa.Table):
         if len(t) == 0:
@@ -1701,8 +1705,15 @@ def span_dedup_stats(
     gap>n−1 breaks) is fully vectorized.  Interval union is exact:
     islands are separated by gaps ≥ n, so island [s, e] contributes
     e − s + n non-overlapping tokens."""
+    from . import dyn_partitions
     from .joins import join_auto
     from .shuffle import keyed_reagg
+
+    # Session-scaled partition count (shadows the testdata-scale module
+    # P): a 3-wide-op chain at a pinned 8 partitions leaves 3/4 of a
+    # 32-CPU session idle through every exchange (round-2
+    # spandedup_scaling_320k = 0.466).
+    P = dyn_partitions()
 
     def pair_distinct(t: pa.Table):
         if len(t) == 0:
@@ -1777,6 +1788,38 @@ def span_dedup_stats(
         yield pa.table({"doc_id": pa.array(ids), "pos": pa.array(pos), "gram": gram})
 
     pos_stream = _read_docs(sf_dir).map_batches(positions, batch_format="pyarrow")
+    # Bloom prefilter (r2 VERDICT #4): when the dup-gram set is too big
+    # for join_auto's broadcast semi (so the positions would
+    # hash-partition in full), broadcast a Bloom filter of the dup-gram
+    # HASHES and drop definite-non-dup positions BEFORE the shuffle —
+    # no false negatives, so the exact semi join behind it is
+    # unchanged.  On real corpora (10–30 % dup rates) this removes most
+    # of the exchanged rows; on the all-dup synthetic tile corpus it
+    # keeps nearly everything (measured and documented in BASELINE.md).
+    from .joins import BROADCAST_JOIN_LIMIT, bloom_bits, bloom_prefilter
+    from .shuffle import materialize_cut
+
+    dup = materialize_cut(dup)
+    n_dup = dup.count()
+    if n_dup > BROADCAST_JOIN_LIMIT:
+        def gram_hash(t: pa.Table):
+            if len(t) == 0 or "gram" not in t.schema.names:
+                return
+            from . import polars_mod
+
+            pl = polars_mod()
+            gh = pl.from_arrow(
+                t.column("gram").combine_chunks()
+            ).hash(seed=0).to_numpy().astype(np.int64)
+            yield t.append_column("gh", pa.array(gh))
+
+        bits_ref, m, k = bloom_bits(
+            dup.map_batches(gram_hash, batch_format="pyarrow"), "gh", n_dup
+        )
+        pos_stream = bloom_prefilter(
+            pos_stream.map_batches(gram_hash, batch_format="pyarrow"),
+            "gh", bits_ref, m, k,
+        ).drop_columns(["gh"])
     hits = join_auto(pos_stream, dup, on=("gram",), how="semi", num_partitions=P)
     co = hits.repartition(P, keys=["doc_id"])
 

@@ -20,7 +20,6 @@ import hashlib
 import re
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -253,6 +252,65 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 _POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.int64)
 
 
+def _batch_token_lists(texts) -> tuple[pa.Array, np.ndarray]:
+    """Whitespace tokens for a block of texts as (flat token values,
+    per-doc token counts).  Matches Python ``str.split()`` on this
+    corpus: trim, then split on ``\\s+`` runs — an empty/whitespace doc
+    yields one ``""`` token (count 1), which callers treat as the
+    zero-word case."""
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), pattern=r"\s+")
+    arr = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    return arr, np.diff(offsets)
+
+
+def _batch_shingle_hashes(
+    texts, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Word-``k``-shingle hashes for a whole block in ONE polars hash
+    call: returns (doc_idx, hash) sorted by doc_idx, every doc
+    contributing ≥ 1 row.  Docs with ≥ k words emit their sliding
+    windows (joined with a single space via pure offset arithmetic —
+    the top_bigrams idiom generalized to k); shorter docs emit the
+    whole-doc join, so an empty doc hashes ``""`` — exactly the
+    per-row ``MinHasher.shingle_hashes`` fallback."""
+    arr, lens = _batch_token_lists(texts)
+    flat = arr.values
+    doc_starts = arr.offsets.to_numpy(zero_copy_only=False)[:-1]
+
+    big = lens >= k
+    parts_doc, parts_sh = [], []
+    if big.any():
+        c = (lens[big] - k + 1).astype(np.int64)
+        rep_start = np.repeat(doc_starts[big], c)
+        seg = np.arange(int(c.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(c) - c, c
+        )
+        idx = rep_start + seg
+        cols = [flat.take(pa.array(idx + j)) for j in range(k)]
+        parts_sh.append(pc.binary_join_element_wise(*cols, " "))
+        parts_doc.append(np.repeat(np.flatnonzero(big), c))
+    if (~big).any():
+        small_rows = np.flatnonzero(~big)
+        small_lists = arr.take(pa.array(small_rows))
+        parts_sh.append(pc.binary_join(small_lists, " "))
+        parts_doc.append(small_rows)
+    doc_idx = np.concatenate(parts_doc)
+    shingles = pa.concat_arrays(
+        [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+         for p in parts_sh]
+    )
+    order = np.argsort(doc_idx, kind="stable")
+    doc_idx = doc_idx[order]
+    shingles = shingles.take(pa.array(order))
+
+    from . import polars_mod
+
+    pl = polars_mod()
+    hs = pl.from_arrow(shingles).hash(seed=0).to_numpy()
+    return doc_idx, hs.astype(np.uint64)
+
+
 class MinHasher:
     """Word-``shingle_k``-shingles → ``num_perm`` minhash signature per
     doc (universal-hash permutations, fixed seed).  Emits the signature
@@ -280,22 +338,44 @@ class MinHasher:
         return np.unique(pl.Series(shingles, dtype=pl.Utf8).hash(seed=0).to_numpy())
 
     def signature(self, text: str) -> np.ndarray:
+        """Per-row reference kernel (tests assert the batched
+        ``__call__`` reproduces it bit-for-bit)."""
         sh = self.shingle_hashes(text) & _MERSENNE
         # (a*x + b) mod p, min over shingles, per permutation
         vals = (np.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts]) if texts else np.zeros(
-            (0, self.num_perm), np.uint64
-        )
+        """Batched signature stage: ONE polars hash over every shingle
+        in the block + a segmented ``np.minimum.reduceat`` per doc —
+        no per-row Python, no per-document Series construction (the
+        r2 per-row path was the engine's last per-row hot loop).  The
+        hash chain is pinned: identical shingle strings → the same
+        polars xxhash(seed 0) → the same wrapped-uint64 (a·x+b) mod p
+        arithmetic as :meth:`signature`."""
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.list_(pa.int64(), self.num_perm)),
+                }
+            )
+        doc_idx, sh = _batch_shingle_hashes(batch.column("text"), self.k)
+        sh = sh & _MERSENNE
+        # same wrapped-uint64 arithmetic as the per-row kernel
+        # (multiplication commutes; the transpose changes layout only);
+        # the `% M` is the Mersenne fold — 2^61 ≡ 1 (mod M), so
+        # v mod M = (v & M) + (v >> 61) with one conditional subtract
+        # (exact for ANY uint64 v; ~3× cheaper than hardware modulo)
+        vals = sh[:, None] * self.a[None, :] + self.b[None, :]
+        vals = (vals & _MERSENNE) + (vals >> np.uint64(61))
+        vals = np.where(vals >= _MERSENNE, vals - _MERSENNE, vals)
+        starts = np.flatnonzero(np.r_[True, doc_idx[1:] != doc_idx[:-1]])
+        sigs = np.minimum.reduceat(vals, starts, axis=0)
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.astype(np.int64).ravel(), pa.int64()), self.num_perm
         )
-        return pa.table(
-            {"doc_id": batch.column("doc_id"), "sig": col}
-        )
+        return pa.table({"doc_id": batch.column("doc_id"), "sig": col})
 
 
 def minhash_signatures(
@@ -363,30 +443,48 @@ def candidate_pairs(
     the no-silent-caps rule; ``truncated == 0`` everywhere means full
     recall at this stage."""
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        dropped = 0
-        if len(ids) > max_bucket:
-            dropped = len(ids) - max_bucket
-            ids = ids[:max_bucket]
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"a": [], "b": [], "truncated": []}
-            ).astype(np.int64)
-        i, j = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame(
+    from ray.data.aggregate import Max
+
+    from . import NUM_PARTITIONS_DEFAULT as _NP
+    from .shuffle import segment_starts, triu_pair_indices
+
+    def pairs_block(t: pa.Table):
+        """All buckets of a hash-co-located block in one vectorized
+        pass: lexsort → dedup (band, hash, doc) → cap each bucket at
+        ``max_bucket`` sorted ids → expand every bucket's upper
+        triangle with ONE triu_pair_indices call (replaces the r2
+        per-group pandas kernel)."""
+        if t.num_rows == 0 or "band" not in t.schema.names:
+            return
+        band = t.column("band").to_numpy(zero_copy_only=False)
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, bh, band))
+        band, bh, doc = band[order], bh[order], doc[order]
+        new = np.r_[
+            True,
+            (band[1:] != band[:-1]) | (bh[1:] != bh[:-1]) | (doc[1:] != doc[:-1]),
+        ]
+        band, bh, doc = band[new], bh[new], doc[new]
+        starts, sizes = segment_starts(band, bh)
+        dropped = np.maximum(sizes - max_bucket, 0)
+        local = np.arange(len(doc), dtype=np.int64) - np.repeat(starts, sizes)
+        keep = local < max_bucket
+        doc = doc[keep]
+        a_idx, b_idx, seg = triu_pair_indices(np.minimum(sizes, max_bucket))
+        if len(a_idx) == 0:
+            return
+        yield pa.table(
             {
-                "a": ids[i],
-                "b": ids[j],
-                "truncated": np.full(len(i), dropped, np.int64),
+                "a": pa.array(doc[a_idx]),
+                "b": pa.array(doc[b_idx]),
+                "truncated": pa.array(dropped[seg]),
             }
         )
 
-    from ray.data.aggregate import Max
-
-    from .shuffle import grouped_map
-
-    p = grouped_map(band_rows, ["band", "band_hash"], pairs)
+    p = band_rows.repartition(_NP, keys=["band", "band_hash"]).map_batches(
+        pairs_block, batch_size=None, batch_format="pyarrow"
+    )
     out = p.groupby(["a", "b"]).aggregate(Max("truncated"))
     return out.map_batches(
         lambda t: t.rename_columns(["a", "b", "truncated"]),
@@ -417,19 +515,38 @@ def verify_pairs_jaccard(
                   num_partitions=num_partitions)
 
     class Verify:
-        def __init__(self):
-            self.mh = MinHasher(shingle_k=shingle_k)
+        """Batched exact-Jaccard verify: shingle-hash both text columns
+        with ONE polars hash each, per-row set sizes via lexsort-dedup,
+        intersection by the counting identity |A∩B| = |A|+|B|−|A∪B| —
+        the same integers (and so the same float64 quotient) as the
+        per-row set arithmetic it replaces."""
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            ja = []
-            for ta, tb in zip(
-                t.column("text_a").to_pylist(), t.column("text_b").to_pylist()
-            ):
-                sa = set(self.mh.shingle_hashes(ta).tolist())
-                sb = set(self.mh.shingle_hashes(tb).tolist())
-                inter = len(sa & sb)
-                union = len(sa | sb) or 1
-                ja.append(inter / union)
+            n = t.num_rows
+            if n == 0:
+                return pa.table(
+                    {
+                        "a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "jaccard": pa.array([], pa.float64()),
+                    }
+                )
+
+            def uniq(rows, hs):
+                order = np.lexsort((hs, rows))
+                r, h = rows[order], hs[order]
+                new = np.r_[True, (r[1:] != r[:-1]) | (h[1:] != h[:-1])]
+                return np.bincount(r[new], minlength=n), r[new], h[new]
+
+            ra, ha = _batch_shingle_hashes(t.column("text_a"), shingle_k)
+            rb, hb = _batch_shingle_hashes(t.column("text_b"), shingle_k)
+            na, ra2, ha2 = uniq(ra, ha)
+            nb, rb2, hb2 = uniq(rb, hb)
+            nu, _, _ = uniq(
+                np.concatenate([ra2, rb2]), np.concatenate([ha2, hb2])
+            )
+            inter = na + nb - nu
+            ja = inter / np.maximum(nu, 1)
             out = pa.table(
                 {
                     "a": t.column("a"),
@@ -539,12 +656,46 @@ class SimHasher:
         return ((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        sh = np.array([self.simhash(t) for t in texts], np.uint64)
+        """Batched SimHash: ONE polars hash over every word in the
+        block, per-bit sums via segmented ``np.add.reduceat``, then
+        v_j = 2·Σbits_j − n_words per doc (the same integer as the
+        per-row Σ(2b−1)).  Zero-word docs hash to 0, exactly as
+        :meth:`simhash`."""
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "simhash": pa.array([], pa.int64()),
+                }
+            )
+        arr, lens = _batch_token_lists(batch.column("text"))
+        flat = arr.values
+        doc_rep = np.repeat(np.arange(n, dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_rep = doc_rep[keep]
+        words = flat.filter(pa.array(keep))
+        out = np.zeros(n, np.uint64)
+        if len(doc_rep):
+            from . import polars_mod
+
+            pl = polars_mod()
+            hs = pl.from_arrow(words).hash(seed=0).to_numpy().astype(np.uint64)
+            shifts = np.arange(64, dtype=np.uint64)
+            bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+            # reduceat is only sound over non-empty segments: reduce the
+            # docs that have words, scatter back by doc row
+            starts = np.flatnonzero(np.r_[True, doc_rep[1:] != doc_rep[:-1]])
+            sums = np.add.reduceat(bits, starts, axis=0)
+            docs_with = doc_rep[starts]
+            counts = np.diff(np.r_[starts, len(doc_rep)]).astype(np.int64)
+            v = 2 * sums - counts[:, None]
+            packed = ((v > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1)
+            out[docs_with] = packed
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "simhash": pa.array(sh.astype(np.int64), pa.int64()),
+                "simhash": pa.array(out.astype(np.int64), pa.int64()),
             }
         )
 
@@ -586,39 +737,56 @@ def simhash_candidates(
 
     rows = sigs.map_batches(explode, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        dropped = 0
-        if len(g) > max_bucket:
-            dropped = len(g) - max_bucket
-            g = g.head(max_bucket)
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"a": [], "b": [], "hamming": [], "truncated": []}
-            ).astype(np.int64)
-        i, j = np.triu_indices(len(ids), k=1)
+    from ray.data.aggregate import Max, Min
+
+    from . import NUM_PARTITIONS_DEFAULT as _NP
+    from .shuffle import segment_starts, triu_pair_indices
+
+    def pairs_block(t: pa.Table):
+        """Vectorized bucket pairing across every (band, key) bucket of
+        a co-located block (the candidate_pairs kernel shape plus the
+        bytewise-popcount hamming verify)."""
+        if t.num_rows == 0 or "band" not in t.schema.names:
+            return
+        band = t.column("band").to_numpy(zero_copy_only=False)
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        hsh = t.column("simhash").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, key, band))
+        band, key, doc, hsh = band[order], key[order], doc[order], hsh[order]
+        new = np.r_[
+            True,
+            (band[1:] != band[:-1]) | (key[1:] != key[:-1]) | (doc[1:] != doc[:-1]),
+        ]
+        band, key, doc, hsh = band[new], key[new], doc[new], hsh[new]
+        starts, sizes = segment_starts(band, key)
+        dropped = np.maximum(sizes - max_bucket, 0)
+        local = np.arange(len(doc), dtype=np.int64) - np.repeat(starts, sizes)
+        cap = local < max_bucket
+        doc, hsh = doc[cap], hsh[cap]
+        a_idx, b_idx, seg = triu_pair_indices(np.minimum(sizes, max_bucket))
+        if len(a_idx) == 0:
+            return
         # vectorized popcount of the XOR (bytewise table lookup)
-        x = (hs[i] ^ hs[j]).view(np.uint64)
+        x = (hsh[a_idx].astype(np.uint64) ^ hsh[b_idx].astype(np.uint64))
         ham = np.zeros(len(x), np.int64)
         for shift in range(0, 64, 8):
             ham += _POPCNT8[(x >> np.uint64(shift)) & np.uint64(0xFF)]
         keep = ham <= max_hamming
-        return pd.DataFrame(
+        if not keep.any():
+            return
+        yield pa.table(
             {
-                "a": ids[i][keep],
-                "b": ids[j][keep],
-                "hamming": ham[keep],
-                "truncated": np.full(int(keep.sum()), dropped, np.int64),
+                "a": pa.array(doc[a_idx][keep]),
+                "b": pa.array(doc[b_idx][keep]),
+                "hamming": pa.array(ham[keep]),
+                "truncated": pa.array(dropped[seg][keep]),
             }
         )
 
-    from ray.data.aggregate import Max, Min
-
-    from .shuffle import grouped_map
-
-    p = grouped_map(rows, ["band", "key"], pairs)
+    p = rows.repartition(_NP, keys=["band", "key"]).map_batches(
+        pairs_block, batch_size=None, batch_format="pyarrow"
+    )
     out = p.groupby(["a", "b"]).aggregate(Min("hamming"), Max("truncated"))
     return out.map_batches(
         lambda t: t.rename_columns(["a", "b", "hamming", "truncated"]),
@@ -1384,11 +1552,15 @@ def jaccard_join_pairs(sf_dir: str) -> ray.data.Dataset:
     verify joins ship only candidate docs' shingle rows — this is the
     path that avoids LSH's probabilistic misses AND the quadratic
     full-posting blowup."""
+    from . import dyn_partitions
     from .joins import join_auto
     from .shuffle import keyed_reagg
     from .terms import _read_docs
 
-    P = NUM_PARTITIONS_DEFAULT
+    # Session-scaled: this is a 5-wide-op chain whose reduce stages
+    # under-parallelize on big sessions at a pinned count (round-2
+    # jaccard_scaling_80k = 0.613 with P=16 on 32 CPUs).
+    P = dyn_partitions()
     vocab = _sorted_vocab(sf_dir)
 
     def prefix(t: pa.Table):

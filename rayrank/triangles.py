@@ -20,7 +20,6 @@ Input: the UNDIRECTED graph layout (``build_graph(..., undirected=True)``
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 
@@ -84,20 +83,30 @@ def oriented_edges(graph_dir: str, num_partitions: int) -> ray.data.Dataset:
     return e.map_batches(orient, batch_format="pyarrow")
 
 
-def _wedges(group: pd.DataFrame) -> pd.DataFrame:
-    y = group["y"].to_numpy()
-    deg_y = group["deg_y"].to_numpy()
-    order = np.lexsort((y, deg_y))  # neighbor rank = (deg, vid)
-    y = y[order]
-    d = len(y)
-    if d < 2:
-        return pd.DataFrame({"center": [], "wa": [], "wb": []}).astype(np.int64)
-    i, j = np.triu_indices(d, k=1)
-    return pd.DataFrame(
+def _wedges_block(t: pa.Table):
+    """Wedge expansion for EVERY center co-located in a block, one
+    vectorized pass: lexsort by (x, deg_y, y) so each center's
+    neighbors are ranked (deg, vid), then expand all upper triangles
+    with one triu_pair_indices call (replaces the r2 per-group pandas
+    kernel)."""
+    if t.num_rows == 0 or "x" not in t.schema.names:
+        return
+    from .shuffle import segment_starts, triu_pair_indices
+
+    x = t.column("x").to_numpy(zero_copy_only=False)
+    y = t.column("y").to_numpy(zero_copy_only=False)
+    deg_y = t.column("deg_y").to_numpy(zero_copy_only=False)
+    order = np.lexsort((y, deg_y, x))  # per-center neighbor rank = (deg, vid)
+    x, y = x[order], y[order]
+    starts, sizes = segment_starts(x)
+    a_idx, b_idx, _ = triu_pair_indices(sizes)
+    if len(a_idx) == 0:
+        return
+    yield pa.table(
         {
-            "center": np.full(len(i), int(group["x"].iloc[0]), np.int64),
-            "wa": y[i],
-            "wb": y[j],
+            "center": pa.array(x[a_idx]),
+            "wa": pa.array(y[a_idx]),
+            "wb": pa.array(y[b_idx]),
         }
     )
 
@@ -111,10 +120,11 @@ def triangle_rows(
 
     meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
     P = num_partitions or meta.Q
-    from .shuffle import grouped_map
 
     oe = oriented_edges(graph_dir, P).materialize()  # reused by both sides
-    wedges = grouped_map(oe, ["x"], _wedges, num_partitions=P)
+    wedges = oe.repartition(P, keys=["x"]).map_batches(
+        _wedges_block, batch_size=None, batch_format="pyarrow"
+    )
     def _closing(t: pa.Table):
         if len(t) == 0:
             return

@@ -270,6 +270,9 @@ WHERE du.d + dv.d - 2 - s.support > 0
 
 
 MAX_PEEL_ROUNDS = 64
+# round count of the most recent _truss_peel run (decrement rounds that
+# actually removed edges) — read by tests/bench for the record
+LAST_PEEL_ROUNDS = 0
 
 
 def k_truss(sf_dir: str, k: int = 4) -> ray.data.Dataset:
@@ -284,35 +287,158 @@ def k_truss(sf_dir: str, k: int = 4) -> ray.data.Dataset:
 
 
 def _truss_peel(edges: ray.data.Dataset, thresh: int) -> ray.data.Dataset:
-    """Shared synchronous peel core over a materialized canonical
-    (u < v) edge Dataset: drop every edge with < thresh triangles
-    among surviving edges, recount, repeat to fixpoint.  Rounds use
-    ``materialize_cut`` — the support kernel self-joins the working
-    set, so uncut lineage doubles the plan per round (see
-    rayrank.shuffle.materialize_cut)."""
-    from .shuffle import materialize_cut
+    """Shared synchronous peel core (support-DECREMENT, r3): identical
+    fixpoint to the per-round recount it replaces, but each round
+    enumerates only the triangles that CONTAIN a removed edge and
+    decrements their surviving edges — per-round cost ∝ triangles
+    touching the removals, not a full support recount (the r2 open
+    item; on the near-complete tri fixture both converge in 1 round,
+    on a sparse planted-truss graph the decrement rounds are strictly
+    cheaper — measured in tests/test_truss.py::test_incremental_vs_
+    recount_planted).
 
-    n = edges.count()
+    Double-count safety: a triangle losing 2+ edges in one round dies
+    ONCE — affected triangles are canonicalized (a < b < c) and
+    global-deduped before their surviving edges are decremented.
+    Rounds use ``materialize_cut`` (self-join lineage rule)."""
+    from .joins import join_auto
+    from .shuffle import keyed_reagg, materialize_cut
+
+    global LAST_PEEL_ROUNDS
+    LAST_PEEL_ROUNDS = 0
+    if edges.count() == 0:
+        return edges
+    sup = materialize_cut(_support(edges))
     for _ in range(MAX_PEEL_ROUNDS):
-        if n == 0:
+        rem = materialize_cut(sup.filter(expr=f"s < {thresh}"))
+        if rem.count() == 0:
             break
-        sup = _support(edges)
+        LAST_PEEL_ROUNDS += 1
+        alive = materialize_cut(sup.filter(expr=f"s >= {thresh}"))
 
-        def keep(t: pa.Table):
+        # both-direction adjacency of the PRE-removal edge set (the
+        # support values are counts over exactly this graph)
+        def adj_pre(t: pa.Table):
+            if t.num_rows == 0 or "u" not in t.schema.names:
+                return
+            x = t.column("u").to_numpy(zero_copy_only=False)
+            y = t.column("v").to_numpy(zero_copy_only=False)
+            yield pa.table(
+                {"x": pa.array(np.r_[x, y]), "w": pa.array(np.r_[y, x])}
+            )
+
+        adj = sup.map_batches(adj_pre, batch_format="pyarrow")
+        cand = join_auto(
+            rem.select_columns(["u", "v"]), adj, on=("u",), right_on=("x",),
+            num_partitions=P,
+        )
+
+        def close_key(t: pa.Table):
+            if t.num_rows == 0 or "w" not in t.schema.names:
+                return
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            w = t.column("w").to_numpy(zero_copy_only=False)
+            keep = v != w
+            if not keep.any():
+                return
+            u = t.column("u").to_numpy(zero_copy_only=False)[keep]
+            v, w = v[keep], w[keep]
+            yield pa.table(
+                {
+                    "u": pa.array(u),
+                    "v": pa.array(v),
+                    "cu": pa.array(np.minimum(v, w)),
+                    "cv": pa.array(np.maximum(v, w)),
+                }
+            )
+
+        def sup_uv(t: pa.Table):
+            if t.num_rows == 0 or "u" not in t.schema.names:
+                return
+            yield pa.table({"eu": t.column("u"), "ev": t.column("v")})
+
+        tri_rows = join_auto(
+            cand.map_batches(close_key, batch_format="pyarrow"),
+            sup.map_batches(sup_uv, batch_format="pyarrow"),
+            on=("cu", "cv"), right_on=("eu", "ev"), how="semi",
+            num_partitions=P,
+        )
+
+        # canonical triangle (a < b < c); global dedup kills the
+        # multi-removed-edge double count
+        def canon_tri(t: pa.Table):
+            if t.num_rows == 0 or "u" not in t.schema.names:
+                return
+            u = t.column("u").to_numpy(zero_copy_only=False)
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            w = t.column("cv").to_numpy(zero_copy_only=False)
+            lo = t.column("cu").to_numpy(zero_copy_only=False)
+            a = np.minimum(u, lo)
+            c = np.maximum(u, w)
+            b = u + lo + w - a - c
+            g = (
+                pa.table(
+                    {"a": pa.array(a), "b": pa.array(b), "c": pa.array(c)}
+                )
+                .group_by(["a", "b", "c"])
+                .aggregate([])
+            )
+            yield g.rename_columns(["a", "b", "c"])
+
+        tri = keyed_reagg(
+            tri_rows.map_batches(canon_tri, batch_format="pyarrow"),
+            ["a", "b", "c"], [], P,
+        )
+
+        def explode3(t: pa.Table):
+            if t.num_rows == 0 or "a" not in t.schema.names:
+                return
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            g = (
+                pa.table(
+                    {
+                        "u": pa.array(np.r_[a, a, b]),
+                        "v": pa.array(np.r_[b, c, c]),
+                        "d": pa.array(np.ones(3 * len(a), np.int64)),
+                    }
+                )
+                .group_by(["u", "v"])
+                .aggregate([("d", "sum")])
+            )
+            yield g.rename_columns(["u", "v", "d"])
+
+        dec = materialize_cut(keyed_reagg(
+            tri.map_batches(explode3, batch_format="pyarrow"),
+            ["u", "v"], [("d", "sum")], P,
+        ))
+        if dec.count() == 0:
+            # removals touched no triangles (triangle-free periphery):
+            # supports unchanged, survivors are final next round
+            sup = alive
+            continue
+        joined = join_auto(
+            alive, dec, on=("u", "v"), how="left_outer", num_partitions=P
+        )
+
+        def apply_dec(t: pa.Table):
             if t.num_rows == 0 or "s" not in t.schema.names:
                 return
             import pyarrow.compute as pc
 
-            t = t.filter(pc.greater_equal(t.column("s"), thresh))
-            if len(t):
-                yield t.select(["u", "v"])
+            s = t.column("s").to_numpy(zero_copy_only=False)
+            d = pc.fill_null(t.column("d"), 0).to_numpy(zero_copy_only=False)
+            yield pa.table(
+                {
+                    "u": t.column("u"),
+                    "v": t.column("v"),
+                    "s": pa.array((s - d).astype(np.int64)),
+                }
+            )
 
-        edges = materialize_cut(sup.map_batches(keep, batch_format="pyarrow"))
-        n2 = edges.count()
-        if n2 == n:
-            break
-        n = n2
-    return edges
+        sup = materialize_cut(joined.map_batches(apply_dec, batch_format="pyarrow"))
+    return sup.select_columns(["u", "v"])
 
 
 RICH_KS = (4, 8, 16)
