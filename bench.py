@@ -657,7 +657,12 @@ def _sf1_dir() -> str:
     }
     for table in ("customer", "orders", "lineitem", "supplier"):
         base = _pq.read_table(f"{src}/{table}.parquet")
-        reps = []
+        # one FILE per replica ({table}.parquet is a directory):
+        # ray.data.read_parquet parallelizes at file granularity, and a
+        # single 6M-row file serializes the read into one task (the
+        # first sf1 profile measured a 15 s single-task read)
+        tdir = f"{_SF1_DIR}/{table}.parquet"
+        os.makedirs(tdir, exist_ok=True)
         for r in range(REP):
             t = base
             for col, stride in offsets.items():
@@ -666,9 +671,7 @@ def _sf1_dir() -> str:
                         t.schema.get_field_index(col), col,
                         _pc.add(t.column(col), r * stride),
                     )
-            reps.append(t)
-        _pq.write_table(_pa.concat_tables(reps),
-                        f"{_SF1_DIR}/{table}.parquet")
+            _pq.write_table(t, f"{tdir}/part-{r:03d}.parquet")
     for table in ("nation", "region", "part", "events", "documents",
                   "embeddings"):
         srcf = f"{src}/{table}.parquet"

@@ -1750,10 +1750,14 @@ def span_dedup_stats(
         )
         yield g.rename_columns(["gram", "df"])
 
-    dfs = keyed_reagg(
+    from .shuffle import materialize_cut as _mcut
+
+    # materialized ONCE: feeds the dup derivation AND the bloom
+    # selectivity gate's total-gram count without re-running the reduce
+    dfs = _mcut(keyed_reagg(
         pairs.map_batches(df_partial, batch_format="pyarrow"),
         ["gram"], [("df", "sum")], P,
-    )
+    ))
 
     def dup_only(t: pa.Table):
         if len(t) == 0 or "df" not in t.schema.names:
@@ -1801,7 +1805,14 @@ def span_dedup_stats(
 
     dup = materialize_cut(dup)
     n_dup = dup.count()
-    if n_dup > BROADCAST_JOIN_LIMIT:
+    n_grams = dfs.count()
+    # selectivity gate: a Bloom filter only pays when it can PRUNE —
+    # if most grams are duplicated (boilerplate-heavy corpora, the
+    # synthetic tile corpus), nearly every position passes and the
+    # probe pass is pure overhead, so skip it.  Gram-fraction
+    # UNDERestimates position-fraction (positions skew toward high-df
+    # grams), so a high gram-fraction is a safe skip signal.
+    if n_dup > BROADCAST_JOIN_LIMIT and n_dup * 2 < n_grams:
         def gram_hash(t: pa.Table):
             if len(t) == 0 or "gram" not in t.schema.names:
                 return
