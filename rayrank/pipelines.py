@@ -2247,7 +2247,9 @@ def two_hop_neighbors(sf_dir: str) -> ray.data.Dataset:
     truncated = 0."""
     from . import dyn_partitions
 
-    P2 = max(32, dyn_partitions())
+    # width=1: the expansion-heavy shuffle wants ONE partition per CPU
+    # (2× over-partitioning measured +2 s of exchange spin-up at sf0.1)
+    P2 = max(16, dyn_partitions(width=1))
     cap = TWO_HOP_HUB_CAP
 
     und_pre = und_both

@@ -192,7 +192,11 @@ def inverted_index(sf_dir: str, k: int = VOCAB_K) -> ray.data.Dataset:
     already-reduced per-term table (|vocab| rows) — the v1 that picked
     the vocabulary FIRST tokenized the corpus twice and paid two
     aggregator shuffles (22.7 s → ~6 s at SF=0.1)."""
-    return inverted_index_ds(_read_docs(sf_dir), k)
+    # testdata-scale query surface: the corpus is tiny, so pin the
+    # module partition count — dyn_partitions would spin a 64-partition
+    # exchange over 5k docs (measured +1.5 s of pure spin-up at sf0.1);
+    # the scale path (inverted_index_ds direct, bench) stays dynamic
+    return inverted_index_ds(_read_docs(sf_dir), k, num_partitions=P)
 
 
 def inverted_index_ds(
