@@ -1243,7 +1243,12 @@ def part_jaccard_topk(sf_dir: str, k: int = JACCARD_PAIRS_K) -> ray.data.Dataset
     dd = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]).map_batches(
         dedup_pre, batch_format="pyarrow"
     )
-    co = dd.repartition(P, keys=["l_orderkey"])
+    # materialized ONCE: both the pair stream and the per-part degree
+    # stream consume the orderkey-co-located blocks — without the cut
+    # each consumption re-runs the read + dedup + keyed exchange
+    from .shuffle import materialize_cut as _mcut
+
+    co = _mcut(dd.repartition(P, keys=["l_orderkey"]))
 
     def pairs(t: pa.Table):
         if t.num_rows == 0 or "l_orderkey" not in t.schema.names:

@@ -247,7 +247,13 @@ def broadcast_join(
     right_on = tuple(right_on or on)
     on = tuple(on)
     how_arrow = _ARROW_HOW[how]
-    right_mat = right.materialize()
+    # limit-probe: materializing right.limit(limit+1) lets the streaming
+    # executor STOP once limit+1 rows exist, instead of fully
+    # materializing a huge right side only to discard it and hand the
+    # lazy dataset to hash_join (which re-executes the lineage anyway).
+    # A small right side (the broadcast case) materializes completely,
+    # exactly as before — limit(n) keeps all rows when count <= n.
+    right_mat = right.limit(limit + 1).materialize()
     if right_mat.count() > limit:
         return None
     blocks = list(right_mat.iter_batches(batch_format="pyarrow"))

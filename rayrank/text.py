@@ -1175,25 +1175,184 @@ def _block_shingle_rows(t: pa.Table, vocab: np.ndarray):
     return doc_ids.astype(np.int64), sh
 
 
-def shingle_rows(sf_dir: str) -> ray.data.Dataset:
-    """(doc_id, shingle) — each document's DISTINCT word-3-gram shingle
-    hashes (the exact-Jaccard domain behind the minhash signature).
-    Block-local; zero shuffle."""
+JJ_CAND_ID_LIMIT = 2_000_000  # candidate doc-id broadcast guard (ids)
+
+
+def _ranked_shingle_table(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, shingle, n, rank) — each document's DISTINCT shingle
+    hashes with the doc's shingle-set size ``n`` and the hash's
+    ascending rank within the doc, materialized ONCE (lineage cut).
+
+    One corpus scan feeds every downstream use of the shingle domain:
+    the prefix filter is the per-row test ``rank < p(n)``, per-doc
+    sizes are the ``rank == 0`` rows, and the verify joins read the
+    table as-is.  None of the derivations assumes a doc's rows stay
+    contiguous within a block, so Ray's dynamic block splitting can
+    never corrupt them.  Before this table the similarity joins
+    re-derived shingles per CONSUMPTION of the lazy dataset (two
+    join_auto probes + two hash joins + the size pass = up to 5 corpus
+    scans per query)."""
+    from .shuffle import materialize_cut
     from .terms import _read_docs
 
     vocab = _sorted_vocab(sf_dir)
 
-    def rows(t: pa.Table):
+    def ranked(t: pa.Table):
         if len(t) == 0:
             return
         doc_ids, sh = _block_shingle_rows(t, vocab)
         if len(doc_ids) == 0:
             return
+        # _block_shingle_rows lexsorts by (doc, shingle): doc runs are
+        # contiguous and shingle-ascending HERE, where the input doc is
+        # one parquet row — the only place rank/n can be derived safely
+        starts = np.flatnonzero(np.r_[True, doc_ids[1:] != doc_ids[:-1]])
+        cnts = np.diff(np.r_[starts, len(doc_ids)])
+        rank = np.arange(len(doc_ids), dtype=np.int64) - np.repeat(
+            starts, cnts
+        )
         yield pa.table(
-            {"doc_id": pa.array(doc_ids), "shingle": pa.array(sh.view(np.int64))}
+            {
+                "doc_id": pa.array(doc_ids),
+                "shingle": pa.array(sh.view(np.int64)),
+                "n": pa.array(np.repeat(cnts, cnts)),
+                "rank": pa.array(rank),
+            }
         )
 
-    return _read_docs(sf_dir).map_batches(rows, batch_format="pyarrow")
+    return materialize_cut(
+        _read_docs(sf_dir).map_batches(ranked, batch_format="pyarrow")
+    )
+
+
+def _candidate_doc_ids(cand: ray.data.Dataset) -> np.ndarray | None:
+    """Distinct doc ids of a MATERIALIZED (da, db) candidate-pair
+    dataset, or None when 2*pairs exceeds JJ_CAND_ID_LIMIT — the
+    driver pull is bounded by the guard, never O(corpus)."""
+    if 2 * cand.count() > JJ_CAND_ID_LIMIT:
+        return None
+    parts = []
+    for bt in cand.iter_batches(batch_format="pyarrow"):
+        if bt.num_rows:
+            parts.append(bt.column("da").to_numpy(zero_copy_only=False))
+            parts.append(bt.column("db").to_numpy(zero_copy_only=False))
+    if not parts:
+        return np.zeros(0, np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+def _verify_candidate_pairs(
+    cand: ray.data.Dataset,
+    shf: ray.data.Dataset,
+    P: int,
+    with_zeros: bool = False,
+) -> ray.data.Dataset:
+    """Exact intersection/size columns for candidate pairs: returns
+    (da, db, i, na, n) — |A∩B|, |A|, |B| — from a materialized (da, db)
+    dataset and the :func:`_ranked_shingle_table`.
+
+    Scale shape: when the candidate doc-id set fits the broadcast
+    guard, the shingle table is semi-filtered block-locally FIRST
+    (broadcast_semi_filter — no shuffle), so every join runs over
+    candidate-bounded tables and join_auto broadcasts them; the only
+    wide exchange left is the intersection-count re-agg.  Above the
+    guard the joins run partitioned against the resident materialized
+    table (which, being materialized, no longer re-executes its
+    lineage per consumption).  ``with_zeros`` unions i=0 rows for
+    candidate pairs sharing no shingle — LSH proposes those, prefix
+    postings cannot."""
+    from .joins import broadcast_semi_filter, join_auto
+    from .shuffle import keyed_reagg
+
+    ids = _candidate_doc_ids(cand)
+    sh_use = (
+        shf if ids is None else broadcast_semi_filter(shf, ids, "doc_id", True)
+    )
+    # candidate-bounded mode moves guard-bounded rows — a session-wide
+    # partition count would pay pure exchange fan-out on tiny data
+    P = P if ids is None else min(P, 16)
+
+    def keys_only(t: pa.Table):
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return
+        yield t.select(["doc_id", "shingle"])
+
+    sh_keys = sh_use.map_batches(keys_only, batch_format="pyarrow")
+
+    def sizes(t: pa.Table):
+        if t.num_rows == 0 or "rank" not in t.schema.names:
+            return
+        yield t.filter(pc.equal(t.column("rank"), 0)).select(
+            ["doc_id", "n"]
+        )
+
+    sz = sh_use.map_batches(sizes, batch_format="pyarrow")
+
+    # |A ∩ B|: cand ⋈ shingles(da) semi-joined against shingles(db, z)
+    ja = join_auto(
+        cand, sh_keys, on=("da",), right_on=("doc_id",), num_partitions=P
+    )
+    inter_rows = join_auto(
+        ja, sh_keys, on=("db", "shingle"), right_on=("doc_id", "shingle"),
+        how="semi", num_partitions=P,
+    )
+
+    def ones(t: pa.Table):
+        if t.num_rows == 0 or "da" not in t.schema.names:
+            return
+        g = (
+            t.select(["da", "db"])
+            .append_column("i", pa.array(np.ones(len(t), np.int64)))
+            .group_by(["da", "db"])
+            .aggregate([("i", "sum")])
+        )
+        yield g.rename_columns(["da", "db", "i"])
+
+    pre = inter_rows.map_batches(ones, batch_format="pyarrow")
+    if with_zeros:
+
+        def zeros(t: pa.Table):
+            if t.num_rows == 0 or "da" not in t.schema.names:
+                return
+            yield pa.table(
+                {
+                    "da": t.column("da"),
+                    "db": t.column("db"),
+                    "i": pa.array(np.zeros(len(t), np.int64)),
+                }
+            )
+
+        pre = pre.union(cand.map_batches(zeros, batch_format="pyarrow"))
+
+    inter = keyed_reagg(pre, ["da", "db"], [("i", "sum")], P)
+
+    j1 = join_auto(
+        inter, sz, on=("da",), right_on=("doc_id",), num_partitions=P
+    )
+
+    def tag_na(t: pa.Table):
+        if t.num_rows == 0 or "n" not in t.schema.names:
+            return
+        yield t.rename_columns(
+            ["na" if c == "n" else c for c in t.schema.names]
+        )
+
+    return join_auto(
+        j1.map_batches(tag_na, batch_format="pyarrow"), sz,
+        on=("db",), right_on=("doc_id",), num_partitions=P,
+    )
+
+
+def _empty_jaccard_table() -> pa.Table:
+    return pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "inter_size": pa.array([], pa.int64()),
+            "union_size": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
 
 
 def lsh_candidate_jaccard(sf_dir: str) -> ray.data.Dataset:
@@ -1209,12 +1368,12 @@ def lsh_candidate_jaccard(sf_dir: str) -> ray.data.Dataset:
     (LSH_BUCKET_GUARD — raises rather than silently truncating, per
     the repo's no-silent-caps rule; production corpora with hot
     buckets should use the capped+flagged ``candidate_pairs`` path);
-    the intersection join ships only candidate docs' shingle rows
-    (semi-join bounded by Σ|A| over candidates); sizes and the final
-    enrichment are doc-bounded joins.  The only float op is ONE double
-    division of two exact int64s, restated identically in SQL."""
-    from .joins import join_auto
-    from .shuffle import keyed_reagg
+    the verify phase is candidate-bounded (_verify_candidate_pairs:
+    broadcast semi-filter of the ranked shingle table, then broadcast
+    joins); sizes and the final enrichment are doc-bounded joins.  The
+    only float op is ONE double division of two exact int64s, restated
+    identically in SQL."""
+    from .shuffle import keyed_reagg, segment_starts, triu_pair_indices
 
     P = NUM_PARTITIONS_DEFAULT
     bands = lsh_band_keys(sf_dir)
@@ -1228,31 +1387,19 @@ def lsh_candidate_jaccard(sf_dir: str) -> ray.data.Dataset:
         d = t.column("doc_id").to_numpy(zero_copy_only=False)
         o = np.lexsort((d, h, b))
         b, h, d = b[o], h[o], d[o]
-        starts = np.flatnonzero(np.r_[True, (b[1:] != b[:-1]) | (h[1:] != h[:-1])])
-        ends = np.r_[starts[1:], len(b)]
-        das, dbs = [], []
-        for s, e in zip(starts, ends):
-            n = e - s
-            if n < 2:
-                continue
-            if n > LSH_BUCKET_GUARD:
-                raise ValueError(
-                    f"LSH bucket of size {n} exceeds guard "
-                    f"{LSH_BUCKET_GUARD}; raise the guard or use the "
-                    "capped+flagged candidate_pairs path"
-                )
-            ii, jj = np.triu_indices(n, 1)
-            das.append(d[s:e][ii])
-            dbs.append(d[s:e][jj])
-        if not das:
-            return
-        g = (
-            pa.table(
-                {
-                    "da": pa.array(np.concatenate(das)),
-                    "db": pa.array(np.concatenate(dbs)),
-                }
+        _, sizes = segment_starts(b, h)
+        if sizes.size and int(sizes.max()) > LSH_BUCKET_GUARD:
+            raise ValueError(
+                f"LSH bucket of size {int(sizes.max())} exceeds guard "
+                f"{LSH_BUCKET_GUARD}; raise the guard or use the "
+                "capped+flagged candidate_pairs path"
             )
+        ii, jj, _ = triu_pair_indices(sizes)
+        if len(ii) == 0:
+            return
+        # d ascending within each bucket ⇒ d[ii] < d[jj] already
+        g = (
+            pa.table({"da": pa.array(d[ii]), "db": pa.array(d[jj])})
             .group_by(["da", "db"])
             .aggregate([])
         )
@@ -1262,68 +1409,11 @@ def lsh_candidate_jaccard(sf_dir: str) -> ray.data.Dataset:
         co.map_batches(pairs, batch_size=None, batch_format="pyarrow"),
         ["da", "db"], [], P,
     ).materialize()
+    if cand.count() == 0:
+        return ray.data.from_arrow(_empty_jaccard_table())
 
-    sh = shingle_rows(sf_dir)
-
-    # per-doc shingle-set sizes (block-local == global: doc is one row)
-    def sz_pre(t: pa.Table):
-        if t.num_rows == 0 or "doc_id" not in t.schema.names:
-            return
-        g = (
-            t.append_column("n", pa.array(np.ones(len(t), np.int64)))
-            .group_by(["doc_id"])
-            .aggregate([("n", "sum")])
-        )
-        yield g.rename_columns(["doc_id", "n"])
-
-    sz = sh.map_batches(sz_pre, batch_format="pyarrow")
-
-    # |A ∩ B|: cand ⋈ shingles(da) semi-joined against shingles(db, z)
-    ja = join_auto(cand, sh, on=("da",), right_on=("doc_id",), num_partitions=P)
-    inter_rows = join_auto(
-        ja, sh, on=("db", "shingle"), right_on=("doc_id", "shingle"),
-        how="semi", num_partitions=P,
-    )
-
-    def ones(t: pa.Table):
-        if t.num_rows == 0 or "da" not in t.schema.names:
-            return
-        g = (
-            t.select(["da", "db"])
-            .append_column("i", pa.array(np.ones(len(t), np.int64)))
-            .group_by(["da", "db"])
-            .aggregate([("i", "sum")])
-        )
-        yield g.rename_columns(["da", "db", "i"])
-
-    def zeros(t: pa.Table):
-        if t.num_rows == 0 or "da" not in t.schema.names:
-            return
-        yield pa.table(
-            {
-                "da": t.column("da"),
-                "db": t.column("db"),
-                "i": pa.array(np.zeros(len(t), np.int64)),
-            }
-        )
-
-    inter = keyed_reagg(
-        inter_rows.map_batches(ones, batch_format="pyarrow").union(
-            cand.map_batches(zeros, batch_format="pyarrow")
-        ),
-        ["da", "db"], [("i", "sum")], P,
-    )
-
-    j1 = join_auto(inter, sz, on=("da",), right_on=("doc_id",), num_partitions=P)
-
-    def tag_na(t: pa.Table):
-        if t.num_rows == 0 or "n" not in t.schema.names:
-            return
-        yield t.rename_columns(["na" if c == "n" else c for c in t.schema.names])
-
-    j2 = join_auto(
-        j1.map_batches(tag_na, batch_format="pyarrow"), sz,
-        on=("db",), right_on=("doc_id",), num_partitions=P,
+    j2 = _verify_candidate_pairs(
+        cand, _ranked_shingle_table(sf_dir), P, with_zeros=True
     )
 
     def fin(t: pa.Table):
@@ -1546,44 +1636,37 @@ def jaccard_join_pairs(sf_dir: str) -> ray.data.Dataset:
     test 5*i >= 4*u; the only float is one double division restated
     identically in SQL.
 
-    Scale shape: prefix selection is block-local (a doc is ONE parquet
-    row); ONE shingle-keyed repartition forms prefix postings (guard
-    raises at JJ_POSTING_GUARD per the no-silent-caps rule); the
-    verify joins ship only candidate docs' shingle rows — this is the
-    path that avoids LSH's probabilistic misses AND the quadratic
+    Scale shape: ONE corpus scan builds the materialized ranked
+    shingle table (_ranked_shingle_table); prefix selection is the
+    per-row test rank < p(n); ONE shingle-keyed repartition forms
+    prefix postings (guard raises at JJ_POSTING_GUARD per the
+    no-silent-caps rule; pair expansion is the shared vectorized
+    triu_pair_indices kernel, no per-posting Python); the verify phase
+    is candidate-bounded (_verify_candidate_pairs) — this is the path
+    that avoids LSH's probabilistic misses AND the quadratic
     full-posting blowup."""
     from . import dyn_partitions
-    from .joins import join_auto
-    from .shuffle import keyed_reagg
-    from .terms import _read_docs
+    from .shuffle import keyed_reagg, segment_starts, triu_pair_indices
 
-    # Session-scaled: this is a 5-wide-op chain whose reduce stages
-    # under-parallelize on big sessions at a pinned count (round-2
-    # jaccard_scaling_80k = 0.613 with P=16 on 32 CPUs).
+    # Session-scaled: the reduce stages under-parallelize on big
+    # sessions at a pinned count (round-2 jaccard_scaling_80k = 0.613
+    # with P=16 on 32 CPUs).
     P = dyn_partitions()
-    vocab = _sorted_vocab(sf_dir)
+    shf = _ranked_shingle_table(sf_dir)
 
     def prefix(t: pa.Table):
-        doc_ids, sh = _block_shingle_rows(t, vocab)
-        if len(doc_ids) == 0:
+        if t.num_rows == 0 or "rank" not in t.schema.names:
             return
-        starts = np.flatnonzero(np.r_[True, doc_ids[1:] != doc_ids[:-1]])
-        cnts = np.diff(np.r_[starts, len(doc_ids)])
-        rank = np.arange(len(doc_ids)) - np.repeat(starts, cnts)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        rank = t.column("rank").to_numpy(zero_copy_only=False)
         # ceil(tau*n) = (NUM*n + DEN - 1) // DEN — DEN-1, not NUM-1:
         # correct for any tau, not only tau = (DEN-1)/DEN
-        p = cnts - (JJ_TAU_NUM * cnts + JJ_TAU_DEN - 1) // JJ_TAU_DEN + 1
-        keep = rank < np.repeat(p, cnts)
-        yield pa.table(
-            {
-                "doc_id": pa.array(doc_ids[keep]),
-                "shingle": pa.array(sh[keep].view(np.int64)),
-                "n": pa.array(np.repeat(cnts, cnts)[keep]),
-            }
-        )
+        p = n - (JJ_TAU_NUM * n + JJ_TAU_DEN - 1) // JJ_TAU_DEN + 1
+        yield t.select(["doc_id", "shingle", "n"]).filter(pa.array(rank < p))
 
-    pre = _read_docs(sf_dir).map_batches(prefix, batch_format="pyarrow")
-    co = pre.repartition(P, keys=["shingle"])
+    co = shf.map_batches(prefix, batch_format="pyarrow").repartition(
+        P, keys=["shingle"]
+    )
 
     def pairs(t: pa.Table):
         if t.num_rows == 0 or "shingle" not in t.schema.names:
@@ -1593,30 +1676,23 @@ def jaccard_join_pairs(sf_dir: str) -> ray.data.Dataset:
         n = t.column("n").to_numpy(zero_copy_only=False)
         o = np.lexsort((d, s))
         s, d, n = s[o], d[o], n[o]
-        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
-        ends = np.r_[starts[1:], len(s)]
-        das, dbs = [], []
-        for st, en in zip(starts, ends):
-            m = en - st
-            if m < 2:
-                continue
-            if m > JJ_POSTING_GUARD:
-                raise ValueError(
-                    f"prefix posting of size {m} exceeds guard "
-                    f"{JJ_POSTING_GUARD}; raise the guard or shorten "
-                    "prefixes (higher tau)"
-                )
-            ii, jj = np.triu_indices(m, 1)
-            na, nb = n[st:en][ii], n[st:en][jj]
-            ok = (JJ_TAU_DEN * na >= JJ_TAU_NUM * nb) & (
-                JJ_TAU_DEN * nb >= JJ_TAU_NUM * na
+        _, sizes = segment_starts(s)
+        if sizes.size and int(sizes.max()) > JJ_POSTING_GUARD:
+            raise ValueError(
+                f"prefix posting of size {int(sizes.max())} exceeds "
+                f"guard {JJ_POSTING_GUARD}; raise the guard or shorten "
+                "prefixes (higher tau)"
             )
-            das.append(d[st:en][ii][ok])
-            dbs.append(d[st:en][jj][ok])
-        if not das:
+        ii, jj, _ = triu_pair_indices(sizes)
+        if len(ii) == 0:
             return
-        da = np.concatenate(das)
-        db = np.concatenate(dbs)
+        na, nb = n[ii], n[jj]
+        ok = (JJ_TAU_DEN * na >= JJ_TAU_NUM * nb) & (
+            JJ_TAU_DEN * nb >= JJ_TAU_NUM * na
+        )
+        da, db = d[ii][ok], d[jj][ok]
+        if len(da) == 0:
+            return
         lo, hi = np.minimum(da, db), np.maximum(da, db)
         g = (
             pa.table({"da": pa.array(lo), "db": pa.array(hi)})
@@ -1629,56 +1705,10 @@ def jaccard_join_pairs(sf_dir: str) -> ray.data.Dataset:
         co.map_batches(pairs, batch_size=None, batch_format="pyarrow"),
         ["da", "db"], [], P,
     ).materialize()
+    if cand.count() == 0:
+        return ray.data.from_arrow(_empty_jaccard_table())
 
-    sh = shingle_rows(sf_dir)
-
-    def sz_pre(t: pa.Table):
-        if t.num_rows == 0 or "doc_id" not in t.schema.names:
-            return
-        g = (
-            t.append_column("n", pa.array(np.ones(len(t), np.int64)))
-            .group_by(["doc_id"])
-            .aggregate([("n", "sum")])
-        )
-        yield g.rename_columns(["doc_id", "n"])
-
-    sz = sh.map_batches(sz_pre, batch_format="pyarrow")
-
-    ja = join_auto(cand, sh, on=("da",), right_on=("doc_id",), num_partitions=P)
-    inter_rows = join_auto(
-        ja, sh, on=("db", "shingle"), right_on=("doc_id", "shingle"),
-        how="semi", num_partitions=P,
-    )
-
-    def ones(t: pa.Table):
-        if t.num_rows == 0 or "da" not in t.schema.names:
-            return
-        g = (
-            t.select(["da", "db"])
-            .append_column("i", pa.array(np.ones(len(t), np.int64)))
-            .group_by(["da", "db"])
-            .aggregate([("i", "sum")])
-        )
-        yield g.rename_columns(["da", "db", "i"])
-
-    inter = keyed_reagg(
-        inter_rows.map_batches(ones, batch_format="pyarrow"),
-        ["da", "db"], [("i", "sum")], P,
-    )
-
-    j1 = join_auto(inter, sz, on=("da",), right_on=("doc_id",), num_partitions=P)
-
-    def tag_na(t: pa.Table):
-        if t.num_rows == 0 or "n" not in t.schema.names:
-            return
-        yield t.rename_columns(
-            ["na" if c == "n" else c for c in t.schema.names]
-        )
-
-    j2 = join_auto(
-        j1.map_batches(tag_na, batch_format="pyarrow"), sz,
-        on=("db",), right_on=("doc_id",), num_partitions=P,
-    )
+    j2 = _verify_candidate_pairs(cand, shf, P, with_zeros=False)
 
     def fin(t: pa.Table):
         if t.num_rows == 0 or "na" not in t.schema.names:
