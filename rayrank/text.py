@@ -1241,106 +1241,261 @@ def _candidate_doc_ids(cand: ray.data.Dataset) -> np.ndarray | None:
     return np.unique(np.concatenate(parts))
 
 
+def _doc_blob_table(sh_use: ray.data.Dataset) -> ray.data.Dataset:
+    """(doc_id, n, blob) — each document's sorted shingle hashes packed
+    into ONE little-endian int64 binary blob.  A BINARY column is
+    acero-joinable (list<> payloads are not — the repo's standing
+    workaround), so candidate pairs can fetch BOTH sets with two plain
+    joins and the intersection count becomes a vectorized merge inside
+    the receiving block instead of a Σ|A|-row expansion re-shuffled
+    on a compound key.
+
+    Doc runs must be block-complete; the n column makes that checkable
+    per block, so a violated assumption raises instead of silently
+    undercounting."""
+
+    def blob_block(t: pa.Table):
+        if t.num_rows == 0 or "rank" not in t.schema.names:
+            return
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        r = t.column("rank").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        s = t.column("shingle").to_numpy(zero_copy_only=False)
+        o = np.lexsort((r, d))
+        d, n, s = d[o], n[o], s[o]
+        from .shuffle import segment_starts
+
+        starts, sizes = segment_starts(d)
+        if not np.array_equal(sizes, n[starts]):
+            raise ValueError(
+                "_doc_blob_table: a document's shingle run is split "
+                "across blocks — rebuild the ranked shingle table with "
+                "doc-complete blocks"
+            )
+        offsets = np.zeros(len(starts) + 1, np.int64)
+        np.cumsum(sizes * 8, out=offsets[1:])
+        blob = pa.Array.from_buffers(
+            pa.large_binary(), len(starts),
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(s.astype("<i8").tobytes())],
+        )
+        yield pa.table(
+            {
+                "doc_id": pa.array(d[starts]),
+                "n": pa.array(n[starts]),
+                "blob": blob,
+            }
+        )
+
+    return sh_use.map_batches(
+        blob_block, batch_size=None, batch_format="pyarrow"
+    )
+
+
+def _blob_values(col) -> tuple:
+    """Decode a large_binary column of int64 blobs into (counts,
+    values) — per-row element counts and the flat value array —
+    zero-copy from the arrow buffers."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off_buf, dat_buf = arr.buffers()[1], arr.buffers()[2]
+    off = np.frombuffer(off_buf, np.int64)[
+        arr.offset: arr.offset + len(arr) + 1
+    ]
+    vals = np.frombuffer(dat_buf, np.int64, count=len(dat_buf) // 8)
+    return np.diff(off) // 8, vals[off[0] // 8: off[-1] // 8]
+
+
+def _merge_inter_counts(
+    n_pairs: int,
+    cnt_a: np.ndarray,
+    va: np.ndarray,
+    cnt_b: np.ndarray,
+    vb: np.ndarray,
+) -> np.ndarray:
+    """|A∩B| per pair from the two ragged value arrays: concat both
+    sides tagged by pair index, ONE lexsort, count adjacent duplicates
+    — each side's values are distinct, so cross-side duplicates ARE
+    the intersection."""
+    pid = np.concatenate(
+        [
+            np.repeat(np.arange(n_pairs, dtype=np.int64), cnt_a),
+            np.repeat(np.arange(n_pairs, dtype=np.int64), cnt_b),
+        ]
+    )
+    vv = np.concatenate([va, vb])
+    o = np.lexsort((vv, pid))
+    pid, vv = pid[o], vv[o]
+    dup = (pid[1:] == pid[:-1]) & (vv[1:] == vv[:-1])
+    return np.bincount(pid[1:][dup], minlength=n_pairs).astype(np.int64)
+
+
+JJ_BLOB_BCAST_LIMIT = 4_000_000  # docs: sorted-lookup-array broadcast guard
+
+
+def _blob_lookup_refs(blobs: ray.data.Dataset):
+    """Driver-side sorted lookup arrays for a blob table that fits
+    JJ_BLOB_BCAST_LIMIT docs: returns (refs, materialized_blobs) where
+    refs is a 4-tuple of ray.put handles (doc_ids, sizes, value_starts,
+    flat_values) or None above the guard — the caller reuses the
+    materialized table for the join fallback either way.  The pull is
+    doc-bounded (≈ corpus rows × n·8 B); plasma holds ONE shared copy
+    per node, so worker-side ray.get is zero-copy.  This replaces an
+    acero broadcast join that would re-build a corpus-size hash table
+    per batch — the per-doc set fetch is a unique-key LOOKUP, which
+    searchsorted does in O(log n) per probe with no build cost."""
+    import ray as _ray
+    import ray.data as _rd
+
+    m = _rd.from_arrow_refs(blobs.materialize().to_arrow_refs())
+    if m.count() > JJ_BLOB_BCAST_LIMIT:
+        return None, m
+    ids, ns, vals = [], [], []
+    for bt in m.iter_batches(batch_format="pyarrow"):
+        if bt.num_rows:
+            ids.append(bt.column("doc_id").to_numpy(zero_copy_only=False))
+            ns.append(bt.column("n").to_numpy(zero_copy_only=False))
+            vals.append(_blob_values(bt.column("blob"))[1])
+    if not ids:
+        z = np.zeros(0, np.int64)
+        return (_ray.put(z), _ray.put(z), _ray.put(z), _ray.put(z)), m
+    doc = np.concatenate(ids)
+    n = np.concatenate(ns)
+    flat = np.concatenate(vals)
+    starts = np.cumsum(n) - n
+    o = np.argsort(doc, kind="stable")
+    doc_s, n_s = doc[o], n[o]
+    cum = np.cumsum(n_s)
+    take = np.repeat(starts[o], n_s) + (
+        np.arange(int(cum[-1]), dtype=np.int64) - np.repeat(cum - n_s, n_s)
+    )
+    flat_s = flat[take]
+    starts_s = cum - n_s
+    return (
+        _ray.put(doc_s),
+        _ray.put(n_s),
+        _ray.put(starts_s),
+        _ray.put(flat_s),
+    ), m
+
+
 def _verify_candidate_pairs(
     cand: ray.data.Dataset,
     shf: ray.data.Dataset,
     P: int,
-    with_zeros: bool = False,
 ) -> ray.data.Dataset:
     """Exact intersection/size columns for candidate pairs: returns
-    (da, db, i, na, n) — |A∩B|, |A|, |B| — from a materialized (da, db)
-    dataset and the :func:`_ranked_shingle_table`.
+    (da, db, i, na, n) — |A∩B|, |A|, |B| — from a materialized
+    (da, db) dataset and the :func:`_ranked_shingle_table`.
 
-    Scale shape: when the candidate doc-id set fits the broadcast
-    guard, the shingle table is semi-filtered block-locally FIRST
-    (broadcast_semi_filter — no shuffle), so every join runs over
-    candidate-bounded tables and join_auto broadcasts them; the only
-    wide exchange left is the intersection-count re-agg.  Above the
-    guard the joins run partitioned against the resident materialized
-    table (which, being materialized, no longer re-executes its
-    lineage per consumption).  ``with_zeros`` unions i=0 rows for
-    candidate pairs sharing no shingle — LSH proposes those, prefix
-    postings cannot."""
+    Scale shape: the per-doc shingle sets are a UNIQUE-KEY lookup, not
+    a general join, so when the corpus fits JJ_BLOB_BCAST_LIMIT docs
+    the sorted (doc_id, sizes, offsets, flat values) arrays broadcast
+    ONCE via ray.put (plasma shared memory — one copy per node, zero
+    per-worker copies) and the whole verify is a block-local
+    searchsorted + segmented gather over candidate pairs with ZERO
+    wide exchange.  Above the guard it degrades to two pair-keyed
+    hash joins of the blob table (binary column — acero-joinable where
+    list<> payloads are not) whose payload is one blob per row, never
+    a Σ|A|-row expansion.  Intersection counts are one lexsort +
+    adjacent-dup count per block (each side's values are distinct, so
+    duplicates across the concatenated sides ARE the intersection).
+    Pairs sharing no shingle come out with i = 0 naturally — no
+    special casing for LSH's false-positive candidates."""
+    import ray as _ray
+
     from .joins import broadcast_semi_filter, join_auto
-    from .shuffle import keyed_reagg
 
-    ids = _candidate_doc_ids(cand)
-    sh_use = (
-        shf if ids is None else broadcast_semi_filter(shf, ids, "doc_id", True)
-    )
-    # candidate-bounded mode moves guard-bounded rows — a session-wide
-    # partition count would pay pure exchange fan-out on tiny data
-    P = P if ids is None else min(P, 16)
+    refs, blobs = _blob_lookup_refs(_doc_blob_table(shf))
 
-    def keys_only(t: pa.Table):
-        if t.num_rows == 0 or "doc_id" not in t.schema.names:
-            return
-        yield t.select(["doc_id", "shingle"])
+    if refs is not None:
+        kd_ref, kn_ref, kst_ref, kv_ref = refs
 
-    sh_keys = sh_use.map_batches(keys_only, batch_format="pyarrow")
-
-    def sizes(t: pa.Table):
-        if t.num_rows == 0 or "rank" not in t.schema.names:
-            return
-        yield t.filter(pc.equal(t.column("rank"), 0)).select(
-            ["doc_id", "n"]
-        )
-
-    sz = sh_use.map_batches(sizes, batch_format="pyarrow")
-
-    # |A ∩ B|: cand ⋈ shingles(da) semi-joined against shingles(db, z)
-    ja = join_auto(
-        cand, sh_keys, on=("da",), right_on=("doc_id",), num_partitions=P
-    )
-    inter_rows = join_auto(
-        ja, sh_keys, on=("db", "shingle"), right_on=("doc_id", "shingle"),
-        how="semi", num_partitions=P,
-    )
-
-    def ones(t: pa.Table):
-        if t.num_rows == 0 or "da" not in t.schema.names:
-            return
-        g = (
-            t.select(["da", "db"])
-            .append_column("i", pa.array(np.ones(len(t), np.int64)))
-            .group_by(["da", "db"])
-            .aggregate([("i", "sum")])
-        )
-        yield g.rename_columns(["da", "db", "i"])
-
-    pre = inter_rows.map_batches(ones, batch_format="pyarrow")
-    if with_zeros:
-
-        def zeros(t: pa.Table):
+        def lookup_verify(t: pa.Table):
             if t.num_rows == 0 or "da" not in t.schema.names:
                 return
+            kd = _ray.get(kd_ref)
+            kn = _ray.get(kn_ref)
+            kst = _ray.get(kst_ref)
+            kv = _ray.get(kv_ref)
+
+            def gather(doc_col):
+                d = doc_col.to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(kd, d)
+                if not np.array_equal(kd[np.minimum(idx, len(kd) - 1)], d):
+                    raise ValueError(
+                        "verify lookup: candidate doc id missing from "
+                        "the blob table"
+                    )
+                cnt = kn[idx]
+                cum = np.cumsum(cnt)
+                take = np.repeat(kst[idx], cnt) + (
+                    np.arange(int(cum[-1]) if len(cum) else 0, dtype=np.int64)
+                    - np.repeat(cum - cnt, cnt)
+                )
+                return cnt, kv[take]
+
+            cnt_a, va = gather(t.column("da"))
+            cnt_b, vb = gather(t.column("db"))
+            i = _merge_inter_counts(len(t), cnt_a, va, cnt_b, vb)
             yield pa.table(
                 {
                     "da": t.column("da"),
                     "db": t.column("db"),
-                    "i": pa.array(np.zeros(len(t), np.int64)),
+                    "i": pa.array(i),
+                    "na": pa.array(cnt_a),
+                    "n": pa.array(cnt_b),
                 }
             )
 
-        pre = pre.union(cand.map_batches(zeros, batch_format="pyarrow"))
-
-    inter = keyed_reagg(pre, ["da", "db"], [("i", "sum")], P)
-
-    j1 = join_auto(
-        inter, sz, on=("da",), right_on=("doc_id",), num_partitions=P
-    )
-
-    def tag_na(t: pa.Table):
-        if t.num_rows == 0 or "n" not in t.schema.names:
-            return
-        yield t.rename_columns(
-            ["na" if c == "n" else c for c in t.schema.names]
+        return cand.map_batches(
+            lookup_verify, batch_size=None, batch_format="pyarrow"
         )
 
-    return join_auto(
-        j1.map_batches(tag_na, batch_format="pyarrow"), sz,
+    # at-scale fallback: blob table too big to broadcast — candidate-
+    # filter it when the id set fits the guard, then two partitioned
+    # joins whose payload is one blob per row
+    ids = _candidate_doc_ids(cand)
+    if ids is not None:
+        blobs = _doc_blob_table(
+            broadcast_semi_filter(shf, ids, "doc_id", True)
+        )
+
+    def as_a(t: pa.Table):
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return
+        yield t.rename_columns(["doc_id", "na", "blob_a"])
+
+    def as_b(t: pa.Table):
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return
+        yield t.rename_columns(["doc_id", "n", "blob_b"])
+
+    j1 = join_auto(
+        cand, blobs.map_batches(as_a, batch_format="pyarrow"),
+        on=("da",), right_on=("doc_id",), num_partitions=P,
+    )
+    j2 = join_auto(
+        j1, blobs.map_batches(as_b, batch_format="pyarrow"),
         on=("db",), right_on=("doc_id",), num_partitions=P,
     )
+
+    def count_inter(t: pa.Table):
+        if t.num_rows == 0 or "blob_a" not in t.schema.names:
+            return
+        cnt_a, va = _blob_values(t.column("blob_a"))
+        cnt_b, vb = _blob_values(t.column("blob_b"))
+        i = _merge_inter_counts(len(t), cnt_a, va, cnt_b, vb)
+        yield pa.table(
+            {
+                "da": t.column("da"),
+                "db": t.column("db"),
+                "i": pa.array(i),
+                "na": t.column("na"),
+                "n": t.column("n"),
+            }
+        )
+
+    return j2.map_batches(count_inter, batch_format="pyarrow")
 
 
 def _empty_jaccard_table() -> pa.Table:
@@ -1368,11 +1523,10 @@ def lsh_candidate_jaccard(sf_dir: str) -> ray.data.Dataset:
     (LSH_BUCKET_GUARD — raises rather than silently truncating, per
     the repo's no-silent-caps rule; production corpora with hot
     buckets should use the capped+flagged ``candidate_pairs`` path);
-    the verify phase is candidate-bounded (_verify_candidate_pairs:
-    broadcast semi-filter of the ranked shingle table, then broadcast
-    joins); sizes and the final enrichment are doc-bounded joins.  The
-    only float op is ONE double division of two exact int64s, restated
-    identically in SQL."""
+    the verify phase is the blob-broadcast merge-count
+    (_verify_candidate_pairs — block-local lookup, zero wide
+    exchange at this corpus scale).  The only float op is ONE double
+    division of two exact int64s, restated identically in SQL."""
     from .shuffle import keyed_reagg, segment_starts, triu_pair_indices
 
     P = NUM_PARTITIONS_DEFAULT
@@ -1412,9 +1566,7 @@ def lsh_candidate_jaccard(sf_dir: str) -> ray.data.Dataset:
     if cand.count() == 0:
         return ray.data.from_arrow(_empty_jaccard_table())
 
-    j2 = _verify_candidate_pairs(
-        cand, _ranked_shingle_table(sf_dir), P, with_zeros=True
-    )
+    j2 = _verify_candidate_pairs(cand, _ranked_shingle_table(sf_dir), P)
 
     def fin(t: pa.Table):
         if t.num_rows == 0 or "na" not in t.schema.names:
@@ -1641,10 +1793,12 @@ def jaccard_join_pairs(sf_dir: str) -> ray.data.Dataset:
     per-row test rank < p(n); ONE shingle-keyed repartition forms
     prefix postings (guard raises at JJ_POSTING_GUARD per the
     no-silent-caps rule; pair expansion is the shared vectorized
-    triu_pair_indices kernel, no per-posting Python); the verify phase
-    is candidate-bounded (_verify_candidate_pairs) — this is the path
-    that avoids LSH's probabilistic misses AND the quadratic
-    full-posting blowup."""
+    triu_pair_indices kernel, no per-posting Python); the candidate
+    re-agg carries the PPJoin positional stats so provably-sub-
+    threshold pairs are pruned BEFORE verification; the verify phase
+    is the blob-broadcast merge-count (_verify_candidate_pairs) — this
+    is the path that avoids LSH's probabilistic misses AND the
+    quadratic full-posting blowup."""
     from . import dyn_partitions
     from .shuffle import keyed_reagg, segment_starts, triu_pair_indices
 
@@ -1662,7 +1816,9 @@ def jaccard_join_pairs(sf_dir: str) -> ray.data.Dataset:
         # ceil(tau*n) = (NUM*n + DEN - 1) // DEN — DEN-1, not NUM-1:
         # correct for any tau, not only tau = (DEN-1)/DEN
         p = n - (JJ_TAU_NUM * n + JJ_TAU_DEN - 1) // JJ_TAU_DEN + 1
-        yield t.select(["doc_id", "shingle", "n"]).filter(pa.array(rank < p))
+        yield t.select(["doc_id", "shingle", "n", "rank"]).filter(
+            pa.array(rank < p)
+        )
 
     co = shf.map_batches(prefix, batch_format="pyarrow").repartition(
         P, keys=["shingle"]
@@ -1674,8 +1830,9 @@ def jaccard_join_pairs(sf_dir: str) -> ray.data.Dataset:
         s = t.column("shingle").to_numpy(zero_copy_only=False)
         d = t.column("doc_id").to_numpy(zero_copy_only=False)
         n = t.column("n").to_numpy(zero_copy_only=False)
+        r = t.column("rank").to_numpy(zero_copy_only=False)
         o = np.lexsort((d, s))
-        s, d, n = s[o], d[o], n[o]
+        s, d, n, r = s[o], d[o], n[o], r[o]
         _, sizes = segment_starts(s)
         if sizes.size and int(sizes.max()) > JJ_POSTING_GUARD:
             raise ValueError(
@@ -1690,25 +1847,72 @@ def jaccard_join_pairs(sf_dir: str) -> ray.data.Dataset:
         ok = (JJ_TAU_DEN * na >= JJ_TAU_NUM * nb) & (
             JJ_TAU_DEN * nb >= JJ_TAU_NUM * na
         )
-        da, db = d[ii][ok], d[jj][ok]
-        if len(da) == 0:
+        if not ok.any():
             return
-        lo, hi = np.minimum(da, db), np.maximum(da, db)
+        ii, jj = ii[ok], jj[ok]
+        # d ascending within each posting ⇒ d[ii] < d[jj]: canonical
+        # already, and ra/rb stay side-aligned.  Per-block partial of
+        # the PPJoin positional stats: c = shared-prefix count, ra/rb =
+        # rank (position in the FULL sorted shingle list) of the
+        # LARGEST shared prefix hash on each side.
         g = (
-            pa.table({"da": pa.array(lo), "db": pa.array(hi)})
+            pa.table(
+                {
+                    "da": pa.array(d[ii]),
+                    "db": pa.array(d[jj]),
+                    "c": pa.array(np.ones(len(ii), np.int64)),
+                    "ra": pa.array(r[ii]),
+                    "rb": pa.array(r[jj]),
+                    "na": pa.array(n[ii]),
+                    "nb": pa.array(n[jj]),
+                }
+            )
             .group_by(["da", "db"])
-            .aggregate([])
+            .aggregate(
+                [("c", "sum"), ("ra", "max"), ("rb", "max"),
+                 ("na", "max"), ("nb", "max")]
+            )
         )
-        yield g.rename_columns(["da", "db"])
+        yield g.rename_columns(["da", "db", "c", "ra", "rb", "na", "nb"])
 
-    cand = keyed_reagg(
+    stats = keyed_reagg(
         co.map_batches(pairs, batch_size=None, batch_format="pyarrow"),
-        ["da", "db"], [], P,
+        ["da", "db"],
+        [("c", "sum"), ("ra", "max"), ("rb", "max"),
+         ("na", "max"), ("nb", "max")],
+        P,
+    )
+
+    def posfilter(t: pa.Table):
+        """PPJoin positional filter (sound): every shared shingle
+        smaller than the largest shared PREFIX hash is itself shared-
+        in-both-prefixes (counted in c), so
+        |A∩B| <= c + min(na−ra−1, nb−rb−1); prune when that bound
+        cannot reach i_min = ceil(tau·(na+nb)/(1+tau)) — never drops a
+        true pair because the bound dominates the true intersection."""
+        if t.num_rows == 0 or "c" not in t.schema.names:
+            return
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        ra = t.column("ra").to_numpy(zero_copy_only=False)
+        rb = t.column("rb").to_numpy(zero_copy_only=False)
+        na = t.column("na").to_numpy(zero_copy_only=False)
+        nb = t.column("nb").to_numpy(zero_copy_only=False)
+        i_min = (
+            JJ_TAU_NUM * (na + nb) + JJ_TAU_NUM + JJ_TAU_DEN - 1
+        ) // (JJ_TAU_NUM + JJ_TAU_DEN)
+        bound = c + np.minimum(na - ra - 1, nb - rb - 1)
+        keep = bound >= i_min
+        if not keep.any():
+            return
+        yield t.select(["da", "db"]).filter(pa.array(keep))
+
+    cand = stats.map_batches(
+        posfilter, batch_size=None, batch_format="pyarrow"
     ).materialize()
     if cand.count() == 0:
         return ray.data.from_arrow(_empty_jaccard_table())
 
-    j2 = _verify_candidate_pairs(cand, shf, P, with_zeros=False)
+    j2 = _verify_candidate_pairs(cand, shf, P)
 
     def fin(t: pa.Table):
         if t.num_rows == 0 or "na" not in t.schema.names:

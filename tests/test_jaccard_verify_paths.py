@@ -1,0 +1,113 @@
+"""Both verify paths of the similarity self-join must agree: the
+broadcast-lookup fast path (corpus fits JJ_BLOB_BCAST_LIMIT) and the
+partitioned blob-join fallback (forced here by monkeypatching the
+guard to 0).  The sf0.001 corpus exercises the fast path everywhere
+else, so this is the only coverage the fallback joins get."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(ds):
+    return sorted(
+        (
+            (r["doc_a"], r["doc_b"], r["inter_size"], r["union_size"])
+            for r in ds.take_all()
+        )
+    )
+
+
+def test_merge_inter_counts_matches_set_intersection():
+    """Property test of the merge-count kernel against per-pair python
+    set arithmetic on 50 random ragged pairings (no Ray needed)."""
+    import numpy as np
+
+    from rayrank.text import _merge_inter_counts
+
+    rng = np.random.RandomState(7)
+    for _ in range(50):
+        n_pairs = int(rng.randint(1, 40))
+        cnt_a = rng.randint(0, 30, n_pairs)
+        cnt_b = rng.randint(0, 30, n_pairs)
+        # distinct values per side, overlapping domains
+        va = np.concatenate(
+            [rng.choice(100, c, replace=False) for c in cnt_a]
+        ).astype(np.int64) if cnt_a.sum() else np.zeros(0, np.int64)
+        vb = np.concatenate(
+            [rng.choice(100, c, replace=False) for c in cnt_b]
+        ).astype(np.int64) if cnt_b.sum() else np.zeros(0, np.int64)
+        got = _merge_inter_counts(n_pairs, cnt_a, va, cnt_b, vb)
+        sa = np.r_[0, np.cumsum(cnt_a)]
+        sb = np.r_[0, np.cumsum(cnt_b)]
+        want = [
+            len(set(va[sa[i]:sa[i + 1]]) & set(vb[sb[i]:sb[i + 1]]))
+            for i in range(n_pairs)
+        ]
+        assert got.tolist() == want
+
+
+def test_blob_roundtrip():
+    """_doc_blob_table's packing is inverted exactly by _blob_values,
+    including a sliced (nonzero-offset) column."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayrank.text import _blob_values
+
+    rng = np.random.RandomState(3)
+    sizes = rng.randint(1, 9, 20)
+    flat = rng.randint(-(2**62), 2**62, int(sizes.sum())).astype(np.int64)
+    offsets = np.zeros(len(sizes) + 1, np.int64)
+    np.cumsum(sizes * 8, out=offsets[1:])
+    arr = pa.Array.from_buffers(
+        pa.large_binary(), len(sizes),
+        [None, pa.py_buffer(offsets.tobytes()),
+         pa.py_buffer(flat.astype("<i8").tobytes())],
+    )
+    cnt, vals = _blob_values(arr)
+    assert cnt.tolist() == sizes.tolist()
+    assert np.array_equal(vals, flat)
+    # sliced view: offsets no longer start at element 0
+    sl = arr.slice(5, 10)
+    cnt2, vals2 = _blob_values(sl)
+    assert cnt2.tolist() == sizes[5:15].tolist()
+    lo = int(sizes[:5].sum())
+    hi = lo + int(sizes[5:15].sum())
+    assert np.array_equal(vals2, flat[lo:hi])
+
+
+def test_fallback_join_path_matches_lookup(ray_session, monkeypatch):
+    import rayrank.text as tx
+
+    fast = _rows(tx.jaccard_join_pairs(SF))
+    assert fast, "fixture must produce pairs or the test is vacuous"
+
+    monkeypatch.setattr(tx, "JJ_BLOB_BCAST_LIMIT", 0)
+    slow = _rows(tx.jaccard_join_pairs(SF))
+    assert slow == fast
+
+
+def test_fallback_candidate_filter_path(ray_session, monkeypatch):
+    """Force BOTH the blob-join fallback AND the candidate semi-filter
+    branch (ids is not None) so broadcast_semi_filter + the filtered
+    blob build run."""
+    import rayrank.text as tx
+
+    fast = _rows(tx.lsh_candidate_jaccard(SF))
+    monkeypatch.setattr(tx, "JJ_BLOB_BCAST_LIMIT", 0)
+    slow = _rows(tx.lsh_candidate_jaccard(SF))
+    assert slow == fast
+
+
+def test_fallback_unfiltered_blob_join(ray_session, monkeypatch):
+    """Blob join with NEITHER broadcast lookup NOR candidate filter
+    (ids over the guard): the pure partitioned-join regime a >4M-doc
+    corpus with a huge candidate set would hit."""
+    import rayrank.text as tx
+
+    fast = _rows(tx.jaccard_join_pairs(SF))
+    monkeypatch.setattr(tx, "JJ_BLOB_BCAST_LIMIT", 0)
+    monkeypatch.setattr(tx, "JJ_CAND_ID_LIMIT", 0)
+    slow = _rows(tx.jaccard_join_pairs(SF))
+    assert slow == fast
