@@ -2395,7 +2395,14 @@ def common_neighbors(sf_dir: str) -> ray.data.Dataset:
     P2 = 16
 
     und_pre = und_both
-    und = sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow")
+    # materialized ONCE: the wedge repartition AND the existing-edge
+    # anti-join both consume the undirected edge map — without the cut
+    # each consumption re-runs the read + canonicalization
+    from .shuffle import materialize_cut as _mcut
+
+    und = _mcut(
+        sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow")
+    )
     mid = und.repartition(P2, keys=["b"])
 
     def emit_pairs(t: pa.Table):
@@ -2490,7 +2497,14 @@ def adamic_adar(sf_dir: str) -> ray.data.Dataset:
     P2 = 16
 
     und_pre = und_both
-    und = sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow")
+    # materialized ONCE: the wedge repartition AND the existing-edge
+    # anti-join both consume the undirected edge map — without the cut
+    # each consumption re-runs the read + canonicalization
+    from .shuffle import materialize_cut as _mcut
+
+    und = _mcut(
+        sf_edges(sf_dir).map_batches(und_pre, batch_format="pyarrow")
+    )
     mid = und.repartition(P2, keys=["b"])
 
     def emit_pairs(t: pa.Table):
@@ -4509,7 +4523,11 @@ def ego_network_edges(sf_dir: str) -> ray.data.Dataset:
         if t.num_rows:
             yield t.select(["name"])
 
-    ball = depths.map_batches(ball_names, batch_format="pyarrow")
+    # materialized ONCE: both semi-joins probe the ball — without the
+    # cut each consumption re-runs the depth scan
+    from .shuffle import materialize_cut as _mcut
+
+    ball = _mcut(depths.map_batches(ball_names, batch_format="pyarrow"))
 
     und_pre = und_canon_names
     und = keyed_reagg(
