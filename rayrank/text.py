@@ -1176,6 +1176,7 @@ def _block_shingle_rows(t: pa.Table, vocab: np.ndarray):
 
 
 JJ_CAND_ID_LIMIT = 2_000_000  # candidate doc-id broadcast guard (ids)
+RANKED_CHUNK_ROWS = 1_000_000  # ranked-table chunk cap (≈32 MB/table)
 
 
 def _ranked_shingle_table(sf_dir: str) -> ray.data.Dataset:
@@ -1186,12 +1187,17 @@ def _ranked_shingle_table(sf_dir: str) -> ray.data.Dataset:
     One corpus scan feeds every downstream use of the shingle domain:
     the prefix filter is the per-row test ``rank < p(n)``, per-doc
     sizes are the ``rank == 0`` rows, and the verify joins read the
-    table as-is.  None of the derivations assumes a doc's rows stay
-    contiguous within a block, so Ray's dynamic block splitting can
-    never corrupt them.  Before this table the similarity joins
-    re-derived shingles per CONSUMPTION of the lazy dataset (two
-    join_auto probes + two hash joins + the size pass = up to 5 corpus
-    scans per query)."""
+    table as-is — none of those derivations assumes doc contiguity.
+    The blob builder DOES need doc-complete blocks, so ``ranked``
+    yields doc-boundary-aligned chunks of at most ``RANKED_CHUNK_ROWS``
+    rows: every yielded table stays far below the dynamic-block-split
+    threshold, which only slices a single oversized block, so Ray
+    never cuts a doc's run (a single doc longer than the chunk cap
+    would still be yielded whole and is the one case the blob
+    builder's completeness check can catch — loudly).  Before this
+    table the similarity joins re-derived shingles per CONSUMPTION of
+    the lazy dataset (two join_auto probes + two hash joins + the size
+    pass = up to 5 corpus scans per query)."""
     from .shuffle import materialize_cut
     from .terms import _read_docs
 
@@ -1211,7 +1217,7 @@ def _ranked_shingle_table(sf_dir: str) -> ray.data.Dataset:
         rank = np.arange(len(doc_ids), dtype=np.int64) - np.repeat(
             starts, cnts
         )
-        yield pa.table(
+        out = pa.table(
             {
                 "doc_id": pa.array(doc_ids),
                 "shingle": pa.array(sh.view(np.int64)),
@@ -1219,6 +1225,22 @@ def _ranked_shingle_table(sf_dir: str) -> ray.data.Dataset:
                 "rank": pa.array(rank),
             }
         )
+        # doc-boundary chunking (long-doc corpora): cut at the last doc
+        # start at or below the row cap so no yielded table is ever big
+        # enough for Ray's dynamic splitter to slice mid-doc
+        lo = 0
+        while lo < len(out):
+            if len(out) - lo <= RANKED_CHUNK_ROWS:
+                yield out.slice(lo)
+                break
+            cut_at = int(
+                np.searchsorted(starts, lo + RANKED_CHUNK_ROWS, "right")
+            ) - 1
+            hi = int(starts[cut_at]) if starts[cut_at] > lo else int(
+                lo + cnts[cut_at]
+            )
+            yield out.slice(lo, hi - lo)
+            lo = hi
 
     return materialize_cut(
         _read_docs(sf_dir).map_batches(ranked, batch_format="pyarrow")
@@ -1330,24 +1352,32 @@ def _merge_inter_counts(
 
 
 JJ_BLOB_BCAST_LIMIT = 4_000_000  # docs: sorted-lookup-array broadcast guard
+JJ_BLOB_VALUES_LIMIT = 256_000_000  # Σ shingle values (≈2 GB flat int64)
 
 
 def _blob_lookup_refs(blobs: ray.data.Dataset):
-    """Driver-side sorted lookup arrays for a blob table that fits
-    JJ_BLOB_BCAST_LIMIT docs: returns (refs, materialized_blobs) where
-    refs is a 4-tuple of ray.put handles (doc_ids, sizes, value_starts,
-    flat_values) or None above the guard — the caller reuses the
-    materialized table for the join fallback either way.  The pull is
-    doc-bounded (≈ corpus rows × n·8 B); plasma holds ONE shared copy
-    per node, so worker-side ray.get is zero-copy.  This replaces an
-    acero broadcast join that would re-build a corpus-size hash table
-    per batch — the per-doc set fetch is a unique-key LOOKUP, which
-    searchsorted does in O(log n) per probe with no build cost."""
+    """Driver-side sorted lookup arrays for a blob table within the
+    broadcast guards: returns (refs, materialized_blobs) where refs is
+    a 4-tuple of ray.put handles (doc_ids, sizes, value_starts,
+    flat_values) or None above a guard — the caller reuses the
+    materialized table for the join fallback either way.  TWO guards,
+    because doc count alone does not bound the pull: docs ≤
+    JJ_BLOB_BCAST_LIMIT AND total shingle values ≤
+    JJ_BLOB_VALUES_LIMIT (the flat array is Σn × 8 B — a long-doc
+    corpus can blow the driver at a doc count the first guard allows).
+    Plasma holds ONE shared copy per node, so worker-side ray.get is
+    zero-copy.  This replaces an acero broadcast join that would
+    re-build a corpus-size hash table per batch — the per-doc set
+    fetch is a unique-key LOOKUP, which searchsorted does in O(log n)
+    per probe with no build cost."""
     import ray as _ray
-    import ray.data as _rd
 
-    m = _rd.from_arrow_refs(blobs.materialize().to_arrow_refs())
+    from .shuffle import materialize_cut
+
+    m = materialize_cut(blobs)
     if m.count() > JJ_BLOB_BCAST_LIMIT:
+        return None, m
+    if (m.sum("n") or 0) > JJ_BLOB_VALUES_LIMIT:
         return None, m
     ids, ns, vals = [], [], []
     for bt in m.iter_batches(batch_format="pyarrow"):
@@ -1452,13 +1482,12 @@ def _verify_candidate_pairs(
         )
 
     # at-scale fallback: blob table too big to broadcast — candidate-
-    # filter it when the id set fits the guard, then two partitioned
-    # joins whose payload is one blob per row
+    # filter the ALREADY-MATERIALIZED blob rows when the id set fits
+    # the guard (one cheap row filter; no repacking from the ranked
+    # table), then two partitioned joins, one blob per row
     ids = _candidate_doc_ids(cand)
     if ids is not None:
-        blobs = _doc_blob_table(
-            broadcast_semi_filter(shf, ids, "doc_id", True)
-        )
+        blobs = broadcast_semi_filter(blobs, ids, "doc_id", True)
 
     def as_a(t: pa.Table):
         if t.num_rows == 0 or "doc_id" not in t.schema.names:

@@ -77,6 +77,20 @@ def test_blob_roundtrip():
     assert np.array_equal(vals2, flat[lo:hi])
 
 
+def test_ranked_chunking_tiny_cap(ray_session, monkeypatch):
+    """Doc-boundary chunking of the ranked shingle table: a cap far
+    below any doc's shingle count forces BOTH chunk-loop branches
+    (multi-doc cut at a boundary; single doc over the cap yielded
+    whole) and the blob builder's completeness check must still hold
+    on every chunk."""
+    import rayrank.text as tx
+
+    fast = _rows(tx.jaccard_join_pairs(SF))
+    monkeypatch.setattr(tx, "RANKED_CHUNK_ROWS", 7)
+    slow = _rows(tx.jaccard_join_pairs(SF))
+    assert slow == fast
+
+
 def test_fallback_join_path_matches_lookup(ray_session, monkeypatch):
     import rayrank.text as tx
 
@@ -100,14 +114,18 @@ def test_fallback_candidate_filter_path(ray_session, monkeypatch):
     assert slow == fast
 
 
-def test_fallback_unfiltered_blob_join(ray_session, monkeypatch):
+def test_fallback_unfiltered_blob_hash_join(ray_session, monkeypatch):
     """Blob join with NEITHER broadcast lookup NOR candidate filter
-    (ids over the guard): the pure partitioned-join regime a >4M-doc
-    corpus with a huge candidate set would hit."""
+    NOR acero broadcast (broadcast_join forced to decline): the pure
+    partitioned hash_join regime a >4M-doc corpus with a huge
+    candidate set would hit — the only coverage the keyed repartition
+    of large_binary blob payloads gets."""
+    import rayrank.joins as jn
     import rayrank.text as tx
 
     fast = _rows(tx.jaccard_join_pairs(SF))
     monkeypatch.setattr(tx, "JJ_BLOB_BCAST_LIMIT", 0)
     monkeypatch.setattr(tx, "JJ_CAND_ID_LIMIT", 0)
+    monkeypatch.setattr(jn, "broadcast_join", lambda *a, **k: None)
     slow = _rows(tx.jaccard_join_pairs(SF))
     assert slow == fast
