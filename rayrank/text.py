@@ -1176,7 +1176,25 @@ def _block_shingle_rows(t: pa.Table, vocab: np.ndarray):
 
 
 JJ_CAND_ID_LIMIT = 2_000_000  # candidate doc-id broadcast guard (ids)
-RANKED_CHUNK_ROWS = 1_000_000  # ranked-table chunk cap (≈32 MB/table)
+RANKED_CHUNK_ROWS = 1_000_000  # ranked-table chunk cap ceiling (≈32 MB/table)
+_RANKED_ROW_BYTES = 32  # (doc_id, shingle, n, rank) int64s
+
+
+def _ranked_chunk_rows() -> int:
+    """Doc-boundary chunk cap in rows, derived from the live
+    ``DataContext.target_max_block_size`` so the invariant is
+    structural, not coincidental: Ray's BlockOutputBuffer only slices
+    a block mid-stream once the accumulated bytes reach 1.5× the
+    target, so as long as each yielded chunk is ≤ 0.5× target the
+    accumulator can never cross that threshold with a doc run split
+    across the cut.  We cap at target/4 (margin 2× under the 0.5×
+    bound) and keep RANKED_CHUNK_ROWS as a ceiling for the default
+    128 MB context."""
+    try:
+        tgt = int(ray.data.DataContext.get_current().target_max_block_size)
+    except Exception:
+        tgt = 128 << 20
+    return min(RANKED_CHUNK_ROWS, max(4096, tgt // 4 // _RANKED_ROW_BYTES))
 
 
 def _ranked_shingle_table(sf_dir: str) -> ray.data.Dataset:
@@ -1206,6 +1224,7 @@ def _ranked_shingle_table(sf_dir: str) -> ray.data.Dataset:
     def ranked(t: pa.Table):
         if len(t) == 0:
             return
+        chunk_rows = _ranked_chunk_rows()
         doc_ids, sh = _block_shingle_rows(t, vocab)
         if len(doc_ids) == 0:
             return
@@ -1230,11 +1249,11 @@ def _ranked_shingle_table(sf_dir: str) -> ray.data.Dataset:
         # enough for Ray's dynamic splitter to slice mid-doc
         lo = 0
         while lo < len(out):
-            if len(out) - lo <= RANKED_CHUNK_ROWS:
+            if len(out) - lo <= chunk_rows:
                 yield out.slice(lo)
                 break
             cut_at = int(
-                np.searchsorted(starts, lo + RANKED_CHUNK_ROWS, "right")
+                np.searchsorted(starts, lo + chunk_rows, "right")
             ) - 1
             hi = int(starts[cut_at]) if starts[cut_at] > lo else int(
                 lo + cnts[cut_at]
@@ -1353,6 +1372,7 @@ def _merge_inter_counts(
 
 JJ_BLOB_BCAST_LIMIT = 4_000_000  # docs: sorted-lookup-array broadcast guard
 JJ_BLOB_VALUES_LIMIT = 256_000_000  # Σ shingle values (≈2 GB flat int64)
+JJ_VERIFY_CHUNK_VALUES = 8_000_000  # Σ(|A|+|B|) gathered per sub-batch (~64 MB)
 
 
 def _blob_lookup_refs(blobs: ray.data.Dataset):
@@ -1448,7 +1468,7 @@ def _verify_candidate_pairs(
             kst = _ray.get(kst_ref)
             kv = _ray.get(kv_ref)
 
-            def gather(doc_col):
+            def idx_of(doc_col):
                 d = doc_col.to_numpy(zero_copy_only=False)
                 idx = np.searchsorted(kd, d)
                 if not np.array_equal(kd[np.minimum(idx, len(kd) - 1)], d):
@@ -1456,22 +1476,48 @@ def _verify_candidate_pairs(
                         "verify lookup: candidate doc id missing from "
                         "the blob table"
                     )
-                cnt = kn[idx]
+                return idx
+
+            def gather(idx, cnt):
                 cum = np.cumsum(cnt)
                 take = np.repeat(kst[idx], cnt) + (
                     np.arange(int(cum[-1]) if len(cum) else 0, dtype=np.int64)
                     - np.repeat(cum - cnt, cnt)
                 )
-                return cnt, kv[take]
+                return kv[take]
 
-            cnt_a, va = gather(t.column("da"))
-            cnt_b, vb = gather(t.column("db"))
-            i = _merge_inter_counts(len(t), cnt_a, va, cnt_b, vb)
+            ia = idx_of(t.column("da"))
+            ib = idx_of(t.column("db"))
+            cnt_a, cnt_b = kn[ia], kn[ib]
+            # chunk the pair loop so peak gathered-value memory is
+            # bounded by JJ_VERIFY_CHUNK_VALUES regardless of how many
+            # candidate pairs land in one block (batch_size=None means
+            # a hot candidate partition arrives as ONE table; the
+            # gather would otherwise materialize Σ(na+nb) int64s for
+            # the whole block at once)
+            ccum = np.cumsum(cnt_a + cnt_b)
+            out_i = np.empty(len(t), np.int64)
+            lo, base = 0, 0
+            while lo < len(t):
+                hi = int(
+                    np.searchsorted(
+                        ccum, base + JJ_VERIFY_CHUNK_VALUES, "right"
+                    )
+                )
+                hi = min(max(hi, lo + 1), len(t))
+                sl = slice(lo, hi)
+                va = gather(ia[sl], cnt_a[sl])
+                vb = gather(ib[sl], cnt_b[sl])
+                out_i[sl] = _merge_inter_counts(
+                    hi - lo, cnt_a[sl], va, cnt_b[sl], vb
+                )
+                base = int(ccum[hi - 1])
+                lo = hi
             yield pa.table(
                 {
                     "da": t.column("da"),
                     "db": t.column("db"),
-                    "i": pa.array(i),
+                    "i": pa.array(out_i),
                     "na": pa.array(cnt_a),
                     "n": pa.array(cnt_b),
                 }
@@ -1492,25 +1538,44 @@ def _verify_candidate_pairs(
     def as_a(t: pa.Table):
         if t.num_rows == 0 or "doc_id" not in t.schema.names:
             return
-        yield t.rename_columns(["doc_id", "na", "blob_a"])
+        yield t.select(["doc_id", "n", "blob"]).rename_columns(
+            ["doc_id", "na", "blob_a"]
+        )
 
     def as_b(t: pa.Table):
         if t.num_rows == 0 or "doc_id" not in t.schema.names:
             return
-        yield t.rename_columns(["doc_id", "n", "blob_b"])
+        yield t.select(["doc_id", "n", "blob"]).rename_columns(
+            ["doc_id", "n", "blob_b"]
+        )
 
+    # LEFT joins so a candidate pair whose doc is missing from the
+    # blob table surfaces as a null blob and RAISES below — the same
+    # invariant violation raises ValueError on the broadcast-lookup
+    # path, and the two regimes must fail identically on identical
+    # corruption (an inner join would silently drop the pair)
     j1 = join_auto(
         cand, blobs.map_batches(as_a, batch_format="pyarrow"),
-        on=("da",), right_on=("doc_id",), num_partitions=P,
+        on=("da",), right_on=("doc_id",), how="left_outer",
+        num_partitions=P,
     )
     j2 = join_auto(
         j1, blobs.map_batches(as_b, batch_format="pyarrow"),
-        on=("db",), right_on=("doc_id",), num_partitions=P,
+        on=("db",), right_on=("doc_id",), how="left_outer",
+        num_partitions=P,
     )
 
     def count_inter(t: pa.Table):
         if t.num_rows == 0 or "blob_a" not in t.schema.names:
             return
+        if (
+            t.column("blob_a").null_count
+            or t.column("blob_b").null_count
+        ):
+            raise ValueError(
+                "verify lookup: candidate doc id missing from "
+                "the blob table"
+            )
         cnt_a, va = _blob_values(t.column("blob_a"))
         cnt_b, vb = _blob_values(t.column("blob_b"))
         i = _merge_inter_counts(len(t), cnt_a, va, cnt_b, vb)

@@ -129,3 +129,79 @@ def test_fallback_unfiltered_blob_hash_join(ray_session, monkeypatch):
     monkeypatch.setattr(jn, "broadcast_join", lambda *a, **k: None)
     slow = _rows(tx.jaccard_join_pairs(SF))
     assert slow == fast
+
+
+def test_lookup_verify_chunked_pair_loop(ray_session, monkeypatch):
+    """A chunk cap far below any block's Σ(na+nb) forces the sub-batch
+    loop inside lookup_verify through many iterations (including the
+    hi = lo+1 single-pair floor when one pair alone exceeds the cap);
+    results must be identical to the unchunked run."""
+    import rayrank.text as tx
+
+    fast = _rows(tx.jaccard_join_pairs(SF))
+    assert fast, "fixture must produce pairs or the test is vacuous"
+    monkeypatch.setattr(tx, "JJ_VERIFY_CHUNK_VALUES", 1)
+    slow = _rows(tx.jaccard_join_pairs(SF))
+    assert slow == fast
+
+
+def test_both_verify_regimes_raise_on_missing_blob(ray_session, monkeypatch):
+    """Identical corruption (a candidate doc id absent from the blob
+    table) must fail the SAME way in both regimes: the broadcast
+    lookup raises ValueError, and the join fallback's left joins +
+    null check must raise the same message instead of silently
+    dropping the pair (the pre-r4 inner joins did).  The victim doc
+    is taken from a real candidate pair so the corruption is
+    guaranteed to be observed."""
+    import numpy as np
+    import pytest
+    import ray
+
+    import rayrank.text as tx
+
+    fast = _rows(tx.jaccard_join_pairs(SF))
+    assert fast, "fixture must produce pairs or the test is vacuous"
+    victim = fast[0][0]
+
+    real_refs = tx._blob_lookup_refs
+
+    def corrupt_refs(blobs):
+        refs, m = real_refs(blobs)
+        assert refs is not None, "sf0.001 must fit the broadcast guard"
+        kd, kn, kst, kv = (ray.get(r) for r in refs)
+        j = int(np.searchsorted(kd, victim))
+        assert kd[j] == victim
+        lo, hi = int(kst[j]), int(kst[j] + kn[j])
+        kd2 = np.delete(kd, j)
+        kn2 = np.delete(kn, j)
+        kv2 = np.concatenate([kv[:lo], kv[hi:]])
+        kst2 = np.cumsum(kn2) - kn2
+        return (
+            ray.put(kd2), ray.put(kn2), ray.put(kst2), ray.put(kv2)
+        ), m
+
+    monkeypatch.setattr(tx, "_blob_lookup_refs", corrupt_refs)
+    with pytest.raises(Exception, match="missing from"):
+        _rows(tx.jaccard_join_pairs(SF))
+    monkeypatch.undo()
+
+    # fallback regime: drop the same doc's blob row before the joins
+    real_blob_table = tx._doc_blob_table
+
+    def corrupt_blob_table(shf):
+        import pyarrow.compute as pc
+
+        def drop_victim(t):
+            if t.num_rows == 0:
+                return
+            yield t.filter(pc.not_equal(t.column("doc_id"), victim))
+
+        return real_blob_table(shf).map_batches(
+            drop_victim, batch_format="pyarrow"
+        )
+
+    monkeypatch.setattr(tx, "JJ_BLOB_BCAST_LIMIT", 0)
+    monkeypatch.setattr(tx, "JJ_CAND_ID_LIMIT", 0)
+    monkeypatch.setattr(tx, "_doc_blob_table", corrupt_blob_table)
+    with pytest.raises(Exception, match="missing from"):
+        _rows(tx.jaccard_join_pairs(SF))
