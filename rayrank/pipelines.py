@@ -2783,6 +2783,43 @@ TWO_HOP_HUB_CAP = 4096
 WIDEST_PATH_SQL_ROUNDS = 16
 
 
+def _vids_for_names(gdir: str, Q: int, names: list[str]) -> np.ndarray:
+    """vids for a SMALL driver-held name list (≤ a pinned top-k), in
+    input order: each name's id partition is known from the stable
+    hash, so resolution is ≤ len(names) bounded vertex-partition
+    probes in remote tasks — never a corpus-wide dictionary pull."""
+    from .ids import stable_hash
+
+    if not names:
+        return np.zeros(0, np.int64)
+    qs = (stable_hash(np.array(names, dtype=object)) % np.uint64(Q)).astype(
+        np.int64
+    )
+
+    @ray.remote
+    def probe(q: int, want: list[str]) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        d = os.path.join(gdir, "vertices", f"q={q}")
+        t = pq.read_table(d, columns=["name", "vid"])
+        m = pc.is_in(t.column("name"), value_set=pa.array(want))
+        return t.filter(m)
+
+    by_q: dict[int, list[str]] = {}
+    for nm, q in zip(names, qs):
+        by_q.setdefault(int(q), []).append(nm)
+    got: dict[str, int] = {}
+    for t in ray.get([probe.remote(q, w) for q, w in by_q.items()]):
+        for nm, vid in zip(
+            t.column("name").to_pylist(), t.column("vid").to_pylist()
+        ):
+            got[nm] = vid
+    missing = [nm for nm in names if nm not in got]
+    if missing:
+        raise ValueError(f"vids_for_names: names not in graph: {missing[:5]}")
+    return np.array([got[nm] for nm in names], np.int64)
+
+
 def attack_robustness(sf_dir: str) -> ray.data.Dataset:
     """(k_removed, n_edges, giant_size) — targeted-attack robustness
     curve: remove the top-k degree hubs (degree desc, id asc — a total
@@ -2792,15 +2829,20 @@ def attack_robustness(sf_dir: str) -> ray.data.Dataset:
     relying on connectivity (percolation_sweep's sibling: that one
     thins edges at random, this one deletes the most-wired vertices).
 
-    Scale shape: ONE canonical edge dedup re-agg reused across ks;
-    the hub set is a distributed (deg desc, id) top-k fold (≤ max(k)
-    ids ever reach the driver, then broadcast into a vectorized
-    filter); each k reuses the engine's CC shard kernel on the
-    filtered edges and the giant pick is the distributed top-1 label
-    fold (never a driver label vector) — the percolation_sweep
-    machinery with a different thinning rule."""
-    from .components import connected_components
-    from .graph import build_graph
+    Scale shape (r3 VERDICT item #5 — incremental): ONE canonical edge
+    dedup re-agg AND ONE graph build + shard spin-up serve the whole
+    sweep; per k the ≤ max(k) hub vids are broadcast into the resident
+    shards as a DEAD mask (labels pinned at the min-identity sentinel
+    and clamped after every reduce, so dead vertices neither transmit
+    nor conduit — vertex removal without touching the CSR arrays), CC
+    re-runs on the same actors, and the giant pick is the distributed
+    top-1 fold over the ACTIVE-vertex census (never a driver label
+    vector).  The hub set is a distributed (deg desc, id) top-k fold;
+    name→vid resolution is ≤ max(k) bounded vertex-partition probes.
+    Pre-r4 this rebuilt the full graph + CC per k (3 build passes)."""
+    from .graph import GraphMeta, build_graph
+    from .iterate import iterate_labels
+    from .shards import create_shards
     from .shuffle import keyed_reagg
 
     und_pre = und_canon
@@ -2844,64 +2886,92 @@ def attack_robustness(sf_dir: str) -> ray.data.Dataset:
     )
     hubs_all = np.array([r["x"] for r in hub_rows], np.int64)  # ranked
 
-    out = []
-    for k in ATTACK_KS:
-        hubs = np.sort(hubs_all[:k])
+    # ONE graph build over the FULL undirected edge set; every k reuses
+    # these resident shards with a different dead mask
+    def to_names(t: pa.Table):
+        if t.num_rows == 0 or "u" not in t.schema.names:
+            return
+        yield pa.table(
+            {
+                "src_name": pc.cast(t.column("u"), pa.string()),
+                "dst_name": pc.cast(t.column("v"), pa.string()),
+            }
+        )
 
-        def keep_fn(t: pa.Table, hubs=hubs):
-            if t.num_rows == 0 or "u" not in t.schema.names:
-                return
-            u = t.column("u").to_numpy(zero_copy_only=False)
-            v = t.column("v").to_numpy(zero_copy_only=False)
-            if len(hubs):
-                bad = np.isin(u, hubs) | np.isin(v, hubs)
-            else:
-                bad = np.zeros(len(u), bool)
-            if bad.all():
-                return
-            yield pa.table(
-                {
-                    "src_name": pc.cast(pa.array(u[~bad]), pa.string()),
-                    "dst_name": pc.cast(pa.array(v[~bad]), pa.string()),
-                }
+    gdir = tempfile.mkdtemp(prefix="rayrank_attack_")
+    build_graph(
+        und.map_batches(to_names, batch_format="pyarrow"),
+        gdir, num_partitions=P, undirected=True,
+    )
+    meta = GraphMeta.load(os.path.join(gdir, "meta.json"))
+    shards = create_shards(gdir, meta)
+    hub_vids_all = _vids_for_names(
+        gdir, meta.Q, [str(int(x)) for x in hubs_all]
+    )
+
+    def top1(t: pa.Table):
+        if t.num_rows == 0 or "n" not in t.schema.names:
+            return
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        i = np.lexsort((lab, -n))[:1]
+        yield t.take(pa.array(i))
+
+    out = []
+    try:
+        for k in ATTACK_KS:
+            hubs = np.sort(hubs_all[:k])
+
+            def cnt_pre(t: pa.Table, hubs=hubs):
+                if t.num_rows == 0 or "u" not in t.schema.names:
+                    return
+                u = t.column("u").to_numpy(zero_copy_only=False)
+                v = t.column("v").to_numpy(zero_copy_only=False)
+                if len(hubs):
+                    bad = np.isin(u, hubs) | np.isin(v, hubs)
+                    n = int((~bad).sum())
+                else:
+                    n = len(u)
+                yield pa.table({"c": pa.array([n], pa.int64())})
+
+            n_kept = int(
+                und.map_batches(cnt_pre, batch_format="pyarrow").sum("c")
+                or 0
             )
 
-        kept = und.map_batches(keep_fn, batch_format="pyarrow").materialize()
-        n_kept = kept.count()
-        gdir = tempfile.mkdtemp(prefix=f"rayrank_attack_{k}_")
-        build_graph(kept, gdir, num_partitions=P, undirected=True)
-        cc = connected_components(gdir)
-
-        @ray.remote
-        def label_counts(ref) -> pa.Table:
-            vals = np.asarray(ref, np.int64)
-            labs, counts = np.unique(vals, return_counts=True)
-            return pa.table({"label": labs, "n": counts.astype(np.int64)})
-
-        sizes = keyed_reagg(
-            ray.data.from_arrow_refs(
-                [label_counts.remote(r) for r in cc.part_refs]
-            ),
-            ["label"], [("n", "sum")], P,
-        )
-
-        def top1(t: pa.Table):
-            if t.num_rows == 0 or "n" not in t.schema.names:
-                return
-            n = t.column("n").to_numpy(zero_copy_only=False)
-            lab = t.column("label").to_numpy(zero_copy_only=False)
-            i = np.lexsort((lab, -n))[:1]
-            yield t.take(pa.array(i))
-
-        giant = (
-            sizes.map_batches(top1, batch_size=None, batch_format="pyarrow")
-            .repartition(1)
-            .map_batches(top1, batch_size=None, batch_format="pyarrow")
-            .take_all()
-        )
-        out.append(
-            (k, n_kept, int(giant[0]["n"]) if giant else 0)
-        )
+            hub_vids = np.sort(hub_vids_all[:k])
+            ray.get([s.set_dead.remote(hub_vids) for s in shards])
+            iterate_labels(
+                gdir,
+                gather_method="gather_min",
+                reduce_method="reduce_min_masked",
+                max_iterations=200,
+                shards=shards,
+                algo_name="attack_cc",
+                init_fn=lambda sh: ray.get(
+                    [s.init_labels_masked.remote() for s in sh]
+                ),
+            )
+            sizes = keyed_reagg(
+                ray.data.from_arrow_refs(
+                    [s.masked_label_census.remote() for s in shards]
+                ),
+                ["label"], [("n", "sum")], P,
+            )
+            giant = (
+                sizes.map_batches(
+                    top1, batch_size=None, batch_format="pyarrow"
+                )
+                .repartition(1)
+                .map_batches(top1, batch_size=None, batch_format="pyarrow")
+                .take_all()
+            )
+            out.append(
+                (k, n_kept, int(giant[0]["n"]) if giant else 0)
+            )
+    finally:
+        for s in shards:  # resident shard actors pin CPUs (bench lesson)
+            ray.kill(s)
 
     return ray.data.from_arrow(
         pa.table(

@@ -674,6 +674,60 @@ class CsrShard:
         return changed
 
     # ------------------------------------------------------------------
+    # masked CC (vertex-removal robustness without a graph rebuild)
+    # ------------------------------------------------------------------
+
+    def set_dead(self, hub_vids: np.ndarray) -> None:
+        """Mark a (small, driver-broadcast) global vid set DEAD for the
+        masked-CC rounds: dead vertices' labels are pinned at
+        ``INF_DIST`` (min identity — they transmit nothing and are
+        clamped back after every reduce, so they can never act as a
+        conduit), which removes every incident edge semantically
+        without touching the resident CSR arrays.  One graph build
+        then serves a whole descending-k robustness sweep.  Also
+        precomputes the ACTIVE set — alive vertices with ≥1 alive
+        out-neighbor — which on the undirected layout (both directions
+        present) is exactly 'has a surviving incident edge', the
+        vertex census a fresh build over surviving edges would have."""
+        hubs = np.asarray(hub_vids, np.int64)
+        self._dead = np.zeros(self.s_p, bool)
+        if len(hubs):
+            mine = hubs[hubs % self.Q == self.p] // self.Q
+            self._dead[mine] = True
+        act = np.zeros(self.s_p, bool)
+        if len(self.dst_sorted):
+            ok = ~self._dead[self.src_l]
+            if len(hubs):
+                ok &= ~np.isin(self.dst_sorted, hubs)
+            act[self.src_l[ok]] = True
+        self._mask_active = act
+
+    def init_labels_masked(self) -> None:
+        self.init_labels()
+        self.labels[self._dead] = INF_DIST
+
+    def reduce_min_masked(self, *parts) -> int:
+        """reduce_min with the dead clamp: in-edges from alive sources
+        still exist in the CSR, so dead targets would otherwise absorb
+        finite labels and count as 'changed' forever."""
+        new = self.labels.copy()
+        for idx, mins in parts:
+            if len(idx):
+                np.minimum.at(new, idx, mins)
+        new[self._dead] = INF_DIST
+        changed = int(np.count_nonzero(new != self.labels))
+        self.labels = new
+        return changed
+
+    def masked_label_census(self) -> pa.Table:
+        """(label, n) over ACTIVE vertices only — matches the vertex
+        set a fresh build over surviving edges would census (isolated
+        survivors are not size-1 components)."""
+        labs = self.labels[self._mask_active]
+        u, c = np.unique(labs, return_counts=True)
+        return pa.table({"label": u, "n": c.astype(np.int64)})
+
+    # ------------------------------------------------------------------
     # max-min (widest / bottleneck path)
     # ------------------------------------------------------------------
 
