@@ -767,6 +767,81 @@ def minhash_once() -> dict:
             "docs_per_sec": round(n_docs / dt, 1)}
 
 
+def textstage_once() -> dict:
+    """Text-analysis stage throughput (TokenCounter → QualityScorer →
+    LangId chained, the doc_quality feature block) over the tiled
+    1.28M-doc corpus — the r4 vectorized polars/bincount kernels vs
+    (TEXTSTAGE_PER_ROW=1) mirrors of the r3 per-word loops built from
+    the retained row-reference kernels.  Evidence for the r3 VERDICT
+    item #2 done-criterion (outputs are bit-identical; see
+    tests/test_text_kernel_parity.py)."""
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    per_row = os.environ.get("TEXTSTAGE_PER_ROW", "") == "1"
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             logging_level="ERROR")
+    from rayrank import configure_data_context
+    from rayrank.text import (LangId, QualityScorer, TokenCounter,
+                              langid_row_reference, quality_row_reference,
+                              token_counts_row_reference)
+
+    configure_data_context()
+    cdir = _invindex_corpus_dir()
+    import numpy as _np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_table(cdir, columns=["doc_id"]).num_rows  # warm cache
+    docs = ray.data.read_parquet(cdir).select_columns(["doc_id", "text"])
+    conc = (1, max(2, ncpu // 2))
+
+    class PerRowStage:
+        """All three per-row reference kernels per doc, one pass."""
+
+        def __call__(self, batch):
+            texts = batch.column("text").to_pylist()
+            rows = [
+                token_counts_row_reference(t)
+                + langid_row_reference(t)
+                + quality_row_reference(t)
+                for t in texts
+            ]
+            cols = list(zip(*rows)) if rows else [[]] * 9
+            return _pa.table({
+                "doc_id": batch.column("doc_id"),
+                "ws_tokens": _pa.array(cols[0], _pa.int64()),
+                "re_tokens": _pa.array(cols[1], _pa.int64()),
+                "lang_pred": _pa.array(cols[2], _pa.string()),
+                "lang_score": _pa.array(cols[3], _pa.float64()),
+                "n_chars_q": _pa.array(cols[4], _pa.int64()),
+                "punct_ratio": _pa.array(cols[5], _pa.float64()),
+                "stopword_ratio": _pa.array(cols[6], _pa.float64()),
+                "digit_ratio": _pa.array(cols[7], _pa.float64()),
+                "mean_word_len": _pa.array(cols[8], _pa.float64()),
+            })
+
+    t0 = time.perf_counter()
+    if per_row:
+        n = docs.map_batches(
+            PerRowStage, batch_format="pyarrow", concurrency=conc
+        ).count()
+    else:
+        n = (
+            docs.map_batches(TokenCounter, batch_format="pyarrow",
+                             concurrency=conc)
+            .map_batches(QualityScorer, batch_format="pyarrow",
+                         concurrency=conc)
+            .map_batches(LangId, batch_format="pyarrow", concurrency=conc)
+            .count()
+        )
+    dt = time.perf_counter() - t0
+    ray.shutdown()
+    return {"num_cpus": ncpu, "docs": n_docs, "rows": n,
+            "per_row": per_row, "textstage_sec": round(dt, 3),
+            "docs_per_sec": round(n_docs / dt, 1)}
+
+
 def spandedup_once() -> dict:
     """Span-level dedup coverage (terms.span_dedup_stats) over the
     tiled corpus — two corpus scans, a gram-keyed df reduce, a
@@ -1191,6 +1266,9 @@ if __name__ == "__main__":
         sys.exit(0)
     if "--stats" in sys.argv:
         stage_stats(sys.argv[sys.argv.index("--stats") + 1])
+        sys.exit(0)
+    if "--textstage-once" in sys.argv:
+        print(json.dumps(textstage_once()))
         sys.exit(0)
     if "--jaccard-once" in sys.argv:
         print(json.dumps(jaccard_once()))

@@ -38,78 +38,180 @@ _STOPWORDS = {
 }
 
 
+_WORD_PAT = r"[a-zA-Z']+"
+
+
+def _word_explode(texts_col):
+    """(lens, flat_lower, flat_charlens) for the ``_WORD_PAT`` word
+    regex over a text column: per-doc word counts plus the exploded
+    lowercase words and their char lengths as numpy/arrow — ONE polars
+    extract_all, zero per-word Python (r3 VERDICT item #2).  Empty-list
+    explode yields a null row in polars; dropped, so the flat arrays
+    align with ``np.repeat(arange, lens)``."""
+    from . import polars_mod
+
+    pl = polars_mod()
+    s = pl.from_arrow(
+        texts_col.combine_chunks()
+        if isinstance(texts_col, pa.ChunkedArray)
+        else texts_col
+    )
+    lst = s.str.extract_all(_WORD_PAT)
+    lens = lst.list.len().to_numpy().astype(np.int64)
+    flat = lst.explode().drop_nulls().str.to_lowercase()
+    charlens = flat.str.len_chars().to_numpy().astype(np.int64)
+    return lens, flat, charlens
+
+
+def token_counts_row_reference(text: str) -> tuple[int, int]:
+    """Per-row reference kernel for :class:`TokenCounter` (kept in
+    sync with the batched path; parity-asserted in tests)."""
+    word_re = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+    return len(text.split()), len(word_re.findall(text))
+
+
 class TokenCounter:
-    """Whitespace tokens + a BPE-ish regex token count (stateful stage:
-    regexes compiled once per actor)."""
+    """Whitespace tokens + a BPE-ish regex token count.  Batched: two
+    polars count_matches kernels per block (``\\S+`` runs ARE
+    str.split() tokens on this corpus — parity-asserted against
+    :func:`token_counts_row_reference`)."""
 
     def __init__(self):
-        self.word_re = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+        from . import polars_mod
+
+        self.pl = polars_mod()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        ws = np.fromiter((len(t.split()) for t in texts), np.int64, len(texts))
-        bpe = np.fromiter(
-            (len(self.word_re.findall(t)) for t in texts), np.int64, len(texts)
+        col = batch.column("text")
+        s = self.pl.from_arrow(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        )
+        ws = s.str.count_matches(r"\S+").to_numpy().astype(np.int64)
+        bpe = (
+            s.str.count_matches(r"\w+|[^\w\s]").to_numpy().astype(np.int64)
         )
         return batch.append_column("ws_tokens", pa.array(ws)).append_column(
             "re_tokens", pa.array(bpe)
         )
 
 
+def langid_row_reference(
+    text: str, langs: tuple[str, ...] = ("en", "de", "fr", "es")
+) -> tuple[str, float]:
+    """Per-row reference kernel for :class:`LangId` (the pre-r4
+    per-word loop, kept for the bit-equality parity test)."""
+    word_re = re.compile(_WORD_PAT)
+    tables = [frozenset(_STOPWORDS[lg]) for lg in langs]
+    words = [w.lower() for w in word_re.findall(text)]
+    n = max(1, len(words))
+    scores = [sum(w in tbl for w in words) / n for tbl in tables]
+    i = int(np.argmax(scores))
+    return (langs[i] if scores[i] > 0 else "und"), scores[i]
+
+
 class LangId:
     """N-gram/stopword-ratio language heuristic over the supported set;
-    emits best language and its score (0 when no evidence)."""
+    emits best language and its score (0 when no evidence).
+
+    Batched: one polars word explode per block, per-language membership
+    via ``pc.is_in`` + bincount folds — no per-word Python.  Outputs
+    are bit-identical to :func:`langid_row_reference`: counts share the
+    divisor ``max(1, n_words)`` so the float scores are the same IEEE
+    divisions, and ``np.argmax`` keeps the same first-max tie rule."""
 
     def __init__(self, langs: tuple[str, ...] = ("en", "de", "fr", "es")):
         self.langs = langs
-        self.tables = [frozenset(_STOPWORDS[lg]) for lg in langs]
-        self.word_re = re.compile(r"[a-zA-Z']+")
+        self.value_sets = [
+            pa.array(sorted(_STOPWORDS[lg])) for lg in langs
+        ]
+        from . import polars_mod
+
+        polars_mod()  # worker-side import/repair once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        best_lang, best_score = [], []
-        for t in texts:
-            words = [w.lower() for w in self.word_re.findall(t)]
-            n = max(1, len(words))
-            scores = [
-                sum(w in tbl for w in words) / n for tbl in self.tables
-            ]
-            i = int(np.argmax(scores))
-            best_lang.append(self.langs[i] if scores[i] > 0 else "und")
-            best_score.append(scores[i])
+        n = batch.num_rows
+        lens, flat, _ = _word_explode(batch.column("text"))
+        flat_a = flat.to_arrow()
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        denom = np.maximum(lens, 1).astype(np.float64)
+        scores = np.empty((len(self.langs), n), np.float64)
+        for j, vs in enumerate(self.value_sets):
+            m = pc.is_in(flat_a, value_set=vs).to_numpy(
+                zero_copy_only=False
+            )
+            scores[j] = np.bincount(doc_idx[m], minlength=n) / denom
+        best = np.argmax(scores, axis=0)
+        best_score = scores[best, np.arange(n)]
+        langs_arr = np.array(self.langs, dtype=object)
+        best_lang = np.where(best_score > 0, langs_arr[best], "und")
         return batch.append_column(
             "lang_pred", pa.array(best_lang, pa.string())
         ).append_column("lang_score", pa.array(best_score, pa.float64()))
 
 
+def quality_row_reference(text: str) -> tuple:
+    """Per-row reference kernel for :class:`QualityScorer` feature
+    columns: (n_chars, punct_ratio, stop_ratio, digit_ratio,
+    mean_wlen) — the pre-r4 per-word loop."""
+    word_re = re.compile(_WORD_PAT)
+    punct_re = re.compile(r"[^\w\s]")
+    digit_re = re.compile(r"\d")
+    stop = _STOPWORDS["en"]
+    length = len(text)
+    punct_ratio = stop_ratio = digit_ratio = mean_wlen = 0.0
+    if text:
+        punct_ratio = len(punct_re.findall(text)) / length
+        digit_ratio = len(digit_re.findall(text)) / length
+        words = word_re.findall(text)
+        if words:
+            stop_ratio = sum(w.lower() in stop for w in words) / len(words)
+            mean_wlen = float(np.mean([len(w) for w in words]))
+    return length, punct_ratio, stop_ratio, digit_ratio, mean_wlen
+
+
 class QualityScorer:
     """Length / punctuation / stopword / digit heuristics → [0,1] score
-    (the usual pre-training quality gates, vectorized per batch)."""
+    (the usual pre-training quality gates).
+
+    Batched: polars count_matches for the char-class ratios, one word
+    explode + bincount folds for the word features — no per-word
+    Python.  Bit-identical to :func:`quality_row_reference`: the ratio
+    divisions share numerators/denominators with the per-row path, and
+    the word-length mean is a float64 sum of small ints (every partial
+    sum exact below 2^53, so summation ORDER cannot change the value)
+    divided by the same count."""
 
     def __init__(self):
-        self.word_re = re.compile(r"[a-zA-Z']+")
-        self.punct_re = re.compile(r"[^\w\s]")
-        self.digit_re = re.compile(r"\d")
-        self.stop = _STOPWORDS["en"]
+        from . import polars_mod
+
+        self.pl = polars_mod()
+        self.stop_set = pa.array(sorted(_STOPWORDS["en"]))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n = len(texts)
-        length = np.zeros(n)
-        punct_ratio = np.zeros(n)
-        stop_ratio = np.zeros(n)
-        digit_ratio = np.zeros(n)
-        mean_wlen = np.zeros(n)
-        for i, t in enumerate(texts):
-            length[i] = len(t)
-            if not t:
-                continue
-            punct_ratio[i] = len(self.punct_re.findall(t)) / len(t)
-            digit_ratio[i] = len(self.digit_re.findall(t)) / len(t)
-            words = self.word_re.findall(t)
-            if words:
-                stop_ratio[i] = sum(w.lower() in self.stop for w in words) / len(words)
-                mean_wlen[i] = float(np.mean([len(w) for w in words]))
+        col = batch.column("text")
+        s = self.pl.from_arrow(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        )
+        n = batch.num_rows
+        length = s.str.len_chars().to_numpy().astype(np.float64)
+        np_len = np.maximum(length, 1.0)
+        punct_ratio = (
+            s.str.count_matches(r"[^\w\s]").to_numpy().astype(np.float64)
+            / np_len
+        )
+        digit_ratio = (
+            s.str.count_matches(r"\d").to_numpy().astype(np.float64) / np_len
+        )
+        lens, flat, charlens = _word_explode(col)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        sm = pc.is_in(flat.to_arrow(), value_set=self.stop_set).to_numpy(
+            zero_copy_only=False
+        )
+        stop_cnt = np.bincount(doc_idx[sm], minlength=n).astype(np.float64)
+        wlen_sum = np.bincount(doc_idx, weights=charlens, minlength=n)
+        wdenom = np.maximum(lens, 1).astype(np.float64)
+        stop_ratio = stop_cnt / wdenom
+        mean_wlen = wlen_sum / wdenom
         len_score = np.clip(length / 500.0, 0, 1)
         score = (
             0.35 * len_score
