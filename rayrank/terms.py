@@ -1315,6 +1315,11 @@ FROM per, ntok
 
 DUP_NGRAM_N = 4
 DUP_NGRAM_DF = 2
+# span-dedup dup-hash-set broadcast guard (int64 keys; 64M ≈ 0.5 GB —
+# ONE plasma copy per node): below it the dup membership test is a
+# block-local sorted-array lookup with zero wide exchange, above it the
+# bloom-gated partitioned semi join takes over
+SPAN_DUP_BCAST_LIMIT = 64_000_000
 
 
 def duplicate_ngram_fraction(
@@ -1362,15 +1367,15 @@ def duplicate_ngram_fraction(
     ).materialize()  # (doc, gram)-distinct rows; reused by df + totals
 
     def df_partial(t: pa.Table):
-        if len(t) == 0 or "gram" not in t.schema.names:
+        if len(t) == 0 or "gh" not in t.schema.names:
             return
         g = (
-            t.select(["gram"])
+            t.select(["gh"])
             .append_column("df", pa.array(np.ones(len(t), np.int64)))
-            .group_by(["gram"])
+            .group_by(["gh"])
             .aggregate([("df", "sum")])
         )
-        yield g.rename_columns(["gram", "df"])
+        yield g.rename_columns(["gh", "df"])
 
     dfs = keyed_reagg(
         pairs.map_batches(df_partial, batch_format="pyarrow"),
@@ -1689,6 +1694,23 @@ def _gram_pairs_pos(t: pa.Table, n: int):
     return ids, pos.astype(np.int64), gram
 
 
+def _hash_grams(gram) -> pa.Array:
+    """int64 polars (seed 0) hash of a gram string array — gram
+    IDENTITY for the span-dedup exchanges.  Shuffling 64-bit hashes
+    instead of ~40-byte gram strings cuts the two heaviest exchanges
+    of the chain ~3× in bytes (measured; BASELINE.md round 4).  Hash
+    identity carries the standard birthday bound (~n²/2⁶⁵ expected
+    collisions — ~10⁻⁴ at the 54M-gram bench corpus), the SAME
+    semantics every minhash/shingle operator in this repo already
+    uses for shingle identity; gram strings never appear in any
+    output, so the driver-checked result is unchanged."""
+    from . import polars_mod
+
+    pl = polars_mod()
+    g = gram.combine_chunks() if isinstance(gram, pa.ChunkedArray) else gram
+    return pa.array(pl.from_arrow(g).hash(seed=0).to_numpy().view(np.int64))
+
+
 def span_dedup_stats(
     sf_dir: str, n: int = DUP_NGRAM_N, min_df: int = DUP_NGRAM_DF
 ) -> ray.data.Dataset:
@@ -1700,15 +1722,21 @@ def span_dedup_stats(
     covered_frac); docs shorter than n tokens are excluded both sides
     (they have no windows), so n_tokens = n_pos + n − 1 exactly.
 
-    Scale shape: pass 1 reuses the duplicate_ngram_fraction reduce
-    (block-distinct (doc, gram) → gram-keyed df re-agg → dup set,
-    bounded by the duplicated vocabulary); pass 2 re-scans with
-    positions, keeps only dup-gram windows via join_auto semi (the
-    broadcast guard applies), ONE doc-keyed repartition co-locates a
-    document's surviving positions, and the island kernel (sort +
-    gap>n−1 breaks) is fully vectorized.  Interval union is exact:
-    islands are separated by gaps ≥ n, so island [s, e] contributes
-    e − s + n non-overlapping tokens."""
+    Scale shape (restructured r4): gram identity is a 64-bit polars
+    hash (:func:`_hash_grams` — strings never shuffle); pass 1 folds
+    (gh, df) partials straight out of the scan (block-distinct
+    (doc, gh) IS global distinct) into ONE gram-keyed re-agg; per-doc
+    totals are block-local with ZERO exchange (n_pos = tokens − n + 1);
+    pass 2 re-scans with positions and tests dup membership against
+    the broadcast sorted dup-hash array (block-local searchsorted, no
+    exchange) under ``SPAN_DUP_BCAST_LIMIT``, falling back to the
+    bloom-gated partitioned semi join above it; ONE doc-keyed
+    repartition of bare (doc_id, pos) int rows co-locates a document's
+    surviving positions for the vectorized island kernel (sort +
+    gap>n−1 breaks).  Exchanges: 2 keyed + the final join (pre-r4: 4
+    keyed incl. a 65M-row string shuffle + a 65M-row materialize).
+    Interval union is exact: islands are separated by gaps ≥ n, so
+    island [s, e] contributes e − s + n non-overlapping tokens."""
     from . import dyn_partitions
     from .joins import join_auto
     from .shuffle import keyed_reagg
@@ -1719,48 +1747,38 @@ def span_dedup_stats(
     # spandedup_scaling_320k = 0.466).
     P = dyn_partitions()
 
-    def pair_distinct(t: pa.Table):
+    def df_block(t: pa.Table):
+        """Per-block (gh, df) partials in ONE pass: block-local
+        distinct (doc, gh) IS global distinct (a document is one
+        parquet row), so the per-gram distinct-doc count can fold
+        straight out of the scan — the pre-r4 chain materialized a
+        65M-row (doc, gh, tf) intermediate just to re-derive this."""
         if len(t) == 0:
             return
         rows, gram = _gram_pairs(t, n)
         if rows is None:
             return
         docs = t.column("doc_id").to_numpy(zero_copy_only=False)[rows]
-        g = (
-            pa.table(
-                {
-                    "doc_id": pa.array(docs),
-                    "gram": gram,
-                    "tf": pa.array(np.ones(len(docs), np.int64)),
-                }
-            )
-            .group_by(["doc_id", "gram"])
-            .aggregate([("tf", "sum")])
+        dd = (
+            pa.table({"doc_id": pa.array(docs), "gh": _hash_grams(gram)})
+            .group_by(["doc_id", "gh"])
+            .aggregate([])
         )
-        yield g.rename_columns(["doc_id", "gram", "tf"])
-
-    pairs = _read_docs(sf_dir).map_batches(
-        pair_distinct, batch_format="pyarrow"
-    ).materialize()  # (doc, gram)-distinct; feeds df AND totals
-
-    def df_partial(t: pa.Table):
-        if len(t) == 0 or "gram" not in t.schema.names:
-            return
         g = (
-            t.select(["gram"])
-            .append_column("df", pa.array(np.ones(len(t), np.int64)))
-            .group_by(["gram"])
+            dd.select(["gh"])
+            .append_column("df", pa.array(np.ones(len(dd), np.int64)))
+            .group_by(["gh"])
             .aggregate([("df", "sum")])
         )
-        yield g.rename_columns(["gram", "df"])
+        yield g.rename_columns(["gh", "df"])
 
     from .shuffle import materialize_cut as _mcut
 
     # materialized ONCE: feeds the dup derivation AND the bloom
     # selectivity gate's total-gram count without re-running the reduce
     dfs = _mcut(keyed_reagg(
-        pairs.map_batches(df_partial, batch_format="pyarrow"),
-        ["gram"], [("df", "sum")], P,
+        _read_docs(sf_dir).map_batches(df_block, batch_format="pyarrow"),
+        ["gh"], [("df", "sum")], P,
     ))
 
     def dup_only(t: pa.Table):
@@ -1768,24 +1786,42 @@ def span_dedup_stats(
             return
         keep = t.filter(pc.greater_equal(t.column("df"), min_df))
         if len(keep):
-            yield keep.select(["gram"])
+            yield keep.select(["gh"])
 
     dup = dfs.map_batches(dup_only, batch_format="pyarrow")
 
-    def tot_partial(t: pa.Table):
-        if len(t) == 0 or "tf" not in t.schema.names:
+    def tot_block(t: pa.Table):
+        """(doc_id, n_pos) with ZERO exchange: n_pos = window count =
+        token count − n + 1 per doc, computable block-locally because a
+        document never splits across blocks; docs shorter than n tokens
+        are excluded (no windows), matching the pre-r4 reduce exactly.
+        No gram build, no hash — the cheapest of the three scans."""
+        if len(t) == 0:
             return
-        g = (
-            t.select(["doc_id", "tf"])
-            .group_by(["doc_id"])
-            .aggregate([("tf", "sum")])
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t.column("text")), pattern=r"\s+"
         )
-        yield g.rename_columns(["doc_id", "n_pos"])
+        arr = (
+            toks.combine_chunks()
+            if isinstance(toks, pa.ChunkedArray)
+            else toks
+        )
+        offsets = arr.offsets.to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(arr)), np.diff(offsets))
+        keep = pc.not_equal(arr.values, "").to_numpy(zero_copy_only=False)
+        cnt = np.bincount(doc_idx[keep], minlength=len(arr))
+        m = cnt >= n
+        if not m.any():
+            return
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)[m]
+        yield pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_pos": pa.array((cnt[m] - n + 1).astype(np.int64)),
+            }
+        )
 
-    totals = keyed_reagg(
-        pairs.map_batches(tot_partial, batch_format="pyarrow"),
-        ["doc_id"], [("n_pos", "sum")], P,
-    )
+    totals = _read_docs(sf_dir).map_batches(tot_block, batch_format="pyarrow")
 
     def positions(t: pa.Table):
         if len(t) == 0:
@@ -1793,50 +1829,57 @@ def span_dedup_stats(
         ids, pos, gram = _gram_pairs_pos(t, n)
         if ids is None:
             return
-        yield pa.table({"doc_id": pa.array(ids), "pos": pa.array(pos), "gram": gram})
+        yield pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "pos": pa.array(pos),
+                "gh": _hash_grams(gram),
+            }
+        )
 
     pos_stream = _read_docs(sf_dir).map_batches(positions, batch_format="pyarrow")
-    # Bloom prefilter (r2 VERDICT #4): when the dup-gram set is too big
-    # for join_auto's broadcast semi (so the positions would
-    # hash-partition in full), broadcast a Bloom filter of the dup-gram
-    # HASHES and drop definite-non-dup positions BEFORE the shuffle —
-    # no false negatives, so the exact semi join behind it is
-    # unchanged.  On real corpora (10–30 % dup rates) this removes most
-    # of the exchanged rows; on the all-dup synthetic tile corpus it
-    # keeps nearly everything (measured and documented in BASELINE.md).
-    from .joins import BROADCAST_JOIN_LIMIT, bloom_bits, bloom_prefilter
+    from .joins import (BROADCAST_JOIN_LIMIT, bloom_bits, bloom_prefilter,
+                        broadcast_semi_filter)
     from .shuffle import materialize_cut
 
     dup = materialize_cut(dup)
     n_dup = dup.count()
-    n_grams = dfs.count()
-    # selectivity gate: a Bloom filter only pays when it can PRUNE —
-    # if most grams are duplicated (boilerplate-heavy corpora, the
-    # synthetic tile corpus), nearly every position passes and the
-    # probe pass is pure overhead, so skip it.  Gram-fraction
-    # UNDERestimates position-fraction (positions skew toward high-df
-    # grams), so a high gram-fraction is a safe skip signal.
-    if n_dup > BROADCAST_JOIN_LIMIT and n_dup * 2 < n_grams:
-        def gram_hash(t: pa.Table):
-            if len(t) == 0 or "gram" not in t.schema.names:
-                return
-            from . import polars_mod
-
-            pl = polars_mod()
-            gh = pl.from_arrow(
-                t.column("gram").combine_chunks()
-            ).hash(seed=0).to_numpy().astype(np.int64)
-            yield t.append_column("gh", pa.array(gh))
-
-        bits_ref, m, k = bloom_bits(
-            dup.map_batches(gram_hash, batch_format="pyarrow"), "gh", n_dup
+    # dup membership is a KEY-SET lookup, not a general join: while the
+    # dup-hash set fits SPAN_DUP_BCAST_LIMIT int64s (~0.5 GB plasma at
+    # the cap — ONE shared copy per node), ship the sorted array once
+    # and filter block-locally (searchsorted) with ZERO wide exchange —
+    # the same broadcast-sorted-lookup regime as the jaccard blob
+    # verify.  Above the guard, fall back to the bloom-gated
+    # partitioned semi join (r2 VERDICT #4).
+    if n_dup <= SPAN_DUP_BCAST_LIMIT:
+        parts = [
+            b.column("gh").to_numpy(zero_copy_only=False)
+            for b in dup.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        dup_keys = (
+            np.concatenate(parts) if parts else np.zeros(0, np.int64)
         )
-        pos_stream = bloom_prefilter(
-            pos_stream.map_batches(gram_hash, batch_format="pyarrow"),
-            "gh", bits_ref, m, k,
-        ).drop_columns(["gh"])
-    hits = join_auto(pos_stream, dup, on=("gram",), how="semi", num_partitions=P)
-    co = hits.repartition(P, keys=["doc_id"])
+        hits = broadcast_semi_filter(pos_stream, dup_keys, "gh", True)
+    else:
+        n_grams = dfs.count()
+        # selectivity gate: a Bloom filter only pays when it can PRUNE
+        # — if most grams are duplicated (boilerplate-heavy corpora),
+        # nearly every position passes and the probe pass is pure
+        # overhead, so skip it.  Gram-fraction UNDERestimates
+        # position-fraction (positions skew toward high-df grams), so
+        # a high gram-fraction is a safe skip signal.
+        if n_dup * 2 < n_grams:
+            # gram identity is ALREADY the polars hash — the bloom
+            # probe keys on the gh column directly
+            bits_ref, m, k = bloom_bits(dup, "gh", n_dup)
+            pos_stream = bloom_prefilter(pos_stream, "gh", bits_ref, m, k)
+        hits = join_auto(
+            pos_stream, dup, on=("gh",), how="semi", num_partitions=P
+        )
+    # islands needs only (doc_id, pos): dropping gh before the
+    # doc-keyed exchange cuts its shuffled bytes ~2x
+    co = hits.drop_columns(["gh"]).repartition(P, keys=["doc_id"])
 
     def islands(t: pa.Table):
         if t.num_rows == 0 or "pos" not in t.schema.names:

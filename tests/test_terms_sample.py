@@ -103,3 +103,56 @@ def test_span_dedup_stats_brute_force(tmp_path):
         for r in b.to_pylist()
     }
     assert got == want
+
+
+def test_span_dedup_stats_forced_fallback_paths(tmp_path, monkeypatch):
+    """The at-scale regimes no test corpus reaches naturally: force the
+    partitioned semi join (SPAN_DUP_BCAST_LIMIT=0) in BOTH gate
+    branches — bloom prefilter ON (mostly-unique corpus: n_dup*2 <
+    n_grams) and OFF (all-dup corpus of identical docs: gate skips) —
+    and require row-identical output to the broadcast-lookup default.
+    Guard-gated code must be forced-tested (the r3 jaccard rule)."""
+    import pyarrow.parquet as pq
+
+    import rayrank.terms as tm
+
+    def corpus(d, texts):
+        d.mkdir(exist_ok=True)
+        t = pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array(
+                    [texts[k] for k in sorted(texts)], pa.string()
+                ),
+            }
+        )
+        pq.write_table(t, str(d / "documents.parquet"))
+        return str(d)
+
+    def rows(ds):
+        return sorted(
+            (r["doc_id"], r["n_tokens"], r["covered_tokens"])
+            for b in ds.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        )
+
+    # mostly-unique corpus: few dup grams among many -> bloom gate ON
+    sparse = corpus(tmp_path / "sparse", {
+        1: "a b c d e f g h i j",
+        2: "a b c d e f g x y z",
+        3: "p q r s t u v w m n o k",
+        4: "x y z a b c d q q q q q q",
+        5: "k1 k2 k3 k4 k5 k6 k7 k8 k9",
+    })
+    # all-dup corpus: every gram dup -> gate skips bloom
+    dense = corpus(tmp_path / "dense", {
+        1: "a b c d e f g h",
+        2: "a b c d e f g h",
+    })
+
+    for d in (sparse, dense):
+        fast = rows(tm.span_dedup_stats(d))
+        assert fast, "fixture must produce rows"
+        monkeypatch.setattr(tm, "SPAN_DUP_BCAST_LIMIT", 0)
+        assert rows(tm.span_dedup_stats(d)) == fast
+        monkeypatch.undo()
