@@ -49,18 +49,27 @@ class NullEmbedding(EmbeddingModel):
         raise KeyError(word)
 
 
+def wrap_keyed_vectors(vectors) -> EmbeddingModel:
+    """Adapter for any gensim-KeyedVectors-shaped object (anything with
+    ``most_similar(word, topn=) -> [(word, sim), ...]`` raising
+    ``KeyError`` on OOV).  Split from :func:`gensim_embedding` so the
+    adapter contract is testable with an in-memory KeyedVectors on
+    hosts that have gensim — no model download needed (guarded test in
+    tests/test_real_model_contracts.py; skips cleanly here)."""
+
+    class _G(EmbeddingModel):
+        def most_similar(self, word, topn=10):
+            return vectors.most_similar(word, topn=topn)
+
+    return _G()
+
+
 def gensim_embedding(name: str = "glove-wiki-gigaword-300") -> EmbeddingModel:
     """The reference's actual model (pagerank.py:14) — import-gated;
     unavailable in this sandbox."""
     import gensim.downloader  # pragma: no cover
 
-    vectors = gensim.downloader.load(name)  # pragma: no cover
-
-    class _G(EmbeddingModel):  # pragma: no cover
-        def most_similar(self, word, topn=10):
-            return vectors.most_similar(word, topn=topn)
-
-    return _G()  # pragma: no cover
+    return wrap_keyed_vectors(gensim.downloader.load(name))  # pragma: no cover
 
 
 def parse_terms(query: str) -> tuple[list[str], list[str]]:
