@@ -308,16 +308,43 @@ def join_auto(
     return hash_join(left, right, on, right_on, how, num_partitions)
 
 
+def sorted_keys_ref(ds: ray.data.Dataset, column: str):
+    """ObjectRef of the SORTED int64 key array of a (guard-bounded)
+    dataset column, built in ONE remote task from the block refs — the
+    array never round-trips through the driver (a 39M-key pull via
+    iter_batches measured 20.6 s; this path is the plasma-native
+    equivalent).  Feed the ref straight to
+    :func:`broadcast_semi_filter`."""
+    import ray as _ray
+
+    @_ray.remote
+    def build(*tables) -> np.ndarray:
+        parts = [
+            t.column(column).to_numpy(zero_copy_only=False)
+            for t in tables
+            if t.num_rows and column in t.schema.names
+        ]
+        if not parts:
+            return np.zeros(0, np.int64)
+        return np.sort(np.concatenate(parts))
+
+    return build.remote(*ds.to_arrow_refs())
+
+
 def broadcast_semi_filter(
-    ds: ray.data.Dataset, keys: np.ndarray, column: str, keep_matching: bool
+    ds: ray.data.Dataset, keys, column: str, keep_matching: bool
 ) -> ray.data.Dataset:
     """Semi/anti join against a SMALL key set: ship the sorted key array
     once via ray.put, filter vectorized per batch (SURVEY.md §2.4 J2/J4
-    broadcast pattern — no shuffle)."""
+    broadcast pattern — no shuffle).  ``keys`` is either a driver-side
+    numpy array (sorted here) or an ObjectRef to an ALREADY-SORTED
+    array (from :func:`sorted_keys_ref` — zero driver round-trip)."""
     import ray as _ray
 
-    keys = np.sort(np.asarray(keys))
-    ref = _ray.put(keys)
+    if isinstance(keys, _ray.ObjectRef):
+        ref = keys
+    else:
+        ref = _ray.put(np.sort(np.asarray(keys)))
 
     def fn(t: pa.Table) -> pa.Table:
         k = _ray.get(ref)

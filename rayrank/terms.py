@@ -1367,15 +1367,15 @@ def duplicate_ngram_fraction(
     ).materialize()  # (doc, gram)-distinct rows; reused by df + totals
 
     def df_partial(t: pa.Table):
-        if len(t) == 0 or "gh" not in t.schema.names:
+        if len(t) == 0 or "gram" not in t.schema.names:
             return
         g = (
-            t.select(["gh"])
+            t.select(["gram"])
             .append_column("df", pa.array(np.ones(len(t), np.int64)))
-            .group_by(["gh"])
+            .group_by(["gram"])
             .aggregate([("df", "sum")])
         )
-        yield g.rename_columns(["gh", "df"])
+        yield g.rename_columns(["gram", "df"])
 
     dfs = keyed_reagg(
         pairs.map_batches(df_partial, batch_format="pyarrow"),
@@ -1419,10 +1419,15 @@ def duplicate_ngram_fraction(
         )
         yield g.rename_columns(["doc_id", "dup_pos"])
 
-    dup_pos = keyed_reagg(
+    from .shuffle import materialize_cut as _mcut2
+
+    # cut before the final join (the span_dedup_stats probe-barrier
+    # lesson): an un-cut dup_pos would re-run the semi join + re-agg
+    # for join_auto's broadcast probe and again for the join itself
+    dup_pos = _mcut2(keyed_reagg(
         hit.map_batches(dup_partial, batch_format="pyarrow"),
         ["doc_id"], [("dup_pos", "sum")], P,
-    )
+    ))
 
     joined = join_auto(
         totals, dup_pos, on=("doc_id",), how="left_outer", num_partitions=P
@@ -1852,15 +1857,13 @@ def span_dedup_stats(
     # verify.  Above the guard, fall back to the bloom-gated
     # partitioned semi join (r2 VERDICT #4).
     if n_dup <= SPAN_DUP_BCAST_LIMIT:
-        parts = [
-            b.column("gh").to_numpy(zero_copy_only=False)
-            for b in dup.iter_batches(batch_format="pyarrow")
-            if b.num_rows
-        ]
-        dup_keys = (
-            np.concatenate(parts) if parts else np.zeros(0, np.int64)
+        from .joins import sorted_keys_ref
+
+        # sorted key array assembled in a remote task straight from
+        # the block refs — never round-trips through the driver
+        hits = broadcast_semi_filter(
+            pos_stream, sorted_keys_ref(dup, "gh"), "gh", True
         )
-        hits = broadcast_semi_filter(pos_stream, dup_keys, "gh", True)
     else:
         n_grams = dfs.count()
         # selectivity gate: a Bloom filter only pays when it can PRUNE
@@ -1899,7 +1902,16 @@ def span_dedup_stats(
         )
         yield g.rename_columns(["doc_id", "covered"])
 
-    covered = co.map_batches(islands, batch_size=None, batch_format="pyarrow")
+    # CUT before the final join: join_auto's broadcast probe hits the
+    # repartition barrier (limit cannot stream past it), so an un-cut
+    # covered would execute the scan→filter→repartition→islands chain
+    # up to THREE times (probe, then the join's own consumption of
+    # both plans).  Measured at 5.12M docs / 8 CPUs: the whole query
+    # 998 s un-cut vs ~330 s cut.  covered is ≤ n_docs rows — the cut
+    # is cheap by construction.
+    covered = materialize_cut(
+        co.map_batches(islands, batch_size=None, batch_format="pyarrow")
+    )
     joined = join_auto(
         totals, covered, on=("doc_id",), how="left_outer", num_partitions=P
     )
