@@ -301,7 +301,15 @@ def join_auto(
     """Broadcast the right side when it fits (:func:`broadcast_join`),
     otherwise partitioned :func:`hash_join` — the standard small-side
     guard used across the engine (BROADCAST_VERTEX_LIMIT /
-    BROADCAST_FILE_LIMIT siblings)."""
+    BROADCAST_FILE_LIMIT siblings).
+
+    CALLER CONTRACT (the r4 span-dedup lesson): when the right side is
+    EXPECTED to exceed the broadcast limit and its lineage contains a
+    barrier (any repartition/groupby — the probe's limit cannot stream
+    past it), `materialize_cut` the right side first, or the probe
+    plus the declined hash_join will execute that lineage up to three
+    times (measured 3× on a 5.12M-doc chain).  A small right side is
+    fine un-cut: the probe's materialization IS the broadcast table."""
     out = broadcast_join(left, right, on, right_on, how, broadcast_limit)
     if out is not None:
         return out
