@@ -1501,33 +1501,39 @@ def _blob_lookup_refs(blobs: ray.data.Dataset):
         return None, m
     if (m.sum("n") or 0) > JJ_BLOB_VALUES_LIMIT:
         return None, m
-    ids, ns, vals = [], [], []
-    for bt in m.iter_batches(batch_format="pyarrow"):
-        if bt.num_rows:
-            ids.append(bt.column("doc_id").to_numpy(zero_copy_only=False))
-            ns.append(bt.column("n").to_numpy(zero_copy_only=False))
-            vals.append(_blob_values(bt.column("blob"))[1])
-    if not ids:
-        z = np.zeros(0, np.int64)
-        return (_ray.put(z), _ray.put(z), _ray.put(z), _ray.put(z)), m
-    doc = np.concatenate(ids)
-    n = np.concatenate(ns)
-    flat = np.concatenate(vals)
-    starts = np.cumsum(n) - n
-    o = np.argsort(doc, kind="stable")
-    doc_s, n_s = doc[o], n[o]
-    cum = np.cumsum(n_s)
-    take = np.repeat(starts[o], n_s) + (
-        np.arange(int(cum[-1]), dtype=np.int64) - np.repeat(cum - n_s, n_s)
-    )
-    flat_s = flat[take]
-    starts_s = cum - n_s
-    return (
-        _ray.put(doc_s),
-        _ray.put(n_s),
-        _ray.put(starts_s),
-        _ray.put(flat_s),
-    ), m
+
+    # assemble the sorted lookup arrays in ONE remote task straight
+    # from the blob block refs (num_returns=4 → each array is its own
+    # plasma object).  The pre-r4 driver-side iter_batches pull +
+    # re-put measured 9.9 s SERIAL at 2.56M docs (1.07 GB round-trip)
+    # — pure non-scaling wall on both legs of the scaling ratio.
+    @_ray.remote(num_returns=4)
+    def build(*tables):
+        ids, ns, vals = [], [], []
+        for bt in tables:
+            if bt.num_rows:
+                ids.append(
+                    bt.column("doc_id").to_numpy(zero_copy_only=False)
+                )
+                ns.append(bt.column("n").to_numpy(zero_copy_only=False))
+                vals.append(_blob_values(bt.column("blob"))[1])
+        if not ids:
+            z = np.zeros(0, np.int64)
+            return z, z, z, z
+        doc = np.concatenate(ids)
+        n = np.concatenate(ns)
+        flat = np.concatenate(vals)
+        starts = np.cumsum(n) - n
+        o = np.argsort(doc, kind="stable")
+        doc_s, n_s = doc[o], n[o]
+        cum = np.cumsum(n_s)
+        take = np.repeat(starts[o], n_s) + (
+            np.arange(int(cum[-1]), dtype=np.int64)
+            - np.repeat(cum - n_s, n_s)
+        )
+        return doc_s, n_s, cum - n_s, flat[take]
+
+    return tuple(build.remote(*m.to_arrow_refs())), m
 
 
 def _verify_candidate_pairs(
@@ -2102,9 +2108,16 @@ def jaccard_join_pairs(sf_dir: str) -> ray.data.Dataset:
             return
         yield t.select(["da", "db"]).filter(pa.array(keep))
 
-    cand = stats.map_batches(
+    # materialize_cut, not bare materialize: a MaterializedDataset
+    # retains its logical plan, and the returned (lazy) verify dataset
+    # re-executed the WHOLE candidate chain on every consumption —
+    # measured 33 s of a 75 s wall at 2.56M docs for a verify map
+    # whose actual work is 0.1 s
+    from .shuffle import materialize_cut as _mcut
+
+    cand = _mcut(stats.map_batches(
         posfilter, batch_size=None, batch_format="pyarrow"
-    ).materialize()
+    ))
     if cand.count() == 0:
         return ray.data.from_arrow(_empty_jaccard_table())
 
