@@ -333,6 +333,14 @@ def sorted_keys_ref(ds: ray.data.Dataset, column: str):
             if t.num_rows and column in t.schema.names
         ]
         if not parts:
+            # no-silent-caps: distinguish a legitimately empty dataset
+            # from a wrong column name — the latter would otherwise
+            # yield an empty key set and a silently empty semi-filter
+            if any(t.num_rows for t in tables):
+                raise ValueError(
+                    f"sorted_keys_ref: no non-empty block carries "
+                    f"column {column!r}"
+                )
             return np.zeros(0, np.int64)
         return np.sort(np.concatenate(parts))
 

@@ -2801,6 +2801,11 @@ def _vids_for_names(gdir: str, Q: int, names: list[str]) -> np.ndarray:
         import pyarrow.parquet as pq
 
         d = os.path.join(gdir, "vertices", f"q={q}")
+        if not os.path.isdir(d):  # empty id partition (same guard as
+            return pa.table(      # ids._dict_slice) → the missing-name
+                {"name": pa.array([], pa.string()),  # ValueError below
+                 "vid": pa.array([], pa.int64())}    # diagnoses it
+            )
         t = pq.read_table(d, columns=["name", "vid"])
         m = pc.is_in(t.column("name"), value_set=pa.array(want))
         return t.filter(m)
@@ -2904,10 +2909,6 @@ def attack_robustness(sf_dir: str) -> ray.data.Dataset:
         gdir, num_partitions=P, undirected=True,
     )
     meta = GraphMeta.load(os.path.join(gdir, "meta.json"))
-    shards = create_shards(gdir, meta)
-    hub_vids_all = _vids_for_names(
-        gdir, meta.Q, [str(int(x)) for x in hubs_all]
-    )
 
     def top1(t: pa.Table):
         if t.num_rows == 0 or "n" not in t.schema.names:
@@ -2918,7 +2919,14 @@ def attack_robustness(sf_dir: str) -> ray.data.Dataset:
         yield t.take(pa.array(i))
 
     out = []
+    # shard actors created INSIDE the try: a failed vid probe would
+    # otherwise leak 2·Q resident actors that pin CPUs for the session
+    # (the fourteenth-sitting bench lesson)
+    shards = create_shards(gdir, meta)
     try:
+        hub_vids_all = _vids_for_names(
+            gdir, meta.Q, [str(int(x)) for x in hubs_all]
+        )
         for k in ATTACK_KS:
             hubs = np.sort(hubs_all[:k])
 

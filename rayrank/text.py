@@ -40,14 +40,25 @@ _STOPWORDS = {
 
 _WORD_PAT = r"[a-zA-Z']+"
 
+# INPUT CONTRACT for the batched text kernels (TokenCounter /
+# QualityScorer / LangId): bit-parity with the per-row reference
+# kernels holds for ASCII and NFC text.  Python re and the Rust regex
+# crate disagree on (a) \x1c-\x1f — Python str/\s whitespace but NOT
+# Unicode White_Space — and (b) NFD combining marks — Python \w
+# excludes \p{M}, Rust includes it.  The corpus and every oracle are
+# ASCII; the divergence cases are PINNED (not hidden) in
+# tests/test_text_kernel_parity.py::test_known_engine_divergence.
 
-def _word_explode(texts_col):
+
+def _word_explode(texts_col, with_charlens: bool = True):
     """(lens, flat_lower, flat_charlens) for the ``_WORD_PAT`` word
     regex over a text column: per-doc word counts plus the exploded
     lowercase words and their char lengths as numpy/arrow — ONE polars
     extract_all, zero per-word Python (r3 VERDICT item #2).  Empty-list
     explode yields a null row in polars; dropped, so the flat arrays
-    align with ``np.repeat(arange, lens)``."""
+    align with ``np.repeat(arange, lens)``.  ``with_charlens=False``
+    skips the per-word length kernel for consumers that don't need it
+    (LangId)."""
     from . import polars_mod
 
     pl = polars_mod()
@@ -59,7 +70,11 @@ def _word_explode(texts_col):
     lst = s.str.extract_all(_WORD_PAT)
     lens = lst.list.len().to_numpy().astype(np.int64)
     flat = lst.explode().drop_nulls().str.to_lowercase()
-    charlens = flat.str.len_chars().to_numpy().astype(np.int64)
+    charlens = (
+        flat.str.len_chars().to_numpy().astype(np.int64)
+        if with_charlens
+        else None
+    )
     return lens, flat, charlens
 
 
@@ -130,7 +145,9 @@ class LangId:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        lens, flat, _ = _word_explode(batch.column("text"))
+        lens, flat, _ = _word_explode(
+            batch.column("text"), with_charlens=False
+        )
         flat_a = flat.to_arrow()
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
         denom = np.maximum(lens, 1).astype(np.float64)
@@ -1323,10 +1340,16 @@ def _ranked_shingle_table(sf_dir: str) -> ray.data.Dataset:
 
     vocab = _sorted_vocab(sf_dir)
 
+    # resolved DRIVER-SIDE and closed over as a plain int: a worker-side
+    # call would read the WORKER's module globals (cloudpickle ships the
+    # helper by reference), silently ignoring both a driver-side
+    # DataContext override and the test suite's RANKED_CHUNK_ROWS
+    # monkeypatch (which is the chunk loop's only forced coverage)
+    chunk_rows = _ranked_chunk_rows()
+
     def ranked(t: pa.Table):
         if len(t) == 0:
             return
-        chunk_rows = _ranked_chunk_rows()
         doc_ids, sh = _block_shingle_rows(t, vocab)
         if len(doc_ids) == 0:
             return

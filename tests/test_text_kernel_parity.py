@@ -105,3 +105,28 @@ def test_quality_score_formula_unchanged():
         + 0.20 * (1 - np.clip(out.column("digit_ratio").to_numpy() / 0.3, 0, 1))
     ) * (length > 0)
     assert np.array_equal(out.column("quality").to_numpy(), score)
+
+
+def test_known_engine_divergence_pinned():
+    """The batched kernels' bit-parity contract is ASCII/NFC text
+    (pinned in rayrank/text.py above _WORD_PAT): Python re and Rust
+    regex DISAGREE on \\x1c-class whitespace (Python str-whitespace,
+    not Unicode White_Space) and NFD combining marks (\\w vs \\p{M}).
+    This test PINS the divergence on representative inputs so an
+    engine change on either side is caught — it asserts the two paths
+    differ exactly where documented, not that they agree."""
+    cases = ["a\x1cb c", "café naive"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(cases)), pa.int64()),
+            "text": pa.array(cases),
+        }
+    )
+    tc = TokenCounter()(t)
+    # \x1c: str.split() sees 3 tokens, Rust \S+ sees 2
+    assert token_counts_row_reference(cases[0])[0] == 3
+    assert tc.column("ws_tokens")[0].as_py() == 2
+    # NFD: Python \w splits at the combining mark (3 regex tokens),
+    # Rust keeps the word whole (2)
+    assert token_counts_row_reference(cases[1])[1] == 3
+    assert tc.column("re_tokens")[1].as_py() == 2
