@@ -768,22 +768,26 @@ def minhash_once() -> dict:
 
 
 def textstage_once() -> dict:
-    """Text-analysis stage throughput (TokenCounter → QualityScorer →
-    LangId chained, the doc_quality feature block) over the tiled
-    1.28M-doc corpus — the r4 vectorized polars/bincount kernels vs
-    (TEXTSTAGE_PER_ROW=1) mirrors of the r3 per-word loops built from
-    the retained row-reference kernels.  Evidence for the r3 VERDICT
-    item #2 done-criterion (outputs are bit-identical; see
-    tests/test_text_kernel_parity.py)."""
+    """Text-analysis stage throughput (the doc_quality feature block)
+    over the tiled 1.28M-doc corpus.  Default = the r5 FUSED single
+    actor stage (rayrank.text.TextFeatures — the corpus crosses the
+    object store once); TEXTSTAGE_FUSED=0 = the r4 three-stage chain
+    (TokenCounter → QualityScorer → LangId, 3 plasma crossings);
+    TEXTSTAGE_PER_ROW=1 = mirrors of the r3 per-word loops built from
+    the retained row-reference kernels.  All three produce
+    bit-identical rows (tests/test_text_kernel_parity.py,
+    tests/test_textfeatures_fused.py)."""
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     per_row = os.environ.get("TEXTSTAGE_PER_ROW", "") == "1"
+    fused = os.environ.get("TEXTSTAGE_FUSED", "1") == "1" and not per_row
     import ray
 
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
              logging_level="ERROR")
     from rayrank import configure_data_context
-    from rayrank.text import (LangId, QualityScorer, TokenCounter,
-                              langid_row_reference, quality_row_reference,
+    from rayrank.text import (LangId, QualityScorer, TextFeatures,
+                              TokenCounter, langid_row_reference,
+                              quality_row_reference,
                               token_counts_row_reference)
 
     configure_data_context()
@@ -826,6 +830,10 @@ def textstage_once() -> dict:
         n = docs.map_batches(
             PerRowStage, batch_format="pyarrow", concurrency=conc
         ).count()
+    elif fused:
+        n = docs.map_batches(
+            TextFeatures, batch_format="pyarrow", concurrency=conc
+        ).count()
     else:
         n = (
             docs.map_batches(TokenCounter, batch_format="pyarrow",
@@ -838,7 +846,8 @@ def textstage_once() -> dict:
     dt = time.perf_counter() - t0
     ray.shutdown()
     return {"num_cpus": ncpu, "docs": n_docs, "rows": n,
-            "per_row": per_row, "textstage_sec": round(dt, 3),
+            "per_row": per_row, "fused": fused,
+            "textstage_sec": round(dt, 3),
             "docs_per_sec": round(n_docs / dt, 1)}
 
 
@@ -967,9 +976,26 @@ def jaccard_once() -> dict:
     t0 = time.perf_counter()
     n_pairs = jaccard_join_pairs(cdir).count()
     dt = time.perf_counter() - t0
+    # driver-side phase marks recorded by jaccard_join_pairs at its
+    # materialize boundaries (blobs / candidates / return); the verify
+    # phase is everything after the function returned its lazy dataset
+    import rayrank.text as _tx
+
+    marks = dict(getattr(_tx, "PHASE_TIMES", []) or [])
+    phases = {}
+    if {"start", "blobs", "candidates", "return"} <= set(marks):
+        phases = {
+            "blobs_sec": round(marks["blobs"] - marks["start"], 3),
+            "candidates_sec": round(
+                marks["candidates"] - marks["blobs"], 3
+            ),
+            "verify_sec": round(
+                dt - (marks["return"] - marks["start"]), 3
+            ),
+        }
     ray.shutdown()
     return {"num_cpus": ncpu, "docs": n_docs, "pairs": n_pairs,
-            "jaccard_sec": round(dt, 3),
+            "jaccard_sec": round(dt, 3), **phases,
             "docs_per_sec": round(n_docs / dt, 1)}
 
 

@@ -327,20 +327,27 @@ def sorted_keys_ref(ds: ray.data.Dataset, column: str):
 
     @_ray.remote
     def build(*tables) -> np.ndarray:
+        # no-silent-caps: raise if ANY non-empty block lacks the
+        # column (r4 ADVICE) — heterogeneous schemas would otherwise
+        # silently drop those blocks' keys from the semi-filter set,
+        # a partial cap worse than the all-blocks-missing case the
+        # pre-r5 guard caught
+        n_missing = sum(
+            1
+            for t in tables
+            if t.num_rows and column not in t.schema.names
+        )
+        if n_missing:
+            raise ValueError(
+                f"sorted_keys_ref: {n_missing} non-empty block(s) "
+                f"lack column {column!r}"
+            )
         parts = [
             t.column(column).to_numpy(zero_copy_only=False)
             for t in tables
-            if t.num_rows and column in t.schema.names
+            if t.num_rows
         ]
         if not parts:
-            # no-silent-caps: distinguish a legitimately empty dataset
-            # from a wrong column name — the latter would otherwise
-            # yield an empty key set and a silently empty semi-filter
-            if any(t.num_rows for t in tables):
-                raise ValueError(
-                    f"sorted_keys_ref: no non-empty block carries "
-                    f"column {column!r}"
-                )
             return np.zeros(0, np.int64)
         return np.sort(np.concatenate(parts))
 

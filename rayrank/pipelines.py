@@ -492,11 +492,12 @@ def docs_hash_sample(sf_dir: str, fraction: float = 0.25) -> ray.data.Dataset:
 def doc_stats(sf_dir: str) -> ray.data.Dataset:
     """Quality scoring + language-ID + fingerprint (rows-only check —
     the heuristics are not ANSI-SQL-expressible)."""
-    from .text import Fingerprinter, LangId, QualityScorer
+    from .text import Fingerprinter, TextFeatures
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    ds = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 4))
-    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    # fused stage (r5): one actor pool, one object-store crossing —
+    # bit-identical to the former QualityScorer → LangId chain
+    ds = ds.map_batches(TextFeatures, batch_format="pyarrow", concurrency=(1, 4))
     ds = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))
     return ds.select_columns(
         ["doc_id", "quality", "stopword_ratio", "lang_pred", "fingerprint"]
@@ -508,11 +509,12 @@ def doc_quality(sf_dir: str) -> ray.data.Dataset:
     doubles (bit-identical to the DuckDB oracle — verified in-sandbox;
     no pre-rounding, the driver's canonicalization rounds both sides
     the same way)."""
-    from .text import LangId, QualityScorer
+    from .text import TextFeatures
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    ds = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 4))
-    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    # fused stage (r5): one actor pool, one object-store crossing —
+    # bit-identical to the former QualityScorer → LangId chain
+    ds = ds.map_batches(TextFeatures, batch_format="pyarrow", concurrency=(1, 4))
     return ds.select_columns(
         ["doc_id", "quality", "stopword_ratio", "punct_ratio",
          "digit_ratio", "lang_pred"]
@@ -2792,6 +2794,15 @@ def _vids_for_names(gdir: str, Q: int, names: list[str]) -> np.ndarray:
 
     if not names:
         return np.zeros(0, np.int64)
+    vdir = os.path.join(gdir, "vertices")
+    if not os.path.isdir(vdir):
+        # r4 ADVICE: an absent vertex LAYOUT (wrong gdir or a layout
+        # change) must not surface as 'names not in graph' — that
+        # misdiagnoses an infrastructure problem as missing data
+        raise FileNotFoundError(
+            f"_vids_for_names: vertex layout missing at {vdir} "
+            "(wrong graph_dir or layout change)"
+        )
     qs = (stable_hash(np.array(names, dtype=object)) % np.uint64(Q)).astype(
         np.int64
     )
@@ -2821,7 +2832,11 @@ def _vids_for_names(gdir: str, Q: int, names: list[str]) -> np.ndarray:
             got[nm] = vid
     missing = [nm for nm in names if nm not in got]
     if missing:
-        raise ValueError(f"vids_for_names: names not in graph: {missing[:5]}")
+        raise ValueError(
+            f"vids_for_names: names not in graph: {missing[:5]} "
+            f"(vertex layout at {vdir} exists; these names are "
+            "genuinely absent)"
+        )
     return np.array([got[nm] for nm in names], np.int64)
 
 
@@ -5122,6 +5137,50 @@ def mst_edges(sf_dir: str) -> ray.data.Dataset:
 PERC_RATES = (20, 40, 60, 80)  # percent of edges kept
 
 
+def _write_edge_tags(
+    named: ray.data.Dataset, graph_dir: str, tag_dir: str, Q: int
+) -> None:
+    """Encode a (src_name, dst_name, etag) stream into an existing
+    graph's vid space and write BOTH directions hive-partitioned by
+    part = src % Q — the per-edge attribute overlay
+    ``CsrShard.load_edge_tags`` aligns to its resident arrays.  Uses
+    the SAME encode (dictionary broadcast / partitioned fallback via
+    ``keep_cols``) and the SAME self-loop drop as build_graph, so the
+    overlay's edge set is exactly the CSR's; the shard-side alignment
+    check raises on any divergence."""
+    from .graph import GraphMeta, load_vertices
+    from .ids import encode_edges
+
+    meta = GraphMeta.load(os.path.join(graph_dir, "meta.json"))
+    enc = encode_edges(
+        named, load_vertices(graph_dir), Q, n_vertices=meta.n,
+        vert_dir=os.path.join(graph_dir, "vertices"),
+        keep_cols=("etag",),
+    )
+
+    def both_dirs(t: pa.Table):
+        if t.num_rows == 0 or "src" not in t.schema.names:
+            return
+        s = t.column("src").to_numpy(zero_copy_only=False)
+        d = t.column("dst").to_numpy(zero_copy_only=False)
+        g = t.column("etag").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d, g = s[keep], d[keep], g[keep]
+        src = np.concatenate([s, d])
+        yield pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(np.concatenate([d, s]), pa.int64()),
+                "etag": pa.array(np.concatenate([g, g]), pa.int64()),
+                "part": pa.array(src % Q, pa.int64()),
+            }
+        )
+
+    enc.map_batches(both_dirs, batch_format="pyarrow").repartition(
+        Q, keys=["part"]
+    ).write_parquet(tag_dir, partition_cols=["part"])
+
+
 def percolation_sweep(sf_dir: str) -> ray.data.Dataset:
     """(rate_pct, n_edges, giant_size) — bond-percolation sweep of the
     undirected lineitem graph: at each rate the distinct edge set is
@@ -5130,13 +5189,23 @@ def percolation_sweep(sf_dir: str) -> ray.data.Dataset:
     measured — the robustness/threshold curve a link-graph owner reads
     before trusting connectivity-dependent algorithms on partial
     crawls.  Sampling is a pure function of the edge (replays at any
-    cluster size and in SQL); each rate reuses the engine's CC kernel;
-    the giant pick is the distributed top-1 fold (never a driver-side
-    label vector).  Vertex set per rate = endpoints of surviving edges
-    (isolated vertices are not 'components of size 1' here — mirrored
-    in the oracle)."""
-    from .components import connected_components
-    from .joins import join_auto
+    cluster size and in SQL); vertex set per rate = endpoints of
+    surviving edges (isolated vertices are not 'components of size 1'
+    here — mirrored in the oracle).
+
+    Scale shape (r5 — r4 VERDICT item #4, incremental): ONE canonical
+    dedup re-agg, ONE graph build and ONE shard spin-up serve the
+    whole sweep.  The per-edge hash tag rides a parquet overlay
+    (_write_edge_tags) the resident shards align to their CSR arrays;
+    per rate the shards flip a threshold mask (dead edges transmit
+    the min identity through gather_min_edge_masked — the edge twin
+    of attack_robustness' r4 dead-VERTEX mask), CC re-runs on the
+    same actors, and the giant pick is the distributed top-1 fold
+    over the rate-ACTIVE census.  Pre-r5 this rebuilt graph + CC per
+    rate (4 build passes)."""
+    from .graph import GraphMeta, build_graph
+    from .iterate import iterate_labels
+    from .shards import create_shards
     from .shuffle import keyed_reagg
     from .sketch import splitmix64
 
@@ -5146,64 +5215,83 @@ def percolation_sweep(sf_dir: str) -> ray.data.Dataset:
         ["u", "v"], [], P,
     ).materialize()
 
+    def named_tagged(t: pa.Table):
+        if t.num_rows == 0 or "u" not in t.schema.names:
+            return
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        key = (u.astype(np.uint64) << np.uint64(31)) | v.astype(np.uint64)
+        etag = (splitmix64(key) % np.uint64(100)).astype(np.int64)
+        yield pa.table(
+            {
+                "src_name": pc.cast(pa.array(u), pa.string()),
+                "dst_name": pc.cast(pa.array(v), pa.string()),
+                "etag": pa.array(etag),
+            }
+        )
+
+    tagged = und.map_batches(named_tagged, batch_format="pyarrow")
+    gdir = tempfile.mkdtemp(prefix="rayrank_perc_")
+    build_graph(tagged, gdir, num_partitions=P, undirected=True)
+    meta = GraphMeta.load(os.path.join(gdir, "meta.json"))
+    tag_dir = os.path.join(gdir, "etags")
+    _write_edge_tags(tagged, gdir, tag_dir, meta.Q)
+
+    def top1(t: pa.Table):
+        if t.num_rows == 0 or "n" not in t.schema.names:
+            return
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        i = np.lexsort((lab, -n))[:1]
+        yield t.take(pa.array(i))
+
     rows = []
-    for rate in PERC_RATES:
-        def sample(t: pa.Table, _r=rate):
-            if t.num_rows == 0 or "u" not in t.schema.names:
-                return
-            u = t.column("u").to_numpy(zero_copy_only=False)
-            v = t.column("v").to_numpy(zero_copy_only=False)
-            key = (u.astype(np.uint64) << np.uint64(31)) | v.astype(np.uint64)
-            pick = splitmix64(key) % np.uint64(100) < _r
-            if not pick.any():
-                return
-            yield pa.table(
-                {
-                    "src_name": pc.cast(pa.array(u[pick]), pa.string()),
-                    "dst_name": pc.cast(pa.array(v[pick]), pa.string()),
-                }
+    # shard actors created INSIDE the try: a failure would otherwise
+    # leak 2·Q resident actors that pin CPUs for the session (the
+    # fourteenth-sitting bench lesson)
+    shards = create_shards(gdir, meta)
+    try:
+        ray.get([s.load_edge_tags.remote(tag_dir) for s in shards])
+        for rate in PERC_RATES:
+            ray.get([s.set_edge_rate.remote(rate) for s in shards])
+            n_alive = sum(
+                ray.get([s.alive_edge_count.remote() for s in shards])
             )
-
-        kept = und.map_batches(sample, batch_format="pyarrow").materialize()
-        n_kept = kept.count()
-        gdir = tempfile.mkdtemp(prefix=f"rayrank_perc_{rate}_")
-        build_graph(kept, gdir, num_partitions=P, undirected=True)
-        cc = connected_components(gdir)
-
-        # giant size: per-partition label counts -> keyed re-agg -> top-1
-        from .shards import unique_labels_part  # noqa: F401  (pattern ref)
-
-        @ray.remote
-        def label_counts(ref) -> pa.Table:
-            vals = np.asarray(ref, np.int64)
-            labs, counts = np.unique(vals, return_counts=True)
-            return pa.table(
-                {"label": labs, "n": counts.astype(np.int64)}
+            if n_alive % 2:
+                raise ValueError(
+                    "percolation edge mask must be direction-symmetric"
+                )
+            iterate_labels(
+                gdir,
+                gather_method="gather_min_edge_masked",
+                reduce_method="reduce_min",
+                max_iterations=200,
+                shards=shards,
+                algo_name="percolation_cc",
+                init_fn=lambda sh: ray.get(
+                    [s.init_labels.remote() for s in sh]
+                ),
             )
-
-        sizes = keyed_reagg(
-            ray.data.from_arrow_refs(
-                [label_counts.remote(r) for r in cc.part_refs]
-            ),
-            ["label"], [("n", "sum")], P,
-        )
-
-        def top1(t: pa.Table):
-            if t.num_rows == 0 or "n" not in t.schema.names:
-                return
-            n = t.column("n").to_numpy(zero_copy_only=False)
-            lab = t.column("label").to_numpy(zero_copy_only=False)
-            i = np.lexsort((lab, -n))[:1]
-            yield t.take(pa.array(i))
-
-        g = (
-            sizes.map_batches(top1, batch_size=None, batch_format="pyarrow")
-            .repartition(1)
-            .map_batches(top1, batch_size=None, batch_format="pyarrow")
-            .take_all()
-        )
-        giant = int(g[0]["n"]) if g else 0
-        rows.append((rate, n_kept, giant))
+            sizes = keyed_reagg(
+                ray.data.from_arrow_refs(
+                    [s.rate_label_census.remote() for s in shards]
+                ),
+                ["label"], [("n", "sum")], P,
+            )
+            g = (
+                sizes.map_batches(
+                    top1, batch_size=None, batch_format="pyarrow"
+                )
+                .repartition(1)
+                .map_batches(top1, batch_size=None, batch_format="pyarrow")
+                .take_all()
+            )
+            rows.append(
+                (rate, n_alive // 2, int(g[0]["n"]) if g else 0)
+            )
+    finally:
+        for s in shards:  # resident shard actors pin CPUs (bench lesson)
+            ray.kill(s)
 
     return ray.data.from_arrow(
         pa.table(
@@ -6451,12 +6539,12 @@ def source_quality_profile(sf_dir: str) -> ray.data.Dataset:
     Scale shape: scorer actor pool → block-local group partials → one
     |sources|-bounded re-agg."""
     from .shuffle import keyed_reagg
-    from .text import LangId, QualityScorer
+    from .text import TextFeatures
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
-    ds = ds.map_batches(QualityScorer, batch_format="pyarrow",
+    # fused stage (r5): one actor pool, one object-store crossing
+    ds = ds.map_batches(TextFeatures, batch_format="pyarrow",
                         concurrency=(1, 4))
-    ds = ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
 
     def pre(t: pa.Table):
         if len(t) == 0 or "quality" not in t.schema.names:

@@ -728,6 +728,87 @@ class CsrShard:
         return pa.table({"label": u, "n": c.astype(np.int64)})
 
     # ------------------------------------------------------------------
+    # per-edge tag overlay (bond-percolation edge masking — one build
+    # serves the whole rate sweep, the r4 set_dead design's edge twin)
+    # ------------------------------------------------------------------
+
+    def load_edge_tags(self, tag_dir: str) -> int:
+        """Align a (src, dst, etag) overlay partition (written by
+        pipelines._write_edge_tags from the SAME named edge stream the
+        graph was built from, hive-partitioned by part = src % Q) with
+        the resident CSR arrays.  The alignment is verified key by key
+        and RAISES on any mismatch — a silently partial overlay would
+        mask the wrong edges (no-silent-caps)."""
+        part_dir = os.path.join(tag_dir, f"part={self.p}")
+        if os.path.isdir(part_dir):
+            t = pq.read_table(part_dir, columns=["src", "dst", "etag"])
+            es = t.column("src").to_numpy()
+            ed = t.column("dst").to_numpy()
+            tg = t.column("etag").to_numpy()
+        else:
+            es = ed = tg = np.empty(0, np.int64)
+        gsrc = self.src_l * self.Q + self.p
+        o1 = np.lexsort((gsrc, self.dst_sorted))
+        o2 = np.lexsort((es, ed))
+        if len(es) != len(gsrc) or not (
+            np.array_equal(ed[o2], self.dst_sorted[o1])
+            and np.array_equal(es[o2], gsrc[o1])
+        ):
+            raise ValueError(
+                f"edge-tag overlay part={self.p} does not match the "
+                "resident CSR edge set (stale overlay or wrong "
+                "tag_dir)"
+            )
+        tags = np.empty(len(gsrc), np.int64)
+        tags[o1] = tg[o2]
+        self._etag = tags
+        return len(tags)
+
+    def set_edge_rate(self, rate: int) -> None:
+        """Percolation mask: edge alive iff etag < rate.  The ACTIVE
+        set (vertices with ≥ 1 alive incident edge — on the undirected
+        layout the src side sees every incidence) is the per-rate
+        census domain, matching 'endpoints of surviving edges'."""
+        alive = self._etag < rate
+        self._edge_alive = alive
+        act = np.zeros(self.s_p, bool)
+        if len(self.dst_sorted):
+            act[self.src_l[alive]] = True
+        self._rate_active = act
+
+    def alive_edge_count(self) -> int:
+        return int(self._edge_alive.sum())
+
+    def gather_min_edge_masked(self):
+        """gather_min with DEAD EDGES transmitting the min identity
+        (INF_DIST): a fully-masked segment sends INF, which reduce_min
+        folds as a no-op — edge removal without touching the CSR
+        arrays or the segment structure."""
+        if len(self.dst_sorted) == 0:
+            return self._unwrap1(
+                tuple(
+                    (self.out_local[q], np.empty(0, np.int64))
+                    for q in range(self.Q)
+                )
+            )
+        lab = np.where(
+            self._edge_alive, self.labels[self.src_l], INF_DIST
+        )
+        mins = np.minimum.reduceat(lab, self.seg)
+        return self._unwrap1(
+            tuple(
+                (self.out_local[q], mins[self.route[q]])
+                for q in range(self.Q)
+            )
+        )
+
+    def rate_label_census(self) -> pa.Table:
+        """(label, n) over rate-ACTIVE vertices only."""
+        labs = self.labels[self._rate_active]
+        u, c = np.unique(labs, return_counts=True)
+        return pa.table({"label": u, "n": c.astype(np.int64)})
+
+    # ------------------------------------------------------------------
     # max-min (widest / bottleneck path)
     # ------------------------------------------------------------------
 

@@ -1943,6 +1943,16 @@ def span_dedup_stats(
 _SPAN_PARTS = " || ' ' || ".join(f"u[{i + 1}]" for i in range(DUP_NGRAM_N))
 _SPAN_ZIPS = ", ".join(f"lst[{i + 1}:]" for i in range(DUP_NGRAM_N))
 
+# ORACLE-CLASS NOTE (r4 ADVICE): this SQL groups EXACT gram strings
+# while the Ray side's gram identity is the 64-bit polars hash
+# (_hash_grams) — the match is therefore probabilistic, not
+# structural: a hash collision between a below-min_df gram and any
+# other gram could inflate its df past min_df and flip covered
+# positions.  Accepted bound: ~n²/2⁶⁵ expected collisions (~1e-4 at
+# the 54M-gram bench corpus; ~1e-9 at the sf0.01 driver gate) — the
+# same birthday-bound trade every shingle-identity operator in this
+# repo already makes.  If this query ever flakes at a much larger
+# corpus, diagnose it as this documented trade, not a regression.
 SPAN_DEDUP_STATS_SQL = rf"""
 WITH tok AS (
   SELECT doc_id,

@@ -41,13 +41,47 @@ _STOPWORDS = {
 _WORD_PAT = r"[a-zA-Z']+"
 
 # INPUT CONTRACT for the batched text kernels (TokenCounter /
-# QualityScorer / LangId): bit-parity with the per-row reference
-# kernels holds for ASCII and NFC text.  Python re and the Rust regex
-# crate disagree on (a) \x1c-\x1f — Python str/\s whitespace but NOT
-# Unicode White_Space — and (b) NFD combining marks — Python \w
-# excludes \p{M}, Rust includes it.  The corpus and every oracle are
-# ASCII; the divergence cases are PINNED (not hidden) in
+# QualityScorer / LangId / TextFeatures): bit-parity with the per-row
+# reference kernels holds for printable ASCII (no \x1c-\x1f control
+# separators) and NFC text.  Python re and the Rust regex crate
+# disagree on (a) \x1c-\x1f — ASCII control characters that are
+# Python str/\s whitespace but NOT Unicode White_Space — and (b) NFD
+# combining marks — Python \w excludes \p{M}, Rust includes it.  The
+# corpus and every oracle are printable-ASCII; the divergence cases
+# are PINNED (not hidden) in
 # tests/test_text_kernel_parity.py::test_known_engine_divergence.
+
+
+# Driver-side phase marks for the similarity-join bench (read by
+# bench.py --jaccard-once; reset at each jaccard_join_pairs call).
+# Appends happen on the DRIVER at materialize boundaries — workers
+# never see this state.
+PHASE_TIMES: list = []
+
+
+def _mark(name: str) -> None:
+    import time as _time
+
+    PHASE_TIMES.append((name, _time.perf_counter()))
+
+
+# Per-worker-process cache of ray.get'd broadcast objects: the vocab
+# array is object-dtype strings — NOT plasma-zero-copy — so a per-batch
+# ray.get would re-unpickle V strings for every block.
+_BCAST_CACHE: dict = {}
+
+
+def _bcast_value(ref):
+    key = ref.hex()
+    val = _BCAST_CACHE.get(key)
+    if val is None:
+        if len(_BCAST_CACHE) >= 8:
+            _BCAST_CACHE.clear()
+        import ray as _ray
+
+        val = _ray.get(ref)
+        _BCAST_CACHE[key] = val
+    return val
 
 
 def _word_explode(texts_col, with_charlens: bool = True):
@@ -246,6 +280,104 @@ class QualityScorer:
             ("quality", score),
         ]:
             out = out.append_column(nm, pa.array(arr))
+        return out
+
+
+class TextFeatures:
+    """FUSED single-pass text-analysis stage: TokenCounter +
+    QualityScorer + LangId in ONE actor pool (r4 VERDICT item #3 — the
+    three-stage chain serialized the full corpus through the object
+    store three times and ran the word explode twice).  Bit-identical
+    to the chained stages (tests/test_textfeatures_fused.py): every
+    kernel is the SAME arithmetic on the SAME inputs — the word
+    explode runs ONCE and its lens/flat arrays feed both the quality
+    features and the language scores, and the English stopword
+    membership is computed once (QualityScorer's stop_ratio and
+    LangId's en score were already the identical division).
+
+    Appends, in chain order: ws_tokens, re_tokens, n_chars_q,
+    punct_ratio, stopword_ratio, digit_ratio, mean_word_len, quality,
+    lang_pred, lang_score."""
+
+    def __init__(self, langs: tuple[str, ...] = ("en", "de", "fr", "es")):
+        from . import polars_mod
+
+        self.pl = polars_mod()
+        self.langs = langs
+        self.stop_set = pa.array(sorted(_STOPWORDS["en"]))
+        self.value_sets = [
+            pa.array(sorted(_STOPWORDS[lg])) for lg in langs
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("text")
+        s = self.pl.from_arrow(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        )
+        n = batch.num_rows
+        # TokenCounter kernels
+        ws = s.str.count_matches(r"\S+").to_numpy().astype(np.int64)
+        bpe = (
+            s.str.count_matches(r"\w+|[^\w\s]").to_numpy().astype(np.int64)
+        )
+        # QualityScorer char-class kernels
+        length = s.str.len_chars().to_numpy().astype(np.float64)
+        np_len = np.maximum(length, 1.0)
+        punct_ratio = (
+            s.str.count_matches(r"[^\w\s]").to_numpy().astype(np.float64)
+            / np_len
+        )
+        digit_ratio = (
+            s.str.count_matches(r"\d").to_numpy().astype(np.float64) / np_len
+        )
+        # ONE word explode feeds quality AND language scoring
+        lens, flat, charlens = _word_explode(col)
+        flat_a = flat.to_arrow()
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        wdenom = np.maximum(lens, 1).astype(np.float64)
+        en_m = pc.is_in(flat_a, value_set=self.stop_set).to_numpy(
+            zero_copy_only=False
+        )
+        en_cnt = np.bincount(doc_idx[en_m], minlength=n)
+        scores = np.empty((len(self.langs), n), np.float64)
+        for j, (lg, vs) in enumerate(zip(self.langs, self.value_sets)):
+            if lg == "en":
+                scores[j] = en_cnt / wdenom
+                continue
+            m = pc.is_in(flat_a, value_set=vs).to_numpy(
+                zero_copy_only=False
+            )
+            scores[j] = np.bincount(doc_idx[m], minlength=n) / wdenom
+        # QualityScorer word features + score
+        stop_ratio = en_cnt.astype(np.float64) / wdenom
+        wlen_sum = np.bincount(doc_idx, weights=charlens, minlength=n)
+        mean_wlen = wlen_sum / wdenom
+        len_score = np.clip(length / 500.0, 0, 1)
+        score = (
+            0.35 * len_score
+            + 0.25 * np.clip(stop_ratio / 0.4, 0, 1)
+            + 0.20 * (1 - np.clip(punct_ratio / 0.3, 0, 1))
+            + 0.20 * (1 - np.clip(digit_ratio / 0.3, 0, 1))
+        ) * (length > 0)  # empty documents score 0 outright
+        # LangId pick
+        best = np.argmax(scores, axis=0)
+        best_score = scores[best, np.arange(n)]
+        langs_arr = np.array(self.langs, dtype=object)
+        best_lang = np.where(best_score > 0, langs_arr[best], "und")
+        out = batch
+        for nm, arr in [
+            ("ws_tokens", pa.array(ws)),
+            ("re_tokens", pa.array(bpe)),
+            ("n_chars_q", pa.array(length.astype(np.int64))),
+            ("punct_ratio", pa.array(punct_ratio)),
+            ("stopword_ratio", pa.array(stop_ratio)),
+            ("digit_ratio", pa.array(digit_ratio)),
+            ("mean_word_len", pa.array(mean_wlen)),
+            ("quality", pa.array(score)),
+            ("lang_pred", pa.array(best_lang, pa.string())),
+            ("lang_score", pa.array(best_score, pa.float64())),
+        ]:
+            out = out.append_column(nm, arr)
         return out
 
 
@@ -1043,12 +1175,25 @@ def minhash_exact_seeds(num_perm: int = MINHASH_EXACT_PERMS) -> np.ndarray:
     return splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64))
 
 
-def _sorted_vocab(sf_dir: str) -> np.ndarray:
-    """Global distinct token array, ascending — the domain of the SQL
-    side's ``DENSE_RANK() OVER (ORDER BY tok)`` (tokens are ASCII, so
-    numpy codepoint order == DuckDB binary collation).  Vocab-bounded
-    reduce + driver sort; a distributed rank assignment would replace
-    the take_all at open-vocabulary scale."""
+def _sorted_vocab_ref(sf_dir: str):
+    """ObjectRef of the ascending global distinct token array — the
+    domain of the SQL side's ``DENSE_RANK() OVER (ORDER BY tok)``
+    (tokens are ASCII, so numpy codepoint order == arrow binary sort
+    order == DuckDB binary collation; same caveat as before).
+
+    r5 (r4 VERDICT item #1): the r2–r4 path pulled every distinct
+    token to the driver with take_all and ran an object-dtype np.sort
+    there — a serial phase that scaled at 0.44 in the r4 jaccard phase
+    table.  Now the sort is Ray's DISTRIBUTED range sort and the
+    concat is ONE remote task over the sorted block refs; the driver
+    never holds the array, and workers resolve the ref through the
+    per-process :func:`_bcast_value` cache.  ``assemble`` RAISES if
+    the concatenated array is ever not strictly ascending
+    (no-silent-caps: correctness rests on Ray's sorted block order,
+    so a violated assumption must fail loudly, not re-sort
+    silently)."""
+    import ray as _ray
+
     from .terms import _read_docs
 
     def uni(t: pa.Table):
@@ -1063,14 +1208,41 @@ def _sorted_vocab(sf_dir: str) -> np.ndarray:
             return
         yield pa.table({"tok": pc.unique(vals)})
 
-    rows = (
+    ds = (
         _read_docs(sf_dir)
         .map_batches(uni, batch_format="pyarrow")
         .groupby("tok")
         .count()
-        .take_all()
+        .sort("tok")
     )
-    return np.sort(np.array([r["tok"] for r in rows], dtype=object))
+
+    @_ray.remote
+    def assemble(*tables) -> np.ndarray:
+        parts = [
+            t.column("tok").to_numpy(zero_copy_only=False)
+            for t in tables
+            if t.num_rows and "tok" in t.schema.names
+        ]
+        if not parts:
+            return np.array([], dtype=object)
+        out = np.concatenate(parts)
+        if len(out) > 1 and (out[1:] <= out[:-1]).any():
+            raise ValueError(
+                "_sorted_vocab_ref: sorted block order violated — the "
+                "range-sort output blocks are no longer globally "
+                "ascending/distinct"
+            )
+        return out
+
+    return assemble.remote(*ds.to_arrow_refs())
+
+
+def _sorted_vocab(sf_dir: str) -> np.ndarray:
+    """Driver-side materialization of :func:`_sorted_vocab_ref` (kept
+    for the vocab-bounded driver consumers: lm.bigram_lm_perplexity,
+    terms.doc_unigram_rarity — their scoring state is a driver-built
+    broadcast either way)."""
+    return ray.get(_sorted_vocab_ref(sf_dir))
 
 
 def _block_exact_sigs(
@@ -1124,13 +1296,13 @@ def minhash_sigs_exact(
     vocab-bounded token-rank reduce; signatures are block-local."""
     from .terms import _read_docs
 
-    vocab = _sorted_vocab(sf_dir)
+    vocab_ref = _sorted_vocab_ref(sf_dir)
     seeds = minhash_exact_seeds(num_perm)
 
     def sigs(t: pa.Table):
         if len(t) == 0:
             return
-        doc_ids, mins = _block_exact_sigs(t, vocab, seeds)
+        doc_ids, mins = _block_exact_sigs(t, _bcast_value(vocab_ref), seeds)
         if len(doc_ids) == 0:
             return
         n, p = mins.shape
@@ -1161,11 +1333,12 @@ def simhash_sigs_exact(sf_dir: str) -> ray.data.Dataset:
     from .sketch import splitmix64
     from .terms import _read_docs
 
-    vocab = _sorted_vocab(sf_dir)
+    vocab_ref = _sorted_vocab_ref(sf_dir)
 
     def sigs(t: pa.Table):
         if len(t) == 0:
             return
+        vocab = _bcast_value(vocab_ref)
         toks = pc.split_pattern_regex(
             pc.utf8_trim_whitespace(t.column("text")), pattern=r"\s+"
         )
@@ -1223,14 +1396,14 @@ def lsh_band_keys(
     from .terms import _read_docs
 
     assert num_perm % rows_per_band == 0
-    vocab = _sorted_vocab(sf_dir)
+    vocab_ref = _sorted_vocab_ref(sf_dir)
     seeds = minhash_exact_seeds(num_perm)
     bands = num_perm // rows_per_band
 
     def keys(t: pa.Table):
         if len(t) == 0:
             return
-        doc_ids, mins = _block_exact_sigs(t, vocab, seeds)
+        doc_ids, mins = _block_exact_sigs(t, _bcast_value(vocab_ref), seeds)
         n = len(doc_ids)
         if n == 0:
             return
@@ -1295,99 +1468,58 @@ def _block_shingle_rows(t: pa.Table, vocab: np.ndarray):
 
 
 JJ_CAND_ID_LIMIT = 2_000_000  # candidate doc-id broadcast guard (ids)
-RANKED_CHUNK_ROWS = 1_000_000  # ranked-table chunk cap ceiling (≈32 MB/table)
-_RANKED_ROW_BYTES = 32  # (doc_id, shingle, n, rank) int64s
 
 
-def _ranked_chunk_rows() -> int:
-    """Doc-boundary chunk cap in rows, derived from the live
-    ``DataContext.target_max_block_size`` so the invariant is
-    structural, not coincidental: Ray's BlockOutputBuffer only slices
-    a block mid-stream once the accumulated bytes reach 1.5× the
-    target, so as long as each yielded chunk is ≤ 0.5× target the
-    accumulator can never cross that threshold with a doc run split
-    across the cut.  We cap at target/4 (margin 2× under the 0.5×
-    bound) and keep RANKED_CHUNK_ROWS as a ceiling for the default
-    128 MB context."""
-    try:
-        tgt = int(ray.data.DataContext.get_current().target_max_block_size)
-    except Exception:
-        tgt = 128 << 20
-    return min(RANKED_CHUNK_ROWS, max(4096, tgt // 4 // _RANKED_ROW_BYTES))
+def _corpus_blob_table(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n, blob) — every document's sorted DISTINCT shingle
+    hashes packed into ONE little-endian int64 binary blob, straight
+    from the corpus scan, materialized ONCE (lineage cut).
 
-
-def _ranked_shingle_table(sf_dir: str) -> ray.data.Dataset:
-    """(doc_id, shingle, n, rank) — each document's DISTINCT shingle
-    hashes with the doc's shingle-set size ``n`` and the hash's
-    ascending rank within the doc, materialized ONCE (lineage cut).
-
-    One corpus scan feeds every downstream use of the shingle domain:
-    the prefix filter is the per-row test ``rank < p(n)``, per-doc
-    sizes are the ``rank == 0`` rows, and the verify joins read the
-    table as-is — none of those derivations assumes doc contiguity.
-    The blob builder DOES need doc-complete blocks, so ``ranked``
-    yields doc-boundary-aligned chunks of at most ``RANKED_CHUNK_ROWS``
-    rows: every yielded table stays far below the dynamic-block-split
-    threshold, which only slices a single oversized block, so Ray
-    never cuts a doc's run (a single doc longer than the chunk cap
-    would still be yielded whole and is the one case the blob
-    builder's completeness check can catch — loudly).  Before this
-    table the similarity joins re-derived shingles per CONSUMPTION of
-    the lazy dataset (two join_auto probes + two hash joins + the size
-    pass = up to 5 corpus scans per query)."""
-    from .shuffle import materialize_cut
+    r5 restructure (r4 VERDICT item #1): the r3/r4 chain materialized
+    a 32-byte-per-value (doc_id, shingle, n, rank) ranked table and
+    re-derived doc-complete blocks with doc-boundary chunking; since a
+    document is ONE parquet row, the per-doc sets are already complete
+    in the scan block itself, so the blob rows are built right there —
+    the materialized artifact drops to 8 bytes/value (~4x less plasma;
+    the 4.3 GB ranked-table materialize scaled at 0.66 in the r4 phase
+    table) and the chunking machinery has nothing left to guard.
+    Every downstream view unpacks block-locally: the PPJoin prefix
+    rows (rank < p(n)), per-doc sizes (the n column), and the verify
+    lookup arrays (:func:`_blob_lookup_refs`).  A BINARY column is
+    acero-joinable (list<> payloads are not — the repo's standing
+    workaround), so the at-scale verify fallback joins it directly.
+    Vocab ranks arrive via :func:`_sorted_vocab_ref` (distributed
+    sort; the scan blocks on the assemble task, overlapping the read
+    — the old serial driver-sort phase is gone)."""
+    from .shuffle import materialize_cut, segment_starts
     from .terms import _read_docs
 
-    vocab = _sorted_vocab(sf_dir)
+    vocab_ref = _sorted_vocab_ref(sf_dir)
 
-    # resolved DRIVER-SIDE and closed over as a plain int: a worker-side
-    # call would read the WORKER's module globals (cloudpickle ships the
-    # helper by reference), silently ignoring both a driver-side
-    # DataContext override and the test suite's RANKED_CHUNK_ROWS
-    # monkeypatch (which is the chunk loop's only forced coverage)
-    chunk_rows = _ranked_chunk_rows()
-
-    def ranked(t: pa.Table):
+    def blobs(t: pa.Table):
         if len(t) == 0:
             return
-        doc_ids, sh = _block_shingle_rows(t, vocab)
+        doc_ids, sh = _block_shingle_rows(t, _bcast_value(vocab_ref))
         if len(doc_ids) == 0:
             return
-        # _block_shingle_rows lexsorts by (doc, shingle): doc runs are
-        # contiguous and shingle-ascending HERE, where the input doc is
-        # one parquet row — the only place rank/n can be derived safely
-        starts = np.flatnonzero(np.r_[True, doc_ids[1:] != doc_ids[:-1]])
-        cnts = np.diff(np.r_[starts, len(doc_ids)])
-        rank = np.arange(len(doc_ids), dtype=np.int64) - np.repeat(
-            starts, cnts
+        starts, sizes = segment_starts(doc_ids)
+        offsets = np.zeros(len(starts) + 1, np.int64)
+        np.cumsum(sizes * 8, out=offsets[1:])
+        blob = pa.Array.from_buffers(
+            pa.large_binary(), len(starts),
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(sh.view(np.int64).astype("<i8").tobytes())],
         )
-        out = pa.table(
+        yield pa.table(
             {
-                "doc_id": pa.array(doc_ids),
-                "shingle": pa.array(sh.view(np.int64)),
-                "n": pa.array(np.repeat(cnts, cnts)),
-                "rank": pa.array(rank),
+                "doc_id": pa.array(doc_ids[starts]),
+                "n": pa.array(sizes.astype(np.int64)),
+                "blob": blob,
             }
         )
-        # doc-boundary chunking (long-doc corpora): cut at the last doc
-        # start at or below the row cap so no yielded table is ever big
-        # enough for Ray's dynamic splitter to slice mid-doc
-        lo = 0
-        while lo < len(out):
-            if len(out) - lo <= chunk_rows:
-                yield out.slice(lo)
-                break
-            cut_at = int(
-                np.searchsorted(starts, lo + chunk_rows, "right")
-            ) - 1
-            hi = int(starts[cut_at]) if starts[cut_at] > lo else int(
-                lo + cnts[cut_at]
-            )
-            yield out.slice(lo, hi - lo)
-            lo = hi
 
     return materialize_cut(
-        _read_docs(sf_dir).map_batches(ranked, batch_format="pyarrow")
+        _read_docs(sf_dir).map_batches(blobs, batch_format="pyarrow")
     )
 
 
@@ -1405,57 +1537,6 @@ def _candidate_doc_ids(cand: ray.data.Dataset) -> np.ndarray | None:
     if not parts:
         return np.zeros(0, np.int64)
     return np.unique(np.concatenate(parts))
-
-
-def _doc_blob_table(sh_use: ray.data.Dataset) -> ray.data.Dataset:
-    """(doc_id, n, blob) — each document's sorted shingle hashes packed
-    into ONE little-endian int64 binary blob.  A BINARY column is
-    acero-joinable (list<> payloads are not — the repo's standing
-    workaround), so candidate pairs can fetch BOTH sets with two plain
-    joins and the intersection count becomes a vectorized merge inside
-    the receiving block instead of a Σ|A|-row expansion re-shuffled
-    on a compound key.
-
-    Doc runs must be block-complete; the n column makes that checkable
-    per block, so a violated assumption raises instead of silently
-    undercounting."""
-
-    def blob_block(t: pa.Table):
-        if t.num_rows == 0 or "rank" not in t.schema.names:
-            return
-        d = t.column("doc_id").to_numpy(zero_copy_only=False)
-        r = t.column("rank").to_numpy(zero_copy_only=False)
-        n = t.column("n").to_numpy(zero_copy_only=False)
-        s = t.column("shingle").to_numpy(zero_copy_only=False)
-        o = np.lexsort((r, d))
-        d, n, s = d[o], n[o], s[o]
-        from .shuffle import segment_starts
-
-        starts, sizes = segment_starts(d)
-        if not np.array_equal(sizes, n[starts]):
-            raise ValueError(
-                "_doc_blob_table: a document's shingle run is split "
-                "across blocks — rebuild the ranked shingle table with "
-                "doc-complete blocks"
-            )
-        offsets = np.zeros(len(starts) + 1, np.int64)
-        np.cumsum(sizes * 8, out=offsets[1:])
-        blob = pa.Array.from_buffers(
-            pa.large_binary(), len(starts),
-            [None, pa.py_buffer(offsets.tobytes()),
-             pa.py_buffer(s.astype("<i8").tobytes())],
-        )
-        yield pa.table(
-            {
-                "doc_id": pa.array(d[starts]),
-                "n": pa.array(n[starts]),
-                "blob": blob,
-            }
-        )
-
-    return sh_use.map_batches(
-        blob_block, batch_size=None, batch_format="pyarrow"
-    )
 
 
 def _blob_values(col) -> tuple:
@@ -1561,12 +1642,12 @@ def _blob_lookup_refs(blobs: ray.data.Dataset):
 
 def _verify_candidate_pairs(
     cand: ray.data.Dataset,
-    shf: ray.data.Dataset,
+    blobs: ray.data.Dataset,
     P: int,
 ) -> ray.data.Dataset:
     """Exact intersection/size columns for candidate pairs: returns
     (da, db, i, na, n) — |A∩B|, |A|, |B| — from a materialized
-    (da, db) dataset and the :func:`_ranked_shingle_table`.
+    candidate dataset and the :func:`_corpus_blob_table`.
 
     Scale shape: the per-doc shingle sets are a UNIQUE-KEY lookup, not
     a general join, so when the corpus fits JJ_BLOB_BCAST_LIMIT docs
@@ -1581,12 +1662,32 @@ def _verify_candidate_pairs(
     adjacent-dup count per block (each side's values are distinct, so
     duplicates across the concatenated sides ARE the intersection).
     Pairs sharing no shingle come out with i = 0 naturally — no
-    special casing for LSH's false-positive candidates."""
+    special casing for LSH's false-positive candidates.
+
+    SUFFIX FILTER (r5, r4 VERDICT item #2 — PPJoin+ family, Xiao et
+    al. WWW'08): when the candidate rows carry the positional stats
+    (c, ra, rb) from the prefix-posting re-agg, the overlap decomposes
+    EXACTLY as ``c + |A[ra+1:] ∩ B[rb+1:]|`` — every shared shingle at
+    or below the largest shared prefix hash is in both prefixes (so
+    counted in c), and every one above it has rank > ra / > rb on its
+    side.  Before gathering anything, a k-quantile-probe partition
+    bound on the two suffixes (rayrank.ragged.suffix_overlap_bound —
+    soundness property-tested) prunes every pair that provably cannot
+    reach i_min = ceil(tau·(na+nb)/(1+tau)); survivors gather and
+    merge ONLY their suffixes.  Pruned pairs emit i = 0 — their true
+    overlap is < i_min, so the caller's threshold filter drops them
+    either way (result-invariance is pinned in
+    tests/test_jaccard_suffix_filter.py)."""
     import ray as _ray
 
     from .joins import broadcast_semi_filter, join_auto
+    from .ragged import suffix_overlap_bound
 
-    refs, blobs = _blob_lookup_refs(_doc_blob_table(shf))
+    refs, blobs = _blob_lookup_refs(blobs)
+    # driver-resolved and closed over as a plain int — a worker-side
+    # module-global read would defeat the test suite's monkeypatch
+    # (cloudpickle ships module functions by reference; the r4 lesson)
+    n_probes = JJ_SUFFIX_PROBES
 
     if refs is not None:
         kd_ref, kn_ref, kst_ref, kv_ref = refs
@@ -1609,41 +1710,75 @@ def _verify_candidate_pairs(
                     )
                 return idx
 
-            def gather(idx, cnt):
+            def gather(starts, cnt):
                 cum = np.cumsum(cnt)
-                take = np.repeat(kst[idx], cnt) + (
+                take = np.repeat(starts, cnt) + (
                     np.arange(int(cum[-1]) if len(cum) else 0, dtype=np.int64)
                     - np.repeat(cum - cnt, cnt)
                 )
                 return kv[take]
 
+            def merge_chunked(out_i, rows, starts_a, len_a, starts_b, len_b):
+                """Chunked gather + merge-count into out_i[rows]: peak
+                gathered-value memory stays bounded by
+                JJ_VERIFY_CHUNK_VALUES regardless of how many candidate
+                pairs land in one block (batch_size=None means a hot
+                candidate partition arrives as ONE table)."""
+                ccum = np.cumsum(len_a + len_b)
+                lo, base = 0, 0
+                while lo < len(rows):
+                    hi = int(
+                        np.searchsorted(
+                            ccum, base + JJ_VERIFY_CHUNK_VALUES, "right"
+                        )
+                    )
+                    hi = min(max(hi, lo + 1), len(rows))
+                    sl = slice(lo, hi)
+                    va = gather(starts_a[sl], len_a[sl])
+                    vb = gather(starts_b[sl], len_b[sl])
+                    out_i[rows[sl]] = _merge_inter_counts(
+                        hi - lo, len_a[sl], va, len_b[sl], vb
+                    )
+                    base = int(ccum[hi - 1])
+                    lo = hi
+
             ia = idx_of(t.column("da"))
             ib = idx_of(t.column("db"))
             cnt_a, cnt_b = kn[ia], kn[ib]
-            # chunk the pair loop so peak gathered-value memory is
-            # bounded by JJ_VERIFY_CHUNK_VALUES regardless of how many
-            # candidate pairs land in one block (batch_size=None means
-            # a hot candidate partition arrives as ONE table; the
-            # gather would otherwise materialize Σ(na+nb) int64s for
-            # the whole block at once)
-            ccum = np.cumsum(cnt_a + cnt_b)
-            out_i = np.empty(len(t), np.int64)
-            lo, base = 0, 0
-            while lo < len(t):
-                hi = int(
-                    np.searchsorted(
-                        ccum, base + JJ_VERIFY_CHUNK_VALUES, "right"
-                    )
+            out_i = np.zeros(len(t), np.int64)
+            if {"c", "ra", "rb"} <= set(t.schema.names):
+                c = t.column("c").to_numpy(zero_copy_only=False)
+                ra = t.column("ra").to_numpy(zero_copy_only=False)
+                rb = t.column("rb").to_numpy(zero_copy_only=False)
+                sa = kst[ia] + ra + 1
+                la = cnt_a - ra - 1
+                sb = kst[ib] + rb + 1
+                lb = cnt_b - rb - 1
+                # probe from the SHORTER suffix: finer quantile cuts
+                # per probe; the bound is symmetric in the two sets
+                swap = lb < la
+                psa = np.where(swap, sb, sa)
+                pla = np.where(swap, lb, la)
+                psb = np.where(swap, sa, sb)
+                plb = np.where(swap, la, lb)
+                i_min = (
+                    JJ_TAU_NUM * (cnt_a + cnt_b)
+                    + JJ_TAU_NUM + JJ_TAU_DEN - 1
+                ) // (JJ_TAU_NUM + JJ_TAU_DEN)
+                bnd = c + suffix_overlap_bound(
+                    kv.view(np.uint64), psa, pla, psb, plb, n_probes
                 )
-                hi = min(max(hi, lo + 1), len(t))
-                sl = slice(lo, hi)
-                va = gather(ia[sl], cnt_a[sl])
-                vb = gather(ib[sl], cnt_b[sl])
-                out_i[sl] = _merge_inter_counts(
-                    hi - lo, cnt_a[sl], va, cnt_b[sl], vb
+                live = np.flatnonzero(bnd >= i_min)
+                merge_chunked(
+                    out_i, live, sa[live], la[live], sb[live], lb[live]
                 )
-                base = int(ccum[hi - 1])
-                lo = hi
+                out_i[live] += c[live]
+            else:
+                # no positional stats (LSH candidates): full-set merge
+                rows = np.arange(len(t), dtype=np.int64)
+                merge_chunked(
+                    out_i, rows, kst[ia], cnt_a, kst[ib], cnt_b
+                )
             yield pa.table(
                 {
                     "da": t.column("da"),
@@ -1791,7 +1926,7 @@ def lsh_candidate_jaccard(sf_dir: str) -> ray.data.Dataset:
     if cand.count() == 0:
         return ray.data.from_arrow(_empty_jaccard_table())
 
-    j2 = _verify_candidate_pairs(cand, _ranked_shingle_table(sf_dir), P)
+    j2 = _verify_candidate_pairs(cand, _corpus_blob_table(sf_dir), P)
 
     def fin(t: pa.Table):
         if t.num_rows == 0 or "na" not in t.schema.names:
@@ -1998,6 +2133,7 @@ def simhash_exact_pairs(sf_dir: str) -> ray.data.Dataset:
 JJ_TAU_NUM = 4   # tau = 4/5 = 0.8
 JJ_TAU_DEN = 5
 JJ_POSTING_GUARD = 4096
+JJ_SUFFIX_PROBES = 7  # quantile probes per candidate (suffix filter)
 
 
 def jaccard_join_pairs(sf_dir: str) -> ray.data.Dataset:
@@ -2013,17 +2149,19 @@ def jaccard_join_pairs(sf_dir: str) -> ray.data.Dataset:
     test 5*i >= 4*u; the only float is one double division restated
     identically in SQL.
 
-    Scale shape: ONE corpus scan builds the materialized ranked
-    shingle table (_ranked_shingle_table); prefix selection is the
-    per-row test rank < p(n); ONE shingle-keyed repartition forms
-    prefix postings (guard raises at JJ_POSTING_GUARD per the
-    no-silent-caps rule; pair expansion is the shared vectorized
-    triu_pair_indices kernel, no per-posting Python); the candidate
-    re-agg carries the PPJoin positional stats so provably-sub-
-    threshold pairs are pruned BEFORE verification; the verify phase
-    is the blob-broadcast merge-count (_verify_candidate_pairs) — this
-    is the path that avoids LSH's probabilistic misses AND the
-    quadratic full-posting blowup."""
+    Scale shape (r5 restructure): ONE corpus scan builds the
+    materialized per-doc blob table (_corpus_blob_table — 8
+    bytes/value); prefix rows (rank < p(n)) unpack from it
+    block-locally; ONE shingle-keyed repartition forms prefix postings
+    (guard raises at JJ_POSTING_GUARD per the no-silent-caps rule;
+    pair expansion is the shared vectorized triu_pair_indices kernel,
+    no per-posting Python); the candidate re-agg carries the PPJoin
+    positional stats (c, ra, rb) through to verification, where the
+    positional filter prunes provably-sub-threshold pairs, the
+    PPJoin+ suffix filter (quantile probes, rayrank.ragged) prunes
+    most of the rest BEFORE any gather, and survivors merge ONLY
+    their suffixes — this is the path that avoids LSH's probabilistic
+    misses AND the quadratic full-posting blowup."""
     from . import dyn_partitions
     from .shuffle import keyed_reagg, segment_starts, triu_pair_indices
 
@@ -2031,21 +2169,38 @@ def jaccard_join_pairs(sf_dir: str) -> ray.data.Dataset:
     # sessions at a pinned count (round-2 jaccard_scaling_80k = 0.613
     # with P=16 on 32 CPUs).
     P = dyn_partitions()
-    shf = _ranked_shingle_table(sf_dir)
+    PHASE_TIMES.clear()
+    _mark("start")
+    blobs = _corpus_blob_table(sf_dir)
+    _mark("blobs")
 
     def prefix(t: pa.Table):
-        if t.num_rows == 0 or "rank" not in t.schema.names:
+        if t.num_rows == 0 or "blob" not in t.schema.names:
             return
-        n = t.column("n").to_numpy(zero_copy_only=False)
-        rank = t.column("rank").to_numpy(zero_copy_only=False)
+        cnt, vals = _blob_values(t.column("blob"))
+        if len(cnt) == 0:
+            return
+        n = cnt.astype(np.int64)
         # ceil(tau*n) = (NUM*n + DEN - 1) // DEN — DEN-1, not NUM-1:
         # correct for any tau, not only tau = (DEN-1)/DEN
         p = n - (JJ_TAU_NUM * n + JJ_TAU_DEN - 1) // JJ_TAU_DEN + 1
-        yield t.select(["doc_id", "shingle", "n", "rank"]).filter(
-            pa.array(rank < p)
+        starts = np.cumsum(n) - n
+        cum = np.cumsum(p)
+        rank = np.arange(int(cum[-1]), dtype=np.int64) - np.repeat(
+            cum - p, p
+        )
+        take = np.repeat(starts, p) + rank
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        yield pa.table(
+            {
+                "doc_id": pa.array(np.repeat(d, p)),
+                "shingle": pa.array(vals[take]),
+                "n": pa.array(np.repeat(n, p)),
+                "rank": pa.array(rank),
+            }
         )
 
-    co = shf.map_batches(prefix, batch_format="pyarrow").repartition(
+    co = blobs.map_batches(prefix, batch_format="pyarrow").repartition(
         P, keys=["shingle"]
     )
 
@@ -2129,7 +2284,12 @@ def jaccard_join_pairs(sf_dir: str) -> ray.data.Dataset:
         keep = bound >= i_min
         if not keep.any():
             return
-        yield t.select(["da", "db"]).filter(pa.array(keep))
+        # (c, ra, rb) ride along to the verify phase: they anchor the
+        # exact overlap decomposition i = c + |A[ra+1:] ∩ B[rb+1:]|
+        # and the suffix-filter probe bound there
+        yield t.select(["da", "db", "c", "ra", "rb"]).filter(
+            pa.array(keep)
+        )
 
     # materialize_cut, not bare materialize: a MaterializedDataset
     # retains its logical plan, and the returned (lazy) verify dataset
@@ -2142,9 +2302,12 @@ def jaccard_join_pairs(sf_dir: str) -> ray.data.Dataset:
         posfilter, batch_size=None, batch_format="pyarrow"
     ))
     if cand.count() == 0:
+        _mark("candidates")
+        _mark("return")
         return ray.data.from_arrow(_empty_jaccard_table())
+    _mark("candidates")
 
-    j2 = _verify_candidate_pairs(cand, shf, P)
+    j2 = _verify_candidate_pairs(cand, blobs, P)
 
     def fin(t: pa.Table):
         if t.num_rows == 0 or "na" not in t.schema.names:
@@ -2172,7 +2335,9 @@ def jaccard_join_pairs(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return j2.map_batches(fin, batch_format="pyarrow")
+    out = j2.map_batches(fin, batch_format="pyarrow")
+    _mark("return")
+    return out
 
 
 def lsh_recall(sf_dir: str) -> ray.data.Dataset:

@@ -48,8 +48,8 @@ def test_merge_inter_counts_matches_set_intersection():
 
 
 def test_blob_roundtrip():
-    """_doc_blob_table's packing is inverted exactly by _blob_values,
-    including a sliced (nonzero-offset) column."""
+    """_corpus_blob_table's packing is inverted exactly by
+    _blob_values, including a sliced (nonzero-offset) column."""
     import numpy as np
     import pyarrow as pa
 
@@ -75,20 +75,6 @@ def test_blob_roundtrip():
     lo = int(sizes[:5].sum())
     hi = lo + int(sizes[5:15].sum())
     assert np.array_equal(vals2, flat[lo:hi])
-
-
-def test_ranked_chunking_tiny_cap(ray_session, monkeypatch):
-    """Doc-boundary chunking of the ranked shingle table: a cap far
-    below any doc's shingle count forces BOTH chunk-loop branches
-    (multi-doc cut at a boundary; single doc over the cap yielded
-    whole) and the blob builder's completeness check must still hold
-    on every chunk."""
-    import rayrank.text as tx
-
-    fast = _rows(tx.jaccard_join_pairs(SF))
-    monkeypatch.setattr(tx, "RANKED_CHUNK_ROWS", 7)
-    slow = _rows(tx.jaccard_join_pairs(SF))
-    assert slow == fast
 
 
 def test_fallback_join_path_matches_lookup(ray_session, monkeypatch):
@@ -185,23 +171,33 @@ def test_both_verify_regimes_raise_on_missing_blob(ray_session, monkeypatch):
         _rows(tx.jaccard_join_pairs(SF))
     monkeypatch.undo()
 
-    # fallback regime: drop the same doc's blob row before the joins
-    real_blob_table = tx._doc_blob_table
+    # fallback regime: drop the same doc's blob row AFTER the lookup
+    # guard declines (r5: ONE blob artifact feeds both the prefix
+    # phase and the verify, so corrupting _corpus_blob_table itself
+    # would remove the doc from the candidate chain too and nothing
+    # would be left to miss it — the verify-side seam is the
+    # materialized table _blob_lookup_refs hands the join fallback)
+    real_refs2 = tx._blob_lookup_refs
 
-    def corrupt_blob_table(shf):
+    def corrupt_fallback_refs(blobs):
         import pyarrow.compute as pc
+
+        from rayrank.shuffle import materialize_cut
+
+        refs, m = real_refs2(blobs)
+        assert refs is None, "JJ_BLOB_BCAST_LIMIT=0 must force fallback"
 
         def drop_victim(t):
             if t.num_rows == 0:
                 return
             yield t.filter(pc.not_equal(t.column("doc_id"), victim))
 
-        return real_blob_table(shf).map_batches(
-            drop_victim, batch_format="pyarrow"
+        return None, materialize_cut(
+            m.map_batches(drop_victim, batch_format="pyarrow")
         )
 
     monkeypatch.setattr(tx, "JJ_BLOB_BCAST_LIMIT", 0)
     monkeypatch.setattr(tx, "JJ_CAND_ID_LIMIT", 0)
-    monkeypatch.setattr(tx, "_doc_blob_table", corrupt_blob_table)
+    monkeypatch.setattr(tx, "_blob_lookup_refs", corrupt_fallback_refs)
     with pytest.raises(Exception, match="missing from"):
         _rows(tx.jaccard_join_pairs(SF))
