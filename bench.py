@@ -831,8 +831,11 @@ def textstage_once() -> dict:
             PerRowStage, batch_format="pyarrow", concurrency=conc
         ).count()
     elif fused:
+        # the fused stage IS the whole pipeline — give it the full
+        # session width (the per-stage ncpu//2 cap assumed 3 pools)
         n = docs.map_batches(
-            TextFeatures, batch_format="pyarrow", concurrency=conc
+            TextFeatures, batch_format="pyarrow",
+            concurrency=(1, max(2, ncpu)),
         ).count()
     else:
         n = (

@@ -41,6 +41,12 @@ def dyn_partitions(width: int = 2, lo: int = 8, hi: int = 128) -> int:
 
     import ray as _ray
 
+    override = _os.environ.get("RAYRANK_PARTITIONS")
+    if override:
+        # measurement knob (r5): pin the partition count across legs of
+        # a scaling run to attribute ratio gaps to the 16-vs-64
+        # partition-shape difference vs genuine compute scaling
+        return int(override)
     if _ray.is_initialized():
         ncpu = int(_ray.cluster_resources().get("CPU", _os.cpu_count() or 8))
     else:

@@ -1576,8 +1576,20 @@ def _merge_inter_counts(
     return np.bincount(pid[1:][dup], minlength=n_pairs).astype(np.int64)
 
 
-JJ_BLOB_BCAST_LIMIT = 4_000_000  # docs: sorted-lookup-array broadcast guard
-JJ_BLOB_VALUES_LIMIT = 256_000_000  # Σ shingle values (≈2 GB flat int64)
+# Broadcast-regime guards for the verify lookup arrays.  r5 raise
+# (was 4M docs / 256M values): the arrays are assembled in a REMOTE
+# task and consumed via plasma zero-copy mmap — ONE copy per node,
+# never a per-worker or driver-heap copy — so the bound is the
+# per-node object store (≈38 GB on this box; 1B values = 8 GB flat),
+# not driver memory.  The r4 limits were relics of the pre-r4
+# driver-pull assembly and silently pushed the 5.12M-doc bench onto
+# the join fallback, which ships a PER-PAIR blob copy through the
+# pair-keyed shuffle (~28 GB at 30M candidates — measured 140 s of a
+# 211 s wall).  Above these limits the fallback remains the genuine
+# cluster-scale path (a corpus whose per-doc sets exceed a node's
+# store cannot broadcast).
+JJ_BLOB_BCAST_LIMIT = 16_000_000  # docs: sorted-lookup-array guard
+JJ_BLOB_VALUES_LIMIT = 1_000_000_000  # Σ shingle values (8 GB flat int64)
 JJ_VERIFY_CHUNK_VALUES = 8_000_000  # Σ(|A|+|B|) gathered per sub-batch (~64 MB)
 
 
