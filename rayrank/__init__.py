@@ -45,8 +45,20 @@ def dyn_partitions(width: int = 2, lo: int = 8, hi: int = 128) -> int:
     if override:
         # measurement knob (r5): pin the partition count across legs of
         # a scaling run to attribute ratio gaps to the 16-vs-64
-        # partition-shape difference vs genuine compute scaling
-        return int(override)
+        # partition-shape difference vs genuine compute scaling.
+        # Validated at the knob so a stale/typo'd export fails HERE
+        # with a clear message, not deep inside a repartition
+        try:
+            n = int(override)
+        except ValueError:
+            raise ValueError(
+                f"RAYRANK_PARTITIONS={override!r} is not an integer"
+            ) from None
+        if not 1 <= n <= 4096:
+            raise ValueError(
+                f"RAYRANK_PARTITIONS={n} outside [1, 4096]"
+            )
+        return n
     if _ray.is_initialized():
         ncpu = int(_ray.cluster_resources().get("CPU", _os.cpu_count() or 8))
     else:

@@ -497,7 +497,10 @@ def doc_stats(sf_dir: str) -> ray.data.Dataset:
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     # fused stage (r5): one actor pool, one object-store crossing —
     # bit-identical to the former QualityScorer → LangId chain
-    ds = ds.map_batches(TextFeatures, batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(
+        TextFeatures, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs={"include_tokens": False},
+    )
     ds = ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))
     return ds.select_columns(
         ["doc_id", "quality", "stopword_ratio", "lang_pred", "fingerprint"]
@@ -514,7 +517,10 @@ def doc_quality(sf_dir: str) -> ray.data.Dataset:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     # fused stage (r5): one actor pool, one object-store crossing —
     # bit-identical to the former QualityScorer → LangId chain
-    ds = ds.map_batches(TextFeatures, batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.map_batches(
+        TextFeatures, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs={"include_tokens": False},
+    )
     return ds.select_columns(
         ["doc_id", "quality", "stopword_ratio", "punct_ratio",
          "digit_ratio", "lang_pred"]
@@ -6543,8 +6549,10 @@ def source_quality_profile(sf_dir: str) -> ray.data.Dataset:
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
     # fused stage (r5): one actor pool, one object-store crossing
-    ds = ds.map_batches(TextFeatures, batch_format="pyarrow",
-                        concurrency=(1, 4))
+    ds = ds.map_batches(
+        TextFeatures, batch_format="pyarrow", concurrency=(1, 4),
+        fn_constructor_kwargs={"include_tokens": False},
+    )
 
     def pre(t: pa.Table):
         if len(t) == 0 or "quality" not in t.schema.names:

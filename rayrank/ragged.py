@@ -44,7 +44,15 @@ def batched_searchsorted(
     m = len(queries)
     if m == 0:
         return np.zeros(0, np.int64)
-    assert values.dtype == np.uint64 and queries.dtype == np.uint64
+    if values.dtype != np.uint64 or queries.dtype != np.uint64:
+        # hard raise, not assert (stripped under -O): an int64 view
+        # compares in SIGNED order, silently inverting the search for
+        # hashes >= 2^63 — which would make the suffix bound UNDERcount
+        # and drop true pairs (the no-silent-caps failure mode)
+        raise ValueError(
+            "batched_searchsorted: values/queries must be uint64 "
+            f"(got {values.dtype}/{queries.dtype})"
+        )
     lo = np.asarray(seg_start, np.int64).copy()
     hi = lo + np.asarray(seg_len, np.int64)
     max_len = int(seg_len.max()) if len(seg_len) else 0

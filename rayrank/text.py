@@ -295,15 +295,23 @@ class TextFeatures:
     membership is computed once (QualityScorer's stop_ratio and
     LangId's en score were already the identical division).
 
-    Appends, in chain order: ws_tokens, re_tokens, n_chars_q,
-    punct_ratio, stopword_ratio, digit_ratio, mean_word_len, quality,
-    lang_pred, lang_score."""
+    Appends, in chain order: ws_tokens, re_tokens (skipped when
+    ``include_tokens=False`` — consumers like doc_quality never ran
+    TokenCounter pre-fusion and would pay its two full-corpus regex
+    passes for columns they drop), n_chars_q, punct_ratio,
+    stopword_ratio, digit_ratio, mean_word_len, quality, lang_pred,
+    lang_score."""
 
-    def __init__(self, langs: tuple[str, ...] = ("en", "de", "fr", "es")):
+    def __init__(
+        self,
+        langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+        include_tokens: bool = True,
+    ):
         from . import polars_mod
 
         self.pl = polars_mod()
         self.langs = langs
+        self.include_tokens = include_tokens
         self.stop_set = pa.array(sorted(_STOPWORDS["en"]))
         self.value_sets = [
             pa.array(sorted(_STOPWORDS[lg])) for lg in langs
@@ -315,11 +323,14 @@ class TextFeatures:
             col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         )
         n = batch.num_rows
-        # TokenCounter kernels
-        ws = s.str.count_matches(r"\S+").to_numpy().astype(np.int64)
-        bpe = (
-            s.str.count_matches(r"\w+|[^\w\s]").to_numpy().astype(np.int64)
-        )
+        # TokenCounter kernels (optional)
+        if self.include_tokens:
+            ws = s.str.count_matches(r"\S+").to_numpy().astype(np.int64)
+            bpe = (
+                s.str.count_matches(r"\w+|[^\w\s]")
+                .to_numpy()
+                .astype(np.int64)
+            )
         # QualityScorer char-class kernels
         length = s.str.len_chars().to_numpy().astype(np.float64)
         np_len = np.maximum(length, 1.0)
@@ -365,9 +376,12 @@ class TextFeatures:
         langs_arr = np.array(self.langs, dtype=object)
         best_lang = np.where(best_score > 0, langs_arr[best], "und")
         out = batch
-        for nm, arr in [
-            ("ws_tokens", pa.array(ws)),
-            ("re_tokens", pa.array(bpe)),
+        token_cols = (
+            [("ws_tokens", pa.array(ws)), ("re_tokens", pa.array(bpe))]
+            if self.include_tokens
+            else []
+        )
+        for nm, arr in token_cols + [
             ("n_chars_q", pa.array(length.astype(np.int64))),
             ("punct_ratio", pa.array(punct_ratio)),
             ("stopword_ratio", pa.array(stop_ratio)),
@@ -1590,6 +1604,7 @@ def _merge_inter_counts(
 # store cannot broadcast).
 JJ_BLOB_BCAST_LIMIT = 16_000_000  # docs: sorted-lookup-array guard
 JJ_BLOB_VALUES_LIMIT = 1_000_000_000  # Σ shingle values (8 GB flat int64)
+JJ_BUILD_CHUNK_VALUES = 32_000_000  # reorder-gather chunk (build task)
 JJ_VERIFY_CHUNK_VALUES = 8_000_000  # Σ(|A|+|B|) gathered per sub-batch (~64 MB)
 
 
@@ -1623,6 +1638,10 @@ def _blob_lookup_refs(blobs: ray.data.Dataset):
     # plasma object).  The pre-r4 driver-side iter_batches pull +
     # re-put measured 9.9 s SERIAL at 2.56M docs (1.07 GB round-trip)
     # — pure non-scaling wall on both legs of the scaling ratio.
+    # chunk size resolved DRIVER-side and closed over (worker-side
+    # module-global reads defeat test monkeypatches — the r4 lesson)
+    chunk_vals = JJ_BUILD_CHUNK_VALUES
+
     @_ray.remote(num_returns=4)
     def build(*tables):
         ids, ns, vals = [], [], []
@@ -1642,12 +1661,33 @@ def _blob_lookup_refs(blobs: ray.data.Dataset):
         starts = np.cumsum(n) - n
         o = np.argsort(doc, kind="stable")
         doc_s, n_s = doc[o], n[o]
+        src_starts = starts[o]
         cum = np.cumsum(n_s)
-        take = np.repeat(starts[o], n_s) + (
-            np.arange(int(cum[-1]), dtype=np.int64)
-            - np.repeat(cum - n_s, n_s)
-        )
-        return doc_s, n_s, cum - n_s, flat[take]
+        out_starts = cum - n_s
+        # CHUNKED reorder gather (r5 review finding): a one-shot
+        # `flat[take]` with its arange/repeat temporaries holds ~5
+        # full-size int64 copies in this ONE worker heap — ~40 GB at
+        # the 1B-value guard.  Chunking bounds the temporaries at
+        # ~3 × 32M values (~0.8 GB) so peak ≈ flat + out + ε.
+        total = int(cum[-1])
+        out = np.empty(total, np.int64)
+        lo = 0
+        while lo < len(doc_s):
+            hi = int(
+                np.searchsorted(cum, out_starts[lo] + chunk_vals, "left")
+            ) + 1
+            hi = min(max(hi, lo + 1), len(doc_s))
+            nseg = n_s[lo:hi]
+            ccum = cum[lo:hi] - out_starts[lo]
+            take = np.repeat(src_starts[lo:hi], nseg) + (
+                np.arange(int(ccum[-1]), dtype=np.int64)
+                - np.repeat(ccum - nseg, nseg)
+            )
+            out[out_starts[lo]: out_starts[lo] + int(ccum[-1])] = flat[
+                take
+            ]
+            lo = hi
+        return doc_s, n_s, out_starts, out
 
     return tuple(build.remote(*m.to_arrow_refs())), m
 

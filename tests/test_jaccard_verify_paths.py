@@ -201,3 +201,34 @@ def test_both_verify_regimes_raise_on_missing_blob(ray_session, monkeypatch):
     monkeypatch.setattr(tx, "_blob_lookup_refs", corrupt_fallback_refs)
     with pytest.raises(Exception, match="missing from"):
         _rows(tx.jaccard_join_pairs(SF))
+
+
+def test_blob_build_chunked_gather_forced(ray_session, monkeypatch):
+    """Force the build task's chunked reorder-gather through many
+    chunks (including the hi = lo+1 single-doc floor) — the memory-
+    bounded path a near-guard-limit corpus would take — and assert the
+    lookup arrays equal a direct per-doc reconstruction."""
+    import numpy as np
+    import ray
+
+    import rayrank.text as tx
+
+    monkeypatch.setattr(tx, "JJ_BUILD_CHUNK_VALUES", 7)
+    blobs = tx._corpus_blob_table(SF)
+    refs, _m = tx._blob_lookup_refs(blobs)
+    assert refs is not None
+    kd, kn, kst, kv = (ray.get(r) for r in refs)
+    assert np.array_equal(kd, np.sort(kd))
+    assert np.array_equal(kst, np.cumsum(kn) - kn)
+    # rebuild expected flat values directly from the blob table rows
+    rows = {}
+    for bt in blobs.iter_batches(batch_format="pyarrow"):
+        if bt.num_rows == 0:
+            continue
+        cnt, vals = tx._blob_values(bt.column("blob"))
+        starts = np.cumsum(cnt) - cnt
+        ids = bt.column("doc_id").to_numpy(zero_copy_only=False)
+        for i, d in enumerate(ids):
+            rows[int(d)] = vals[starts[i]: starts[i] + cnt[i]]
+    want = np.concatenate([rows[int(d)] for d in kd])
+    assert np.array_equal(kv, want)

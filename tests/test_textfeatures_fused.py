@@ -76,3 +76,17 @@ def test_fused_column_order_is_chain_order():
          "text": pa.array(["hello world"], pa.string())}
     )
     assert TextFeatures()(batch).schema.names == _chained(batch).schema.names
+
+
+def test_fused_without_tokens_matches_quality_langid_chain():
+    """include_tokens=False must equal the QualityScorer → LangId
+    chain exactly (the doc_quality-family shape — TokenCounter never
+    ran there pre-fusion)."""
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text"],
+    )
+    got = TextFeatures(include_tokens=False)(t)
+    want = LangId()(QualityScorer()(t))
+    assert got.schema.names == want.schema.names
+    _assert_tables_bitequal(got, want)
